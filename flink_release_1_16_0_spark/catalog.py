@@ -1,0 +1,54 @@
+"""Catalog: the driver's star schema as named tables.
+
+Equivalent in role to the reference's catalog resolution
+(``CatalogManager`` via TableEnvironmentImpl.java:498-504): table name ->
+relation. Here a table is a parquet file under the scale-factor dir
+(TESTDATA.md); registration is a temp view so both the DataFrame API and
+``spark.sql`` can address it. Parquet scans go through Spark's
+vectorized DSv2 reader with filter/column pushdown (the reference's
+``Supports{Filter,Projection}PushDown`` abilities are native here).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table as a DataFrame.
+
+    Parquet TIMESTAMP(NANOS) columns (events.ts) arrive as LongType under
+    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted to the
+    session TimestampType via integer division (lossless: the driver data
+    carries no sub-microsecond precision).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+) -> None:
+    """Register the star schema as temp views for ``spark.sql``."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,58 @@
+"""Shared helpers for oracle-comparable queries.
+
+The driver hashes values after sorting columns by name, so the one
+fragile axis is floating-point nondeterminism: a parallel SUM(double)
+depends on reduction order, and double->decimal rounding at an arbitrary
+scale differs between engines (Spark rounds the shortest decimal string,
+DuckDB rounds the binary value) when a value lands on a .5 boundary.
+
+The driver data's numeric columns sit exactly on a 2-decimal grid
+(events.value: 4), so any product of k such columns sits on a
+(2k)-decimal grid. Casting at the expression's NATURAL grid scale makes
+the decimal conversion unambiguous (double noise ~1e-11 abs never
+reaches the half-ulp boundary of the grid), and decimal SUM is exact and
+commutative — the final cast back to DOUBLE is then bit-identical across
+engines and partitionings. This mirrors the reference engine's exact
+DECIMAL accumulation (Flink DecimalData, SURVEY.md section 1.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _dec(scale: int) -> str:
+    return f"DECIMAL(38,{scale})"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent SUM over a double column, returned as double.
+
+    ``scale`` must be the decimal grid the expression's true values live
+    on (2 for raw money columns, 2k for a product of k of them).
+    """
+    return F.sum(_c(col).cast(_dec(scale))).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent AVG: exact decimal sum / count, as double."""
+    c = _c(col)
+    return (F.sum(c.cast(_dec(scale))).cast("double") / F.count(c)).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS {_dec(scale)})) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    """DuckDB-side twin of :func:`davg`."""
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS {_dec(scale)})) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )

@@ -1,0 +1,348 @@
+"""Aggregation coverage (SURVEY.md section 2.4).
+
+Reference: batch hash/sort agg (BatchExecHashAggregate.java), two-phase
+partial/final (automatic in Catalyst), distinct aggs, grouping sets /
+CUBE / ROLLUP (DecomposeGroupingSetsRule.scala:159 -> Expand), the
+built-in agg function set ({Sum,Sum0,Avg,Count,Max,Min}AggFunction.java,
+stddev/var, ListAgg/Collect), SINGLE_VALUE, and HLL++ approx count
+distinct (BatchApproxCountDistinctAggFunctions.java:55 — Spark's
+approx_count_distinct is the same HLL++ paper, so it maps natively but
+cannot hash-match DuckDB's sketch: rows-only check).
+
+stddev/var are order-dependent in one-pass FP form, so the oracle-gated
+variants are computed from exact decimal moments (sum, sum of squares) —
+identical algebra on both engines, bit-equal results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.queries import register
+from flink_release_1_16_0_spark.queries._util import davg, dsum, sql_davg, sql_dsum
+
+# --------------------------------------------------------------------------
+# global aggregation (no GROUP BY) + SUM0 semantics (empty -> 0 not NULL)
+# --------------------------------------------------------------------------
+
+_GLOBAL_ORACLE = f"""
+SELECT
+  COUNT(*) AS n_rows,
+  COUNT(DISTINCT l_suppkey) AS n_supp,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+  CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  COALESCE({sql_dsum('CASE WHEN l_quantity > 1e9 THEN l_quantity END')}, 0.0) AS sum0_empty
+FROM lineitem
+"""
+
+
+@register("agg_global", _GLOBAL_ORACLE, tags=("agg",))
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        dsum("l_quantity").alias("sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_extendedprice").alias("avg_price"),
+        # SUM0 (reference Sum0AggFunction): empty input -> 0, Flink's
+        # reserved semantics; expressed as coalesce(sum, 0)
+        F.coalesce(
+            dsum(F.when(F.col("l_quantity") > 1e9, F.col("l_quantity"))), F.lit(0.0)
+        ).alias("sum0_empty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# distinct aggregations (Expand-based rewrite in both engines)
+# --------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = f"""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS supp_cnt,
+       COUNT(DISTINCT l_partkey) AS part_cnt,
+       CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_dist_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_distinct", _DISTINCT_ORACLE, tags=("agg",))
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct("l_partkey").alias("part_cnt"),
+        F.sum_distinct(F.col("l_quantity").cast("DECIMAL(38,2)"))
+        .cast("double")
+        .alias("sum_dist_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# stddev / variance via exact decimal moments
+# --------------------------------------------------------------------------
+
+_STDDEV_ORACLE = """
+WITH m AS (
+  SELECT c_nationkey,
+         COUNT(c_acctbal) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2)) * CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       n,
+       CAST((s2 - s1*s1/n) / n AS DOUBLE) AS var_pop,
+       CAST(CASE WHEN n > 1 THEN (s2 - s1*s1/n) / (n - 1) END AS DOUBLE) AS var_samp,
+       CAST(sqrt((s2 - s1*s1/n) / n) AS DOUBLE) AS stddev_pop
+FROM m
+"""
+
+
+@register("agg_stddev_var", _STDDEV_ORACLE, tags=("agg",))
+def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("DECIMAL(38,2)")
+    m = cust.groupBy("c_nationkey").agg(
+        F.count("c_acctbal").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    var_pop = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+    var_samp = F.when(
+        F.col("n") > 1,
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1),
+    )
+    return m.select(
+        "c_nationkey",
+        "n",
+        var_pop.cast("double").alias("var_pop"),
+        var_samp.cast("double").alias("var_samp"),
+        F.sqrt(var_pop).cast("double").alias("stddev_pop"),
+    )
+
+
+# --------------------------------------------------------------------------
+# LISTAGG / COLLECT (reference ListAggWithRetract / CollectAggFunction):
+# order-insensitive via sorted arrays
+# --------------------------------------------------------------------------
+
+_COLLECT_ORACLE = """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+       list_sort(list(n_nationkey)) AS keys_sorted
+FROM nation GROUP BY n_regionkey
+"""
+
+
+@register("agg_collect_listagg", _COLLECT_ORACLE, tags=("agg",))
+def agg_collect_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
+        F.array_sort(F.collect_list("n_nationkey")).alias("keys_sorted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# grouping sets / rollup / cube with GROUPING() markers
+# --------------------------------------------------------------------------
+
+_GSETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("agg_grouping_sets", _GSETS_ORACLE, tags=("agg", "expand"))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT r_name, n_name, COUNT(*) AS n,
+       CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("agg_rollup", _ROLLUP_ORACLE, tags=("agg", "expand"))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("r_name").cast("int").alias("g_r"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+        )
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_extendedprice')} AS total,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf, CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("agg_cube", _CUBE_ORACLE, tags=("agg", "expand"))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_extendedprice").alias("total"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING + conditional aggregation (FILTER / CASE WHEN inside agg)
+# --------------------------------------------------------------------------
+
+_HAVING_ORACLE = f"""
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       {sql_dsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0 END")} AS urgent_total
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+"""
+
+
+@register("agg_having_conditional", _HAVING_ORACLE, tags=("agg",))
+def agg_having_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            dsum(
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias("urgent_total"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# --------------------------------------------------------------------------
+# bool / bitwise aggregates
+# --------------------------------------------------------------------------
+
+_BOOLBIT_ORACLE = """
+SELECT c_nationkey,
+       bool_and(c_acctbal > 0) AS all_positive,
+       bool_or(c_acctbal > 9000) AS any_rich,
+       CAST(bit_and(c_custkey) AS BIGINT) AS band,
+       CAST(bit_or(c_custkey) AS BIGINT) AS bor,
+       CAST(bit_xor(c_custkey) AS BIGINT) AS bxor
+FROM customer GROUP BY c_nationkey
+"""
+
+
+@register("agg_bool_bitwise", _BOOLBIT_ORACLE, tags=("agg",))
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+        F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+        F.bit_and("c_custkey").alias("band"),
+        F.bit_or("c_custkey").alias("bor"),
+        F.bit_xor("c_custkey").alias("bxor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# approx count distinct — HLL++ in both engines but different sketches:
+# rows-only check (the reference's own is batch-only HLL++,
+# BatchApproxCountDistinctAggFunctions.java:55)
+# --------------------------------------------------------------------------
+
+
+@register("agg_approx_count_distinct", None, tags=("agg", "approx"))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SINGLE_VALUE (scalar subquery guard, SingleValueAggFunction.java)
+# --------------------------------------------------------------------------
+
+_SINGLE_VALUE_ORACLE = """
+SELECT c_custkey, c_acctbal,
+       (SELECT CAST(r_regionkey AS INT) FROM region WHERE r_name = 'ASIA') AS asia_key
+FROM customer WHERE c_custkey <= 20
+"""
+
+
+@register("agg_single_value", _SINGLE_VALUE_ORACLE, tags=("agg", "subquery"))
+def agg_single_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (SELECT CAST(r_regionkey AS INT) FROM region WHERE r_name = 'ASIA') AS asia_key
+        FROM customer WHERE c_custkey <= 20
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# median / exact percentile (reference lacks it; Spark `percentile` and
+# DuckDB `quantile_cont` both do linear interpolation on sorted values)
+# --------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med_qty,
+       CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("agg_percentile", _PCT_ORACLE, tags=("agg",))
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("med_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    )

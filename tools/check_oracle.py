@@ -1,0 +1,121 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every registry query on Spark and its DuckDB oracle side by side,
+then compares row count, column names, and values EXACTLY (after
+sorting columns by name and rows by value — emulating the driver's
+order-insensitive value-hash). "CLOSE" (allclose but not bit-equal)
+is reported as a failure: it would hash-mismatch.
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.01] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark import get_spark, register_tables  # noqa: E402
+from flink_release_1_16_0_spark.catalog import TABLES  # noqa: E402
+from flink_release_1_16_0_spark.queries import load_registry  # noqa: E402
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # arrays / lists -> tuples for sortability
+            df[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif isinstance(s.dtype, pd.CategoricalDtype):
+            df[c] = s.astype(str)
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str]:
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return "SCHEMA", f"spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
+    if len(spark_pdf) != len(oracle_pdf):
+        return "ROWS", f"spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    a, b = _normalize(spark_pdf.copy()), _normalize(oracle_pdf.copy())
+    mism = []
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            eq = (av.values == bv.values) | (np.isnan(av.values) & np.isnan(bv.values))
+            if not eq.all():
+                close = np.allclose(av.fillna(0), bv.fillna(0), rtol=1e-9, atol=1e-12)
+                mism.append((c, "CLOSE" if close else "VALUE", int((~eq).sum())))
+        else:
+            eq = (av.values == bv.values) | (pd.isna(av).values & pd.isna(bv).values)
+            if not eq.all():
+                i = int(np.argmax(~eq))
+                mism.append((c, "VALUE", f"{int((~eq).sum())} rows e.g. {av.iloc[i]!r} vs {bv.iloc[i]!r}"))
+    if mism:
+        return "VALUES", "; ".join(str(m) for m in mism)
+    return "OK", ""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    registry = load_registry()
+    names = args.names or list(registry)
+
+    spark = get_spark("oracle-check")
+    register_tables(spark, args.sf)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
+
+    n_ok = n_bad = n_noracle = 0
+    for name in names:
+        spec = registry[name]
+        t0 = time.time()
+        try:
+            spark_pdf = spec.fn(spark, args.sf).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_bad += 1
+            continue
+        if spec.oracle is None:
+            print(f"NOORACLE {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            n_noracle += 1
+            continue
+        try:
+            oracle_pdf = con.execute(spec.oracle).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_bad += 1
+            continue
+        status, detail = compare(spark_pdf, oracle_pdf)
+        if status == "OK":
+            print(f"OK    {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            n_ok += 1
+        else:
+            print(f"FAIL  {name}: {status} {detail}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_bad} fail, {n_noracle} no-oracle")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
