@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all expressed as Catalyst-native plans (higher-order
+array functions + one equi-join shuffle) so they scale to the 100 TB
+corpus case:
+
+- **exact**: hash-groupBy on normalized text — one shuffle on the hash,
+  map-side partial agg.
+- **MinHash + LSH**: shingle -> k MinHash signatures -> band -> ONE
+  equi-join on (band, signature) to generate candidates -> exact Jaccard
+  verify. The join key is a short hash string, so the shuffle moves
+  O(docs * bands) small rows, never O(docs^2) pairs; skew is bounded by
+  bucket collision counts. This is the standard scale-out near-dup
+  pipeline (Broder's MinHash; banding per the LSH chapter of MMDS).
+- **SimHash**: 32-bit charngram-weighted signature; near-dups = equal
+  signature buckets or small Hamming distance within buckets.
+- **embedding cosine**: near-dup via cosine >= threshold on the
+  embeddings table (see operators.similarity for the k-NN variant).
+
+Hashes are MD5-based (not Spark's murmur3) so every stage has an exact
+DuckDB twin for the oracle suite; at production scale xxhash64 would be
+a drop-in for ~3x hash throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.operators.text import shingles, sql_shingles
+
+
+def minhash_signature(text: Column, num_hashes: int = 6, k: int = 3) -> Column:
+    """array<string> of `num_hashes` MinHash values over k-token shingles.
+
+    Permutation i is simulated by min(md5(i || '|' || shingle)) — string
+    min over independent salted hashes, exactly reproducible in any
+    engine with md5.
+    """
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def sql_minhash_signature(expr: str, num_hashes: int = 6, k: int = 3) -> str:
+    sh = sql_shingles(expr, k)
+    parts = ", ".join(
+        f"list_min(list_transform(__sh, s -> md5('{i}|' || s)))"
+        for i in range(num_hashes)
+    )
+    return f"(SELECT [{parts}] FROM (SELECT {sh} AS __sh))"
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 6,
+    bands: int = 6,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    Plan shape: project signatures (no shuffle) -> explode bands
+    (xN, still no shuffle) -> self equi-join on (band_idx, band_key)
+    (ONE shuffle on a short string key) -> distinct pairs.
+    """
+    rows_per_band = num_hashes // bands
+    # Materialize (id, sig) behind an exchange: projection collapse would
+    # otherwise inline the signature expression once per band reference
+    # (num_hashes x the full shingle+md5 work per row). The shuffled
+    # relation is tiny (id + num_hashes md5 strings) and is exactly the
+    # "signature table" stage of the production pipeline.
+    sigs = docs.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("__sig"),
+    ).repartition(F.col("__id"))
+    sig = F.col("__sig")
+    banded = sigs.select(
+        F.col("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(sig, b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    ).filter(F.col("band_key").isNotNull())
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh_a: Column, sh_b: Column) -> Column:
+    """Exact Jaccard over two shingle arrays (as sets) — int ratio."""
+    da, db = F.array_distinct(sh_a), F.array_distinct(sh_b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(da) + F.size(db) - inter
+    return inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+
+
+def sql_jaccard(a: str, b: str) -> str:
+    return (
+        f"(SELECT CAST(len(list_intersect(__da, __db)) AS DOUBLE)"
+        f" / CAST(greatest(len(__da) + len(__db) - len(list_intersect(__da, __db)), 1) AS DOUBLE)"
+        f" FROM (SELECT list_distinct({a}) AS __da, list_distinct({b}) AS __db))"
+    )
+
+
+def simhash32(text: Column, k: int = 3) -> Column:
+    """32-bit SimHash over k-token shingles.
+
+    Each shingle votes +1/-1 per bit of md5's first 8 hex chars; the
+    signature sets bit b when the vote sum is positive. BIGINT result.
+    """
+    sh = shingles(text, k)
+    hashes = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"))
+    # shiftright/shiftleft need literal shift amounts, so bit extraction
+    # uses exact integer arithmetic: (h div 2^b) % 2, and packing is
+    # bit * 2^b (all < 2^53, exact in the bigint domain).
+    pow2 = [F.lit(1 << b).cast("bigint") for b in range(32)]
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc
+                + F.when(
+                    (h / F.element_at(F.array(*pow2), (b + 1).cast("int"))).cast("bigint") % 2 == 1,
+                    1,
+                ).otherwise(-1),
+            )
+            > 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda bit, pos: bit * F.element_at(F.array(*pow2), (pos + 1).cast("int")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def sql_simhash32(expr: str, k: int = 3) -> str:
+    sh = sql_shingles(expr, k)
+    return f"""(
+      SELECT list_sum(list_transform(range(32), b ->
+        CASE WHEN list_sum(list_transform(__hs, h ->
+               CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+             THEN (1 << b)::BIGINT ELSE 0 END))
+      FROM (SELECT list_transform({sh},
+                   s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS __hs)
+    )"""

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure Catalyst (zip_with/aggregate fold — JVM-side, no
+Python in the hot loop):
+
+- **brute-force cosine top-k**: broadcast the query vectors, compute
+  cosine against every row, TakeOrderedAndProject per query. At 100 TB
+  this is the exact-baseline: one scan, no shuffle of the corpus (the
+  top-k is partial-aggregated map-side by Spark's window/orderBy+limit
+  or a groupBy(min-heap) — here per-query row_number).
+- **IVF-style cell-restricted search**: the corpus is pre-bucketed by a
+  coarse quantizer (the driver's `label` column plays the trained
+  centroid assignment); search only the query's cell -> the join key
+  becomes (cell), shuffling only matching cells. With c cells this cuts
+  compared pairs by ~c; the plan is an equi-join Catalyst can shuffle
+  or broadcast adaptively.
+
+Dot products fold left-to-right in index order in both Spark
+(`aggregate`) and DuckDB (`list_sum`/`list_dot_product` oracle twins) —
+with float32 inputs widened to float64 the result is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sum of elementwise products, folded in index order (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sql_dot(a: str, b: str) -> str:
+    """DuckDB twin of :func:`dot` (list_zip + sequential list_sum)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)})))"
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    `queries` is expected to be small (it is broadcast); result columns:
+    (query_id, neighbor_id, score, rank). Scores are rounded to
+    `round_scale` decimals before ranking so the ordering (and the
+    oracle comparison) is immune to last-ulp noise; ties break on
+    neighbor id.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("__qid")).select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_scale).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k: search only the query's coarse cell.
+
+    The equi-join on the cell id is the IVF probe (nprobe=1); Catalyst
+    broadcasts the small query side and prunes every non-matching cell
+    partition.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(cell_col).alias("__qcell"),
+    )
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col(cell_col) == F.col("__qcell")) & (F.col(id_col) != F.col("__qid")),
+    ).select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_scale).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

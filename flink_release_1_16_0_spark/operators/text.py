@@ -1,0 +1,185 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These are first-class engine operators (not just demo queries): language
+ID, quality scoring, token counting, and document fingerprinting over a
+`documents(text)` corpus. They deliberately compile to pure JVM-side
+Catalyst expressions (split/filter/transform/aggregate lambdas) — no
+Python UDFs — so at 100 TB they run inside whole-stage codegen with zero
+serialization overhead, scale linearly with input splits, and never
+shuffle (all are per-row projections).
+
+Portability: every function here has an exact DuckDB-SQL twin used by
+the oracle suite (md5-based fingerprints rather than engine-private
+hashes; integer-ratio doubles rather than order-dependent float sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: lowercase, split on non-alphanumeric runs, drop empties.
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+# A small English stopword set (public, common to every IR textbook).
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from",
+)
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased alphanumeric tokens as array<string> (JVM-side)."""
+    return F.filter(
+        F.split(F.lower(text), _TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB twin of :func:`tokens`."""
+    return (
+        f"list_filter(string_split_regex(lower({expr}), '{_TOKEN_SPLIT}'),"
+        " t -> t <> '')"
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace/punct-delimited token count (BIGINT)."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def sql_token_count(expr: str) -> str:
+    return f"CAST(len({sql_tokens(expr)}) AS BIGINT)"
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — a fluency signal.
+
+    Exact ratio of two ints -> bit-identical across engines.
+    """
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+
+
+def sql_stopword_ratio(expr: str, stopwords: tuple[str, ...] = STOPWORDS) -> str:
+    sw = "[" + ", ".join(f"'{s}'" for s in stopwords) + "]"
+    t = sql_tokens(expr)
+    return (
+        f"CAST(len(list_filter({t}, t -> list_contains({sw}, t))) AS DOUBLE)"
+        f" / CAST(greatest(len({t}), 1) AS DOUBLE)"
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not [a-zA-Z0-9 ]."""
+    n_punct = F.length(F.regexp_replace(text, "[a-zA-Z0-9 ]", ""))
+    return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def sql_punct_ratio(expr: str) -> str:
+    return (
+        f"CAST(length(regexp_replace({expr}, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)"
+        f" / CAST(greatest(length({expr}), 1) AS DOUBLE)"
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    """Average token length — exact ratio of ints."""
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def sql_mean_token_len(expr: str) -> str:
+    t = sql_tokens(expr)
+    return (
+        f"CAST(list_sum(list_transform({t}, t -> length(t))) AS DOUBLE)"
+        f" / CAST(greatest(len({t}), 1) AS DOUBLE)"
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: fluency (stopword presence),
+    clean charset (low punctuation), and plausible word shape. The exact
+    weights are engine-portable rational arithmetic.
+    """
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    ml = mean_token_len(text)
+    # target stopword ratio ~0.4, punct ratio ~0, mean token len in [3, 10]
+    sw_term = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.4)) * F.lit(2.5), F.lit(1.0))
+    pr_term = F.lit(1.0) - F.least(pr * F.lit(5.0), F.lit(1.0))
+    ml_term = F.when((ml >= 3.0) & (ml <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (sw_term * F.lit(0.4) + pr_term * F.lit(0.4) + ml_term * F.lit(0.2))
+
+
+def sql_quality_score(expr: str) -> str:
+    sw = sql_stopword_ratio(expr)
+    pr = sql_punct_ratio(expr)
+    ml = sql_mean_token_len(expr)
+    return (
+        f"((1.0 - least(abs(({sw}) - 0.4) * 2.5, 1.0)) * 0.4"
+        f" + (1.0 - least(({pr}) * 5.0, 1.0)) * 0.4"
+        f" + (CASE WHEN ({ml}) >= 3.0 AND ({ml}) <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2)"
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword-heuristic language ID: 'en' when enough English
+    stopword mass is present, else 'unknown'. (The container has no
+    langid model; the heuristic is the Spark-side plumbing that a real
+    fastText-style scorer would slot into as a pandas UDF.)
+    """
+    return F.when(stopword_ratio(text) >= 0.08, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def sql_lang_id(expr: str) -> str:
+    return f"CASE WHEN ({sql_stopword_ratio(expr)}) >= 0.08 THEN 'en' ELSE 'unknown' END"
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles ('w1 w2 w3' strings); empty array when < k tokens.
+
+    Built with zip_with over k shifted views of the token array rather
+    than per-index element_at: Catalyst has no common-subexpression
+    elimination inside higher-order-function lambdas, so an element_at
+    formulation re-tokenizes the document for every shingle element
+    (O(shingles x k) tokenizations/row — measured 16s for 500 docs);
+    zip_with evaluates each input array once (O(k)/row, ~100x less).
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    acc = toks
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(
+            acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(n >= k, F.slice(acc, 1, n - (k - 1))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def sql_shingles(expr: str, k: int = 3) -> str:
+    t = sql_tokens(expr)
+    parts = " || ' ' || ".join(f"__t[i + {j + 1}]" for j in range(k))
+    return (
+        f"(CASE WHEN len({t}) >= {k} THEN "
+        f"(SELECT list_transform(range(len(__t) - {k - 1}), i -> {parts})"
+        f" FROM (SELECT {t} AS __t)) ELSE [] END)"
+    )
+
+
+def fingerprint(text: Column, k: int = 3) -> Column:
+    """Deterministic document fingerprint: the minimum MD5 over k-token
+    shingles (a 1-permutation MinHash — the rolling-hash fingerprint of
+    the reference pipeline, made engine-portable via MD5). NULL for
+    documents shorter than k tokens.
+    """
+    return F.array_min(F.transform(shingles(text, k), F.md5))
+
+
+def sql_fingerprint(expr: str, k: int = 3) -> str:
+    return f"list_min(list_transform({sql_shingles(expr, k)}, s -> md5(s)))"

@@ -49,6 +49,7 @@ _MODULES = (
     "llm_similarity",
     "llm_text",
     "streaming_queries",
+    "changelog_queries",
 )
 
 

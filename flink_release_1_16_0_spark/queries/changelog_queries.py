@@ -1,0 +1,176 @@
+"""Changelog-algebra queries (SURVEY.md sections 2.6, 2.9, 7.0 — M4).
+
+The driver fixtures are insert-only, so these queries first *derive* a
+deterministic changelog from `orders` (the same construction in Spark
+and in the oracle SQL):
+
+- +I for every order at its orderdate;
+- a -U/+U pair at orderdate+30d for finished ('F') orders, raising
+  totalprice by 10%;
+- -D at orderdate+60d for orders with orderkey % 50 == 0.
+
+Then they exercise the changelog operators:
+- `changelog_normalize` (StreamExecChangelogNormalize.java:156): the
+  materialized current state;
+- `retracting_group_agg` (GroupAggFunction.java:125-172): signed
+  aggregation with group-vanish-on-zero-count semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.queries import register
+from flink_release_1_16_0_spark.streaming import changelog as C
+
+# The changelog construction, once in SQL (oracle) and once in Spark.
+# seq disambiguates same-timestamp rows: -U sorts before +U.
+
+_LOG_SQL = """
+  SELECT '+I' AS __rowkind, o_orderdate AS ts, 0 AS seq,
+         o_orderkey, o_orderpriority, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT '-U', o_orderdate + INTERVAL 30 DAY, 1,
+         o_orderkey, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT '+U', o_orderdate + INTERVAL 30 DAY, 2,
+         o_orderkey, o_orderpriority, CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+  FROM orders WHERE o_orderstatus = 'F'
+  UNION ALL
+  SELECT '-D', o_orderdate + INTERVAL 60 DAY, 3,
+         o_orderkey, o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+              ELSE o_totalprice END
+  FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+def _bumped_price() -> Column:
+    """+10%, computed in exact decimal so the half-up rounding is
+    engine-identical (double*1.1 lands on .5 ties that Spark and DuckDB
+    round differently)."""
+    return (
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,2)")
+            * F.lit("1.1").cast("decimal(2,1)"),
+            2,
+        )
+        .cast("double")
+    )
+
+
+def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.lit(C.INSERT).alias(C.ROWKIND),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("seq"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    finished = o.filter(F.col("o_orderstatus") == "F")
+    upd_before = finished.select(
+        F.lit(C.UPDATE_BEFORE).alias(C.ROWKIND),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(1).alias("seq"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    upd_after = finished.select(
+        F.lit(C.UPDATE_AFTER).alias(C.ROWKIND),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(2).alias("seq"),
+        "o_orderkey",
+        "o_orderpriority",
+        _bumped_price().alias("o_totalprice"),
+    )
+    deleted = o.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.lit(C.DELETE).alias(C.ROWKIND),
+        (F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("ts"),
+        F.lit(3).alias("seq"),
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", _bumped_price())
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return base.unionByName(upd_before).unionByName(upd_after).unionByName(deleted)
+
+
+# --------------------------------------------------------------------------
+# ChangelogNormalize: materialized current state of the keyed changelog
+# --------------------------------------------------------------------------
+
+_NORMALIZE_ORACLE = f"""
+WITH log AS ({_LOG_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                               ORDER BY ts DESC, seq DESC) AS rn
+  FROM log
+)
+SELECT ts, seq, o_orderkey, o_orderpriority, o_totalprice
+FROM ranked
+WHERE rn = 1 AND __rowkind IN ('+I', '+U')
+"""
+
+
+@register("changelog_normalize", _NORMALIZE_ORACLE, tags=("changelog", "streaming"))
+def changelog_normalize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog(spark, sf_dir)
+    return C.changelog_normalize(log, keys=["o_orderkey"], ts_col="ts", seq_col="seq")
+
+
+# --------------------------------------------------------------------------
+# retracting group agg: net state per priority after replaying the log
+# --------------------------------------------------------------------------
+
+_RETRACT_AGG_ORACLE = f"""
+WITH log AS ({_LOG_SQL})
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS BIGINT) AS n,
+       CAST(SUM((CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END)
+                * CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS net_total
+FROM log
+GROUP BY o_orderpriority
+HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) <> 0
+"""
+
+
+@register("changelog_retract_agg", _RETRACT_AGG_ORACLE, tags=("changelog", "agg", "streaming"))
+def changelog_retract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog(spark, sf_dir)
+    out = C.retracting_group_agg(
+        log,
+        group_cols=["o_orderpriority"],
+        sum_cols={"net_total": F.col("o_totalprice").cast("DECIMAL(38,2)")},
+    )
+    return out.withColumn("net_total", F.col("net_total").cast("double"))
+
+
+# --------------------------------------------------------------------------
+# DropUpdateBefore: upsert view of the changelog (counts by kind)
+# --------------------------------------------------------------------------
+
+_DROP_UB_ORACLE = f"""
+WITH log AS ({_LOG_SQL})
+SELECT __rowkind, COUNT(*) AS n
+FROM log
+WHERE __rowkind <> '-U'
+GROUP BY __rowkind
+"""
+
+
+@register("changelog_drop_update_before", _DROP_UB_ORACLE, tags=("changelog", "streaming"))
+def changelog_drop_update_before(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = _orders_changelog(spark, sf_dir)
+    return (
+        C.drop_update_before(log)
+        .groupBy(C.ROWKIND)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

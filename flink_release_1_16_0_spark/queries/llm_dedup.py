@@ -1,1 +1,180 @@
-"""placeholder — populated later this round."""
+"""Deduplication queries over the documents/embeddings corpus.
+
+Exercises operators.dedup end-to-end: exact hash dedup, MinHash+LSH
+near-dup with Jaccard verification, SimHash bucketing, n-gram Jaccard
+pairs, and embedding-cosine near-dup. The MD5-based hashing makes every
+stage (signatures, banding, candidate join, verify) reproducible in
+DuckDB, so the full pipelines — not just the final counts — are
+oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.operators import dedup as D
+from flink_release_1_16_0_spark.operators import similarity as S
+from flink_release_1_16_0_spark.operators.text import shingles, sql_shingles
+from flink_release_1_16_0_spark.queries import register
+
+# --------------------------------------------------------------------------
+# exact dedup: normalized-text hash groupBy, keep lowest doc_id
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("dedup_exact", _EXACT_ORACLE, tags=("llm", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+    ).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup: band join -> candidates -> exact Jaccard verify
+# --------------------------------------------------------------------------
+
+_NUM_HASHES, _BANDS, _K = 6, 6, 3
+_JACCARD_MIN = 0.5
+
+_MINHASH_ORACLE = f"""
+WITH sigs AS (
+  SELECT doc_id, {D.sql_minhash_signature('text', _NUM_HASHES, _K)} AS sig,
+         {sql_shingles('text', _K)} AS sh
+  FROM documents
+), banded AS (
+  SELECT doc_id, sh, i AS band_idx, sig[i + 1] AS band_key
+  FROM sigs, generate_series(0, {_BANDS - 1}) AS g(i)
+  WHERE sig[i + 1] IS NOT NULL
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), verified AS (
+  SELECT id_a, id_b, {D.sql_jaccard('sa.sh', 'sb.sh')} AS jaccard
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {_JACCARD_MIN}
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("llm", "dedup"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(
+        docs, num_hashes=_NUM_HASHES, bands=_BANDS, k=_K
+    )
+    sh = docs.select(
+        F.col("doc_id"), shingles(F.col("text"), _K).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash signatures + duplicate buckets
+# --------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = f"""
+WITH sigs AS (
+  SELECT doc_id, {D.sql_simhash32('text', _K)} AS simhash
+  FROM documents
+  WHERE doc_id % 3 = 0
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM sigs
+GROUP BY simhash
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE, tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return (
+        docs.select("doc_id", D.simhash32(F.col("text"), _K).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard similarity pairs on a keyed slice (all-pairs verify path)
+# --------------------------------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {sql_shingles('text', 2)} AS s
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         {D.sql_jaccard('a.s', 'b.s')} AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+) WHERE jaccard >= 0.02
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sh = docs.select("doc_id", shingles(F.col("text"), 2).alias("s"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", D.jaccard(F.col("s_a"), F.col("s_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.02)
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (rounded scores, deterministic fold)
+# --------------------------------------------------------------------------
+
+_COS_THRESHOLD = 0.3
+
+_COSDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({S.sql_cosine('a.embedding', 'b.embedding')}, 6) AS score
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {_COS_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_cosine", _COSDUP_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(S.cosine(F.col("e_a"), F.col("e_b")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= _COS_THRESHOLD)
+    )

@@ -1,1 +1,109 @@
-"""placeholder — populated later this round."""
+"""Similarity-search queries over the embeddings table.
+
+Exercises operators.similarity: exact brute-force cosine top-k (the
+baseline every ANN is measured against) and the IVF cell-restricted
+variant (the scale path: probe only the query's coarse cell). Scores
+are rounded before ranking so ordering is engine-stable; ties break on
+neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.operators import similarity as S
+from flink_release_1_16_0_spark.queries import register
+
+_QUERY_MOD = 100  # vec_id % 100 == 0 -> query set
+
+
+def _queries_df(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+
+
+_BRUTE_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({S.sql_cosine('e.embedding', 'q.qvec')}, 6) AS score
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+@register("similarity_brute_force_topk", _BRUTE_ORACLE, tags=("llm", "similarity"), bench=True)
+def similarity_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    return S.brute_force_topk(emb, q, k=10)
+
+
+_IVF_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS qcell
+  FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({S.sql_cosine('e.embedding', 'q.qvec')}, 6) AS score
+  FROM embeddings e JOIN q ON e.label = q.qcell AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_topk", _IVF_ORACLE, tags=("llm", "similarity"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    return S.ivf_topk(emb, q, k=5)
+
+
+# --------------------------------------------------------------------------
+# centroid statistics per cell (the "train the quantizer" step of IVF,
+# expressed as a groupBy over vector components)
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+SELECT label,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(*) AS mean_dim0,
+       CAST(SUM(CAST(ROUND(CAST(embedding[2] AS DOUBLE), 6) AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(*) AS mean_dim1
+FROM embeddings
+GROUP BY label
+"""
+
+
+@register("similarity_cell_stats", _CENTROID_ORACLE, tags=("llm", "similarity"))
+def similarity_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def exact_mean(pos: int):
+        rounded = F.round(F.element_at("embedding", pos).cast("double"), 6)
+        return (
+            F.sum(rounded.cast("DECIMAL(38,6)")).cast("double") / F.count(F.lit(1))
+        ).cast("double")
+
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        exact_mean(1).alias("mean_dim0"),
+        exact_mean(2).alias("mean_dim1"),
+    )

@@ -1,1 +1,122 @@
-"""placeholder — populated later this round."""
+"""Text-analysis queries over the documents corpus (training-data ops).
+
+Exercises operators.text: token counting, quality scoring, language ID,
+and MD5-min fingerprinting — each with an exact DuckDB oracle twin (the
+operator module ships matched sql_* builders). These are per-row
+projections: at 100 TB they are embarrassingly parallel scans inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.operators import text as T
+from flink_release_1_16_0_spark.queries import register
+from flink_release_1_16_0_spark.queries._util import sql_davg
+
+# --------------------------------------------------------------------------
+# token counting + length stats
+# --------------------------------------------------------------------------
+
+_TOKENS_ORACLE = f"""
+SELECT
+  doc_id,
+  {T.sql_token_count('text')}     AS n_tokens,
+  LENGTH(text)                    AS n_chars_computed,
+  n_chars                         AS n_chars_given,
+  {T.sql_mean_token_len('text')}  AS mean_token_len
+FROM documents
+"""
+
+
+@register("text_token_count", _TOKENS_ORACLE, tags=("llm", "text"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+        F.col("n_chars").alias("n_chars_given"),
+        T.mean_token_len(F.col("text")).alias("mean_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# quality scoring + corpus-level aggregation by source
+# --------------------------------------------------------------------------
+
+_QUALITY_ORACLE = f"""
+SELECT
+  source,
+  COUNT(*) AS n_docs,
+  {sql_davg(T.sql_quality_score('text'), 6)} AS avg_quality,
+  {sql_davg(T.sql_stopword_ratio('text'), 6)} AS avg_stopword_ratio,
+  {sql_davg(T.sql_punct_ratio('text'), 6)} AS avg_punct_ratio
+FROM documents
+GROUP BY source
+"""
+
+
+@register("text_quality_by_source", _QUALITY_ORACLE, tags=("llm", "text"))
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def davg6(c):
+        return (
+            F.sum(c.cast("DECIMAL(38,6)")).cast("double") / F.count(c)
+        ).cast("double")
+
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg6(F.round(T.quality_score(t), 6)).alias("avg_quality"),
+        davg6(F.round(T.stopword_ratio(t), 6)).alias("avg_stopword_ratio"),
+        davg6(F.round(T.punct_ratio(t), 6)).alias("avg_punct_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# language ID heuristic vs the labeled lang column
+# --------------------------------------------------------------------------
+
+_LANG_ORACLE = f"""
+SELECT
+  lang AS labeled_lang,
+  {T.sql_lang_id('text')} AS detected,
+  COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("text_lang_id", _LANG_ORACLE, tags=("llm", "text"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            T.lang_id(F.col("text")).alias("detected"),
+        )
+        .groupBy("labeled_lang", "detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# document fingerprinting (min-MD5 shingle hash)
+# --------------------------------------------------------------------------
+
+_FP_ORACLE = f"""
+SELECT doc_id, {T.sql_fingerprint('text')} AS fp
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
+@register("text_fingerprint", _FP_ORACLE, tags=("llm", "text"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))

@@ -1,1 +1,239 @@
-"""placeholder — populated later this round."""
+"""Structured-Streaming queries (SURVEY.md sections 2.9, M3).
+
+Each query replays the bounded events log through the micro-batch
+engine (availableNow) and materializes the sink — the reference's
+ITCase replay-and-assert pattern. Correctness argument is stream-table
+duality: the drained stream must equal the equivalent batch query, so
+the DuckDB oracles are the *batch* SQL over the fully-replayed log
+(identical to the event_windows oracles where the operator matches).
+
+Operators covered: watermark assignment (withWatermark ==
+WatermarkAssignerOperator.java:39), streaming tumble/hop/session window
+agg in complete mode (StreamExecGroupWindowAggregate /
+slicing assigners), stateless streaming calc (StreamExecCalc),
+stream-stream interval join (RT/join/interval/TimeIntervalJoin.java:51
+— native in Structured Streaming with a time-bound condition), and
+streaming group agg (GroupAggFunction.java:43, complete mode standing
+for the retract-stream's final state).
+
+Note on modes: complete mode emits the full final state of an
+unbounded agg (the materialized view a Flink retract stream converges
+to); append mode is used where rows emit within their batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.queries import register
+from flink_release_1_16_0_spark.queries._util import dsum, sql_dsum
+from flink_release_1_16_0_spark.streaming.core import (
+    events_stream,
+    replay_stream,
+    run_to_table,
+)
+
+_US = 1_000_000
+
+# --------------------------------------------------------------------------
+# stateless streaming calc (filter + projection) — append mode
+# --------------------------------------------------------------------------
+
+_SCALC_ORACLE = """
+SELECT event_id, user_id, value * 2 AS value2, upper(event_type) AS type_uc
+FROM events
+WHERE event_type IN ('click', 'purchase') AND value > 50
+"""
+
+
+@register("stream_calc", _SCALC_ORACLE, tags=("streaming", "calc"))
+def stream_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_stream(spark, sf_dir, "events")
+    out = ev.filter(
+        F.col("event_type").isin("click", "purchase") & (F.col("value") > 50)
+    ).select(
+        "event_id",
+        "user_id",
+        (F.col("value") * 2).alias("value2"),
+        F.upper("event_type").alias("type_uc"),
+    )
+    return run_to_table(out, "append")
+
+
+# --------------------------------------------------------------------------
+# streaming tumbling-window agg with watermark — complete mode
+# --------------------------------------------------------------------------
+
+_STUMBLE_ORACLE = f"""
+SELECT
+  make_timestamp((epoch_us(ts) // {5 * 60 * _US}) * {5 * 60 * _US}) AS win_start,
+  event_type,
+  COUNT(*) AS n,
+  {sql_dsum('value')} AS total
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("stream_tumble_agg", _STUMBLE_ORACLE, tags=("streaming", "window", "time"))
+def stream_tumble_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "total")
+    )
+    return run_to_table(out, "complete")
+
+
+# --------------------------------------------------------------------------
+# streaming hop-window agg — complete mode
+# --------------------------------------------------------------------------
+
+_SHOP_ORACLE = f"""
+SELECT
+  make_timestamp((epoch_us(ts) // {10 * 60 * _US}) * {10 * 60 * _US} - i * {10 * 60 * _US})
+    AS win_start,
+  COUNT(*) AS n
+FROM events, generate_series(0, 1) AS g(i)
+GROUP BY 1
+"""
+
+
+@register("stream_hop_agg", _SHOP_ORACLE, tags=("streaming", "window", "time"))
+def stream_hop_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(F.window("ts", "20 minutes", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+    return run_to_table(out, "complete")
+
+
+# --------------------------------------------------------------------------
+# streaming session-window agg (gap merge) — complete mode
+# --------------------------------------------------------------------------
+
+_SSESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+       {sql_dsum('value')} AS total
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("stream_session_agg", _SSESSION_ORACLE, tags=("streaming", "window", "time"))
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    out = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n",
+            "total",
+        )
+    )
+    return run_to_table(out, "complete")
+
+
+# --------------------------------------------------------------------------
+# stream-stream interval join (TimeIntervalJoin.java:51 semantics,
+# native in Structured Streaming) — purchases matched to the same
+# user's clicks within the previous 10 minutes
+# --------------------------------------------------------------------------
+
+_SIJOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE
+ AND c.ts < p.ts
+"""
+
+
+@register("stream_interval_join", _SIJOIN_ORACLE, tags=("streaming", "join", "time"))
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    return run_to_table(joined, "append")
+
+
+# --------------------------------------------------------------------------
+# streaming unbounded group agg (GroupAggFunction.java:43) — complete
+# mode materializes the final state the retract stream converges to
+# --------------------------------------------------------------------------
+
+_SGROUP_ORACLE = f"""
+SELECT event_type, COUNT(*) AS n, {sql_dsum('value')} AS total,
+       CAST(MIN(value) AS DOUBLE) AS min_v, CAST(MAX(value) AS DOUBLE) AS max_v
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_group_agg", _SGROUP_ORACLE, tags=("streaming", "agg"))
+def stream_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_stream(spark, sf_dir, "events")
+    out = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("total"),
+        F.min("value").cast("double").alias("min_v"),
+        F.max("value").cast("double").alias("max_v"),
+    )
+    return run_to_table(out, "complete")
+
+
+# --------------------------------------------------------------------------
+# streaming deduplication on the event key (StreamExecDeduplicate):
+# dropDuplicates over a bounded replay — row set equals DISTINCT
+# --------------------------------------------------------------------------
+
+_SDEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+@register("stream_dedup_pairs", _SDEDUP_ORACLE, tags=("streaming", "dedup"))
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_stream(spark, sf_dir, "events")
+    out = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    return run_to_table(out, "append")

@@ -1,0 +1,82 @@
+"""Streaming replay harness: bounded-log -> stream -> materialized table.
+
+The reference validates streaming operators by replaying deterministic
+event logs and asserting the final sink contents (the *ITCase pattern,
+SURVEY.md section 5). Spark equivalent: `readStream` over the driver's
+parquet fixtures, `trigger(availableNow=True)` to drain the log through
+the micro-batch engine, a memory sink to materialize, then return the
+sink table as a regular DataFrame. Complete/update/append mode is the
+caller's choice per operator (complete for unbounded-window aggs so the
+final state is fully emitted; append for stateless calc and
+stream-stream joins whose matches emit within the batch).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+
+_SINK_COUNTER = itertools.count()
+
+
+def replay_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table as a file-source stream (bounded replay).
+
+    Schema comes from the batch reader; the events table's TIMESTAMP
+    (NANOS) column arrives as bigint under the nanosAsLong conf and is
+    converted exactly like the batch path (catalog.load_table), so the
+    streaming and batch plans see identical types.
+    """
+    batch = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The file stream source requires a directory; pathGlobFilter pins it
+    # to this table's file within the shared fixture dir.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", f"{name}.parquet")
+        .parquet(sf_dir)
+    )
+    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_table(
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Drain a bounded stream through the micro-batch engine.
+
+    Runs with availableNow (process everything, then stop) into a
+    memory sink and returns the materialized table. The returned
+    DataFrame is a normal batch relation over the sink contents.
+    """
+    sink = f"__stream_sink_{next(_SINK_COUNTER)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(sink)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical watermarked event stream (ts = event time)."""
+    return replay_stream(spark, sf_dir, "events").withWatermark("ts", "10 minutes")
+
+
+def batch_dual(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The batch view of the same table (stream-table duality oracle)."""
+    return load_table(spark, sf_dir, name)

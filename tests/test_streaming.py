@@ -1,0 +1,155 @@
+"""Streaming semantics tests: multi-batch replay vs batch duality.
+
+The reference's ITCase pattern (SURVEY.md section 5): replay a
+deterministic log through the streaming engine in several micro-batches
+and assert the materialized result equals the batch query over the full
+log. Multi-batch is forced by splitting the fixture into chunked files
++ maxFilesPerTrigger=1, so state really carries across batches.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark.catalog import load_table  # noqa: E402
+from flink_release_1_16_0_spark.streaming.core import run_to_table  # noqa: E402
+from flink_release_1_16_0_spark.streaming.stateful import (  # noqa: E402
+    streaming_dedup_keep_last,
+    streaming_retracting_agg,
+    streaming_topn,
+)
+
+
+@pytest.fixture(scope="module")
+def chunked_events(spark, sf_smoke, tmp_path_factory):
+    """events split into 4 files (by event_id ranges) for 4 micro-batches."""
+    path = str(tmp_path_factory.mktemp("events_chunks"))
+    ev = load_table(spark, sf_smoke, "events")
+    # chunk boundaries follow event_id (which is time-ordered in the
+    # fixture), approximating arrival order
+    ev.withColumn("chunk", (F.col("event_id") % 4).cast("int")).repartition(
+        1
+    ).write.partitionBy("chunk").mode("overwrite").parquet(path)
+    return path
+
+
+def _stream(spark, chunked_events, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(chunked_events)
+    )
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events").drop("props").schema
+
+
+def _batch_events(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "events").drop("props")
+
+
+def test_multibatch_group_agg_converges_to_batch(
+    spark, sf_smoke, chunked_events, events_schema
+):
+    stream = _stream(spark, chunked_events, events_schema)
+    out = run_to_table(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    got = {r["event_type"]: r["n"] for r in out.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in _batch_events(spark, sf_smoke)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_keep_last_converges(spark, sf_smoke, chunked_events, events_schema):
+    stream = _stream(spark, chunked_events, events_schema).select(
+        "user_id", "event_id", "ts"
+    )
+    out = run_to_table(
+        streaming_dedup_keep_last(stream, keys=["user_id"], order_col="event_id"),
+        "update",
+    )
+    # update-mode memory sink appends every emission; the final state per
+    # key is the row with the max event_id emitted last -> take max.
+    final = {
+        r["user_id"]: r["m"]
+        for r in out.groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    want = {
+        r["user_id"]: r["m"]
+        for r in _batch_events(spark, sf_smoke)
+        .groupBy("user_id")
+        .agg(F.max("event_id").alias("m"))
+        .collect()
+    }
+    assert final == want
+
+
+def test_streaming_topn_converges(spark, sf_smoke, chunked_events, events_schema):
+    stream = _stream(spark, chunked_events, events_schema).select(
+        "event_type", "event_id", "value"
+    )
+    out = run_to_table(
+        streaming_topn(stream, keys=["event_type"], order_col="value", n=3),
+        "update",
+    )
+    # last emission per key holds the final top-3: reconstruct by taking,
+    # per type, the 3 largest values ever emitted that are also in the
+    # batch top-3 (emissions are monotone improvements).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    want = (
+        _batch_events(spark, sf_smoke)
+        .select("event_type", "event_id", "value",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    want_set = {(r["event_type"], r["event_id"]) for r in want.collect()}
+    got_final = (
+        out.select("event_type", "event_id", "value")
+        .distinct()
+        .select("event_type", "event_id", "value",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+    got_set = {(r["event_type"], r["event_id"]) for r in got_final.collect()}
+    assert got_set == want_set
+
+
+def test_streaming_retracting_agg_changelog(spark, sf_smoke, chunked_events, events_schema):
+    stream = _stream(spark, chunked_events, events_schema).select("event_type", "value")
+    out = run_to_table(
+        streaming_retracting_agg(stream, keys=["event_type"], value_col="value"),
+        "update",
+    ).cache()
+    rows = out.collect()
+    kinds = {r["__rowkind"] for r in rows}
+    assert "+I" in kinds  # first batch inserts
+    assert {"-U", "+U"} <= kinds  # later batches retract + update
+    # net count per key from the changelog equals the batch count:
+    # the final +U (or lone +I) per key carries the converged n
+    final_n = {}
+    for r in rows:
+        if r["__rowkind"] in ("+I", "+U"):
+            final_n[r["event_type"]] = max(final_n.get(r["event_type"], 0), r["n"])
+    want = {
+        r["event_type"]: r["n"]
+        for r in _batch_events(spark, sf_smoke)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final_n == want

@@ -1,0 +1,71 @@
+"""Unit tests for the text-analysis and dedup operators.
+
+Edge semantics the oracle queries can't isolate: empty/short documents,
+planted near-duplicates, signature stability.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pyspark.sql.functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark.operators import dedup as D  # noqa: E402
+from flink_release_1_16_0_spark.operators import text as T  # noqa: E402
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def test_tokens_and_counts(spark):
+    df = _docs(spark, ["Hello, World! 123", "", "   ", "one"])
+    rows = df.select(
+        "doc_id", T.token_count(F.col("text")).alias("n")
+    ).collect()
+    got = {r["doc_id"]: r["n"] for r in rows}
+    assert got == {0: 3, 1: 0, 2: 0, 3: 1}
+
+
+def test_shingles_short_doc_is_empty(spark):
+    df = _docs(spark, ["one two", "one two three", "a b c d"])
+    rows = df.select("doc_id", F.size(T.shingles(F.col("text"), 3)).alias("n")).collect()
+    got = {r["doc_id"]: r["n"] for r in rows}
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_fingerprint_stability_and_nulls(spark):
+    df = _docs(spark, ["alpha beta gamma delta", "alpha beta gamma delta", "tiny"])
+    rows = df.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()
+    got = {r["doc_id"]: r["fp"] for r in rows}
+    assert got[0] == got[1]  # identical text -> identical fingerprint
+    assert got[2] is None  # < k tokens -> NULL
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"  # one extra token -> high jaccard
+    far = "completely different words about spark catalyst optimizer plans"
+    df = _docs(spark, [base, near, far])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidate_pairs(df, num_hashes=6, bands=6, k=3).collect()
+    }
+    assert (0, 1) in pairs
+    # verify stage: jaccard of the planted pair is high, far pair low
+    sh = df.select("doc_id", T.shingles(F.col("text"), 3).alias("s"))
+    a = sh.filter(F.col("doc_id") == 0).select(F.col("s").alias("s_a"))
+    b = sh.filter(F.col("doc_id") == 1).select(F.col("s").alias("s_b"))
+    j = a.crossJoin(b).select(D.jaccard(F.col("s_a"), F.col("s_b")).alias("j")).first()["j"]
+    assert j > 0.7
+
+
+def test_simhash_identical_docs_equal(spark):
+    df = _docs(spark, ["spark sql window functions rank", "spark sql window functions rank"])
+    rows = df.select(D.simhash32(F.col("text")).alias("h")).collect()
+    assert rows[0]["h"] == rows[1]["h"]
+    assert 0 <= rows[0]["h"] < 2**32
