@@ -39,6 +39,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # Modules that populate REGISTRY on import.
 _MODULES = (
     "tpch",
+    "tpch_more",
     "joins",
     "aggregates",
     "windows_over",
@@ -50,6 +51,7 @@ _MODULES = (
     "llm_text",
     "streaming_queries",
     "changelog_queries",
+    "advanced_ops",
 )
 
 

@@ -1,0 +1,185 @@
+"""Advanced operator coverage: CEP pattern matching, lookup join,
+multimodal binary columns, streaming OVER aggregation.
+
+Reference anchors: StreamExecMatch.java:59 / CepOperator.java:82 (CEP),
+CommonExecLookupJoin + LookupFunction.java:35 (lookup join),
+StreamExecOverAggregate / RowTimeRowsUnboundedPrecedingFunction
+(streaming over-agg); multimodal columns are the training-data-pipeline
+extension (binary payload + mapInPandas metadata extraction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.operators.cep import (
+    classify,
+    match_fixed_pattern,
+    match_regex_pattern,
+)
+from flink_release_1_16_0_spark.operators.lookup import lookup_join
+from flink_release_1_16_0_spark.operators.multimodal import (
+    extract_media_metadata,
+    with_binary_payload,
+)
+from flink_release_1_16_0_spark.queries import register
+from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+from flink_release_1_16_0_spark.streaming.stateful import streaming_over_rows_unbounded
+
+# --------------------------------------------------------------------------
+# CEP fixed pattern: click -> click -> purchase on consecutive events of
+# a user (lowered to LEAD window functions — the quantifier-free tier)
+# --------------------------------------------------------------------------
+
+_CEP_FIXED_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym
+  FROM events
+), led AS (
+  SELECT user_id, event_id, sym,
+         LEAD(sym, 1) OVER w AS s1,
+         LEAD(sym, 2) OVER w AS s2
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS start_event
+FROM led WHERE sym = 'c' AND s1 = 'c' AND s2 = 'p'
+"""
+
+
+@register("cep_fixed_pattern", _CEP_FIXED_ORACLE, tags=("cep", "match"))
+def cep_fixed_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    return match_fixed_pattern(
+        ev, keys=["user_id"], order_cols=["ts", "event_id"], symbol=sym, pattern="ccp"
+    ).select("user_id", F.col("event_id").alias("start_event"))
+
+
+# --------------------------------------------------------------------------
+# CEP regex pattern with quantifier: one-or-more clicks then a purchase
+# (c+p, leftmost greedy, skip past last row) — the NFA tier in
+# applyInPandas; oracle counts matches via regexp over the per-user
+# symbol string
+# --------------------------------------------------------------------------
+
+_CEP_REGEX_ORACLE = """
+WITH tagged AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym,
+         ts, event_id
+  FROM events
+), strs AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS s
+  FROM tagged GROUP BY user_id
+)
+SELECT user_id, len(regexp_extract_all(s, 'c+p')) AS n_matches
+FROM strs
+WHERE len(regexp_extract_all(s, 'c+p')) > 0
+"""
+
+
+@register("cep_regex_pattern", _CEP_REGEX_ORACLE, tags=("cep", "match"))
+def cep_regex_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    matches = match_regex_pattern(
+        ev, keys=["user_id"], ts_col="ts", symbol=sym, pattern="c+p", id_col="event_id"
+    )
+    return (
+        matches.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matches"))
+    )
+
+
+# --------------------------------------------------------------------------
+# lookup join: events fetch their user's customer attributes (dim
+# broadcast — the physical shape of a point lookup)
+# --------------------------------------------------------------------------
+
+_LOOKUP_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("lookup_join_dim", _LOOKUP_ORACLE, tags=("join", "lookup"))
+def lookup_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return lookup_join(ev, cust, on=[("user_id", "c_custkey")], how="left").select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal: binary payload + mapInPandas metadata extraction (the
+# Arrow-batched plumbing a real decoder slots into)
+# --------------------------------------------------------------------------
+
+_MEDIA_ORACLE = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS content_hash,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS fake_width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS INTEGER) AS fake_height
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
+@register("multimodal_metadata", _MEDIA_ORACLE, tags=("llm", "multimodal"))
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = with_binary_payload(docs, text_col="text", id_col="doc_id")
+    return extract_media_metadata(media)
+
+
+# --------------------------------------------------------------------------
+# streaming OVER agg: per-row running count/sum per user across the
+# replayed stream (custom keyed-state operator)
+# --------------------------------------------------------------------------
+
+_STREAM_OVER_ORACLE = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w AS running_n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+         AS running_sum
+FROM events
+WHERE user_id % 10 = 6
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("stream_over_agg", _STREAM_OVER_ORACLE, tags=("streaming", "over"))
+def stream_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = replay_stream(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 6)
+    out = streaming_over_rows_unbounded(
+        ev.select("user_id", "event_id", "ts", "value"),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="value",
+        id_col="event_id",
+    )
+    return run_to_table(out, "update")

@@ -208,3 +208,73 @@ def streaming_retracting_agg(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_over_rows_unbounded(
+    stream: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Streaming OVER aggregation: per-row running count/sum per key
+    across micro-batches (StreamExecOverAggregate /
+    RowTimeRowsUnboundedPrecedingFunction — SURVEY.md section 2.5).
+
+    Spark has no streaming window functions; this is the keyed-state
+    rebuild: state carries (n, cents) forward, each batch is sorted by
+    the event-time order columns and emitted with cumulative values.
+    Sums run in integer cents (the fixture's 2-decimal grid) so results
+    are exact and batch-split-invariant.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType as ST,
+    )
+
+    key_fields = [stream.schema[k] for k in keys]
+    id_field = stream.schema[id_col]
+    out_schema = ST(
+        [
+            *key_fields,
+            id_field,
+            StructField("running_n", LongType()),
+            StructField("running_sum", DoubleType()),
+        ]
+    )
+    state_schema = ST(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True).sort_values(
+            list(order_cols), kind="mergesort"
+        )
+        n0, cents0 = state.get if state.exists else (0, 0)
+        cents = (pdf[value_col] * 100).round().astype("int64").cumsum() + cents0
+        running_n = pd.RangeIndex(1, len(pdf) + 1) + n0
+        out = pd.DataFrame(
+            {
+                **{k: pdf[k] for k in keys},
+                id_col: pdf[id_col],
+                "running_n": list(running_n),
+                "running_sum": (cents / 100.0).astype("float64"),
+            }
+        )
+        state.update((int(running_n[-1]), int(cents.iloc[-1])))
+        yield out
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
