@@ -33,8 +33,9 @@ def char_length(col: Column | str) -> Column:
 
 def split_index(col: Column | str, sep: str, index: int) -> Column:
     """Flink SPLIT_INDEX(s, sep, i): 0-based split element, NULL if out
-    of range (SqlFunctionUtils.splitIndex)."""
-    return F.element_at(F.split(_c(col), F.lit(sep), -1), index + 1)
+    of range (SqlFunctionUtils.splitIndex). try_element_at keeps the
+    NULL-on-out-of-range contract under ANSI mode."""
+    return F.try_element_at(F.split(_c(col), F.lit(sep), -1), F.lit(index + 1))
 
 
 def str_to_map(col: Column | str, pair_sep: str = ",", kv_sep: str = "=") -> Column:

@@ -30,14 +30,13 @@ from pyspark.sql import functions as F
 from flink_release_1_16_0_spark.operators.text import shingles, sql_shingles
 
 
-def minhash_signature(text: Column, num_hashes: int = 6, k: int = 3) -> Column:
-    """array<string> of `num_hashes` MinHash values over k-token shingles.
+def signature_from_shingles(sh: Column, num_hashes: int = 6) -> Column:
+    """array<string> of `num_hashes` MinHash values over a shingle array.
 
     Permutation i is simulated by min(md5(i || '|' || shingle)) — string
     min over independent salted hashes, exactly reproducible in any
     engine with md5.
     """
-    sh = shingles(text, k)
     return F.array(
         *[
             F.array_min(
@@ -46,6 +45,37 @@ def minhash_signature(text: Column, num_hashes: int = 6, k: int = 3) -> Column:
             for i in range(num_hashes)
         ]
     )
+
+
+def minhash_signature(text: Column, num_hashes: int = 6, k: int = 3) -> Column:
+    """MinHash signature computed straight from text (see
+    signature_from_shingles; prefer shingling once when the shingles are
+    also needed downstream)."""
+    return signature_from_shingles(shingles(text, k), num_hashes)
+
+
+def shingle_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    persist: bool = False,
+) -> DataFrame:
+    """(id, sh) materialized behind an exchange — the shared first stage
+    of the near-dup pipeline. The repartition is the explicit
+    "signature table" materialization: without it, Catalyst's projection
+    collapse re-inlines the shingle expression into every consumer (no
+    CSE inside higher-order-function lambdas), multiplying the
+    tokenization work per reference.
+
+    `persist=True` additionally caches the stage so a plan that consumes
+    it several times (banding + both verify sides) computes it once —
+    the in-job equivalent of writing the signature table out, which is
+    what the 100 TB pipeline would do between stages."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh")
+    ).repartition(F.col("__id"))
+    return sh.persist() if persist else sh
 
 
 def sql_minhash_signature(expr: str, num_hashes: int = 6, k: int = 3) -> str:
@@ -72,15 +102,9 @@ def lsh_candidate_pairs(
     (ONE shuffle on a short string key) -> distinct pairs.
     """
     rows_per_band = num_hashes // bands
-    # Materialize (id, sig) behind an exchange: projection collapse would
-    # otherwise inline the signature expression once per band reference
-    # (num_hashes x the full shingle+md5 work per row). The shuffled
-    # relation is tiny (id + num_hashes md5 strings) and is exactly the
-    # "signature table" stage of the production pipeline.
-    sigs = docs.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("__sig"),
-    ).repartition(F.col("__id"))
+    sigs = shingle_table(docs, id_col, text_col, k).select(
+        F.col("__id"), signature_from_shingles(F.col("__sh"), num_hashes).alias("__sig")
+    )
     sig = F.col("__sig")
     banded = sigs.select(
         F.col("__id"),

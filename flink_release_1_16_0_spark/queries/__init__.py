@@ -52,6 +52,7 @@ _MODULES = (
     "streaming_queries",
     "changelog_queries",
     "advanced_ops",
+    "misc_relational",
 )
 
 

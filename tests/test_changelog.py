@@ -1,0 +1,84 @@
+"""Unit tests for the changelog (+I/-U/+U/-D) algebra.
+
+Pins RowKind semantics on a tiny hand-written CDC log, including the
+cases the fixture-derived queries can't isolate: delete-then-nothing
+keys, group-vanish-on-zero-count, and -U/+U pairing.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark.streaming import changelog as C  # noqa: E402
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def cdc(spark):
+    rows = [
+        # key 1: insert -> update (-U/+U) => final name=B
+        ("+I", _ts(1), 0, 1, "A", 10.0),
+        ("-U", _ts(2), 1, 1, "A", 10.0),
+        ("+U", _ts(2), 2, 1, "B", 15.0),
+        # key 2: insert -> delete => gone
+        ("+I", _ts(1), 0, 2, "X", 20.0),
+        ("-D", _ts(3), 1, 2, "X", 20.0),
+        # key 3: plain insert
+        ("+I", _ts(2), 0, 3, "Y", 30.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        f"{C.ROWKIND} string, ts timestamp, seq int, k bigint, name string, v double",
+    )
+
+
+def test_normalize_keeps_latest_additive(spark, cdc):
+    out = {
+        r["k"]: (r["name"], r["v"])
+        for r in C.changelog_normalize(cdc, ["k"], "ts", "seq").collect()
+    }
+    assert out == {1: ("B", 15.0), 3: ("Y", 30.0)}  # key 2 deleted
+
+
+def test_retracting_agg_nets_out(spark, cdc):
+    out = {
+        r["g"]: (r["n"], float(r["total"]))
+        for r in C.retracting_group_agg(
+            cdc.withColumn("g", F.lit("all")),
+            ["g"],
+            {"total": F.col("v").cast("decimal(38,2)")},
+        ).collect()
+    }
+    # +10 -10 +15 +20 -20 +30 = 45; net count = 1-1+1+1-1+1 = 2
+    assert out == {"all": (2, 45.0)}
+
+
+def test_retracting_agg_vanished_group(spark):
+    rows = [("+I", 1, "g1", 5.0), ("-D", 2, "g1", 5.0), ("+I", 1, "g2", 7.0)]
+    df = spark.createDataFrame(rows, f"{C.ROWKIND} string, seq int, g string, v double")
+    got = C.retracting_group_agg(df, ["g"], {"t": F.col("v").cast("decimal(38,2)")})
+    names = [r["g"] for r in got.collect()]
+    assert names == ["g2"]  # g1's net count hit zero -> vanishes (-D)
+
+
+def test_drop_update_before(spark, cdc):
+    kinds = {
+        r[C.ROWKIND] for r in C.drop_update_before(cdc).select(C.ROWKIND).collect()
+    }
+    assert C.UPDATE_BEFORE not in kinds
+    assert {"+I", "+U", "-D"} <= kinds
+
+
+def test_sign_mapping(spark, cdc):
+    rows = cdc.select(C.ROWKIND, C.sign().alias("s")).distinct().collect()
+    got = {r[C.ROWKIND]: r["s"] for r in rows}
+    assert got == {"+I": 1, "+U": 1, "-U": -1, "-D": -1}

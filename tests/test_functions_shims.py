@@ -1,0 +1,85 @@
+"""Unit tests for the Flink-named function shims (functions/__init__.py),
+mirroring the reference's BuiltInFunctionTestBase per-function cases."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark import functions as FF  # noqa: E402
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_split_index(spark):
+    c = F.lit("a,b,c")
+    assert _one(spark, FF.split_index(c, ",", 0)) == "a"
+    assert _one(spark, FF.split_index(c, ",", 2)) == "c"
+    assert _one(spark, FF.split_index(c, ",", 5)) is None  # out of range -> NULL
+
+
+def test_str_to_map(spark):
+    got = _one(spark, FF.str_to_map(F.lit("a=1,b=2")))
+    assert got == {"a": "1", "b": "2"}
+
+
+def test_is_digit_alpha_decimal(spark):
+    assert _one(spark, FF.is_digit(F.lit("123"))) is True
+    assert _one(spark, FF.is_digit(F.lit("12a"))) is False
+    assert _one(spark, FF.is_alpha(F.lit("abc"))) is True
+    assert _one(spark, FF.is_alpha(F.lit(""))) is False
+    assert _one(spark, FF.is_decimal(F.lit("1.5"))) is True
+    assert _one(spark, FF.is_decimal(F.lit("x"))) is False
+
+
+def test_sum0_empty_group_is_zero(spark):
+    df = spark.range(5).filter("id > 100")  # empty
+    assert df.agg(FF.sum0(F.col("id").cast("double")).alias("s")).first()["s"] == 0.0
+
+
+def test_truncate_toward_zero(spark):
+    assert _one(spark, FF.truncate(F.lit(1.999), 2)) == 1.99
+    assert _one(spark, FF.truncate(F.lit(-1.999), 2)) == -1.99  # toward zero, not floor
+    assert _one(spark, FF.truncate(F.lit(19.5), 0)) == 19.0
+
+
+def test_similar_to_is_anchored(spark):
+    assert _one(spark, FF.similar_to(F.lit("abc"), "a.c")) is True
+    assert _one(spark, FF.similar_to(F.lit("xabcx"), "a.c")) is False  # full match only
+    assert _one(spark, FF.regexp(F.lit("xabcx"), "a.c")) is True  # partial match
+
+
+def test_to_timestamp_ltz(spark):
+    got = _one(spark, FF.to_timestamp_ltz(F.lit(1704067200), 0))
+    assert got.year == 2024 and got.month == 1 and got.day == 1
+    with pytest.raises(ValueError):
+        FF.to_timestamp_ltz(F.lit(0), 6)
+
+
+def test_temporal_overlaps(spark):
+    t = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    assert _one(
+        spark,
+        FF.temporal_overlaps(
+            t, t + F.expr("INTERVAL 2 HOURS"),
+            t + F.expr("INTERVAL 1 HOUR"), t + F.expr("INTERVAL 3 HOURS"),
+        ),
+    ) is True
+
+
+def test_multiset_from_array(spark):
+    df = spark.createDataFrame([(["a", "b", "a"],)], "arr array<string>")
+    got = df.select(FF.multiset_from_array(F.col("arr")).alias("m")).first()["m"]
+    assert got == {"a": 2, "b": 1}
+
+
+def test_hash_code_deterministic(spark):
+    a = _one(spark, FF.hash_code(F.lit("x")))
+    b = _one(spark, FF.hash_code(F.lit("x")))
+    assert a == b and isinstance(a, int)
