@@ -53,6 +53,7 @@ _MODULES = (
     "changelog_queries",
     "advanced_ops",
     "misc_relational",
+    "udf_surface",
 )
 
 

@@ -1,0 +1,103 @@
+"""Source connectors (SURVEY.md section 2.1).
+
+The reference's ScanTableSource/LookupTableSource abilities
+(SupportsFilterPushDown, SupportsProjectionPushDown, partition pruning,
+limit pushdown — flink-table-common .../connector/source/abilities/)
+are all native to Spark's DataSource V2, so a "connector" here is a
+thin builder that standardizes options:
+
+- **files** (parquet/csv/json/orc): batch `spark.read` and streaming
+  `spark.readStream` over a directory — the FileSystemTableSource
+  equivalent (partitioned layout, pruning, vectorized parquet/orc).
+- **rate**: Spark's rate source — the datagen connector equivalent for
+  throughput tests.
+- **kafka**: builder for `spark.readStream.format("kafka")` —
+  KafkaDynamicSource.java:80 equivalent. No broker exists in this
+  container, so construction is gated: the builder validates options
+  and returns the unstarted reader; tests exercise the option plumbing
+  only.
+- **values**: inline literal rows (ValuesInputFormat.java).
+
+Upsert-kafka maps to kafka + streaming.changelog.changelog_normalize
+(the reference plans exactly that: source + ChangelogNormalize).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FILE_FORMATS = ("parquet", "csv", "json", "orc", "text", "avro")
+
+
+def file_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    streaming: bool = False,
+    **options: str,
+) -> DataFrame:
+    """FileSystemTableSource: batch or streaming scan over a path.
+
+    Streaming file sources require an explicit schema (Spark contract);
+    batch sources infer from footers/headers per format.
+    """
+    if fmt not in _FILE_FORMATS:
+        raise ValueError(f"unsupported file format: {fmt}")
+    if streaming:
+        if schema is None:
+            raise ValueError("streaming file sources require an explicit schema")
+        reader = spark.readStream.schema(schema)
+    else:
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+    return reader.format(fmt).options(**options).load(path)
+
+
+def rate_source(
+    spark: SparkSession, rows_per_second: int = 100, num_partitions: int = 1
+) -> DataFrame:
+    """Datagen-equivalent: monotonically increasing (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str | Iterable[str],
+    starting_offsets: str = "earliest",
+    **options: str,
+) -> DataFrame:
+    """KafkaDynamicSource equivalent: an unstarted streaming reader.
+
+    Output schema is Spark's fixed kafka relation (key/value binary,
+    topic, partition, offset, timestamp); callers decode `value` with a
+    format function (from_json/from_csv) exactly as the reference pairs
+    a connector with a DecodingFormat.
+    """
+    if not bootstrap_servers:
+        raise ValueError("bootstrap_servers is required")
+    topic_list = topics if isinstance(topics, str) else ",".join(topics)
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic_list)
+        .option("startingOffsets", starting_offsets)
+        .options(**options)
+        .load()
+    )
+
+
+def values_source(
+    spark: SparkSession, rows: list[tuple], schema: str
+) -> DataFrame:
+    """ValuesInputFormat: inline literal rows."""
+    return spark.createDataFrame(rows, schema)

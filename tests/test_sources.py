@@ -1,0 +1,56 @@
+"""Source-connector builder tests (option plumbing; SURVEY.md 2.1)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark import sources as S  # noqa: E402
+
+
+def test_file_source_batch_csv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").write.option(
+        "header", "true"
+    ).mode("overwrite").csv(p)
+    back = S.file_source(spark, p, fmt="csv", header="true", inferSchema="true")
+    assert back.count() == 2 and set(back.columns) == {"id", "s"}
+
+
+def test_file_source_streaming_requires_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        S.file_source(spark, str(tmp_path), streaming=True)
+
+
+def test_file_source_rejects_unknown_format(spark):
+    with pytest.raises(ValueError, match="unsupported file format"):
+        S.file_source(spark, "/tmp/x", fmt="xml")
+
+
+def test_rate_source_is_streaming(spark):
+    df = S.rate_source(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_kafka_source_builder_validates(spark):
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        S.kafka_source(spark, "", "topic")
+    # The kafka DSv2 jar may not ship with this pyspark build; when it
+    # does, the unstarted reader must expose the fixed kafka relation
+    # schema. Either way the builder's option plumbing is exercised.
+    try:
+        df = S.kafka_source(spark, "host:9092", ["t1", "t2"])
+    except Exception as e:  # noqa: BLE001
+        assert "kafka" in str(e).lower()  # DATA_SOURCE_NOT_FOUND names it
+        pytest.skip("kafka connector jar not bundled in this environment")
+    assert df.isStreaming
+    assert "value" in df.columns and "offset" in df.columns
+
+
+def test_values_source(spark):
+    df = S.values_source(spark, [(1, "x")], "id int, s string")
+    assert df.collect()[0]["s"] == "x"
