@@ -54,6 +54,7 @@ _MODULES = (
     "advanced_ops",
     "misc_relational",
     "udf_surface",
+    "types_coverage",
 )
 
 

@@ -1,0 +1,76 @@
+"""Plan-shape tests — the Spark analog of the reference's golden-plan
+XML snapshots (SURVEY.md section 5.1). Rather than full snapshots
+(brittle across Spark versions), these pin the load-bearing physical
+properties: pushdown reaching the scan, column pruning, broadcast
+strategy on dims, and whole-stage codegen presence.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark.queries import load_registry  # noqa: E402
+
+REGISTRY = load_registry()
+
+
+def _executed_plan(spark, name, sf):
+    df = REGISTRY[name].fn(spark, sf)
+    return df, df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_smoke):
+    _, plan = _executed_plan(spark, "q1_pricing_summary", sf_smoke)
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached the scan
+    # column pruning: the 11-column table is read with a pruned schema
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema  # unused columns pruned
+    assert "l_quantity" in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_smoke):
+    _, plan = _executed_plan(spark, "q5_local_supplier", sf_smoke)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier/nation/region at least
+    assert "CartesianProduct" not in plan
+
+
+def test_q6_single_scan_no_shuffle_before_agg(spark, sf_smoke):
+    import re
+
+    _, plan = _executed_plan(spark, "q6_forecast_revenue", sf_smoke)
+    # global agg over one table: exactly one scan node, partial+final agg
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "HashAggregate" in plan
+
+
+def test_calc_stays_in_wholestage_codegen(spark, sf_smoke):
+    _, plan = _executed_plan(spark, "func_conditional", sf_smoke)
+    # formatted explain marks codegen'd nodes with a leading '*'
+    assert "* Project" in plan and "* Filter" in plan
+
+
+def test_semi_join_plans_as_semi(spark, sf_smoke):
+    _, plan = _executed_plan(spark, "join_semi", sf_smoke)
+    assert "LeftSemi" in plan
+
+
+def test_topn_is_window_filter_not_global_sort(spark, sf_smoke):
+    _, plan = _executed_plan(spark, "rank_topn_per_group", sf_smoke)
+    assert "Window" in plan
+    # per-group topN must not globally sort-limit the whole input
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_lsh_candidate_join_is_equi(spark, sf_smoke):
+    # candidate generation must join on the band key (hash-joinable),
+    # never as an all-pairs nested loop over the corpus
+    _, plan = _executed_plan(spark, "dedup_minhash_lsh", sf_smoke)
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )

@@ -153,3 +153,49 @@ def test_streaming_retracting_agg_changelog(spark, sf_smoke, chunked_events, eve
         .collect()
     }
     assert final_n == want
+
+
+def test_watermark_append_mode_contract(spark, sf_smoke, tmp_path_factory):
+    """Watermark/late-data semantics in append mode.
+
+    Divergence from the reference, pinned here: Flink with
+    allowedLateness=0 *deterministically* drops a row older than the
+    watermark; Spark documents late-data dropping as best-effort (a row
+    within the same micro-batch that finalizes its window may still be
+    aggregated). The hard guarantees shared by both engines — and
+    asserted here — are (a) a finalized window is emitted exactly once,
+    and (b) windows the watermark has not passed are never emitted in
+    append mode."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("late"))
+    on_time = [(i, dt.datetime(2024, 1, 1, 10, m, 0)) for i, m in enumerate([0, 1, 2, 30, 31])]
+    late = [(99, dt.datetime(2024, 1, 1, 10, 0, 30))]  # 30 min late
+    schema = "event_id bigint, ts timestamp"
+    spark.createDataFrame(on_time, schema).repartition(1).write.mode("overwrite").parquet(
+        path + "/b=0"
+    )
+    spark.createDataFrame(late, schema).repartition(1).write.mode("overwrite").parquet(
+        path + "/b=1"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path + "/b=*")
+    )
+    agg = (
+        stream.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    out = run_to_table(agg, "append")
+    rows = out.collect()
+    got = {str(r["ws"]): r["n"] for r in rows}
+    # (a) the finalized 10:00 window emitted exactly once, counting the
+    # 3 on-time rows (+ possibly the best-effort-late row, see docstring)
+    assert len(rows) == 1
+    assert got.get("2024-01-01 10:00:00") in (3, 4)
+    # (b) the 10:30 window (watermark 10:26 has not passed its end) is
+    # withheld in append mode
+    assert "2024-01-01 10:30:00" not in got
