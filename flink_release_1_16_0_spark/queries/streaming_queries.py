@@ -237,3 +237,76 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = replay_stream(spark, sf_dir, "events")
     out = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
     return run_to_table(out, "append")
+
+
+# --------------------------------------------------------------------------
+# streaming stateful TopN (AbstractTopNFunction family): per-type top-3
+# by value, state maintained in applyInPandasWithState. Bounded replay
+# converges to the batch window-function TopN (the oracle).
+# --------------------------------------------------------------------------
+
+_STOPN_ORACLE = """
+SELECT event_type, event_id, value
+FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+@register("stream_stateful_topn", _STOPN_ORACLE, tags=("streaming", "rank"))
+def stream_stateful_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_topn
+
+    ev = replay_stream(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    out = run_to_table(
+        streaming_topn(ev, keys=["event_type"], order_col="value", n=3), "update"
+    )
+    # update-mode sink accumulates per-batch emissions; the final top-3
+    # per key is the last emission — for the bounded single-batch replay
+    # the distinct row set IS the final state, deduped here for sinks
+    # that saw multiple improving emissions.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        out.distinct()
+        .select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming keep-last dedup (ProcTimeDeduplicateKeepLastRowFunction /
+# ChangelogNormalize): latest event per user via keyed state
+# --------------------------------------------------------------------------
+
+_SKEEPLAST_ORACLE = """
+SELECT user_id, event_id
+FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register("stream_dedup_keep_last", _SKEEPLAST_ORACLE, tags=("streaming", "dedup"))
+def stream_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_dedup_keep_last,
+    )
+
+    ev = replay_stream(spark, sf_dir, "events").select("user_id", "event_id")
+    out = run_to_table(
+        streaming_dedup_keep_last(ev, keys=["user_id"], order_col="event_id"),
+        "update",
+    )
+    # final state per key = max event_id ever emitted (emissions improve
+    # monotonically in arrival order)
+    return out.groupBy("user_id").agg(F.max("event_id").alias("event_id"))
