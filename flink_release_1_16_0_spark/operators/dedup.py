@@ -36,14 +36,21 @@ def signature_from_shingles(sh: Column, num_hashes: int = 6) -> Column:
     Permutation i is simulated by min(md5(i || '|' || shingle)) — string
     min over independent salted hashes, exactly reproducible in any
     engine with md5.
+
+    The salted lambda MUST be single-parameter: `F.transform` inspects
+    the callable's arity, and a two-parameter lambda (e.g. the
+    `lambda s, i=i:` closure idiom) receives (element, index) — the
+    index Column silently shadows the captured salt, stringifies into
+    the literal, and the embedded lambda-variable name changes per plan
+    construction, making the "signature" nondeterministic across runs.
     """
+
+    def salted(i: int):
+        prefix = F.lit(f"{i}|")
+        return lambda s: F.md5(F.concat(prefix, s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, salted(i))) for i in range(num_hashes)]
     )
 
 

@@ -69,3 +69,24 @@ def test_simhash_identical_docs_equal(spark):
     rows = df.select(D.simhash32(F.col("text")).alias("h")).collect()
     assert rows[0]["h"] == rows[1]["h"]
     assert 0 <= rows[0]["h"] < 2**32
+
+
+def test_minhash_signature_deterministic_and_salted(spark):
+    """Regression: F.transform with a two-parameter lambda (the
+    `lambda s, i=i:` closure idiom) receives (element, index); the index
+    Column shadows the salt and stringifies a per-construction lambda
+    variable name into the literal, making signatures differ between
+    plan constructions. The signature must be stable across independent
+    constructions AND equal the hashlib-computed min(md5(f"{i}|{s}"))."""
+    import hashlib
+
+    df = _docs(spark, ["alpha beta gamma delta epsilon zeta eta theta"])
+    sh = df.select(T.shingles(F.col("text"), 3).alias("sh"))
+    shingle_list = sh.collect()[0]["sh"]
+    sig1 = sh.select(D.signature_from_shingles(F.col("sh"), 4).alias("g")).collect()[0]["g"]
+    sig2 = sh.select(D.signature_from_shingles(F.col("sh"), 4).alias("g")).collect()[0]["g"]
+    expected = [
+        min(hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in shingle_list)
+        for i in range(4)
+    ]
+    assert sig1 == sig2 == expected
