@@ -174,3 +174,150 @@ def changelog_drop_update_before(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(C.ROWKIND)
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# changelog join: the multiset algebra of StreamingJoinOperator, batch
+# form and the real two-input stateful streaming operator. Two logs:
+# orders (keyed by custkey; doubled rows for orderkey%3 exercise
+# multiplicity > 1, deletes for orderkey%20) and customer (segment
+# update for custkey%5, delete for custkey%7).
+# --------------------------------------------------------------------------
+
+_JOIN_LOGS_SQL = """
+llog AS (
+  SELECT '+I' AS __rowkind, 0 AS seq, o_custkey AS custkey,
+         o_orderkey, o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT '+I', 0, o_custkey, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT '-D', 3, o_custkey, o_orderkey, o_totalprice
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+rlog AS (
+  SELECT '+I' AS __rowkind, 0 AS seq, c_custkey AS custkey, c_mktsegment
+  FROM customer
+  UNION ALL
+  SELECT '-U', 1, c_custkey, c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT '+U', 2, c_custkey, 'UPDATED'
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT '-D', 4, c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+  FROM customer WHERE c_custkey % 7 = 0
+)
+"""
+
+_CHANGELOG_JOIN_ORACLE = f"""
+WITH {_JOIN_LOGS_SQL},
+lnet AS (
+  SELECT custkey, o_orderkey, o_totalprice,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS ml
+  FROM llog GROUP BY 1, 2, 3
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) <> 0
+),
+rnet AS (
+  SELECT custkey, c_mktsegment,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS mr
+  FROM rlog GROUP BY 1, 2
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) <> 0
+)
+SELECT lnet.custkey, o_orderkey, o_totalprice, c_mktsegment,
+       CAST(ml * mr AS BIGINT) AS m
+FROM lnet JOIN rnet ON lnet.custkey = rnet.custkey
+"""
+
+
+def _orders_join_log(df: DataFrame) -> DataFrame:
+    base = df.select(
+        F.lit(C.INSERT).alias(C.ROWKIND),
+        F.lit(0).alias("seq"),
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    doubled = df.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.lit(C.INSERT).alias(C.ROWKIND),
+        F.lit(0).alias("seq"),
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    deleted = df.filter(F.col("o_orderkey") % 20 == 0).select(
+        F.lit(C.DELETE).alias(C.ROWKIND),
+        F.lit(3).alias("seq"),
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return base.unionByName(doubled).unionByName(deleted)
+
+
+def _customer_join_log(df: DataFrame) -> DataFrame:
+    base = df.select(
+        F.lit(C.INSERT).alias(C.ROWKIND),
+        F.lit(0).alias("seq"),
+        F.col("c_custkey").alias("custkey"),
+        "c_mktsegment",
+    )
+    upd = df.filter(F.col("c_custkey") % 5 == 0)
+    upd_before = upd.select(
+        F.lit(C.UPDATE_BEFORE).alias(C.ROWKIND),
+        F.lit(1).alias("seq"),
+        F.col("c_custkey").alias("custkey"),
+        "c_mktsegment",
+    )
+    upd_after = upd.select(
+        F.lit(C.UPDATE_AFTER).alias(C.ROWKIND),
+        F.lit(2).alias("seq"),
+        F.col("c_custkey").alias("custkey"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    deleted = df.filter(F.col("c_custkey") % 7 == 0).select(
+        F.lit(C.DELETE).alias(C.ROWKIND),
+        F.lit(4).alias("seq"),
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UPDATED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return base.unionByName(upd_before).unionByName(upd_after).unionByName(deleted)
+
+
+@register("changelog_join", _CHANGELOG_JOIN_ORACLE, tags=("changelog", "join"))
+def changelog_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    llog = _orders_join_log(load_table(spark, sf_dir, "orders")).drop("seq")
+    rlog = _customer_join_log(load_table(spark, sf_dir, "customer")).drop("seq")
+    return C.changelog_join(llog, rlog, on=["custkey"], m_col="m")
+
+
+@register(
+    "stream_changelog_join",
+    _CHANGELOG_JOIN_ORACLE,
+    tags=("changelog", "join", "streaming"),
+)
+def stream_changelog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-input stateful join operator itself, drained over the
+    bounded replay; emissions are then multiset-materialized, which by
+    the telescoping-product invariant equals the batch changelog_join.
+    """
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_changelog_join
+
+    llog = _orders_join_log(replay_stream(spark, sf_dir, "orders"))
+    rlog = _customer_join_log(replay_stream(spark, sf_dir, "customer"))
+    out = run_to_table(
+        streaming_changelog_join(llog, rlog, keys=["custkey"]), "update"
+    )
+    emitted_sign = F.when(
+        F.col(C.ROWKIND).isin(C.INSERT, C.UPDATE_AFTER), F.col("__m")
+    ).otherwise(-F.col("__m"))
+    return (
+        out.groupBy("custkey", "o_orderkey", "o_totalprice", "c_mktsegment")
+        .agg(F.sum(emitted_sign).cast("bigint").alias("m"))
+        .filter(F.col("m") != 0)
+    )

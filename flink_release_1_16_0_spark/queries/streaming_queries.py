@@ -310,3 +310,40 @@ def stream_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     # final state per key = max event_id ever emitted (emissions improve
     # monotonically in arrival order)
     return out.groupBy("user_id").agg(F.max("event_id").alias("event_id"))
+
+
+# --------------------------------------------------------------------------
+# streaming event-time temporal join (TemporalRowTimeJoinOperator):
+# each purchase joins the latest same-user click at or before it.
+# Bounded replay is a single time-sortable batch, so the stateful
+# operator reproduces the batch as-of join (the DuckDB ASOF oracle).
+# --------------------------------------------------------------------------
+
+_STEMPORAL_ORACLE = """
+SELECT p.event_id, p.user_id, c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register("stream_temporal_join", _STEMPORAL_ORACLE, tags=("streaming", "join", "time"))
+def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_temporal_join
+
+    ev = replay_stream(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = run_to_table(
+        streaming_temporal_join(
+            purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts"
+        ),
+        "update",
+    )
+    return out.select(
+        "event_id", "user_id", "click_id", F.col("__asof_ts").alias("click_ts")
+    )

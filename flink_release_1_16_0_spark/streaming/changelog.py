@@ -108,3 +108,49 @@ def retracting_group_agg(
 def to_changelog(df: DataFrame, kind: str = INSERT) -> DataFrame:
     """Tag an insert-only DataFrame as a changelog (+I rows)."""
     return df.withColumn(ROWKIND, F.lit(kind))
+
+
+def net_multiplicity(df: DataFrame, m_col: str = "__m") -> DataFrame:
+    """Collapse a changelog into distinct rows with net multiplicity.
+
+    The multiset view of a changelog (the state a retract-stream
+    consumer accumulates): each distinct payload row maps to
+    SUM(sign) copies; rows whose net count is zero vanish. This is the
+    materialization half of the reference's retract-stream algebra
+    (RowKind.java semantics applied to a bag, not a keyed table).
+    One hash aggregation — map-side partial combine applies.
+    """
+    payload = [c for c in df.columns if c != ROWKIND]
+    return (
+        df.groupBy(*payload)
+        .agg(F.sum(sign()).cast("bigint").alias(m_col))
+        .filter(F.col(m_col) != 0)
+    )
+
+
+def changelog_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    m_col: str = "__m",
+) -> DataFrame:
+    """Materialized inner equi-join of two bounded changelogs.
+
+    The batch algebra of the reference's two-input streaming join
+    (flink-table-runtime .../join/stream/StreamingJoinOperator.java:60):
+    each side nets to (distinct row, multiplicity); the joined row's
+    multiplicity is the product mL * mR — exactly the state a
+    StreamingJoinOperator's downstream would converge to after draining
+    both changelogs, independent of arrival interleaving.
+
+    Plan: two hash aggs (map-side combined) + one shuffled equi-join on
+    the key — no row multiplication beyond true matches, so the 100 TB
+    cost profile equals a plain join of the materialized tables.
+    """
+    lnet = net_multiplicity(left, "__ml")
+    rnet = net_multiplicity(right, "__mr")
+    return (
+        lnet.join(rnet, list(on))
+        .withColumn(m_col, (F.col("__ml") * F.col("__mr")).cast("bigint"))
+        .drop("__ml", "__mr")
+    )

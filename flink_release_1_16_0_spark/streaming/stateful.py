@@ -210,6 +210,258 @@ def streaming_retracting_agg(
     )
 
 
+def streaming_changelog_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Two-input changelog inner equi-join with keyed join state
+    (flink-table-runtime .../join/stream/StreamingJoinOperator.java:60,
+    state layout per JoinRecordStateViews).
+
+    Spark's stream-stream join only accepts append inputs, so the
+    two-input operator is rebuilt the Spark-idiomatic way: tag each
+    side, UNION the changelogs (null-padding the other side's payload
+    columns), group by the join key, and run one applyInPandasWithState
+    over the merged stream. State per key mirrors Flink's
+    JoinRecordStateView: each side's live rows with net multiplicity.
+
+    Per arriving row with sign s (+1 for +I/+U, -1 for -U/-D), the
+    operator emits the joined delta against the other side's current
+    state — (+I, s*m) per live match when s*m > 0, (-D, |s*m|) when
+    negative — then folds the row into its own side's state. The
+    emission stream telescopes: net emissions per joined row equal
+    mL * mR, so any downstream multiset materialization converges to
+    the batch `changelog.changelog_join`, independent of batch
+    boundaries or arrival interleaving.
+
+    Scale: state and work are both per-key (cost of a batch =
+    arrivals x live rows on the other side of that key, Flink's exact
+    cost model); the union adds no shuffle beyond the single group-by
+    exchange. Payload columns must be null-free (null-safe tuple
+    equality is not defined for the state dictionary).
+
+    Both inputs must carry ``__rowkind``, ``seq_col`` (intra-batch
+    replay order), the key columns (same names on both sides), and
+    otherwise-disjoint payload columns. Output: keys + left payloads +
+    right payloads + ``__rowkind`` + ``__m`` (positive multiplicity).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType as ST,
+    )
+
+    meta = (ROWKIND, seq_col, *keys)
+    lpay = [c for c in left.columns if c not in meta]
+    rpay = [c for c in right.columns if c not in meta]
+    if set(lpay) & set(rpay):
+        raise ValueError(f"payload columns must be disjoint: {set(lpay) & set(rpay)}")
+
+    def pad(df: DataFrame, side: str, own, other, other_schema) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col(seq_col).cast("long").alias(seq_col),
+            ROWKIND,
+            F.lit(side).alias("__side"),
+            *own,
+            *[
+                F.lit(None).cast(other_schema[c].dataType).alias(c)
+                for c in other
+            ],
+        )
+
+    unioned = pad(left, "L", lpay, rpay, right.schema).unionByName(
+        pad(right, "R", rpay, lpay, left.schema)
+    )
+
+    key_fields = [left.schema[k] for k in keys]
+    l_fields = [left.schema[c] for c in lpay]
+    r_fields = [right.schema[c] for c in rpay]
+    out_schema = ST(
+        [
+            *key_fields,
+            *l_fields,
+            *r_fields,
+            StructField(ROWKIND, StringType()),
+            StructField("__m", LongType()),
+        ]
+    )
+    state_schema = ST(
+        [
+            StructField("l", ArrayType(ST([*l_fields, StructField("m", LongType())]))),
+            StructField("r", ArrayType(ST([*r_fields, StructField("m", LongType())]))),
+        ]
+    )
+    out_cols = [*keys, *lpay, *rpay, ROWKIND, "__m"]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True).sort_values(
+            seq_col, kind="mergesort"
+        )
+        if state.exists:
+            l_rows, r_rows = state.get
+            lmap = {tuple(r)[:-1]: tuple(r)[-1] for r in (l_rows or [])}
+            rmap = {tuple(r)[:-1]: tuple(r)[-1] for r in (r_rows or [])}
+        else:
+            lmap, rmap = {}, {}
+        out: list[tuple] = []
+        nl = len(lpay)
+        # positional access: itertuples mangles leading-underscore names
+        for tup in pdf[[ROWKIND, "__side", *lpay, *rpay]].itertuples(
+            index=False, name=None
+        ):
+            kind, side = tup[0], tup[1]
+            s = 1 if kind in (INSERT, UPDATE_AFTER) else -1
+            is_left = side == "L"
+            if is_left:
+                own, other = lmap, rmap
+                pay = tup[2 : 2 + nl]
+            else:
+                own, other = rmap, lmap
+                pay = tup[2 + nl :]
+            for opay, m in other.items():
+                if m == 0:
+                    continue
+                delta = s * m
+                lvals, rvals = (pay, opay) if is_left else (opay, pay)
+                out.append(
+                    (
+                        *key,
+                        *lvals,
+                        *rvals,
+                        INSERT if delta > 0 else DELETE,
+                        abs(delta),
+                    )
+                )
+            own[pay] = own.get(pay, 0) + s
+        state.update(
+            (
+                [(*p, m) for p, m in lmap.items() if m != 0],
+                [(*p, m) for p, m in rmap.items() if m != 0],
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_temporal_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    asof_ts: str = "__asof_ts",
+) -> DataFrame:
+    """Streaming event-time temporal (versioned) join: each left row
+    joins the latest right-side version with ts <= left ts per key
+    (RT/join/temporal/TemporalRowTimeJoinOperator.java:78 semantics;
+    batch dual = operators.asof.asof_join).
+
+    Same union-the-inputs design as streaming_changelog_join: both
+    sides merge into one keyed stream; state per key holds only the
+    current (latest) version — the version history collapses because
+    rows are processed in event-time order. Within a micro-batch rows
+    are sorted by (ts, side) with versions first at equal ts (a version
+    effective AT the left row's timestamp is visible, Flink's inclusive
+    contract); across micro-batches arrival must be time-ordered, the
+    same proc-time replay contract as streaming_over_rows_unbounded —
+    the watermark-buffered reordering variant is future work.
+
+    Left rows with no version yet emit NULL right columns (left join,
+    matching asof_join). Output: keys + left payloads + right payloads
+    + ``asof_ts`` (matched version's ts, NULL when unmatched).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StructField, StructType as ST
+
+    lpay = [c for c in left.columns if c not in (*keys, left_ts)]
+    rpay = [c for c in right.columns if c not in (*keys, right_ts)]
+    if set(lpay) & set(rpay):
+        raise ValueError(f"payload columns must be disjoint: {set(lpay) & set(rpay)}")
+
+    def pad(df, side, ts_col, own, other, other_schema):
+        return df.select(
+            *keys,
+            F.col(ts_col).cast("timestamp").alias("__t"),
+            F.lit(side).alias("__side"),
+            *own,
+            *[
+                F.lit(None).cast(other_schema[c].dataType).alias(c)
+                for c in other
+            ],
+        )
+
+    # side 0 = right/version rows sort first at equal ts
+    unioned = pad(right, 0, right_ts, rpay, lpay, left.schema).unionByName(
+        pad(left, 1, left_ts, lpay, rpay, right.schema)
+    )
+
+    key_fields = [left.schema[k] for k in keys]
+    l_fields = [left.schema[c] for c in lpay]
+    r_fields = [right.schema[c] for c in rpay]
+    ts_field = StructField(asof_ts, unioned.schema["__t"].dataType)
+    out_schema = ST([*key_fields, *l_fields, *r_fields, ts_field])
+    state_schema = ST([*r_fields, StructField("__vts", ts_field.dataType),
+                       StructField("__has", IntegerType())])
+    out_cols = [*keys, *lpay, *rpay, asof_ts]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True).sort_values(
+            ["__t", "__side"], kind="mergesort"
+        )
+        if state.exists:
+            *version, vts, _has = state.get
+            version = tuple(version)
+        else:
+            version, vts = None, None
+        nl = len(lpay)
+        out: list[tuple] = []
+        for tup in pdf[["__t", "__side", *lpay, *rpay]].itertuples(
+            index=False, name=None
+        ):
+            t, side = tup[0], tup[1]
+            if side == 0:
+                version, vts = tup[2 + nl :], t
+            else:
+                rvals = version if version is not None else (None,) * len(rpay)
+                out.append((*key, *tup[2 : 2 + nl], *rvals, vts))
+        if version is not None:
+            state.update((*version, vts, 1))
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_over_rows_unbounded(
     stream: DataFrame,
     keys: Sequence[str],

@@ -199,3 +199,109 @@ def test_watermark_append_mode_contract(spark, sf_smoke, tmp_path_factory):
     # (b) the 10:30 window (watermark 10:26 has not passed its end) is
     # withheld in append mode
     assert "2024-01-01 10:30:00" not in got
+
+
+def _write_chunk(spark, path, rows, schema_ddl, mtime):
+    import os
+
+    df = spark.createDataFrame(rows, schema_ddl).coalesce(1)
+    df.write.mode("append").parquet(path)
+    # pin file modification times so the file stream source picks the
+    # chunks up in write order
+    for name in os.listdir(path):
+        full = os.path.join(path, name)
+        os.utime(full, (mtime, mtime))
+
+
+def test_streaming_changelog_join_cross_batch_retraction(spark, tmp_path_factory):
+    """+I rows joined in batch 1 must be retracted (-D emission) when
+    the delete arrives in a later batch; the netted emissions equal the
+    batch changelog_join of the full logs."""
+    from flink_release_1_16_0_spark.streaming import changelog as C
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_changelog_join
+
+    ldir = str(tmp_path_factory.mktemp("cjl"))
+    rdir = str(tmp_path_factory.mktemp("cjr"))
+    lddl = "__rowkind string, seq long, k long, a string"
+    rddl = "__rowkind string, seq long, k long, b string"
+    _write_chunk(spark, ldir, [("+I", 0, 1, "x"), ("+I", 0, 2, "y")], lddl, 1000)
+    _write_chunk(spark, rdir, [("+I", 1, 1, "p")], rddl, 1000)
+    _write_chunk(spark, ldir, [("-D", 2, 1, "x")], lddl, 2000)
+    _write_chunk(spark, rdir, [("+I", 3, 2, "q")], rddl, 2000)
+
+    def stream(path, ddl):
+        schema = spark.createDataFrame([], ddl).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    out = run_to_table(
+        streaming_changelog_join(stream(ldir, lddl), stream(rdir, rddl), keys=["k"]),
+        "update",
+    )
+    rows = out.collect()
+    kinds = {r["__rowkind"] for r in rows}
+    assert "-D" in kinds  # the cross-batch retraction really fired
+    emitted_sign = F.when(
+        F.col("__rowkind").isin("+I", "+U"), F.col("__m")
+    ).otherwise(-F.col("__m"))
+    net = {
+        (r["k"], r["a"], r["b"]): r["m"]
+        for r in out.groupBy("k", "a", "b")
+        .agg(F.sum(emitted_sign).alias("m"))
+        .filter(F.col("m") != 0)
+        .collect()
+    }
+    assert net == {(2, "y", "q"): 1}
+
+    # batch algebra over the same full logs agrees
+    llog = spark.createDataFrame(
+        [("+I", 1, "x"), ("+I", 2, "y"), ("-D", 1, "x")], "__rowkind string, k long, a string"
+    )
+    rlog = spark.createDataFrame(
+        [("+I", 1, "p"), ("+I", 2, "q")], "__rowkind string, k long, b string"
+    )
+    got = {
+        (r["k"], r["a"], r["b"]): r["__m"]
+        for r in C.changelog_join(llog, rlog, on=["k"]).collect()
+    }
+    assert got == net
+
+
+def test_streaming_temporal_join_versions_across_batches(spark, tmp_path_factory):
+    """A version inserted in batch 1 must serve left rows of batch 2;
+    a newer version only affects rows at or after its timestamp."""
+    import datetime as dt
+
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_temporal_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m, 0)
+    ldir = str(tmp_path_factory.mktemp("tjl"))
+    rdir = str(tmp_path_factory.mktemp("tjr"))
+    lddl = "k long, ts timestamp, ev string"
+    rddl = "k long, ts timestamp, ver string"
+    _write_chunk(spark, rdir, [(1, t(0), "v1")], rddl, 1000)
+    _write_chunk(spark, ldir, [(1, t(1), "e1")], lddl, 1000)
+    _write_chunk(spark, rdir, [(1, t(5), "v2")], rddl, 2000)
+    _write_chunk(spark, ldir, [(1, t(5), "e2"), (1, t(9), "e3")], lddl, 2000)
+
+    def stream(path, ddl):
+        schema = spark.createDataFrame([], ddl).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    out = run_to_table(
+        streaming_temporal_join(
+            stream(ldir, lddl), stream(rdir, rddl), keys=["k"], left_ts="ts", right_ts="ts"
+        ),
+        "update",
+    )
+    got = {r["ev"]: r["ver"] for r in out.collect()}
+    # e1 saw v1 (batch-1 state); e2 at v2's exact ts sees v2 (inclusive);
+    # e3 sees v2
+    assert got == {"e1": "v1", "e2": "v2", "e3": "v2"}
