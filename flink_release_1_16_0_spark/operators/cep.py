@@ -101,3 +101,212 @@ def match_regex_pattern(
         )
 
     return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# MEASURES (per pattern variable) and DEFINE (cross-variable predicates)
+# ---------------------------------------------------------------------------
+
+_AGGS = ("first", "last", "sum", "count", "min", "max")
+
+
+def _measure_value(slice_df: pd.DataFrame, agg: str, col: str, grid_scale):
+    if agg == "count":
+        return len(slice_df)  # COUNT over an unbound variable is 0, not NULL
+    if len(slice_df) == 0:
+        return None
+    if agg == "first":
+        return slice_df.iloc[0][col]
+    if agg == "last":
+        return slice_df.iloc[-1][col]
+    if agg == "sum":
+        if grid_scale is not None:
+            # exact grid arithmetic (same device as the streaming
+            # over-agg): sum integer grid units, never accumulate floats
+            q = 10 ** grid_scale
+            return float((slice_df[col] * q).round().astype("int64").sum()) / q
+        return slice_df[col].sum()
+    if agg == "min":
+        return slice_df[col].min()
+    if agg == "max":
+        return slice_df[col].max()
+    raise ValueError(f"unsupported agg {agg} (one of {_AGGS})")
+
+
+def match_regex_measures(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    symbol: Column,
+    pattern: str,
+    id_col: str,
+    measures: dict[str, tuple[str, str, str, str]],
+    value_cols: Sequence[str] = (),
+    grid_scale: int | None = None,
+) -> DataFrame:
+    """Regex-tier pattern matching with per-variable MEASURES
+    (StreamExecMatch.java MEASURES clause; MATCH_RECOGNIZE
+    FIRST/LAST/SUM/COUNT/MIN/MAX over a pattern variable's rows).
+
+    Pattern variables are regex *named groups* — quantifiers go inside
+    the group (``(?P<C>c+)(?P<P>p)``), so each group's span covers the
+    variable's full matched run. ``measures`` maps output alias ->
+    (group, agg, column, spark_type); ``column`` must be ``ts_col``,
+    ``id_col`` or listed in ``value_cols``. ``grid_scale`` makes SUM
+    exact on a fixed decimal grid (events.value is scale 2) so results
+    are engine-portable. Matches are leftmost, non-overlapping (AFTER
+    MATCH SKIP PAST LAST ROW). One shuffle on the key; per-key work is
+    linear in rows, the CepOperator cost model.
+    """
+    for alias, (var, agg, col, _t) in measures.items():
+        if agg not in _AGGS:
+            raise ValueError(f"{alias}: unsupported agg {agg}")
+    tagged = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        *value_cols,
+        symbol.alias("__sym"),
+    )
+    key_types = dict(tagged.dtypes)
+    out_fields = ", ".join(f"{k} {key_types[k]}" for k in keys)
+    m_fields = ", ".join(f"{a} {t}" for a, (_v, _g, _c, t) in measures.items())
+    schema = f"{out_fields}, match_no int, {m_fields}"
+
+    def col_name(c: str) -> str:
+        return "__ts" if c == ts_col else "__id" if c == id_col else c
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort").reset_index(drop=True)
+        sym = "".join(pdf["__sym"].tolist())
+        rows = []
+        keyvals = [pdf.iloc[0][k] for k in keys]
+        for m_no, m in enumerate(re.finditer(pattern, sym)):
+            if m.end() == m.start():
+                continue
+            vals = []
+            for _alias, (var, agg, col, _t) in measures.items():
+                s, e = m.span(var)
+                vals.append(
+                    _measure_value(pdf.iloc[s:e], agg, col_name(col), grid_scale)
+                )
+            rows.append((*keyvals, m_no, *vals))
+        return pd.DataFrame(rows, columns=[*keys, "match_no", *measures])
+
+    return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def match_nfa(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    steps: Sequence[tuple[str, str]],
+    defines: dict,
+    measures: dict[str, tuple[str, str, str, str]],
+    value_cols: Sequence[str] = (),
+    grid_scale: int | None = None,
+) -> DataFrame:
+    """Linear-pattern NFA with cross-variable DEFINE predicates — the
+    full MATCH_RECOGNIZE DEFINE semantics the regex tier cannot
+    express (CepOperator.java:82 / nfa/NFA.java: predicates evaluated
+    per row against the partial match's bound rows).
+
+    ``steps`` is the linear pattern: (variable, quantifier) with
+    quantifier in ``1 ? + *`` (greedy, with backtracking).
+    ``defines[var]`` is ``fn(row, ctx) -> bool`` where ``row`` is the
+    candidate row as a dict and ``ctx`` maps each variable to its
+    already-bound rows in the current partial match — so a predicate
+    can express ``B.value > FIRST(A.value)`` as
+    ``row["value"] > ctx["A"][0]["value"]``. Variables without an entry
+    accept any row. Matching is leftmost, greedy, AFTER MATCH SKIP PAST
+    LAST ROW. ``measures`` as in :func:`match_regex_measures`, over the
+    rows bound to each variable.
+
+    Scale: one shuffle on the key; per-key the matcher walks the rows
+    once per start position with backtracking bounded by run lengths —
+    the same keyed-NFA state profile as the reference's CepOperator.
+    """
+    tagged = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        *value_cols,
+    )
+    key_types = dict(tagged.dtypes)
+    out_fields = ", ".join(f"{k} {key_types[k]}" for k in keys)
+    m_fields = ", ".join(f"{a} {t}" for a, (_v, _g, _c, t) in measures.items())
+    schema = f"{out_fields}, match_no int, {m_fields}"
+
+    def col_name(c: str) -> str:
+        return "__ts" if c == ts_col else "__id" if c == id_col else c
+
+    def try_match(rows: list[dict], start: int):
+        """Greedy backtracking match at `start`; returns (end, bindings)
+        or None. bindings: var -> list of row indices."""
+
+        def step(pos: int, si: int, bound: dict):
+            if si == len(steps):
+                return pos, bound
+            var, quant = steps[si]
+            pred = defines.get(var)
+
+            def accepts(i, cur_taken):
+                if i >= len(rows):
+                    return False
+                if pred is None:
+                    return True
+                # ctx sees every row bound so far, including this
+                # variable's rows taken earlier in the current run —
+                # running predicates like A.value > LAST(A.value) work
+                ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
+                ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
+                return bool(pred(rows[i], ctx))
+
+            if quant in ("1", "?"):
+                if accepts(pos, []):
+                    b2 = {**bound, var: bound.get(var, []) + [pos]}
+                    r = step(pos + 1, si + 1, b2)
+                    if r is not None:
+                        return r
+                if quant == "?":
+                    return step(pos, si + 1, bound)
+                return None
+            # + / * : consume greedily, backtrack on failure
+            taken: list[int] = []
+            while accepts(pos + len(taken), taken):
+                taken.append(pos + len(taken))
+            min_n = 1 if quant == "+" else 0
+            for n in range(len(taken), min_n - 1, -1):
+                bn = {**bound, var: bound.get(var, []) + taken[:n]} if n else bound
+                r = step(pos + n, si + 1, bn)
+                if r is not None:
+                    return r
+            return None
+
+        return step(start, 0, {})
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort").reset_index(drop=True)
+        rows = pdf.to_dict("records")
+        out = []
+        keyvals = [pdf.iloc[0][k] for k in keys]
+        pos, m_no = 0, 0
+        while pos < len(rows):
+            res = try_match(rows, pos)
+            if res is None or res[0] == pos:
+                pos += 1
+                continue
+            end, bound = res
+            vals = []
+            for _alias, (var, agg, col, _t) in measures.items():
+                idxs = bound.get(var, [])
+                vals.append(
+                    _measure_value(pdf.iloc[idxs], agg, col_name(col), grid_scale)
+                )
+            out.append((*keyvals, m_no, *vals))
+            m_no += 1
+            pos = end  # SKIP PAST LAST ROW
+        return pd.DataFrame(out, columns=[*keys, "match_no", *measures])
+
+    return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)

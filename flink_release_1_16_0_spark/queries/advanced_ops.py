@@ -183,3 +183,107 @@ def stream_over_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id",
     )
     return run_to_table(out, "update")
+
+
+# --------------------------------------------------------------------------
+# CEP MEASURES: per-variable FIRST/LAST/SUM/COUNT over c+p matches.
+# Oracle via gaps-and-islands: a maximal click-run immediately followed
+# by a purchase IS the leftmost non-overlapping c+p match (skip past
+# last row), so the island aggregation reproduces the NFA measures.
+# --------------------------------------------------------------------------
+
+_CEP_MEASURES_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), clicks AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM tagged WHERE sym = 'c'
+), islands AS (
+  SELECT user_id, grp, MIN(rn) AS start_rn, MAX(rn) AS end_rn,
+         CAST(COUNT(*) AS BIGINT) AS n_clicks,
+         MIN(ts) AS first_click_ts,
+         CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS click_value_sum
+  FROM clicks GROUP BY user_id, grp
+)
+SELECT i.user_id, i.n_clicks, i.first_click_ts, i.click_value_sum,
+       p.event_id AS purchase_id, p.value AS purchase_value
+FROM islands i
+JOIN tagged p
+  ON p.user_id = i.user_id AND p.rn = i.end_rn + 1 AND p.sym = 'p'
+"""
+
+
+@register("cep_measures", _CEP_MEASURES_ORACLE, tags=("cep", "match"))
+def cep_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.cep import match_regex_measures
+
+    ev = load_table(spark, sf_dir, "events")
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    return match_regex_measures(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="(?P<C>c+)(?P<P>p)",
+        id_col="event_id",
+        measures={
+            "n_clicks": ("C", "count", "event_id", "bigint"),
+            "first_click_ts": ("C", "first", "ts", "timestamp"),
+            "click_value_sum": ("C", "sum", "value", "double"),
+            "purchase_id": ("P", "last", "event_id", "bigint"),
+            "purchase_value": ("P", "last", "value", "double"),
+        },
+        value_cols=["value"],
+        grid_scale=2,
+    ).drop("match_no")
+
+
+# --------------------------------------------------------------------------
+# CEP NFA with cross-variable DEFINE: a purchase strictly larger than
+# the FIRST click of its preceding click-run. Runtime predicate over
+# the partial match's bindings — not expressible as a regex over
+# precomputed symbols, and not reasonably SQL-expressible (greedy
+# non-overlap + cross-row predicate) -> rows-only driver check; exact
+# semantics pinned by pytest on constructed sequences.
+# --------------------------------------------------------------------------
+
+
+@register("cep_nfa_define", None, tags=("cep", "match"))
+def cep_nfa_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_click = lambda row, ctx: row["event_type"] == "click"  # noqa: E731
+
+    def is_qualifying_purchase(row, ctx):
+        return (
+            row["event_type"] == "purchase"
+            and row["value"] > ctx["A"][0]["value"]
+        )
+
+    return match_nfa(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "+"), ("B", "1")],
+        defines={"A": is_click, "B": is_qualifying_purchase},
+        measures={
+            "n_clicks": ("A", "count", "event_id", "bigint"),
+            "first_click_value": ("A", "first", "value", "double"),
+            "purchase_value": ("B", "last", "value", "double"),
+        },
+        value_cols=["event_type", "value"],
+    )

@@ -153,3 +153,110 @@ def test_streaming_over_agg_multibatch(spark, sf_smoke, tmp_path_factory):
     got = {(r["user_id"], r["event_id"]): (r["running_n"], r["running_sum"]) for r in out.collect()}
     for r in want.collect():
         assert got[(r["user_id"], r["event_id"])] == (r["running_n"], r["running_sum"]), r
+
+
+def _seq_df(spark, rows):
+    """(ts_offset_min, event_type, value) rows for one key."""
+    import datetime as dt
+
+    data = [
+        (1, dt.datetime(2024, 1, 1, 10, m, 0), i, et, float(v))
+        for i, (m, et, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "k long, ts timestamp, event_id long, event_type string, value double"
+    )
+
+
+def test_nfa_cross_variable_define_backtracks(spark):
+    """A+ B with B.value > FIRST(A.value): the greedy A-run must
+    backtrack when the purchase fails against the first click, and the
+    match restarts leftmost-next."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(
+        spark,
+        [(0, "click", 5), (1, "click", 3), (2, "purchase", 4)],
+    )
+    out = match_nfa(
+        df,
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "+"), ("B", "1")],
+        defines={
+            "A": lambda r, c: r["event_type"] == "click",
+            "B": lambda r, c: r["event_type"] == "purchase"
+            and r["value"] > c["A"][0]["value"],
+        },
+        measures={
+            "n_clicks": ("A", "count", "event_id", "bigint"),
+            "first_click_value": ("A", "first", "value", "double"),
+            "purchase_value": ("B", "last", "value", "double"),
+        },
+        value_cols=["event_type", "value"],
+    ).collect()
+    # purchase(4) > first click of [5,3]? no; > first click of [3]? yes
+    assert [(r["n_clicks"], r["first_click_value"], r["purchase_value"]) for r in out] == [
+        (1, 3.0, 4.0)
+    ]
+
+
+def test_nfa_running_self_predicate(spark):
+    """A+ where each A row must exceed LAST(A.value): strictly
+    ascending runs, matched greedily with skip-past-last-row."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(
+        spark,
+        [(0, "e", 1), (1, "e", 3), (2, "e", 2), (3, "e", 5)],
+    )
+
+    def ascending(row, ctx):
+        prior = ctx["A"]
+        return not prior or row["value"] > prior[-1]["value"]
+
+    out = match_nfa(
+        df,
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "+")],
+        defines={"A": ascending},
+        measures={
+            "n": ("A", "count", "event_id", "bigint"),
+            "lo": ("A", "first", "value", "double"),
+            "hi": ("A", "last", "value", "double"),
+        },
+        value_cols=["value"],
+    ).collect()
+    got = sorted((r["n"], r["lo"], r["hi"]) for r in out)
+    # single-row "matches" are suppressed (span must advance > 1 row?
+    # no: [1,3] then [2,5] — two 2-row ascending runs)
+    assert got == [(2, 1.0, 3.0), (2, 2.0, 5.0)]
+
+
+def test_nfa_optional_quantifier(spark):
+    """A B? C: the optional middle binds when present, skips when not."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(
+        spark,
+        [(0, "a", 1), (1, "b", 2), (2, "c", 3), (3, "a", 4), (4, "c", 5)],
+    )
+    typ = lambda t: lambda r, c: r["event_type"] == t  # noqa: E731
+    out = match_nfa(
+        df,
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "1"), ("B", "?"), ("C", "1")],
+        defines={"A": typ("a"), "B": typ("b"), "C": typ("c")},
+        measures={
+            "n_b": ("B", "count", "event_id", "bigint"),
+            "c_val": ("C", "last", "value", "double"),
+        },
+        value_cols=["event_type", "value"],
+    ).collect()
+    got = sorted((r["n_b"], r["c_val"]) for r in out)
+    assert got == [(0, 5.0), (1, 3.0)]  # COUNT of unbound optional is 0
