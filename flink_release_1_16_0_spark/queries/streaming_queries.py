@@ -347,3 +347,41 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "click_id", F.col("__asof_ts").alias("click_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# watermark-buffered rowtime OVER aggregation: out-of-order arrivals
+# buffer in keyed state and finalize in event-time order once the
+# watermark passes; rows the final watermark never covers (the last
+# 10 minutes of the bounded replay) stay pending — the oracle applies
+# the same max(ts)-delay cutoff.
+# --------------------------------------------------------------------------
+
+_SOVER_ET_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events)
+SELECT user_id, event_id, ts,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS running_n,
+       CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS running_sum
+FROM events, cut
+WHERE epoch_ms(ts) <= cut.wm
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("stream_over_event_time", _SOVER_ET_ORACLE, tags=("streaming", "over", "time"))
+def stream_over_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_over_rows_event_time,
+    )
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "10 minutes")
+    )
+    return run_to_table(
+        streaming_over_rows_event_time(
+            ev, keys=["user_id"], value_col="value", id_col="event_id"
+        ),
+        "update",
+    )

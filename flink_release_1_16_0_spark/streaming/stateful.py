@@ -462,6 +462,115 @@ def streaming_temporal_join(
     )
 
 
+def streaming_over_rows_event_time(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermark-buffered rowtime OVER aggregation — the event-time
+    variant of streaming_over_rows_unbounded
+    (RowTimeRowsUnboundedPrecedingFunction.java: buffer rows per key,
+    sort by event time, fire on watermark advance, drop late rows).
+
+    Unlike the proc-time variant, arrival order across micro-batches is
+    free: rows buffer in keyed state until the watermark passes their
+    timestamp, then finalize in exact (ts, id) order with the running
+    aggregate carried over the finalized prefix. Rows at or before the
+    watermark on arrival are late and dropped (allowed lateness 0, the
+    reference's default). Rows the final watermark never passes (the
+    last delay-window of a bounded replay) stay buffered — faithful
+    watermark semantics, mirrored by the oracle's max(ts)-delay cutoff.
+
+    The input MUST carry ``withWatermark(ts_col, delay)``; event-time
+    timeouts schedule the flush batches that drain the buffer after the
+    last data batch. State per key = pending buffer + two counters, the
+    exact layout of the reference's per-key MapState<ts, rows> + fired
+    offset.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType as ST,
+    )
+
+    key_fields = [stream.schema[k] for k in keys]
+    id_field = stream.schema[id_col]
+    ts_field = stream.schema[ts_col]
+    out_schema = ST(
+        [
+            *key_fields,
+            id_field,
+            ts_field,
+            StructField("running_n", LongType()),
+            StructField("running_sum", DoubleType()),
+        ]
+    )
+    pend_schema = ST(
+        [ts_field, id_field, StructField("v", DoubleType())]
+    )
+    state_schema = ST(
+        [
+            StructField("pending", ArrayType(pend_schema)),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def ms(t):
+            # state round-trips timestamps as datetime, fresh batches as
+            # pandas Timestamp — normalize (naive == session tz == UTC)
+            return pd.Timestamp(t).value // 1_000_000
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            pending, n0, cents0 = state.get
+            pending = [(pd.Timestamp(p[0]), p[1], p[2]) for p in (pending or [])]
+        else:
+            pending, n0, cents0 = [], 0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                if ms(t) <= wm:
+                    continue  # late beyond the watermark: dropped
+                pending.append((pd.Timestamp(t), int(i), float(v)))
+        ready = sorted(
+            (p for p in pending if ms(p[0]) <= wm),
+            key=lambda p: (p[0], p[1]),
+        )
+        pending = [p for p in pending if ms(p[0]) > wm]
+        out = []
+        n, cents = n0, cents0
+        for t, i, v in ready:
+            n += 1
+            cents += int(round(v * 100))
+            out.append((*key, i, t, n, cents / 100.0))
+        state.update((pending, n, cents))
+        if pending:
+            # fire a flush batch once the watermark passes the earliest
+            # still-buffered row
+            state.setTimeoutTimestamp(min(ms(p[0]) for p in pending) + 1)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[*keys, id_col, ts_col, "running_n", "running_sum"]
+            )
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_over_rows_unbounded(
     stream: DataFrame,
     keys: Sequence[str],

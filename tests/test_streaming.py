@@ -204,11 +204,16 @@ def test_watermark_append_mode_contract(spark, sf_smoke, tmp_path_factory):
 def _write_chunk(spark, path, rows, schema_ddl, mtime):
     import os
 
+    before = set(os.listdir(path)) if os.path.isdir(path) else set()
     df = spark.createDataFrame(rows, schema_ddl).coalesce(1)
     df.write.mode("append").parquet(path)
     # pin file modification times so the file stream source picks the
-    # chunks up in write order
+    # chunks up in write order — only the NEW files, or a later chunk's
+    # utime clobbers an earlier chunk's mtime and the source's
+    # equal-mtime tiebreak (random part-file names) scrambles the order
     for name in os.listdir(path):
+        if name in before:
+            continue
         full = os.path.join(path, name)
         os.utime(full, (mtime, mtime))
 
