@@ -350,6 +350,52 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# watermark-buffered event-time temporal join: same as
+# stream_temporal_join but tolerant of out-of-order arrival — rows
+# buffer in keyed state and finalize in event-time order on watermark
+# advance; probe rows inside the final delay window stay pending, so
+# the oracle cuts the probe side at max(ts)-delay.
+# --------------------------------------------------------------------------
+
+_STEMPORAL_ET_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events)
+SELECT p.event_id, p.user_id, c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT e.* FROM events e, cut
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) <= cut.wm) p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register(
+    "stream_temporal_join_rowtime",
+    _STEMPORAL_ET_ORACLE,
+    tags=("streaming", "join", "time"),
+)
+def stream_temporal_join_rowtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_temporal_join_event_time,
+    )
+
+    ev = replay_stream(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = run_to_table(
+        streaming_temporal_join_event_time(
+            purchases, clicks, keys=["user_id"], left_ts="ts", right_ts="ts"
+        ),
+        "update",
+    )
+    return out.select(
+        "event_id", "user_id", "click_id", F.col("__asof_ts").alias("click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
 # watermark-buffered rowtime OVER aggregation: out-of-order arrivals
 # buffer in keyed state and finalize in event-time order once the
 # watermark passes; rows the final watermark never covers (the last

@@ -462,6 +462,173 @@ def streaming_temporal_join(
     )
 
 
+def streaming_temporal_join_event_time(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    delay: str = "10 minutes",
+    asof_ts: str = "__asof_ts",
+) -> DataFrame:
+    """Watermark-buffered event-time temporal join — the out-of-order
+    variant of streaming_temporal_join
+    (TemporalRowTimeJoinOperator.java:78: buffer both sides in keyed
+    state, emit on watermark advance in exact event-time order).
+
+    Arrival order across micro-batches is free: rows from both sides
+    buffer per key until the watermark passes their timestamp, then
+    finalize in (ts, side) order — versions first at equal ts, Flink's
+    inclusive contract. A right-side version row updates the key's
+    current version; a left row emits joined with the version in effect
+    at its timestamp (NULL right columns when none yet — left join).
+    Rows at or before the watermark on arrival are dropped (allowed
+    lateness 0); rows the final watermark never passes stay buffered,
+    mirrored by the oracle's max(ts)-delay cutoff.
+
+    The watermark is assigned here on the unioned internal stream
+    (``withWatermark`` on the merged event-time column), so both sides
+    share one watermark — the two-input operator's
+    min-across-inputs watermark, which a union reproduces exactly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType as ST,
+    )
+
+    lpay = [c for c in left.columns if c not in (*keys, left_ts)]
+    rpay = [c for c in right.columns if c not in (*keys, right_ts)]
+    if set(lpay) & set(rpay):
+        raise ValueError(f"payload columns must be disjoint: {set(lpay) & set(rpay)}")
+
+    def pad(df, side, ts_col, own, other, other_schema):
+        return df.select(
+            *keys,
+            F.col(ts_col).cast("timestamp").alias("__t"),
+            F.lit(side).alias("__side"),
+            *own,
+            *[
+                F.lit(None).cast(other_schema[c].dataType).alias(c)
+                for c in other
+            ],
+        )
+
+    # side 0 = right/version rows sort first at equal ts
+    unioned = (
+        pad(right, 0, right_ts, rpay, lpay, left.schema)
+        .unionByName(pad(left, 1, left_ts, lpay, rpay, right.schema))
+        .withWatermark("__t", delay)
+    )
+
+    key_fields = [left.schema[k] for k in keys]
+    l_fields = [left.schema[c] for c in lpay]
+    r_fields = [right.schema[c] for c in rpay]
+    ts_field = StructField(asof_ts, unioned.schema["__t"].dataType)
+    out_schema = ST([*key_fields, *l_fields, *r_fields, ts_field])
+    pend_schema = ST(
+        [
+            StructField("__pt", ts_field.dataType),
+            StructField("__pside", IntegerType()),
+            *l_fields,
+            *r_fields,
+        ]
+    )
+    state_schema = ST(
+        [
+            StructField("pending", ArrayType(pend_schema)),
+            *r_fields,
+            StructField("__vts", ts_field.dataType),
+            StructField("__has", IntegerType()),
+        ]
+    )
+    out_cols = [*keys, *lpay, *rpay, asof_ts]
+    nl, nr = len(lpay), len(rpay)
+
+    # per-payload-column sanitizers: the padded union makes pandas
+    # upcast NULL-bearing numeric columns to float64 — state (and NaN)
+    # needs the declared types back
+    def make_conv(dt):
+        name = dt.typeName()
+        if name in ("long", "integer", "short", "byte"):
+            return lambda v: None if pd.isna(v) else int(v)
+        if name in ("double", "float"):
+            return lambda v: None if pd.isna(v) else float(v)
+        if name.startswith("timestamp"):
+            return lambda v: None if pd.isna(v) else pd.Timestamp(v)
+        return lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
+
+    convs = [make_conv(f.dataType) for f in (*l_fields, *r_fields)]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def ms(t):
+            return pd.Timestamp(t).value // 1_000_000
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            raw = state.get
+            pending = [
+                (pd.Timestamp(p[0]), p[1], *p[2:]) for p in (raw[0] or [])
+            ]
+            has = raw[2 + nr]
+            version = tuple(raw[1 : 1 + nr]) if has else None
+            vts = pd.Timestamp(raw[1 + nr]) if has and raw[1 + nr] is not None else None
+        else:
+            pending, version, vts = [], None, None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for tup in pdf[["__t", "__side", *lpay, *rpay]].itertuples(
+                index=False, name=None
+            ):
+                if ms(tup[0]) <= wm:
+                    continue  # late beyond the watermark: dropped
+                pending.append(
+                    (
+                        pd.Timestamp(tup[0]),
+                        int(tup[1]),
+                        *[c(v) for c, v in zip(convs, tup[2:])],
+                    )
+                )
+        ready = sorted(
+            (p for p in pending if ms(p[0]) <= wm),
+            key=lambda p: (p[0].value, p[1]),
+        )
+        pending = [p for p in pending if ms(p[0]) > wm]
+        out: list[tuple] = []
+        for p in ready:
+            t, side = p[0], p[1]
+            if side == 0:
+                version, vts = p[2 + nl :], t
+            else:
+                rvals = version if version is not None else (None,) * nr
+                out.append((*key, *p[2 : 2 + nl], *rvals, vts))
+        state.update(
+            (
+                pending,
+                *(version if version is not None else (None,) * nr),
+                vts,
+                1 if version is not None else 0,
+            )
+        )
+        if pending:
+            state.setTimeoutTimestamp(min(ms(p[0]) for p in pending) + 1)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_over_rows_event_time(
     stream: DataFrame,
     keys: Sequence[str],

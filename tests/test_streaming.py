@@ -310,3 +310,59 @@ def test_streaming_temporal_join_versions_across_batches(spark, tmp_path_factory
     # e1 saw v1 (batch-1 state); e2 at v2's exact ts sees v2 (inclusive);
     # e3 sees v2
     assert got == {"e1": "v1", "e2": "v2", "e3": "v2"}
+
+
+def test_streaming_temporal_join_event_time_out_of_order(spark, tmp_path_factory):
+    """The watermark-buffered variant must produce the event-time-order
+    join even when chunks arrive out of event-time order: batch 1
+    carries the LATER rows, batch 2 the earlier ones (inside the delay
+    window, so nothing is late), batch 3 a punctuation row that pushes
+    the watermark past everything for key 1."""
+    import datetime as dt
+
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_temporal_join_event_time,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(minutes=m)
+    ldir = str(tmp_path_factory.mktemp("etjl"))
+    rdir = str(tmp_path_factory.mktemp("etjr"))
+    lddl = "k long, ts timestamp, ev string"
+    rddl = "k long, ts timestamp, ver string"
+    # batch 1: the LATER half (v2@10:05, e2@10:06)
+    _write_chunk(spark, rdir, [(1, t(5), "v2")], rddl, 1000)
+    _write_chunk(spark, ldir, [(1, t(6), "e2")], lddl, 1000)
+    # batch 2: the EARLIER half (v1@10:00, e1@10:01) — watermark after
+    # batch 1 is 10:06-10m = 9:56, so these are NOT late
+    _write_chunk(spark, rdir, [(1, t(0), "v1")], rddl, 2000)
+    _write_chunk(spark, ldir, [(1, t(1), "e1")], lddl, 2000)
+    # batch 3: punctuation on key 2 at 11:00 -> watermark 10:50 passes
+    # every key-1 row; the punctuation row itself stays pending
+    _write_chunk(spark, ldir, [(2, t(60), "late-punct")], lddl, 3000)
+    _write_chunk(spark, rdir, [(2, t(60), "vx")], rddl, 3000)
+
+    def stream(path, ddl):
+        schema = spark.createDataFrame([], ddl).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(path)
+        )
+
+    out = run_to_table(
+        streaming_temporal_join_event_time(
+            stream(ldir, lddl),
+            stream(rdir, rddl),
+            keys=["k"],
+            left_ts="ts",
+            right_ts="ts",
+        ),
+        "update",
+    )
+    rows = out.collect()
+    got = {r["ev"]: r["ver"] for r in rows}
+    # event-time order: e1@10:01 sees v1@10:00 (NOT v2, which arrived
+    # first but is later in event time); e2@10:06 sees v2@10:05
+    assert got == {"e1": "v1", "e2": "v2"}
+    # the punctuation row is inside the final delay window: pending
+    assert "late-punct" not in got
