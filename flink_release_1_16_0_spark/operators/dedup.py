@@ -95,21 +95,40 @@ def sql_minhash_signature(expr: str, num_hashes: int = 6, k: int = 3) -> str:
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 6,
     bands: int = 6,
     k: int = 3,
+    strategy: str = "join",
+    shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) via LSH banding.
 
-    Plan shape: project signatures (no shuffle) -> explode bands
-    (xN, still no shuffle) -> self equi-join on (band_idx, band_key)
-    (ONE shuffle on a short string key) -> distinct pairs.
+    Two physical strategies, same result (both oracle-gated):
+
+    - ``"join"``: explode bands -> self equi-join on (band_idx,
+      band_key). At bench scale AQE broadcasts one side and the
+      distinct collapses without an exchange — measured fastest on
+      small corpora — but the join's second input is a full clone of
+      the scan+shingle+signature pipeline (ReuseExchange does not
+      canonicalize it away), so at 100 TB the dominant compute runs
+      TWICE unless the signature table is materialized first.
+    - ``"bucket"``: groupBy (band_idx, band_key) -> collect_list(id)
+      -> generate pairs in-array. Computes the signature pipeline
+      ONCE and shuffles only (band_key, id) rows — the 100 TB path.
+      Bucket skew bounds the pair blow-up exactly like the join's
+      collision counts; degenerate buckets (empty-text keys) should
+      be capped upstream by a quality filter.
+
+    ``shingle_df`` lets a caller share one `shingle_table` stage with
+    a downstream verify join instead of building a private one.
     """
+    if shingle_df is None:
+        shingle_df = shingle_table(docs, id_col, text_col, k)
     rows_per_band = num_hashes // bands
-    sigs = shingle_table(docs, id_col, text_col, k).select(
+    sigs = shingle_df.select(
         F.col("__id"), signature_from_shingles(F.col("__sh"), num_hashes).alias("__sig")
     )
     sig = F.col("__sig")
@@ -130,6 +149,31 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_key"),
     ).filter(F.col("band_key").isNotNull())
+    if strategy == "bucket":
+        buckets = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.collect_list("__id").alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        pair_arr = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x: F.transform(
+                        F.col("ids"),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            ),
+            lambda p: p["id_a"] < p["id_b"],
+        )
+        return (
+            buckets.select(F.explode(pair_arr).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .distinct()
+        )
+    if strategy != "join":
+        raise ValueError(f"unknown strategy {strategy!r} (expected join|bucket)")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

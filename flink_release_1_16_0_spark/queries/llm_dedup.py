@@ -74,43 +74,16 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {_JACCARD_MIN}
 """
 
 
-@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("llm", "dedup"), bench=True)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_lsh(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one shared shingle stage feeds both banding and the verify join
     sh = D.shingle_table(docs, k=_K)
-    sigs = sh.select(
-        F.col("__id"),
-        D.signature_from_shingles(F.col("__sh"), _NUM_HASHES).alias("__sig"),
-    )
-    rows_per_band = _NUM_HASHES // _BANDS
-    banded = sigs.select(
-        F.col("__id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    ).filter(F.col("band_key").isNotNull())
-    a_band, b_band = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a_band.join(
-            b_band,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+    pairs = D.lsh_candidate_pairs(
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        k=_K,
+        strategy=strategy,
+        shingle_df=sh,
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
@@ -120,6 +93,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_MIN)
     )
+
+
+@register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("llm", "dedup"), bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # join strategy: fastest at bench scale (AQE broadcasts the band
+    # side); see lsh_candidate_pairs for the 100 TB tradeoff
+    return _minhash_lsh(spark, sf_dir, "join")
+
+
+@register("dedup_minhash_lsh_bucket", _MINHASH_ORACLE, tags=("llm", "dedup"))
+def dedup_minhash_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bucket strategy: computes the signature pipeline once — the plan
+    # shape that survives a 100 TB corpus; same oracle as the join path
+    return _minhash_lsh(spark, sf_dir, "bucket")
 
 
 # --------------------------------------------------------------------------
