@@ -346,3 +346,73 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.5).alias("med_qty"),
         F.percentile("l_extendedprice", 0.9).alias("p90_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE as *group* aggregates (Flink's
+# FirstValueAggFunction / LastValueAggFunction, which take the value at
+# the smallest/largest order key — deterministic dual of arrival order).
+# Spark: min_by/max_by; DuckDB: the same names.
+# --------------------------------------------------------------------------
+
+_FIRST_LAST_ORACLE = """
+SELECT user_id,
+       min_by(event_type, event_id) AS first_type,
+       max_by(event_type, event_id) AS last_type,
+       min_by(value, event_id) AS first_value,
+       max_by(value, event_id) AS last_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("agg_first_last_value", _FIRST_LAST_ORACLE, tags=("agg",))
+def agg_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.max_by("event_type", "event_id").alias("last_type"),
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON_OBJECTAGG / JSON_ARRAYAGG (BuiltInFunctionDefinitions JSON block;
+# RT/../functions/aggregate/{JsonObjectAgg,JsonArrayAgg}AggFunction).
+# Spark builds the JSON via to_json over a sorted collect; the oracle
+# hand-assembles the identical string with ordered string_agg (DuckDB's
+# json_group_object is a macro and cannot take ORDER BY). Keys are made
+# unique per group by pre-aggregating counts per event_type.
+# --------------------------------------------------------------------------
+
+_JSON_AGG_ORACLE = """
+WITH per_type AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type) || '}'
+         AS types_json,
+       '[' || string_agg(n::VARCHAR, ',' ORDER BY event_type, n) || ']'
+         AS counts_json
+FROM per_type
+GROUP BY user_id
+"""
+
+
+@register("agg_json_objectagg", _JSON_AGG_ORACLE, tags=("agg", "json"))
+def agg_json_objectagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return per_type.groupBy("user_id").agg(
+        F.to_json(
+            F.map_from_entries(F.sort_array(F.collect_list(F.struct("event_type", "n"))))
+        ).alias("types_json"),
+        F.to_json(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("event_type", "n"))),
+                lambda s: s["n"],
+            )
+        ).alias("counts_json"),
+    )

@@ -431,3 +431,164 @@ def stream_over_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "update",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming temporal sort (StreamExecTemporalSort): emit events in exact
+# event-time order as the watermark advances; emit_seq gates the ORDER
+# itself, not just the content — ROW_NUMBER over the same cutoff must
+# match the operator's emission counter.
+# --------------------------------------------------------------------------
+
+_STSORT_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events)
+SELECT user_id, ts, event_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS emit_seq
+FROM events, cut
+WHERE epoch_ms(ts) <= cut.wm
+"""
+
+
+@register("stream_temporal_sort", _STSORT_ORACLE, tags=("streaming", "sort", "time"))
+def stream_temporal_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_temporal_sort
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", "10 minutes")
+    )
+    return run_to_table(
+        streaming_temporal_sort(ev, order_cols=["ts", "event_id"]),
+        "update",
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming CUMULATE window agg (SliceAssigners.java:281 dual): growing
+# 15-min slices within the hour, over the stream — slices explode
+# statelessly, then a windowed agg in complete mode.
+# --------------------------------------------------------------------------
+
+_SCUMULATE_ORACLE = f"""
+SELECT
+  make_timestamp((epoch_us(ts) // {3600 * _US}) * {3600 * _US}) AS win_start,
+  make_timestamp((epoch_us(ts) // {3600 * _US}) * {3600 * _US} + j * {15 * 60 * _US}) AS win_end,
+  COUNT(*) AS n
+FROM events, generate_series(1, 4) AS g(j)
+WHERE epoch_us(ts) < (epoch_us(ts) // {3600 * _US}) * {3600 * _US} + j * {15 * 60 * _US}
+GROUP BY 1, 2
+"""
+
+
+@register("stream_cumulate_agg", _SCUMULATE_ORACLE, tags=("streaming", "window", "time"))
+def stream_cumulate_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    hour_start_us = (F.unix_micros("ts") / (3600 * _US)).cast("bigint") * (3600 * _US)
+    sliced = (
+        ev.withColumn("win_start_us", hour_start_us)
+        .withColumn(
+            "j", F.explode(F.array(*[F.lit(j).cast("bigint") for j in (1, 2, 3, 4)]))
+        )
+        .withColumn(
+            "win_end_us",
+            F.col("win_start_us") + F.col("j") * F.lit(15 * 60 * _US).cast("bigint"),
+        )
+        .filter(F.unix_micros("ts") < F.col("win_end_us"))
+    )
+    out = (
+        sliced.groupBy("win_start_us", "win_end_us")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.timestamp_micros(F.col("win_start_us")).alias("win_start"),
+            F.timestamp_micros(F.col("win_end_us")).alias("win_end"),
+            "n",
+        )
+    )
+    return run_to_table(out, "complete")
+
+
+# --------------------------------------------------------------------------
+# stream-stream LEFT OUTER interval join (TimeIntervalJoin.java outer
+# padding): unmatched purchases emit NULL click columns once the
+# watermark passes their timestamp. Boundary purchases (inside the
+# final watermark + 1-minute guard) are post-filtered on BOTH sides —
+# Spark's outer-null emission at the exact watermark boundary is
+# engine-internal, so the gate only asserts the settled region.
+# --------------------------------------------------------------------------
+
+_SIJOIN_LEFT_ORACLE = """
+WITH cut AS (
+  -- the type filter pushes below the watermark assignment, so each
+  -- join input's watermark tracks ITS OWN max event time; the join's
+  -- watermark is the min of the two (minus delay, minus a 1-min guard)
+  SELECT least(
+           (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'purchase'),
+           (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'click')
+         ) - 600000 - 60000 AS safe
+),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id, p.ts AS p_ts
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+UNION ALL
+SELECT p.event_id, NULL, p.user_id, p.ts
+FROM p, cut
+WHERE epoch_ms(p.ts) <= cut.safe
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+  )
+"""
+
+
+@register(
+    "stream_interval_join_left",
+    _SIJOIN_LEFT_ORACLE,
+    tags=("streaming", "join", "time"),
+)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.catalog import load_table
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "p_ts")
+    out = run_to_table(joined, "append")
+    ev_batch = load_table(spark, sf_dir, "events")
+    safe = ev_batch.agg(
+        F.timestamp_micros(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))),
+            )
+            - F.lit((600 + 60) * _US)
+        ).alias("safe")
+    )
+    return out.crossJoin(safe).filter(
+        F.col("click_id").isNotNull() | (F.col("p_ts") <= F.col("safe"))
+    ).drop("safe")

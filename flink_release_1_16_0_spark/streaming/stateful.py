@@ -629,6 +629,105 @@ def streaming_temporal_join_event_time(
     )
 
 
+def streaming_temporal_sort(
+    stream: DataFrame,
+    order_cols: Sequence[str],
+    keys: Sequence[str] | None = None,
+    seq_col: str = "emit_seq",
+) -> DataFrame:
+    """Watermark-driven event-time sort (StreamExecTemporalSort.java /
+    RT/sort/RowTimeSortOperator.java): buffer rows in state, emit them
+    in exact event-time order once the watermark passes, tagged with a
+    monotone ``seq_col`` so the emitted ORDER is itself checkable.
+
+    ``order_cols[0]`` must be the watermarked event-time column; the
+    rest break ties deterministically. ``keys=None`` reproduces the
+    reference's global temporal sort via a single synthetic key — like
+    the reference, a global event-time order is inherently a
+    single-channel operator; the scale path is per-``keys`` ordering
+    (each key sorts independently, state sharded by key). Rows at or
+    before the watermark on arrival are dropped; rows the final
+    watermark never passes stay buffered (oracle: max(ts)-delay cut).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType as ST
+
+    ts_col = order_cols[0]
+    group_keys = list(keys) if keys else []
+    cols = stream.columns
+    out_schema = ST([*stream.schema.fields, StructField(seq_col, LongType())])
+    state_schema = ST(
+        [
+            StructField("pending", ArrayType(stream.schema)),
+            StructField("seq", LongType()),
+        ]
+    )
+    order_idx = [cols.index(c) for c in order_cols]
+    ts_idx = cols.index(ts_col)
+
+    def make_conv(dt):
+        name = dt.typeName()
+        if name in ("long", "integer", "short", "byte"):
+            return lambda v: None if pd.isna(v) else int(v)
+        if name in ("double", "float"):
+            return lambda v: None if pd.isna(v) else float(v)
+        if name.startswith("timestamp"):
+            return lambda v: None if pd.isna(v) else pd.Timestamp(v)
+        return lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
+
+    convs = [make_conv(f.dataType) for f in stream.schema.fields]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def ms(t):
+            return pd.Timestamp(t).value // 1_000_000
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            raw, seq = state.get
+            pending = [tuple(p) for p in (raw or [])]
+        else:
+            pending, seq = [], 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for tup in pdf[cols].itertuples(index=False, name=None):
+                if ms(tup[ts_idx]) <= wm:
+                    continue  # late beyond the watermark: dropped
+                pending.append(tuple(c(v) for c, v in zip(convs, tup)))
+        ready = sorted(
+            (p for p in pending if ms(p[ts_idx]) <= wm),
+            key=lambda p: tuple(
+                p[i].value if isinstance(p[i], pd.Timestamp) else p[i]
+                for i in order_idx
+            ),
+        )
+        pending = [p for p in pending if ms(p[ts_idx]) > wm]
+        out = []
+        for p in ready:
+            seq += 1
+            out.append((*p, seq))
+        state.update((pending, seq))
+        if pending:
+            state.setTimeoutTimestamp(min(ms(p[ts_idx]) for p in pending) + 1)
+        if out:
+            yield pd.DataFrame(out, columns=[*cols, seq_col])
+
+    if group_keys:
+        grouped = stream.groupBy(*group_keys)
+    else:
+        grouped = stream.withColumn("__g", F.lit(0)).groupBy("__g")
+    res = grouped.applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return res
+
+
 def streaming_over_rows_event_time(
     stream: DataFrame,
     keys: Sequence[str],
