@@ -430,3 +430,67 @@ def func_cast_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
         F.col("c_nationkey").cast("double").alias("nk_double"),
     )
+
+
+# --------------------------------------------------------------------------
+# INIT_CAP + hyperbolic trig + RADIANS (SURVEY 2.8 names not covered by
+# func_math/func_string_basic). DuckDB lacks initcap and sinh/cosh/tanh
+# natively — the oracle emulates them (per-word capitalize via list
+# lambdas; hyperbolics via exp), rounded to 9 decimals like func_math.
+# --------------------------------------------------------------------------
+
+_MISC_EXTRAS_ORACLE = """
+SELECT n_nationkey AS k,
+       array_to_string(
+         list_transform(string_split(lower(n_name), ' '),
+                        w -> upper(substr(w, 1, 1)) || substr(w, 2)),
+         ' ') AS name_cap,
+       ROUND((exp(n_nationkey / 10.0) - exp(-n_nationkey / 10.0)) / 2, 9) AS sinh_c,
+       ROUND((exp(n_nationkey / 10.0) + exp(-n_nationkey / 10.0)) / 2, 9) AS cosh_c,
+       ROUND((exp(n_nationkey / 5.0) - 1) / (exp(n_nationkey / 5.0) + 1), 9) AS tanh_c,
+       ROUND(radians(CAST(n_nationkey AS DOUBLE) * 10), 9) AS rad_c
+FROM nation
+"""
+
+
+@register("func_misc_extras", _MISC_EXTRAS_ORACLE, tags=("function",))
+def func_misc_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x = (k / 10.0).cast("double")
+    return nat.select(
+        k.alias("k"),
+        F.initcap(F.lower(F.col("n_name"))).alias("name_cap"),
+        F.round(F.sinh(x), 9).alias("sinh_c"),
+        F.round(F.cosh(x), 9).alias("cosh_c"),
+        F.round(F.tanh((k / 5.0).cast("double") / 2), 9).alias("tanh_c"),
+        F.round(F.radians(k.cast("double") * 10), 9).alias("rad_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CONVERT_TZ / TO_TIMESTAMP_LTZ-adjacent timezone shifts: Spark's
+# from_utc_timestamp/to_utc_timestamp vs DuckDB's AT TIME ZONE (ICU is
+# bundled in the python package).
+# --------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT event_id,
+       CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS TIMESTAMP) AS ny_wall,
+       CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo' AS TIMESTAMP) AS tokyo_wall,
+       CAST(timezone('Europe/Paris', ts::TIMESTAMP) AS TIMESTAMP) AS paris_to_utc
+FROM events
+WHERE event_id % 31 = 0
+"""
+
+
+@register("func_temporal_tz", _TZ_ORACLE, tags=("function", "time"))
+def func_temporal_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 31 == 0)
+    ts = F.col("ts")
+    return ev.select(
+        "event_id",
+        F.from_utc_timestamp(ts, "America/New_York").alias("ny_wall"),
+        F.from_utc_timestamp(ts, "Asia/Tokyo").alias("tokyo_wall"),
+        F.to_utc_timestamp(ts, "Europe/Paris").alias("paris_to_utc"),
+    )
