@@ -592,3 +592,43 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.crossJoin(safe).filter(
         F.col("click_id").isNotNull() | (F.col("p_ts") <= F.col("safe"))
     ).drop("safe")
+
+
+# --------------------------------------------------------------------------
+# rowtime dedup keep-FIRST (RowTimeDeduplicateFunction.java:31): the
+# earliest event per user in event-time order, refined eagerly across
+# batches; the final converged state per key is the batch minimum of
+# (ts, event_id).
+# --------------------------------------------------------------------------
+
+_SDEDUP_ROWTIME_ORACLE = """
+SELECT user_id, ts, event_id
+FROM (
+  SELECT user_id, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@register(
+    "stream_dedup_first_rowtime", _SDEDUP_ROWTIME_ORACLE, tags=("streaming", "dedup", "time")
+)
+def stream_dedup_first_rowtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_dedup_keep_last,
+    )
+
+    ev = replay_stream(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    out = run_to_table(
+        streaming_dedup_keep_last(
+            ev, keys=["user_id"], order_col=["ts", "event_id"], keep="first"
+        ),
+        "update",
+    )
+    # emissions per key improve monotonically toward the minimum
+    return (
+        out.groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+        .select("user_id", "m.ts", "m.event_id")
+    )

@@ -52,9 +52,18 @@ def _schema_with_rowkind(schema: StructType) -> StructType:
 def streaming_dedup_keep_last(
     stream: DataFrame,
     keys: Sequence[str],
-    order_col: str,
+    order_col: str | Sequence[str],
+    keep: str = "last",
 ) -> DataFrame:
-    """Latest row per key, maintained across micro-batches.
+    """Winning row per key, maintained across micro-batches.
+
+    ``keep="last"`` keeps the max-``order_col`` row per key
+    (ProcTimeDeduplicateKeepLastRowFunction); ``keep="first"`` keeps
+    the min — ordered by the event-time columns this is the reference's
+    rowtime dedup (RT/deduplicate/RowTimeDeduplicateFunction.java:31,
+    which likewise refines eagerly as out-of-order rows arrive rather
+    than waiting for the watermark). ``order_col`` may be a list for
+    composite (ts, tiebreak) ordering.
 
     Emits, per batch and changed key, the current winner. Downstream
     sinks overwrite by key (upsert materialization — the
@@ -63,6 +72,13 @@ def streaming_dedup_keep_last(
     out_schema = stream.schema
     cols = [f.name for f in out_schema.fields]
     state_schema = out_schema
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be first|last, got {keep!r}")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(order_cols, kind="mergesort")
+        return s.tail(1) if keep == "last" else s.head(1)
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -71,15 +87,13 @@ def streaming_dedup_keep_last(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            top = pdf.sort_values(order_col, kind="mergesort").tail(1)
-            best = top if best is None else (
-                pd.concat([best, top]).sort_values(order_col, kind="mergesort").tail(1)
-            )
+            top = pick(pdf)
+            best = top if best is None else pick(pd.concat([best, top]))
         if best is None:
             return
         if state.exists:
             prev = pd.DataFrame([state.get], columns=cols)
-            merged = pd.concat([prev, best]).sort_values(order_col, kind="mergesort").tail(1)
+            merged = pick(pd.concat([prev, best]))
         else:
             merged = best
         state.update(tuple(merged.iloc[0][c] for c in cols))
