@@ -632,3 +632,51 @@ def stream_dedup_first_rowtime(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("ts", "event_id")).alias("m"))
         .select("user_id", "m.ts", "m.event_id")
     )
+
+
+# --------------------------------------------------------------------------
+# stream-stream LEFT SEMI join (StreamingSemiAntiJoinOperator.java):
+# purchases that had a same-user click in the prior 10 minutes, emitted
+# on first match. (Left ANTI stream-stream is unsupported by Structured
+# Streaming — its batch dual join_anti covers the semantics; the outer
+# interval join's NULL rows give the streaming not-matched signal.)
+# --------------------------------------------------------------------------
+
+_SSEMI_ORACLE = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+WHERE EXISTS (
+  SELECT 1 FROM (SELECT * FROM events WHERE event_type = 'click') c
+  WHERE c.user_id = p.user_id
+    AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+)
+"""
+
+
+@register("stream_semi_join", _SSEMI_ORACLE, tags=("streaming", "join", "time"))
+def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "leftSemi",
+    )
+    return run_to_table(joined, "append")
