@@ -64,7 +64,10 @@ def _bumped_price() -> Column:
 
 
 def _orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    return _orders_changelog_df(load_table(spark, sf_dir, "orders"))
+
+
+def _orders_changelog_df(o: DataFrame) -> DataFrame:
     base = o.select(
         F.lit(C.INSERT).alias(C.ROWKIND),
         F.col("o_orderdate").alias("ts"),
@@ -320,4 +323,65 @@ def stream_changelog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.groupBy("custkey", "o_orderkey", "o_totalprice", "c_mktsegment")
         .agg(F.sum(emitted_sign).cast("bigint").alias("m"))
         .filter(F.col("m") != 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# retractable TopN (RetractableTopNFunction.java:478): top-3 orders by
+# price per priority over the CHANGELOG — deletes/updates retract prior
+# inserts and promote lower-ranked rows. The ts/seq bookkeeping columns
+# drop before the operator so a retraction row tuple-matches its insert.
+# --------------------------------------------------------------------------
+
+_RETRACT_TOPN_ORACLE = f"""
+WITH log AS ({_LOG_SQL}),
+net AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS m
+  FROM log
+  GROUP BY o_orderkey, o_orderpriority, o_totalprice
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) > 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM net
+)
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register(
+    "stream_retractable_topn",
+    _RETRACT_TOPN_ORACLE,
+    tags=("changelog", "rank", "streaming"),
+)
+def stream_retractable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_retractable_topn,
+    )
+
+    log = _orders_changelog_df(replay_stream(spark, sf_dir, "orders")).drop(
+        "ts", "seq"
+    )
+    out = run_to_table(
+        streaming_retractable_topn(
+            log,
+            keys=["o_orderpriority"],
+            order_cols=["o_totalprice", "o_orderkey"],
+            n=3,
+            ascending=[False, True],
+        ),
+        "update",
+    )
+    w = Window.partitionBy("o_orderpriority")
+    return (
+        out.withColumn("mx", F.max("__epoch").over(w))
+        .filter(F.col("__epoch") == F.col("mx"))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )

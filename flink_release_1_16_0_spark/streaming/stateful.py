@@ -155,6 +155,99 @@ def streaming_topn(
     )
 
 
+def streaming_retractable_topn(
+    stream: DataFrame,
+    keys: Sequence[str],
+    order_cols: Sequence[str],
+    n: int,
+    ascending: Sequence[bool] | bool = False,
+) -> DataFrame:
+    """Per-key top-N over a CHANGELOG input
+    (RT/rank/RetractableTopNFunction.java:478): -U/-D rows retract
+    prior inserts, which can promote lower-ranked rows back into the
+    top-N — so state holds the key's full live multiset (the
+    reference's data-state TreeMap), not just the current top-N.
+
+    Emits the key's complete current top-N (with 1-based ``rn``) after
+    every batch that touches it, tagged with a per-key ``__epoch``
+    counter so a consumer can select the latest emission. State is
+    O(live rows per key), sharded by key across the state store — the
+    same bound as the reference.
+    """
+    from collections import Counter
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType as ST
+
+    cols = [c for c in stream.columns if c != ROWKIND]
+    data_fields = [stream.schema[c] for c in cols]
+    out_schema = ST(
+        [
+            *data_fields,
+            StructField("rn", LongType()),
+            StructField("__epoch", LongType()),
+        ]
+    )
+    state_schema = ST(
+        [
+            StructField(
+                "rows",
+                ArrayType(ST([*data_fields, StructField("__m", LongType())])),
+            ),
+            StructField("epoch", LongType()),
+        ]
+    )
+    asc = (
+        list(ascending)
+        if isinstance(ascending, (list, tuple))
+        else [ascending] * len(order_cols)
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        counter: Counter = Counter()
+        epoch = 0
+        if state.exists:
+            rows, epoch = state.get
+            for r in rows or []:
+                counter[tuple(r[:-1])] = r[-1]
+        touched = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            touched = True
+            signs = pdf[ROWKIND].isin([INSERT, UPDATE_AFTER])
+            for tup, pos in zip(
+                pdf[cols].itertuples(index=False, name=None), signs
+            ):
+                counter[tup] += 1 if pos else -1
+        if not touched:
+            return
+        live = [(t, m) for t, m in counter.items() if m > 0]
+        epoch += 1
+        state.update(([(*t, m) for t, m in live], epoch))
+        expanded = [t for t, m in live for _ in range(m)]
+        if not expanded:
+            return
+        top = (
+            pd.DataFrame(expanded, columns=cols)
+            .sort_values(list(order_cols), ascending=asc, kind="mergesort")
+            .head(n)
+            .reset_index(drop=True)
+        )
+        top["rn"] = range(1, len(top) + 1)
+        top["__epoch"] = epoch
+        yield top
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_retracting_agg(
     stream: DataFrame,
     keys: Sequence[str],

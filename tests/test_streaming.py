@@ -366,3 +366,44 @@ def test_streaming_temporal_join_event_time_out_of_order(spark, tmp_path_factory
     assert got == {"e1": "v1", "e2": "v2"}
     # the punctuation row is inside the final delay window: pending
     assert "late-punct" not in got
+
+
+def test_streaming_retractable_topn_promotion(spark, tmp_path_factory):
+    """Deleting the current #1 in a later batch must promote the row
+    that had been pushed out of the top-N back into it — requires the
+    full live multiset in state, not just the current top-N."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_retractable_topn,
+    )
+
+    d = str(tmp_path_factory.mktemp("rtopn"))
+    ddl = "__rowkind string, k string, item string, score long"
+    _write_chunk(
+        spark, d,
+        [("+I", "g", "a", 5), ("+I", "g", "b", 3), ("+I", "g", "c", 1)],
+        ddl, 1000,
+    )
+    _write_chunk(spark, d, [("-D", "g", "a", 5)], ddl, 2000)
+
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], ddl).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = run_to_table(
+        streaming_retractable_topn(
+            stream, keys=["k"], order_cols=["score", "item"], n=2,
+            ascending=[False, True],
+        ),
+        "update",
+    ).cache()
+    last = out.filter(
+        F.col("__epoch") == out.agg(F.max("__epoch")).collect()[0][0]
+    )
+    got = [(r["item"], r["rn"]) for r in last.orderBy("rn").collect()]
+    assert got == [("b", 1), ("c", 2)]
+    # batch-1 emission had a on top
+    first = out.filter(F.col("__epoch") == 1)
+    assert [(r["item"], r["rn"]) for r in first.orderBy("rn").collect()] == [
+        ("a", 1), ("b", 2)
+    ]
