@@ -416,3 +416,36 @@ def agg_json_objectagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("counts_json"),
     )
+
+
+# --------------------------------------------------------------------------
+# split distinct agg (SplitAggregateRule / StreamExecIncrementalGroup-
+# Aggregate): COUNT(DISTINCT) rewritten as partial-per-salt-bucket +
+# merge, the skew path for hot grouping keys — a hot key's distinct set
+# spreads over 16 buckets instead of one reducer. The oracle is the
+# plain COUNT(DISTINCT), proving the rewrite is semantics-preserving.
+# --------------------------------------------------------------------------
+
+_SPLIT_DISTINCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("agg_distinct_split", _SPLIT_DISTINCT_ORACLE, tags=("agg", "skew"))
+def agg_distinct_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    partial = (
+        o.withColumn("__salt", (F.col("o_custkey") % 16).cast("int"))
+        .groupBy("o_orderpriority", "__salt")
+        .agg(
+            F.countDistinct("o_custkey").alias("pn"),
+            F.count(F.lit(1)).alias("pc"),
+        )
+    )
+    return partial.groupBy("o_orderpriority").agg(
+        F.sum("pn").alias("n_custs"), F.sum("pc").alias("n_orders")
+    )

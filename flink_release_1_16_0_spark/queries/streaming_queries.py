@@ -680,3 +680,52 @@ def stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftSemi",
     )
     return run_to_table(joined, "append")
+
+
+# --------------------------------------------------------------------------
+# streaming window join (WindowJoinOperator.java:66): clicks joined to
+# same-user purchases in the same 15-minute tumbling window, both sides
+# watermarked — the window-bucket equi-join lets the engine scope and
+# evict join state per window instead of holding unbounded input.
+# --------------------------------------------------------------------------
+
+_SWJOIN_ORACLE = f"""
+WITH b AS (
+  SELECT *, make_timestamp((epoch_us(ts) // {15 * 60 * _US}) * {15 * 60 * _US}) AS win
+  FROM events
+)
+SELECT c.win AS win_start, c.user_id,
+       c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM b WHERE event_type = 'click') c
+JOIN (SELECT * FROM b WHERE event_type = 'purchase') p
+  ON c.win = p.win AND c.user_id = p.user_id
+"""
+
+
+@register("stream_window_join", _SWJOIN_ORACLE, tags=("streaming", "window", "join"))
+def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.window("ts", "15 minutes").alias("win"),
+            "user_id",
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.window("ts", "15 minutes").alias("p_win"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("win") == F.col("p_win")) & (F.col("user_id") == F.col("p_user_id")),
+    ).select(
+        F.col("win.start").alias("win_start"), "user_id", "click_id", "purchase_id"
+    )
+    return run_to_table(joined, "append")

@@ -125,3 +125,45 @@ def func_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("c_custkey")).alias("key_hex"),
         F.bin(F.col("c_custkey") % 64).alias("key_bin"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (TableFunction.java:136 — the direct analogue: a
+# user-defined function emitting 0..n rows per input row, applied
+# laterally). pyspark's @udtf + LATERAL join; oracle = string_split
+# with index arithmetic (DuckDB has no WITH ORDINALITY).
+# --------------------------------------------------------------------------
+
+_UDTF_ORACLE = """
+SELECT n_nationkey,
+       CAST(p.idx AS INT) AS pos,
+       p.entry AS word
+FROM (
+  SELECT n_nationkey,
+         unnest(list_transform(string_split(n_name, ' '),
+                               (w, i) -> {'entry': w, 'idx': i - 1})) AS p
+  FROM nation
+)
+WHERE p.entry <> ''
+"""
+
+
+@register("udtf_split_words", _UDTF_ORACLE, tags=("udf", "udtf"))
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                if w:
+                    yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_udtf_src")
+    return spark.sql(
+        """
+        SELECT n_nationkey, s.pos, s.word
+        FROM nation_udtf_src, LATERAL split_words(n_name) s
+        """
+    )
