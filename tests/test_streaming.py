@@ -407,3 +407,47 @@ def test_streaming_retractable_topn_promotion(spark, tmp_path_factory):
     assert [(r["item"], r["rn"]) for r in first.orderBy("rn").collect()] == [
         ("a", 1), ("b", 2)
     ]
+
+
+def test_checkpoint_state_recovery_exactly_once(spark, tmp_path_factory):
+    """Exactly-once across restart (CheckpointCoordinator / state
+    backend parity): drain chunk 1, then restart the same query from
+    its checkpoint after chunk 2 arrives. The restarted run must (a)
+    recover the aggregation state (counts continue, not restart) and
+    (b) not re-read chunk 1 (no double counting)."""
+    data_dir = str(tmp_path_factory.mktemp("ck_data"))
+    ckpt = str(tmp_path_factory.mktemp("ck_state"))
+    sink = str(tmp_path_factory.mktemp("ck_sink"))
+    ddl = "k string, v long"
+    _write_chunk(spark, data_dir, [("a", 1), ("a", 2)], ddl, 1000)
+
+    def run_available(run_id):
+        stream = (
+            spark.readStream.schema(spark.createDataFrame([], ddl).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(data_dir)
+        )
+        agg = stream.groupBy("k").count()
+
+        def write_batch(df, bid):
+            df.withColumn("run", F.lit(run_id)).write.mode("append").parquet(sink)
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available(1)
+    _write_chunk(spark, data_dir, [("a", 3), ("b", 9)], ddl, 2000)
+    run_available(2)
+
+    rows = spark.read.parquet(sink).collect()
+    got = {(r["run"], r["k"]): r["count"] for r in rows}
+    # run 1 saw only chunk 1; run 2 recovered a=2 and added chunk 2
+    assert got[(1, "a")] == 2
+    assert got[(2, "a")] == 3  # 2 (recovered state) + 1, NOT 1 or 4
+    assert got[(2, "b")] == 1
