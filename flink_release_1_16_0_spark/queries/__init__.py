@@ -40,6 +40,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 _MODULES = (
     "tpch",
     "tpch_more",
+    "tpch_full",
     "joins",
     "aggregates",
     "windows_over",
