@@ -74,3 +74,21 @@ def test_lsh_candidate_join_is_equi(spark, sf_smoke):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_lsh_bucket_strategy_single_signature_pass(spark, sf_smoke):
+    """The bucket candidate strategy must compute the scan+shingle+
+    signature pipeline exactly once — one parquet scan, no self-join
+    (the join strategy clones the pipeline per side; the bucket path is
+    the 100 TB shape)."""
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = load_table(spark, sf_smoke, "documents")
+    pairs = lsh_candidate_pairs(docs, strategy="bucket")
+    # executedPlan string lists each node once (formatted mode would
+    # double-count: tree line + detail section)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_node not in plan
