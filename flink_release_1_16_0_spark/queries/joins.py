@@ -259,7 +259,7 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
-@register("join_asof", _ASOF_ORACLE, tags=("join", "time"))
+@register("join_asof", _ASOF_ORACLE, tags=("join", "time"), bench=True)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(

@@ -129,7 +129,7 @@ GROUP BY nation, o_year
 """
 
 
-@register("q9_product_profit", _Q9_SQL, tags=("join", "agg", "sql"))
+@register("q9_product_profit", _Q9_SQL, tags=("join", "agg", "sql"), bench=True)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return spark.sql(_Q9_SQL)
