@@ -52,6 +52,7 @@ _MODULES = (
     "llm_text",
     "streaming_queries",
     "changelog_queries",
+    "plan_inference",
     "advanced_ops",
     "misc_relational",
     "udf_surface",

@@ -105,6 +105,87 @@ def retracting_group_agg(
     )
 
 
+def upsert_to_retract(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    seq_col: str,
+) -> DataFrame:
+    """Expand an upsert log (+I/+U/-D, no -U) into a full retract log.
+
+    This is the delta-emission half of ChangelogNormalize
+    (StreamExecChangelogNormalize.java:156): the reference keeps the
+    previous row per key in state and, for every incoming upsert, emits
+    the retraction of the prior version before the new one. The batch
+    form consults "state" via one window pass per key — a single
+    shuffle on the key, one lag(), one explode; no self-join.
+
+    Emission per input row (ordered by (ts, seq) within the key):
+    - additive row, prior live version exists: ``-U(prev)`` then
+      ``+U(new)``;
+    - additive row, no prior version: ``+I(new)``;
+    - ``-D`` row: ``-D(prev)`` — the payload comes from state, as in the
+      reference, where an upsert delete may carry only the key.
+
+    ``seq_col`` is rewritten to ``2*seq + sub`` so the emitted -U
+    orders strictly before its +U under the same (ts, seq) ordering.
+    """
+    payload = [c for c in df.columns if c not in (ROWKIND, ts_col, seq_col)]
+    w = Window.partitionBy(*keys).orderBy(ts_col, seq_col)
+    cur = F.struct(*[F.col(c) for c in payload])
+    prev = F.lag(cur).over(w)
+    prev_kind = F.lag(F.col(ROWKIND)).over(w)
+    has_prev = prev_kind.isin(*_ADDITIVE)
+    is_add = F.col(ROWKIND).isin(*_ADDITIVE)
+    emit = (
+        F.when(
+            is_add & has_prev,
+            F.array(
+                F.struct(
+                    F.lit(UPDATE_BEFORE).alias("kind"),
+                    F.lit(0).alias("sub"),
+                    prev.alias("payload"),
+                ),
+                F.struct(
+                    F.lit(UPDATE_AFTER).alias("kind"),
+                    F.lit(1).alias("sub"),
+                    cur.alias("payload"),
+                ),
+            ),
+        )
+        .when(
+            is_add,
+            F.array(
+                F.struct(
+                    F.lit(INSERT).alias("kind"),
+                    F.lit(1).alias("sub"),
+                    cur.alias("payload"),
+                )
+            ),
+        )
+        .otherwise(
+            F.array(
+                F.struct(
+                    F.lit(DELETE).alias("kind"),
+                    F.lit(1).alias("sub"),
+                    F.coalesce(F.when(has_prev, prev), cur).alias("payload"),
+                )
+            )
+        )
+    )
+    # window pass first (lag needs a Window node), then the generator
+    return (
+        df.select(F.col(ts_col), F.col(seq_col), emit.alias("__emit"))
+        .select(F.col(ts_col), F.col(seq_col), F.explode("__emit").alias("e"))
+        .select(
+            F.col("e.kind").alias(ROWKIND),
+            F.col(ts_col),
+            (F.col(seq_col).cast("bigint") * 2 + F.col("e.sub")).alias(seq_col),
+            "e.payload.*",
+        )
+    )
+
+
 def to_changelog(df: DataFrame, kind: str = INSERT) -> DataFrame:
     """Tag an insert-only DataFrame as a changelog (+I rows)."""
     return df.withColumn(ROWKIND, F.lit(kind))
