@@ -30,6 +30,87 @@ from pyspark.sql import functions as F
 from flink_release_1_16_0_spark.operators.text import shingles, sql_shingles
 
 
+# ---------------------------------------------------------------------------
+# Hashed-shingle fast path: one md5 per shingle, integer minhash mixing
+# ---------------------------------------------------------------------------
+#
+# The salted-md5 signature below (signature_from_shingles) costs
+# num_hashes md5 evaluations per shingle. The hashed path costs ONE md5
+# per shingle (a 60-bit content hash both engines can compute
+# identically) and then num_hashes integer multiply-mod "permutations"
+# over that hash — the classic a*h+b mod p universal-hash family. Every
+# step stays in the bigint domain (< 2^62, no overflow under ANSI mode)
+# and has an exact DuckDB twin, so the whole pipeline remains
+# oracle-gated end to end.
+
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def _perm_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Fixed (a, b) pairs for the integer minhash permutations.
+
+    Deterministic closed form (no RNG) so the Spark plan and the
+    generated oracle SQL embed identical literals.
+    """
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1) + 104729) % _MERSENNE
+        b = (40503 * (i + 1) + 15485863) % _MERSENNE
+        out.append((a or 1, b))
+    return out
+
+
+def hashed_shingles(sh: Column) -> Column:
+    """array<bigint>: 60-bit md5-prefix content hash per shingle.
+
+    Collisions are ~n^2/2^60 and, crucially, IDENTICAL across engines
+    (both hash the same strings), so downstream Jaccard/minhash results
+    stay bit-equal between Spark and the DuckDB oracle.
+    """
+    return F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+
+
+def sql_hashed_shingles(sh_expr: str) -> str:
+    """DuckDB twin of :func:`hashed_shingles` (applied to a list expr)."""
+    return (
+        f"list_transform({sh_expr},"
+        " s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT))"
+    )
+
+
+def signature_from_hashes(hs: Column, num_hashes: int = 6) -> Column:
+    """MinHash signature (array<bigint>) over hashed shingles.
+
+    Permutation i maps h -> (a_i * (h % p) + b_i) % p with p = 2^31-1;
+    the signature element is the min over the document's shingle hashes
+    (NULL for shingle-less documents, filtered out at banding).
+    """
+    def perm(a: int, b: int):
+        # single-parameter lambda via factory: a defaulted-arg closure
+        # (`lambda h, a=a:`) would have arity 2 and receive (element,
+        # index) from F.transform — the salted-signature trap below.
+        la, lb = F.lit(a).cast("bigint"), F.lit(b).cast("bigint")
+        return lambda h: (la * (h % _MERSENNE) + lb) % _MERSENNE
+
+    return F.array(
+        *[
+            F.array_min(F.transform(hs, perm(a, b)))
+            for a, b in _perm_constants(num_hashes)
+        ]
+    )
+
+
+def sql_signature_from_hashes(hs_expr: str, num_hashes: int = 6) -> str:
+    """DuckDB twin of :func:`signature_from_hashes`."""
+    parts = ", ".join(
+        f"list_min(list_transform(__hs, h -> ({a} * (h % {_MERSENNE}) + {b}) % {_MERSENNE}))"
+        for a, b in _perm_constants(num_hashes)
+    )
+    return f"(SELECT [{parts}] FROM (SELECT {hs_expr} AS __hs))"
+
+
 def signature_from_shingles(sh: Column, num_hashes: int = 6) -> Column:
     """array<string> of `num_hashes` MinHash values over a shingle array.
 
@@ -67,22 +148,49 @@ def shingle_table(
     text_col: str = "text",
     k: int = 3,
     persist: bool = False,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, sh) materialized behind an exchange — the shared first stage
-    of the near-dup pipeline. The repartition is the explicit
-    "signature table" materialization: without it, Catalyst's projection
-    collapse re-inlines the shingle expression into every consumer (no
-    CSE inside higher-order-function lambdas), multiplying the
-    tokenization work per reference.
+    of the near-dup pipeline.
+
+    Two deliberate exchanges shape the plan for scale:
+
+    1. ``repartition`` of the RAW documents before any hashing — a
+       small single-file corpus otherwise arrives as one input split and
+       the whole tokenize+md5 stage runs in a single task; at 100 TB the
+       same exchange is what balances skewed document sizes across the
+       cluster. The exchanged payload is the raw text (smaller than its
+       shingle expansion).
+    2. ``repartition`` of the computed shingles — the explicit
+       "signature table" materialization barrier: without it, Catalyst's
+       projection collapse re-inlines the shingle expression into every
+       consumer (no CSE inside higher-order-function lambdas),
+       multiplying the tokenization work per reference.
+
+    ``hashed=True`` stores 60-bit content hashes (array<bigint>) instead
+    of shingle strings — ~5x smaller exchange payload and integer
+    downstream compares; the DuckDB oracle mirrors the hash exactly
+    (:func:`hashed_shingles`).
 
     `persist=True` additionally caches the stage so a plan that consumes
     it several times (banding + both verify sides) computes it once —
     the in-job equivalent of writing the signature table out, which is
     what the 100 TB pipeline would do between stages."""
-    sh = docs.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), k).alias("__sh")
-    ).repartition(F.col("__id"))
-    return sh.persist() if persist else sh
+    sh_expr = shingles(F.col(text_col), k)
+    if hashed:
+        sh_expr = hashed_shingles(sh_expr)
+    # Explicit partition count: the hashing stage is CPU-bound, not
+    # byte-bound, so AQE's byte-based coalescing would otherwise fold a
+    # small-file corpus into ONE task and serialize the md5 work.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh = docs.repartition(par, F.col(id_col)).select(
+        F.col(id_col).alias("__id"), sh_expr.alias("__sh")
+    )
+    if persist:
+        # the cache IS the materialization barrier (InMemoryRelation
+        # stops projection collapse) — no second exchange needed
+        return sh.persist()
+    return sh.repartition(par, F.col("__id"))
 
 
 def sql_minhash_signature(expr: str, num_hashes: int = 6, k: int = 3) -> str:
@@ -128,8 +236,12 @@ def lsh_candidate_pairs(
     if shingle_df is None:
         shingle_df = shingle_table(docs, id_col, text_col, k)
     rows_per_band = num_hashes // bands
+    # hashed shingle tables (array<bigint>) take the integer minhash
+    # path; string shingle tables keep the salted-md5 signature
+    hashed = dict(shingle_df.dtypes)["__sh"] == "array<bigint>"
+    sig_fn = signature_from_hashes if hashed else signature_from_shingles
     sigs = shingle_df.select(
-        F.col("__id"), signature_from_shingles(F.col("__sh"), num_hashes).alias("__sig")
+        F.col("__id"), sig_fn(F.col("__sh"), num_hashes).alias("__sig")
     )
     sig = F.col("__sig")
     banded = sigs.select(

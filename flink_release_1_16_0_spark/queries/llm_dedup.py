@@ -50,10 +50,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NUM_HASHES, _BANDS, _K = 6, 6, 3
 _JACCARD_MIN = 0.5
 
+# hashed-shingle fast path: one md5 per shingle -> 60-bit content hash,
+# then integer minhash permutations — both steps exactly mirrored here
+# (operators/dedup.py hashed_shingles / signature_from_hashes)
+_SQL_HSH = D.sql_hashed_shingles(sql_shingles("text", _K))
+
 _MINHASH_ORACLE = f"""
 WITH sigs AS (
-  SELECT doc_id, {D.sql_minhash_signature('text', _NUM_HASHES, _K)} AS sig,
-         {sql_shingles('text', _K)} AS sh
+  SELECT doc_id, {D.sql_signature_from_hashes(_SQL_HSH, _NUM_HASHES)} AS sig,
+         {_SQL_HSH} AS sh
   FROM documents
 ), banded AS (
   SELECT doc_id, sh, i AS band_idx, sig[i + 1] AS band_key
@@ -76,8 +81,13 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {_JACCARD_MIN}
 
 def _minhash_lsh(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # one shared shingle stage feeds both banding and the verify join
-    sh = D.shingle_table(docs, k=_K)
+    # one shared hashed-shingle stage feeds both banding and the verify
+    # join (integer arrays: ~5x smaller exchanges than shingle strings).
+    # persist=True materializes the signature table once — the in-job
+    # equivalent of the intermediate parquet write a 100 TB pipeline
+    # would do — so banding + both verify sides share a single
+    # tokenize+hash pass instead of re-running it per consumer.
+    sh = D.shingle_table(docs, k=_K, hashed=True, persist=True)
     pairs = D.lsh_candidate_pairs(
         num_hashes=_NUM_HASHES,
         bands=_BANDS,
@@ -97,16 +107,17 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
 
 @register("dedup_minhash_lsh", _MINHASH_ORACLE, tags=("llm", "dedup"), bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # join strategy: fastest at bench scale (AQE broadcasts the band
-    # side); see lsh_candidate_pairs for the 100 TB tradeoff
-    return _minhash_lsh(spark, sf_dir, "join")
-
-
-@register("dedup_minhash_lsh_bucket", _MINHASH_ORACLE, tags=("llm", "dedup"))
-def dedup_minhash_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bucket strategy: computes the signature pipeline once — the plan
-    # shape that survives a 100 TB corpus; same oracle as the join path
+    # bucket strategy: groupBy band key + in-array pair generation —
+    # one scan of the signature table, no self-join. Fastest measured at
+    # bench scale AND the shape that survives a 100 TB corpus.
     return _minhash_lsh(spark, sf_dir, "bucket")
+
+
+@register("dedup_minhash_lsh_join", _MINHASH_ORACLE, tags=("llm", "dedup"))
+def dedup_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # band self equi-join alternative (AQE broadcasts one side at small
+    # scale); same oracle as the bucket path
+    return _minhash_lsh(spark, sf_dir, "join")
 
 
 # --------------------------------------------------------------------------

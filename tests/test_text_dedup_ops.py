@@ -64,6 +64,49 @@ def test_minhash_lsh_finds_planted_near_dup(spark):
     assert j > 0.7
 
 
+def test_hashed_shingle_signature_matches_python_reference(spark):
+    """The hashed fast path (60-bit md5-prefix content hash + integer
+    minhash permutations) must equal a pure-python re-computation —
+    the same guarantee the DuckDB oracle relies on."""
+    import hashlib
+
+    df = _docs(spark, ["alpha beta gamma delta epsilon zeta eta theta"])
+    sh = df.select(T.shingles(F.col("text"), 3).alias("sh"))
+    shingle_list = sh.collect()[0]["sh"]
+    hs = sh.select(D.hashed_shingles(F.col("sh")).alias("hs")).collect()[0]["hs"]
+    expected_hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingle_list
+    ]
+    assert hs == expected_hs
+
+    sig = (
+        sh.select(D.signature_from_hashes(D.hashed_shingles(F.col("sh")), 4).alias("g"))
+        .collect()[0]["g"]
+    )
+    M = 2147483647
+    expected_sig = [
+        min((a * (h % M) + b) % M for h in expected_hs)
+        for a, b in D._perm_constants(4)
+    ]
+    assert sig == expected_sig
+
+
+def test_hashed_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base + " ok"
+    far = "completely different words about spark catalyst optimizer plans"
+    df = _docs(spark, [base, near, far])
+    sh = D.shingle_table(df, k=3, hashed=True)
+    for strategy in ("join", "bucket"):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.lsh_candidate_pairs(
+                num_hashes=6, bands=6, k=3, strategy=strategy, shingle_df=sh
+            ).collect()
+        }
+        assert (0, 1) in pairs, strategy
+
+
 def test_simhash_identical_docs_equal(spark):
     df = _docs(spark, ["spark sql window functions rank", "spark sql window functions rank"])
     rows = df.select(D.simhash32(F.col("text")).alias("h")).collect()
