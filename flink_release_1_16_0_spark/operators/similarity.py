@@ -72,13 +72,31 @@ def brute_force_topk(
     oracle comparison) is immune to last-ulp noise; ties break on
     neighbor id.
     """
+    # Precompute each side's norm ONCE per row (below the join, so the
+    # per-pair expression is one dot product + one multiply-divide
+    # instead of three dot products). The float values are bit-identical
+    # to inlining norm() per pair — same operands, same ops — so the
+    # oracle comparison is unaffected. The explicit repartition both
+    # parallelizes the CPU-bound scoring stage (AQE's byte-based
+    # coalescing would fold a small single-file corpus into one task)
+    # and pins the norm projection behind an exchange.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("__cnorm")
+    ).repartition(par)
     q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col("__qid")).select(
+    scored = c.join(F.broadcast(q), F.col(id_col) != F.col("__qid")).select(
         F.col("__qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_scale).alias("score"),
+        F.round(
+            dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
+            round_scale,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -103,18 +121,32 @@ def ivf_topk(
     broadcasts the small query side and prunes every non-matching cell
     partition.
     """
+    # same per-side norm precompute + parallelizing repartition as
+    # brute_force_topk (identical float values, oracle unaffected)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(cell_col),
+        norm(F.col(vec_col)).alias("__cnorm"),
+    ).repartition(par)
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
         F.col(cell_col).alias("__qcell"),
+        norm(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = corpus.join(
+    scored = c.join(
         F.broadcast(q),
         (F.col(cell_col) == F.col("__qcell")) & (F.col(id_col) != F.col("__qid")),
     ).select(
         F.col("__qid").alias("query_id"),
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col(vec_col), F.col("__qvec")), round_scale).alias("score"),
+        F.round(
+            dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
+            round_scale,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
