@@ -12,6 +12,8 @@ lukoou3/flink-release-1.16.0) on idiomatic PySpark:
   `pyspark.sql.functions`
 
 Subpackages:
+- ``table_env`` TableEnvironment facade: executeSql DDL/DML/query + the
+                fluent Table API (the reference's primary entry points)
 - ``session``   SparkSession factory tuned for the driver harness
 - ``catalog``   parquet star-schema registration (TESTDATA.md tables)
 - ``queries``   the operator-coverage query registry (SURVEY.md section 2)
@@ -23,7 +25,8 @@ Subpackages:
 
 from flink_release_1_16_0_spark.session import get_spark
 from flink_release_1_16_0_spark.catalog import load_table, register_tables
+from flink_release_1_16_0_spark.table_env import Table, TableEnvironment
 
-__all__ = ["get_spark", "load_table", "register_tables"]
+__all__ = ["get_spark", "load_table", "register_tables", "Table", "TableEnvironment"]
 
 __version__ = "0.1.0"

@@ -57,6 +57,7 @@ _MODULES = (
     "misc_relational",
     "udf_surface",
     "types_coverage",
+    "api_facade",
 )
 
 

@@ -1,0 +1,116 @@
+"""TableEnvironment facade coverage: SQL DDL scans and the fluent
+Table API, oracle-gated end to end.
+
+These gate the engine's primary entry points (SURVEY.md section 1.4):
+``execute_sql`` DDL + query (TableEnvironmentImpl.executeSql:722) and
+the fluent :class:`~flink_release_1_16_0_spark.table_env.Table` pipeline
+(OperationTreeBuilder). The DuckDB oracle runs the equivalent ANSI SQL
+directly on the same parquet, so a mismatch anywhere in the DDL type
+mapping, scan wiring, or fluent lowering fails the hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_release_1_16_0_spark.queries import register
+from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+_DDL_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+@register("api_sql_ddl_scan", _DDL_ORACLE, tags=("api", "ddl", "sql"))
+def api_sql_ddl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE ... WITH (filesystem/parquet) then query through
+    executeSql — the full SQL-first lifecycle."""
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ddl_orders (
+          o_orderkey BIGINT NOT NULL,
+          o_custkey BIGINT,
+          o_orderstatus STRING,
+          o_totalprice DOUBLE,
+          o_orderdate TIMESTAMP(3),
+          o_orderpriority STRING,
+          o_clerk STRING,
+          o_shippriority INT,
+          o_comment STRING,
+          PRIMARY KEY (o_orderkey) NOT ENFORCED
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/orders.parquet',
+                'format' = 'parquet')
+        """
+    )
+    return tenv.execute_sql(
+        """
+        SELECT
+          o_orderpriority,
+          COUNT(*) AS order_count,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+        FROM ddl_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY o_orderpriority
+        """
+    ).to_data_frame()
+
+
+_FLUENT_ORACLE = """
+SELECT n_name,
+       COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 100
+GROUP BY n_name
+"""
+
+
+@register("api_table_fluent", _FLUENT_ORACLE, tags=("api", "table_api"))
+def api_table_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_path().where().join().group_by().select() — the fluent
+    Table API lowering to the same Catalyst plan as the SQL twin."""
+    tenv = TableEnvironment.create(spark)
+    for name, cols in (
+        (
+            "tapi_customer",
+            "c_custkey BIGINT, c_name STRING, c_address STRING, "
+            "c_nationkey BIGINT, c_phone STRING, c_acctbal DOUBLE, "
+            "c_mktsegment STRING, c_comment STRING",
+        ),
+        (
+            "tapi_nation",
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, "
+            "n_comment STRING",
+        ),
+    ):
+        table = name.split("_", 1)[1]
+        tenv.execute_sql(
+            f"""
+            CREATE TABLE {name} ({cols})
+            WITH ('connector' = 'filesystem',
+                  'path' = '{sf_dir}/{table}.parquet',
+                  'format' = 'parquet')
+            """
+        )
+    result = (
+        tenv.from_path("tapi_customer")
+        .where("c_acctbal > 100")
+        .join(tenv.from_path("tapi_nation"), "c_nationkey = n_nationkey")
+        .group_by("n_name")
+        .select(
+            "n_name, COUNT(*) AS n_cust, "
+            "CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total_bal"
+        )
+    )
+    return result.to_data_frame()

@@ -1,0 +1,675 @@
+"""TableEnvironment: the engine's SQL-first entry point.
+
+Re-creates the reference's primary API surface — a SQL string in, a
+table (or executed statement) out — on top of a SparkSession:
+
+- ``execute_sql`` mirrors ``TableEnvironmentImpl.executeSql``
+  (flink-table/flink-table-api-java/.../internal/TableEnvironmentImpl.java:722):
+  DDL (CREATE/DROP TABLE/VIEW per the grammar in
+  flink-table/flink-sql-parser/src/main/codegen/data/Parser.tdd:53-57),
+  DML (INSERT INTO/OVERWRITE), introspection (SHOW/DESCRIBE/EXPLAIN),
+  and queries.
+- ``sql_query`` mirrors ``TableEnvironmentImpl.sqlQuery`` (:702).
+- :class:`Table` is the fluent Table API
+  (OperationTreeBuilder-built ops in the reference,
+  flink-table/flink-table-api-java/.../operations/utils/OperationTreeBuilder.java:83).
+  Every fluent call lowers to a Spark SQL fragment over the wrapped
+  DataFrame — the direct analog of the reference where Table API and
+  SQL meet at the same RelNode IR (QueryOperationConverter.java:136);
+  here they meet at the same Catalyst plan.
+
+Architecture notes (Spark-first, not a port):
+
+- A ``CREATE TABLE ... WITH ('connector'=...)`` statement becomes a
+  DataSource V2 scan via the builders in ``sources/`` — Spark's reader
+  already implements every push-down ability the reference declares
+  (SupportsFilterPushDown / ProjectionPushDown / PartitionPushDown /
+  LimitPushDown), so the catalog entry only records schema + options.
+- Watermark DDL (``WATERMARK FOR ts AS ts - INTERVAL '5' SECOND``)
+  compiles to ``withWatermark`` on streaming scans — the bounded
+  out-of-orderness strategy (WatermarkStrategy.java:210).
+- NOT NULL / CHAR(n) column constraints are enforced on INSERT through
+  ``operators.sink.enforce_constraints`` (ConstraintEnforcer.java).
+- Computed columns (``name AS expr``) are projections appended to the
+  scan; ``PROCTIME()`` maps to ``current_timestamp()`` (processing-time
+  attribute; documented divergence: Spark evaluates it per-batch).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.operators.sink import enforce_constraints
+from flink_release_1_16_0_spark.sources import file_source, kafka_source
+
+# ---------------------------------------------------------------------------
+# Flink DDL type -> Spark SQL type (SURVEY.md section 1.2 mapping table)
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TYPES = {
+    "STRING": "string",
+    "BOOLEAN": "boolean",
+    "BYTES": "binary",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INT": "int",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "DOUBLE PRECISION": "double",
+    "DATE": "date",
+    "RAW": "binary",
+}
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on `sep` at bracket depth 0 ((), <>, and quoted strings)."""
+    parts, depth, buf, in_str = [], 0, [], False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch in "(<":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")>":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def flink_type_to_spark(t: str) -> tuple[str, int | None]:
+    """Map a Flink DDL type to (spark type DDL, char_limit or None).
+
+    The char limit is returned separately because Spark has no CHAR(n)
+    runtime semantics — length enforcement happens at the sink
+    (ConstraintEnforcer.java), per the reference.
+    """
+    t = " ".join(t.strip().split())
+    up = t.upper()
+    if up in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[up], None
+    m = re.fullmatch(r"(CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)", up)
+    if m:
+        return "string", int(m.group(2))
+    m = re.fullmatch(r"(?:BINARY|VARBINARY)\s*\(\s*\d+\s*\)", up)
+    if m:
+        return "binary", None
+    m = re.fullmatch(r"(?:DECIMAL|NUMERIC|DEC)\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)", up)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2) or 0})", None
+    if up in ("DECIMAL", "NUMERIC", "DEC"):
+        return "decimal(10,0)", None
+    m = re.fullmatch(r"TIMESTAMP\s*(?:\(\s*\d+\s*\))?", up)
+    if m:
+        # TIMESTAMP(p) WITHOUT TIME ZONE; precision 9 accepted as micros
+        return "timestamp_ntz", None
+    m = re.fullmatch(
+        r"(?:TIMESTAMP\s*(?:\(\s*\d+\s*\))?\s+WITH\s+LOCAL\s+TIME\s+ZONE"
+        r"|TIMESTAMP_LTZ\s*(?:\(\s*\d+\s*\))?)",
+        up,
+    )
+    if m:
+        return "timestamp", None
+    m = re.fullmatch(r"TIME\s*(?:\(\s*\d+\s*\))?", up)
+    if m:
+        # TIME has no Spark runtime type: store millis-of-day (SURVEY 1.2)
+        return "int", None
+    m = re.fullmatch(r"ARRAY\s*<(.+)>", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        inner, _ = flink_type_to_spark(m.group(1))
+        return f"array<{inner}>", None
+    m = re.fullmatch(r"MULTISET\s*<(.+)>", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        # Flink's own runtime encoding for multisets: element -> count
+        inner, _ = flink_type_to_spark(m.group(1))
+        return f"map<{inner},int>", None
+    m = re.fullmatch(r"MAP\s*<(.+)>", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        k, v = _split_top_level(m.group(1))
+        return (
+            f"map<{flink_type_to_spark(k)[0]},{flink_type_to_spark(v)[0]}>",
+            None,
+        )
+    m = re.fullmatch(r"ROW\s*[<(](.+)[>)]", t, re.IGNORECASE | re.DOTALL)
+    if m:
+        fields = []
+        for f_ in _split_top_level(m.group(1)):
+            fname, ftype = f_.split(None, 1)
+            fields.append(f"{fname}:{flink_type_to_spark(ftype)[0]}")
+        return "struct<" + ",".join(fields) + ">", None
+    raise ValueError(f"unsupported Flink type in DDL: {t!r}")
+
+
+# ---------------------------------------------------------------------------
+# Catalog model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    spark_type: str
+    not_null: bool = False
+    char_limit: int | None = None
+
+
+@dataclass
+class CatalogTable:
+    """A connector table created via DDL (CatalogManager equivalent,
+    TableEnvironmentImpl.java:498-504)."""
+
+    name: str
+    columns: list[ColumnSpec]
+    computed: list[tuple[str, str]] = field(default_factory=list)  # (name, expr)
+    watermark: tuple[str, str] | None = None  # (col, "N seconds")
+    primary_key: list[str] = field(default_factory=list)
+    partitioned_by: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def connector(self) -> str:
+        return self.options.get("connector", "filesystem")
+
+    def schema_ddl(self) -> str:
+        return ", ".join(f"{c.name} {c.spark_type}" for c in self.columns)
+
+    def scan(self, spark: SparkSession, streaming: bool) -> DataFrame:
+        opts = dict(self.options)
+        connector = opts.pop("connector", "filesystem")
+        if connector == "filesystem":
+            path = opts.pop("path")
+            fmt = opts.pop("format", "parquet")
+            df = file_source(
+                spark,
+                path,
+                fmt=fmt,
+                schema=self.schema_ddl(),
+                streaming=streaming,
+                **opts,
+            )
+        elif connector in ("kafka", "upsert-kafka"):
+            df = kafka_source(
+                spark,
+                bootstrap_servers=opts.pop("properties.bootstrap.servers", ""),
+                topics=opts.pop("topic", ""),
+                **{k: v for k, v in opts.items() if k.startswith("kafka.")},
+            )
+        elif connector == "datagen":
+            if not streaming:
+                raise ValueError("datagen connector requires streaming mode")
+            from flink_release_1_16_0_spark.sources import rate_source
+
+            df = rate_source(spark)
+        else:
+            raise ValueError(
+                f"unsupported connector {connector!r} for scans "
+                "(supported: filesystem, kafka, upsert-kafka, datagen)"
+            )
+        for cname, expr in self.computed:
+            df = df.withColumn(cname, F.expr(_rewrite_proctime(expr)))
+        if streaming and self.watermark is not None:
+            col, delay = self.watermark
+            df = df.withWatermark(col, delay)
+        return df
+
+    def write(self, df: DataFrame, overwrite: bool) -> None:
+        not_null = [c.name for c in self.columns if c.not_null]
+        char_limits = {
+            c.name: c.char_limit for c in self.columns if c.char_limit is not None
+        }
+        out = enforce_constraints(df, not_null=not_null, char_limits=char_limits)
+        connector = self.connector
+        if connector == "print":
+            out.show(truncate=False)
+            return
+        if connector == "blackhole":
+            out.write.format("noop").mode("overwrite").save()
+            return
+        if connector == "filesystem":
+            writer = out.write.format(self.options.get("format", "parquet")).mode(
+                "overwrite" if overwrite else "append"
+            )
+            if self.partitioned_by:
+                writer = writer.partitionBy(*self.partitioned_by)
+            writer.save(self.options["path"])
+            return
+        raise ValueError(
+            f"unsupported sink connector {connector!r} "
+            "(supported: filesystem, print, blackhole)"
+        )
+
+
+def _rewrite_proctime(expr: str) -> str:
+    return re.sub(r"PROCTIME\s*\(\s*\)", "current_timestamp()", expr, flags=re.I)
+
+
+_WM_UNITS = {
+    "SECOND": "seconds",
+    "SECONDS": "seconds",
+    "MINUTE": "minutes",
+    "MINUTES": "minutes",
+    "HOUR": "hours",
+    "HOURS": "hours",
+    "DAY": "days",
+    "DAYS": "days",
+}
+
+
+def _parse_schema_body(body: str) -> tuple[
+    list[ColumnSpec], list[tuple[str, str]], tuple[str, str] | None, list[str]
+]:
+    columns: list[ColumnSpec] = []
+    computed: list[tuple[str, str]] = []
+    watermark: tuple[str, str] | None = None
+    primary_key: list[str] = []
+    for item in _split_top_level(body):
+        up = item.upper()
+        if up.startswith("WATERMARK"):
+            m = re.fullmatch(
+                r"WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*"
+                r"INTERVAL\s+'([\d.]+)'\s+(\w+)",
+                item,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    f"unsupported watermark clause {item!r} — only the "
+                    "bounded-delay form `WATERMARK FOR ts AS ts - "
+                    "INTERVAL 'n' UNIT` maps to Spark watermarks "
+                    "(SURVEY.md 1.3)"
+                )
+            unit = _WM_UNITS.get(m.group(3).upper())
+            if unit is None:
+                raise ValueError(f"unsupported watermark unit {m.group(3)!r}")
+            watermark = (m.group(1), f"{m.group(2)} {unit}")
+            continue
+        if up.startswith("PRIMARY KEY"):
+            m = re.search(r"\(([^)]*)\)", item)
+            primary_key = [c.strip() for c in m.group(1).split(",")]
+            continue
+        if up.startswith("CONSTRAINT"):
+            m = re.search(r"PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.IGNORECASE)
+            if m:
+                primary_key = [c.strip() for c in m.group(1).split(",")]
+            continue
+        m = re.fullmatch(r"(\w+)\s+AS\s+(.+)", item, re.IGNORECASE | re.DOTALL)
+        if m and not re.fullmatch(
+            r"(\w+)\s+(CHAR|VARCHAR|ARRAY|MAP|ROW|MULTISET)\b.*",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            computed.append((m.group(1), m.group(2)))
+            continue
+        item_no_comment = re.sub(r"\s+COMMENT\s+'[^']*'", "", item, flags=re.I)
+        m = re.fullmatch(
+            r"(\w+)\s+(.+?)(\s+NOT\s+NULL)?", item_no_comment, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise ValueError(f"cannot parse column definition {item!r}")
+        spark_type, char_limit = flink_type_to_spark(m.group(2))
+        columns.append(
+            ColumnSpec(
+                name=m.group(1),
+                spark_type=spark_type,
+                not_null=bool(m.group(3)),
+                char_limit=char_limit,
+            )
+        )
+    return columns, computed, watermark, primary_key
+
+
+# ---------------------------------------------------------------------------
+# Results and the fluent Table API
+# ---------------------------------------------------------------------------
+
+
+class TableResult:
+    """executeSql result: rows for queries/introspection, OK for DDL."""
+
+    def __init__(self, df: DataFrame | None = None, rows: list | None = None):
+        self._df = df
+        self._rows = rows
+
+    def collect(self) -> list:
+        if self._df is not None:
+            return self._df.collect()
+        return self._rows or []
+
+    def print(self) -> None:
+        if self._df is not None:
+            self._df.show(truncate=False)
+        else:
+            for r in self._rows or []:
+                print(r)
+
+    def to_data_frame(self) -> DataFrame | None:
+        return self._df
+
+    def wait(self) -> "TableResult":  # API parity: batch results are sync
+        return self
+
+
+class Table:
+    """Fluent Table API over a DataFrame.
+
+    Each call composes a Spark SQL fragment via parameterized
+    ``spark.sql("... {df} ...", df=...)`` so the semantics are exactly
+    the SQL path's — the analog of the reference lowering both APIs to
+    one RelNode IR.
+    """
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- projection / filter -------------------------------------------------
+    def select(self, exprs: str) -> "Table":
+        return self._sql(f"SELECT {exprs} FROM {{t}}")
+
+    def add_columns(self, exprs: str) -> "Table":
+        return self._sql(f"SELECT *, {exprs} FROM {{t}}")
+
+    def drop_columns(self, cols: str) -> "Table":
+        names = [c.strip() for c in cols.split(",")]
+        return Table(self._df.drop(*names))
+
+    def rename_columns(self, mapping: str) -> "Table":
+        out = self._df
+        for part in _split_top_level(mapping):
+            old, new = re.split(r"\s+AS\s+", part, flags=re.IGNORECASE)
+            out = out.withColumnRenamed(old.strip(), new.strip())
+        return Table(out)
+
+    def where(self, predicate: str) -> "Table":
+        return self._sql(f"SELECT * FROM {{t}} WHERE {predicate}")
+
+    filter = where
+
+    # -- aggregation ---------------------------------------------------------
+    def group_by(self, keys: str) -> "GroupedTable":
+        return GroupedTable(self._df, keys)
+
+    def distinct(self) -> "Table":
+        return Table(self._df.distinct())
+
+    # -- joins / set ops -----------------------------------------------------
+    def join(self, right: "Table", on: str, how: str = "INNER") -> "Table":
+        return Table(
+            self._df.sparkSession.sql(
+                f"SELECT * FROM {{l}} {how} JOIN {{r}} ON {on}",
+                l=self._df,
+                r=right._df,
+            )
+        )
+
+    def left_outer_join(self, right: "Table", on: str) -> "Table":
+        return self.join(right, on, "LEFT OUTER")
+
+    def right_outer_join(self, right: "Table", on: str) -> "Table":
+        return self.join(right, on, "RIGHT OUTER")
+
+    def full_outer_join(self, right: "Table", on: str) -> "Table":
+        return self.join(right, on, "FULL OUTER")
+
+    def union_all(self, other: "Table") -> "Table":
+        return Table(self._df.unionAll(other._df))
+
+    def union(self, other: "Table") -> "Table":
+        return Table(self._df.union(other._df).distinct())
+
+    def intersect(self, other: "Table") -> "Table":
+        return Table(self._df.intersect(other._df))
+
+    def minus(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df).distinct())
+
+    # -- ordering / limits ---------------------------------------------------
+    def order_by(self, exprs: str) -> "Table":
+        return self._sql(f"SELECT * FROM {{t}} ORDER BY {exprs}")
+
+    def fetch(self, n: int) -> "Table":
+        return Table(self._df.limit(n))
+
+    limit = fetch
+
+    def offset(self, n: int) -> "Table":
+        # limit + offset must fit in int32 (Spark constraint)
+        return self._sql(f"SELECT * FROM {{t}} LIMIT {2**31 - 1 - n} OFFSET {n}")
+
+    # -- execution -----------------------------------------------------------
+    def execute(self) -> TableResult:
+        return TableResult(df=self._df)
+
+    def to_data_frame(self) -> DataFrame:
+        return self._df
+
+    def print_schema(self) -> None:
+        self._df.printSchema()
+
+    def explain(self, mode: str = "formatted") -> None:
+        self._df.explain(mode=mode)
+
+    def _sql(self, template: str) -> "Table":
+        return Table(self._df.sparkSession.sql(template, t=self._df))
+
+
+class GroupedTable:
+    def __init__(self, df: DataFrame, keys: str):
+        self._df = df
+        self._keys = keys
+
+    def select(self, exprs: str) -> Table:
+        return Table(
+            self._df.sparkSession.sql(
+                f"SELECT {exprs} FROM {{t}} GROUP BY {self._keys}", t=self._df
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# TableEnvironment
+# ---------------------------------------------------------------------------
+
+_CREATE_TABLE_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*\((?P<body>.*)\)\s*"
+    r"(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"WITH\s*\((?P<opts>.*)\)\s*",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_VIEW_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s+AS\s+(?P<query>.+)",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"DROP\s+(?:TEMPORARY\s+)?(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+(?P<query>.+)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+class TableEnvironment:
+    """SQL/Table entry point over a SparkSession.
+
+    ``streaming=True`` scans connector tables with ``readStream`` and
+    applies watermark DDL — EnvironmentSettings.inStreamingMode(); the
+    default mirrors inBatchMode().
+    """
+
+    def __init__(self, spark: SparkSession, streaming: bool = False):
+        self.spark = spark
+        self.streaming = streaming
+        self._tables: dict[str, CatalogTable] = {}
+
+    # EnvironmentSettings-style constructors
+    @classmethod
+    def create(cls, spark: SparkSession, streaming: bool = False) -> "TableEnvironment":
+        return cls(spark, streaming=streaming)
+
+    # -- statements ----------------------------------------------------------
+    def execute_sql(self, stmt: str) -> TableResult:
+        stmt = stmt.strip().rstrip(";").strip()
+        up = stmt.upper()
+        if up.startswith("CREATE") and re.match(
+            r"CREATE\s+(?:TEMPORARY\s+)?TABLE", up
+        ):
+            return self._create_table(stmt)
+        if up.startswith("CREATE") and re.match(r"CREATE\s+(?:TEMPORARY\s+)?VIEW", up):
+            m = _CREATE_VIEW_RE.fullmatch(stmt)
+            if not m:
+                raise ValueError(f"cannot parse CREATE VIEW: {stmt!r}")
+            self.spark.sql(m.group("query")).createOrReplaceTempView(m.group("name"))
+            return TableResult(rows=["OK"])
+        if up.startswith("DROP"):
+            m = _DROP_RE.fullmatch(stmt)
+            if not m:
+                raise ValueError(f"cannot parse DROP: {stmt!r}")
+            name = m.group("name")
+            self._tables.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            return TableResult(rows=["OK"])
+        if up.startswith("INSERT"):
+            m = _INSERT_RE.fullmatch(stmt)
+            if not m:
+                raise ValueError(f"cannot parse INSERT: {stmt!r}")
+            return self._insert(
+                m.group("name"), m.group("query"), m.group("mode").upper() == "OVERWRITE"
+            )
+        if up.startswith("SHOW TABLES"):
+            names = sorted(
+                set(self._tables)
+                | {t.name for t in self.spark.catalog.listTables() if t.isTemporary}
+            )
+            return TableResult(rows=names)
+        if up.startswith("DESCRIBE") or up.startswith("DESC "):
+            name = stmt.split()[-1]
+            if name in self._tables:
+                t = self._tables[name]
+                return TableResult(
+                    rows=[
+                        (c.name, c.spark_type, not c.not_null) for c in t.columns
+                    ]
+                )
+            df = self.spark.table(name)
+            return TableResult(
+                rows=[(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema]
+            )
+        if up.startswith("EXPLAIN"):
+            # Flink's `EXPLAIN [PLAN FOR]` -> Spark's native EXPLAIN FORMATTED
+            q = re.sub(r"^EXPLAIN(\s+PLAN\s+FOR)?\s+", "", stmt, flags=re.IGNORECASE)
+            return TableResult(df=self.spark.sql(f"EXPLAIN FORMATTED {q}"))
+        return TableResult(df=self.spark.sql(stmt))
+
+    def sql_query(self, sql: str) -> Table:
+        return Table(self.spark.sql(sql))
+
+    # -- catalog -------------------------------------------------------------
+    def from_path(self, name: str) -> Table:
+        return Table(self.spark.table(name))
+
+    def create_temporary_view(self, name: str, table: "Table | DataFrame") -> None:
+        df = table.to_data_frame() if isinstance(table, Table) else table
+        df.createOrReplaceTempView(name)
+
+    def list_tables(self) -> list[str]:
+        return sorted(
+            set(self._tables)
+            | {t.name for t in self.spark.catalog.listTables() if t.isTemporary}
+        )
+
+    def catalog_table(self, name: str) -> CatalogTable:
+        return self._tables[name]
+
+    # -- internals -----------------------------------------------------------
+    def _create_table(self, stmt: str) -> TableResult:
+        m = _CREATE_TABLE_RE.fullmatch(stmt)
+        if not m:
+            raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")
+        name = m.group("name")
+        columns, computed, watermark, primary_key = _parse_schema_body(m.group("body"))
+        if watermark is not None:
+            # A WATERMARK declaration makes the column a rowtime
+            # attribute; Spark only accepts watermarks on TIMESTAMP
+            # (with local time zone), so the rowtime column maps to LTZ
+            # instead of NTZ — identical instants under the engine's
+            # fixed UTC session timezone (session.py).
+            for c in columns:
+                if c.name == watermark[0] and c.spark_type == "timestamp_ntz":
+                    c.spark_type = "timestamp"
+        options: dict[str, str] = {}
+        for pair in _split_top_level(m.group("opts")):
+            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            if not km:
+                raise ValueError(f"cannot parse WITH option {pair!r}")
+            options[km.group(1)] = km.group(2)
+        table = CatalogTable(
+            name=name,
+            columns=columns,
+            computed=computed,
+            watermark=watermark,
+            primary_key=primary_key,
+            partitioned_by=(
+                [p.strip() for p in m.group("parts").split(",")] if m.group("parts") else []
+            ),
+            options=options,
+        )
+        self._tables[name] = table
+        # register the scan as a temp view so SQL can reference it; sinks
+        # (print/blackhole, write-only filesystem dirs) stay catalog-only
+        if table.connector in ("filesystem", "kafka", "upsert-kafka", "datagen"):
+            try:
+                table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
+            except Exception:
+                if table.connector == "filesystem":
+                    # write-only target (path does not exist yet)
+                    pass
+                else:
+                    raise
+        return TableResult(rows=["OK"])
+
+    def _insert(self, name: str, query: str, overwrite: bool) -> TableResult:
+        if name not in self._tables:
+            raise ValueError(f"unknown sink table {name!r} (CREATE TABLE it first)")
+        table = self._tables[name]
+        df = self.spark.sql(query)
+        declared = [c.name for c in table.columns]
+        if len(df.columns) != len(declared):
+            raise ValueError(
+                f"INSERT column count mismatch: query has {len(df.columns)}, "
+                f"table {name} declares {len(declared)}"
+            )
+        # positional alignment + declared-type casts, per Flink INSERT
+        aligned = df.select(
+            *[
+                F.col(src).cast(c.spark_type).alias(c.name)
+                for src, c in zip(df.columns, table.columns)
+            ]
+        )
+        table.write(aligned, overwrite)
+        # refresh the readable view if the sink is also scannable
+        if table.connector == "filesystem":
+            table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
+        return TableResult(rows=["OK"])
