@@ -494,3 +494,52 @@ def func_temporal_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp(ts, "Asia/Tokyo").alias("tokyo_wall"),
         F.to_utc_timestamp(ts, "Europe/Paris").alias("paris_to_utc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flink-spelled SQL UDF names (functions/sql_udfs.py): the SQL surface
+# of the shims — SPLIT_INDEX, IS_DIGIT/ALPHA/DECIMAL, TRUNCATE,
+# TO/FROM_BASE64, TO_TIMESTAMP_LTZ, IS_JSON, JSON_VALUE — executed
+# through spark.sql with the registered names. HASH_CODE/RAND_INTEGER
+# are registered but engine-private (murmur3 / RNG), so not oracle-gated.
+# --------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = """
+SELECT event_id,
+       string_split(event_type, 'r')[1]                      AS et_head,
+       regexp_full_match(CAST(event_id AS VARCHAR), '[0-9]+') AS id_digits,
+       regexp_full_match(event_type, '[a-zA-Z]+')            AS et_alpha,
+       TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) IS NOT NULL AS val_dec,
+       sign(value) * floor(abs(value) * power(10, 1)) / power(10, 1) AS val_trunc1,
+       base64(encode(event_type))                            AS et_b64,
+       decode(from_base64(base64(encode(event_type))))       AS et_roundtrip,
+       json_valid(props)                                     AS props_is_json,
+       json_extract_string(props, '$.k')                     AS props_k
+FROM events
+WHERE event_id % 13 = 0
+"""
+
+
+@register("func_sql_udf_names", _SQL_UDF_ORACLE, tags=("function", "api", "sql"))
+def func_sql_udf_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.catalog import register_tables
+    from flink_release_1_16_0_spark.functions.sql_udfs import register_sql_functions
+
+    register_tables(spark, sf_dir, ("events",))
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT event_id,
+               SPLIT_INDEX(event_type, 'r', 0)          AS et_head,
+               IS_DIGIT(CAST(event_id AS STRING))       AS id_digits,
+               IS_ALPHA(event_type)                     AS et_alpha,
+               IS_DECIMAL(CAST(value AS STRING))        AS val_dec,
+               TRUNCATE(value, 1)                       AS val_trunc1,
+               TO_BASE64(CAST(event_type AS BINARY))    AS et_b64,
+               CAST(FROM_BASE64(TO_BASE64(CAST(event_type AS BINARY))) AS STRING) AS et_roundtrip,
+               IS_JSON(props)                           AS props_is_json,
+               JSON_VALUE(props, '$.k')                 AS props_k
+        FROM events
+        WHERE event_id % 13 = 0
+        """
+    )

@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_release_1_16_0_spark.functions.sql_udfs import register_sql_functions
 from flink_release_1_16_0_spark.operators.sink import enforce_constraints
 from flink_release_1_16_0_spark.sources import file_source, kafka_source
 
@@ -523,6 +524,9 @@ class TableEnvironment:
         self.spark = spark
         self.streaming = streaming
         self._tables: dict[str, CatalogTable] = {}
+        # Flink-spelled SQL functions (SPLIT_INDEX, IS_DIGIT, ...) become
+        # SQL scalar UDFs — JVM-side, inlined into the Catalyst plan
+        register_sql_functions(spark)
 
     # EnvironmentSettings-style constructors
     @classmethod
