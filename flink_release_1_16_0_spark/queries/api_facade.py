@@ -114,3 +114,47 @@ def api_table_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return result.to_data_frame()
+
+
+_30D_US = 30 * 24 * 3600 * 1_000_000
+
+_TVF_ORACLE = f"""
+SELECT
+  make_timestamp((epoch_us(o_orderdate) // {_30D_US}) * {_30D_US}) AS window_start,
+  make_timestamp((epoch_us(o_orderdate) // {_30D_US}) * {_30D_US}
+                 + {_30D_US}) AS window_end,
+  o_orderstatus,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@register("api_sql_window_tvf", _TVF_ORACLE, tags=("api", "window", "sql"))
+def api_sql_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's windowing-TVF SQL dialect (SqlTumbleTableFunction,
+    FlinkSqlOperatorTable.java:1219) executed verbatim through
+    executeSql — rewritten to Spark's epoch-aligned window()."""
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE tvf_orders (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP_LTZ(3),
+          o_orderpriority STRING, o_clerk STRING, o_shippriority INT,
+          o_comment STRING
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/orders.parquet',
+                'format' = 'parquet')
+        """
+    )
+    return tenv.execute_sql(
+        """
+        SELECT window_start, window_end, o_orderstatus,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+        FROM TABLE(TUMBLE(TABLE tvf_orders, DESCRIPTOR(o_orderdate), INTERVAL '30' DAY))
+        GROUP BY window_start, window_end, o_orderstatus
+        """
+    ).to_data_frame()

@@ -263,6 +263,106 @@ def _rewrite_proctime(expr: str) -> str:
     return re.sub(r"PROCTIME\s*\(\s*\)", "current_timestamp()", expr, flags=re.I)
 
 
+# ---------------------------------------------------------------------------
+# Window TVF dialect: TABLE(TUMBLE/HOP(TABLE t, DESCRIPTOR(ts), ...))
+# ---------------------------------------------------------------------------
+
+_INTERVAL_RE = re.compile(r"INTERVAL\s+'([\d.]+)'\s+(\w+)", re.IGNORECASE)
+_TVF_RE = re.compile(
+    r"TABLE\s*\(\s*(TUMBLE|HOP|CUMULATE)\s*\(\s*TABLE\s+([\w.]+)\s*,\s*"
+    r"DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,\s*([^)]*(?:\([^)]*\)[^)]*)*)\)\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _interval_str(text: str) -> str:
+    m = _INTERVAL_RE.search(text)
+    if not m:
+        raise ValueError(f"cannot parse window INTERVAL in {text!r}")
+    unit = _WM_UNITS.get(m.group(2).upper())
+    if unit is None:
+        raise ValueError(f"unsupported window interval unit {m.group(2)!r}")
+    return f"{m.group(1)} {unit}"
+
+
+def rewrite_window_tvfs(sql: str) -> str:
+    """Translate Flink's windowing TVFs (SqlTumbleTableFunction /
+    SqlHopTableFunction, FlinkSqlOperatorTable.java:1219-1221) to
+    Spark's ``window()`` expression.
+
+    ``TABLE(TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL 'n' U))`` becomes a
+    subquery projecting ``window(ts, 'n u') AS __w``; the TVF's
+    ``window_start`` / ``window_end`` / ``window_time`` columns map to
+    ``__w.start`` / ``__w.end`` / ``__w.end - 1ms``, re-aliased in the
+    outer SELECT list so output column names match Flink's. HOP swaps
+    its (slide, size) argument order into window(ts, size, slide);
+    CUMULATE has no Spark native (use queries/event_windows.py's
+    explode-over-growing-slices operator instead).
+    """
+
+    def sub(m: re.Match) -> str:
+        kind, tbl, col, args = m.group(1).upper(), m.group(2), m.group(3), m.group(4)
+        ivals = [_interval_str(a) for a in _split_top_level(args) if a.strip()]
+        if kind == "TUMBLE":
+            (size,) = ivals
+            w = f"window({col}, '{size}')"
+        elif kind == "HOP":
+            slide, size = ivals  # Flink order: slide, then size
+            w = f"window({col}, '{size}', '{slide}')"
+        else:
+            raise NotImplementedError(
+                "CUMULATE has no Spark-native window; use the "
+                "cumulate operator in queries/event_windows.py"
+            )
+        return f"(SELECT *, {w} AS __w FROM {tbl})"
+
+    if not _TVF_RE.search(sql):
+        return sql
+    out = _TVF_RE.sub(sub, sql)
+    out = re.sub(
+        r"\bwindow_time\b", "(__w.end - INTERVAL '0.001' SECOND)", out, flags=re.I
+    )
+    out = re.sub(r"\bwindow_start\b", "__w.start", out, flags=re.I)
+    out = re.sub(r"\bwindow_end\b", "__w.end", out, flags=re.I)
+    # re-alias bare window columns in the OUTER select list so output
+    # names keep Flink's window_start/window_end spelling
+    head = re.match(r"(\s*SELECT\s+)(.*)", out, re.IGNORECASE | re.DOTALL)
+    if head is None:  # e.g. WITH-prefixed query: leave aliasing to caller
+        return out
+    prefix, rest = head.group(1), head.group(2)
+    items, depth, buf, pos = [], 0, [], 0
+    for i, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if (
+            depth == 0
+            and rest[i : i + 4].upper() == "FROM"
+            and (i == 0 or rest[i - 1].isspace())
+            and (i + 4 >= len(rest) or rest[i + 4].isspace() or rest[i + 4] == "(")
+        ):
+            pos = i
+            break
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    items.append("".join(buf))
+    aliased = []
+    for it in items:
+        t = it.strip()
+        if t == "__w.start":
+            t = "__w.start AS window_start"
+        elif t == "__w.end":
+            t = "__w.end AS window_end"
+        elif t == "(__w.end - INTERVAL '0.001' SECOND)":
+            t = t + " AS window_time"
+        aliased.append(t)
+    return prefix + ", ".join(aliased) + " " + rest[pos:]
+
+
 _WM_UNITS = {
     "SECOND": "seconds",
     "SECONDS": "seconds",
@@ -537,6 +637,18 @@ class TableEnvironment:
     def execute_sql(self, stmt: str) -> TableResult:
         stmt = stmt.strip().rstrip(";").strip()
         up = stmt.upper()
+        if re.match(r"EXECUTE\s+STATEMENT\s+SET", up):
+            body = re.sub(
+                r"^EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+|\s+END$",
+                "",
+                stmt,
+                flags=re.IGNORECASE | re.DOTALL,
+            )
+            sset = self.create_statement_set()
+            for part in body.split(";"):
+                if part.strip():
+                    sset.add_insert_sql(part)
+            return sset.execute()
         if up.startswith("CREATE") and re.match(
             r"CREATE\s+(?:TEMPORARY\s+)?TABLE", up
         ):
@@ -545,7 +657,9 @@ class TableEnvironment:
             m = _CREATE_VIEW_RE.fullmatch(stmt)
             if not m:
                 raise ValueError(f"cannot parse CREATE VIEW: {stmt!r}")
-            self.spark.sql(m.group("query")).createOrReplaceTempView(m.group("name"))
+            self.spark.sql(rewrite_window_tvfs(m.group("query"))).createOrReplaceTempView(
+                m.group("name")
+            )
             return TableResult(rows=["OK"])
         if up.startswith("DROP"):
             m = _DROP_RE.fullmatch(stmt)
@@ -585,10 +699,13 @@ class TableEnvironment:
             # Flink's `EXPLAIN [PLAN FOR]` -> Spark's native EXPLAIN FORMATTED
             q = re.sub(r"^EXPLAIN(\s+PLAN\s+FOR)?\s+", "", stmt, flags=re.IGNORECASE)
             return TableResult(df=self.spark.sql(f"EXPLAIN FORMATTED {q}"))
-        return TableResult(df=self.spark.sql(stmt))
+        return TableResult(df=self.spark.sql(rewrite_window_tvfs(stmt)))
 
     def sql_query(self, sql: str) -> Table:
-        return Table(self.spark.sql(sql))
+        return Table(self.spark.sql(rewrite_window_tvfs(sql)))
+
+    def create_statement_set(self) -> "StatementSet":
+        return StatementSet(self)
 
     # -- catalog -------------------------------------------------------------
     def from_path(self, name: str) -> Table:
@@ -658,7 +775,7 @@ class TableEnvironment:
         if name not in self._tables:
             raise ValueError(f"unknown sink table {name!r} (CREATE TABLE it first)")
         table = self._tables[name]
-        df = self.spark.sql(query)
+        df = self.spark.sql(rewrite_window_tvfs(query))
         declared = [c.name for c in table.columns]
         if len(df.columns) != len(declared):
             raise ValueError(
@@ -677,3 +794,54 @@ class TableEnvironment:
         if table.connector == "filesystem":
             table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
         return TableResult(rows=["OK"])
+
+
+class StatementSet:
+    """Multi-sink execution (StatementSetImpl in the reference).
+
+    The reference deduplicates common sub-plans across sinks before
+    translation (StreamCommonSubGraphBasedOptimizer.scala:46). Spark
+    actions don't share stages across jobs, so the equivalent here is
+    explicit: any source table referenced by two or more statements is
+    cached for the duration of the set (``spark.catalog.cacheTable``) —
+    each shared scan is computed once, every sink reads the cached
+    relation, and the cache is dropped afterwards.
+    """
+
+    def __init__(self, tenv: TableEnvironment):
+        self._tenv = tenv
+        self._inserts: list[tuple[str, str, bool]] = []  # (sink, query, overwrite)
+
+    def add_insert_sql(self, stmt: str) -> "StatementSet":
+        m = _INSERT_RE.fullmatch(stmt.strip().rstrip(";").strip())
+        if not m:
+            raise ValueError(f"statement sets accept INSERT statements, got {stmt!r}")
+        self._inserts.append(
+            (m.group("name"), m.group("query"), m.group("mode").upper() == "OVERWRITE")
+        )
+        return self
+
+    def _shared_sources(self) -> list[str]:
+        views = {
+            t.name
+            for t in self._tenv.spark.catalog.listTables()
+            if t.isTemporary
+        }
+        counts: dict[str, int] = {}
+        for _, query, _ in self._inserts:
+            for name in views:
+                if re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE):
+                    counts[name] = counts.get(name, 0) + 1
+        return [n for n, c in counts.items() if c >= 2]
+
+    def execute(self) -> TableResult:
+        shared = self._shared_sources()
+        for name in shared:
+            self._tenv.spark.catalog.cacheTable(name)
+        try:
+            for sink, query, overwrite in self._inserts:
+                self._tenv._insert(sink, query, overwrite)
+        finally:
+            for name in shared:
+                self._tenv.spark.catalog.uncacheTable(name)
+        return TableResult(rows=["OK"] * len(self._inserts))

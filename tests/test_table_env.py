@@ -11,6 +11,7 @@ from __future__ import annotations
 import sys
 
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
@@ -330,3 +331,135 @@ def test_table_api_columns_ops(tenv):
     assert [r["r_regionkey"] for r in rows] == [1, 2]
     assert rows[0]["k10"] == 10
     assert "name" in rows[0].asDict()
+
+
+# -- window TVF dialect -----------------------------------------------------
+
+
+def test_window_tvf_tumble(tenv, spark):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE tvf_ord (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP_LTZ(3),
+          o_orderpriority STRING, o_clerk STRING, o_shippriority INT,
+          o_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/orders.parquet',
+                'format'='parquet')
+        """
+    )
+    got = tenv.execute_sql(
+        """
+        SELECT window_start, window_end, o_orderstatus, COUNT(*) AS n
+        FROM TABLE(TUMBLE(TABLE tvf_ord, DESCRIPTOR(o_orderdate), INTERVAL '30' DAY))
+        GROUP BY window_start, window_end, o_orderstatus
+        """
+    ).to_data_frame()
+    assert got.columns == ["window_start", "window_end", "o_orderstatus", "n"]
+    want = (
+        spark.table("tvf_ord")
+        .groupBy(F.window("o_orderdate", "30 days").alias("w"), "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "o_orderstatus",
+            "n",
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_window_tvf_hop(tenv, spark):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE tvf_ord2 (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP_LTZ(3),
+          o_orderpriority STRING, o_clerk STRING, o_shippriority INT,
+          o_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/orders.parquet',
+                'format'='parquet')
+        """
+    )
+    # Flink HOP argument order: slide first, then size
+    got = tenv.execute_sql(
+        """
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE tvf_ord2, DESCRIPTOR(o_orderdate),
+                       INTERVAL '15' DAY, INTERVAL '30' DAY))
+        GROUP BY window_start
+        """
+    ).to_data_frame()
+    want = (
+        spark.table("tvf_ord2")
+        .groupBy(F.window("o_orderdate", "30 days", "15 days").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    with pytest.raises(NotImplementedError, match="CUMULATE"):
+        tenv.execute_sql(
+            """
+            SELECT window_start FROM TABLE(CUMULATE(TABLE tvf_ord2,
+              DESCRIPTOR(o_orderdate), INTERVAL '5' MINUTE, INTERVAL '20' MINUTE))
+            GROUP BY window_start
+            """
+        )
+
+
+# -- statement sets ---------------------------------------------------------
+
+
+def test_statement_set_shared_source_cached(tenv, spark, tmp_path):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ss_src (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    tenv.execute_sql(
+        f"CREATE TABLE ss_a (k BIGINT, v STRING) WITH "
+        f"('connector'='filesystem', 'path'='{out_a}', 'format'='parquet')"
+    )
+    tenv.execute_sql(
+        f"CREATE TABLE ss_b (k BIGINT) WITH "
+        f"('connector'='filesystem', 'path'='{out_b}', 'format'='parquet')"
+    )
+    sset = tenv.create_statement_set()
+    sset.add_insert_sql("INSERT INTO ss_a SELECT r_regionkey, r_name FROM ss_src")
+    sset.add_insert_sql(
+        "INSERT INTO ss_b SELECT r_regionkey FROM ss_src WHERE r_regionkey > 1"
+    )
+    assert sset._shared_sources() == ["ss_src"]
+    sset.execute()
+    assert not spark.catalog.isCached("ss_src")  # dropped after execution
+    assert len(tenv.execute_sql("SELECT * FROM ss_a").collect()) == 5
+    assert len(tenv.execute_sql("SELECT * FROM ss_b").collect()) == 3
+
+
+def test_execute_statement_set_sql_syntax(tenv, spark):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ess_src (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        "CREATE TABLE ess_bh (k BIGINT) WITH ('connector'='blackhole')"
+    )
+    res = tenv.execute_sql(
+        """
+        EXECUTE STATEMENT SET
+        BEGIN
+          INSERT INTO ess_bh SELECT r_regionkey FROM ess_src;
+          INSERT INTO ess_bh SELECT r_regionkey + 10 FROM ess_src;
+        END
+        """
+    )
+    assert res.collect() == ["OK", "OK"]
