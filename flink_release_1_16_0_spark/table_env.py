@@ -185,6 +185,9 @@ class CatalogTable:
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
+    # ANALYZE TABLE results (row_count, per-column ndv/null_count);
+    # informational — Spark's AQE re-derives runtime stats itself
+    stats: dict[str, object] = field(default_factory=dict)
 
     @property
     def connector(self) -> str:
@@ -610,6 +613,19 @@ _INSERT_RE = re.compile(
     r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+(?P<query>.+)",
     re.IGNORECASE | re.DOTALL,
 )
+# CTAS (Parser.tdd:55): CREATE TABLE t WITH (...) AS SELECT ...
+_CTAS_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*"
+    r"WITH\s*\((?P<opts>.*?)\)\s*"
+    r"AS\s+(?P<query>(?:SELECT|WITH|VALUES|TABLE)\b.*)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ANALYZE_RE = re.compile(
+    r"ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+(?P<cols>[\w\s,]+)))?",
+    re.IGNORECASE,
+)
 
 
 class TableEnvironment:
@@ -624,6 +640,10 @@ class TableEnvironment:
         self.spark = spark
         self.streaming = streaming
         self._tables: dict[str, CatalogTable] = {}
+        # SET 'k'='v' statements land here; spark.* keys pass through to
+        # the session conf, table.* keys are recorded for introspection
+        self._config: dict[str, str] = {}
+        self._config_originals: dict[str, str | None] = {}
         # Flink-spelled SQL functions (SPLIT_INDEX, IS_DIGIT, ...) become
         # SQL scalar UDFs — JVM-side, inlined into the Catalyst plan
         register_sql_functions(spark)
@@ -649,9 +669,43 @@ class TableEnvironment:
                 if part.strip():
                     sset.add_insert_sql(part)
             return sset.execute()
+        if re.match(r"SET\s*$", up):
+            rows = sorted(self._config.items())
+            return TableResult(rows=rows)
+        if up.startswith("SET"):
+            m = re.fullmatch(r"SET\s+'([^']+)'\s*=\s*'([^']*)'", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"cannot parse SET (expected SET 'k'='v'): {stmt!r}")
+            key, val = m.group(1), m.group(2)
+            if key.startswith("spark."):
+                if key not in self._config_originals:
+                    self._config_originals[key] = self.spark.conf.get(key, None)
+                self.spark.conf.set(key, val)
+            self._config[key] = val
+            return TableResult(rows=["OK"])
+        if up.startswith("RESET"):
+            m = re.fullmatch(r"RESET(?:\s+'([^']+)')?", stmt, re.IGNORECASE)
+            keys = [m.group(1)] if m and m.group(1) else list(self._config)
+            for key in keys:
+                self._config.pop(key, None)
+                if key.startswith("spark."):
+                    # restore the pre-SET value (conf.unset would fall
+                    # back to Spark's hard default, losing the session
+                    # builder's configuration)
+                    orig = self._config_originals.pop(key, None)
+                    if orig is None:
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, orig)
+            return TableResult(rows=["OK"])
+        if up.startswith("ANALYZE TABLE"):
+            return self._analyze(stmt)
         if up.startswith("CREATE") and re.match(
             r"CREATE\s+(?:TEMPORARY\s+)?TABLE", up
         ):
+            ctas = _CTAS_RE.fullmatch(stmt)
+            if ctas:
+                return self._create_table_as(ctas)
             return self._create_table(stmt)
         if up.startswith("CREATE") and re.match(r"CREATE\s+(?:TEMPORARY\s+)?VIEW", up):
             m = _CREATE_VIEW_RE.fullmatch(stmt)
@@ -725,6 +779,59 @@ class TableEnvironment:
         return self._tables[name]
 
     # -- internals -----------------------------------------------------------
+    def _create_table_as(self, m: re.Match) -> TableResult:
+        """CTAS: schema derived from the query, data written to the
+        connector, table registered for subsequent reads."""
+        name = m.group("name")
+        options: dict[str, str] = {}
+        for pair in _split_top_level(m.group("opts")):
+            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            if not km:
+                raise ValueError(f"cannot parse WITH option {pair!r}")
+            options[km.group(1)] = km.group(2)
+        df = self.spark.sql(rewrite_window_tvfs(m.group("query")))
+        table = CatalogTable(
+            name=name,
+            columns=[
+                ColumnSpec(name=f.name, spark_type=f.dataType.simpleString())
+                for f in df.schema
+            ],
+            options=options,
+        )
+        self._tables[name] = table
+        table.write(df, overwrite=True)
+        if table.connector == "filesystem":
+            table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
+        return TableResult(rows=["OK"])
+
+    def _analyze(self, stmt: str) -> TableResult:
+        """ANALYZE TABLE ... COMPUTE STATISTICS [FOR [ALL] COLUMNS ...]
+        (Parser.tdd:76). Stats are stored on the catalog entry and
+        returned; they are informational — Spark's AQE derives runtime
+        statistics from shuffle materializations on its own."""
+        m = _ANALYZE_RE.fullmatch(stmt)
+        if not m:
+            raise ValueError(f"cannot parse ANALYZE TABLE: {stmt!r}")
+        name = m.group("name")
+        df = self.spark.table(name)
+        wants_cols = "FOR" in stmt.upper()
+        cols = (
+            [c.strip() for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else (df.columns if wants_cols else [])
+        )
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv__{c}"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls__{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats: dict[str, object] = {"row_count": row["__rows"]}
+        for c in cols:
+            stats[c] = {"ndv": row[f"__ndv__{c}"], "null_count": row[f"__nulls__{c}"]}
+        if name in self._tables:
+            self._tables[name].stats = stats
+        return TableResult(rows=sorted(stats.items()))
+
     def _create_table(self, stmt: str) -> TableResult:
         m = _CREATE_TABLE_RE.fullmatch(stmt)
         if not m:

@@ -463,3 +463,66 @@ def test_execute_statement_set_sql_syntax(tenv, spark):
         """
     )
     assert res.collect() == ["OK", "OK"]
+
+
+# -- SET / RESET / CTAS / ANALYZE -------------------------------------------
+
+
+def test_set_reset_config(tenv, spark):
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    tenv.execute_sql("SET 'table.exec.state.ttl' = '3600000'")
+    tenv.execute_sql("SET 'spark.sql.shuffle.partitions' = '16'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    assert ("table.exec.state.ttl", "3600000") in tenv.execute_sql("SET").collect()
+    # RESET restores the pre-SET value, not Spark's hard default
+    tenv.execute_sql("RESET 'spark.sql.shuffle.partitions'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == original
+    tenv.execute_sql("RESET")
+    assert tenv.execute_sql("SET").collect() == []
+
+
+def test_create_table_as_select(tenv, tmp_path):
+    out = str(tmp_path / "ctas")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ctas_src (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ctas_out
+        WITH ('connector'='filesystem', 'path'='{out}', 'format'='parquet')
+        AS SELECT r_regionkey AS k, upper(r_name) AS name
+           FROM ctas_src WHERE r_regionkey < 3
+        """
+    )
+    rows = tenv.execute_sql("SELECT * FROM ctas_out ORDER BY k").collect()
+    assert [r["k"] for r in rows] == [0, 1, 2]
+    assert rows[0]["name"].isupper()
+    ct = tenv.catalog_table("ctas_out")
+    assert [(c.name, c.spark_type) for c in ct.columns] == [
+        ("k", "bigint"),
+        ("name", "string"),
+    ]
+
+
+def test_analyze_table_stats(tenv):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE an_nation (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+          n_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/nation.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        "ANALYZE TABLE an_nation COMPUTE STATISTICS FOR COLUMNS n_regionkey"
+    )
+    stats = tenv.catalog_table("an_nation").stats
+    assert stats["row_count"] == 25
+    assert stats["n_regionkey"]["ndv"] == 5
+    assert stats["n_regionkey"]["null_count"] == 0
