@@ -158,3 +158,50 @@ def api_sql_window_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY window_start, window_end, o_orderstatus
         """
     ).to_data_frame()
+
+
+_STEP_US = 30 * 24 * 3600 * 1_000_000  # 30 days
+_MAX_US = 3 * _STEP_US  # 90 days
+
+_CUM_TVF_ORACLE = f"""
+SELECT
+  make_timestamp((epoch_us(o_orderdate) // {_MAX_US}) * {_MAX_US}) AS window_start,
+  make_timestamp((epoch_us(o_orderdate) // {_MAX_US}) * {_MAX_US}
+                 + j * {_STEP_US}) AS window_end,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM orders, generate_series(1, 3) AS g(j)
+WHERE epoch_us(o_orderdate)
+      < (epoch_us(o_orderdate) // {_MAX_US}) * {_MAX_US} + j * {_STEP_US}
+GROUP BY 1, 2
+"""
+
+
+@register("api_sql_cumulate_tvf", _CUM_TVF_ORACLE, tags=("api", "window", "sql"))
+def api_sql_cumulate_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE TVF SQL (SqlCumulateTableFunction,
+    FlinkSqlOperatorTable.java:1221) through executeSql — rewritten to
+    an explode over growing slices (SliceAssigners.java:281)."""
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE cum_tvf_orders (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP_LTZ(3),
+          o_orderpriority STRING, o_clerk STRING, o_shippriority INT,
+          o_comment STRING
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/orders.parquet',
+                'format' = 'parquet')
+        """
+    )
+    return tenv.execute_sql(
+        """
+        SELECT window_start, window_end,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+        FROM TABLE(CUMULATE(TABLE cum_tvf_orders, DESCRIPTOR(o_orderdate),
+                            INTERVAL '30' DAY, INTERVAL '90' DAY))
+        GROUP BY window_start, window_end
+        """
+    ).to_data_frame()

@@ -278,14 +278,23 @@ _TVF_RE = re.compile(
 )
 
 
-def _interval_str(text: str) -> str:
+_UNIT_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _interval_parts(text: str) -> tuple[str, str]:
+    """('5', 'MINUTE') from an INTERVAL literal."""
     m = _INTERVAL_RE.search(text)
     if not m:
         raise ValueError(f"cannot parse window INTERVAL in {text!r}")
-    unit = _WM_UNITS.get(m.group(2).upper())
-    if unit is None:
+    unit = m.group(2).upper().rstrip("S")
+    if unit not in _UNIT_SECONDS:
         raise ValueError(f"unsupported window interval unit {m.group(2)!r}")
-    return f"{m.group(1)} {unit}"
+    return m.group(1), unit
+
+
+def _interval_str(text: str) -> str:
+    n, unit = _interval_parts(text)
+    return f"{n} {unit.lower()}s"
 
 
 def rewrite_window_tvfs(sql: str) -> str:
@@ -299,9 +308,18 @@ def rewrite_window_tvfs(sql: str) -> str:
     ``__w.start`` / ``__w.end`` / ``__w.end - 1ms``, re-aliased in the
     outer SELECT list so output column names match Flink's. HOP swaps
     its (slide, size) argument order into window(ts, size, slide);
-    CUMULATE has no Spark native (use queries/event_windows.py's
-    explode-over-growing-slices operator instead).
+    CUMULATE explodes each row into its growing slices
+    (SliceAssigners.java:281 semantics — no Spark native).
+
+    Also strips ``FOR SYSTEM_TIME AS OF <proctime>`` from joins: the
+    processing-time temporal (lookup) join against a snapshot source IS
+    a plain join in batch/micro-batch execution, where each (micro-)
+    batch reads the dimension's current snapshot (operators/lookup.py);
+    the event-time form needs the as-of operator (operators/asof.py).
     """
+    sql = re.sub(
+        r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.]+(\s*\(\s*\))?", " ", sql, flags=re.I
+    )
 
     def sub(m: re.Match) -> str:
         kind, tbl, col, args = m.group(1).upper(), m.group(2), m.group(3), m.group(4)
@@ -313,9 +331,23 @@ def rewrite_window_tvfs(sql: str) -> str:
             slide, size = ivals  # Flink order: slide, then size
             w = f"window({col}, '{size}', '{slide}')"
         else:
-            raise NotImplementedError(
-                "CUMULATE has no Spark-native window; use the "
-                "cumulate operator in queries/event_windows.py"
+            # CUMULATE(step, max): growing slices [start, start+k*step)
+            # for k = 1..max/step (SliceAssigners.java:281). No Spark
+            # native — explode each row into the slices containing it.
+            raw = [a for a in _split_top_level(args) if a.strip()]
+            (sn, su), (mn, mu) = _interval_parts(raw[0]), _interval_parts(raw[1])
+            step_s = float(sn) * _UNIT_SECONDS[su]
+            max_s = float(mn) * _UNIT_SECONDS[mu]
+            n = max_s / step_s
+            if n != int(n):
+                raise ValueError("CUMULATE max size must be a multiple of step")
+            return (
+                f"(SELECT *, named_struct('start', __cs, 'end', __ce) AS __w"
+                f" FROM (SELECT __t0.*, window({col}, '{mn} {mu.lower()}s').start AS __cs,"
+                f" window({col}, '{mn} {mu.lower()}s').start"
+                f" + __k * INTERVAL '{sn}' {su} AS __ce"
+                f" FROM {tbl} __t0 LATERAL VIEW explode(sequence(1, {int(n)})) AS __k)"
+                f" WHERE {col} < __ce)"
             )
         return f"(SELECT *, {w} AS __w FROM {tbl})"
 
@@ -760,6 +792,36 @@ class TableEnvironment:
 
     def create_statement_set(self) -> "StatementSet":
         return StatementSet(self)
+
+    # -- DataStream <-> Table bridge (InputConversionOperator /
+    # OutputConversionOperator, SURVEY.md section 2.1) ----------------------
+    def from_data_frame(self, df: DataFrame) -> Table:
+        """fromDataStream: wrap an (insert-only) DataFrame as a Table."""
+        return Table(df)
+
+    def from_changelog_stream(self, df: DataFrame, rowkind_col: str = None) -> Table:
+        """fromChangelogStream: a DataFrame carrying per-row kinds
+        (+I/-U/+U/-D) becomes a changelog Table; the kind column is
+        normalized to the engine's ``__rowkind`` encoding."""
+        from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+
+        col = rowkind_col or ROWKIND
+        if col not in df.columns:
+            raise ValueError(f"changelog stream needs a {col!r} column")
+        if col != ROWKIND:
+            df = df.withColumnRenamed(col, ROWKIND)
+        return Table(df)
+
+    def to_changelog_stream(self, table: Table) -> DataFrame:
+        """toChangelogStream: tag insert-only tables +I; changelog
+        tables pass through with their existing row kinds."""
+        from flink_release_1_16_0_spark.streaming.changelog import (
+            ROWKIND,
+            to_changelog,
+        )
+
+        df = table.to_data_frame()
+        return df if ROWKIND in df.columns else to_changelog(df)
 
     # -- catalog -------------------------------------------------------------
     def from_path(self, name: str) -> Table:

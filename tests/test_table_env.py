@@ -526,3 +526,96 @@ def test_analyze_table_stats(tenv):
     assert stats["row_count"] == 25
     assert stats["n_regionkey"]["ndv"] == 5
     assert stats["n_regionkey"]["null_count"] == 0
+
+
+# -- CUMULATE TVF / FOR SYSTEM_TIME / changelog bridge ----------------------
+
+
+def test_window_tvf_cumulate(tenv, spark):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE cum_ord (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP_LTZ(3),
+          o_orderpriority STRING, o_clerk STRING, o_shippriority INT,
+          o_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/orders.parquet',
+                'format'='parquet')
+        """
+    )
+    got = tenv.execute_sql(
+        """
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(CUMULATE(TABLE cum_ord, DESCRIPTOR(o_orderdate),
+                            INTERVAL '30' DAY, INTERVAL '90' DAY))
+        GROUP BY window_start, window_end
+        """
+    ).to_data_frame().collect()
+    # every 90-day base window contributes up to 3 growing slices, and
+    # each slice's count is the number of rows before its end
+    base = (
+        spark.table("cum_ord")
+        .groupBy(F.window("o_orderdate", "90 days").alias("w"))
+        .count()
+        .collect()
+    )
+    assert len(got) > len(base)  # slices outnumber base windows
+    by_window = {(r["window_start"], r["window_end"]): r["n"] for r in got}
+    for (ws, we), n in by_window.items():
+        # slice counts are cumulative: count(rows < end) within base win
+        expect = (
+            spark.table("cum_ord")
+            .filter(
+                (F.col("o_orderdate") >= F.lit(ws)) & (F.col("o_orderdate") < F.lit(we))
+            )
+            .count()
+        )
+        assert n == expect, (ws, we)
+
+
+def test_for_system_time_as_of_join(tenv, spark):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE st_cust (
+          c_custkey BIGINT, c_name STRING, c_address STRING,
+          c_nationkey BIGINT, c_phone STRING, c_acctbal DOUBLE,
+          c_mktsegment STRING, c_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/customer.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE st_nation (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT,
+          n_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/nation.parquet',
+                'format'='parquet')
+        """
+    )
+    got = tenv.execute_sql(
+        """
+        SELECT c.c_custkey, d.n_name
+        FROM st_cust AS c
+        JOIN st_nation FOR SYSTEM_TIME AS OF c.proctime AS d
+          ON c.c_nationkey = d.n_nationkey
+        """
+    ).to_data_frame()
+    assert got.count() == spark.table("st_cust").count()
+
+
+def test_changelog_bridge_roundtrip(tenv, spark):
+    from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+
+    df = spark.createDataFrame(
+        [(1, "a", "+I"), (1, "a", "-D"), (2, "b", "+I")],
+        "k INT, v STRING, kind STRING",
+    )
+    t = tenv.from_changelog_stream(df, rowkind_col="kind")
+    assert ROWKIND in t.to_data_frame().columns
+    # insert-only table -> +I-tagged changelog
+    plain = tenv.from_data_frame(
+        spark.createDataFrame([(1, "x")], "k INT, v STRING")
+    )
+    out = tenv.to_changelog_stream(plain)
+    assert out.select(ROWKIND).distinct().collect()[0][0] == "+I"
