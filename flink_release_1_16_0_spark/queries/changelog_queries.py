@@ -385,3 +385,58 @@ def stream_retractable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__epoch") == F.col("mx"))
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# debezium-json decoding format (DebeziumJsonDecodingFormat.java):
+# events rows are wrapped into CDC envelopes in-plan (to_json), decoded
+# by the format into RowKind-tagged rows, and compared against DuckDB
+# building the same changelog directly. op mapping: c/r -> +I(after),
+# u -> -U(before)+U(after), d -> -D(before), unknown ops dropped.
+# --------------------------------------------------------------------------
+
+_DEBEZIUM_ORACLE = """
+WITH e AS (SELECT * FROM events WHERE event_id % 7 = 0)
+SELECT '+I' AS rowkind, event_id, user_id, value FROM e
+ WHERE event_type IN ('click', 'view')
+UNION ALL
+SELECT '-U', event_id, user_id, value FROM e WHERE event_type = 'purchase'
+UNION ALL
+SELECT '+U', event_id, user_id, value * 2 FROM e WHERE event_type = 'purchase'
+UNION ALL
+SELECT '-D', event_id, user_id, value FROM e WHERE event_type = 'error'
+"""
+
+
+@register("format_debezium_cdc", _DEBEZIUM_ORACLE, tags=("format", "changelog"))
+def format_debezium_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.sources.formats import debezium_json_to_changelog
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    et = F.col("event_type")
+
+    def row(value_col):
+        return F.struct(
+            F.col("event_id"), F.col("user_id"), value_col.alias("value")
+        )
+
+    before = F.when(et.isin("purchase", "error"), row(F.col("value")))
+    after = F.when(et.isin("click", "view"), row(F.col("value"))).when(
+        et == "purchase", row(F.col("value") * 2)
+    )
+    op = (
+        F.when(et == "click", "c")
+        .when(et == "view", "r")
+        .when(et == "purchase", "u")
+        .when(et == "error", "d")
+        .otherwise("x")  # 'signup': unknown op, must be dropped
+    )
+    envelopes = ev.select(
+        F.to_json(
+            F.struct(before.alias("before"), after.alias("after"), op.alias("op"))
+        ).alias("value")
+    )
+    decoded = debezium_json_to_changelog(
+        envelopes, "value", "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    )
+    return decoded.withColumnRenamed("__rowkind", "rowkind")

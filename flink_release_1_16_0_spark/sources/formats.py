@@ -1,0 +1,69 @@
+"""Changelog-decoding formats (SURVEY.md section 2.1 formats row).
+
+The reference pairs connectors with DecodingFormats; the changelog-
+producing one that matters semantically is **debezium-json**
+(flink-formats/flink-json/.../debezium/DebeziumJsonDecodingFormat.java):
+each message carries a CDC envelope
+
+    {"before": {...}|null, "after": {...}|null, "op": "c|r|u|d"}
+
+and decodes to RowKind-tagged rows (RowKind.java:31-52):
+
+    op c (create) / r (snapshot read) -> +I(after)
+    op u (update)                     -> -U(before), +U(after)
+    op d (delete)                     -> -D(before)
+
+Here the decode is a pure Catalyst projection: one from_json of the
+envelope, a 1-or-2 element array per message, one explode — no Python,
+no shuffle; it scales as a map-side transform at any corpus size. The
+result carries the engine's ``__rowkind`` column and feeds the
+changelog algebra (streaming/changelog.py) directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.streaming.changelog import (
+    DELETE,
+    INSERT,
+    ROWKIND,
+    UPDATE_AFTER,
+    UPDATE_BEFORE,
+)
+
+
+def debezium_json_to_changelog(
+    df: DataFrame, value_col: str, row_schema: str
+) -> DataFrame:
+    """Decode a column of Debezium JSON envelopes into a changelog.
+
+    ``row_schema`` is the payload row type as a Spark DDL struct body
+    (e.g. ``"k BIGINT, v STRING"``). Output: payload columns +
+    ``__rowkind``. Messages with an op the reference doesn't map (or
+    null payload for their op) are dropped, matching the tolerant mode.
+    """
+    envelope = f"before STRUCT<{row_schema}>, after STRUCT<{row_schema}>, op STRING"
+    parsed = df.select(F.from_json(F.col(value_col), envelope).alias("__env"))
+    before, after, op = (
+        F.col("__env.before"),
+        F.col("__env.after"),
+        F.col("__env.op"),
+    )
+
+    def tagged(kind: str, row):
+        return F.struct(F.lit(kind).alias("kind"), row.alias("row"))
+
+    pieces = (
+        F.when(op == "u", F.array(tagged(UPDATE_BEFORE, before), tagged(UPDATE_AFTER, after)))
+        .when(op == "d", F.array(tagged(DELETE, before)))
+        .when(op.isin("c", "r"), F.array(tagged(INSERT, after)))
+        .otherwise(F.array())
+    )
+    exploded = parsed.select(F.explode(pieces).alias("__p")).filter(
+        F.col("__p.row").isNotNull()
+    )
+    return exploded.select(
+        F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*")
+    )

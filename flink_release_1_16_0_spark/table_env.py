@@ -202,14 +202,30 @@ class CatalogTable:
         if connector == "filesystem":
             path = opts.pop("path")
             fmt = opts.pop("format", "parquet")
-            df = file_source(
-                spark,
-                path,
-                fmt=fmt,
-                schema=self.schema_ddl(),
-                streaming=streaming,
-                **opts,
-            )
+            if fmt == "debezium-json":
+                # CDC envelope lines -> changelog rows with __rowkind
+                from flink_release_1_16_0_spark.sources.formats import (
+                    debezium_json_to_changelog,
+                )
+
+                raw = file_source(
+                    spark,
+                    path,
+                    fmt="text",
+                    schema="value string",
+                    streaming=streaming,
+                    **opts,
+                )
+                df = debezium_json_to_changelog(raw, "value", self.schema_ddl())
+            else:
+                df = file_source(
+                    spark,
+                    path,
+                    fmt=fmt,
+                    schema=self.schema_ddl(),
+                    streaming=streaming,
+                    **opts,
+                )
         elif connector in ("kafka", "upsert-kafka"):
             df = kafka_source(
                 spark,

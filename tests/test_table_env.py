@@ -619,3 +619,45 @@ def test_changelog_bridge_roundtrip(tenv, spark):
     )
     out = tenv.to_changelog_stream(plain)
     assert out.select(ROWKIND).distinct().collect()[0][0] == "+I"
+
+
+def test_debezium_json_filesystem_table(tenv, spark, tmp_path):
+    from flink_release_1_16_0_spark.streaming.changelog import changelog_normalize
+
+    cdc = tmp_path / "cdc"
+    cdc.mkdir()
+    (cdc / "part-0.txt").write_text(
+        "\n".join(
+            [
+                '{"before": null, "after": {"k": 1, "v": "a"}, "op": "c"}',
+                '{"before": null, "after": {"k": 2, "v": "b"}, "op": "r"}',
+                '{"before": {"k": 1, "v": "a"}, "after": {"k": 1, "v": "a2"}, "op": "u"}',
+                '{"before": {"k": 2, "v": "b"}, "after": null, "op": "d"}',
+                '{"before": null, "after": {"k": 9, "v": "zz"}, "op": "t"}',
+            ]
+        )
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE cdc_t (k BIGINT, v STRING)
+        WITH ('connector'='filesystem', 'path'='{cdc}',
+              'format'='debezium-json')
+        """
+    )
+    log = tenv.from_path("cdc_t").to_data_frame()
+    kinds = [
+        (r["__rowkind"], r["k"], r["v"])
+        for r in log.orderBy("k", "__rowkind").collect()
+    ]
+    assert kinds == [
+        ("+I", 1, "a"),
+        ("+U", 1, "a2"),
+        ("-U", 1, "a"),
+        ("+I", 2, "b"),
+        ("-D", 2, "b"),
+    ]  # unknown op 't' dropped
+    # materialized current state: k=1 updated, k=2 deleted (arrival
+    # order stands in for the CDC log offset)
+    ordered = log.withColumn("off", F.monotonically_increasing_id())
+    state = changelog_normalize(ordered, keys=["k"], ts_col="off")
+    assert [(r["k"], r["v"]) for r in state.select("k", "v").collect()] == [(1, "a2")]
