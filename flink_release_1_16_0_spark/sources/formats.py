@@ -67,3 +67,62 @@ def debezium_json_to_changelog(
     return exploded.select(
         F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*")
     )
+
+
+def canal_json_to_changelog(
+    df: DataFrame, value_col: str, row_schema: str
+) -> DataFrame:
+    """Decode Canal JSON batches into a changelog
+    (flink-formats/flink-json/.../canal/CanalJsonDeserializationSchema.java).
+
+    Envelope: ``{"data": [{...}, ...], "old": [{...}, ...]|null,
+    "type": "INSERT|UPDATE|DELETE"}``. Mapping per element i:
+
+        INSERT -> +I data[i]
+        DELETE -> -D data[i]
+        UPDATE -> -U patch(data[i], old[i]), +U data[i]
+
+    where ``old[i]`` carries only the changed fields; the before-row is
+    reconstructed by overlaying them on ``data[i]`` (field-null in old =
+    unchanged — the same ambiguity the reference's decoder has between
+    "missing" and "explicitly null").
+    """
+    fields = [f.split(None, 1)[0].strip() for f in row_schema.split(",")]
+    envelope = (
+        f"data ARRAY<STRUCT<{row_schema}>>, old ARRAY<STRUCT<{row_schema}>>,"
+        " type STRING"
+    )
+    parsed = df.select(F.from_json(F.col(value_col), envelope).alias("__env"))
+    data, old, typ = (
+        F.col("__env.data"),
+        F.col("__env.old"),
+        F.col("__env.type"),
+    )
+
+    def tag(kind: str, row):
+        return F.struct(F.lit(kind).alias("kind"), row.alias("row"))
+
+    def patched(d, o):
+        return F.struct(
+            *[F.coalesce(o[f], d[f]).alias(f) for f in fields]
+        )
+
+    insert_rows = F.transform(data, lambda d: tag(INSERT, d))
+    delete_rows = F.transform(data, lambda d: tag(DELETE, d))
+    update_rows = F.flatten(
+        F.zip_with(
+            data,
+            old,
+            lambda d, o: F.array(tag(UPDATE_BEFORE, patched(d, o)), tag(UPDATE_AFTER, d)),
+        )
+    )
+    pieces = (
+        F.when(typ == "INSERT", insert_rows)
+        .when(typ == "DELETE", delete_rows)
+        .when(typ == "UPDATE", update_rows)
+        .otherwise(F.array())
+    )
+    exploded = parsed.select(F.explode(pieces).alias("__p")).filter(
+        F.col("__p.row").isNotNull()
+    )
+    return exploded.select(F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*"))

@@ -202,12 +202,15 @@ class CatalogTable:
         if connector == "filesystem":
             path = opts.pop("path")
             fmt = opts.pop("format", "parquet")
-            if fmt == "debezium-json":
+            if fmt in ("debezium-json", "canal-json"):
                 # CDC envelope lines -> changelog rows with __rowkind
-                from flink_release_1_16_0_spark.sources.formats import (
-                    debezium_json_to_changelog,
-                )
+                from flink_release_1_16_0_spark.sources import formats as FMT
 
+                decode = (
+                    FMT.debezium_json_to_changelog
+                    if fmt == "debezium-json"
+                    else FMT.canal_json_to_changelog
+                )
                 raw = file_source(
                     spark,
                     path,
@@ -216,7 +219,7 @@ class CatalogTable:
                     streaming=streaming,
                     **opts,
                 )
-                df = debezium_json_to_changelog(raw, "value", self.schema_ddl())
+                df = decode(raw, "value", self.schema_ddl())
             else:
                 df = file_source(
                     spark,
@@ -777,6 +780,38 @@ class TableEnvironment:
                 raise ValueError(f"cannot parse INSERT: {stmt!r}")
             return self._insert(
                 m.group("name"), m.group("query"), m.group("mode").upper() == "OVERWRITE"
+            )
+        if up.startswith("SHOW CREATE TABLE"):
+            name = stmt.split()[-1]
+            if name not in self._tables:
+                raise ValueError(f"unknown table {name!r}")
+            t = self._tables[name]
+            parts = [
+                f"{c.name} {c.spark_type}" + (" NOT NULL" if c.not_null else "")
+                for c in t.columns
+            ]
+            parts += [f"{n} AS {e}" for n, e in t.computed]
+            if t.watermark:
+                wcol, delay = t.watermark
+                n_, u_ = delay.split()
+                parts.append(
+                    f"WATERMARK FOR {wcol} AS {wcol} - INTERVAL '{n_}' {u_.rstrip('s').upper()}"
+                )
+            if t.primary_key:
+                parts.append(f"PRIMARY KEY ({', '.join(t.primary_key)}) NOT ENFORCED")
+            opts = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(t.options.items()))
+            ddl = f"CREATE TABLE {name} (\n  " + ",\n  ".join(parts) + f"\n) WITH ({opts})"
+            return TableResult(rows=[ddl])
+        if up.startswith("SHOW VIEWS"):
+            views = sorted(
+                t.name
+                for t in self.spark.catalog.listTables()
+                if t.isTemporary and t.name not in self._tables
+            )
+            return TableResult(rows=views)
+        if up.startswith("SHOW FUNCTIONS"):
+            return TableResult(
+                rows=sorted(f.name for f in self.spark.catalog.listFunctions())
             )
         if up.startswith("SHOW TABLES"):
             names = sorted(

@@ -398,14 +398,6 @@ def test_window_tvf_hop(tenv, spark):
         .select(F.col("w.start").alias("window_start"), "n")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
-    with pytest.raises(NotImplementedError, match="CUMULATE"):
-        tenv.execute_sql(
-            """
-            SELECT window_start FROM TABLE(CUMULATE(TABLE tvf_ord2,
-              DESCRIPTOR(o_orderdate), INTERVAL '5' MINUTE, INTERVAL '20' MINUTE))
-            GROUP BY window_start
-            """
-        )
 
 
 # -- statement sets ---------------------------------------------------------
@@ -661,3 +653,63 @@ def test_debezium_json_filesystem_table(tenv, spark, tmp_path):
     ordered = log.withColumn("off", F.monotonically_increasing_id())
     state = changelog_normalize(ordered, keys=["k"], ts_col="off")
     assert [(r["k"], r["v"]) for r in state.select("k", "v").collect()] == [(1, "a2")]
+
+
+def test_canal_json_filesystem_table(tenv, spark, tmp_path):
+    cdc = tmp_path / "canal"
+    cdc.mkdir()
+    (cdc / "batch-0.txt").write_text(
+        "\n".join(
+            [
+                '{"data": [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}], "old": null, "type": "INSERT"}',
+                # old carries only the changed field: before-row = data patched with old
+                '{"data": [{"k": 1, "v": "a2"}], "old": [{"v": "a"}], "type": "UPDATE"}',
+                '{"data": [{"k": 2, "v": "b"}], "old": null, "type": "DELETE"}',
+                '{"data": [{"k": 9, "v": "x"}], "old": null, "type": "TRUNCATE"}',
+            ]
+        )
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE canal_t (k BIGINT, v STRING)
+        WITH ('connector'='filesystem', 'path'='{cdc}',
+              'format'='canal-json')
+        """
+    )
+    log = tenv.from_path("canal_t").to_data_frame()
+    rows = sorted(
+        (r["__rowkind"], r["k"], r["v"]) for r in log.collect()
+    )
+    assert rows == [
+        ("+I", 1, "a"),
+        ("+I", 2, "b"),
+        ("+U", 1, "a2"),
+        ("-D", 2, "b"),
+        ("-U", 1, "a"),  # patched before-row: old.v overlays data.v
+    ]  # TRUNCATE (unknown) dropped
+
+
+def test_show_create_table_and_functions(tenv):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE sct (
+          id BIGINT NOT NULL,
+          name VARCHAR(5),
+          ts TIMESTAMP(3),
+          doubled AS id * 2,
+          WATERMARK FOR ts AS ts - INTERVAL '5' SECOND,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    ddl = tenv.execute_sql("SHOW CREATE TABLE sct").collect()[0]
+    assert "id bigint NOT NULL" in ddl
+    assert "WATERMARK FOR ts AS ts - INTERVAL '5' SECOND" in ddl
+    assert "PRIMARY KEY (id) NOT ENFORCED" in ddl
+    assert "'connector' = 'filesystem'" in ddl
+    # the re-emitted DDL round-trips through the parser
+    tenv.execute_sql(ddl.replace("CREATE TABLE sct", "CREATE TABLE sct2"))
+    assert tenv.catalog_table("sct2").primary_key == ["id"]
+    funcs = tenv.execute_sql("SHOW FUNCTIONS").collect()
+    assert "split_index" in funcs  # our SQL UDF registrations appear
