@@ -24,6 +24,7 @@ Upsert-kafka maps to kafka + streaming.changelog.changelog_normalize
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +51,11 @@ def file_source(
         if schema is None:
             raise ValueError("streaming file sources require an explicit schema")
         reader = spark.readStream.schema(schema)
+        if os.path.isfile(path):
+            # the streaming file source monitors directories; a
+            # single-file table scans its parent filtered to that file
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
     else:
         reader = spark.read
         if schema is not None:

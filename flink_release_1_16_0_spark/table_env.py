@@ -260,6 +260,8 @@ class CatalogTable:
             c.name: c.char_limit for c in self.columns if c.char_limit is not None
         }
         out = enforce_constraints(df, not_null=not_null, char_limits=char_limits)
+        if out.isStreaming:
+            return self._write_stream(out)
         connector = self.connector
         if connector == "print":
             out.show(truncate=False)
@@ -279,6 +281,36 @@ class CatalogTable:
             f"unsupported sink connector {connector!r} "
             "(supported: filesystem, print, blackhole)"
         )
+
+    def _write_stream(self, out: DataFrame) -> None:
+        """Streaming INSERT: bounded availableNow drain into the sink —
+        the micro-batch translation of the reference's streaming
+        `INSERT INTO` (CommonExecSink). Exactly-once via the sink
+        commit log + checkpoint under the target path."""
+        connector = self.connector
+        if connector == "blackhole":
+            writer = out.writeStream.format("noop")
+            path = None
+        elif connector == "filesystem":
+            path = self.options["path"]
+            writer = (
+                out.writeStream.format(self.options.get("format", "parquet"))
+                .option("path", path)
+                .option("checkpointLocation", path.rstrip("/") + "/_checkpoint")
+            )
+            if self.partitioned_by:
+                writer = writer.partitionBy(*self.partitioned_by)
+        else:
+            raise ValueError(
+                f"unsupported streaming sink connector {connector!r} "
+                "(supported: filesystem, blackhole)"
+            )
+        q = writer.outputMode("append").trigger(availableNow=True).start()
+        try:
+            q.awaitTermination(300)
+        finally:
+            if q.isActive:
+                q.stop()
 
 
 def _rewrite_proctime(expr: str) -> str:

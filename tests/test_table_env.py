@@ -713,3 +713,35 @@ def test_show_create_table_and_functions(tenv):
     assert tenv.catalog_table("sct2").primary_key == ["id"]
     funcs = tenv.execute_sql("SHOW FUNCTIONS").collect()
     assert "split_index" in funcs  # our SQL UDF registrations appear
+
+
+def test_streaming_insert_into_filesystem(spark, tmp_path):
+    """End-to-end streaming SQL pipeline through the facade: streaming
+    scan -> SQL transform -> INSERT INTO file sink (availableNow drain,
+    checkpointed)."""
+    tenv = TableEnvironment.create(spark, streaming=True)
+    out = str(tmp_path / "sout")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE s_src (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    assert spark.table("s_src").isStreaming
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE s_snk (k BIGINT, name STRING)
+        WITH ('connector'='filesystem', 'path'='{out}', 'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        "INSERT INTO s_snk SELECT r_regionkey, upper(r_name) "
+        "FROM s_src WHERE r_regionkey < 3"
+    )
+    got = sorted(
+        (r["k"], r["name"]) for r in spark.read.parquet(out).collect()
+    )
+    assert [k for k, _ in got] == [0, 1, 2]
+    assert all(n.isupper() for _, n in got)
