@@ -199,6 +199,8 @@ class CatalogTable:
     def scan(self, spark: SparkSession, streaming: bool) -> DataFrame:
         opts = dict(self.options)
         connector = opts.pop("connector", "filesystem")
+        changelog_mode = opts.pop("changelog-mode", None)
+        upsert_order = opts.pop("upsert.order-column", None)
         if connector == "filesystem":
             path = opts.pop("path")
             fmt = opts.pop("format", "parquet")
@@ -249,6 +251,37 @@ class CatalogTable:
             )
         for cname, expr in self.computed:
             df = df.withColumn(cname, F.expr(_rewrite_proctime(expr)))
+        if changelog_mode == "upsert":
+            # upsert source (upsert-kafka semantics): the planner pairs
+            # it with ChangelogNormalize — here upsert_to_retract, the
+            # delta-emission half, expands each upsert into -U/+U (and
+            # -D payloads from "state"). Rows may carry an explicit
+            # __rowkind (+I/+U/-D); unmarked rows are upserts.
+            from flink_release_1_16_0_spark.streaming.changelog import (
+                ROWKIND,
+                to_changelog,
+                upsert_to_retract,
+            )
+
+            if not self.primary_key:
+                raise ValueError("changelog-mode=upsert requires a PRIMARY KEY")
+            if not upsert_order:
+                raise ValueError(
+                    "changelog-mode=upsert requires 'upsert.order-column' "
+                    "(the per-key version order, e.g. an event time — the "
+                    "role kafka offsets play for upsert-kafka)"
+                )
+            if ROWKIND not in df.columns:
+                df = to_changelog(df)
+            df = (
+                upsert_to_retract(
+                    df.withColumn("__seq", F.lit(0)),
+                    keys=self.primary_key,
+                    ts_col=upsert_order,
+                    seq_col="__seq",
+                )
+                .drop("__seq")
+            )
         if streaming and self.watermark is not None:
             col, delay = self.watermark
             df = df.withWatermark(col, delay)

@@ -745,3 +745,39 @@ def test_streaming_insert_into_filesystem(spark, tmp_path):
     )
     assert [k for k, _ in got] == [0, 1, 2]
     assert all(n.isupper() for _, n in got)
+
+
+def test_upsert_changelog_mode_table(tenv, spark, tmp_path):
+    """DDL PRIMARY KEY + changelog-mode=upsert plans the source with
+    ChangelogNormalize's delta emission: each upsert retracts the prior
+    version (-U) before the new one (+U)."""
+    src = str(tmp_path / "upsert")
+    spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (1, "a2", 20),  # second version of key 1
+            (2, "b", 15),
+        ],
+        "k INT, v STRING, ver INT",
+    ).write.parquet(src)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ups (
+          k INT, v STRING, ver INT,
+          PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('connector'='filesystem', 'path'='{src}',
+                'format'='parquet',
+                'changelog-mode'='upsert',
+                'upsert.order-column'='ver')
+        """
+    )
+    log = tenv.from_path("ups").to_data_frame()
+    rows = sorted(
+        (r["k"], r["ver"], r["__rowkind"], r["v"]) for r in log.collect()
+    )
+    assert rows == [
+        (1, 10, "+I", "a"),
+        (1, 20, "+U", "a2"),
+        (1, 20, "-U", "a"),
+        (2, 15, "+I", "b"),
+    ]
