@@ -287,3 +287,39 @@ def cep_nfa_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         value_cols=["event_type", "value"],
     )
+
+
+@register("api_sql_match_recognize", _CEP_MEASURES_ORACLE, tags=("cep", "match", "api", "sql"))
+def api_sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same clicks+purchase pattern as cep_measures, but expressed
+    as Flink's MATCH_RECOGNIZE SQL clause and translated by the
+    TableEnvironment (table_env._translate_match_recognize) — same
+    oracle, so the SQL surface is hash-gated end to end."""
+    from flink_release_1_16_0_spark.catalog import register_tables
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    register_tables(spark, sf_dir, ("events",))
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("SET 'table.exec.match-recognize.sum-scale' = '2'")
+    return tenv.sql_query(
+        """
+        SELECT user_id, n_clicks, first_click_ts, click_value_sum,
+               purchase_id, purchase_value
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            COUNT(C.event_id) AS n_clicks,
+            FIRST(C.ts) AS first_click_ts,
+            SUM(C.value) AS click_value_sum,
+            LAST(P.event_id) AS purchase_id,
+            LAST(P.value) AS purchase_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (C+ P)
+          DEFINE
+            C AS C.event_type = 'click',
+            P AS P.event_type = 'purchase'
+        ) AS m
+        """
+    ).to_data_frame()

@@ -901,10 +901,15 @@ class TableEnvironment:
             # Flink's `EXPLAIN [PLAN FOR]` -> Spark's native EXPLAIN FORMATTED
             q = re.sub(r"^EXPLAIN(\s+PLAN\s+FOR)?\s+", "", stmt, flags=re.IGNORECASE)
             return TableResult(df=self.spark.sql(f"EXPLAIN FORMATTED {q}"))
-        return TableResult(df=self.spark.sql(rewrite_window_tvfs(stmt)))
+        return TableResult(df=self.spark.sql(self._rewrite_query(stmt)))
 
     def sql_query(self, sql: str) -> Table:
-        return Table(self.spark.sql(rewrite_window_tvfs(sql)))
+        return Table(self.spark.sql(self._rewrite_query(sql)))
+
+    def _rewrite_query(self, sql: str) -> str:
+        """Dialect passes: MATCH_RECOGNIZE (materializes the CEP view),
+        then windowing TVFs / FOR SYSTEM_TIME."""
+        return rewrite_window_tvfs(_translate_match_recognize(self, sql))
 
     def create_statement_set(self) -> "StatementSet":
         return StatementSet(self)
@@ -1130,3 +1135,191 @@ class StatementSet:
             for name in shared:
                 self._tenv.spark.catalog.uncacheTable(name)
         return TableResult(rows=["OK"] * len(self._inserts))
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE SQL clause -> operators/cep.py
+# ---------------------------------------------------------------------------
+
+_MR_AGGS = ("FIRST", "LAST", "SUM", "COUNT", "MIN", "MAX")
+
+
+def _extract_match_recognize(sql: str):
+    """Locate `<table> MATCH_RECOGNIZE ( <balanced body> ) [AS alias]`.
+
+    Returns (start, end, table, body, alias) or None.
+    """
+    m = re.search(r"([\w.]+)\s+MATCH_RECOGNIZE\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError("unbalanced MATCH_RECOGNIZE parentheses")
+    body = sql[m.end() : i - 1]
+    tail = re.match(r"\s+AS\s+(\w+)", sql[i:], re.IGNORECASE)
+    end = i + (tail.end() if tail else 0)
+    return m.start(1), end, m.group(1), body, (tail.group(1) if tail else None)
+
+
+def _parse_match_recognize_body(body: str) -> dict:
+    """Split the clause body into its sections."""
+    sections = {}
+    keys = [
+        ("partition_by", r"PARTITION\s+BY"),
+        ("order_by", r"ORDER\s+BY"),
+        ("measures", r"MEASURES"),
+        ("rows_per_match", r"(?:ONE|ALL)\s+ROWS?\s+PER\s+MATCH"),
+        ("after_match", r"AFTER\s+MATCH\s+SKIP\s+(?:PAST\s+LAST\s+ROW|TO\s+[\w\s]+)"),
+        ("pattern", r"PATTERN"),
+        ("define", r"DEFINE"),
+    ]
+    marks = []
+    for name, pat in keys:
+        for mm in re.finditer(pat, body, re.IGNORECASE):
+            marks.append((mm.start(), mm.end(), name))
+    marks.sort()
+    for idx, (s, e, name) in enumerate(marks):
+        nxt = marks[idx + 1][0] if idx + 1 < len(marks) else len(body)
+        sections[name] = body[e:nxt].strip().rstrip(",").strip()
+    if "pattern" not in sections or "define" not in sections:
+        raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
+    if "after_match" in sections and "TO" in body.upper().split("SKIP", 1)[-1][:40]:
+        raise NotImplementedError(
+            "only AFTER MATCH SKIP PAST LAST ROW is supported "
+            "(the reference's default; matches are non-overlapping)"
+        )
+    return sections
+
+
+_MR_COUNTER = iter(range(1, 1 << 30))
+
+
+def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
+    """Rewrite `FROM t MATCH_RECOGNIZE (...)` into a scan of the CEP
+    operator's output (StreamExecMatch.java:59 -> operators/cep.py
+    regex tier with MEASURES).
+
+    Supported: PARTITION BY, ORDER BY, MEASURES with
+    FIRST/LAST/SUM/COUNT/MIN/MAX or bare `V.col` (= LAST), ONE ROW PER
+    MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN with
+    quantifiers, single-variable DEFINE predicates. One pattern
+    variable may be left undefined (matches any row). Cross-variable
+    DEFINE predicates need the NFA tier (operators/cep.py match_nfa).
+    SUM over doubles uses the decimal grid from
+    `SET 'table.exec.match-recognize.sum-scale'` when present.
+    """
+    from flink_release_1_16_0_spark.operators.cep import classify, match_regex_measures
+
+    found = _extract_match_recognize(sql)
+    if not found:
+        return sql
+    start, end, tbl, body, alias = found
+    sec = _parse_match_recognize_body(body)
+    keys = [c.strip() for c in sec.get("partition_by", "").split(",") if c.strip()]
+    if not keys:
+        raise ValueError("MATCH_RECOGNIZE requires PARTITION BY")
+    order_cols = [
+        c.strip().split()[0]
+        for c in sec.get("order_by", "").split(",")
+        if c.strip()
+    ]
+    if not order_cols:
+        raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
+    ts_col = order_cols[0]
+    # second ORDER BY column (if any) is the deterministic tie-break id
+    id_col = order_cols[1] if len(order_cols) > 1 else ts_col
+
+    pat = sec["pattern"].strip()
+    if pat.startswith("(") and pat.endswith(")"):
+        pat = pat[1:-1].strip()
+    tokens = re.findall(r"(\w+)\s*([+*?]\??|\{\d+(?:,\d*)?\}\??)?", pat)
+    tokens = [(v, q or "") for v, q in tokens if v]
+    variables = [v for v, _ in tokens]
+
+    defines: dict[str, str] = {}
+    for item in _split_top_level(sec["define"]):
+        var, pred = re.split(r"\s+AS\s+", item, maxsplit=1, flags=re.IGNORECASE)
+        defines[var.strip()] = pred.strip()
+
+    undefined = [v for v in variables if v not in defines]
+    if len(undefined) > 1:
+        raise NotImplementedError(
+            f"at most one undefined (match-any) pattern variable: {undefined}"
+        )
+    symbols = {v: chr(ord("a") + i) for i, v in enumerate(dict.fromkeys(variables))}
+
+    symbol_exprs = {}
+    for var, pred in defines.items():
+        for other in variables:
+            if other != var and re.search(rf"\b{other}\.", pred):
+                raise NotImplementedError(
+                    "cross-variable DEFINE predicates need the NFA tier "
+                    "(operators/cep.py match_nfa)"
+                )
+        symbol_exprs[symbols[var]] = F.expr(re.sub(rf"\b{var}\.", "", pred))
+    default_sym = symbols[undefined[0]] if undefined else "-"
+
+    regex = "".join(
+        f"(?P<{var}>{symbols[var]}{quant})" for var, quant in tokens
+    )
+
+    df = tenv.spark.table(tbl)
+    dtypes = dict(df.dtypes)
+    measures: dict[str, tuple[str, str, str, str]] = {}
+    value_cols: list[str] = []
+    sum_scale = tenv._config.get("table.exec.match-recognize.sum-scale")
+    for item in _split_top_level(sec.get("measures", "")):
+        if not item:
+            continue
+        m = re.fullmatch(
+            rf"({'|'.join(_MR_AGGS)})\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)",
+            item,
+            re.IGNORECASE,
+        )
+        if m:
+            agg, var, col, out_alias = (
+                m.group(1).lower(),
+                m.group(2),
+                m.group(3),
+                m.group(4),
+            )
+        else:
+            m = re.fullmatch(r"(\w+)\.(\w+)\s+AS\s+(\w+)", item, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"cannot parse MEASURES item {item!r}")
+            agg, var, col, out_alias = "last", m.group(1), m.group(2), m.group(3)
+        if var not in symbols:
+            raise ValueError(f"MEASURES references unknown variable {var!r}")
+        if agg == "count":
+            out_type = "bigint"
+        elif agg == "sum" and dtypes.get(col) in ("int", "bigint", "smallint"):
+            out_type = "bigint"
+        else:
+            out_type = dtypes.get(col, "double")
+        measures[out_alias] = (var, agg, col, out_type)
+        if col not in (ts_col, id_col) and col not in value_cols and col in dtypes:
+            value_cols.append(col)
+
+    out = match_regex_measures(
+        df,
+        keys=keys,
+        ts_col=ts_col,
+        symbol=classify(symbol_exprs, default=default_sym),
+        pattern=regex,
+        id_col=id_col,
+        measures=measures,
+        value_cols=[c for c in value_cols if c not in (ts_col, id_col)],
+        grid_scale=int(sum_scale) if sum_scale else None,
+    ).drop("match_no")
+    view = f"__match_recognize_{next(_MR_COUNTER)}"
+    out.createOrReplaceTempView(view)
+    spliced = (
+        sql[:start] + view + (f" AS {alias}" if alias else "") + sql[end:]
+    )
+    return _translate_match_recognize(tenv, spliced)

@@ -781,3 +781,71 @@ def test_upsert_changelog_mode_table(tenv, spark, tmp_path):
         (1, 20, "-U", "a"),
         (2, 15, "+I", "b"),
     ]
+
+
+def test_match_recognize_sql(tenv, spark):
+    """MATCH_RECOGNIZE SQL translates to the CEP regex tier and matches
+    the operator called directly (clicks+ followed by a purchase)."""
+    from flink_release_1_16_0_spark.catalog import register_tables
+    from flink_release_1_16_0_spark.operators.cep import (
+        classify,
+        match_regex_measures,
+    )
+
+    register_tables(spark, SF, ("events",))
+    tenv.execute_sql("SET 'table.exec.match-recognize.sum-scale' = '2'")
+    got = tenv.sql_query(
+        """
+        SELECT user_id, n_clicks, click_value_sum, purchase_id
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES
+            COUNT(C.event_id) AS n_clicks,
+            SUM(C.value) AS click_value_sum,
+            LAST(P.event_id) AS purchase_id
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (C+ P)
+          DEFINE
+            C AS C.event_type = 'click',
+            P AS P.event_type = 'purchase'
+        ) AS m
+        """
+    ).to_data_frame()
+    ev = spark.table("events")
+    want = match_regex_measures(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=classify(
+            {
+                "a": F.col("event_type") == "click",
+                "b": F.col("event_type") == "purchase",
+            }
+        ),
+        pattern="(?P<C>a+)(?P<P>b)",
+        id_col="ts",
+        measures={
+            "n_clicks": ("C", "count", "event_id", "bigint"),
+            "click_value_sum": ("C", "sum", "value", "double"),
+            "purchase_id": ("P", "last", "event_id", "bigint"),
+        },
+        value_cols=["event_id", "value"],
+        grid_scale=2,
+    ).drop("match_no")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.select("user_id", "n_clicks", "click_value_sum", "purchase_id").collect())
+    )
+    with pytest.raises(NotImplementedError, match="cross-variable"):
+        tenv.sql_query(
+            """
+            SELECT user_id FROM events MATCH_RECOGNIZE (
+              PARTITION BY user_id ORDER BY ts
+              MEASURES COUNT(C.event_id) AS n
+              PATTERN (C P)
+              DEFINE C AS C.event_type = 'click',
+                     P AS P.value > C.value
+            )
+            """
+        )
