@@ -886,13 +886,13 @@ class TableEnvironment:
             return TableResult(rows=names)
         if up.startswith("DESCRIBE") or up.startswith("DESC "):
             name = stmt.split()[-1]
+            extended = bool(re.match(r"DESC(?:RIBE)?\s+EXTENDED\s", up))
             if name in self._tables:
                 t = self._tables[name]
-                return TableResult(
-                    rows=[
-                        (c.name, c.spark_type, not c.not_null) for c in t.columns
-                    ]
-                )
+                rows = [(c.name, c.spark_type, not c.not_null) for c in t.columns]
+                if extended and t.stats:
+                    rows += [("# stats", k, str(v)) for k, v in sorted(t.stats.items())]
+                return TableResult(rows=rows)
             df = self.spark.table(name)
             return TableResult(
                 rows=[(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema]
@@ -1220,6 +1220,10 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     if not found:
         return sql
     start, end, tbl, body, alias = found
+    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE):
+        raise NotImplementedError(
+            "ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)"
+        )
     sec = _parse_match_recognize_body(body)
     keys = [c.strip() for c in sec.get("partition_by", "").split(",") if c.strip()]
     if not keys:

@@ -849,3 +849,17 @@ def test_match_recognize_sql(tenv, spark):
             )
             """
         )
+
+
+def test_describe_extended_shows_stats(tenv):
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE dex (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql("ANALYZE TABLE dex COMPUTE STATISTICS")
+    rows = tenv.execute_sql("DESCRIBE EXTENDED dex").collect()
+    assert ("# stats", "row_count", "5") in rows
