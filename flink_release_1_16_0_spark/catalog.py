@@ -40,6 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     session TimestampType via integer division (lossless: the driver data
     carries no sub-microsecond precision).
     """
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
+        # vectorized reader rejects unless nanosAsLong is on. It is a runtime
+        # SQL conf, so set it defensively here: callers (the external
+        # correctness driver in particular) build their own SparkSession and
+        # do not know about this quirk.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

@@ -31,6 +31,10 @@ def replay_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converted exactly like the batch path (catalog.load_table), so the
     streaming and batch plans see identical types.
     """
+    if name == "events":
+        # Same defensive runtime conf as catalog.load_table: the events
+        # fixture stores TIMESTAMP(NANOS), unreadable without this flag.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # The file stream source requires a directory; pathGlobFilter pins it
     # to this table's file within the shared fixture dir.
