@@ -32,13 +32,37 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to the session TimestampType (TIMESTAMP_LTZ).
+
+    The events fixture stores ts as parquet INT64 TIMESTAMP(NANOS); what
+    Spark hands back depends on reader conf and version:
+
+    - ``bigint`` (nanosAsLong): convert via integer division (lossless —
+      the driver data carries no sub-microsecond precision).
+    - ``timestamp_ntz``: cast to TIMESTAMP. The session time zone is UTC
+      in this harness, so the cast is a lossless re-tag; downstream
+      ``unix_micros()`` and ``withWatermark`` both reject NTZ, so the
+      cast is required for event-time semantics to work at all.
+    - ``timestamp``: already the session type, no-op.
+
+    Mirrors the reference's single TIMESTAMP(p) event-time type
+    (LogicalTypeRoot.java:108).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table as a DataFrame.
 
-    Parquet TIMESTAMP(NANOS) columns (events.ts) arrive as LongType under
-    ``spark.sql.legacy.parquet.nanosAsLong`` and are converted to the
-    session TimestampType via integer division (lossless: the driver data
-    carries no sub-microsecond precision).
+    Parquet TIMESTAMP(NANOS) columns (events.ts) are normalized to the
+    session TimestampType regardless of how the reader surfaces them
+    (bigint / timestamp_ntz / timestamp) — see normalize_event_ts.
     """
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
@@ -48,8 +72,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # do not know about this quirk.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

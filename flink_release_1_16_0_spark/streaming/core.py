@@ -18,7 +18,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.catalog import load_table, normalize_event_ts
 
 _SINK_COUNTER = itertools.count()
 
@@ -43,8 +43,11 @@ def replay_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
-    if name == "events" and dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        # Same three-way normalization as the batch path (bigint /
+        # timestamp_ntz / timestamp) so streaming and batch plans see
+        # identical types; withWatermark rejects TIMESTAMP_NTZ outright.
+        stream = normalize_event_ts(stream)
     return stream
 
 
