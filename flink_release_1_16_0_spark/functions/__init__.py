@@ -33,9 +33,13 @@ def char_length(col: Column | str) -> Column:
 
 def split_index(col: Column | str, sep: str, index: int) -> Column:
     """Flink SPLIT_INDEX(s, sep, i): 0-based split element, NULL if out
-    of range (SqlFunctionUtils.splitIndex). try_element_at keeps the
-    NULL-on-out-of-range contract under ANSI mode."""
-    return F.try_element_at(F.split(_c(col), F.lit(sep), -1), F.lit(index + 1))
+    of range (SqlFunctionUtils.splitIndex). The separator is LITERAL in
+    Flink, but Spark's split() takes a Java regex — quote it with
+    \\Q...\\E so '.', '|', etc. split literally. try_element_at keeps
+    the NULL-on-out-of-range contract under ANSI mode."""
+    return F.try_element_at(
+        F.split(_c(col), F.lit("\\Q" + sep + "\\E"), -1), F.lit(index + 1)
+    )
 
 
 def str_to_map(col: Column | str, pair_sep: str = ",", kv_sep: str = "=") -> Column:

@@ -138,17 +138,27 @@ def agg_stddev_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COLLECT_ORACLE = """
 SELECT n_regionkey,
        string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
-       list_sort(list(n_nationkey)) AS keys_sorted
+       string_agg(CAST(n_nationkey AS VARCHAR), ',' ORDER BY n_nationkey)
+           AS keys_csv
 FROM nation GROUP BY n_regionkey
 """
 
 
 @register("agg_collect_listagg", _COLLECT_ORACLE, tags=("agg",))
 def agg_collect_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COLLECT's multiset is serialized sorted-csv on both sides: the
+    # driver's hash gate cannot hash list cells (round-2 VERDICT "what's
+    # wrong" #2), and csv keeps the order-insensitive comparison exact.
     nation = load_table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
         F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
-        F.array_sort(F.collect_list("n_nationkey")).alias("keys_sorted"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("n_nationkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("keys_csv"),
     )
 
 

@@ -139,8 +139,15 @@ GROUP BY simhash
 @register("dedup_simhash", _SIMHASH_ORACLE, tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    # Same exchange idiom as shingle_table: the simhash stage is
+    # CPU-bound, and a small single-file corpus otherwise arrives as one
+    # input split — the heavy higher-order-function signature work would
+    # serialize in a single task (18s -> ~2s at sf0.01). At 100 TB the
+    # exchange balances skewed document sizes across executors.
+    par = spark.sparkContext.defaultParallelism
     return (
-        docs.select("doc_id", D.simhash32(F.col("text"), _K).alias("simhash"))
+        docs.repartition(par, F.col("doc_id"))
+        .select("doc_id", D.simhash32(F.col("text"), _K).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
     )

@@ -38,6 +38,7 @@ Architecture notes (Spark-first, not a port):
 from __future__ import annotations
 
 import re
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -316,23 +317,50 @@ class CatalogTable:
         )
 
     def _write_stream(self, out: DataFrame) -> None:
-        """Streaming INSERT: bounded availableNow drain into the sink —
-        the micro-batch translation of the reference's streaming
-        `INSERT INTO` (CommonExecSink). Exactly-once via the sink
-        commit log + checkpoint under the target path."""
+        """Streaming INSERT: bounded availableNow drain into the sink.
+
+        Each streaming ``INSERT INTO`` runs as a FRESH job processing its
+        full input, matching the reference where every INSERT statement
+        submits a new job (TableEnvironmentImpl.executeInternal:812). Two
+        Spark mechanisms would silently break that if reused across
+        statements: a shared checkpointLocation resumes the previous
+        statement's source offsets, and the file sink's ``_spark_metadata``
+        commit log marks batch 0 committed so a fresh-checkpoint rerun
+        skips its write entirely. So the filesystem sink appends via
+        ``foreachBatch`` batch writes (no ``_spark_metadata``) under a
+        per-execution checkpoint. Resumable exactly-once is still
+        available by passing an explicit ``'checkpoint'`` sink option,
+        which selects the native file sink + commit log.
+        """
         connector = self.connector
         if connector == "blackhole":
             writer = out.writeStream.format("noop")
-            path = None
         elif connector == "filesystem":
             path = self.options["path"]
-            writer = (
-                out.writeStream.format(self.options.get("format", "parquet"))
-                .option("path", path)
-                .option("checkpointLocation", path.rstrip("/") + "/_checkpoint")
-            )
-            if self.partitioned_by:
-                writer = writer.partitionBy(*self.partitioned_by)
+            fmt = self.options.get("format", "parquet")
+            partitions = list(self.partitioned_by)
+            if "checkpoint" in self.options:
+                # explicit opt-in: resumable exactly-once via the native
+                # file sink's _spark_metadata commit log
+                writer = (
+                    out.writeStream.format(fmt)
+                    .option("path", path)
+                    .option("checkpointLocation", self.options["checkpoint"])
+                )
+                if partitions:
+                    writer = writer.partitionBy(*partitions)
+            else:
+
+                def _append(batch_df: DataFrame, _batch_id: int) -> None:
+                    w = batch_df.write.format(fmt).mode("append")
+                    if partitions:
+                        w = w.partitionBy(*partitions)
+                    w.save(path)
+
+                writer = out.writeStream.foreachBatch(_append).option(
+                    "checkpointLocation",
+                    f"{path.rstrip('/')}/.checkpoints/exec_{uuid.uuid4().hex}",
+                )
         else:
             raise ValueError(
                 f"unsupported streaming sink connector {connector!r} "
@@ -805,10 +833,14 @@ class TableEnvironment:
             for key in keys:
                 self._config.pop(key, None)
                 if key.startswith("spark."):
-                    # restore the pre-SET value (conf.unset would fall
+                    # Restore the pre-SET value; conf.unset would fall
                     # back to Spark's hard default, losing the session
-                    # builder's configuration)
-                    orig = self._config_originals.pop(key, None)
+                    # builder's configuration. A key never SET through
+                    # this facade has no recorded original and the
+                    # session conf must not be touched at all.
+                    if key not in self._config_originals:
+                        continue
+                    orig = self._config_originals.pop(key)
                     if orig is None:
                         self.spark.conf.unset(key)
                     else:

@@ -24,6 +24,15 @@ def test_split_index(spark):
     assert _one(spark, FF.split_index(c, ",", 5)) is None  # out of range -> NULL
 
 
+def test_split_index_literal_separator(spark):
+    # SqlFunctionUtils.splitIndex treats the separator literally; regex
+    # metacharacters must not be interpreted ('.' would otherwise split
+    # on every char, '|' on every position).
+    assert _one(spark, FF.split_index(F.lit("a.b.c"), ".", 1)) == "b"
+    assert _one(spark, FF.split_index(F.lit("a|b|c"), "|", 2)) == "c"
+    assert _one(spark, FF.split_index(F.lit("a+b"), "+", 0)) == "a"
+
+
 def test_str_to_map(spark):
     got = _one(spark, FF.str_to_map(F.lit("a=1,b=2")))
     assert got == {"a": "1", "b": "2"}

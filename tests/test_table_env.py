@@ -473,6 +473,19 @@ def test_set_reset_config(tenv, spark):
     assert tenv.execute_sql("SET").collect() == []
 
 
+def test_reset_never_set_key_leaves_session_conf(tenv, spark):
+    # RESET of a spark.* key that was never SET through the facade must
+    # not unset what the session builder established (round-2 VERDICT
+    # "what's wrong" #5).
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    tenv.execute_sql("RESET 'spark.sql.session.timeZone'")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    tenv.execute_sql("SET 'spark.sql.session.timeZone' = 'America/New_York'")
+    assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    tenv.execute_sql("RESET 'spark.sql.session.timeZone'")
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
 def test_create_table_as_select(tenv, tmp_path):
     out = str(tmp_path / "ctas")
     tenv.execute_sql(
@@ -745,6 +758,33 @@ def test_streaming_insert_into_filesystem(spark, tmp_path):
     )
     assert [k for k, _ in got] == [0, 1, 2]
     assert all(n.isupper() for _, n in got)
+
+
+def test_streaming_insert_into_same_sink_twice(spark, tmp_path):
+    """Each streaming INSERT INTO is a FRESH job over its full input
+    (TableEnvironmentImpl.executeInternal:812): the second INSERT must
+    not resume the first one's source offsets (shared checkpoint) nor
+    be skipped by the file sink's batch-id commit log."""
+    tenv = TableEnvironment.create(spark, streaming=True)
+    out = str(tmp_path / "sout2")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE t_src (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE t_snk (k BIGINT)
+        WITH ('connector'='filesystem', 'path'='{out}', 'format'='parquet')
+        """
+    )
+    tenv.execute_sql("INSERT INTO t_snk SELECT r_regionkey FROM t_src")
+    tenv.execute_sql("INSERT INTO t_snk SELECT r_regionkey FROM t_src")
+    got = sorted(r["k"] for r in spark.read.parquet(out).collect())
+    assert got == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4]
 
 
 def test_upsert_changelog_mode_table(tenv, spark, tmp_path):
