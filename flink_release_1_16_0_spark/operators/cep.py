@@ -196,6 +196,104 @@ def match_regex_measures(
     return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
+def match_regex_all_rows(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    symbol: Column,
+    pattern: str,
+    id_col: str,
+    measures: dict[str, tuple[str, str, str, str]],
+    value_cols: Sequence[str] = (),
+    grid_scale: int | None = None,
+) -> DataFrame:
+    """ALL ROWS PER MATCH tier: one output row per matched EVENT with
+    RUNNING measure semantics (CepOperator.java:82 emitting per-row,
+    MatchCodeGenerator.scala's runtime-RUNNING evaluation; SQL-standard
+    ALL ROWS PER MATCH).
+
+    Output per matched row: keys, the row's own (ts, id, value_cols),
+    ``match_no`` (0-based per key), ``classifier`` (the pattern variable
+    the row is bound to — CLASSIFIER()), then each measure evaluated
+    over the variable's rows *up to and including the current row*:
+    COUNT counts the variable's rows seen so far (0 before its first),
+    FIRST/LAST/SUM/MIN/MAX over that running slice (NULL while empty).
+    Matches are leftmost, non-overlapping (AFTER MATCH SKIP PAST LAST
+    ROW). Same scale shape as the one-row tier: one shuffle on the key,
+    per-key work linear in rows x matched-span length.
+    """
+    for alias, (_var, agg, _col, _t) in measures.items():
+        if agg not in _AGGS:
+            raise ValueError(f"{alias}: unsupported agg {agg}")
+    tagged = df.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        *value_cols,
+        symbol.alias("__sym"),
+    )
+    types = dict(tagged.dtypes)
+    out_fields = ", ".join(f"{k} {types[k]}" for k in keys)
+    row_fields = f"{ts_col} {types['__ts']}, {id_col} {types['__id']}"
+    for c in value_cols:
+        row_fields += f", {c} {types[c]}"
+    m_fields = ", ".join(f"{a} {t}" for a, (_v, _g, _c, t) in measures.items())
+    schema = (
+        f"{out_fields}, {row_fields}, match_no int, classifier string, {m_fields}"
+    )
+
+    def col_name(c: str) -> str:
+        return "__ts" if c == ts_col else "__id" if c == id_col else c
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort").reset_index(drop=True)
+        sym = "".join(pdf["__sym"].tolist())
+        out = []
+        keyvals = [pdf.iloc[0][k] for k in keys]
+        m_no = 0
+        for m in re.finditer(pattern, sym):
+            if m.end() == m.start():
+                continue
+            spans = {v: m.span(v) for v in m.re.groupindex}
+            for r in range(m.start(), m.end()):
+                row = pdf.iloc[r]
+                classifier = next(
+                    (v for v, (s, e) in spans.items() if s <= r < e), None
+                )
+                vals = []
+                for _alias, (var, agg, col, _t) in measures.items():
+                    s, e = m.span(var)
+                    hi = min(r + 1, e)
+                    sl = pdf.iloc[s:hi] if 0 <= s < hi else pdf.iloc[0:0]
+                    vals.append(_measure_value(sl, agg, col_name(col), grid_scale))
+                out.append(
+                    (
+                        *keyvals,
+                        row["__ts"],
+                        row["__id"],
+                        *[row[c] for c in value_cols],
+                        m_no,
+                        classifier,
+                        *vals,
+                    )
+                )
+            m_no += 1
+        return pd.DataFrame(
+            out,
+            columns=[
+                *keys,
+                ts_col,
+                id_col,
+                *value_cols,
+                "match_no",
+                "classifier",
+                *measures,
+            ],
+        )
+
+    return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
 def match_nfa(
     df: DataFrame,
     keys: Sequence[str],

@@ -249,6 +249,81 @@ def cep_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# CEP ALL ROWS PER MATCH: every matched event of each c+p match, with
+# RUNNING measures (CepOperator.java:82 per-row emission,
+# MatchCodeGenerator.scala RUNNING evaluation). Oracle: same
+# gaps-and-islands match derivation as _CEP_MEASURES_ORACLE, then the
+# per-row running aggregates via a cumulative window inside each match.
+# --------------------------------------------------------------------------
+
+_CEP_ALL_ROWS_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), clicks AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM tagged WHERE sym = 'c'
+), islands AS (
+  SELECT user_id, grp, MIN(rn) AS start_rn, MAX(rn) AS end_rn
+  FROM clicks GROUP BY user_id, grp
+), matches AS (
+  SELECT i.user_id, i.start_rn, i.end_rn,
+         CAST(ROW_NUMBER() OVER (PARTITION BY i.user_id ORDER BY i.start_rn) - 1
+              AS INT) AS match_no
+  FROM islands i
+  JOIN tagged p
+    ON p.user_id = i.user_id AND p.rn = i.end_rn + 1 AND p.sym = 'p'
+), rows_out AS (
+  SELECT t.user_id, t.ts, t.event_id, t.value, t.sym, t.rn,
+         m.match_no, m.start_rn, m.end_rn
+  FROM tagged t
+  JOIN matches m
+    ON t.user_id = m.user_id AND t.rn BETWEEN m.start_rn AND m.end_rn + 1
+)
+SELECT user_id, ts, event_id, value, match_no,
+       CASE WHEN sym = 'c' THEN 'C' ELSE 'P' END AS classifier,
+       CAST(CASE WHEN sym = 'c' THEN rn - start_rn + 1
+                 ELSE end_rn - start_rn + 1 END AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN sym = 'c' THEN CAST(value AS DECIMAL(38,2))
+                     ELSE CAST(0 AS DECIMAL(38,2)) END)
+            OVER (PARTITION BY user_id, start_rn ORDER BY rn) AS DOUBLE)
+           AS click_value_sum
+FROM rows_out
+"""
+
+
+@register("cep_all_rows_per_match", _CEP_ALL_ROWS_ORACLE, tags=("cep", "match"))
+def cep_all_rows_per_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.cep import match_regex_all_rows
+
+    ev = load_table(spark, sf_dir, "events")
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    return match_regex_all_rows(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="(?P<C>c+)(?P<P>p)",
+        id_col="event_id",
+        measures={
+            "n_clicks": ("C", "count", "event_id", "bigint"),
+            "click_value_sum": ("C", "sum", "value", "double"),
+        },
+        value_cols=["value"],
+        grid_scale=2,
+    )
+
+
+# --------------------------------------------------------------------------
 # CEP NFA with cross-variable DEFINE: a purchase strictly larger than
 # the FIRST click of its preceding click-run. Runtime predicate over
 # the partial match's bindings — not expressible as a regex over

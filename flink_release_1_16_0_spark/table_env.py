@@ -1239,23 +1239,26 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
 
     Supported: PARTITION BY, ORDER BY, MEASURES with
     FIRST/LAST/SUM/COUNT/MIN/MAX or bare `V.col` (= LAST), ONE ROW PER
-    MATCH, AFTER MATCH SKIP PAST LAST ROW, PATTERN with
-    quantifiers, single-variable DEFINE predicates. One pattern
+    MATCH (final measures) and ALL ROWS PER MATCH (one row per matched
+    event, RUNNING measures + match_no + classifier columns), AFTER
+    MATCH SKIP PAST LAST ROW, PATTERN with quantifiers, single-variable
+    DEFINE predicates. One pattern
     variable may be left undefined (matches any row). Cross-variable
     DEFINE predicates need the NFA tier (operators/cep.py match_nfa).
     SUM over doubles uses the decimal grid from
     `SET 'table.exec.match-recognize.sum-scale'` when present.
     """
-    from flink_release_1_16_0_spark.operators.cep import classify, match_regex_measures
+    from flink_release_1_16_0_spark.operators.cep import (
+        classify,
+        match_regex_all_rows,
+        match_regex_measures,
+    )
 
     found = _extract_match_recognize(sql)
     if not found:
         return sql
     start, end, tbl, body, alias = found
-    if re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE):
-        raise NotImplementedError(
-            "ALL ROWS PER MATCH is not supported (ONE ROW PER MATCH only)"
-        )
+    all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
     sec = _parse_match_recognize_body(body)
     keys = [c.strip() for c in sec.get("partition_by", "").split(",") if c.strip()]
     if not keys:
@@ -1342,7 +1345,8 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
         if col not in (ts_col, id_col) and col not in value_cols and col in dtypes:
             value_cols.append(col)
 
-    out = match_regex_measures(
+    tier = match_regex_all_rows if all_rows else match_regex_measures
+    out = tier(
         df,
         keys=keys,
         ts_col=ts_col,
@@ -1352,7 +1356,9 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
         measures=measures,
         value_cols=[c for c in value_cols if c not in (ts_col, id_col)],
         grid_scale=int(sum_scale) if sum_scale else None,
-    ).drop("match_no")
+    )
+    if not all_rows:
+        out = out.drop("match_no")
     view = f"__match_recognize_{next(_MR_COUNTER)}"
     out.createOrReplaceTempView(view)
     spliced = (

@@ -891,6 +891,58 @@ def test_match_recognize_sql(tenv, spark):
         )
 
 
+def test_match_recognize_all_rows_per_match(tenv, spark):
+    """ALL ROWS PER MATCH emits one row per matched event with RUNNING
+    measures, a classifier column, and per-key match numbering —
+    consistent with the ONE ROW tier's final row per match."""
+    from flink_release_1_16_0_spark.catalog import register_tables
+
+    register_tables(spark, SF, ("events",))
+    tenv.execute_sql("SET 'table.exec.match-recognize.sum-scale' = '2'")
+    mr_body = """
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            COUNT(C.event_id) AS n_clicks,
+            SUM(C.value) AS click_value_sum
+          {rows_clause}
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (C+ P)
+          DEFINE
+            C AS C.event_type = 'click',
+            P AS P.event_type = 'purchase'
+        ) AS m
+    """
+    all_rows = tenv.sql_query(
+        "SELECT user_id, ts, event_id, match_no, classifier, n_clicks,"
+        " click_value_sum "
+        + mr_body.format(rows_clause="ALL ROWS PER MATCH")
+    ).to_data_frame()
+    one_row = tenv.sql_query(
+        "SELECT user_id, n_clicks, click_value_sum "
+        + mr_body.format(rows_clause="ONE ROW PER MATCH")
+    ).to_data_frame()
+    rows = all_rows.collect()
+    assert rows
+    # every match's final event is the purchase (classifier P) and its
+    # running measures equal the ONE ROW tier's final measures
+    finals = sorted(
+        (r["user_id"], r["n_clicks"], r["click_value_sum"])
+        for r in rows
+        if r["classifier"] == "P"
+    )
+    assert finals == sorted(map(tuple, one_row.collect()))
+    # running COUNT climbs 1..n within each match's click run
+    by_match = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_match.setdefault((r["user_id"], r["match_no"]), []).append(r)
+    for seq in by_match.values():
+        clicks = [r for r in seq if r["classifier"] == "C"]
+        assert [r["n_clicks"] for r in clicks] == list(range(1, len(clicks) + 1))
+        assert seq[-1]["classifier"] == "P"
+
+
 def test_describe_extended_shows_stats(tenv):
     tenv.execute_sql(
         f"""
