@@ -133,6 +133,39 @@ def lookup_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# JDBC-backed lookup join: the dimension lives in a real database
+# (embedded Derby — the only DB in this container) and is scanned
+# through Spark's JDBC source, then broadcast against the fact — the
+# batch shape of JdbcRowDataLookupFunction.java:54 point lookups.
+# --------------------------------------------------------------------------
+
+_JDBC_LOOKUP_ORACLE = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@register("jdbc_lookup_join", _JDBC_LOOKUP_ORACLE, tags=("join", "lookup", "jdbc"))
+def jdbc_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.sources.jdbc import jdbc_source, jdbc_write
+
+    url = "jdbc:derby:memory:graft_registry;create=true"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    jdbc_write(cust, url, "customer_dim", mode="overwrite")
+    # Derby upper-cases unquoted identifiers; restore the source names
+    dim = jdbc_source(spark, url, "customer_dim").toDF(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return lookup_join(ev, dim, on=[("user_id", "c_custkey")], how="inner").select(
+        "event_id", "user_id", "c_name", "c_mktsegment"
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal: binary payload + mapInPandas metadata extraction (the
 # Arrow-batched plumbing a real decoder slots into)
 # --------------------------------------------------------------------------

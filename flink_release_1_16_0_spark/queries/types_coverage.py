@@ -107,6 +107,52 @@ def types_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# TIME-of-day type (SURVEY.md section 1.2: Flink TIME(p) -> integer
+# millis-of-day, TimeType in LogicalTypeRoot.java). The engine carries
+# TIME as millis-since-midnight computed from the timestamp, with
+# component extraction, formatting, modular TIME arithmetic, and a
+# time-of-day range predicate.
+# --------------------------------------------------------------------------
+
+_TIME_ORACLE = """
+WITH t AS (
+  SELECT event_id, ts,
+         DATE_DIFF('millisecond', date_trunc('day', ts), ts) AS time_ms
+  FROM events WHERE event_id % 37 = 0
+)
+SELECT event_id,
+       CAST(time_ms AS BIGINT) AS time_millis,
+       CAST(hour(ts) AS INT) AS hh,
+       CAST(minute(ts) AS INT) AS mi,
+       CAST(second(ts) AS INT) AS ss,
+       strftime(ts, '%H:%M:%S') AS hhmmss,
+       CAST((time_ms + 90 * 60 * 1000) % 86400000 AS BIGINT) AS plus_90m_millis,
+       time_ms >= 9 * 3600000 AND time_ms < 17 * 3600000 AS in_business_hours
+FROM t
+"""
+
+
+@register("types_time_of_day", _TIME_ORACLE, tags=("types", "time"))
+def types_time_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    time_ms = F.expr("(unix_micros(ts) - unix_micros(date_trunc('DAY', ts))) div 1000")
+    return ev.select(
+        "event_id",
+        time_ms.cast("bigint").alias("time_millis"),
+        F.hour("ts").alias("hh"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("ss"),
+        F.date_format("ts", "HH:mm:ss").alias("hhmmss"),
+        ((time_ms + 90 * 60 * 1000) % 86400000)
+        .cast("bigint")
+        .alias("plus_90m_millis"),
+        ((time_ms >= 9 * 3600000) & (time_ms < 17 * 3600000)).alias(
+            "in_business_hours"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # nested ROW / ARRAY-of-ROW / MAP access chains
 # --------------------------------------------------------------------------
 

@@ -245,10 +245,40 @@ class CatalogTable:
             from flink_release_1_16_0_spark.sources import rate_source
 
             df = rate_source(spark)
+        elif connector == "jdbc":
+            # Flink JdbcDynamicTableFactory DDL options -> Spark JDBC
+            # reader options (scan.partition.* = the range-split scan).
+            if streaming:
+                raise ValueError(
+                    "jdbc connector is a bounded scan / lookup source "
+                    "(same as the reference's JDBC connector)"
+                )
+            from flink_release_1_16_0_spark.sources.jdbc import jdbc_source
+
+            num = opts.pop("scan.partition.num", None)
+            lo = opts.pop("scan.partition.lower-bound", None)
+            hi = opts.pop("scan.partition.upper-bound", None)
+            df = jdbc_source(
+                spark,
+                url=opts.pop("url"),
+                table=opts.pop("table-name"),
+                driver=opts.pop("driver", None),
+                partition_column=opts.pop("scan.partition.column", None),
+                num_partitions=int(num) if num else None,
+                lower_bound=int(lo) if lo else None,
+                upper_bound=int(hi) if hi else None,
+                **{k: v for k, v in opts.items() if k in ("user", "password")},
+            )
+            # Derby upper-cases unquoted identifiers; restore the DDL's
+            # declared column names/order so downstream SQL matches.
+            if [c.name for c in self.columns] and len(df.columns) == len(
+                self.columns
+            ):
+                df = df.toDF(*[c.name for c in self.columns])
         else:
             raise ValueError(
                 f"unsupported connector {connector!r} for scans "
-                "(supported: filesystem, kafka, upsert-kafka, datagen)"
+                "(supported: filesystem, kafka, upsert-kafka, datagen, jdbc)"
             )
         for cname, expr in self.computed:
             df = df.withColumn(cname, F.expr(_rewrite_proctime(expr)))
@@ -311,9 +341,20 @@ class CatalogTable:
                 writer = writer.partitionBy(*self.partitioned_by)
             writer.save(self.options["path"])
             return
+        if connector == "jdbc":
+            from flink_release_1_16_0_spark.sources.jdbc import jdbc_write
+
+            jdbc_write(
+                out,
+                url=self.options["url"],
+                table=self.options["table-name"],
+                mode="overwrite" if overwrite else "append",
+                driver=self.options.get("driver"),
+            )
+            return
         raise ValueError(
             f"unsupported sink connector {connector!r} "
-            "(supported: filesystem, print, blackhole)"
+            "(supported: filesystem, print, blackhole, jdbc)"
         )
 
     def _write_stream(self, out: DataFrame) -> None:
@@ -1082,12 +1123,12 @@ class TableEnvironment:
         self._tables[name] = table
         # register the scan as a temp view so SQL can reference it; sinks
         # (print/blackhole, write-only filesystem dirs) stay catalog-only
-        if table.connector in ("filesystem", "kafka", "upsert-kafka", "datagen"):
+        if table.connector in ("filesystem", "kafka", "upsert-kafka", "datagen", "jdbc"):
             try:
                 table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
             except Exception:
-                if table.connector == "filesystem":
-                    # write-only target (path does not exist yet)
+                if table.connector in ("filesystem", "jdbc"):
+                    # write-only target (path / db table does not exist yet)
                     pass
                 else:
                     raise
@@ -1113,7 +1154,7 @@ class TableEnvironment:
         )
         table.write(aligned, overwrite)
         # refresh the readable view if the sink is also scannable
-        if table.connector == "filesystem":
+        if table.connector in ("filesystem", "jdbc"):
             table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
         return TableResult(rows=["OK"])
 
