@@ -105,6 +105,143 @@ def brute_force_topk(
     )
 
 
+def sql_sq_l2(a: str, b: str) -> str:
+    """DuckDB twin of the squared-L2 fold used by :func:`assign_cells`."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        f" * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+def assign_cells(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF coarse quantizer apply).
+
+    ``cents`` is (cell, centroid array<double>) and is broadcast; the
+    squared-L2 distance folds in index order so it is bit-identical to
+    the DuckDB oracle twin. Ties break on cell id. One shuffle (the
+    per-vector argmin); at 1000 executors the centroid table rides the
+    broadcast, the corpus never moves.
+    """
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("centroid"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(id_col).orderBy("__dist", "cell")
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("__dist", d)
+        .withColumn("__rnk", F.row_number().over(w))
+        .filter(F.col("__rnk") == 1)
+        .drop("__dist", "__rnk", "centroid")
+    )
+
+
+def kmeans_cells(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic Lloyd training for the IVF coarse quantizer.
+
+    Engine-portable by construction (the point is an *oracle-checkable*
+    trained quantizer, unlike MLlib's sampled/seeded KMeans):
+
+    - init = the ``k`` lowest-id vectors (no randomness);
+    - a fixed number of unrolled iterations (no convergence test);
+    - centroid recompute sums per-element values rounded to 6 decimals
+      as DECIMAL(38,6) — exact in any accumulation order — then divides
+      as double/double, so both engines produce bit-identical centroids.
+
+    Each iteration is one broadcast join (assignment) + one groupBy of
+    ``dim`` decimal sums (recompute): 2×iters shuffles total, corpus
+    scanned per iteration — the standard distributed Lloyd shape (at
+    100 TB you train on a sample; the plan is identical).
+
+    Returns (cell, centroid array<double>).
+    """
+    w = Window.orderBy(id_col)
+    cents = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                "centroid"
+            ),
+        )
+    )
+    for _ in range(iters):
+        assigned = assign_cells(emb, cents, id_col=id_col, vec_col=vec_col)
+        mean_cols = [
+            (
+                F.sum(
+                    F.round(F.element_at(vec_col, i + 1).cast("double"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias(f"__c{i}")
+            for i in range(dim)
+        ]
+        cents = (
+            assigned.groupBy("cell")
+            .agg(*mean_cols)
+            .select(
+                "cell",
+                F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def sql_kmeans_corpus(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """DuckDB CTE chain mirroring kmeans_cells + final assign_cells:
+    returns SQL whose last CTE ``afinal`` is (vec_id, embedding, cell).
+    """
+    init = (
+        "c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
+        " CAST(embedding AS DOUBLE[]) AS centroid"
+        f" FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k}))"
+    )
+    ctes = [init]
+
+    def assign(name: str, cents: str) -> str:
+        return (
+            f"{name} AS (SELECT vec_id, embedding, cell FROM ("
+            " SELECT e.vec_id, e.embedding, c.cell,"
+            " ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+            f"{sql_sq_l2('e.embedding', 'c.centroid')}, c.cell) AS rnk"
+            f" FROM embeddings e CROSS JOIN {cents} c) WHERE rnk = 1)"
+        )
+
+    for t in range(1, iters + 1):
+        ctes.append(assign(f"a{t}", f"c{t - 1}"))
+        means = ", ".join(
+            f"CAST(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE), 6)"
+            " AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+            for i in range(dim)
+        )
+        ctes.append(
+            f"c{t} AS (SELECT cell, [{means}] AS centroid FROM a{t} GROUP BY cell)"
+        )
+    ctes.append(assign("afinal", f"c{iters}"))
+    return ",\n".join(ctes)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

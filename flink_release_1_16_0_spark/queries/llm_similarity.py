@@ -76,6 +76,45 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF with a TRAINED coarse quantizer: deterministic Lloyd k-means
+# (fixed init = k lowest-id vectors, 2 unrolled iterations, exact
+# decimal-grid centroid means) -> assign corpus -> probe the query's
+# trained cell. The full train+assign+search pipeline is hash-gated
+# against a DuckDB oracle that unrolls the same iterations as CTEs.
+# --------------------------------------------------------------------------
+
+_KMEANS_K, _KMEANS_ITERS, _DIM = 8, 2, 64
+
+_IVF_KMEANS_ORACLE = f"""
+WITH {S.sql_kmeans_corpus(_KMEANS_K, _KMEANS_ITERS, _DIM)},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cell AS qcell
+  FROM afinal WHERE vec_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({S.sql_cosine('e.embedding', 'q.qvec')}, 6) AS score
+  FROM afinal e JOIN q ON e.cell = q.qcell AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_ivf_kmeans_topk", _IVF_KMEANS_ORACLE, tags=("llm", "similarity"))
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_cells(emb, k=_KMEANS_K, iters=_KMEANS_ITERS, dim=_DIM)
+    corpus = S.assign_cells(emb, cents)
+    q = corpus.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "cell"
+    )
+    return S.ivf_topk(corpus, q, cell_col="cell", k=5)
+
+
+# --------------------------------------------------------------------------
 # centroid statistics per cell (the "train the quantizer" step of IVF,
 # expressed as a groupBy over vector components)
 # --------------------------------------------------------------------------
