@@ -360,13 +360,52 @@ def cep_all_rows_per_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CEP NFA with cross-variable DEFINE: a purchase strictly larger than
 # the FIRST click of its preceding click-run. Runtime predicate over
 # the partial match's bindings — not expressible as a regex over
-# precomputed symbols, and not reasonably SQL-expressible (greedy
-# non-overlap + cross-row predicate) -> rows-only driver check; exact
-# semantics pinned by pytest on constructed sequences.
+# precomputed symbols. It IS however SQL-expressible for this linear
+# pattern: with leftmost-greedy matching + AFTER MATCH SKIP PAST LAST
+# ROW, an attempt at start s matches iff events s..k are consecutive
+# clicks followed by a purchase p with p.value > value(click_s)
+# (backtracking the A+ run can only fail — B needs a purchase), so a
+# match exists per maximal click-run iff SOME click is strictly below
+# its terminating purchase, binding the EARLIEST such click. The oracle
+# reproduces exactly that with window functions over click-runs.
 # --------------------------------------------------------------------------
 
+_CEP_NFA_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_id
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), clicks AS (
+  SELECT user_id, run_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, run_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, run_id) AS run_len
+  FROM seq WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, run_id, ts, event_id, value AS purchase_value
+  FROM seq WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.user_id, p.run_id, p.ts, p.event_id, p.purchase_value,
+         MIN(c.rn) AS start_rn, MAX(c.run_len) AS run_len
+  FROM purchases p
+  JOIN clicks c ON c.user_id = p.user_id AND c.run_id = p.run_id
+             AND p.purchase_value > c.value
+  GROUP BY p.user_id, p.run_id, p.ts, p.event_id, p.purchase_value
+)
+SELECT m.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY m.user_id ORDER BY m.ts, m.event_id) - 1 AS INT)
+           AS match_no,
+       CAST(m.run_len - m.start_rn + 1 AS BIGINT) AS n_clicks,
+       fc.value AS first_click_value,
+       m.purchase_value
+FROM matched m
+JOIN clicks fc ON fc.user_id = m.user_id AND fc.run_id = m.run_id AND fc.rn = m.start_rn
+"""
 
-@register("cep_nfa_define", None, tags=("cep", "match"))
+
+@register("cep_nfa_define", _CEP_NFA_ORACLE, tags=("cep", "match"))
 def cep_nfa_define(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_release_1_16_0_spark.operators.cep import match_nfa
 

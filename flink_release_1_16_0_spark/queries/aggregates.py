@@ -297,19 +297,41 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# approx count distinct — HLL++ in both engines but different sketches:
-# rows-only check (the reference's own is batch-only HLL++,
-# BatchApproxCountDistinctAggFunctions.java:55)
+# approx count distinct (reference: batch-only HLL++,
+# BatchApproxCountDistinctAggFunctions.java:55 / HyperLogLogPlusPlus.java).
+# Native Spark approx_count_distinct is the same HLL++ family but its
+# sketch is not reproducible in DuckDB; operators/hll.py implements the
+# algorithm out of cross-engine-exact primitives so the estimate itself
+# is hash-gated (the native function stays pinned by pytest).
 # --------------------------------------------------------------------------
 
 
-@register("agg_approx_count_distinct", None, tags=("agg", "approx"))
-def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+def _hll_oracle() -> str:
+    from flink_release_1_16_0_spark.operators.hll import hll_oracle_sql
+
+    return (
+        "WITH hll AS ("
+        + hll_oracle_sql("lineitem", ["l_returnflag"], "l_partkey", "approx_parts")
+        + """)
+        SELECT h.l_returnflag, h.approx_parts, e.exact_parts
+        FROM hll h JOIN (
+          SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+          FROM lineitem GROUP BY l_returnflag
+        ) e USING (l_returnflag)
+        """
     )
+
+
+@register("agg_approx_count_distinct", _hll_oracle(), tags=("agg", "approx"))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.hll import hll_count_distinct
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = hll_count_distinct(li, ["l_returnflag"], "l_partkey", "approx_parts")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return approx.join(exact, "l_returnflag")
 
 
 # --------------------------------------------------------------------------
