@@ -41,6 +41,7 @@ _MODULES = (
     "tpch",
     "tpch_more",
     "tpch_full",
+    "tpcds_shapes",
     "joins",
     "aggregates",
     "windows_over",
