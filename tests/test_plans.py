@@ -92,3 +92,65 @@ def test_lsh_bucket_strategy_single_signature_pass(spark, sf_smoke):
     assert plan.count("Scan parquet") == 1
     for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert join_node not in plan
+
+
+# --------------------------------------------------------------------------
+# Registry-wide scale-safety lint: no accidental cartesian products.
+# The reference plans non-equi joins as broadcast nested-loop
+# (BatchExecNestedLoopJoin) and everything else as hash/SMJ; an
+# unconstrained CartesianProduct in any registry plan would be a
+# 100 TB catastrophe, so every batch query's physical plan is checked.
+# --------------------------------------------------------------------------
+
+# Deliberate broadcast nested-loop joins: the cross/theta operators
+# themselves and the all-pairs similarity kernels whose one side is a
+# broadcast-small probe/centroid/slice set (documented in each).
+_BNLJ_ALLOWED = {
+    "join_cross",
+    "join_theta",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_brute_force_topk",
+    "similarity_ivf_kmeans_topk",
+}
+
+# Streaming/stateful/facade queries execute work on build (replay), so
+# the lint covers the batch relational surface.
+_LINT_SKIP_PREFIXES = (
+    "stream_",
+    "changelog_",
+    "plan_infer",
+    "cep_",
+    "udtag",
+    "udtf",
+    "multimodal",
+    "api_",
+    "format_",
+    "jdbc_",
+)
+
+
+def test_no_cartesian_products_registry_wide(spark, sf_smoke):
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name.startswith(_LINT_SKIP_PREFIXES):
+            continue
+        plan = spec.fn(spark, sf_smoke)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
+
+
+def test_ds_exists_plans_semi_and_anti(spark, sf_smoke):
+    _, plan = _executed_plan(spark, "ds_exists_not_exists", sf_smoke)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_ds_correlated_subquery_decorrelates(spark, sf_smoke):
+    # Catalyst must rewrite the two correlated scalar subqueries into
+    # aggregate+join (no per-row subquery execution node).
+    _, plan = _executed_plan(spark, "ds_correlated_scalar_subquery", sf_smoke)
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
