@@ -364,3 +364,93 @@ def sql_simhash32(expr: str, k: int = 3) -> str:
       FROM (SELECT list_transform({sh},
                    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS __hs)
     )"""
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the candidate-pair
+# graph. The piece a production dedup pipeline runs AFTER pair
+# generation — transitive closure picks one representative per cluster
+# (a<->b and b<->c must collapse to ONE keeper even though (a,c) was
+# never a candidate pair). No reference counterpart (Flink has no graph
+# operator in the Table runtime); the Spark-native shape is iterative
+# min-label propagation, the Pregel pattern, driven from the driver in
+# O(component diameter) rounds — near-dup clusters are short chains, so
+# this converges in 2-4 rounds; each round is two shuffles (edges by
+# node, labels by node) regardless of corpus size.
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id reachable through the undirected pair graph.
+
+    Label propagation with a convergence check: each round joins the
+    current labels across the symmetrized edge list and keeps the
+    per-node minimum. Each round is cut from its lineage with an eager
+    ``localCheckpoint`` (iterative-plan discipline — a persist alone
+    keeps the full logical plan, and analysis cost compounds per round
+    even when the physical data is cached).
+    """
+    sym = edges.select(
+        F.col(id_a).cast("bigint").alias("src"), F.col(id_b).cast("bigint").alias("dst")
+    ).union(
+        edges.select(
+            F.col(id_b).cast("bigint").alias("src"), F.col(id_a).cast("bigint").alias("dst")
+        )
+    )
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sql_connected_components(edges_cte: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """DuckDB twin: transitive closure via a recursive CTE, then the
+    minimum reachable id per node — identical (node, component) pairs."""
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT {id_a} AS src, {id_b} AS dst FROM ({edges_cte})
+  UNION
+  SELECT {id_b} AS src, {id_a} AS dst FROM ({edges_cte})
+), reach AS (
+  SELECT src AS node, src AS root FROM sym
+  UNION
+  SELECT s.dst AS node, r.root
+  FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node, MIN(root) AS component FROM reach GROUP BY node
+"""

@@ -212,3 +212,50 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("score") >= _COS_THRESHOLD)
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup CLUSTERING: connected components over the verified LSH pair
+# graph, one representative (min doc_id) per cluster, singletons kept.
+# The step a training-data pipeline runs after pair generation —
+# a<->b<->c must collapse to one keeper even though (a,c) never shared
+# a band. Spark side: Pregel-style min-label propagation
+# (operators/dedup.connected_components); oracle: recursive-CTE
+# transitive closure — identical (node, component) fixpoint.
+# --------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH cc AS (
+{D.sql_connected_components(_MINHASH_ORACLE)}
+), assigned AS (
+  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT a.doc_id, a.cluster_id, s.cluster_size,
+       a.doc_id = a.cluster_id AS is_keeper
+FROM assigned a
+JOIN (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM assigned GROUP BY cluster_id
+) s USING (cluster_id)
+"""
+
+
+@register("dedup_cluster_assign", _CLUSTER_ORACLE, tags=("llm", "dedup", "graph"))
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    cc = D.connected_components(pairs)
+    assigned = docs.join(cc, docs.doc_id == cc.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )

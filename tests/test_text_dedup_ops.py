@@ -133,3 +133,29 @@ def test_minhash_signature_deterministic_and_salted(spark):
         for i in range(4)
     ]
     assert sig1 == sig2 == expected
+
+
+def test_connected_components_chain_and_islands(spark):
+    from flink_release_1_16_0_spark.operators.dedup import connected_components
+
+    # chain 1-2-3 (transitive: (1,3) never a direct edge), island 10-11,
+    # and a self-contained pair 20-21 out of id order
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (21, 20)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    from flink_release_1_16_0_spark.operators.dedup import connected_components
+
+    # a 12-node path needs multiple propagation rounds (diameter 11)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "id_a long, id_b long"
+    )
+    rows = connected_components(edges).collect()
+    assert {r["component"] for r in rows} == {100}
+    assert len(rows) == 12
