@@ -290,3 +290,106 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash-for-embeddings): the third ANN tier.
+# sign(dot(v, h_i)) over P fixed hyperplanes -> a P-bit bucket id; the
+# probe is then an equi-join on the bucket, like IVF but needing no
+# trained quantizer (the classic Charikar'02 construction the
+# reference-era systems use for cosine LSH). Hyperplane coordinates are
+# derived from md5 in PYTHON once and embedded as literals on both
+# engines, so bucket assignment is bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+
+def random_hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1)^dim.
+
+    Each coordinate is md5("hp_{i}_{j}") -> first 32 bits -> x/2^31 - 1:
+    integer parse and power-of-two division are exact, so the doubles
+    round-trip identically through repr() into SQL text.
+    """
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"hp_{i}_{j}".encode()).hexdigest()[:8], 16)
+            / float(1 << 31)
+            - 1.0
+            for j in range(dim)
+        ]
+        for i in range(num_planes)
+    ]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """P-bit bucket id: bit i set iff dot(vec, plane_i) > 0."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        bucket = bucket + F.when(
+            dot(vec, plane) > 0, F.lit(1 << i).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def _sql_list_literal(values: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in values) + "]"
+
+
+def sql_hyperplane_bucket(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket`."""
+    terms = " + ".join(
+        f"CASE WHEN {sql_dot(vec_expr, _sql_list_literal(p))} > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+    round_scale: int = 6,
+) -> DataFrame:
+    """Approximate top-k restricted to the query's LSH bucket.
+
+    Same physical shape as :func:`ivf_topk`: bucket assignment is a
+    scan-side projection (P dot products, no shuffle), the probe is a
+    broadcast equi-join on the bucket id, and the per-query top-k is a
+    bounded window. At 100 TB the corpus bucket column would be
+    precomputed at ingest; nothing downstream changes.
+    """
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+    ).repartition(par)
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__qbucket"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("__bucket") == F.col("__qbucket")) & (F.col(id_col) != F.col("__qid")),
+    ).select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(
+            dot(F.col(vec_col), F.col("__qvec"))
+            / (F.col("__cnorm") * F.col("__qnorm")),
+            round_scale,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

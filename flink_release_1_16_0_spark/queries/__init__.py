@@ -51,6 +51,7 @@ _MODULES = (
     "llm_dedup",
     "llm_similarity",
     "llm_text",
+    "llm_curation",
     "streaming_queries",
     "changelog_queries",
     "plan_inference",

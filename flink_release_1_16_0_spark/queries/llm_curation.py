@@ -1,0 +1,208 @@
+"""Training-data curation pipeline queries.
+
+The end-to-end shapes a pretraining-data pipeline runs at 100 TB, each
+hash-gated: deterministic stratified sampling (per-stratum quotas with
+an md5 order — the distributed stand-in for a seeded shuffle),
+hash-based train/validation split assignment, greedy token-budget
+shard packing (cumulative-sum bucketing, the "pack documents into
+fixed-size shards" step before tokenizer sharding), and the flagship
+composition langid -> quality filter -> exact-dedup keeper -> token
+stats. All stages stay in Catalyst expressions (no Python), so the
+plans are scans + one shuffle per groupBy/window on the stratum key —
+the shapes that survive a 1000-executor corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.operators.text import (
+    lang_id,
+    quality_score,
+    sql_lang_id,
+    sql_quality_score,
+    sql_token_count,
+    token_count,
+)
+from flink_release_1_16_0_spark.queries import register
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling: k docs per language, ordered by an
+# md5 of the doc id (uniform, seedable via the prefix, reproducible on
+# both engines). The distributed equivalent of "shuffle with a fixed
+# seed and take k per stratum" — one shuffle on the stratum key.
+# --------------------------------------------------------------------------
+
+_SAMPLE_K = 40
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5('seed42_' || CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+           AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_SAMPLE_K}
+"""
+
+
+@register("curation_stratified_sample", _SAMPLE_ORACLE, tags=("llm", "curation"))
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("seed42_"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= _SAMPLE_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Hash-based split assignment: md5 of the doc id buckets every document
+# into train/val/test with fixed proportions — stable under corpus
+# growth (a doc's split never changes when new docs arrive), which is
+# why production pipelines hash rather than sample. Pure projection: no
+# shuffle at all until the per-split count.
+# --------------------------------------------------------------------------
+
+_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           AS bucket
+  FROM documents
+), labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN bucket < 52429 THEN 'train'
+              WHEN bucket < 58982 THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM labeled GROUP BY lang, split
+"""
+
+
+@register("curation_hash_split", _SPLIT_ORACLE, tags=("llm", "curation"))
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("bigint")
+    labeled = docs.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < 52429, "train")
+        .when(bucket < 58982, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return labeled.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-budget shard packing: documents ordered deterministically
+# within each (lang) stream are packed into shards of <= _BUDGET
+# tokens via cumulative-sum bucketing — the distributed approximation
+# of greedy sequence packing (exact greedy is sequential; the cumsum
+# floor is the standard scalable relaxation and is what the window
+# computes in one pass).
+# --------------------------------------------------------------------------
+
+_BUDGET = 4000
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {sql_token_count('text')} AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {_BUDGET}) AS BIGINT) AS shard_id
+  FROM toks
+)
+SELECT lang, shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM packed GROUP BY lang, shard_id
+"""
+
+
+@register("curation_shard_packing", _PACK_ORACLE, tags=("llm", "curation"))
+def curation_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _BUDGET),
+    )
+    return packed.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Flagship curation composition: language-ID -> quality filter ->
+# exact-dedup keeper -> per-language token statistics. Each stage is a
+# Catalyst expression over one scan; the only shuffles are the dedup
+# groupBy and the final stats groupBy.
+# --------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, text, {sql_lang_id('text')} AS detected_lang,
+         {sql_quality_score('text')} AS quality,
+         {sql_token_count('text')} AS n_tokens,
+         md5(lower(trim(text))) AS text_hash
+  FROM documents
+), kept AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.3
+    AND doc_id = (SELECT MIN(s2.doc_id) FROM scored s2
+                  WHERE s2.text_hash = scored.text_hash)
+)
+SELECT detected_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM kept GROUP BY detected_lang
+"""
+
+
+@register("curation_pipeline", _PIPELINE_ORACLE, tags=("llm", "curation"))
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("detected_lang"),
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+    )
+    keeper = Window.partitionBy("text_hash")
+    kept = (
+        scored.withColumn("__min_id", F.min("doc_id").over(keeper))
+        .filter((F.col("quality") >= 0.3) & (F.col("doc_id") == F.col("__min_id")))
+    )
+    return kept.groupBy("detected_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

@@ -146,3 +146,43 @@ def similarity_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_mean(1).alias("mean_dim0"),
         exact_mean(2).alias("mean_dim1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH ANN (Charikar SimHash for cosine): bucket =
+# sign bits of P fixed hyperplane projections, probe = equi-join on the
+# bucket. Third ANN tier next to brute-force (exact baseline) and IVF
+# (trained cells); needs no quantizer, so it is the drop-in for a fresh
+# 100 TB corpus. Hyperplanes are md5-derived literals embedded on both
+# engines, making bucket assignment and ranking hash-gateable.
+# --------------------------------------------------------------------------
+
+_NUM_PLANES = 6
+_PLANES = S.random_hyperplanes(_NUM_PLANES, 64)
+
+_HP_LSH_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {S.sql_hyperplane_bucket('embedding', _PLANES)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({S.sql_cosine('e.embedding', 'q.qvec')}, 6) AS score
+  FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_hyperplane_lsh_topk", _HP_LSH_ORACLE, tags=("llm", "similarity"))
+def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    return S.hyperplane_lsh_topk(emb, q, _PLANES, k=5)
