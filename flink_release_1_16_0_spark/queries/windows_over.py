@@ -354,3 +354,46 @@ def dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE frame over event TIME (the reference's rowtime-bounded over-agg,
+# RowTimeRangeBoundedPrecedingFunction.java:296): per user, rolling
+# count/sum over the preceding hour. Both engines order by epoch
+# seconds so the interval frame is an exact integer RANGE.
+# --------------------------------------------------------------------------
+
+_RANGE_TIME_ORACLE = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS events_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS value_last_hour
+FROM (SELECT user_id, event_id, value,
+             CAST(epoch(ts) AS BIGINT) AS epoch_s
+      FROM events WHERE user_id % 20 = 3)
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("over_range_time_interval", _RANGE_TIME_ORACLE, tags=("over", "time"))
+def over_range_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 3)
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            """COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"""
+        ).alias("events_last_hour"),
+        F.expr(
+            """CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch_s
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)"""
+        ).alias("value_last_hour"),
+    )

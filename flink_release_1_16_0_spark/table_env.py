@@ -223,6 +223,33 @@ class CatalogTable:
                     **opts,
                 )
                 df = decode(raw, "value", self.schema_ddl())
+            elif fmt == "raw":
+                # raw format (RawFormatFactory.java:56): exactly one
+                # physical column, STRING (one row per line, the text
+                # source) or BYTES (whole file as one value, binaryFile)
+                if len(self.columns) != 1:
+                    raise ValueError("'raw' format requires a single-column schema")
+                col = self.columns[0]
+                if col.spark_type.lower() in ("binary", "bytes", "varbinary"):
+                    df = (
+                        spark.read.format("binaryFile")
+                        .load(path)
+                        .select(F.col("content").alias(col.name))
+                    )
+                    if streaming:
+                        raise ValueError("raw BYTES source is bounded (binaryFile)")
+                else:
+                    raw = file_source(
+                        spark,
+                        path,
+                        fmt="text",
+                        schema="value string",
+                        streaming=streaming,
+                        **opts,
+                    )
+                    df = raw.select(
+                        F.col("value").cast(col.spark_type).alias(col.name)
+                    )
             else:
                 df = file_source(
                     spark,

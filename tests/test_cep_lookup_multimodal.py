@@ -260,3 +260,57 @@ def test_nfa_optional_quantifier(spark):
     ).collect()
     got = sorted((r["n_b"], r["c_val"]) for r in out)
     assert got == [(0, 5.0), (1, 3.0)]  # COUNT of unbound optional is 0
+
+
+# --------------------------------------------------------------------------
+# async lookup join (AsyncWaitOperator.java:91 pattern)
+# --------------------------------------------------------------------------
+
+
+def test_async_lookup_join_ordered_with_nulls(spark):
+    from flink_release_1_16_0_spark.operators.async_lookup import async_lookup_join
+
+    df = spark.createDataFrame(
+        [(i, f"row{i}") for i in range(50)], "k long, payload string"
+    )
+
+    def lookup(key):
+        import threading
+        import time as _t
+
+        _t.sleep(0.002)  # simulated external latency the pool must hide
+        if key % 7 == 0:
+            return None  # no match -> NULL padding
+        return {"dim_name": f"dim_{key}", "thread": threading.current_thread().name}
+
+    out = async_lookup_join(
+        df.repartition(2),
+        lookup,
+        "k",
+        {"dim_name": "string", "thread": "string"},
+        capacity=8,
+    ).collect()
+    assert len(out) == 50
+    by_k = {r["k"]: r for r in out}
+    assert by_k[7]["dim_name"] is None
+    assert by_k[8]["dim_name"] == "dim_8"
+    # the pool actually fanned out (multiple lookup threads used)
+    threads = {r["thread"] for r in out if r["thread"] is not None}
+    assert len(threads) > 1
+
+
+def test_async_lookup_retries_transient_errors(spark):
+    from flink_release_1_16_0_spark.operators.async_lookup import async_lookup_join
+
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    attempts: dict = {}
+
+    def flaky(key):
+        n = attempts.setdefault(key, 0)
+        attempts[key] = n + 1
+        if n == 0:
+            raise RuntimeError("transient")
+        return {"v": key * 10}
+
+    out = async_lookup_join(df.coalesce(1), flaky, "k", {"v": "long"}, retries=2)
+    assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, 10), (2, 20)]

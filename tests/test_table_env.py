@@ -955,3 +955,29 @@ def test_describe_extended_shows_stats(tenv):
     tenv.execute_sql("ANALYZE TABLE dex COMPUTE STATISTICS")
     rows = tenv.execute_sql("DESCRIBE EXTENDED dex").collect()
     assert ("# stats", "row_count", "5") in rows
+
+
+def test_raw_format_string_and_bytes(tenv, tmp_path):
+    # raw format (RawFormatFactory.java:56): single-column STRING reads
+    # one row per line; single-column BYTES reads the whole file.
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE raw_lines (line STRING)
+        WITH ('connector'='filesystem', 'path'='{p}', 'format'='raw')
+        """
+    )
+    rows = tenv.execute_sql("SELECT line FROM raw_lines ORDER BY line").collect()
+    assert [r["line"] for r in rows] == ["alpha", "beta", "gamma"]
+
+    b = tmp_path / "blob.bin"
+    b.write_bytes(b"\x00\x01payload")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE raw_blob (payload BYTES)
+        WITH ('connector'='filesystem', 'path'='{b}', 'format'='raw')
+        """
+    )
+    [row] = tenv.execute_sql("SELECT payload FROM raw_blob").collect()
+    assert bytes(row["payload"]) == b"\x00\x01payload"
