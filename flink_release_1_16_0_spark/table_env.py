@@ -812,6 +812,14 @@ _CREATE_TABLE_RE = re.compile(
     r"WITH\s*\((?P<opts>.*)\)\s*",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_TABLE_LIKE_RE = re.compile(
+    r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*"
+    r"(?:\((?P<body>.*)\)\s*)?"
+    r"(?:WITH\s*\((?P<opts>.*?)\)\s*)?"
+    r"LIKE\s+(?P<base>[\w.]+)\s*(?:\(\s*(?P<likeopts>[^)]*)\))?",
+    re.IGNORECASE | re.DOTALL,
+)
 _CREATE_VIEW_RE = re.compile(
     r"CREATE\s+(?:TEMPORARY\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s+AS\s+(?P<query>.+)",
@@ -916,6 +924,8 @@ class TableEnvironment:
             return TableResult(rows=["OK"])
         if up.startswith("ANALYZE TABLE"):
             return self._analyze(stmt)
+        if up.startswith("ALTER TABLE"):
+            return self._alter_table(stmt)
         if up.startswith("CREATE") and re.match(
             r"CREATE\s+(?:TEMPORARY\s+)?TABLE", up
         ):
@@ -1115,7 +1125,100 @@ class TableEnvironment:
             self._tables[name].stats = stats
         return TableResult(rows=sorted(stats.items()))
 
+    def _register_scan(self, table: CatalogTable) -> None:
+        """Expose a catalog table's scan as a temp view; write-only
+        targets (path does not exist yet) stay catalog-only."""
+        if table.connector in ("filesystem", "kafka", "upsert-kafka", "datagen", "jdbc"):
+            try:
+                table.scan(self.spark, self.streaming).createOrReplaceTempView(table.name)
+            except Exception:
+                if table.connector not in ("filesystem", "jdbc"):
+                    raise
+
+    def _create_table_like(self, m: re.Match) -> TableResult:
+        """CREATE TABLE ... LIKE (Parser.tdd:56 / SqlCreateTableLike):
+        inherit the base table's schema and options; additional columns
+        append, new WITH options override, EXCLUDING OPTIONS / EXCLUDING
+        ALL drop the inherited parts."""
+        import copy
+
+        base = self._tables.get(m.group("base"))
+        if base is None:
+            raise ValueError(f"unknown base table {m.group('base')!r} in LIKE")
+        like_opts = (m.group("likeopts") or "INCLUDING ALL").upper()
+        columns = copy.deepcopy(base.columns)
+        computed = list(base.computed)
+        watermark = base.watermark
+        primary_key = list(base.primary_key)
+        options = dict(base.options)
+        if "EXCLUDING OPTIONS" in like_opts or "EXCLUDING ALL" in like_opts:
+            options = {}
+        if "EXCLUDING ALL" in like_opts:
+            computed, watermark, primary_key = [], None, []
+        if "EXCLUDING WATERMARKS" in like_opts:
+            watermark = None
+        if m.group("body"):
+            cols2, comp2, wm2, pk2 = _parse_schema_body(m.group("body"))
+            columns.extend(cols2)
+            computed.extend(comp2)
+            watermark = wm2 or watermark
+            primary_key = pk2 or primary_key
+        for pair in _split_top_level(m.group("opts") or ""):
+            if not pair.strip():
+                continue
+            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            if not km:
+                raise ValueError(f"cannot parse WITH option {pair!r}")
+            options[km.group(1)] = km.group(2)
+        table = CatalogTable(
+            name=m.group("name"),
+            columns=columns,
+            computed=computed,
+            watermark=watermark,
+            primary_key=primary_key,
+            options=options,
+        )
+        self._tables[table.name] = table
+        self._register_scan(table)
+        return TableResult(rows=["OK"])
+
+    def _alter_table(self, stmt: str) -> TableResult:
+        """ALTER TABLE RENAME TO / SET options (Parser.tdd:36-45,
+        SqlAlterTableRename / SqlAlterTableOptions)."""
+        m = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)", stmt, re.IGNORECASE
+        )
+        if m:
+            old, new = m.group(1), m.group(2)
+            if old not in self._tables:
+                raise ValueError(f"unknown table {old!r}")
+            table = self._tables.pop(old)
+            table.name = new
+            self._tables[new] = table
+            self.spark.catalog.dropTempView(old)
+            self._register_scan(table)
+            return TableResult(rows=["OK"])
+        m = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+SET\s*\((.*)\)", stmt, re.IGNORECASE | re.DOTALL
+        )
+        if m:
+            name = m.group(1)
+            if name not in self._tables:
+                raise ValueError(f"unknown table {name!r}")
+            table = self._tables[name]
+            for pair in _split_top_level(m.group(2)):
+                km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                if not km:
+                    raise ValueError(f"cannot parse option {pair!r}")
+                table.options[km.group(1)] = km.group(2)
+            self._register_scan(table)
+            return TableResult(rows=["OK"])
+        raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
+
     def _create_table(self, stmt: str) -> TableResult:
+        like = _CREATE_TABLE_LIKE_RE.fullmatch(stmt)
+        if like:
+            return self._create_table_like(like)
         m = _CREATE_TABLE_RE.fullmatch(stmt)
         if not m:
             raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")

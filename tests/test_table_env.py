@@ -981,3 +981,35 @@ def test_raw_format_string_and_bytes(tenv, tmp_path):
     )
     [row] = tenv.execute_sql("SELECT payload FROM raw_blob").collect()
     assert bytes(row["payload"]) == b"\x00\x01payload"
+
+
+def test_create_table_like_and_alter(tenv, tmp_path):
+    # CREATE TABLE ... LIKE (Parser.tdd:56): inherit schema+options,
+    # additional columns append, new WITH options override.
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE base_r (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql("CREATE TABLE like_r LIKE base_r (INCLUDING ALL)")
+    assert len(tenv.execute_sql("SELECT * FROM like_r").collect()) == 5
+
+    # overriding the path through the LIKE WITH clause
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE like_n WITH ('path'='{SF}/nation.parquet') LIKE base_r
+        """
+    )
+    assert len(tenv.execute_sql("SELECT * FROM like_n").collect()) == 25
+
+    # ALTER TABLE ... RENAME TO (Parser.tdd:36)
+    tenv.execute_sql("ALTER TABLE like_r RENAME TO renamed_r")
+    assert len(tenv.execute_sql("SELECT * FROM renamed_r").collect()) == 5
+    assert "renamed_r" in tenv.list_tables() and "like_r" not in tenv.list_tables()
+
+    # ALTER TABLE ... SET options re-plans the scan
+    tenv.execute_sql(f"ALTER TABLE renamed_r SET ('path'='{SF}/nation.parquet')")
+    assert len(tenv.execute_sql("SELECT * FROM renamed_r").collect()) == 25
