@@ -51,6 +51,8 @@ GROUP BY 1, 2
 
 @register("window_tumble", _TUMBLE_ORACLE, tags=("window", "time"), bench=True)
 def window_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (spread_scan measured a net loss here: the events file is small
+    # enough that the exchange costs more than the fused partial agg)
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")

@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 
 from flink_release_1_16_0_spark.catalog import load_table
 from flink_release_1_16_0_spark.queries import register
-from flink_release_1_16_0_spark.queries._util import davg, dsum, sql_davg, sql_dsum
+from flink_release_1_16_0_spark.queries._util import (
+    davg,
+    dsum,
+    spread_scan,
+    sql_davg,
+    sql_dsum,
+)
 
 # --------------------------------------------------------------------------
 # Q1 pricing summary (flagship: Calc + hash agg + sort)
@@ -44,7 +50,9 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("q1_pricing_summary", _Q1_ORACLE, tags=("agg", "calc"), bench=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # 8 accumulators fuse into the scan stage as partial agg; spread a
+    # single-split scan so they run at full width (no-op on real corpora)
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
