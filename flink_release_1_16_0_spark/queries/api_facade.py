@@ -205,3 +205,67 @@ def api_sql_cumulate_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY window_start, window_end
         """
     ).to_data_frame()
+
+
+# --------------------------------------------------------------------------
+# Event-time temporal join through the SQL surface: JOIN versioned
+# FOR SYSTEM_TIME AS OF left.rowtime (TemporalRowTimeJoinOperator.java:78
+# / the SQL form of stream_temporal_join). The versioned side is a
+# catalog table with WATERMARK + PRIMARY KEY (clicks written to a local
+# derived parquet — DDL tables address files, and the fixture file
+# cannot carry the filter); the facade lowers the join to
+# operators/asof.asof_join. Same ASOF oracle as the operator query.
+# --------------------------------------------------------------------------
+
+_SQL_TEMPORAL_ORACLE = """
+SELECT p.event_id, p.user_id, c.click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT event_id AS click_id, user_id, ts
+           FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register("api_sql_temporal_join", _SQL_TEMPORAL_ORACLE, tags=("api", "sql", "join", "time"))
+def api_sql_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_16_0_spark.catalog import load_table
+
+    clicks_path = tempfile.mkdtemp(prefix="click_versions_")
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    ).coalesce(1).write.mode("overwrite").parquet(clicks_path)
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE purchases_all (
+          event_id BIGINT, ts TIMESTAMP_LTZ(3), user_id BIGINT, event_type STRING
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{sf_dir}/events.parquet', 'format' = 'parquet')
+        """
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE click_versions (
+          click_id BIGINT, user_id BIGINT, ts TIMESTAMP_LTZ(3),
+          PRIMARY KEY (user_id) NOT ENFORCED,
+          WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE
+        ) WITH ('connector' = 'filesystem',
+                'path' = '{clicks_path}', 'format' = 'parquet')
+        """
+    )
+    return tenv.sql_query(
+        """
+        SELECT o.event_id, o.user_id, r.click_id, r.ts AS click_ts
+        FROM purchases_all o
+        JOIN click_versions r FOR SYSTEM_TIME AS OF o.ts
+          ON o.user_id = r.user_id
+        WHERE o.event_type = 'purchase'
+        """
+    ).to_data_frame()

@@ -1018,8 +1018,81 @@ class TableEnvironment:
 
     def _rewrite_query(self, sql: str) -> str:
         """Dialect passes: MATCH_RECOGNIZE (materializes the CEP view),
-        then windowing TVFs / FOR SYSTEM_TIME."""
-        return rewrite_window_tvfs(_translate_match_recognize(self, sql))
+        event-time FOR SYSTEM_TIME (as-of operator), then windowing
+        TVFs / proc-time FOR SYSTEM_TIME (snapshot join)."""
+        sql = _translate_match_recognize(self, sql)
+        sql = self._translate_event_time_temporal_join(sql)
+        return rewrite_window_tvfs(sql)
+
+    # the right-table alias may sit before OR after the FOR SYSTEM_TIME
+    # clause (both appear in the reference's docs/tests)
+    _TEMPORAL_JOIN_RE = re.compile(
+        r"FROM\s+(?P<lt>[\w.]+)\s+(?:AS\s+)?(?P<la>\w+)\s+"
+        r"(?P<outer>LEFT\s+)?JOIN\s+(?P<rt>[\w.]+)"
+        r"(?:\s+(?:AS\s+)?(?!FOR\b)(?P<ra1>\w+))?\s+"
+        r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<ala>\w+)\.(?P<acol>\w+)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra2>\w+))?\s+ON\s+"
+        r"(?P<cond>.+?)(?=\s+WHERE\s|\s+GROUP\s|\s+ORDER\s|\s+LIMIT\s|$)",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _translate_event_time_temporal_join(self, sql: str) -> str:
+        """Event-time temporal join (TemporalRowTimeJoinOperator.java:78):
+        ``JOIN v FOR SYSTEM_TIME AS OF l.rowtime ON l.k = v.k`` against a
+        catalog table with a WATERMARK (= versioned table) joins each
+        left row to the version valid at its rowtime. Lowered through
+        operators/asof.asof_join and materialized as a view, mirroring
+        the MATCH_RECOGNIZE translation strategy. Right sides without a
+        rowtime fall through to the proc-time snapshot-join strip in
+        rewrite_window_tvfs.
+        """
+        m = self._TEMPORAL_JOIN_RE.search(sql)
+        if not m:
+            return sql
+        right_tbl = self._tables.get(m.group("rt"))
+        if right_tbl is None or right_tbl.watermark is None:
+            return sql  # not a versioned table -> snapshot join path
+        if m.group("ala") != m.group("la"):
+            raise ValueError("FOR SYSTEM_TIME AS OF must reference the left input")
+        ra = m.group("ra1") or m.group("ra2") or m.group("rt")
+        from flink_release_1_16_0_spark.operators.asof import asof_join
+
+        keys = []
+        for clause in re.split(r"\s+AND\s+", m.group("cond"), flags=re.IGNORECASE):
+            km = re.fullmatch(
+                r"\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*", clause
+            )
+            if not km:
+                raise ValueError(f"unsupported temporal join condition {clause!r}")
+            lcol = km.group(2) if km.group(1) == m.group("la") else km.group(4)
+            rcol = km.group(4) if km.group(3) == ra else km.group(2)
+            if lcol != rcol:
+                raise ValueError(
+                    "temporal join keys must share a column name "
+                    f"({lcol!r} vs {rcol!r})"
+                )
+            keys.append(lcol)
+        right_ts = right_tbl.watermark[0]
+        joined = asof_join(
+            self.spark.table(m.group("lt")),
+            self.spark.table(m.group("rt")),
+            on=keys,
+            left_ts=m.group("acol"),
+            right_ts=right_ts,
+        )
+        if not m.group("outer"):
+            joined = joined.filter(F.col("__asof_ts").isNotNull())
+        view = f"__temporal_join_{uuid.uuid4().hex[:8]}"
+        joined.createOrReplaceTempView(view)
+        out = sql[: m.start()] + f"FROM {view}" + sql[m.end():]
+        # the version's rowtime surfaces as the matched __asof_ts
+        out = re.sub(
+            rf"\b{ra}\.{right_ts}\b", "__asof_ts", out, flags=re.IGNORECASE
+        )
+        out = re.sub(
+            rf"\b(?:{m.group('la')}|{ra})\.", "", out, flags=re.IGNORECASE
+        )
+        return self._translate_event_time_temporal_join(out)
 
     def create_statement_set(self) -> "StatementSet":
         return StatementSet(self)

@@ -1013,3 +1013,50 @@ def test_create_table_like_and_alter(tenv, tmp_path):
     # ALTER TABLE ... SET options re-plans the scan
     tenv.execute_sql(f"ALTER TABLE renamed_r SET ('path'='{SF}/nation.parquet')")
     assert len(tenv.execute_sql("SELECT * FROM renamed_r").collect()) == 25
+
+
+def test_event_time_temporal_join_sql_left_alias_after(tenv, tmp_path, spark):
+    # FOR SYSTEM_TIME AS OF with the alias AFTER the clause, LEFT form:
+    # left rows with no version yet must survive with NULL padding.
+    import pyspark.sql.functions as F
+
+    from flink_release_1_16_0_spark.catalog import load_table
+
+    clicks = str(tmp_path / "clicks")
+    load_table(spark, SF, "events").filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    ).write.mode("overwrite").parquet(clicks)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ev_l (
+          event_id BIGINT, ts TIMESTAMP_LTZ(3), user_id BIGINT, event_type STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/events.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE click_v (
+          click_id BIGINT, user_id BIGINT, ts TIMESTAMP_LTZ(3),
+          PRIMARY KEY (user_id) NOT ENFORCED,
+          WATERMARK FOR ts AS ts - INTERVAL '10' MINUTE
+        ) WITH ('connector'='filesystem', 'path'='{clicks}', 'format'='parquet')
+        """
+    )
+    out = tenv.sql_query(
+        """
+        SELECT o.event_id, o.user_id, r.click_id
+        FROM ev_l o
+        LEFT JOIN click_v FOR SYSTEM_TIME AS OF o.ts AS r
+          ON o.user_id = r.user_id
+        WHERE o.event_type = 'purchase'
+        """
+    ).to_data_frame()
+    rows = out.collect()
+    purchases = (
+        load_table(spark, SF, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert len(rows) == purchases  # LEFT: every purchase kept
+    assert any(r["click_id"] is None for r in rows)  # pre-first-click padding
+    matched = [r for r in rows if r["click_id"] is not None]
+    assert matched  # and versions actually join
