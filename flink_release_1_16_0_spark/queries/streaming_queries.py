@@ -354,11 +354,15 @@ def stream_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream_temporal_join but tolerant of out-of-order arrival — rows
 # buffer in keyed state and finalize in event-time order on watermark
 # advance; probe rows inside the final delay window stay pending, so
-# the oracle cuts the probe side at max(ts)-delay.
+# the oracle cuts the probe side at max(ts)-delay. The watermark
+# assigner sits AFTER the click/purchase filters, so the max is over
+# those event types only — maxing over all events broke at sf0.1,
+# where the globally-latest event is neither (one pending probe row).
 # --------------------------------------------------------------------------
 
 _STEMPORAL_ET_ORACLE = """
-WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events)
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events
+             WHERE event_type IN ('click', 'purchase'))
 SELECT p.event_id, p.user_id, c.event_id AS click_id, c.ts AS click_ts
 FROM (SELECT e.* FROM events e, cut
       WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) <= cut.wm) p
