@@ -984,6 +984,8 @@ class TableEnvironment:
                 if t.isTemporary and t.name not in self._tables
             )
             return TableResult(rows=views)
+        if re.match(r"CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION", up):
+            return self._create_function(stmt)
         if up.startswith("SHOW FUNCTIONS"):
             return TableResult(
                 rows=sorted(f.name for f in self.spark.catalog.listFunctions())
@@ -1197,6 +1199,38 @@ class TableEnvironment:
         if name in self._tables:
             self._tables[name].stats = stats
         return TableResult(rows=sorted(stats.items()))
+
+    def _create_function(self, stmt: str) -> TableResult:
+        """CREATE [TEMPORARY] [SYSTEM] FUNCTION name AS 'ref' (Parser.tdd:52,
+        SqlCreateFunction). The reference resolves a Java class name; here
+        ``ref`` is a dotted Python path ``module.attr`` resolving to either
+        a pyspark UDF object (``F.udf``/``pandas_udf`` result — registered
+        directly) or a plain callable (wrapped via ``spark.udf.register``;
+        optional ``LANGUAGE PYTHON`` and a ``RETURNS <type>`` hint control
+        the wrap, defaulting to STRING like Spark's register default)."""
+        m = re.fullmatch(
+            r"CREATE\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+AS\s+'(?P<ref>[^']+)'"
+            r"(?:\s+RETURNS\s+(?P<rtype>[\w()<>, ]+?))?(?:\s+LANGUAGE\s+PYTHON)?",
+            stmt,
+            flags=re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE FUNCTION: {stmt!r}")
+        import importlib
+
+        mod_path, _, attr = m.group("ref").rpartition(".")
+        if not mod_path:
+            raise ValueError("function reference must be a dotted 'module.attr' path")
+        target = getattr(importlib.import_module(mod_path), attr)
+        name = m.group("name")
+        # a pyspark UDF object carries its own return type; a plain
+        # callable gets wrapped with the declared (or default) type
+        if hasattr(target, "returnType"):
+            self.spark.udf.register(name, target)
+        else:
+            self.spark.udf.register(name, target, m.group("rtype") or "string")
+        return TableResult(rows=["OK"])
 
     def _register_scan(self, table: CatalogTable) -> None:
         """Expose a catalog table's scan as a temp view; write-only

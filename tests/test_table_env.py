@@ -1060,3 +1060,24 @@ def test_event_time_temporal_join_sql_left_alias_after(tenv, tmp_path, spark):
     assert any(r["click_id"] is None for r in rows)  # pre-first-click padding
     matched = [r for r in rows if r["click_id"] is not None]
     assert matched  # and versions actually join
+
+
+def test_create_function_ddl(tenv):
+    # CREATE FUNCTION resolving a dotted Python path (Parser.tdd:52):
+    # a plain callable with a RETURNS hint, and a pyspark UDF object.
+    import flink_release_1_16_0_spark.functions.examples as ex  # noqa: F401
+
+    tenv.execute_sql(
+        "CREATE TEMPORARY FUNCTION py_shout AS "
+        "'flink_release_1_16_0_spark.functions.examples.shout' RETURNS string"
+    )
+    tenv.execute_sql(
+        "CREATE FUNCTION py_double_it AS "
+        "'flink_release_1_16_0_spark.functions.examples.double_it_udf'"
+    )
+    rows = tenv.execute_sql(
+        "SELECT py_shout('abc') AS s, py_double_it(21) AS d"
+    ).collect()
+    assert rows[0]["s"] == "ABC!" and rows[0]["d"] == 42
+    names = tenv.execute_sql("SHOW FUNCTIONS").collect()
+    assert "py_shout" in names and "py_double_it" in names
