@@ -77,3 +77,45 @@ def decode_media(real_decode: bool = False):
 def extract_media_metadata(media: DataFrame, real_decode: bool = False) -> DataFrame:
     """Partition-parallel metadata extraction over the binary column."""
     return media.mapInPandas(decode_media(real_decode), schema=MEDIA_META_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id bigint, frame_idx int, frame_len bigint, frame_hash string"
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: one binary payload -> up to ``n_frames`` rows
+    (the 1->N mapInPandas shape a video pipeline uses — ffmpeg keyframe
+    extraction slots in where the byte slicing sits). Frames are the
+    evenly-spaced contiguous chunks [i*step, (i+1)*step) with
+    step = max(len // n_frames, 1); deterministic, so frame lengths and
+    content hashes are oracle-checkable.
+
+    At 100 TB: partition-parallel, zero shuffle, output rows carry no
+    payload unless the caller asks — downstream feature extraction
+    reads frames without re-decoding the source.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                size = len(b)
+                if size == 0:
+                    continue
+                step = max(size // n_frames, 1)
+                for i in range(n_frames):
+                    start = i * step
+                    if start >= size:
+                        break
+                    chunk = b[start : start + step]
+                    out.append(
+                        (mid, i, len(chunk), hashlib.md5(chunk).hexdigest())
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_len", "frame_hash"]
+            )
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)

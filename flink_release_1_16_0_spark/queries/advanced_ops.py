@@ -470,3 +470,35 @@ def api_sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS m
         """
     ).to_data_frame()
+
+
+# --------------------------------------------------------------------------
+# Multimodal frame sampling: binary payload -> N evenly-spaced frame
+# rows (the video keyframe-extraction batch shape, 1->N mapInPandas).
+# Frames are deterministic byte slices, so the DuckDB oracle mirrors
+# them with substring arithmetic (the fixture text is pure ASCII:
+# bytes == chars).
+# --------------------------------------------------------------------------
+
+_FRAME_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, length(text) AS len FROM documents
+  WHERE length(text) > 0
+), f AS (
+  SELECT media_id, text, len, GREATEST(len // 4, 1) AS step, i AS frame_idx
+  FROM m, generate_series(0, 3) AS g(i)
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(LEAST(step, len - frame_idx * step) AS BIGINT) AS frame_len,
+       md5(substring(text, frame_idx * step + 1, step)) AS frame_hash
+FROM f WHERE frame_idx * step < len
+"""
+
+
+@register("multimodal_frame_sample", _FRAME_ORACLE, tags=("llm", "multimodal"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_binary_payload(docs, "text", "doc_id")
+    return sample_frames(media, n_frames=4)

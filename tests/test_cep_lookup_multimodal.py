@@ -314,3 +314,24 @@ def test_async_lookup_retries_transient_errors(spark):
 
     out = async_lookup_join(df.coalesce(1), flaky, "k", {"v": "long"}, retries=2)
     assert sorted((r["k"], r["v"]) for r in out.collect()) == [(1, 10), (2, 20)]
+
+
+def test_sample_frames_shapes(spark):
+    from flink_release_1_16_0_spark.operators.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy"), (3, "abcde")], "doc_id long, text string"
+    )
+    media = with_binary_payload(df, "text", "doc_id")
+    rows = sample_frames(media, n_frames=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # len 8 -> step 2 -> 4 frames of 2; len 2 -> step 1 -> 2 frames;
+    # len 5 -> step 1 -> 4 frames (tail byte unsampled)
+    assert [r["frame_len"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [2, 2, 2, 2]
+    assert len(by_id[2]) == 2
+    assert len(by_id[3]) == 4
