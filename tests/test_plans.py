@@ -154,3 +154,39 @@ def test_ds_correlated_subquery_decorrelates(spark, sf_smoke):
     _, plan = _executed_plan(spark, "ds_correlated_scalar_subquery", sf_smoke)
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hyperplane_lsh_probe_is_equi_join(spark, sf_smoke):
+    # bucket assignment must be a scan-side projection and the probe a
+    # hash-joinable equi-join on the bucket id — never all-pairs
+    _, plan = _executed_plan(spark, "similarity_hyperplane_lsh_topk", sf_smoke)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curation_pipeline_single_scan(spark, sf_smoke):
+    import re
+
+    # langid+quality+token+hash stages are projections over ONE scan;
+    # only the dedup window and final agg shuffle
+    _, plan = _executed_plan(spark, "curation_pipeline", sf_smoke)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_hll_shuffles_registers_not_rows(spark, sf_smoke):
+    # the HLL sketch's exchange carries (group, bucket, max-rho)
+    # register rows — partial aggregation must sit below the shuffle
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.operators.hll import hll_count_distinct
+
+    df = hll_count_distinct(
+        load_table(spark, sf_smoke, "lineitem"), ["l_returnflag"], "l_partkey", "a"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    first_agg = plan.find("HashAggregate")
+    assert first_exchange != -1 and first_agg != -1
+    # toString prints top-down: the final agg appears before the
+    # exchange, and a partial HashAggregate must appear after (below) it
+    assert "HashAggregate" in plan[first_exchange:]
