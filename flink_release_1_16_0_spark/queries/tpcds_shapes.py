@@ -220,3 +220,73 @@ _DS_CHANNELS_ORACLE = _DS_CHANNELS.replace(
 def ds_union_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem")
     return spark.sql(_DS_CHANNELS)
+
+
+# --------------------------------------------------------------------------
+# GROUP + HAVING band (TPC-DS q34 shape): customers whose order count
+# falls inside a band, joined back for detail.
+# --------------------------------------------------------------------------
+
+_DS_HAVING_BAND = """
+SELECT c.c_custkey, c.c_mktsegment, o.cnt AS order_count
+FROM customer c
+JOIN (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+  HAVING COUNT(*) BETWEEN 8 AND 12
+) o ON c.c_custkey = o.o_custkey
+"""
+
+
+@register("ds_having_band", _DS_HAVING_BAND, tags=("tpcds", "agg"))
+def ds_having_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_DS_HAVING_BAND)
+
+
+# --------------------------------------------------------------------------
+# Time-band CASE counting in one pass (TPC-DS q88 shape): eight shipdate
+# year-quarter buckets counted in a single scan.
+# --------------------------------------------------------------------------
+
+_DS_TIME_BANDS = """
+SELECT
+  COUNT(CASE WHEN y = 1995 AND q = 1 THEN 1 END) AS y95q1,
+  COUNT(CASE WHEN y = 1995 AND q = 2 THEN 1 END) AS y95q2,
+  COUNT(CASE WHEN y = 1995 AND q = 3 THEN 1 END) AS y95q3,
+  COUNT(CASE WHEN y = 1995 AND q = 4 THEN 1 END) AS y95q4,
+  COUNT(CASE WHEN y = 1996 AND q = 1 THEN 1 END) AS y96q1,
+  COUNT(CASE WHEN y = 1996 AND q = 2 THEN 1 END) AS y96q2,
+  COUNT(CASE WHEN y = 1996 AND q = 3 THEN 1 END) AS y96q3,
+  COUNT(CASE WHEN y = 1996 AND q = 4 THEN 1 END) AS y96q4
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS y,
+         CAST(EXTRACT(QUARTER FROM l_shipdate) AS INT) AS q
+  FROM lineitem
+)
+"""
+
+
+@register("ds_time_band_counts", _DS_TIME_BANDS, tags=("tpcds", "pivot"))
+def ds_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_DS_TIME_BANDS)
+
+
+# --------------------------------------------------------------------------
+# IN over a subquery + anti condition (TPC-DS q45/q95 shape): suppliers
+# of high-discount lines that never shipped a low-discount line.
+# --------------------------------------------------------------------------
+
+_DS_IN_SUBQUERY = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.09)
+  AND s.s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_discount <= 0.01)
+"""
+
+
+@register("ds_in_not_in_subquery", _DS_IN_SUBQUERY, tags=("tpcds", "subquery"))
+def ds_in_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_DS_IN_SUBQUERY)
