@@ -6,12 +6,12 @@ Prints ONE JSON line:
 
 Each benched query is executed once untimed (plan compilation, codegen,
 shuffle-file warmup — one-time costs that amortize to nothing on a real
-cluster run) and then twice timed as a full action (noop write — forces
-the whole plan without driver-side materialization cost). Reported time
-is the minimum of the timed runs: this host is a shared VM whose
-wall-clock noise spans 2-20x on identical plans, and the min is the
-standard noise-floor estimator. The bench set is the ``bench=True``
-subset of the registry.
+cluster run) and then three times timed as a full action (noop write —
+forces the whole plan without driver-side materialization cost).
+Reported time is the minimum of the timed runs: this host is a shared
+VM whose wall-clock noise spans 2-20x on identical plans, and the min
+is the standard noise-floor estimator. The bench set is the
+``bench=True`` subset of the registry.
 """
 
 from __future__ import annotations
@@ -41,7 +41,7 @@ def main() -> None:
     for name, spec in bench_specs.items():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
