@@ -54,6 +54,8 @@ def streaming_dedup_keep_last(
     keys: Sequence[str],
     order_col: str | Sequence[str],
     keep: str = "last",
+    state_ttl_ms: int | None = None,
+    ttl_time_col: str | None = None,
 ) -> DataFrame:
     """Winning row per key, maintained across micro-batches.
 
@@ -65,6 +67,16 @@ def streaming_dedup_keep_last(
     than waiting for the watermark). ``order_col`` may be a list for
     composite (ts, tiebreak) ordering.
 
+    ``state_ttl_ms`` is the reference's ``table.exec.state.ttl``
+    (ExecutionConfigOptions.java:52 / KeyedProcessFunctionWithCleanupState):
+    state idle longer than the TTL is discarded, after which a
+    re-arriving key looks NEW — exactly Flink's documented TTL
+    trade-off (bounded state at the cost of re-emitting long-idle
+    keys). The idle clock here is event time over ``ttl_time_col``
+    (must be watermarked), mirroring the cleanup-timer pattern; Flink's
+    own TTL is proc-time, noted as the deliberate divergence that keeps
+    bounded-replay tests deterministic.
+
     Emits, per batch and changed key, the current winner. Downstream
     sinks overwrite by key (upsert materialization — the
     SinkUpsertMaterializer.java:62 pattern is the sink's MERGE).
@@ -75,6 +87,8 @@ def streaming_dedup_keep_last(
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be first|last, got {keep!r}")
+    if state_ttl_ms is not None and ttl_time_col is None:
+        raise ValueError("state_ttl_ms needs ttl_time_col (a watermarked column)")
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf.sort_values(order_cols, kind="mergesort")
@@ -83,6 +97,10 @@ def streaming_dedup_keep_last(
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # cleanup timer fired: discard idle state (CleanupState.java)
+            state.remove()
+            return
         best: pd.DataFrame | None = None
         for pdf in pdfs:
             if len(pdf) == 0:
@@ -97,6 +115,9 @@ def streaming_dedup_keep_last(
         else:
             merged = best
         state.update(tuple(merged.iloc[0][c] for c in cols))
+        if state_ttl_ms is not None:
+            last_seen_ms = pd.Timestamp(best.iloc[0][ttl_time_col]).value // 1_000_000
+            state.setTimeoutTimestamp(last_seen_ms + state_ttl_ms)
         yield merged[cols]
 
     return stream.groupBy(*keys).applyInPandasWithState(
@@ -104,7 +125,11 @@ def streaming_dedup_keep_last(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if state_ttl_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -451,3 +451,53 @@ def test_checkpoint_state_recovery_exactly_once(spark, tmp_path_factory):
     assert got[(1, "a")] == 2
     assert got[(2, "a")] == 3  # 2 (recovered state) + 1, NOT 1 or 4
     assert got[(2, "b")] == 1
+
+
+def test_dedup_state_ttl_expires_idle_keys(spark, tmp_path):
+    """table.exec.state.ttl semantics (ExecutionConfigOptions.java:52):
+    state idle past the TTL is discarded, so a long-idle key's
+    re-arrival counts as NEW — its lower-seq row wins again. Without
+    TTL the old winner survives and the late row loses."""
+    import pandas as pd
+
+    rows = [
+        # chunk 0: key A arrives (seq 10) + clock row
+        ("A", 10, "2024-01-01 10:00:00", 0),
+        # chunk 1: clock advances the watermark past A's TTL deadline
+        ("CLK", 1, "2024-01-01 11:30:00", 1),
+        # chunk 2: another clock tick -> A's timeout fires (no A data)
+        ("CLK", 2, "2024-01-01 11:40:00", 2),
+        # chunk 3: A re-arrives with a LOWER seq
+        ("A", 5, "2024-01-01 11:45:00", 3),
+    ]
+    src = str(tmp_path / "ttl_chunks")
+    pdf = pd.DataFrame(rows, columns=["k", "seq", "ts", "chunk"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).repartition(1).write.partitionBy("chunk").mode(
+        "overwrite"
+    ).parquet(src)
+    schema = "k string, seq long, ts timestamp"
+
+    def run(ttl_ms):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .withWatermark("ts", "1 second")
+        )
+        out = run_to_table(
+            streaming_dedup_keep_last(
+                stream,
+                keys=["k"],
+                order_col="seq",
+                state_ttl_ms=ttl_ms,
+                ttl_time_col="ts" if ttl_ms else None,
+            ),
+            "update",
+        )
+        return [(r["k"], r["seq"]) for r in out.collect() if r["k"] == "A"]
+
+    with_ttl = run(30 * 60 * 1000)  # 30 min TTL, A idle ~1h45m
+    without = run(None)
+    assert ("A", 5) in with_ttl  # expired state -> re-arrival won
+    assert ("A", 5) not in without and ("A", 10) in without
