@@ -283,3 +283,42 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.col("__asof_ts").alias("click_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew-salted join (the explicit fallback when AQE skew-splitting can't
+# help): lineitem (orderkey-skewed in the worst case) against orders
+# with the join key salted 8 ways. Salting only re-partitions, so the
+# oracle is the plain join — identical rows prove the rewrite is
+# semantics-preserving.
+# --------------------------------------------------------------------------
+
+_SALTED_ORACLE = f"""
+SELECT l_orderkey, l_linenumber, o_orderpriority,
+       {sql_dsum('l_extendedprice')} AS price_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY l_orderkey, l_linenumber, o_orderpriority
+"""
+
+
+@register("join_skew_salted", _SALTED_ORACLE, tags=("join", "skew"))
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    ).select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li,
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        salt_by="l_linenumber",
+        factor=8,
+    )
+    return joined.groupBy("l_orderkey", "l_linenumber", "o_orderpriority").agg(
+        dsum("l_extendedprice").alias("price_sum")
+    )

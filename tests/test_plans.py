@@ -190,3 +190,29 @@ def test_hll_shuffles_registers_not_rows(spark, sf_smoke):
     # toString prints top-down: the final agg appears before the
     # exchange, and a partial HashAggregate must appear after (below) it
     assert "HashAggregate" in plan[first_exchange:]
+
+
+def test_salted_join_spreads_hot_key_and_preserves_semantics(spark):
+    from flink_release_1_16_0_spark.operators.skew import salted_join
+    import pyspark.sql.functions as F
+
+    # one pathologically hot key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i, i) for i in range(1000)], "k long, row_id long"
+    )
+    right = spark.createDataFrame([(i, f"v{i}") for i in range(200)], "k long, v string")
+    salted = salted_join(left, right, on="k", salt_by="row_id", factor=8)
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # the exchange must hash on (k, salt): the hot key's rows really
+    # spread over multiple salt partitions
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    n_salts = (
+        left.withColumn("__salt", F.pmod(F.hash("row_id"), F.lit(8)))
+        .filter(F.col("k") == 1)
+        .select("__salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8
