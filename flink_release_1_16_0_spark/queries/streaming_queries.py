@@ -733,3 +733,54 @@ def stream_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("win.start").alias("win_start"), "user_id", "click_id", "purchase_id"
     )
     return run_to_table(joined, "append")
+
+
+# --------------------------------------------------------------------------
+# streaming window TopN (StreamExecWindowRank / WindowRankOperatorBuilder):
+# top-2 by value per (30-min tumbling window, event_type), maintained by
+# the keyed TopN state op with the window bucket in the key — the
+# window-rank specialization of AppendOnlyTopNFunction. Same oracle as
+# the batch window_topn.
+# --------------------------------------------------------------------------
+
+_SWTOPN_ORACLE = f"""
+SELECT win_start, event_type, event_id, value
+FROM (
+  SELECT make_timestamp((epoch_us(ts) // {30 * 60 * 1_000_000}) * {30 * 60 * 1_000_000})
+           AS win_start,
+         event_type, event_id, value,
+         ROW_NUMBER() OVER (
+           PARTITION BY (epoch_us(ts) // {30 * 60 * 1_000_000}), event_type
+           ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= 2
+"""
+
+
+@register("stream_window_topn", _SWTOPN_ORACLE, tags=("streaming", "window", "rank"))
+def stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_topn
+
+    ev = replay_stream(spark, sf_dir, "events").select(
+        F.window("ts", "30 minutes").getField("start").alias("win_start"),
+        "event_type",
+        "event_id",
+        "value",
+    )
+    out = run_to_table(
+        streaming_topn(ev, keys=["win_start", "event_type"], order_col="value", n=2),
+        "update",
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_start", "event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        out.distinct()
+        .select("win_start", "event_type", "event_id", "value",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 2)
+        .drop("rn")
+    )
