@@ -784,3 +784,53 @@ def stream_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming window dedup (StreamExecWindowDeduplicate /
+# RowTimeWindowDeduplicateOperatorBuilder): first event per
+# (1-hour window, user), maintained by the keep-first dedup state op
+# with the window bucket in the key. Same oracle as batch window_dedup.
+# --------------------------------------------------------------------------
+
+_SWDEDUP_ORACLE = f"""
+SELECT win_start, user_id, event_id, ts
+FROM (
+  SELECT make_timestamp((epoch_us(ts) // {3600 * _US}) * {3600 * _US}) AS win_start,
+         user_id, event_id, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY (epoch_us(ts) // {3600 * _US}), user_id
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("stream_window_dedup", _SWDEDUP_ORACLE, tags=("streaming", "window", "dedup"))
+def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_dedup_keep_last
+
+    ev = replay_stream(spark, sf_dir, "events").select(
+        F.window("ts", "1 hour").getField("start").alias("win_start"),
+        "user_id",
+        "event_id",
+        "ts",
+    )
+    out = run_to_table(
+        streaming_dedup_keep_last(
+            ev, keys=["win_start", "user_id"], order_col=["ts", "event_id"], keep="first"
+        ),
+        "update",
+    )
+    # update emissions refine toward the final winner per key
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("win_start", "user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        out.distinct()
+        .select("win_start", "user_id", "event_id", "ts",
+                F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
