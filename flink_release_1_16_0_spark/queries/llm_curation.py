@@ -21,8 +21,10 @@ from flink_release_1_16_0_spark.catalog import load_table
 from flink_release_1_16_0_spark.operators.text import (
     lang_id,
     quality_score,
+    shingles,
     sql_lang_id,
     sql_quality_score,
+    sql_shingles,
     sql_token_count,
     token_count,
 )
@@ -205,4 +207,209 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents that share any
+# k-token shingle with a held-out evaluation set (the standard n-gram
+# contamination check run before pretraining). The eval set is tiny
+# relative to the corpus, so its distinct-shingle table is BROADCAST:
+# the 100 TB corpus side never shuffles for the probe — its only
+# exchange is the per-doc groupBy that counts distinct shared shingles.
+# Eval-set membership here is the deterministic doc_id % 97 slice.
+# --------------------------------------------------------------------------
+
+# Real pipelines use 8-13-gram overlap on natural text; the fixture's
+# short synthetic docs need 4 to produce a non-degenerate overlap set.
+_DECONTAM_K = 4
+
+_DECONTAM_ORACLE = f"""
+WITH bench_sh AS (
+  SELECT DISTINCT unnest({sql_shingles('text', _DECONTAM_K)}) AS sh
+  FROM documents WHERE doc_id % 97 = 0
+), corpus_sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, unnest({sql_shingles('text', _DECONTAM_K)}) AS sh
+    FROM documents WHERE doc_id % 97 <> 0
+  )
+)
+SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+FROM corpus_sh c JOIN bench_sh b ON c.sh = b.sh
+GROUP BY c.doc_id
+"""
+
+
+@register("curation_decontaminate", _DECONTAM_ORACLE, tags=("llm", "curation"))
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(F.col("text"), _DECONTAM_K)
+    bench_sh = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    corpus_sh = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(sh).alias("sh"))
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction: scrub email addresses and phone numbers from free text
+# and report per-row redaction counts. The fixture corpus carries no
+# contact strings, so the input is constructed deterministically from
+# customer columns (IDENTICALLY on both engines — the redaction rules
+# are what is under test, and they do real work on every row). Pure
+# per-row regex projection: embarrassingly parallel, no shuffle.
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH raw AS (
+  SELECT c_custkey,
+         'contact ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+         || '@example.com or +1-555-'
+         || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         || ' segment ' || c_mktsegment AS txt
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+FROM raw
+"""
+
+
+@register("curation_pii_redact", _PII_ORACLE, tags=("llm", "curation"))
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.lit(" at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    raw = cust.select("c_custkey", txt.alias("txt"))
+    return raw.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("txt"), F.lit(_EMAIL_RE), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("txt"), F.lit(_PHONE_RE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup: normalize crawl URLs (case-fold the
+# host, strip scheme / www. / query string / fragment / trailing slash)
+# and keep the first document per canonical URL — the crawl-side dedup
+# that runs before any content hashing. URL variants are derived
+# deterministically from fixture columns on both engines; the
+# normalization chain is the operator under test. One shuffle, on the
+# canonical-URL key.
+# --------------------------------------------------------------------------
+
+_URL_NORM_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower({u}), '^https?://', ''), '^www\\.', ''), '[?#].*$', ''), '/$', '')"
+)
+
+_URL_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://' || source || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+           WHEN 1 THEN 'HTTP://WWW.' || source || '.EXAMPLE.COM/page/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+           WHEN 2 THEN 'http://' || source || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?utm=x'
+           ELSE 'https://www.' || source || '.example.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+         END AS url
+  FROM documents
+), canon AS (
+  SELECT doc_id, url, {_URL_NORM_SQL.format(u='url')} AS canonical_url
+  FROM raw
+)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY canonical_url
+"""
+
+
+@register("curation_url_dedup", _URL_ORACLE, tags=("llm", "curation"))
+def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = (F.col("doc_id") % 50).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/page/"), key),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("HTTP://WWW."),
+                F.col("source"),
+                F.lit(".EXAMPLE.COM/page/"),
+                key,
+                F.lit("/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("http://"), F.col("source"), F.lit(".example.com/page/"), key, F.lit("?utm=x")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www."),
+                F.col("source"),
+                F.lit(".example.com/page/"),
+                key,
+                F.lit("#frag"),
+            )
+        )
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), "^https?://", ""),
+                "^www\\.",
+                "",
+            ),
+            "[?#].*$",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        docs.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
     )

@@ -106,6 +106,82 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# repetition-based quality filters (the Gopher/MassiveText rules):
+# top-token fraction + duplicate-2-gram fraction per document, with the
+# repetitive flag a pretraining pipeline filters on. Word frequencies go
+# through explode -> groupBy(doc_id, token) rather than an in-row
+# nested-loop lambda: the relational shape is linear per token (a
+# quadratic in-row count would melt on a 1M-token document) and its one
+# shuffle is on (doc_id, token) — uniformly distributed, skew-free at
+# any corpus size. The 2-gram distinct ratio stays in-row
+# (array_distinct is O(n log n) per document, no shuffle at all).
+# --------------------------------------------------------------------------
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({T.sql_tokens('text')}) AS tok FROM documents
+), freq AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), word_stats AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS BIGINT) AS top_freq,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM freq GROUP BY doc_id
+), gram_stats AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(__g)) AS BIGINT) AS n_distinct_2grams,
+         CAST(len(__g) AS BIGINT) AS n_2grams
+  FROM (SELECT doc_id, {T.sql_shingles('text', 2)} AS __g FROM documents)
+)
+SELECT w.doc_id,
+       CAST(w.top_freq AS DOUBLE) / w.n_tokens AS top_token_frac,
+       1.0 - CAST(g.n_distinct_2grams AS DOUBLE)
+           / greatest(g.n_2grams, 1) AS dup_2gram_frac,
+       (CAST(w.top_freq AS DOUBLE) / w.n_tokens > 0.20
+        OR 1.0 - CAST(g.n_distinct_2grams AS DOUBLE)
+               / greatest(g.n_2grams, 1) > 0.40) AS repetitive
+FROM word_stats w JOIN gram_stats g USING (doc_id)
+WHERE w.n_tokens > 0
+"""
+
+
+@register("text_repetition_metrics", _REPETITION_ORACLE, tags=("llm", "text"))
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    word_stats = freq.groupBy("doc_id").agg(
+        F.max("c").alias("top_freq"),
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    grams = T.shingles(F.col("text"), 2)
+    gram_stats = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct_2grams"),
+        F.size(grams).cast("bigint").alias("n_2grams"),
+    )
+    top_frac = F.col("top_freq").cast("double") / F.col("n_tokens")
+    dup_frac = F.lit(1.0) - F.col("n_distinct_2grams").cast("double") / F.greatest(
+        F.col("n_2grams"), F.lit(1)
+    )
+    return (
+        word_stats.filter(F.col("n_tokens") > 0)
+        .join(gram_stats, "doc_id")
+        .select(
+            "doc_id",
+            top_frac.alias("top_token_frac"),
+            dup_frac.alias("dup_2gram_frac"),
+            ((top_frac > 0.20) | (dup_frac > 0.40)).alias("repetitive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # document fingerprinting (min-MD5 shingle hash)
 # --------------------------------------------------------------------------
 
