@@ -343,6 +343,53 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# SQL/JSON path family: JSON_QUERY (subtree extraction re-serialized as
+# minified JSON text), JSON_EXISTS, and JSON array cardinality over a
+# nested document (BuiltInFunctionDefinitions JSON block; runtime
+# SqlJsonUtils.java). The nested doc is built identically on both
+# engines from event columns; both engines minify extracted subtrees,
+# so JSON_QUERY output is hash-comparable.
+# --------------------------------------------------------------------------
+
+_JSON_QUERY_ORACLE = """
+WITH j AS (
+  SELECT event_id,
+         '{"a": {"b": ' || CAST(user_id AS VARCHAR)
+         || ', "c": [1, ' || CAST(event_id % 5 AS VARCHAR) || ']}}' AS doc
+  FROM events WHERE event_id % 41 = 0
+)
+SELECT event_id,
+       json_extract(doc, '$.a')::VARCHAR        AS q_obj,
+       json_extract(doc, '$.a.c[1]')::VARCHAR   AS q_elem,
+       (json_extract(doc, '$.a.b') IS NOT NULL) AS exists_b,
+       (json_extract(doc, '$.a.nope') IS NOT NULL) AS exists_missing,
+       CAST(json_array_length(doc, '$.a.c') AS BIGINT) AS c_len
+FROM j
+"""
+
+
+@register("func_json_query_exists", _JSON_QUERY_ORACLE, tags=("function", "json"))
+def func_json_query_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 41 == 0)
+    doc = F.concat(
+        F.lit('{"a": {"b": '),
+        F.col("user_id").cast("string"),
+        F.lit(', "c": [1, '),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit("]}}"),
+    )
+    j = ev.select("event_id", doc.alias("doc"))
+    return j.select(
+        "event_id",
+        F.get_json_object("doc", "$.a").alias("q_obj"),
+        F.get_json_object("doc", "$.a.c[1]").alias("q_elem"),
+        F.get_json_object("doc", "$.a.b").isNotNull().alias("exists_b"),
+        F.get_json_object("doc", "$.a.nope").isNotNull().alias("exists_missing"),
+        F.json_array_length(F.get_json_object("doc", "$.a.c")).cast("bigint").alias("c_len"),
+    )
+
+
+# --------------------------------------------------------------------------
 # collection constructors & access: ARRAY, CARDINALITY, element access,
 # ARRAY_CONTAINS, sort, MAP construction + key access, ROW/STRUCT field
 # --------------------------------------------------------------------------
