@@ -12,6 +12,7 @@ vectorized DSv2 reader with filter/column pushdown (the reference's
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,13 +58,27 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Session-scoped caches. Resolving a parquet relation costs a footer
+# read (~80 ms driver-side per table) and a temp-view registration
+# another ~50 ms of py4j/analysis — per-query costs that a real
+# catalog pays once per session. Keyed weakly on the SparkSession so a
+# stopped session's entries are collectable; values key on sf_dir so a
+# session that switches scale factors re-resolves.
+_DF_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+_VIEW_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one star-schema table as a DataFrame.
+    """Load one star-schema table as a DataFrame (cached per session).
 
     Parquet TIMESTAMP(NANOS) columns (events.ts) are normalized to the
     session TimestampType regardless of how the reader surfaces them
     (bigint / timestamp_ntz / timestamp) — see normalize_event_ts.
     """
+    cache = _DF_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     if name == "events":
         # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark's
         # vectorized reader rejects unless nanosAsLong is on. It is a runtime
@@ -74,12 +89,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)
+    cache[key] = df
     return df
 
 
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> None:
-    """Register the star schema as temp views for ``spark.sql``."""
+    """Register the star schema as temp views for ``spark.sql``.
+
+    Idempotent and cached: a name already registered from the same
+    sf_dir on this session is skipped (the views only ever point at the
+    immutable fixture relations, so re-pointing them is a no-op). A
+    different sf_dir re-registers.
+    """
+    registered = _VIEW_CACHE.setdefault(spark, {})
     for name in tables:
+        if registered.get(name) == sf_dir:
+            continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        registered[name] = sf_dir
