@@ -62,6 +62,16 @@ def is_decimal(col: Column | str) -> Column:
     return F.expr(f"TRY_CAST({_c(col)._jc.toString()} AS DECIMAL(38,18))").isNotNull()
 
 
+def json_string(col: Column | str) -> Column:
+    """Flink JSON_STRING(v): serialize any scalar to its JSON literal
+    (BuiltInFunctionDefinitions JSON block; strings quoted + escaped,
+    numbers bare). Spark's to_json only takes complex types, so wrap in
+    a 1-element array and strip the brackets — the element encoding is
+    exactly the JSON literal."""
+    arr = F.to_json(F.array(_c(col)))
+    return arr.substr(F.lit(2), F.length(arr) - 2)
+
+
 def hash_code(col: Column | str) -> Column:
     """Flink HASH_CODE(s): a deterministic 32-bit hash. Spark's murmur3
     `hash` (NOT Java String.hashCode — documented divergence; stable

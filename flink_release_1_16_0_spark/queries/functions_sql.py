@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_release_1_16_0_spark import functions as FF
 from flink_release_1_16_0_spark.catalog import load_table
 from flink_release_1_16_0_spark.queries import register
 
@@ -147,6 +148,8 @@ SELECT
   ROUND(SIN(n_nationkey), 9)                 AS sin_c,
   ROUND(COS(n_nationkey), 9)                 AS cos_c,
   ROUND(ATAN2(n_nationkey, 7), 9)            AS atan2_c,
+  ROUND(ACOS(n_nationkey / 30.0), 9)         AS acos_c,
+  ROUND(ASIN(n_nationkey / 30.0), 9)         AS asin_c,
   ROUND(DEGREES(n_nationkey / 10.0), 9)      AS deg_c,
   ROUND(PI(), 9)                             AS pi_c,
   CAST(n_nationkey AS BIGINT) & 12           AS band_c,
@@ -175,6 +178,8 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sin(k.cast("double")), 9).alias("sin_c"),
         F.round(F.cos(k.cast("double")), 9).alias("cos_c"),
         F.round(F.atan2(k.cast("double"), F.lit(7.0)), 9).alias("atan2_c"),
+        F.round(F.acos(k / 30.0), 9).alias("acos_c"),
+        F.round(F.asin(k / 30.0), 9).alias("asin_c"),
         F.round(F.degrees(k / 10.0), 9).alias("deg_c"),
         F.round(F.lit(3.141592653589793), 9).alias("pi_c"),
         k.cast("bigint").bitwiseAND(12).alias("band_c"),
@@ -205,6 +210,7 @@ SELECT
   ts + INTERVAL 90 MINUTE                     AS ts_plus,
   DATE_DIFF('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
   EPOCH_US(ts)                                AS us,
+  STRFTIME(TO_TIMESTAMP(EPOCH(ts)), '%Y-%m-%d %H:%M:%S') AS from_unix,
   CAST(CAST(ts AS DATE) AS VARCHAR)           AS dt
 FROM events
 WHERE event_id % 31 = 0
@@ -233,6 +239,9 @@ def func_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("days_since"),
         F.unix_micros(ts).alias("us"),
+        # FROM_UNIXTIME (BuiltInFunctionDefinitions): epoch-seconds ->
+        # formatted wall-clock string in the session TZ (UTC here).
+        F.from_unixtime(F.unix_seconds(ts.cast("timestamp"))).alias("from_unix"),
         ts.cast("date").cast("string").alias("dt"),
     )
 
@@ -319,7 +328,9 @@ SELECT
   CAST(props->>'$.k' AS BIGINT)              AS k_int,
   (CAST(props->>'$.k' AS BIGINT) > 50)       AS k_big,
   JSON_VALID(props)                          AS is_json,
-  TO_JSON({'id': event_id, 'type': event_type}) :: VARCHAR AS packed
+  TO_JSON({'id': event_id, 'type': event_type}) :: VARCHAR AS packed,
+  TO_JSON(event_type) :: VARCHAR              AS js_str,
+  TO_JSON(event_id) :: VARCHAR                AS js_num
 FROM events
 WHERE event_id % 37 = 0
 """
@@ -339,6 +350,9 @@ def func_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(
             F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
         ).alias("packed"),
+        # JSON_STRING: scalar -> JSON literal (strings quoted, numbers bare)
+        FF.json_string("event_type").alias("js_str"),
+        FF.json_string("event_id").alias("js_num"),
     )
 
 

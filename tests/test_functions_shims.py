@@ -92,3 +92,37 @@ def test_hash_code_deterministic(spark):
     a = _one(spark, FF.hash_code(F.lit("x")))
     b = _one(spark, FF.hash_code(F.lit("x")))
     assert a == b and isinstance(a, int)
+
+
+def test_sha_family_golden(spark):
+    # SHA1/SHA2-224/384/512 (BuiltInFunctionDefinitions hash block).
+    # DuckDB has no sha1/sha224/384/512, so these are pinned against
+    # hashlib goldens instead of the cross-engine oracle.
+    import hashlib
+
+    s = "flink"
+    row = (
+        spark.range(1)
+        .select(
+            F.sha1(F.lit(s)).alias("h1"),
+            F.sha2(F.lit(s), 224).alias("h224"),
+            F.sha2(F.lit(s), 256).alias("h256"),
+            F.sha2(F.lit(s), 384).alias("h384"),
+            F.sha2(F.lit(s), 512).alias("h512"),
+        )
+        .first()
+    )
+    b = s.encode()
+    assert row["h1"] == hashlib.sha1(b).hexdigest()
+    assert row["h224"] == hashlib.sha224(b).hexdigest()
+    assert row["h256"] == hashlib.sha256(b).hexdigest()
+    assert row["h384"] == hashlib.sha384(b).hexdigest()
+    assert row["h512"] == hashlib.sha512(b).hexdigest()
+
+
+def test_json_string_scalars(spark):
+    # Flink JSON_STRING: scalar -> its JSON literal.
+    assert _one(spark, FF.json_string(F.lit("ab"))) == '"ab"'
+    assert _one(spark, FF.json_string(F.lit('a"b'))) == '"a\\"b"'
+    assert _one(spark, FF.json_string(F.lit(5))) == "5"
+    assert _one(spark, FF.json_string(F.lit(True))) == "true"
