@@ -183,3 +183,134 @@ def fingerprint(text: Column, k: int = 3) -> Column:
 
 def sql_fingerprint(expr: str, k: int = 3) -> str:
     return f"list_min(list_transform({sql_shingles(expr, k)}, s -> md5(s)))"
+
+
+# --------------------------------------------------------------------------
+# Corpus-level scoring (tf-idf, unigram language model). Unlike the
+# per-row projections above, these shuffle: once on (doc, token) for
+# term frequencies and once on token for corpus statistics. Both aggs
+# are partial-combinable (map-side combine bounds hot-token skew), the
+# vocabulary relation is orders of magnitude smaller than the corpus
+# (AQE broadcasts it when it fits), and the corpus is never collected
+# to the driver — the shapes survive a 100 TB corpus.
+# --------------------------------------------------------------------------
+
+
+def token_table(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Explode a corpus into one row per token occurrence."""
+    return docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("token"))
+
+
+def tf_idf_top_terms(docs, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Top-k characteristic terms per document by smoothed tf-idf.
+
+    idf = ln((N + 1) / (df + 1)) + 1 (scikit-style smoothing; public
+    formula). Scores are rounded to the 9-decimal grid so the value —
+    and the (score DESC, token ASC) ranking — is identical across
+    engines and partitionings. The doc-count scalar rides a broadcast
+    1-row relation, not a driver collect.
+    """
+    from pyspark.sql import Window
+
+    tok = token_table(docs, id_col, text_col)
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfx, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1).cast("double") / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "token", "tf", "tfidf", "rk")
+    )
+
+
+def sql_tf_idf_top_terms(k: int = 3) -> str:
+    """DuckDB twin of :func:`tf_idf_top_terms` over the documents view."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS __n FROM documents),
+scored AS (
+  SELECT doc_id, token, tf,
+         ROUND(tf * (LN((__n + 1.0) / (df + 1.0)) + 1.0), 9) AS tfidf
+  FROM tf JOIN dfx USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+) WHERE rk <= {k}
+"""
+
+
+def unigram_logprob(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document average negative log-probability under the corpus's
+    own unigram language model — the classic cheap "perplexity-style"
+    quality signal for training-data curation (high score = tokens rare
+    in the corpus = atypical text). Per-token -ln p values are rounded
+    to the 9-decimal grid and summed as DECIMAL(38,9) so the mean is
+    exact and order-independent; documents with zero tokens drop out.
+    """
+    tok = token_table(docs, id_col, text_col)
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tok.select(F.count(F.lit(1)).alias("__tt"))
+    lp = (
+        vocab.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp", F.round(-F.log(F.col("cnt").cast("double") / F.col("__tt")), 9)
+        )
+        .select("token", "lp")
+    )
+    return (
+        tok.join(lp, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # no final round: the quotient of an exact decimal sum by an
+            # int is not on any decimal grid, so rounding it re-opens the
+            # half-tie hazard; bare IEEE division of identical inputs is
+            # bit-identical across engines.
+            (
+                F.sum(F.col("lp").cast("DECIMAL(38,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def sql_unigram_logprob() -> str:
+    """DuckDB twin of :func:`unigram_logprob` over the documents view."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
+),
+vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT COUNT(*) AS __tt FROM tok),
+lp AS (
+  SELECT token, ROUND(-LN(CAST(cnt AS DOUBLE) / __tt), 9) AS lp
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(lp AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*)
+           AS avg_neg_logprob
+FROM tok JOIN lp USING (token)
+GROUP BY doc_id
+"""

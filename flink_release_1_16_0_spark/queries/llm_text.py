@@ -196,3 +196,31 @@ WHERE doc_id % 7 = 0
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# tf-idf characteristic terms per document (corpus-statistic scoring)
+# --------------------------------------------------------------------------
+
+
+@register("text_tfidf_top_terms", T.sql_tf_idf_top_terms(3), tags=("llm", "text"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf terms per doc (operators.text.tf_idf_top_terms).
+
+    Two partial-combinable shuffles (doc-term tf, term df) + a
+    vocabulary join AQE can broadcast — no corpus-sized state anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return T.tf_idf_top_terms(docs, k=3)
+
+
+# --------------------------------------------------------------------------
+# unigram-LM negative log-prob ("perplexity-lite" curation signal)
+# --------------------------------------------------------------------------
+
+
+@register("text_unigram_logprob", T.sql_unigram_logprob(), tags=("llm", "text"))
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average -ln p(token) per doc under the corpus unigram model."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.unigram_logprob(docs)
