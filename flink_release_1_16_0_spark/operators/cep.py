@@ -70,6 +70,7 @@ def match_regex_pattern(
     symbol: Column,
     pattern: str,
     id_col: str,
+    within_ms: int | None = None,
 ) -> DataFrame:
     """Regex pattern matching per key (the NFA tier).
 
@@ -77,12 +78,23 @@ def match_regex_pattern(
     n_rows). Rows are ordered by (ts, id) within the key; matches are
     non-overlapping leftmost-greedy (AFTER MATCH SKIP PAST LAST ROW —
     the reference's default).
+
+    ``within_ms`` implements the MATCH_RECOGNIZE ``WITHIN`` clause
+    (Pattern.within, flink-cep NFA time-out pruning): a match must
+    complete within the interval measured from its FIRST row. Emulated
+    by truncating the anchored-match window to the rows inside the
+    interval — exactly "greedy among the assignments that fit", which
+    is what the NFA's branch pruning converges to. A start whose
+    greedy match times out does not kill later, shorter starts (the
+    anchored scan advances one row and retries, mirroring the NFA
+    starting a fresh partial match at every event).
     """
     tagged = df.select(*keys, F.col(ts_col).alias("__ts"), F.col(id_col).alias("__id"), symbol.alias("__sym"))
     out_fields = ", ".join(f"{k} {dict(tagged.dtypes)[k]}" for k in keys)
     schema = (
         f"{out_fields}, match_no int, start_id long, end_id long, n_rows int"
     )
+    rx = re.compile(pattern)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort")
@@ -90,12 +102,32 @@ def match_regex_pattern(
         ids = pdf["__id"].tolist()
         rows = []
         keyvals = [pdf.iloc[0][k] for k in keys]
-        for m_no, m in enumerate(re.finditer(pattern, sym)):
-            if m.end() == m.start():
-                continue
-            rows.append(
-                (*keyvals, m_no, ids[m.start()], ids[m.end() - 1], m.end() - m.start())
+        if within_ms is None:
+            matches = (
+                (m.start(), m.end())
+                for m in re.finditer(pattern, sym)
+                if m.end() > m.start()
             )
+        else:
+            # normalize to int64 ns regardless of pandas unit/tz flavor
+            ts_ns = pdf["__ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+            bound_ns = within_ms * 1_000_000
+
+            def scan():
+                s = 0
+                while s < len(sym):
+                    # last index still inside the WITHIN window from s
+                    e_max = int(ts_ns.searchsorted(ts_ns[s] + bound_ns, "right"))
+                    m = rx.match(sym[:e_max], s)
+                    if m and m.end() > m.start():
+                        yield (m.start(), m.end())
+                        s = m.end()  # AFTER MATCH SKIP PAST LAST ROW
+                    else:
+                        s += 1
+
+            matches = scan()
+        for m_no, (ms, me) in enumerate(matches):
+            rows.append((*keyvals, m_no, ids[ms], ids[me - 1], me - ms))
         return pd.DataFrame(
             rows, columns=[*keys, "match_no", "start_id", "end_id", "n_rows"]
         )

@@ -502,3 +502,76 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = with_binary_payload(docs, "text", "doc_id")
     return sample_frames(media, n_frames=4)
+
+
+# --------------------------------------------------------------------------
+# CEP WITHIN clause: c+p where the whole match must complete within 12
+# hours of its first row (MATCH_RECOGNIZE ... PATTERN (C+ P) WITHIN
+# INTERVAL '12' HOUR; flink-cep Pattern.within / NFA timeout pruning).
+# A timed-out greedy start does not kill a later, shorter start. The
+# oracle derives the same semantics relationally: for each purchase
+# immediately after a maximal click-run, the match exists iff some
+# click of the run is inside the window, and its row count is the
+# number of in-window clicks + 1 (the earliest in-window click is the
+# leftmost start whose truncated greedy match still reaches the
+# purchase).
+# --------------------------------------------------------------------------
+
+_CEP_WITHIN_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym
+  FROM events
+), seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM tagged
+), runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, sym ORDER BY rn) AS grp
+  FROM seq
+), c_runs AS (
+  SELECT user_id, grp, MIN(rn) AS run_start, MAX(rn) AS run_end
+  FROM runs WHERE sym = 'c' GROUP BY user_id, grp
+), p_rows AS (
+  SELECT user_id, rn AS p_rn, ts AS p_ts FROM seq WHERE sym = 'p'
+), matches AS (
+  SELECT p.user_id, p.p_rn, COUNT(*) AS n_c
+  FROM p_rows p
+  JOIN c_runs cr
+    ON cr.user_id = p.user_id AND p.p_rn - 1 = cr.run_end
+  JOIN runs r
+    ON r.user_id = p.user_id AND r.sym = 'c'
+   AND r.rn BETWEEN cr.run_start AND cr.run_end
+   AND r.ts >= p.p_ts - INTERVAL 12 HOUR
+  GROUP BY p.user_id, p.p_rn
+)
+SELECT user_id,
+       COUNT(*) AS n_matches,
+       CAST(SUM(n_c) + COUNT(*) AS BIGINT) AS matched_rows
+FROM matches GROUP BY user_id
+"""
+
+
+@register("cep_within", _CEP_WITHIN_ORACLE, tags=("cep", "match"))
+def cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    matches = match_regex_pattern(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="c+p",
+        id_col="event_id",
+        within_ms=12 * 3600 * 1000,
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("n_rows").cast("bigint").alias("matched_rows"),
+    )

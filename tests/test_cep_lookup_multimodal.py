@@ -335,3 +335,42 @@ def test_sample_frames_shapes(spark):
     assert [r["frame_len"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [2, 2, 2, 2]
     assert len(by_id[2]) == 2
     assert len(by_id[3]) == 4
+
+
+def test_regex_pattern_within_prunes_stale_starts(spark):
+    # WITHIN semantics (Pattern.within / NFA timeout): the greedy match
+    # anchored at the stale first click times out, but the later click
+    # still starts a shorter match that fits the window.
+    rows = [
+        (1, 1, _ts(0), "click"),      # stale: 40 min before the purchase
+        (1, 2, _ts(35), "click"),     # fresh: 5 min before the purchase
+        (1, 3, _ts(40), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    within = 10 * 60 * 1000  # 10 minutes
+    out = match_regex_pattern(
+        df, ["user_id"], "ts", _sym(), "c+p", id_col="event_id", within_ms=within
+    ).collect()
+    assert {(r["start_id"], r["end_id"], r["n_rows"]) for r in out} == {(2, 3, 2)}
+    # without WITHIN the greedy match consumes both clicks
+    out2 = match_regex_pattern(
+        df, ["user_id"], "ts", _sym(), "c+p", id_col="event_id"
+    ).collect()
+    assert {(r["start_id"], r["end_id"]) for r in out2} == {(1, 3)}
+
+
+def test_regex_pattern_within_no_fit_no_match(spark):
+    rows = [
+        (1, 1, _ts(0), "click"),
+        (1, 2, _ts(59), "purchase"),  # 59 min later, window is 10 min
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    out = match_regex_pattern(
+        df, ["user_id"], "ts", _sym(), "c+p", id_col="event_id",
+        within_ms=10 * 60 * 1000,
+    )
+    assert out.count() == 0
