@@ -71,13 +71,20 @@ def match_regex_pattern(
     pattern: str,
     id_col: str,
     within_ms: int | None = None,
+    skip: str = "past_last_row",
 ) -> DataFrame:
     """Regex pattern matching per key (the NFA tier).
 
     Emits one row per match: (keys..., match_no, start_id, end_id,
     n_rows). Rows are ordered by (ts, id) within the key; matches are
-    non-overlapping leftmost-greedy (AFTER MATCH SKIP PAST LAST ROW —
-    the reference's default).
+    leftmost-greedy.
+
+    ``skip`` selects the AFTER MATCH strategy
+    (AfterMatchSkipStrategy, flink-cep; MATCH_RECOGNIZE AFTER MATCH
+    SKIP ...): ``'past_last_row'`` (the default — non-overlapping,
+    resume after the match) or ``'to_next_row'`` (resume one row after
+    the match's START, so overlapping matches from later rows are also
+    reported).
 
     ``within_ms`` implements the MATCH_RECOGNIZE ``WITHIN`` clause
     (Pattern.within, flink-cep NFA time-out pruning): a match must
@@ -95,6 +102,8 @@ def match_regex_pattern(
         f"{out_fields}, match_no int, start_id long, end_id long, n_rows int"
     )
     rx = re.compile(pattern)
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError(f"unsupported AFTER MATCH skip strategy {skip!r}")
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort")
@@ -103,29 +112,29 @@ def match_regex_pattern(
         rows = []
         keyvals = [pdf.iloc[0][k] for k in keys]
         if within_ms is None:
-            matches = (
-                (m.start(), m.end())
-                for m in re.finditer(pattern, sym)
-                if m.end() > m.start()
-            )
+            ts_ns = bound_ns = None
         else:
             # normalize to int64 ns regardless of pandas unit/tz flavor
             ts_ns = pdf["__ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
             bound_ns = within_ms * 1_000_000
 
-            def scan():
-                s = 0
-                while s < len(sym):
+        def scan():
+            s = 0
+            while s < len(sym):
+                if ts_ns is None:
+                    m = rx.match(sym, s)
+                else:
                     # last index still inside the WITHIN window from s
                     e_max = int(ts_ns.searchsorted(ts_ns[s] + bound_ns, "right"))
                     m = rx.match(sym[:e_max], s)
-                    if m and m.end() > m.start():
-                        yield (m.start(), m.end())
-                        s = m.end()  # AFTER MATCH SKIP PAST LAST ROW
-                    else:
-                        s += 1
+                if m and m.end() > m.start():
+                    yield (m.start(), m.end())
+                    # AFTER MATCH SKIP PAST LAST ROW vs SKIP TO NEXT ROW
+                    s = m.end() if skip == "past_last_row" else s + 1
+                else:
+                    s += 1
 
-            matches = scan()
+        matches = scan()
         for m_no, (ms, me) in enumerate(matches):
             rows.append((*keyvals, m_no, ids[ms], ids[me - 1], me - ms))
         return pd.DataFrame(

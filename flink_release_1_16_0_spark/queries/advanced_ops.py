@@ -575,3 +575,66 @@ def cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.sum("n_rows").cast("bigint").alias("matched_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# AFTER MATCH SKIP TO NEXT ROW: overlapping c+p matches — every click
+# of a purchase-adjacent run anchors its own match
+# (AfterMatchSkipStrategy in flink-cep; the reference's non-default
+# skip mode). Oracle: each click in a run whose end is immediately
+# followed by a purchase is one match spanning click..purchase.
+# --------------------------------------------------------------------------
+
+_CEP_SKIP_NEXT_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym
+  FROM events
+), seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM tagged
+), runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, sym ORDER BY rn) AS grp
+  FROM seq
+), c_runs AS (
+  SELECT user_id, grp, MIN(rn) AS run_start, MAX(rn) AS run_end
+  FROM runs WHERE sym = 'c' GROUP BY user_id, grp
+), p_adj AS (
+  SELECT cr.user_id, cr.run_start, cr.run_end
+  FROM c_runs cr
+  JOIN seq p ON p.user_id = cr.user_id AND p.rn = cr.run_end + 1 AND p.sym = 'p'
+)
+SELECT a.user_id,
+       COUNT(*) AS n_matches,
+       CAST(SUM(a.run_end - r.rn + 2) AS BIGINT) AS matched_rows
+FROM p_adj a
+JOIN runs r ON r.user_id = a.user_id AND r.sym = 'c'
+           AND r.rn BETWEEN a.run_start AND a.run_end
+GROUP BY a.user_id
+"""
+
+
+@register("cep_skip_to_next", _CEP_SKIP_NEXT_ORACLE, tags=("cep", "match"))
+def cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    matches = match_regex_pattern(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="c+p",
+        id_col="event_id",
+        skip="to_next_row",
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("n_rows").cast("bigint").alias("matched_rows"),
+    )
