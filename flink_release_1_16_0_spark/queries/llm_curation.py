@@ -413,3 +413,94 @@ def curation_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Source/language mixing: epochs-per-stratum reweighting toward a
+# uniform token budget (the "data mixing" step of training-data
+# pipelines: under-represented strata are repeated up to a cap,
+# over-represented ones are downsampled). Fractional epochs
+# materialize deterministically: every doc gets floor(epochs) copies
+# plus one more iff its md5 fraction falls below the fractional part —
+# exact importance resampling without RNG, stable under corpus growth.
+# Plan shape: per-row token counts, one tiny per-lang agg, broadcast
+# join back — the corpus-side scan never shuffles.
+# --------------------------------------------------------------------------
+
+_MIX_CAP = 4.0
+
+_MIX_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {sql_token_count('text')} AS n_tokens FROM documents
+), stats AS (
+  SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM toks GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+         COUNT(*) AS n_langs
+  FROM stats
+), epochs AS (
+  SELECT lang, lang_tokens,
+         LEAST({_MIX_CAP},
+               (CAST(total_tokens AS DOUBLE) / n_langs) / lang_tokens)
+           AS epochs
+  FROM stats CROSS JOIN tot
+), copies AS (
+  SELECT t.doc_id, t.lang, t.n_tokens,
+         CAST(FLOOR(e.epochs) AS BIGINT)
+         + CASE WHEN CAST(('0x' || substring(
+                   md5('mix_' || CAST(t.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                   / 65536.0 < e.epochs - FLOOR(e.epochs)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM toks t JOIN epochs e USING (lang)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_copies) AS BIGINT) AS docs_out,
+       CAST(SUM(n_copies * n_tokens) AS BIGINT) AS tokens_out
+FROM copies GROUP BY lang
+"""
+
+
+@register("curation_source_mixing", _MIX_ORACLE, tags=("llm", "curation"))
+def curation_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    stats = toks.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    tot = stats.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    epochs = stats.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(_MIX_CAP),
+            (F.col("total_tokens").cast("double") / F.col("n_langs"))
+            / F.col("lang_tokens"),
+        ).alias("epochs"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 65536.0
+    )
+    copies = toks.join(F.broadcast(epochs), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (
+            F.floor("epochs").cast("bigint")
+            + F.when(frac < F.col("epochs") - F.floor("epochs"), 1).otherwise(0)
+        ).alias("n_copies"),
+    )
+    return copies.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_copies").alias("docs_out"),
+        F.sum(F.col("n_copies") * F.col("n_tokens")).alias("tokens_out"),
+    )
