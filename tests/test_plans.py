@@ -112,6 +112,12 @@ _BNLJ_ALLOWED = {
     "dedup_embedding_cosine",
     "similarity_brute_force_topk",
     "similarity_ivf_kmeans_topk",
+    # corpus-statistic scalar distribution: crossJoin(broadcast(1-row
+    # aggregate)) — the no-collect way to hand a global count to every
+    # row; build side is literally one row
+    "text_tfidf_top_terms",
+    "text_unigram_logprob",
+    "curation_source_mixing",
 }
 
 # Streaming/stateful/facade queries execute work on build (replay), so
