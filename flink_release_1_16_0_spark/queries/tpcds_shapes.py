@@ -290,3 +290,89 @@ WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.09)
 def ds_in_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "supplier", "lineitem")
     return spark.sql(_DS_IN_SUBQUERY)
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report / windowed share (TPC-DS q36 shape): revenue share of
+# each linestatus within its returnflag via SUM OVER on the aggregate,
+# plus a rank on the exact decimal value. Shares divide two exact
+# decimals as doubles, so both engines produce bit-identical ratios.
+# --------------------------------------------------------------------------
+
+_DS_RATIO_TO_REPORT = """
+WITH rev AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,4))) AS r
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(r AS DOUBLE) AS revenue,
+       CAST(r AS DOUBLE)
+         / CAST(SUM(r) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS share,
+       CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY r DESC) AS BIGINT)
+         AS rk
+FROM rev
+"""
+
+
+@register("ds_ratio_to_report", _DS_RATIO_TO_REPORT, tags=("tpcds", "window"))
+def ds_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_DS_RATIO_TO_REPORT)
+
+
+# --------------------------------------------------------------------------
+# Year-over-year growth via self-join of yearly aggregates (TPC-DS
+# q74/q75 shape): per-segment yearly revenue joined to the prior year,
+# keeping segments that grew. The growth predicate cross-multiplies
+# exact decimals (cur > prior, both DECIMAL) — no float boundary.
+# --------------------------------------------------------------------------
+
+_DS_YOY_GROWTH = """
+WITH yearly AS (
+  SELECT c.c_mktsegment,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS yr,
+         SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, EXTRACT(YEAR FROM o.o_orderdate)
+)
+SELECT cur.c_mktsegment, cur.yr,
+       CAST(cur.rev AS DOUBLE) AS rev,
+       CAST(prior.rev AS DOUBLE) AS prev_rev,
+       CAST(cur.rev AS DOUBLE) / CAST(prior.rev AS DOUBLE) AS growth
+FROM yearly cur
+JOIN yearly prior
+  ON cur.c_mktsegment = prior.c_mktsegment AND cur.yr = prior.yr + 1
+WHERE cur.rev > prior.rev
+"""
+
+
+@register("ds_yoy_growth", _DS_YOY_GROWTH, tags=("tpcds", "join", "window"))
+def ds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_DS_YOY_GROWTH)
+
+
+# --------------------------------------------------------------------------
+# Cross-channel INTERSECT of entity sets (TPC-DS q38 shape): customers
+# active in both an early and a late order window, counted after the
+# set intersection.
+# --------------------------------------------------------------------------
+
+_DS_CHANNEL_INTERSECT = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+FROM (
+  SELECT o_custkey FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) <= 1993
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) >= 1997
+)
+"""
+
+
+@register("ds_channel_intersect", _DS_CHANNEL_INTERSECT, tags=("tpcds", "setop"))
+def ds_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_DS_CHANNEL_INTERSECT)
