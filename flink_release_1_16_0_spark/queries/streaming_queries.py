@@ -834,3 +834,114 @@ def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# stream-stream FULL OUTER interval join (TimeIntervalJoin.java pads
+# BOTH inputs): unmatched purchases AND unmatched clicks emit
+# NULL-padded rows once the joint watermark passes them. Same settled-
+# region post-filter as the LEFT variant, applied per side.
+# --------------------------------------------------------------------------
+
+_SIJOIN_FULL_ORACLE = """
+WITH cut AS (
+  SELECT least(
+           (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'purchase'),
+           (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'click')
+         ) - 600000 - 60000 AS safe
+),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+       p.user_id AS user_id, p.ts AS p_ts, c.ts AS c_ts
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+UNION ALL
+SELECT p.event_id, NULL, p.user_id, p.ts, NULL
+FROM p, cut
+WHERE epoch_ms(p.ts) <= cut.safe
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+  )
+UNION ALL
+-- a click is paddable only once the watermark passes the END of its
+-- match window (c_ts + 10 min): matching purchases arrive up to 10
+-- minutes after the click, so the click side's settled region sits a
+-- window-width earlier than the purchase side's
+SELECT NULL, c.event_id, c.user_id, NULL, c.ts
+FROM c, cut
+WHERE epoch_ms(c.ts) <= cut.safe - 600000
+  AND NOT EXISTS (
+    SELECT 1 FROM p
+    WHERE p.user_id = c.user_id
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+  )
+"""
+
+
+@register(
+    "stream_interval_join_full",
+    _SIJOIN_FULL_ORACLE,
+    tags=("streaming", "join", "time"),
+)
+def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.catalog import load_table
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("p_user_id"), F.col("c_user_id")).alias("user_id"),
+        "p_ts",
+        "c_ts",
+    )
+    out = run_to_table(joined, "append")
+    ev_batch = load_table(spark, sf_dir, "events")
+    safe = ev_batch.agg(
+        F.timestamp_micros(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))),
+            )
+            - F.lit((600 + 60) * _US)
+        ).alias("safe")
+    )
+    return (
+        out.crossJoin(safe)
+        .filter(
+            (F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull())
+            | (F.col("click_id").isNull() & (F.col("p_ts") <= F.col("safe")))
+            # click side settles a window-width later (see oracle note)
+            | (
+                F.col("purchase_id").isNull()
+                & (F.col("c_ts") <= F.col("safe") - F.expr("INTERVAL 10 MINUTES"))
+            )
+        )
+        .drop("safe")
+    )
