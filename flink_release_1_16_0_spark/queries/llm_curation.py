@@ -26,7 +26,9 @@ from flink_release_1_16_0_spark.operators.text import (
     sql_quality_score,
     sql_shingles,
     sql_token_count,
+    sql_tokens,
     token_count,
+    tokens,
 )
 from flink_release_1_16_0_spark.queries import register
 
@@ -503,4 +505,62 @@ def curation_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_copies").alias("docs_out"),
         F.sum(F.col("n_copies") * F.col("n_tokens")).alias("tokens_out"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: split every document into fixed-size token
+# chunks with overlap (size 50, stride 40) — the standard preprocessing
+# for sequence training and retrieval indexing. Pure per-row
+# array arithmetic (tokenize once, slice per chunk start) exploded to
+# one row per chunk: no shuffle, embarrassingly parallel, the 1->N row
+# shape Spark's generators pipeline inside whole-stage codegen.
+# --------------------------------------------------------------------------
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {{t}} AS toks FROM documents
+), nonempty AS (
+  SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0
+), chunks AS (
+  SELECT doc_id, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS start
+  FROM nonempty
+)
+SELECT c.doc_id,
+       CAST(c.start / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(t.toks, c.start + 1, c.start + {_CHUNK_SIZE}))
+            AS BIGINT) AS chunk_tokens,
+       array_to_string(
+         list_slice(t.toks, c.start + 1, c.start + {_CHUNK_SIZE}), ' ')
+         AS chunk_text
+FROM chunks c JOIN nonempty t USING (doc_id)
+"""
+
+
+@register(
+    "curation_chunking",
+    _CHUNK_ORACLE.format(t=sql_tokens("text")),
+    tags=("llm", "curation"),
+)
+def curation_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    chunked = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, _CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
     )
