@@ -186,3 +186,73 @@ def similarity_hyperplane_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFram
     emb = load_table(spark, sf_dir, "embeddings")
     q = _queries_df(emb)
     return S.hyperplane_lsh_topk(emb, q, _PLANES, k=5)
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@5 of the hyperplane-LSH tier against
+# the exact brute-force top-5 — the metric every production ANN index
+# is tuned by, computed fully inside the engine (no collect; the two
+# top-k pipelines join on (query, neighbor) and reduce per query).
+# --------------------------------------------------------------------------
+
+_RECALL_K = 5
+
+_RECALL_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {S.sql_hyperplane_bucket('embedding', _PLANES)} AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id % {_QUERY_MOD} = 0
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({S.sql_cosine('e.embedding', 'q.qvec')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+  ) WHERE rank <= {_RECALL_K}
+), approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY ROUND({S.sql_cosine('e.embedding', 'q.qvec')}, 6) DESC,
+                      e.vec_id) AS rank
+    FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+  ) WHERE rank <= {_RECALL_K}
+)
+SELECT x.query_id,
+       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_RECALL_K} AS recall
+FROM exact x
+LEFT JOIN approx a
+  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+"""
+
+
+@register("similarity_lsh_recall", _RECALL_ORACLE, tags=("llm", "similarity"))
+def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_df(emb)
+    exact = S.brute_force_topk(emb, q, k=_RECALL_K).select("query_id", "neighbor_id")
+    approx = S.hyperplane_lsh_topk(emb, q, _PLANES, k=_RECALL_K).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("neighbor_id").alias("a_neighbor_id"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("neighbor_id") == F.col("a_neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor_id").alias("n_hits"),
+            (F.count("a_neighbor_id").cast("double") / _RECALL_K).alias("recall"),
+        )
+    )
