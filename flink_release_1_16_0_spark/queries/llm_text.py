@@ -224,3 +224,34 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average -ln p(token) per doc under the corpus unigram model."""
     docs = load_table(spark, sf_dir, "documents")
     return T.unigram_logprob(docs)
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting: a GPT-2-style pre-tokenizer regex (ASCII
+# simplification — contractions, letter runs, digit runs, punctuation
+# runs, space runs) counted next to the whitespace tokenizer. The
+# pattern is RE2/Java-regex portable, so both engines segment
+# identically; one regexp pass per row, zero shuffle.
+# --------------------------------------------------------------------------
+
+_BPE_PAT = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| +"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PAT.replace("'", "''")}'))
+            AS BIGINT) AS n_bpe_tokens,
+       {T.sql_token_count('text')} AS n_ws_tokens
+FROM documents
+"""
+
+
+@register("text_bpe_token_count", _BPE_ORACLE, tags=("llm", "text"))
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        T.token_count(F.col("text")).alias("n_ws_tokens"),
+    )
