@@ -37,6 +37,7 @@ Architecture notes (Spark-first, not a port):
 
 from __future__ import annotations
 
+import dataclasses
 import re
 import uuid
 from dataclasses import dataclass, field
@@ -1019,12 +1020,52 @@ class TableEnvironment:
         return Table(self.spark.sql(self._rewrite_query(sql)))
 
     def _rewrite_query(self, sql: str) -> str:
-        """Dialect passes: MATCH_RECOGNIZE (materializes the CEP view),
-        event-time FOR SYSTEM_TIME (as-of operator), then windowing
-        TVFs / proc-time FOR SYSTEM_TIME (snapshot join)."""
+        """Dialect passes: dynamic table OPTIONS hints, MATCH_RECOGNIZE
+        (materializes the CEP view), event-time FOR SYSTEM_TIME (as-of
+        operator), then windowing TVFs / proc-time FOR SYSTEM_TIME
+        (snapshot join)."""
+        sql = self._apply_options_hints(sql)
         sql = _translate_match_recognize(self, sql)
         sql = self._translate_event_time_temporal_join(sql)
         return rewrite_window_tvfs(sql)
+
+    # `FROM t /*+ OPTIONS('k'='v', ...) */` — dynamic table options
+    # (FlinkHints.HINT_NAME_OPTIONS, table.dynamic-table-options;
+    # OptionsHintTest.scala): per-query overrides of the catalog
+    # table's WITH options, applied to THIS scan only.
+    _OPTIONS_HINT_RE = re.compile(
+        r"(?P<tbl>[\w.]+)\s*/\*\+\s*OPTIONS\s*\(\s*(?P<kv>[^)]*?)\s*\)\s*\*/",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _apply_options_hints(self, sql: str) -> str:
+        def repl(m: "re.Match[str]") -> str:
+            name = m.group("tbl")
+            table = self._tables.get(name)
+            if table is None:
+                raise ValueError(
+                    f"OPTIONS hint on {name!r}: not a catalog connector table"
+                )
+            overrides = dict(
+                re.findall(r"'([^']*)'\s*=\s*'([^']*)'", m.group("kv"))
+            )
+            hinted = dataclasses.replace(
+                table, options={**table.options, **overrides}
+            )
+            view = f"__opts_{name}_{uuid.uuid4().hex[:8]}"
+            hinted.scan(self.spark, self.streaming).createOrReplaceTempView(view)
+            # alias back to the table name so `t.col` references resolve;
+            # a user alias following the hint (`FROM t /*+...*/ x`) wins
+            tail = sql[m.end():]
+            has_user_alias = re.match(
+                r"\s*(?:AS\s+)?(?!WHERE\b|ON\b|JOIN\b|GROUP\b|ORDER\b|LIMIT\b"
+                r"|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|UNION\b|HAVING\b)\w+",
+                tail,
+                re.IGNORECASE,
+            )
+            return view if has_user_alias else f"{view} {name}"
+
+        return self._OPTIONS_HINT_RE.sub(repl, sql)
 
     # the right-table alias may sit before OR after the FOR SYSTEM_TIME
     # clause (both appear in the reference's docs/tests)

@@ -1081,3 +1081,45 @@ def test_create_function_ddl(tenv):
     assert rows[0]["s"] == "ABC!" and rows[0]["d"] == 42
     names = tenv.execute_sql("SHOW FUNCTIONS").collect()
     assert "py_shout" in names and "py_double_it" in names
+
+
+def test_dynamic_options_hint(tenv, spark, tmp_path):
+    # /*+ OPTIONS('k'='v') */ per-query overrides of the table's WITH
+    # options (FlinkHints.HINT_NAME_OPTIONS; OptionsHintTest.scala).
+    p = tmp_path / "semi.csv"
+    p.write_text("1;a\n2;b\n")
+    tenv.execute_sql(
+        f"""CREATE TABLE semi_t (id INT, v STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{p}',
+            'format' = 'csv', 'sep' = ',')"""
+    )
+    # declared separator is wrong: everything lands in one NULL-ish row
+    base = tenv.sql_query("SELECT * FROM semi_t").to_data_frame().collect()
+    assert all(r["id"] is None or r["v"] is None for r in base)
+    # hint overrides the separator for THIS query only
+    hinted = tenv.sql_query(
+        "SELECT id, v FROM semi_t /*+ OPTIONS('sep'=';') */ WHERE id > 0"
+    ).to_data_frame()
+    assert {(r["id"], r["v"]) for r in hinted.collect()} == {(1, "a"), (2, "b")}
+    # qualified references through the original name still resolve
+    hinted2 = tenv.sql_query(
+        "SELECT semi_t.v FROM semi_t /*+ OPTIONS('sep'=';') */"
+    ).to_data_frame()
+    assert hinted2.count() == 2
+    # the catalog table itself is untouched
+    again = tenv.sql_query("SELECT * FROM semi_t").to_data_frame().collect()
+    assert all(r["id"] is None or r["v"] is None for r in again)
+
+
+def test_dynamic_options_hint_with_user_alias(tenv, spark, tmp_path):
+    p = tmp_path / "semi2.csv"
+    p.write_text("7;x\n")
+    tenv.execute_sql(
+        f"""CREATE TABLE semi2_t (id INT, v STRING) WITH (
+            'connector' = 'filesystem', 'path' = '{p}',
+            'format' = 'csv', 'sep' = ',')"""
+    )
+    out = tenv.sql_query(
+        "SELECT s.id FROM semi2_t /*+ OPTIONS('sep'=';') */ AS s WHERE s.id = 7"
+    ).to_data_frame()
+    assert out.count() == 1
