@@ -175,6 +175,16 @@ class ColumnSpec:
     char_limit: int | None = None
 
 
+# filesystem-connector readable metadata (FileSystemTableSource's
+# SupportsReadingMetadata keys) -> Spark's hidden _metadata struct
+_METADATA_FIELDS = {
+    "file.path": "_metadata.file_path",
+    "file.name": "_metadata.file_name",
+    "file.size": "_metadata.file_size",
+    "file.modification-time": "_metadata.file_modification_time",
+}
+
+
 @dataclass
 class CatalogTable:
     """A connector table created via DDL (CatalogManager equivalent,
@@ -309,6 +319,20 @@ class CatalogTable:
                 "(supported: filesystem, kafka, upsert-kafka, datagen, jdbc)"
             )
         for cname, expr in self.computed:
+            if expr.startswith("@metadata:"):
+                _, key, styp = expr.split(":", 2)
+                fld = _METADATA_FIELDS.get(key)
+                if fld is None:
+                    raise ValueError(
+                        f"unsupported metadata key {key!r} "
+                        f"(supported: {sorted(_METADATA_FIELDS)})"
+                    )
+                if connector != "filesystem":
+                    raise ValueError(
+                        "METADATA columns are supported on filesystem scans"
+                    )
+                df = df.withColumn(cname, F.col(fld).cast(styp))
+                continue
             df = df.withColumn(cname, F.expr(_rewrite_proctime(expr)))
         if changelog_mode == "upsert":
             # upsert source (upsert-kafka semantics): the planner pairs
@@ -627,6 +651,21 @@ def _parse_schema_body(body: str) -> tuple[
             m = re.search(r"PRIMARY\s+KEY\s*\(([^)]*)\)", item, re.IGNORECASE)
             if m:
                 primary_key = [c.strip() for c in m.group(1).split(",")]
+            continue
+        m = re.fullmatch(
+            r"(\w+)\s+(.+?)\s+METADATA(?:\s+FROM\s+'([^']+)')?(?:\s+VIRTUAL)?",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            # METADATA column (SupportsReadingMetadata; filesystem keys
+            # file.path/name/size/modification-time). Carried through
+            # the computed-column channel with a marker expression the
+            # scan translates to Spark's _metadata struct; the key
+            # defaults to the column name (reference behavior).
+            styp, _ = flink_type_to_spark(m.group(2))
+            key = m.group(3) or m.group(1)
+            computed.append((m.group(1), f"@metadata:{key}:{styp}"))
             continue
         m = re.fullmatch(r"(\w+)\s+AS\s+(.+)", item, re.IGNORECASE | re.DOTALL)
         if m and not re.fullmatch(

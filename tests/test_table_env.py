@@ -1123,3 +1123,22 @@ def test_dynamic_options_hint_with_user_alias(tenv, spark, tmp_path):
         "SELECT s.id FROM semi2_t /*+ OPTIONS('sep'=';') */ AS s WHERE s.id = 7"
     ).to_data_frame()
     assert out.count() == 1
+
+
+def test_metadata_columns(tenv, spark, tmp_path):
+    # METADATA columns (SupportsReadingMetadata; FileSystemTableSource
+    # file.* keys) surface Spark's _metadata struct fields.
+    p = tmp_path / "mdata.csv"
+    p.write_text("1,a\n2,b\n")
+    tenv.execute_sql(
+        f"""CREATE TABLE md_t (
+            id INT, v STRING,
+            fname STRING METADATA FROM 'file.name',
+            fsize BIGINT METADATA FROM 'file.size' VIRTUAL
+        ) WITH ('connector' = 'filesystem', 'path' = '{p}',
+                'format' = 'csv')"""
+    )
+    rows = tenv.sql_query("SELECT id, fname, fsize FROM md_t").to_data_frame().collect()
+    assert {r["id"] for r in rows} == {1, 2}
+    assert all(r["fname"] == "mdata.csv" for r in rows)
+    assert all(r["fsize"] == len("1,a\n2,b\n") for r in rows)
