@@ -763,6 +763,10 @@ class Table:
     def group_by(self, keys: str) -> "GroupedTable":
         return GroupedTable(self._df, keys)
 
+    def window(self, window: "GroupWindow") -> "WindowedTable":
+        """Group-window surface (Tumble/Slide/Session classes)."""
+        return WindowedTable(self._df, window)
+
     def distinct(self) -> "Table":
         return Table(self._df.distinct())
 
@@ -836,6 +840,109 @@ class GroupedTable:
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT {exprs} FROM {{t}} GROUP BY {self._keys}", t=self._df
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# Table API group windows (Tumble/Slide/Session classes + Table.window,
+# org.apache.flink.table.api.{Tumble,Slide,Session}; lowered by
+# StreamExecGroupWindowAggregate — here to Spark's window()/
+# session_window() SQL functions, the same lowering as the SQL TVFs)
+# ---------------------------------------------------------------------------
+
+
+def _norm_interval(s: str) -> str:
+    # accept PyFlink-style "10.minutes" as well as "10 minutes"
+    return re.sub(r"^([\d.]+)\.(\w+)$", r"\1 \2", s.strip())
+
+
+class GroupWindow:
+    def __init__(self, kind: str, size: str, slide: str | None = None):
+        self.kind = kind
+        self.size = _norm_interval(size)
+        self.slide = _norm_interval(slide) if slide else None
+        self.time_col: str | None = None
+        self.name: str | None = None
+
+    def every(self, slide: str) -> "GroupWindow":  # Slide.over(size).every(slide)
+        self.slide = _norm_interval(slide)
+        return self
+
+    def on(self, time_col: str) -> "GroupWindow":
+        self.time_col = time_col
+        return self
+
+    def alias(self, name: str) -> "GroupWindow":
+        self.name = name
+        return self
+
+    def sql_expr(self) -> str:
+        if self.time_col is None or self.name is None:
+            raise ValueError("group window needs .on(time_col).alias(name)")
+        if self.kind == "session":
+            return f"session_window({self.time_col}, '{self.size}')"
+        if self.kind == "slide":
+            if not self.slide:
+                raise ValueError("Slide window needs .every(slide)")
+            return f"window({self.time_col}, '{self.size}', '{self.slide}')"
+        return f"window({self.time_col}, '{self.size}')"
+
+
+class Tumble:
+    @staticmethod
+    def over(size: str) -> GroupWindow:
+        return GroupWindow("tumble", size)
+
+
+class Slide:
+    @staticmethod
+    def over(size: str) -> GroupWindow:
+        return GroupWindow("slide", size)
+
+
+class Session:
+    @staticmethod
+    def with_gap(gap: str) -> GroupWindow:
+        return GroupWindow("session", gap)
+
+
+class WindowedTable:
+    def __init__(self, df: DataFrame, window: GroupWindow):
+        self._df = df
+        self._window = window
+
+    def group_by(self, keys: str) -> "WindowGroupedTable":
+        return WindowGroupedTable(self._df, self._window, keys)
+
+
+class WindowGroupedTable:
+    def __init__(self, df: DataFrame, window: GroupWindow, keys: str):
+        self._df = df
+        self._window = window
+        self._keys = [k.strip() for k in keys.split(",")]
+        if window.name not in self._keys:
+            raise ValueError(f"group_by must include the window alias {window.name!r}")
+
+    def select(self, exprs: str) -> Table:
+        w = self._window
+        # window-attribute references: w.start / w.end / w.rowtime
+        # (rowtime = end - 1ms, GroupWindowAggregate's rowtime attr);
+        # Spark names the struct after the generating function
+        col = "session_window" if w.kind == "session" else "window"
+        exprs = re.sub(rf"\b{w.name}\.start\b", f"{col}.start", exprs)
+        exprs = re.sub(rf"\b{w.name}\.end\b", f"{col}.end", exprs)
+        exprs = re.sub(
+            rf"\b{w.name}\.rowtime\b",
+            f"{col}.end - INTERVAL 1 MILLISECOND",
+            exprs,
+        )
+        group = ", ".join(
+            w.sql_expr() if k == w.name else k for k in self._keys
+        )
+        return Table(
+            self._df.sparkSession.sql(
+                f"SELECT {exprs} FROM {{t}} GROUP BY {group}", t=self._df
             )
         )
 

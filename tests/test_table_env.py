@@ -1142,3 +1142,52 @@ def test_metadata_columns(tenv, spark, tmp_path):
     assert {r["id"] for r in rows} == {1, 2}
     assert all(r["fname"] == "mdata.csv" for r in rows)
     assert all(r["fsize"] == len("1,a\n2,b\n") for r in rows)
+
+
+def test_table_api_group_windows(tenv, spark):
+    # Tumble/Slide/Session classes + Table.window (the reference's
+    # org.apache.flink.table.api group-window surface).
+    from flink_release_1_16_0_spark.table_env import Session, Slide, Tumble
+
+    tenv.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from flink_release_1_16_0_spark.catalog import load_table
+
+    load_table(spark, SF, "events").createOrReplaceTempView("events_gw")
+    t = tenv.sql_query("SELECT user_id, ts, value FROM events_gw")
+
+    got = (
+        t.window(Tumble.over("1 hour").on("ts").alias("w"))
+        .group_by("w, user_id")
+        .select("user_id, w.start AS ws, COUNT(1) AS n")
+        .to_data_frame()
+    )
+    exp = spark.sql(
+        "SELECT user_id, window.start AS ws, COUNT(1) AS n FROM events_gw "
+        "GROUP BY window(ts, '1 hour'), user_id"
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # sliding window; accepts PyFlink-style "2.hours" interval spelling
+    slid = (
+        t.window(Slide.over("2.hours").every("1 hour").on("ts").alias("w"))
+        .group_by("w")
+        .select("w.start AS ws, COUNT(1) AS n")
+        .to_data_frame()
+    )
+    exp2 = spark.sql(
+        "SELECT window.start AS ws, COUNT(1) AS n FROM events_gw "
+        "GROUP BY window(ts, '2 hours', '1 hour')"
+    )
+    assert slid.exceptAll(exp2).count() == 0 and exp2.exceptAll(slid).count() == 0
+
+    ses = (
+        t.window(Session.with_gap("30 minutes").on("ts").alias("w"))
+        .group_by("w, user_id")
+        .select("user_id, w.rowtime AS rt, COUNT(1) AS n")
+        .to_data_frame()
+    )
+    exp3 = spark.sql(
+        "SELECT user_id, session_window.end - INTERVAL 1 MILLISECOND AS rt, COUNT(1) AS n "
+        "FROM events_gw GROUP BY session_window(ts, '30 minutes'), user_id"
+    )
+    assert ses.exceptAll(exp3).count() == 0 and exp3.exceptAll(ses).count() == 0
