@@ -767,6 +767,10 @@ class Table:
         """Group-window surface (Tumble/Slide/Session classes)."""
         return WindowedTable(self._df, window)
 
+    def over_window(self, *windows: "OverWindow") -> "OverWindowedTable":
+        """Over-window surface (Over.partition_by(...).order_by(...))."""
+        return OverWindowedTable(self._df, windows)
+
     def distinct(self) -> "Table":
         return Table(self._df.distinct())
 
@@ -889,6 +893,87 @@ class GroupWindow:
         return f"window({self.time_col}, '{self.size}')"
 
 
+class OverWindow:
+    """Table API over-window spec (org.apache.flink.table.api.Over;
+    lowered to a SQL WINDOW clause — BatchExecOverAggregate /
+    StreamExecOverAggregate frames)."""
+
+    def __init__(self):
+        self.partition: str | None = None
+        self.order: str | None = None
+        self.prec: str = "UNBOUNDED_RANGE"
+        self.foll: str | None = None
+        self.name: str | None = None
+
+    def partition_by(self, cols: str) -> "OverWindow":
+        self.partition = cols
+        return self
+
+    def order_by(self, cols: str) -> "OverWindow":
+        self.order = cols
+        return self
+
+    def preceding(self, bound: str) -> "OverWindow":
+        self.prec = bound
+        return self
+
+    def following(self, bound: str) -> "OverWindow":
+        self.foll = bound
+        return self
+
+    def alias(self, name: str) -> "OverWindow":
+        self.name = name
+        return self
+
+    @staticmethod
+    def _bound(spec: str, side: str) -> tuple[str, str]:
+        """Flink bound spelling -> (frame unit, SQL bound)."""
+        s = _norm_interval(spec).strip()
+        up = s.upper()
+        if up == "UNBOUNDED_RANGE":
+            return "RANGE", f"UNBOUNDED {side}"
+        if up == "UNBOUNDED_ROW":
+            return "ROWS", f"UNBOUNDED {side}"
+        if up == "CURRENT_RANGE":
+            return "RANGE", "CURRENT ROW"
+        if up == "CURRENT_ROW":
+            return "ROWS", "CURRENT ROW"
+        m = re.fullmatch(r"(\d+)\s+rows?", s, re.IGNORECASE)
+        if m:
+            return "ROWS", f"{m.group(1)} {side}"
+        m = re.fullmatch(r"([\d.]+)\s+(\w+?)s?", s, re.IGNORECASE)
+        if m:
+            return "RANGE", f"INTERVAL '{m.group(1)}' {m.group(2).upper()} {side}"
+        raise ValueError(f"unsupported over-window bound {spec!r}")
+
+    def sql_clause(self) -> str:
+        if self.order is None or self.name is None:
+            raise ValueError("over window needs .order_by(...).alias(name)")
+        unit, lo = self._bound(self.prec, "PRECEDING")
+        if self.foll is None:
+            hi = "CURRENT ROW"
+        else:
+            unit2, hi = self._bound(self.foll, "FOLLOWING")
+            if unit2 != unit:
+                raise ValueError("preceding/following must agree on ROWS vs RANGE")
+        parts = []
+        if self.partition:
+            parts.append(f"PARTITION BY {self.partition}")
+        parts.append(f"ORDER BY {self.order}")
+        parts.append(f"{unit} BETWEEN {lo} AND {hi}")
+        return f"{self.name} AS ({' '.join(parts)})"
+
+
+class Over:
+    @staticmethod
+    def partition_by(cols: str) -> OverWindow:
+        return OverWindow().partition_by(cols)
+
+    @staticmethod
+    def order_by(cols: str) -> OverWindow:
+        return OverWindow().order_by(cols)
+
+
 class Tumble:
     @staticmethod
     def over(size: str) -> GroupWindow:
@@ -905,6 +990,20 @@ class Session:
     @staticmethod
     def with_gap(gap: str) -> GroupWindow:
         return GroupWindow("session", gap)
+
+
+class OverWindowedTable:
+    def __init__(self, df: DataFrame, windows: tuple["OverWindow", ...]):
+        self._df = df
+        self._windows = windows
+
+    def select(self, exprs: str) -> Table:
+        clause = ", ".join(w.sql_clause() for w in self._windows)
+        return Table(
+            self._df.sparkSession.sql(
+                f"SELECT {exprs} FROM {{t}} WINDOW {clause}", t=self._df
+            )
+        )
 
 
 class WindowedTable:

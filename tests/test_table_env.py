@@ -1191,3 +1191,44 @@ def test_table_api_group_windows(tenv, spark):
         "FROM events_gw GROUP BY session_window(ts, '30 minutes'), user_id"
     )
     assert ses.exceptAll(exp3).count() == 0 and exp3.exceptAll(ses).count() == 0
+
+
+def test_table_api_over_windows(tenv, spark):
+    # Over.partition_by/order_by + preceding/following bounds
+    # (org.apache.flink.table.api.Over) -> SQL WINDOW clause.
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.table_env import Over
+
+    load_table(spark, SF, "events").createOrReplaceTempView("events_ow")
+    t = tenv.sql_query("SELECT user_id, ts, event_id, value FROM events_ow")
+
+    got = (
+        t.over_window(
+            Over.partition_by("user_id").order_by("ts, event_id").alias("w")
+        )
+        .select("user_id, event_id, COUNT(1) OVER w AS running_n")
+        .to_data_frame()
+    )
+    exp = spark.sql(
+        "SELECT user_id, event_id, COUNT(1) OVER w AS running_n FROM events_ow "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    rows3 = (
+        t.over_window(
+            Over.partition_by("user_id")
+            .order_by("ts, event_id")
+            .preceding("2.rows")
+            .alias("w")
+        )
+        .select("user_id, event_id, COUNT(1) OVER w AS n3")
+        .to_data_frame()
+    )
+    exp3 = spark.sql(
+        "SELECT user_id, event_id, COUNT(1) OVER w AS n3 FROM events_ow "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
+    assert rows3.exceptAll(exp3).count() == 0 and exp3.exceptAll(rows3).count() == 0
