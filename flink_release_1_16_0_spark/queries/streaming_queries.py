@@ -945,3 +945,49 @@ def stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("safe")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming RANGE-bounded-preceding over-agg
+# (RowTimeRangeBoundedPrecedingFunction): per user, SUM/COUNT over the
+# trailing 30-minute event-time window; peers (equal ts) share a frame.
+# Oracle = the batch RANGE frame under the settled-region cutoff.
+# --------------------------------------------------------------------------
+
+_SOVER_RANGE_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events)
+SELECT user_id, event_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+       CAST(SUM(CAST(value AS DECIMAL(38,2))) OVER w AS DOUBLE) AS win_sum
+FROM events, cut
+WHERE epoch_ms(ts) <= cut.wm
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "stream_over_range_event_time",
+    _SOVER_RANGE_ORACLE,
+    tags=("streaming", "over", "time"),
+)
+def stream_over_range_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_over_range_event_time,
+    )
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "10 minutes")
+    )
+    return run_to_table(
+        streaming_over_range_event_time(
+            ev,
+            keys=["user_id"],
+            value_col="value",
+            id_col="event_id",
+            bound_ms=30 * 60 * 1000,
+        ),
+        "update",
+    )

@@ -1037,3 +1037,113 @@ def streaming_over_rows_unbounded(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_over_range_event_time(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    ts_col: str = "ts",
+    bound_ms: int = 600_000,
+) -> DataFrame:
+    """Rowtime RANGE-bounded-preceding OVER aggregation
+    (RowTimeRangeBoundedPrecedingFunction.java): for each row, SUM/COUNT
+    over the key's rows with event time in [ts - bound, ts]. RANGE
+    semantics: peer rows (equal ts) share one frame, so every peer sees
+    the aggregate including all peers.
+
+    Same watermark discipline as streaming_over_rows_event_time: rows
+    buffer until the watermark passes them, finalize in (ts, id) order,
+    late rows drop. State additionally retains the finalized rows still
+    inside the bound window of the watermark (the reference's cleanup:
+    a retired row can never re-enter a future frame because future rows
+    only have later timestamps); everything older is evicted — state is
+    O(rows per bound window), not O(stream).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType as ST,
+    )
+
+    key_fields = [stream.schema[k] for k in keys]
+    id_field = stream.schema[id_col]
+    ts_field = stream.schema[ts_col]
+    out_schema = ST(
+        [
+            *key_fields,
+            id_field,
+            ts_field,
+            StructField("win_n", LongType()),
+            StructField("win_sum", DoubleType()),
+        ]
+    )
+    row_schema = ST([ts_field, id_field, StructField("v", DoubleType())])
+    state_schema = ST(
+        [
+            StructField("pending", ArrayType(row_schema)),
+            StructField("window", ArrayType(row_schema)),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def ms(t):
+            return pd.Timestamp(t).value // 1_000_000
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            pending, window = state.get
+            pending = [(pd.Timestamp(p[0]), p[1], p[2]) for p in (pending or [])]
+            window = [(pd.Timestamp(p[0]), p[1], p[2]) for p in (window or [])]
+        else:
+            pending, window = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                if ms(t) <= wm:
+                    continue  # late: dropped (allowed lateness 0)
+                pending.append((pd.Timestamp(t), int(i), float(v)))
+        ready = sorted(
+            (p for p in pending if ms(p[0]) <= wm), key=lambda p: (p[0], p[1])
+        )
+        pending = [p for p in pending if ms(p[0]) > wm]
+        out = []
+        j = 0
+        while j < len(ready):
+            # peer group: all ready rows with this exact timestamp
+            t = ready[j][0]
+            peers = []
+            while j < len(ready) and ready[j][0] == t:
+                peers.append(ready[j])
+                j += 1
+            window.extend(peers)
+            lo = ms(t) - bound_ms
+            window = [w for w in window if ms(w[0]) >= lo]
+            n = len(window)
+            cents = sum(int(round(w[2] * 100)) for w in window)
+            for _t, i, _v in peers:
+                out.append((*key, i, t, n, cents / 100.0))
+        # retire rows that can never re-enter a frame: future finalized
+        # rows have ts > wm, so their frames start after wm - bound
+        window = [w for w in window if ms(w[0]) >= wm - bound_ms]
+        state.update((pending, window))
+        if pending:
+            state.setTimeoutTimestamp(min(ms(p[0]) for p in pending) + 1)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[*keys, id_col, ts_col, "win_n", "win_sum"]
+            )
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
