@@ -991,3 +991,37 @@ def stream_over_range_event_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "update",
     )
+
+
+# --------------------------------------------------------------------------
+# streaming sort-limit (StreamExecSortLimit / AppendOnlyFirstNFunction):
+# the first 100 events in exact event-time order — the temporal sort's
+# emission counter IS the rank, so LIMIT = a filter on it. Emission is
+# watermark-gated, so only the settled region is asserted.
+# --------------------------------------------------------------------------
+
+_SLIMIT_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events)
+SELECT user_id, ts, event_id, emit_seq FROM (
+  SELECT user_id, ts, event_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) AS BIGINT) AS emit_seq
+  FROM events, cut
+  WHERE epoch_ms(ts) <= cut.wm
+) WHERE emit_seq <= 100
+"""
+
+
+@register("stream_sort_limit", _SLIMIT_ORACLE, tags=("streaming", "sort"))
+def stream_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_temporal_sort
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .withWatermark("ts", "10 minutes")
+    )
+    out = run_to_table(
+        streaming_temporal_sort(ev, order_cols=["ts", "event_id"]),
+        "update",
+    )
+    return out.filter(F.col("emit_seq") <= 100)
