@@ -1025,3 +1025,30 @@ def stream_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
     )
     return out.filter(F.col("emit_seq") <= 100)
+
+
+# --------------------------------------------------------------------------
+# streaming distinct agg (GroupAggFunction's DistinctViewDataView):
+# COUNT(DISTINCT user) per event type — unsupported natively by
+# Structured Streaming, held as a keyed seen-set here. Emissions grow
+# monotonically, so the converged state is the per-key max.
+# --------------------------------------------------------------------------
+
+_SDISTINCT_ORACLE = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_distinct_agg", _SDISTINCT_ORACLE, tags=("streaming", "agg"))
+def stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_distinct_count,
+    )
+
+    ev = replay_stream(spark, sf_dir, "events").select("event_type", "user_id")
+    out = run_to_table(
+        streaming_distinct_count(ev, keys=["event_type"], distinct_col="user_id"),
+        "update",
+    )
+    return out.groupBy("event_type").agg(F.max("n_distinct").alias("n_distinct"))

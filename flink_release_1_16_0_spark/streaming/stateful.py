@@ -1147,3 +1147,46 @@ def streaming_over_range_event_time(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_distinct_count(
+    stream: DataFrame,
+    keys: Sequence[str],
+    distinct_col: str,
+) -> DataFrame:
+    """Streaming COUNT(DISTINCT x) per key — an aggregation Structured
+    Streaming rejects outright but the reference supports via its
+    distinct state view (DistinctViewDataView backing
+    GroupAggFunction's distinct accumulators). Keyed state = the set of
+    seen values (the exact content of Flink's MapState view; O(ndv per
+    key), the same bound the reference pays); each batch emits the
+    updated count, which grows monotonically to the batch-dual answer.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType as ST,
+    )
+
+    key_fields = [stream.schema[k] for k in keys]
+    val_field = stream.schema[distinct_col]
+    out_schema = ST([*key_fields, StructField("n_distinct", LongType())])
+    state_schema = ST([StructField("seen", ArrayType(val_field.dataType))])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0] or []) if state.exists else set()
+        for pdf in pdfs:
+            seen.update(pdf[distinct_col].dropna().tolist())
+        state.update((list(seen),))
+        yield pd.DataFrame([(*key, len(seen))], columns=[*keys, "n_distinct"])
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
