@@ -440,3 +440,51 @@ def format_debezium_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         envelopes, "value", "event_id BIGINT, user_id BIGINT, value DOUBLE"
     )
     return decoded.withColumnRenamed("__rowkind", "rowkind")
+
+
+# --------------------------------------------------------------------------
+# retractable MIN/MAX (Min/MaxWithRetractAggFunction): extrema per
+# priority over the changelog — deletes can RAISE the min / LOWER the
+# max, which plain streaming min/max cannot express; the operator's
+# multiset state converges independent of batch slicing.
+# --------------------------------------------------------------------------
+
+_RETRACT_MINMAX_ORACLE = f"""
+WITH log AS ({_LOG_SQL}),
+net AS (
+  SELECT o_orderpriority, o_totalprice,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS m
+  FROM log
+  GROUP BY o_orderpriority, o_totalprice
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) > 0
+)
+SELECT o_orderpriority,
+       CAST(SUM(m) AS BIGINT) AS n_live,
+       MIN(o_totalprice) AS min_v,
+       MAX(o_totalprice) AS max_v
+FROM net GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "stream_retract_minmax", _RETRACT_MINMAX_ORACLE, tags=("changelog", "streaming", "agg")
+)
+def stream_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_retracting_minmax,
+    )
+
+    log = _orders_changelog_df(replay_stream(spark, sf_dir, "orders")).select(
+        C.ROWKIND, "o_orderpriority", "o_totalprice"
+    )
+    out = run_to_table(
+        streaming_retracting_minmax(
+            log, keys=["o_orderpriority"], value_col="o_totalprice"
+        ),
+        "update",
+    )
+    final = out.groupBy("o_orderpriority").agg(
+        F.max(F.struct("version", "n_live", "min_v", "max_v")).alias("s")
+    )
+    return final.select("o_orderpriority", "s.n_live", "s.min_v", "s.max_v")

