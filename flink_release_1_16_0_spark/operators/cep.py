@@ -111,37 +111,46 @@ def match_regex_pattern(
         ids = pdf["__id"].tolist()
         rows = []
         keyvals = [pdf.iloc[0][k] for k in keys]
-        if within_ms is None:
-            ts_ns = bound_ns = None
-        else:
-            # normalize to int64 ns regardless of pandas unit/tz flavor
-            ts_ns = pdf["__ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
-            bound_ns = within_ms * 1_000_000
-
-        def scan():
-            s = 0
-            while s < len(sym):
-                if ts_ns is None:
-                    m = rx.match(sym, s)
-                else:
-                    # last index still inside the WITHIN window from s
-                    e_max = int(ts_ns.searchsorted(ts_ns[s] + bound_ns, "right"))
-                    m = rx.match(sym[:e_max], s)
-                if m and m.end() > m.start():
-                    yield (m.start(), m.end())
-                    # AFTER MATCH SKIP PAST LAST ROW vs SKIP TO NEXT ROW
-                    s = m.end() if skip == "past_last_row" else s + 1
-                else:
-                    s += 1
-
-        matches = scan()
-        for m_no, (ms, me) in enumerate(matches):
+        for m_no, m in enumerate(
+            _scan_matches(rx, sym, pdf["__ts"], within_ms, skip)
+        ):
+            ms, me = m.start(), m.end()
             rows.append((*keyvals, m_no, ids[ms], ids[me - 1], me - ms))
         return pd.DataFrame(
             rows, columns=[*keys, "match_no", "start_id", "end_id", "n_rows"]
         )
 
     return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+
+
+def _scan_matches(rx, sym, ts_series, within_ms, skip="past_last_row"):
+    """Anchored leftmost-greedy match scan shared by the regex tiers.
+
+    Yields re.Match objects (spans index into the full symbol string).
+    ``within_ms`` truncates each anchored attempt's window to the rows
+    inside the WITHIN interval from the start row (NFA timeout pruning);
+    ``skip`` selects the AFTER MATCH strategy.
+    """
+    if within_ms is None:
+        ts_ns = bound_ns = None
+    else:
+        # normalize to int64 ns regardless of pandas unit/tz flavor
+        ts_ns = ts_series.to_numpy(dtype="datetime64[ns]").astype("int64")
+        bound_ns = within_ms * 1_000_000
+    s = 0
+    while s < len(sym):
+        if ts_ns is None:
+            m = rx.match(sym, s)
+        else:
+            # last index still inside the WITHIN window from s
+            e_max = int(ts_ns.searchsorted(ts_ns[s] + bound_ns, "right"))
+            m = rx.match(sym[:e_max], s)
+        if m and m.end() > m.start():
+            yield m
+            # AFTER MATCH SKIP PAST LAST ROW vs SKIP TO NEXT ROW
+            s = m.end() if skip == "past_last_row" else s + 1
+        else:
+            s += 1
 
 
 # ---------------------------------------------------------------------------
@@ -184,6 +193,8 @@ def match_regex_measures(
     measures: dict[str, tuple[str, str, str, str]],
     value_cols: Sequence[str] = (),
     grid_scale: int | None = None,
+    within_ms: int | None = None,
+    skip: str = "past_last_row",
 ) -> DataFrame:
     """Regex-tier pattern matching with per-variable MEASURES
     (StreamExecMatch.java MEASURES clause; MATCH_RECOGNIZE
@@ -222,9 +233,10 @@ def match_regex_measures(
         sym = "".join(pdf["__sym"].tolist())
         rows = []
         keyvals = [pdf.iloc[0][k] for k in keys]
-        for m_no, m in enumerate(re.finditer(pattern, sym)):
-            if m.end() == m.start():
-                continue
+        rx = re.compile(pattern)
+        for m_no, m in enumerate(
+            _scan_matches(rx, sym, pdf["__ts"], within_ms, skip)
+        ):
             vals = []
             for _alias, (var, agg, col, _t) in measures.items():
                 s, e = m.span(var)
@@ -247,6 +259,8 @@ def match_regex_all_rows(
     measures: dict[str, tuple[str, str, str, str]],
     value_cols: Sequence[str] = (),
     grid_scale: int | None = None,
+    within_ms: int | None = None,
+    skip: str = "past_last_row",
 ) -> DataFrame:
     """ALL ROWS PER MATCH tier: one output row per matched EVENT with
     RUNNING measure semantics (CepOperator.java:82 emitting per-row,
@@ -292,9 +306,8 @@ def match_regex_all_rows(
         out = []
         keyvals = [pdf.iloc[0][k] for k in keys]
         m_no = 0
-        for m in re.finditer(pattern, sym):
-            if m.end() == m.start():
-                continue
+        rx = re.compile(pattern)
+        for m in _scan_matches(rx, sym, pdf["__ts"], within_ms, skip):
             spans = {v: m.span(v) for v in m.re.groupindex}
             for r in range(m.start(), m.end()):
                 row = pdf.iloc[r]

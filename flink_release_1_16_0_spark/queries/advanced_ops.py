@@ -638,3 +638,37 @@ def cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.sum("n_rows").cast("bigint").alias("matched_rows"),
     )
+
+
+@register("api_sql_match_within", _CEP_WITHIN_ORACLE, tags=("cep", "match", "api", "sql"))
+def api_sql_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cep_within pattern expressed through the MATCH_RECOGNIZE SQL
+    clause with PATTERN ... WITHIN INTERVAL — the translator threads the
+    timeout into the regex tier; same relational oracle as cep_within."""
+    from flink_release_1_16_0_spark.catalog import register_tables
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    register_tables(spark, sf_dir, ("events",))
+    tenv = TableEnvironment.create(spark)
+    matches = tenv.sql_query(
+        """
+        SELECT user_id, n_clicks, n_p
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(C.event_id) AS n_clicks, COUNT(P.event_id) AS n_p
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (C+ P) WITHIN INTERVAL '12' HOUR
+          DEFINE
+            C AS C.event_type = 'click',
+            P AS P.event_type = 'purchase'
+        ) AS m
+        """
+    ).to_data_frame().select(
+        "user_id", (F.col("n_clicks") + F.col("n_p")).alias("n_rows")
+    )
+    return matches.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("n_rows").cast("bigint").alias("matched_rows"),
+    )

@@ -481,3 +481,28 @@ def agg_distinct_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("o_orderpriority").agg(
         F.sum("pn").alias("n_custs"), F.sum("pc").alias("n_orders")
     )
+
+
+# --------------------------------------------------------------------------
+# FILTER (WHERE ...) clauses on aggregates (Calcite/Flink SQL surface;
+# planned as conditional accumulation, the same Expand-free shape as
+# CASE-pivoting but declared declaratively)
+# --------------------------------------------------------------------------
+
+_FILTER_CLAUSE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+       CAST(COUNT(*) FILTER (WHERE l_quantity <= 25) AS BIGINT) AS n_small,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2)))
+            FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS rev_discounted
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_filter_clause", _FILTER_CLAUSE_ORACLE, tags=("agg",))
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(_FILTER_CLAUSE_ORACLE)

@@ -1785,10 +1785,11 @@ def _parse_match_recognize_body(body: str) -> dict:
         sections[name] = body[e:nxt].strip().rstrip(",").strip()
     if "pattern" not in sections or "define" not in sections:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
-    if "after_match" in sections and "TO" in body.upper().split("SKIP", 1)[-1][:40]:
+    tail = body.upper().split("SKIP", 1)[-1][:40] if "after_match" in sections else ""
+    if "TO" in tail and not re.search(r"TO\s+NEXT\s+ROW", body, re.IGNORECASE):
         raise NotImplementedError(
-            "only AFTER MATCH SKIP PAST LAST ROW is supported "
-            "(the reference's default; matches are non-overlapping)"
+            "AFTER MATCH SKIP supports PAST LAST ROW (default) and "
+            "TO NEXT ROW; SKIP TO [FIRST|LAST] <var> is not implemented"
         )
     return sections
 
@@ -1839,6 +1840,26 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     id_col = order_cols[1] if len(order_cols) > 1 else ts_col
 
     pat = sec["pattern"].strip()
+    # PATTERN (...) WITHIN INTERVAL 'n' UNIT (Pattern.within / NFA
+    # timeout pruning; CepOperator's within handling)
+    within_ms = None
+    wm_m = re.search(r"WITHIN\s+INTERVAL\s+'([\d.]+)'\s+(\w+)", pat, re.IGNORECASE)
+    if wm_m:
+        unit_ms = {
+            "SECOND": 1000,
+            "MINUTE": 60_000,
+            "HOUR": 3_600_000,
+            "DAY": 86_400_000,
+        }.get(wm_m.group(2).upper().rstrip("S"))
+        if unit_ms is None:
+            raise ValueError(f"unsupported WITHIN unit {wm_m.group(2)!r}")
+        within_ms = int(float(wm_m.group(1)) * unit_ms)
+        pat = pat[: wm_m.start()].strip()
+    skip_strategy = (
+        "to_next_row"
+        if re.search(r"SKIP\s+TO\s+NEXT\s+ROW", body, re.IGNORECASE)
+        else "past_last_row"
+    )
     if pat.startswith("(") and pat.endswith(")"):
         pat = pat[1:-1].strip()
     tokens = re.findall(r"(\w+)\s*([+*?]\??|\{\d+(?:,\d*)?\}\??)?", pat)
@@ -1920,6 +1941,8 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
         measures=measures,
         value_cols=[c for c in value_cols if c not in (ts_col, id_col)],
         grid_scale=int(sum_scale) if sum_scale else None,
+        within_ms=within_ms,
+        skip=skip_strategy,
     )
     if not all_rows:
         out = out.drop("match_no")
