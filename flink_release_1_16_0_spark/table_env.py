@@ -1110,6 +1110,10 @@ class TableEnvironment:
         # the session conf, table.* keys are recorded for introspection
         self._config: dict[str, str] = {}
         self._config_originals: dict[str, str | None] = {}
+        # temporal table functions: name -> (history view, time attr,
+        # primary key cols) — TemporalTableFunction, the pre-FLIP-132
+        # versioned-join surface (Table.createTemporalTableFunction)
+        self._temporal_fns: dict[str, tuple[str, str, list[str]]] = {}
         # Flink-spelled SQL functions (SPLIT_INDEX, IS_DIGIT, ...) become
         # SQL scalar UDFs — JVM-side, inlined into the Catalyst plan
         register_sql_functions(spark)
@@ -1266,13 +1270,77 @@ class TableEnvironment:
 
     def _rewrite_query(self, sql: str) -> str:
         """Dialect passes: dynamic table OPTIONS hints, MATCH_RECOGNIZE
-        (materializes the CEP view), event-time FOR SYSTEM_TIME (as-of
-        operator), then windowing TVFs / proc-time FOR SYSTEM_TIME
-        (snapshot join)."""
+        (materializes the CEP view), temporal table functions (LATERAL
+        TABLE), event-time FOR SYSTEM_TIME (as-of operator), then
+        windowing TVFs / proc-time FOR SYSTEM_TIME (snapshot join)."""
         sql = self._apply_options_hints(sql)
         sql = _translate_match_recognize(self, sql)
+        sql = self._translate_lateral_temporal(sql)
         sql = self._translate_event_time_temporal_join(sql)
         return rewrite_window_tvfs(sql)
+
+    def register_temporal_table_function(
+        self, name: str, history_table: str, time_attr: str, primary_key: str
+    ) -> None:
+        """Register a temporal table function over a versioned history
+        table (Table.createTemporalTableFunction + registerFunction —
+        the pre-FLIP-132 surface for `LATERAL TABLE (Rates(o.rowtime))`
+        joins; TemporalTableFunctionImpl.java). ``primary_key`` columns
+        must exist under the same names on both join inputs."""
+        self._temporal_fns[name] = (
+            history_table,
+            time_attr,
+            [c.strip() for c in primary_key.split(",")],
+        )
+
+    _LATERAL_TEMPORAL_RE = re.compile(
+        r"FROM\s+(?P<lt>[\w.]+)\s+(?:AS\s+)?(?P<la>\w+)\s*,\s*"
+        r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*(?P<ala>\w+)\.(?P<acol>\w+)\s*\)\s*\)\s*"
+        r"(?:AS\s+)?(?P<ra>\w+)?",
+        re.IGNORECASE,
+    )
+
+    def _translate_lateral_temporal(self, sql: str) -> str:
+        """`FROM t o, LATERAL TABLE (Fn(o.rowtime)) r WHERE o.k = r.k`
+        -> as-of join of t against the function's history table at the
+        row's time (TemporalRowTimeJoinOperator semantics; the WHERE
+        equality on the function's primary key is the join key and is
+        consumed by the rewrite)."""
+        m = self._LATERAL_TEMPORAL_RE.search(sql)
+        if not m or m.group("fn") not in self._temporal_fns:
+            return sql
+        history, time_attr, pk = self._temporal_fns[m.group("fn")]
+        if m.group("ala") != m.group("la"):
+            raise ValueError("LATERAL TABLE argument must reference the left input")
+        ra = m.group("ra") or m.group("fn")
+        from flink_release_1_16_0_spark.operators.asof import asof_join
+
+        joined = asof_join(
+            self.spark.table(m.group("lt")),
+            self.spark.table(history),
+            on=pk,
+            left_ts=m.group("acol"),
+            right_ts=time_attr,
+        ).filter(F.col("__asof_ts").isNotNull())
+        view = f"__lateral_temporal_{uuid.uuid4().hex[:8]}"
+        joined.createOrReplaceTempView(view)
+        out = sql[: m.start()] + f"FROM {view}" + sql[m.end():]
+        # consume the WHERE equality on the primary key (now the join key)
+        for col in pk:
+            eq = rf"{m.group('la')}\.{col}\s*=\s*{ra}\.{col}"
+            # WHERE <eq> AND ...  ->  WHERE ...
+            out = re.sub(rf"(WHERE\s+){eq}\s+AND\s+", r"\1", out, flags=re.IGNORECASE)
+            # ... AND <eq>  ->  ...
+            out = re.sub(rf"\s+AND\s+{eq}\b", "", out, flags=re.IGNORECASE)
+            # WHERE <eq> (alone)  ->  (gone)
+            out = re.sub(rf"WHERE\s+{eq}\s*", "", out, flags=re.IGNORECASE)
+        out = re.sub(rf"\b{ra}\.{time_attr}\b", "__asof_ts", out, flags=re.IGNORECASE)
+        out = re.sub(
+            rf"\b(?:{m.group('la')}|{ra})\.", "", out, flags=re.IGNORECASE
+        )
+        # a WHERE whose only conjunct was consumed leaves a dangling tail
+        out = re.sub(r"WHERE\s*(GROUP\s+BY|ORDER\s+BY|LIMIT|$)", r"\1", out, flags=re.IGNORECASE)
+        return self._translate_lateral_temporal(out)
 
     # `FROM t /*+ OPTIONS('k'='v', ...) */` — dynamic table options
     # (FlinkHints.HINT_NAME_OPTIONS, table.dynamic-table-options;

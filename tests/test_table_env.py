@@ -1232,3 +1232,38 @@ def test_table_api_over_windows(tenv, spark):
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
     )
     assert rows3.exceptAll(exp3).count() == 0 and exp3.exceptAll(rows3).count() == 0
+
+
+def test_lateral_temporal_table_function(tenv, spark):
+    # LATERAL TABLE (Rates(o.rowtime)) — the pre-FLIP-132 temporal
+    # table function surface (TemporalTableFunctionImpl), lowered
+    # through the as-of join operator.
+    import datetime as dt
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    rates = spark.createDataFrame(
+        [("EUR", t(0), 1.0), ("EUR", t(2), 2.0), ("USD", t(0), 7.0)],
+        "currency string, r_time timestamp, rate double",
+    )
+    orders = spark.createDataFrame(
+        [(1, "EUR", t(1), 10.0), (2, "EUR", t(3), 10.0), (3, "USD", t(1), 10.0)],
+        "o_id bigint, currency string, o_time timestamp, amount double",
+    )
+    rates.createOrReplaceTempView("rates_hist")
+    orders.createOrReplaceTempView("orders_t")
+    tenv.register_temporal_table_function(
+        "Rates", "rates_hist", time_attr="r_time", primary_key="currency"
+    )
+    rows = tenv.sql_query(
+        """
+        SELECT o.o_id, o.amount * r.rate AS converted
+        FROM orders_t o, LATERAL TABLE (Rates(o.o_time)) AS r
+        WHERE o.currency = r.currency
+        """
+    ).to_data_frame().collect()
+    got = {(r["o_id"], r["converted"]) for r in rows}
+    # order 1 at 01:00 sees the 00:00 EUR rate (1.0); order 2 at 03:00
+    # the 02:00 rate (2.0); order 3 the USD rate (7.0)
+    assert got == {(1, 10.0), (2, 20.0), (3, 70.0)}
