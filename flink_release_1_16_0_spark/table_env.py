@@ -38,6 +38,7 @@ Architecture notes (Spark-first, not a port):
 from __future__ import annotations
 
 import dataclasses
+import os
 import re
 import uuid
 from dataclasses import dataclass, field
@@ -793,6 +794,16 @@ class Table:
     def full_outer_join(self, right: "Table", on: str) -> "Table":
         return self.join(right, on, "FULL OUTER")
 
+    def join_lateral(self, udtf_expr: str, alias: str = "t") -> "Table":
+        """Fluent lateral UDTF apply (OperationTreeBuilder.joinLateral):
+        ``t.join_lateral("explode(split(s, ',')) AS word")`` — each left
+        row joined to the rows its table-function call produces."""
+        parts = re.split(r"\s+AS\s+", udtf_expr, maxsplit=1, flags=re.IGNORECASE)
+        clause = f"LATERAL VIEW {parts[0]} {alias}"
+        if len(parts) == 2:
+            clause += f" AS {parts[1]}"
+        return self._sql(f"SELECT * FROM {{t}} {clause}")
+
     def union_all(self, other: "Table") -> "Table":
         return Table(self._df.unionAll(other._df))
 
@@ -1051,8 +1062,10 @@ class WindowGroupedTable:
 # ---------------------------------------------------------------------------
 
 _CREATE_TABLE_RE = re.compile(
+    # body is lazy so an optional PARTITIONED BY clause between the
+    # schema and WITH is not swallowed into the column list
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"(?P<name>[\w.]+)\s*\((?P<body>.*)\)\s*"
+    r"(?P<name>[\w.]+)\s*\((?P<body>.*?)\)\s*"
     r"(?:COMMENT\s+'[^']*'\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
     r"WITH\s*\((?P<opts>.*)\)\s*",
@@ -1240,6 +1253,28 @@ class TableEnvironment:
             return TableResult(
                 rows=sorted(f.name for f in self.spark.catalog.listFunctions())
             )
+        if up.startswith("SHOW PARTITIONS"):
+            # SHOW PARTITIONS t (Parser.tdd SqlShowPartitions; filesystem
+            # connector partition discovery): list partition-value dirs
+            # of a PARTITIONED BY table, hive-style `col=value` paths.
+            name = stmt.split()[-1]
+            t = self._tables.get(name)
+            if t is None or not t.partitioned_by:
+                raise ValueError(f"{name!r} is not a partitioned catalog table")
+            base = t.options.get("path")
+            parts = []
+
+            def walk(d: str, depth: int, prefix: str):
+                if depth == len(t.partitioned_by):
+                    parts.append(prefix.rstrip("/"))
+                    return
+                for e in sorted(os.listdir(d)):
+                    if "=" in e and os.path.isdir(os.path.join(d, e)):
+                        walk(os.path.join(d, e), depth + 1, prefix + e + "/")
+
+            if base and os.path.isdir(base):
+                walk(base, 0, "")
+            return TableResult(rows=parts)
         if up.startswith("SHOW TABLES"):
             names = sorted(
                 set(self._tables)

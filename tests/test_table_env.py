@@ -1267,3 +1267,26 @@ def test_lateral_temporal_table_function(tenv, spark):
     # order 1 at 01:00 sees the 00:00 EUR rate (1.0); order 2 at 03:00
     # the 02:00 rate (2.0); order 3 the USD rate (7.0)
     assert got == {(1, 10.0), (2, 20.0), (3, 70.0)}
+
+
+def test_show_partitions(tenv, spark, tmp_path):
+    out = str(tmp_path / "parted")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id int, grp string"
+    ).write.partitionBy("grp").parquet(out)
+    tenv.execute_sql(
+        f"""CREATE TABLE parted_t (id INT, grp STRING)
+            PARTITIONED BY (grp)
+            WITH ('connector'='filesystem', 'path'='{out}',
+                  'format'='parquet')"""
+    )
+    parts = tenv.execute_sql("SHOW PARTITIONS parted_t").collect()
+    assert parts == ["grp=a", "grp=b"]
+
+
+def test_fluent_join_lateral(tenv, spark):
+    t = tenv.from_data_frame(
+        spark.createDataFrame([(1, "a,b"), (2, "c")], "id int, s string")
+    )
+    rows = t.join_lateral("explode(split(s, ',')) AS word").to_data_frame().collect()
+    assert {(r["id"], r["word"]) for r in rows} == {(1, "a"), (1, "b"), (2, "c")}
