@@ -223,3 +223,30 @@ def test_salted_join_spreads_hot_key_and_preserves_semantics(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_chunking_is_shuffle_free(spark, sf_smoke):
+    # context-window chunking must stay a per-row generate pipeline:
+    # no Exchange anywhere (1->N explode runs inside the scan stage)
+    plan = (
+        REGISTRY["curation_chunking"]
+        .fn(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_tfidf_scalar_join_is_broadcast(spark, sf_smoke):
+    # the corpus-count scalar must ride a broadcast, never a shuffle
+    # of the corpus side
+    plan = (
+        REGISTRY["text_tfidf_top_terms"]
+        .fn(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar distribution
