@@ -314,3 +314,60 @@ SELECT doc_id, COUNT(*) AS n_tokens,
 FROM tok JOIN lp USING (token)
 GROUP BY doc_id
 """
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """Integer hash per k-token shingle (md5 prefix as bigint)."""
+    return F.transform(
+        shingles(text, k),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+
+
+def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
+    """Window-min selection over a MATERIALIZED hash-array column.
+
+    Catalyst has no common-subexpression elimination inside
+    higher-order-function lambdas, so referencing the hash expression
+    directly re-hashes the document once per window (O(shingles^2) —
+    measured 10s for 500 docs). Callers must project the hash array
+    first and put an exchange barrier between the two projections (the
+    shingle_table idiom) so this sees a bound column: then it is
+    O(shingles x w) inside codegen.
+    """
+    n = F.size(hashes)
+    mins = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - w, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+    )
+    return F.when(n > 0, F.array_sort(F.array_distinct(mins))).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm; public): hash every k-token shingle, slide a
+    window of w hashes, keep each window's minimum — guarantees any
+    shared run of >= w+k-1 tokens between two documents shares a
+    fingerprint, with density 2/(w+1). Returns the distinct selected
+    hashes (sorted) as array<bigint>; empty for docs under k tokens.
+
+    Single-expression convenience form; for corpus-scale use, project
+    :func:`shingle_hashes` behind an exchange barrier and apply
+    :func:`winnow_from_hashes` (see its docstring for why).
+    """
+    return winnow_from_hashes(shingle_hashes(text, k), w)
+
+
+def sql_winnow_fingerprints(expr: str, k: int = 3, w: int = 4) -> str:
+    """DuckDB twin of :func:`winnow_fingerprints`."""
+    sh = sql_shingles(expr, k)
+    return (
+        f"(SELECT CASE WHEN len(__h) > 0 THEN "
+        f"list_sort(list_distinct(list_transform("
+        f"range(0, greatest(len(__h) - {w}, 0) + 1), "
+        f"i -> list_min(__h[i + 1 : i + {w}])))) "
+        f"ELSE [] END FROM (SELECT list_transform({sh}, "
+        f"s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS __h))"
+    )
