@@ -302,3 +302,64 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("fps", 1).alias("min_fp"),
         F.element_at("fps", -1).alias("max_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing near-dup pairs: docs sharing >= 2 selected fingerprints
+# (guaranteed to catch any shared run of >= w+k-1 tokens). Same bucket
+# shape as the MinHash LSH path: explode fingerprint -> groupBy ->
+# in-array pair generation -> pair-level support count. One signature
+# pass, shuffle is O(docs x fingerprints) — the 100 TB shape.
+# --------------------------------------------------------------------------
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH fps AS (
+  SELECT doc_id, unnest({T.sql_winnow_fingerprints('text')}) AS fp
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM pairs GROUP BY id_a, id_b
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("dedup_winnowing_pairs", _WINNOW_PAIRS_ORACLE, tags=("llm", "dedup"))
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.filter(T.token_count(F.col("text")) >= 3)
+        .select("doc_id", T.shingle_hashes(F.col("text")).alias("__h"))
+        .repartition(par, F.col("doc_id"))
+    )
+    fps = hashed.select(
+        "doc_id", F.explode(T.winnow_from_hashes(F.col("__h"))).alias("fp")
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x: F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+        lambda p: p["id_a"] < p["id_b"],
+    )
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
