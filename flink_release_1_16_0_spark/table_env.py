@@ -858,6 +858,17 @@ class GroupedTable:
             )
         )
 
+    def flat_aggregate(self, fn, schema: str) -> Table:
+        """Table aggregate fluent surface (GroupedTable.flatAggregate,
+        TableAggregateFunction.java:157 — an aggregate emitting MULTIPLE
+        rows per group, e.g. top-2). ``fn`` is a pandas
+        DataFrame -> DataFrame per group; ``schema`` its output schema
+        (group keys are NOT implicit — include them in the output)."""
+        keys = [k.strip() for k in self._keys.split(",")]
+        return Table(self._df.groupBy(*keys).applyInPandas(fn, schema=schema))
+
+    aggregate = flat_aggregate  # UDAG: same mechanism, 1-row-per-group fn
+
 
 # ---------------------------------------------------------------------------
 # Table API group windows (Tumble/Slide/Session classes + Table.window,

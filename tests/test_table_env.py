@@ -1290,3 +1290,32 @@ def test_fluent_join_lateral(tenv, spark):
     )
     rows = t.join_lateral("explode(split(s, ',')) AS word").to_data_frame().collect()
     assert {(r["id"], r["word"]) for r in rows} == {(1, "a"), (1, "b"), (2, "c")}
+
+
+def test_fluent_flat_aggregate_top2(tenv, spark):
+    # GroupedTable.flat_aggregate — the TableAggregateFunction surface
+    # (multiple rows per group, the reference's Top2 example).
+    import pandas as pd
+
+    t = tenv.from_data_frame(
+        spark.createDataFrame(
+            [("a", 1), ("a", 5), ("a", 3), ("b", 7)], "k string, v int"
+        )
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.nlargest(2, "v").sort_values("v", ascending=False)
+        out = out.assign(rank=range(1, len(out) + 1))
+        return out[["k", "v", "rank"]]
+
+    rows = (
+        t.group_by("k")
+        .flat_aggregate(top2, "k string, v int, rank int")
+        .to_data_frame()
+        .collect()
+    )
+    assert {(r["k"], r["v"], r["rank"]) for r in rows} == {
+        ("a", 5, 1),
+        ("a", 3, 2),
+        ("b", 7, 1),
+    }
