@@ -1100,7 +1100,9 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
-    r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s+(?P<query>.+)",
+    r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s*"
+    r"(?:PARTITION\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.+)",
     re.IGNORECASE | re.DOTALL,
 )
 # CTAS (Parser.tdd:55): CREATE TABLE t WITH (...) AS SELECT ...
@@ -1228,7 +1230,10 @@ class TableEnvironment:
             if not m:
                 raise ValueError(f"cannot parse INSERT: {stmt!r}")
             return self._insert(
-                m.group("name"), m.group("query"), m.group("mode").upper() == "OVERWRITE"
+                m.group("name"),
+                m.group("query"),
+                m.group("mode").upper() == "OVERWRITE",
+                m.group("parts"),
             )
         if up.startswith("SHOW CREATE TABLE"):
             name = stmt.split()[-1]
@@ -1771,12 +1776,47 @@ class TableEnvironment:
                     raise
         return TableResult(rows=["OK"])
 
-    def _insert(self, name: str, query: str, overwrite: bool) -> TableResult:
+    def _insert(
+        self,
+        name: str,
+        query: str,
+        overwrite: bool,
+        partition_spec: str | None = None,
+    ) -> TableResult:
         if name not in self._tables:
             raise ValueError(f"unknown sink table {name!r} (CREATE TABLE it first)")
         table = self._tables[name]
         df = self.spark.sql(rewrite_window_tvfs(query))
         declared = [c.name for c in table.columns]
+        if partition_spec:
+            # static partition INSERT (Parser.tdd SqlInsert partition
+            # clause): PARTITION (col='v', ...) pins partition columns;
+            # the SELECT provides the remaining columns in declared
+            # order — splice the literals into their declared slots
+            static: dict[str, str] = {}
+            for pair in _split_top_level(partition_spec):
+                km = re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", pair)
+                if not km:
+                    raise ValueError(f"cannot parse PARTITION item {pair!r}")
+                static[km.group(1)] = km.group(2)
+            unknown = set(static) - {c.name for c in table.columns}
+            if unknown:
+                raise ValueError(f"PARTITION columns not in schema: {sorted(unknown)}")
+            rest = [c.name for c in table.columns if c.name not in static]
+            if len(df.columns) != len(rest):
+                raise ValueError(
+                    f"INSERT column count mismatch: query has {len(df.columns)}, "
+                    f"{len(rest)} non-partition columns expected"
+                )
+            renamed = df.toDF(*rest)
+            df = renamed.select(
+                *[
+                    F.expr(static[c.name]).alias(c.name)
+                    if c.name in static
+                    else F.col(c.name)
+                    for c in table.columns
+                ]
+            )
         if len(df.columns) != len(declared):
             raise ValueError(
                 f"INSERT column count mismatch: query has {len(df.columns)}, "

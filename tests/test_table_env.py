@@ -1319,3 +1319,21 @@ def test_fluent_flat_aggregate_top2(tenv, spark):
         ("a", 3, 2),
         ("b", 7, 1),
     }
+
+
+def test_insert_static_partition(tenv, spark, tmp_path):
+    # INSERT INTO t PARTITION (grp='a') SELECT ... — static partition
+    # clause (SqlInsert partition spec); the SELECT supplies only the
+    # non-partition columns.
+    out = str(tmp_path / "sp")
+    tenv.execute_sql(
+        f"""CREATE TABLE sp_t (id INT, grp STRING)
+            PARTITIONED BY (grp)
+            WITH ('connector'='filesystem', 'path'='{out}',
+                  'format'='parquet')"""
+    )
+    tenv.execute_sql("INSERT INTO sp_t PARTITION (grp='a') SELECT 1")
+    tenv.execute_sql("INSERT INTO sp_t PARTITION (grp='b') SELECT 2")
+    rows = tenv.execute_sql("SELECT * FROM sp_t").collect()
+    assert {(r["id"], r["grp"]) for r in rows} == {(1, "a"), (2, "b")}
+    assert tenv.execute_sql("SHOW PARTITIONS sp_t").collect() == ["grp=a", "grp=b"]
