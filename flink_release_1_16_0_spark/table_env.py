@@ -198,6 +198,7 @@ class CatalogTable:
     primary_key: list[str] = field(default_factory=list)
     partitioned_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
+    database: str = "default_database"
     # ANALYZE TABLE results (row_count, per-column ndv/null_count);
     # informational — Spark's AQE re-derives runtime stats itself
     stats: dict[str, object] = field(default_factory=dict)
@@ -1140,6 +1141,12 @@ class TableEnvironment:
         # primary key cols) — TemporalTableFunction, the pre-FLIP-132
         # versioned-join surface (Table.createTemporalTableFunction)
         self._temporal_fns: dict[str, tuple[str, str, list[str]]] = {}
+        # database namespace (CatalogManager's default_catalog/
+        # default_database; CREATE/DROP/USE DATABASE DDL). Table names
+        # stay globally unique (Spark temp views are session-global);
+        # the namespace scopes listing and new-table attribution.
+        self._databases: set[str] = {"default_database"}
+        self._current_db = "default_database"
         # Flink-spelled SQL functions (SPLIT_INDEX, IS_DIGIT, ...) become
         # SQL scalar UDFs — JVM-side, inlined into the Catalyst plan
         register_sql_functions(spark)
@@ -1217,6 +1224,16 @@ class TableEnvironment:
                 m.group("name")
             )
             return TableResult(rows=["OK"])
+        if re.match(r"DROP\s+DATABASE", up):
+            name = stmt.split()[-1]
+            if name == "default_database":
+                raise ValueError("cannot drop the default database")
+            if any(t.database == name for t in self._tables.values()):
+                raise ValueError(f"database {name!r} is not empty")
+            self._databases.discard(name)
+            if self._current_db == name:
+                self._current_db = "default_database"
+            return TableResult(rows=["OK"])
         if up.startswith("DROP"):
             m = _DROP_RE.fullmatch(stmt)
             if not m:
@@ -1269,6 +1286,30 @@ class TableEnvironment:
             return TableResult(
                 rows=sorted(f.name for f in self.spark.catalog.listFunctions())
             )
+        if re.match(r"CREATE\s+DATABASE", up):
+            m = re.fullmatch(
+                r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+                r"(?:\s+COMMENT\s+'[^']*')?",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse CREATE DATABASE: {stmt!r}")
+            name = m.group(1)
+            if name in self._databases and "IF NOT EXISTS" not in up:
+                raise ValueError(f"database {name!r} already exists")
+            self._databases.add(name)
+            return TableResult(rows=["OK"])
+        if up.startswith("USE "):
+            name = stmt.split()[-1]
+            if name not in self._databases:
+                raise ValueError(f"unknown database {name!r}")
+            self._current_db = name
+            return TableResult(rows=["OK"])
+        if up.startswith("SHOW DATABASES"):
+            return TableResult(rows=sorted(self._databases))
+        if up.startswith("SHOW CURRENT DATABASE"):
+            return TableResult(rows=[self._current_db])
         if up.startswith("SHOW PARTITIONS"):
             # SHOW PARTITIONS t (Parser.tdd SqlShowPartitions; filesystem
             # connector partition discovery): list partition-value dirs
@@ -1292,9 +1333,17 @@ class TableEnvironment:
                 walk(base, 0, "")
             return TableResult(rows=parts)
         if up.startswith("SHOW TABLES"):
+            in_db = {
+                n for n, t in self._tables.items() if t.database == self._current_db
+            }
+            other_db = set(self._tables) - in_db
             names = sorted(
-                set(self._tables)
-                | {t.name for t in self.spark.catalog.listTables() if t.isTemporary}
+                in_db
+                | {
+                    t.name
+                    for t in self.spark.catalog.listTables()
+                    if t.isTemporary and t.name not in other_db
+                }
             )
             return TableResult(rows=names)
         if up.startswith("DESCRIBE") or up.startswith("DESC "):
@@ -1689,6 +1738,7 @@ class TableEnvironment:
             watermark=watermark,
             primary_key=primary_key,
             options=options,
+            database=self._current_db,
         )
         self._tables[table.name] = table
         self._register_scan(table)
@@ -1761,6 +1811,7 @@ class TableEnvironment:
                 [p.strip() for p in m.group("parts").split(",")] if m.group("parts") else []
             ),
             options=options,
+            database=self._current_db,
         )
         self._tables[name] = table
         # register the scan as a temp view so SQL can reference it; sinks

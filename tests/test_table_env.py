@@ -1337,3 +1337,23 @@ def test_insert_static_partition(tenv, spark, tmp_path):
     rows = tenv.execute_sql("SELECT * FROM sp_t").collect()
     assert {(r["id"], r["grp"]) for r in rows} == {(1, "a"), (2, "b")}
     assert tenv.execute_sql("SHOW PARTITIONS sp_t").collect() == ["grp=a", "grp=b"]
+
+
+def test_database_namespace(tenv, spark, tmp_path):
+    # CREATE/USE/SHOW DATABASE (CatalogManager's database namespace).
+    assert tenv.execute_sql("SHOW CURRENT DATABASE").collect() == [
+        "default_database"
+    ]
+    tenv.execute_sql("CREATE DATABASE mart")
+    assert "mart" in tenv.execute_sql("SHOW DATABASES").collect()
+    tenv.execute_sql("USE mart")
+    out = str(tmp_path / "m")
+    tenv.execute_sql(
+        f"""CREATE TABLE fact (id INT) WITH
+            ('connector'='filesystem', 'path'='{out}', 'format'='parquet')"""
+    )
+    assert "fact" in tenv.execute_sql("SHOW TABLES").collect()
+    tenv.execute_sql("USE default_database")
+    assert "fact" not in tenv.execute_sql("SHOW TABLES").collect()
+    with pytest.raises(ValueError, match="not empty"):
+        tenv.execute_sql("DROP DATABASE mart")
