@@ -363,3 +363,87 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram collocation mining by PMI: pointwise mutual information of
+# adjacent token pairs vs their unigram frequencies — the classic
+# corpus-statistics pass for tokenizer/vocab construction. Three
+# partial-combinable aggs (bigram, unigram, totals) + two joins the
+# optimizer can broadcast; ln ratios rounded to the 9-grid with
+# (count, bigram) tie-breaks so the top-k is engine-stable.
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 25
+_PMI_TOP_K = 50
+
+_PMI_ORACLE = f"""
+WITH grams AS (
+  SELECT unnest({T.sql_shingles('text', 2)}) AS bigram FROM documents
+), toks AS (
+  SELECT unnest({T.sql_tokens('text')}) AS tok FROM documents
+), bg AS (
+  SELECT bigram, COUNT(*) AS c_xy FROM grams GROUP BY bigram
+), ug AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS total FROM toks
+), scored AS (
+  SELECT b.bigram, b.c_xy,
+         ROUND(LN(CAST(b.c_xy AS DOUBLE) * n.total
+                  / (x.c * CAST(y.c AS DOUBLE))), 9) AS pmi
+  FROM bg b
+  JOIN ug x ON x.tok = string_split(b.bigram, ' ')[1]
+  JOIN ug y ON y.tok = string_split(b.bigram, ' ')[2]
+  CROSS JOIN n
+  WHERE b.c_xy >= {_PMI_MIN_COUNT}
+)
+SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy, pmi, rk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, c_xy DESC, bigram)
+                 AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {_PMI_TOP_K}
+"""
+
+
+@register("text_bigram_pmi", _PMI_ORACLE, tags=("llm", "text"))
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(T.shingles(F.col("text"), 2)).alias("bigram")
+    )
+    toks = docs.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    bg = (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    ug = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.select(F.count(F.lit(1)).alias("total"))
+    words = F.split(F.col("bigram"), " ")
+    scored = (
+        bg.withColumn("w1", words.getItem(0))
+        .withColumn("w2", words.getItem(1))
+        .join(ug.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(ug.select(F.col("tok").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                F.log(
+                    F.col("c_xy").cast("double")
+                    * F.col("total")
+                    / (F.col("c_x") * F.col("c_y").cast("double"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("c_xy").desc(), F.col("bigram"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _PMI_TOP_K)
+    )

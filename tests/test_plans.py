@@ -118,6 +118,7 @@ _BNLJ_ALLOWED = {
     # row; build side is literally one row
     "text_tfidf_top_terms",
     "text_unigram_logprob",
+    "text_bigram_pmi",
     "curation_source_mixing",
 }
 
