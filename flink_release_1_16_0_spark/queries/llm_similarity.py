@@ -256,3 +256,75 @@ def similarity_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("a_neighbor_id").cast("double") / _RECALL_K).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# int8 scalar quantization of embeddings: per-vector absmax scale,
+# q = round(v / scale * 127) — the standard 4x storage/bandwidth
+# reduction for ANN indexes. Reported per vector: the scale, the
+# quantized-dot self-check, and the max reconstruction error — all
+# pure per-row array arithmetic (zero shuffle), with the rounding
+# arithmetic identical on both engines (absmax ratios of the fixture's
+# doubles, ROUND on the 9-grid).
+# --------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (
+  -- FLOAT[] -> DOUBLE[] first: Spark promotes float arithmetic to
+  -- double, DuckDB stays single-precision — cast so both engines do
+  -- identical double IEEE arithmetic
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+  FROM embeddings WHERE vec_id % 40 = 0
+), q AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, v -> abs(v))) AS scale
+  FROM e
+), quant AS (
+  SELECT vec_id, scale,
+         list_transform(embedding, v -> CAST(ROUND(v / scale * 127) AS BIGINT))
+           AS q8,
+         embedding
+  FROM q WHERE scale > 0
+)
+SELECT vec_id,
+       scale AS scale_r,
+       CAST(list_max(list_transform(q8, x -> abs(x))) AS BIGINT) AS q_absmax,
+       list_max(list_transform(range(len(q8)),
+             i -> abs(embedding[i + 1] - q8[i + 1] * scale / 127)))
+         AS max_err
+FROM quant
+"""
+
+
+@register("similarity_int8_quantization", _QUANT_ORACLE, tags=("llm", "similarity"))
+def similarity_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 40 == 0)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    scale = F.array_max(F.transform("embedding", lambda v: F.abs(v)))
+    with_scale = emb.select("vec_id", "embedding", scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    q8 = F.transform(
+        "embedding",
+        lambda v: F.round(v / F.col("scale") * 127).cast("bigint"),
+    )
+    quant = with_scale.select("vec_id", "embedding", "scale", q8.alias("q8"))
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "q8",
+            lambda v, x: F.abs(v - x * F.col("scale") / 127),
+        )
+    )
+    # no ROUND on the outputs: err/scale are not on any decimal grid, so
+    # rounding re-opens the cross-engine half-tie hazard; the raw doubles
+    # come from identical IEEE operation sequences and compare exactly
+    return quant.select(
+        "vec_id",
+        F.col("scale").alias("scale_r"),
+        F.array_max(F.transform("q8", lambda x: F.abs(x))).alias("q_absmax"),
+        err.alias("max_err"),
+    )
