@@ -328,3 +328,73 @@ def similarity_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("q8", lambda x: F.abs(x))).alias("q_absmax"),
         err.alias("max_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantized top-k: brute-force search over the int8 vectors with
+# INTEGER dot products — the memory-bandwidth-bound ANN serving path
+# (4x smaller vectors, exact bigint arithmetic so the ranking is
+# engine-exact with zero float hazards). Same broadcast-probe shape as
+# the exact tier: corpus never shuffles.
+# --------------------------------------------------------------------------
+
+_QTOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), q8 AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             v -> CAST(ROUND(v / list_max(list_transform(embedding, x -> abs(x)))
+                             * 127) AS BIGINT)) AS qv
+  FROM e
+), probes AS (
+  SELECT vec_id AS query_id, qv AS pq FROM q8 WHERE vec_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(len(c.qv)),
+              i -> c.qv[i + 1] * p.pq[i + 1])) AS BIGINT) AS iscore
+  FROM q8 c JOIN probes p ON c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, iscore, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY iscore DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_quantized_topk", _QTOPK_ORACLE, tags=("llm", "similarity"))
+def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    scale = F.array_max(F.transform("embedding", lambda v: F.abs(v)))
+    q8 = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: F.round(v / scale * 127).cast("bigint")
+        ).alias("qv"),
+    )
+    probes = q8.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("pq")
+    )
+    scored = (
+        q8.join(F.broadcast(probes), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with("qv", "pq", lambda a, b: a * b),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("iscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= 5
+    )

@@ -113,6 +113,7 @@ _BNLJ_ALLOWED = {
     "similarity_brute_force_topk",
     "similarity_ivf_kmeans_topk",
     "similarity_lsh_recall",  # exact side reuses the brute-force kernel
+    "similarity_quantized_topk",  # broadcast-probe integer-dot kernel
     # corpus-statistic scalar distribution: crossJoin(broadcast(1-row
     # aggregate)) — the no-collect way to hand a global count to every
     # row; build side is literally one row
