@@ -564,3 +564,45 @@ def curation_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("bigint").alias("chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# --------------------------------------------------------------------------
+# Soft quality sampling (CCNet/Gopher-style): keep each document with
+# probability proportional to its quality score instead of a hard
+# cutoff — deterministic via the md5-fraction device (a doc's fate
+# never changes as the corpus grows). Pure projection + filter.
+# --------------------------------------------------------------------------
+
+_SOFT_SAMPLE_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         ROUND({sql_quality_score('text')}, 6) AS q,
+         CAST(('0x' || substring(md5('soft_' || CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) / 65536.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, q
+FROM scored
+WHERE u < least(q * 1.25, 1.0)
+"""
+
+
+@register("curation_soft_quality_sample", _SOFT_SAMPLE_ORACLE, tags=("llm", "curation"))
+def curation_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    q = F.round(quality_score(F.col("text")), 6)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("soft_"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / 65536.0
+    )
+    return (
+        docs.select("doc_id", "source", q.alias("q"), u.alias("u"))
+        .filter(F.col("u") < F.least(F.col("q") * 1.25, F.lit(1.0)))
+        .drop("u")
+    )
