@@ -1052,3 +1052,98 @@ def stream_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "update",
     )
     return out.groupBy("event_type").agg(F.max("n_distinct").alias("n_distinct"))
+
+
+# --------------------------------------------------------------------------
+# stream-stream LEFT OUTER window join (WindowJoinOperator.java outer
+# variants): both inputs bucketed into the same tumbling window and
+# equi-joined on (window, user); unmatched left rows NULL-pad once the
+# window closes. Settled-region filter: a left row can be padded only
+# after the watermark passes its WINDOW END.
+# --------------------------------------------------------------------------
+
+_SWJOIN_LEFT_ORACLE = f"""
+WITH cut AS (
+  SELECT least(
+           (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'purchase'),
+           (SELECT MAX(epoch_ms(ts)) FROM events WHERE event_type = 'click')
+         ) - 600000 - 60000 AS safe
+),
+p AS (
+  SELECT user_id, event_id,
+         (epoch_us(ts) // {15 * 60 * _US}) * {15 * 60 * _US} AS win_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id,
+         (epoch_us(ts) // {15 * 60 * _US}) * {15 * 60 * _US} AS win_us
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       make_timestamp(p.win_us) AS win_start
+FROM p JOIN c ON p.user_id = c.user_id AND p.win_us = c.win_us
+UNION ALL
+SELECT p.event_id, NULL, p.user_id, make_timestamp(p.win_us)
+FROM p, cut
+WHERE (p.win_us // 1000) + {15 * 60 * 1000} <= cut.safe
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id AND c.win_us = p.win_us
+  )
+"""
+
+
+@register(
+    "stream_window_join_left", _SWJOIN_LEFT_ORACLE, tags=("streaming", "join", "window")
+)
+def stream_window_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.catalog import load_table
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.window("ts", "15 minutes").alias("p_win"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.window("ts", "15 minutes").alias("c_win"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("p_win") == F.col("c_win")),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user_id").alias("user_id"),
+        F.col("p_win.start").alias("win_start"),
+        F.col("p_win.end").alias("win_end"),
+    )
+    out = run_to_table(joined, "append")
+    ev_batch = load_table(spark, sf_dir, "events")
+    safe = ev_batch.agg(
+        F.timestamp_micros(
+            F.least(
+                F.max(F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))),
+                F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))),
+            )
+            - F.lit((600 + 60) * _US)
+        ).alias("safe")
+    )
+    return (
+        out.crossJoin(safe)
+        .filter(
+            F.col("click_id").isNotNull() | (F.col("win_end") <= F.col("safe"))
+        )
+        .drop("safe", "win_end")
+    )

@@ -1271,7 +1271,16 @@ class TableEnvironment:
             if t.primary_key:
                 parts.append(f"PRIMARY KEY ({', '.join(t.primary_key)}) NOT ENFORCED")
             opts = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(t.options.items()))
-            ddl = f"CREATE TABLE {name} (\n  " + ",\n  ".join(parts) + f"\n) WITH ({opts})"
+            part_clause = (
+                f"\nPARTITIONED BY ({', '.join(t.partitioned_by)})"
+                if t.partitioned_by
+                else ""
+            )
+            ddl = (
+                f"CREATE TABLE {name} (\n  "
+                + ",\n  ".join(parts)
+                + f"\n){part_clause} WITH ({opts})"
+            )
             return TableResult(rows=[ddl])
         if up.startswith("SHOW VIEWS"):
             views = sorted(
