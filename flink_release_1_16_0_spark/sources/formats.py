@@ -126,3 +126,46 @@ def canal_json_to_changelog(
         F.col("__p.row").isNotNull()
     )
     return exploded.select(F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*"))
+
+
+def maxwell_json_to_changelog(
+    df: DataFrame, value_col: str, row_schema: str
+) -> DataFrame:
+    """Decode Maxwell JSON events into a changelog
+    (flink-formats/flink-json/.../maxwell/MaxwellJsonDeserializationSchema.java).
+
+    Envelope: ``{"data": {...}, "old": {...}|null,
+    "type": "insert|update|delete"}``. Mapping:
+
+        insert -> +I data
+        delete -> -D data
+        update -> -U patch(data, old), +U data
+
+    ``old`` carries only the changed fields (same overlay reconstruction
+    as canal-json, same missing-vs-null ambiguity as the reference).
+    """
+    fields = [f.split(None, 1)[0].strip() for f in row_schema.split(",")]
+    envelope = (
+        f"data STRUCT<{row_schema}>, old STRUCT<{row_schema}>, type STRING"
+    )
+    parsed = df.select(F.from_json(F.col(value_col), envelope).alias("__env"))
+    data, old, typ = (
+        F.col("__env.data"),
+        F.col("__env.old"),
+        F.col("__env.type"),
+    )
+
+    def tag(kind: str, row):
+        return F.struct(F.lit(kind).alias("kind"), row.alias("row"))
+
+    before = F.struct(*[F.coalesce(old[f], data[f]).alias(f) for f in fields])
+    pieces = (
+        F.when(typ == "insert", F.array(tag(INSERT, data)))
+        .when(typ == "delete", F.array(tag(DELETE, data)))
+        .when(typ == "update", F.array(tag(UPDATE_BEFORE, before), tag(UPDATE_AFTER, data)))
+        .otherwise(F.array())
+    )
+    exploded = parsed.select(F.explode(pieces).alias("__p")).filter(
+        F.col("__p.row").isNotNull()
+    )
+    return exploded.select(F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*"))

@@ -218,15 +218,15 @@ class CatalogTable:
         if connector == "filesystem":
             path = opts.pop("path")
             fmt = opts.pop("format", "parquet")
-            if fmt in ("debezium-json", "canal-json"):
+            if fmt in ("debezium-json", "canal-json", "maxwell-json"):
                 # CDC envelope lines -> changelog rows with __rowkind
                 from flink_release_1_16_0_spark.sources import formats as FMT
 
-                decode = (
-                    FMT.debezium_json_to_changelog
-                    if fmt == "debezium-json"
-                    else FMT.canal_json_to_changelog
-                )
+                decode = {
+                    "debezium-json": FMT.debezium_json_to_changelog,
+                    "canal-json": FMT.canal_json_to_changelog,
+                    "maxwell-json": FMT.maxwell_json_to_changelog,
+                }[fmt]
                 raw = file_source(
                     spark,
                     path,

@@ -1357,3 +1357,39 @@ def test_database_namespace(tenv, spark, tmp_path):
     assert "fact" not in tenv.execute_sql("SHOW TABLES").collect()
     with pytest.raises(ValueError, match="not empty"):
         tenv.execute_sql("DROP DATABASE mart")
+
+
+def test_maxwell_json_filesystem_table(tenv, spark, tmp_path):
+    cdc = tmp_path / "maxwell"
+    cdc.mkdir()
+    (cdc / "events-0.txt").write_text(
+        "\n".join(
+            [
+                '{"data": {"k": 1, "v": "a"}, "old": null, "type": "insert"}',
+                '{"data": {"k": 2, "v": "b"}, "old": null, "type": "insert"}',
+                # old carries only the changed field
+                '{"data": {"k": 1, "v": "a2"}, "old": {"v": "a"}, "type": "update"}',
+                '{"data": {"k": 2, "v": "b"}, "old": null, "type": "delete"}',
+                '{"data": {"k": 9, "v": "x"}, "old": null, "type": "bootstrap-start"}',
+            ]
+        )
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE mx_t (k BIGINT, v STRING)
+        WITH ('connector'='filesystem', 'path'='{cdc}',
+              'format'='maxwell-json')
+        """
+    )
+    log = tenv.from_path("mx_t").to_data_frame()
+    kinds = [
+        (r["__rowkind"], r["k"], r["v"])
+        for r in log.orderBy("k", "__rowkind").collect()
+    ]
+    assert kinds == [
+        ("+I", 1, "a"),
+        ("+U", 1, "a2"),
+        ("-U", 1, "a"),
+        ("+I", 2, "b"),
+        ("-D", 2, "b"),
+    ]  # unmapped type dropped
