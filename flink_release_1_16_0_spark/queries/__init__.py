@@ -97,13 +97,17 @@ _PRIORITY = (
     "agg_approx_count_distinct",
     "cep_nfa_define",
     "join_semi",
-    "join_anti",
+    # join_anti/agg_percentile/agg_grouping_sets/agg_distinct_split
+    # were driver-proven green in r02; their slots go to the round-3
+    # additions (full-outer interval join, CEP WITHIN, corpus tf-idf,
+    # quantized ANN) so those families get driver rows too
+    "stream_interval_join_full",
     "join_interval",
     "join_asof",
     "agg_collect_listagg",
-    "agg_grouping_sets",
-    "agg_percentile",
-    "agg_distinct_split",
+    "cep_within",
+    "text_tfidf_top_terms",
+    "similarity_quantized_topk",
     "over_range_sliding",
     "rank_topn_per_group",
     "dedup_keep_first",
