@@ -169,3 +169,41 @@ def maxwell_json_to_changelog(
         F.col("__p.row").isNotNull()
     )
     return exploded.select(F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*"))
+
+
+def ogg_json_to_changelog(
+    df: DataFrame, value_col: str, row_schema: str
+) -> DataFrame:
+    """Decode Oracle GoldenGate JSON events into a changelog
+    (flink-formats/flink-json/.../ogg/OggJsonDeserializationSchema.java).
+
+    Envelope: ``{"before": {...}|null, "after": {...}|null,
+    "op_type": "I|U|D"}``. Mapping:
+
+        I -> +I after
+        U -> -U before, +U after
+        D -> -D before
+    """
+    envelope = (
+        f"before STRUCT<{row_schema}>, after STRUCT<{row_schema}>, op_type STRING"
+    )
+    parsed = df.select(F.from_json(F.col(value_col), envelope).alias("__env"))
+    before, after, op = (
+        F.col("__env.before"),
+        F.col("__env.after"),
+        F.col("__env.op_type"),
+    )
+
+    def tag(kind: str, row):
+        return F.struct(F.lit(kind).alias("kind"), row.alias("row"))
+
+    pieces = (
+        F.when(op == "U", F.array(tag(UPDATE_BEFORE, before), tag(UPDATE_AFTER, after)))
+        .when(op == "D", F.array(tag(DELETE, before)))
+        .when(op == "I", F.array(tag(INSERT, after)))
+        .otherwise(F.array())
+    )
+    exploded = parsed.select(F.explode(pieces).alias("__p")).filter(
+        F.col("__p.row").isNotNull()
+    )
+    return exploded.select(F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*"))

@@ -218,7 +218,7 @@ class CatalogTable:
         if connector == "filesystem":
             path = opts.pop("path")
             fmt = opts.pop("format", "parquet")
-            if fmt in ("debezium-json", "canal-json", "maxwell-json"):
+            if fmt in ("debezium-json", "canal-json", "maxwell-json", "ogg-json"):
                 # CDC envelope lines -> changelog rows with __rowkind
                 from flink_release_1_16_0_spark.sources import formats as FMT
 
@@ -226,6 +226,7 @@ class CatalogTable:
                     "debezium-json": FMT.debezium_json_to_changelog,
                     "canal-json": FMT.canal_json_to_changelog,
                     "maxwell-json": FMT.maxwell_json_to_changelog,
+                    "ogg-json": FMT.ogg_json_to_changelog,
                 }[fmt]
                 raw = file_source(
                     spark,

@@ -1393,3 +1393,34 @@ def test_maxwell_json_filesystem_table(tenv, spark, tmp_path):
         ("+I", 2, "b"),
         ("-D", 2, "b"),
     ]  # unmapped type dropped
+
+
+def test_ogg_json_filesystem_table(tenv, spark, tmp_path):
+    cdc = tmp_path / "ogg"
+    cdc.mkdir()
+    (cdc / "trail-0.txt").write_text(
+        "\n".join(
+            [
+                '{"before": null, "after": {"k": 1, "v": "a"}, "op_type": "I"}',
+                '{"before": {"k": 1, "v": "a"}, "after": {"k": 1, "v": "a2"}, "op_type": "U"}',
+                '{"before": {"k": 1, "v": "a2"}, "after": null, "op_type": "D"}',
+            ]
+        )
+    )
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE ogg_t (k BIGINT, v STRING)
+        WITH ('connector'='filesystem', 'path'='{cdc}',
+              'format'='ogg-json')
+        """
+    )
+    log = tenv.from_path("ogg_t").to_data_frame()
+    kinds = sorted(
+        (r["__rowkind"], r["k"], r["v"]) for r in log.collect()
+    )
+    assert kinds == [
+        ("+I", 1, "a"),
+        ("+U", 1, "a2"),
+        ("-D", 1, "a2"),
+        ("-U", 1, "a"),
+    ]
