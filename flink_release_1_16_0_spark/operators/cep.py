@@ -102,8 +102,7 @@ def match_regex_pattern(
         f"{out_fields}, match_no int, start_id long, end_id long, n_rows int"
     )
     rx = re.compile(pattern)
-    if skip not in ("past_last_row", "to_next_row"):
-        raise ValueError(f"unsupported AFTER MATCH skip strategy {skip!r}")
+    _check_skip(skip)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort")
@@ -123,13 +122,26 @@ def match_regex_pattern(
     return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
+def _check_skip(skip) -> None:
+    if isinstance(skip, tuple):
+        if len(skip) != 2 or skip[0] not in ("to_first", "to_last"):
+            raise ValueError(f"unsupported AFTER MATCH skip strategy {skip!r}")
+    elif skip not in ("past_last_row", "to_next_row"):
+        raise ValueError(f"unsupported AFTER MATCH skip strategy {skip!r}")
+
+
 def _scan_matches(rx, sym, ts_series, within_ms, skip="past_last_row"):
     """Anchored leftmost-greedy match scan shared by the regex tiers.
 
     Yields re.Match objects (spans index into the full symbol string).
     ``within_ms`` truncates each anchored attempt's window to the rows
     inside the WITHIN interval from the start row (NFA timeout pruning);
-    ``skip`` selects the AFTER MATCH strategy.
+    ``skip`` selects the AFTER MATCH strategy
+    (AfterMatchSkipStrategy): ``"past_last_row"`` (default),
+    ``"to_next_row"``, or ``("to_first"|"to_last", var)`` — resume at
+    the first/last row the named pattern variable matched. Resuming at
+    (or before) the match's own start would loop forever; the reference
+    throws FlinkRuntimeException there, mirrored here.
     """
     if within_ms is None:
         ts_ns = bound_ns = None
@@ -147,8 +159,23 @@ def _scan_matches(rx, sym, ts_series, within_ms, skip="past_last_row"):
             m = rx.match(sym[:e_max], s)
         if m and m.end() > m.start():
             yield m
-            # AFTER MATCH SKIP PAST LAST ROW vs SKIP TO NEXT ROW
-            s = m.end() if skip == "past_last_row" else s + 1
+            if skip == "past_last_row":
+                s = m.end()
+            elif skip == "to_next_row":
+                s = s + 1
+            else:
+                mode, var = skip
+                vs, ve = m.span(var)
+                target = vs if mode == "to_first" else ve - 1
+                if vs < 0 or target <= m.start():
+                    # unbound variable, or resuming at/before the start
+                    # of the match it came from -> infinite loop
+                    raise ValueError(
+                        f"AFTER MATCH SKIP {mode} {var!r} would not "
+                        "advance past the match start (the reference "
+                        "raises here too)"
+                    )
+                s = target
         else:
             s += 1
 
@@ -210,6 +237,7 @@ def match_regex_measures(
     MATCH SKIP PAST LAST ROW). One shuffle on the key; per-key work is
     linear in rows, the CepOperator cost model.
     """
+    _check_skip(skip)
     for alias, (var, agg, col, _t) in measures.items():
         if agg not in _AGGS:
             raise ValueError(f"{alias}: unsupported agg {agg}")

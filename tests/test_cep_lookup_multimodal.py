@@ -374,3 +374,44 @@ def test_regex_pattern_within_no_fit_no_match(spark):
         within_ms=10 * 60 * 1000,
     )
     assert out.count() == 0
+
+
+def test_regex_pattern_skip_to_last_variable(spark):
+    # AFTER MATCH SKIP TO LAST B: resume the scan at the last B row of
+    # the match (AfterMatchSkipStrategy.skipToLast). Pattern A B+ C over
+    # click view+ purchase; the skip target is a middle variable so the
+    # scan provably advances and terminates.
+    seq = ["click", "view", "view", "purchase", "click", "view", "purchase"]
+    rows = [(1, i, _ts(i), t) for i, t in enumerate(seq, start=1)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    sym = classify(
+        {
+            "a": F.col("event_type") == "click",
+            "b": F.col("event_type") == "view",
+            "c": F.col("event_type") == "purchase",
+        }
+    )
+    out = match_regex_pattern(
+        df, ["user_id"], "ts", sym, "(?P<A>a)(?P<B>b+)(?P<C>c)",
+        id_col="event_id", skip=("to_last", "B"),
+    ).collect()
+    got = {(r["start_id"], r["end_id"]) for r in out}
+    # match 1 = rows 1-4; scan resumes at row 3 (last view), finds the
+    # second full match at rows 5-7
+    assert got == {(1, 4), (5, 7)}
+
+
+def test_regex_pattern_skip_to_first_raises_on_no_progress(spark):
+    import pytest as _pytest
+
+    rows = [(1, 1, _ts(1), "click"), (1, 2, _ts(2), "purchase")]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string"
+    )
+    with _pytest.raises(Exception, match="advance past the match start"):
+        match_regex_pattern(
+            df, ["user_id"], "ts", _sym(), "(?P<C>c+)(?P<P>p)",
+            id_col="event_id", skip=("to_first", "C"),
+        ).collect()
