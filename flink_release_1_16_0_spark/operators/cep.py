@@ -386,6 +386,7 @@ def match_nfa(
     measures: dict[str, tuple[str, str, str, str]],
     value_cols: Sequence[str] = (),
     grid_scale: int | None = None,
+    within_ms: int | None = None,
 ) -> DataFrame:
     """Linear-pattern NFA with cross-variable DEFINE predicates — the
     full MATCH_RECOGNIZE DEFINE semantics the regex tier cannot
@@ -402,6 +403,10 @@ def match_nfa(
     accept any row. Matching is leftmost, greedy, AFTER MATCH SKIP PAST
     LAST ROW. ``measures`` as in :func:`match_regex_measures`, over the
     rows bound to each variable.
+
+    ``within_ms`` applies the WITHIN timeout per partial match (a row
+    beyond start_ts + within cannot extend the match — the NFA's
+    pruning), so a timed-out greedy start still yields to later starts.
 
     Scale: one shuffle on the key; per-key the matcher walks the rows
     once per start position with backtracking bounded by run lengths —
@@ -424,6 +429,12 @@ def match_nfa(
     def try_match(rows: list[dict], start: int):
         """Greedy backtracking match at `start`; returns (end, bindings)
         or None. bindings: var -> list of row indices."""
+        deadline = (
+            None
+            if within_ms is None
+            else pd.Timestamp(rows[start]["__ts"])
+            + pd.Timedelta(milliseconds=within_ms)
+        )
 
         def step(pos: int, si: int, bound: dict):
             if si == len(steps):
@@ -434,6 +445,8 @@ def match_nfa(
             def accepts(i, cur_taken):
                 if i >= len(rows):
                     return False
+                if deadline is not None and pd.Timestamp(rows[i]["__ts"]) > deadline:
+                    return False  # WITHIN timeout: cannot extend this match
                 if pred is None:
                     return True
                 # ctx sees every row bound so far, including this

@@ -415,3 +415,29 @@ def test_regex_pattern_skip_to_first_raises_on_no_progress(spark):
             df, ["user_id"], "ts", _sym(), "(?P<C>c+)(?P<P>p)",
             id_col="event_id", skip=("to_first", "C"),
         ).collect()
+
+
+def test_nfa_within_prunes_stale_starts(spark):
+    # WITHIN on the NFA tier: the greedy run anchored at the stale
+    # click times out; the fresh click still matches.
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(
+        spark,
+        [(0, "click", 1), (35, "click", 2), (40, "purchase", 9)],
+    )
+    out = match_nfa(
+        df,
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "+"), ("B", "1")],
+        defines={
+            "A": lambda r, c: r["event_type"] == "click",
+            "B": lambda r, c: r["event_type"] == "purchase",
+        },
+        measures={"n_clicks": ("A", "count", "event_id", "bigint")},
+        value_cols=["event_type", "value"],
+        within_ms=10 * 60 * 1000,
+    ).collect()
+    assert [r["n_clicks"] for r in out] == [1]  # only the fresh click
