@@ -68,8 +68,13 @@ def json_string(col: Column | str) -> Column:
     numbers bare). Spark's to_json only takes complex types, so wrap in
     a 1-element array and strip the brackets — the element encoding is
     exactly the JSON literal."""
-    arr = F.to_json(F.array(_c(col)))
-    return arr.substr(F.lit(2), F.length(arr) - 2)
+    c = _c(col)
+    arr = F.to_json(F.array(c))
+    # null-on-null like the reference (to_json(array(NULL)) would give
+    # the literal string 'null' otherwise)
+    return F.when(c.isNull(), F.lit(None)).otherwise(
+        arr.substr(F.lit(2), F.length(arr) - 2)
+    )
 
 
 def hash_code(col: Column | str) -> Column:

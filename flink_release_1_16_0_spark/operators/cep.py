@@ -154,9 +154,12 @@ def _scan_matches(rx, sym, ts_series, within_ms, skip="past_last_row"):
         if ts_ns is None:
             m = rx.match(sym, s)
         else:
-            # last index still inside the WITHIN window from s
-            e_max = int(ts_ns.searchsorted(ts_ns[s] + bound_ns, "right"))
-            m = rx.match(sym[:e_max], s)
+            # rows strictly inside the window: Flink's NFA times a
+            # partial match out when ts - start >= within, so the row AT
+            # the boundary is excluded ("left"); endpos truncates the
+            # match window without copying the symbol string
+            e_max = int(ts_ns.searchsorted(ts_ns[s] + bound_ns, "left"))
+            m = rx.match(sym, s, e_max)
         if m and m.end() > m.start():
             yield m
             if skip == "past_last_row":
@@ -305,6 +308,7 @@ def match_regex_all_rows(
     ROW). Same scale shape as the one-row tier: one shuffle on the key,
     per-key work linear in rows x matched-span length.
     """
+    _check_skip(skip)
     for alias, (_var, agg, _col, _t) in measures.items():
         if agg not in _AGGS:
             raise ValueError(f"{alias}: unsupported agg {agg}")
@@ -445,8 +449,10 @@ def match_nfa(
             def accepts(i, cur_taken):
                 if i >= len(rows):
                     return False
-                if deadline is not None and pd.Timestamp(rows[i]["__ts"]) > deadline:
-                    return False  # WITHIN timeout: cannot extend this match
+                if deadline is not None and pd.Timestamp(rows[i]["__ts"]) >= deadline:
+                    # WITHIN timeout: Flink prunes at ts - start >= within,
+                    # so the boundary row itself cannot extend the match
+                    return False
                 if pred is None:
                     return True
                 # ctx sees every row bound so far, including this

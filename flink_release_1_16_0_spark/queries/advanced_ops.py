@@ -543,7 +543,10 @@ WITH tagged AS (
   JOIN runs r
     ON r.user_id = p.user_id AND r.sym = 'c'
    AND r.rn BETWEEN cr.run_start AND cr.run_end
-   AND r.ts >= p.p_ts - INTERVAL 12 HOUR
+   -- strictly greater: the boundary row (exactly 12h before the
+   -- purchase) is excluded, matching the NFA's ts - start >= within
+   -- timeout
+   AND r.ts > p.p_ts - INTERVAL 12 HOUR
   GROUP BY p.user_id, p.p_rn
 )
 SELECT user_id,

@@ -124,9 +124,15 @@ def compact_files(
     at 100 TB this runs per partition directory, and the rewrite is one
     coalesce-free repartition sized from the actual on-disk bytes.
 
-    Returns the number of output files written. Atomicity: writes to a
-    sibling temp dir then renames, so readers never see a half-compacted
-    directory (the reference's compact-then-commit protocol).
+    Returns the repartition width (files per partition directory when
+    ``partition_cols`` is set). Commit protocol: the rewrite lands in a
+    sibling temp dir, the old dir is renamed aside, the temp renamed
+    in, then the old data deleted — readers only ever see a complete
+    directory except for the instant between the two renames (a true
+    atomic swap needs a metastore pointer flip, which is what the
+    reference's compact coordinator provides); a crash mid-swap leaves
+    the original intact under ``<path>__precompact_*`` for manual
+    recovery.
     """
     import math
     import shutil
@@ -141,11 +147,22 @@ def compact_files(
         )
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.format(fmt).load(path)
-    tmp = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
-    writer = df.repartition(n_files).write.format(fmt).mode("overwrite")
+    tag = _uuid.uuid4().hex[:8]
+    tmp = f"{path.rstrip('/')}__compact_{tag}"
     if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+        # co-partition by the partition columns so each output task
+        # holds whole partition values — round-robin would write up to
+        # n_files small files into EVERY partition directory
+        shaped = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+        writer = shaped.write.format(fmt).mode("overwrite").partitionBy(
+            *partition_cols
+        )
+    else:
+        shaped = df.repartition(n_files)
+        writer = shaped.write.format(fmt).mode("overwrite")
     writer.save(tmp)
-    shutil.rmtree(path)
+    old = f"{path.rstrip('/')}__precompact_{tag}"
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return n_files

@@ -34,6 +34,27 @@ from flink_release_1_16_0_spark.streaming.changelog import (
 )
 
 
+
+
+def _schema_field_names(row_schema: str) -> list[str]:
+    """Leading identifiers of a DDL struct body, honoring nested <> and
+    () so parameterized types (DECIMAL(15,2), MAP<...>) don't split."""
+    fields, depth, cur = [], 0, []
+    for ch in row_schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        fields.append("".join(cur))
+    return [f.strip().split(None, 1)[0] for f in fields if f.strip()]
+
+
 def debezium_json_to_changelog(
     df: DataFrame, value_col: str, row_schema: str
 ) -> DataFrame:
@@ -87,7 +108,7 @@ def canal_json_to_changelog(
     unchanged — the same ambiguity the reference's decoder has between
     "missing" and "explicitly null").
     """
-    fields = [f.split(None, 1)[0].strip() for f in row_schema.split(",")]
+    fields = _schema_field_names(row_schema)
     envelope = (
         f"data ARRAY<STRUCT<{row_schema}>>, old ARRAY<STRUCT<{row_schema}>>,"
         " type STRING"
@@ -144,7 +165,7 @@ def maxwell_json_to_changelog(
     ``old`` carries only the changed fields (same overlay reconstruction
     as canal-json, same missing-vs-null ambiguity as the reference).
     """
-    fields = [f.split(None, 1)[0].strip() for f in row_schema.split(",")]
+    fields = _schema_field_names(row_schema)
     envelope = (
         f"data STRUCT<{row_schema}>, old STRUCT<{row_schema}>, type STRING"
     )

@@ -1404,9 +1404,12 @@ class TableEnvironment:
         )
 
     _LATERAL_TEMPORAL_RE = re.compile(
+        # the optional function alias must not swallow a following SQL
+        # keyword (the no-alias form `... TABLE (Fn(o.ts)) WHERE ...`)
         r"FROM\s+(?P<lt>[\w.]+)\s+(?:AS\s+)?(?P<la>\w+)\s*,\s*"
         r"LATERAL\s+TABLE\s*\(\s*(?P<fn>\w+)\s*\(\s*(?P<ala>\w+)\.(?P<acol>\w+)\s*\)\s*\)\s*"
-        r"(?:AS\s+)?(?P<ra>\w+)?",
+        r"(?:(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|JOIN\b|ON\b"
+        r"|UNION\b|HAVING\b)(?P<ra>\w+))?",
         re.IGNORECASE,
     )
 

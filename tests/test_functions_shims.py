@@ -126,3 +126,5 @@ def test_json_string_scalars(spark):
     assert _one(spark, FF.json_string(F.lit('a"b'))) == '"a\\"b"'
     assert _one(spark, FF.json_string(F.lit(5))) == "5"
     assert _one(spark, FF.json_string(F.lit(True))) == "true"
+    # null-on-null like the reference
+    assert _one(spark, FF.json_string(F.lit(None).cast("string"))) is None

@@ -1424,3 +1424,49 @@ def test_ogg_json_filesystem_table(tenv, spark, tmp_path):
         ("-D", 1, "a2"),
         ("-U", 1, "a"),
     ]
+
+
+def test_lateral_temporal_without_alias(tenv, spark):
+    # the no-alias form must not swallow the WHERE keyword as an alias
+    import datetime as dt
+
+    def t(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    spark.createDataFrame(
+        [("EUR", t(0), 2.0)], "currency string, r_time timestamp, rate double"
+    ).createOrReplaceTempView("rates_na")
+    spark.createDataFrame(
+        [(1, "EUR", t(1), 5.0)],
+        "o_id bigint, currency string, o_time timestamp, amount double",
+    ).createOrReplaceTempView("orders_na")
+    tenv.register_temporal_table_function(
+        "RatesNA", "rates_na", time_attr="r_time", primary_key="currency"
+    )
+    rows = tenv.sql_query(
+        """
+        SELECT o.o_id, o.amount * RatesNA.rate AS converted
+        FROM orders_na o, LATERAL TABLE (RatesNA(o.o_time))
+        WHERE o.currency = RatesNA.currency
+        """
+    ).to_data_frame().collect()
+    assert [(r["o_id"], r["converted"]) for r in rows] == [(1, 10.0)]
+
+
+def test_maxwell_json_parameterized_types(tenv, spark, tmp_path):
+    # field-name extraction must honor nested parens/brackets in types
+    cdc = tmp_path / "mxp"
+    cdc.mkdir()
+    (cdc / "e.txt").write_text(
+        '{"data": {"k": 1, "price": 10.50}, "old": {"price": 9.25}, "type": "update"}\n'
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE mxp_t (k BIGINT, price DECIMAL(15,2))
+            WITH ('connector'='filesystem', 'path'='{cdc}',
+                  'format'='maxwell-json')"""
+    )
+    rows = sorted(
+        (r["__rowkind"], float(r["price"]))
+        for r in tenv.from_path("mxp_t").to_data_frame().collect()
+    )
+    assert rows == [("+U", 10.5), ("-U", 9.25)]
