@@ -1147,3 +1147,86 @@ def stream_window_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("safe", "win_end")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming CEP with WITHIN: the reference's CepOperator.java:82 is a
+# *streaming* keyed operator — this runs the same c+p / WITHIN 12h
+# pattern as the batch cep_within through the watermarked stateful
+# operator (streaming/cep_stream.py). A match is emitted (and final)
+# once the watermark passes start_ts + 12h; matches anchored too close
+# to the end of the log never finalize, so the oracle adds that
+# cutoff (ms-floored like Spark's watermark) to the batch relational
+# derivation (advanced_ops._CEP_WITHIN_ORACLE).
+# --------------------------------------------------------------------------
+
+_SCEP_WITHIN_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym
+  FROM events
+), seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM tagged
+), runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, sym ORDER BY rn) AS grp
+  FROM seq
+), c_runs AS (
+  SELECT user_id, grp, MIN(rn) AS run_start, MAX(rn) AS run_end
+  FROM runs WHERE sym = 'c' GROUP BY user_id, grp
+), p_rows AS (
+  SELECT user_id, rn AS p_rn, ts AS p_ts FROM seq WHERE sym = 'p'
+), matches AS (
+  SELECT p.user_id, p.p_rn, COUNT(*) AS n_c
+  FROM p_rows p
+  JOIN c_runs cr
+    ON cr.user_id = p.user_id AND p.p_rn - 1 = cr.run_end
+  JOIN runs r
+    ON r.user_id = p.user_id AND r.sym = 'c'
+   AND r.rn BETWEEN cr.run_start AND cr.run_end
+   AND r.ts > p.p_ts - INTERVAL 12 HOUR
+  GROUP BY p.user_id, p.p_rn
+  -- finalization cutoff: the earliest in-window click is the match
+  -- start; the watermark (ms-floored max ts - 10 min delay) must pass
+  -- start + 12h for the streaming operator to emit
+  HAVING epoch_ms(MIN(r.ts)) + 43200000
+         <= (SELECT epoch_ms(MAX(ts)) - 600000 FROM events)
+)
+SELECT user_id,
+       COUNT(*) AS n_matches,
+       CAST(SUM(n_c) + COUNT(*) AS BIGINT) AS matched_rows
+FROM matches GROUP BY user_id
+"""
+
+
+@register("stream_cep_within", _SCEP_WITHIN_ORACLE, tags=("streaming", "cep", "match"))
+def stream_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.cep import classify
+    from flink_release_1_16_0_spark.streaming.cep_stream import streaming_cep_within
+
+    ev = events_stream(spark, sf_dir)
+    tagged = ev.withColumn(
+        "__sym",
+        classify(
+            {
+                "c": F.col("event_type") == "click",
+                "p": F.col("event_type") == "purchase",
+            }
+        ),
+    )
+    matches = streaming_cep_within(
+        tagged,
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        sym_col="__sym",
+        pattern="c+p",
+        within_ms=12 * 3600 * 1000,
+    )
+    out = run_to_table(matches, "update")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        F.sum("n_rows").cast("bigint").alias("matched_rows"),
+    )

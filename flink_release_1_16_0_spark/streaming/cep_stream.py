@@ -1,0 +1,179 @@
+"""Streaming CEP: pattern matching with WITHIN over a watermarked stream.
+
+Reference: the CEP NFA is a *streaming* keyed operator
+(flink-libraries/flink-cep/.../operator/CepOperator.java:82): events
+buffer in keyed state ordered by event time; as the watermark advances,
+the settled prefix runs through the NFA and completed matches emit.
+The WITHIN bound (Pattern.within — the NFA's timeout pruning) is what
+makes emission *final* under out-of-order arrival: a match anchored at
+ts0 can only use rows with ts < ts0 + within ("left" boundary, the
+NFA's ``ts - start >= within`` timeout), and every such row is settled
+once watermark >= ts0 + within (later arrivals below the watermark are
+late and dropped). So emitting at that point is deterministic, and the
+bounded-replay result equals the batch regex tier (operators/cep.py)
+restricted to finalizable starts.
+
+State per key stays O(rows inside the WITHIN horizon) — the same
+pruning bound the reference claims for its NFA state — because an
+unconsumed settled row r with ``r.ts + within <= watermark`` can never
+join a future match: any match containing r anchors at some q <= r
+with ``q.ts <= r.ts``, whose whole within-window is already settled,
+so the current scan already decided it (and failed). Such rows are
+discarded each trigger.
+
+Scale shape: one shuffle on the key (the applyInPandasWithState
+exchange); per-key work is linear in buffered rows per trigger. Same
+cost model as CepOperator's keyed NFA state.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def streaming_cep_within(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    sym_col: str,
+    pattern: str,
+    within_ms: int,
+) -> DataFrame:
+    """Streaming regex-tier CEP with a WITHIN finalization bound.
+
+    ``stream`` must be watermarked on ``ts_col`` and carry a 1-char
+    symbol column (``operators.cep.classify``). Emits one row per
+    completed match — (keys..., match_no, start_id, end_id, n_rows),
+    the same shape as the batch ``match_regex_pattern`` — as soon as
+    the watermark passes ``start_ts + within_ms``. Matches are
+    leftmost-greedy, AFTER MATCH SKIP PAST LAST ROW; ``match_no`` is a
+    stable per-key counter carried in state.
+
+    Rows the final watermark never finalizes stay buffered (bounded
+    replay: the oracle cutoff is ``start_ts + within <= max(ts) -
+    delay``).
+    """
+    rx = re.compile(pattern)
+    tagged = stream.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        F.col(sym_col).alias("__sym"),
+    )
+    key_fields = [tagged.schema[k] for k in keys]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField("match_no", IntegerType()),
+            StructField("start_id", LongType()),
+            StructField("end_id", LongType()),
+            StructField("n_rows", IntegerType()),
+        ]
+    )
+    row_schema = StructType(
+        [
+            StructField("__ts", TimestampType()),
+            StructField("__id", LongType()),
+            StructField("__sym", StringType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pending", ArrayType(row_schema)),
+            StructField("match_no", LongType()),
+        ]
+    )
+    out_cols = [*keys, "match_no", "start_id", "end_id", "n_rows"]
+
+    def ms(t) -> int:
+        return pd.Timestamp(t).value // 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            raw, match_no = state.get
+            pending = [(pd.Timestamp(p[0]), int(p[1]), p[2]) for p in (raw or [])]
+        else:
+            pending, match_no = [], 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for t, i, sy in pdf[["__ts", "__id", "__sym"]].itertuples(
+                index=False, name=None
+            ):
+                if ms(t) <= wm:
+                    continue  # late beyond the watermark: dropped
+                pending.append((pd.Timestamp(t), int(i), str(sy)))
+        settled = sorted(
+            (p for p in pending if ms(p[0]) <= wm), key=lambda p: (p[0].value, p[1])
+        )
+        unsettled = [p for p in pending if ms(p[0]) > wm]
+
+        sym = "".join(p[2] for p in settled)
+        ts_ns = np.array([p[0].value for p in settled], dtype="int64")
+        bound_ns = within_ms * 1_000_000
+        out: list[tuple] = []
+        s = consumed = 0
+        while s < len(sym):
+            # rows strictly inside the window can extend the match
+            # (boundary excluded — the NFA's ts - start >= within
+            # timeout), endpos-truncated so no string copy
+            e_max = int(ts_ns.searchsorted(ts_ns[s] + bound_ns, "left"))
+            m = rx.match(sym, s, e_max)
+            if m and m.end() > m.start():
+                if ms(settled[s][0]) + within_ms <= wm:
+                    out.append(
+                        (
+                            *key,
+                            int(match_no),
+                            settled[m.start()][1],
+                            settled[m.end() - 1][1],
+                            m.end() - m.start(),
+                        )
+                    )
+                    match_no += 1
+                    consumed = s = m.end()
+                else:
+                    # anchors are time-ordered: once one start is not
+                    # finalizable, no later start is either
+                    break
+            else:
+                s += 1
+        # retire unconsumed settled rows outside the WITHIN horizon:
+        # provably unreachable by any future match (module docstring)
+        retained = [
+            p for p in settled[consumed:] if ms(p[0]) + within_ms > wm
+        ] + unsettled
+        state.update((retained, int(match_no)))
+        if retained:
+            # re-evaluate on every watermark advance
+            state.setTimeoutTimestamp(wm + 1)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return tagged.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

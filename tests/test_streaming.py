@@ -501,3 +501,82 @@ def test_dedup_state_ttl_expires_idle_keys(spark, tmp_path):
     without = run(None)
     assert ("A", 5) in with_ttl  # expired state -> re-arrival won
     assert ("A", 5) not in without and ("A", 10) in without
+
+
+def test_streaming_cep_within_converges_multibatch(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Streaming CEP (cep_stream.py) over 4 micro-batches equals the
+    batch regex tier restricted to finalizable starts: matches emit as
+    the watermark passes start+within, match_no is stable, and no match
+    is emitted twice or lost across batches. Chunked by event-id
+    quartile (time-ordered in the fixture) so batches respect arrival
+    order — the % 4 chunking would make batches 2-4 arrive behind the
+    watermark and (correctly) be dropped as late."""
+    from flink_release_1_16_0_spark.operators.cep import classify, match_regex_pattern
+    from flink_release_1_16_0_spark.streaming.cep_stream import streaming_cep_within
+
+    within_ms = 12 * 3600 * 1000
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    path = str(tmp_path_factory.mktemp("cep_chunks"))
+    sel = _batch_events(spark, sf_smoke)
+    m = sel.agg(F.max("event_id")).first()[0]
+    sel.withColumn(
+        "chunk",
+        F.least(F.floor(F.col("event_id") / ((m + 1) / 4)), F.lit(3)).cast("int"),
+    ).repartition(1).write.partitionBy("chunk").mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .withColumn("__s", sym)
+    )
+    out = run_to_table(
+        streaming_cep_within(
+            stream,
+            keys=["user_id"],
+            ts_col="ts",
+            id_col="event_id",
+            sym_col="__s",
+            pattern="c+p",
+            within_ms=within_ms,
+        ),
+        "update",
+    )
+    got = sorted(
+        (r["user_id"], r["match_no"], r["start_id"], r["end_id"], r["n_rows"])
+        for r in out.collect()
+    )
+    # batch dual: regex tier with the same WITHIN, then the watermark
+    # finalization cutoff on the match-start row's event time
+    ev = _batch_events(spark, sf_smoke)
+    batch = match_regex_pattern(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="c+p",
+        id_col="event_id",
+        within_ms=within_ms,
+    )
+    wm_ms = (
+        ev.agg((F.floor(F.unix_micros(F.max("ts")) / 1000) - 600000).alias("w"))
+        .collect()[0]["w"]
+    )
+    start_ts = ev.select(
+        F.col("event_id").alias("start_id"),
+        F.floor(F.unix_micros("ts") / 1000).alias("start_ms"),
+    )
+    want = sorted(
+        (r["user_id"], r["match_no"], r["start_id"], r["end_id"], r["n_rows"])
+        for r in batch.join(start_ts, "start_id")
+        .filter(F.col("start_ms") + within_ms <= F.lit(wm_ms))
+        .collect()
+    )
+    assert got == want
