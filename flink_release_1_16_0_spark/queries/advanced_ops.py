@@ -675,3 +675,67 @@ def api_sql_match_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.sum("n_rows").cast("bigint").alias("matched_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# CEP reluctant quantifier (MATCH_RECOGNIZE PATTERN (V B*? P) — Flink's
+# reluctant quantifiers, Pattern.oneOrMore().consecutive() vs greedy;
+# MatchCodeGenerator emits lazy NFA branches). Pattern v.*?p: a view,
+# then *lazily* anything until the FIRST purchase — greedy would run to
+# the LAST purchase, so the two modes genuinely diverge on this data.
+# With AFTER MATCH SKIP PAST LAST ROW the matches are: anchor = first
+# view after the previous match's purchase, end = first purchase after
+# that view. Oracle derives exactly that pairing relationally.
+# --------------------------------------------------------------------------
+
+_CEP_RELUCTANT_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'view' THEN 'v'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym
+  FROM events
+), seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM tagged
+), p_rows AS (
+  SELECT user_id, rn AS p_rn, event_id AS p_id,
+         LAG(rn, 1, 0) OVER (PARTITION BY user_id ORDER BY rn) AS prev_p_rn
+  FROM seq WHERE sym = 'p'
+), first_v AS (
+  -- the first view strictly between consecutive purchases anchors the
+  -- match; later views in the gap are consumed by the lazy middle
+  SELECT p.user_id, p.p_rn, p.p_id, MIN(v.rn) AS v_rn
+  FROM p_rows p
+  JOIN seq v ON v.user_id = p.user_id AND v.sym = 'v'
+            AND v.rn > p.prev_p_rn AND v.rn < p.p_rn
+  GROUP BY p.user_id, p.p_rn, p.p_id
+)
+SELECT f.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY f.user_id ORDER BY f.p_rn) - 1
+            AS INT) AS match_no,
+       v.event_id AS start_id,
+       f.p_id AS end_id,
+       CAST(f.p_rn - f.v_rn + 1 AS INT) AS n_rows
+FROM first_v f
+JOIN seq v ON v.user_id = f.user_id AND v.rn = f.v_rn
+"""
+
+
+@register("cep_reluctant", _CEP_RELUCTANT_ORACLE, tags=("cep", "match"))
+def cep_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = classify(
+        {
+            "v": F.col("event_type") == "view",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    return match_regex_pattern(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="v.*?p",
+        id_col="event_id",
+    )

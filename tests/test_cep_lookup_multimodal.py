@@ -441,3 +441,29 @@ def test_nfa_within_prunes_stale_starts(spark):
         within_ms=10 * 60 * 1000,
     ).collect()
     assert [r["n_clicks"] for r in out] == [1]  # only the fresh click
+
+
+def test_regex_reluctant_vs_greedy_quantifier(spark):
+    """v.*?p (reluctant) stops at the FIRST purchase, yielding two
+    matches on v - p - v - p; greedy v.*p swallows both purchases into
+    one match (Flink's greedy/reluctant quantifier distinction)."""
+    from flink_release_1_16_0_spark.operators.cep import classify, match_regex_pattern
+
+    df = _seq_df(
+        spark,
+        [(0, "view", 1), (1, "click", 1), (2, "purchase", 1),
+         (3, "view", 1), (4, "purchase", 1)],
+    )
+    sym = classify(
+        {"v": F.col("event_type") == "view", "p": F.col("event_type") == "purchase"}
+    )
+
+    def spans(pattern):
+        out = match_regex_pattern(
+            df, keys=["k"], ts_col="ts", symbol=sym, pattern=pattern,
+            id_col="event_id",
+        ).collect()
+        return sorted((r["start_id"], r["end_id"]) for r in out)
+
+    assert spans("v.*?p") == [(0, 2), (3, 4)]
+    assert spans("v.*p") == [(0, 4)]
