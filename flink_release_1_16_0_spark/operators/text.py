@@ -371,3 +371,126 @@ def sql_winnow_fingerprints(expr: str, k: int = 3, w: int = 4) -> str:
         f"ELSE [] END FROM (SELECT list_transform({sh}, "
         f"s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS __h))"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: iterative merge learning over corpus statistics
+# ---------------------------------------------------------------------------
+
+
+def bpe_train_merges(docs, text_col: str = "text", rounds: int = 3):
+    """Learn the first ``rounds`` BPE merges from a corpus (the
+    tokenizer-training primitive of an LLM data pipeline).
+
+    Classic BPE (Sennrich et al. 2016): start from characters, then
+    repeatedly merge the globally most frequent adjacent symbol pair.
+    Distributed shape: ONE corpus scan builds the word-count vocab
+    (persisted — rounds never rescan the corpus); each round is a
+    vocab-sized pair explode + groupBy (partial-agg shuffle on the
+    pair), a 1-row top-pair aggregate broadcast back (no collect), and
+    a pure-projection merge apply. At 100 TB the corpus scan dominates
+    and happens once; per-round cost is O(vocab), which is corpus-size
+    independent.
+
+    Symbols are rendered as ``<sym>`` runs inside a delimited string so
+    the merge is a literal ``replace`` of ``<l><r>`` with ``<lr>`` —
+    leftmost-first non-overlapping, exactly BPE's merge-application
+    order — and cross-symbol false matches are impossible (a match must
+    align on ``<`` which only opens a symbol). The word alphabet is
+    restricted to [a-z]+ so the delimiters can never collide.
+
+    Ties on pair count break lexicographically, making the learned
+    merges deterministic and engine-portable. Returns one row per merge:
+    (merge_rank, left_sym, right_sym, pair_count).
+    """
+    words = docs.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("repr", F.regexp_replace("w", "(.)", "<$1>"))
+        .persist()
+    )
+    tops = []
+    for rnd in range(1, rounds + 1):
+        syms = vocab.select(
+            "cnt",
+            F.split(F.expr("substring(repr, 2, length(repr) - 2)"), "><").alias("s"),
+        )
+        pairs = syms.filter(F.expr("size(s) >= 2")).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2), "
+                    "i -> named_struct('l', s[i], 'r', s[i + 1]))"
+                )
+            ).alias("p"),
+        )
+        pc = pairs.groupBy(
+            F.col("p.l").alias("l"), F.col("p.r").alias("r")
+        ).agg(F.sum("cnt").alias("pc"))
+        top = pc.orderBy(F.desc("pc"), "l", "r").limit(1)
+        tops.append(
+            top.select(
+                F.lit(rnd).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("pc").cast("bigint").alias("pair_count"),
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(top))
+            .withColumn(
+                "repr",
+                F.replace(
+                    F.col("repr"),
+                    F.concat(F.lit("<"), "l", F.lit("><"), "r", F.lit(">")),
+                    F.concat(F.lit("<"), "l", "r", F.lit(">")),
+                ),
+            )
+            .drop("l", "r", "pc")
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionByName(t)
+    return out
+
+
+def sql_bpe_train_merges(rounds: int = 3) -> str:
+    """DuckDB twin of :func:`bpe_train_merges` (rounds unrolled)."""
+    parts = [
+        r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+), vocab0 AS (
+  SELECT w, COUNT(*) AS cnt, regexp_replace(w, '(.)', '<\1>', 'g') AS repr
+  FROM words GROUP BY w
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", syms{i} AS (
+  SELECT cnt, string_split(substring(repr, 2, length(repr) - 2), '><') AS s
+  FROM vocab{i - 1}
+), pairs{i} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, SUM(cnt) AS pc
+  FROM syms{i}, unnest(range(1, len(s))) AS t(i)
+  GROUP BY 1, 2
+), top{i} AS (
+  SELECT l, r, pc FROM pairs{i} ORDER BY pc DESC, l, r LIMIT 1
+), vocab{i} AS (
+  SELECT v.w, v.cnt,
+         replace(v.repr, '<' || t.l || '><' || t.r || '>',
+                 '<' || t.l || t.r || '>') AS repr
+  FROM vocab{i - 1} v CROSS JOIN top{i} t
+)"""
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"CAST(pc AS BIGINT) AS pair_count FROM top{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + sel

@@ -447,3 +447,12 @@ def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _PMI_TOP_K)
     )
+
+
+@register("text_bpe_train_merges", T.sql_bpe_train_merges(3), tags=("llm", "text"))
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 learned BPE merges over the documents corpus — the
+    tokenizer-training primitive (one corpus scan, per-round work is
+    O(vocab)); see operators/text.bpe_train_merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bpe_train_merges(docs, "text", rounds=3)

@@ -159,3 +159,28 @@ def test_connected_components_long_path_converges(spark):
     rows = connected_components(edges).collect()
     assert {r["component"] for r in rows} == {100}
     assert len(rows) == 12
+
+
+def test_bpe_train_merges_known_corpus(spark):
+    """Hand-checkable BPE: corpus 'low low lower' + 'newest newest'.
+    Round 1 pair counts: (l,o)=3, (o,w)=3, (w,e)=3 (lower + 2x newest),
+    (n,e)=(e,w)=(e,s)=(s,t)=2 — the 3-way tie breaks lexicographically
+    to (l,o). Round 2: (lo,w)=3 ties (w,e)=3 -> (lo,w). Round 3: all
+    remaining pairs tie at 2 -> (e,s)."""
+    df = _docs(spark, ["low low lower", "newest newest"])
+    rows = T.bpe_train_merges(df, "text", rounds=3).collect()
+    got = [(r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"]) for r in rows]
+    assert sorted(got) == [(1, "l", "o", 3), (2, "lo", "w", 3), (3, "e", "s", 2)]
+
+
+def test_bpe_merge_overlap_and_boundary(spark):
+    """'aaaa' counts pair (a,a) three times (overlapping), but the merge
+    applies leftmost-first non-overlapping -> <aa><aa>; a symbol 'ba'
+    next to 'a' must NOT be split by a (a,a) merge (delimiter safety)."""
+    df = _docs(spark, ["aaaa aaaa ba"])
+    m = T.bpe_train_merges(df, "text", rounds=2).collect()
+    got = {r["merge_rank"]: (r["left_sym"], r["right_sym"], r["pair_count"]) for r in m}
+    # round 1: (a,a) appears 3x in each 'aaaa' = 6 total (plus (b,a)=1)
+    assert got[1] == ("a", "a", 6)
+    # round 2: after <aa><aa>, pair (aa,aa) has count 2; (b,a) has 1
+    assert got[2] == ("aa", "aa", 2)
