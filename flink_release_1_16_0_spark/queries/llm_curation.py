@@ -606,3 +606,99 @@ def curation_soft_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.least(F.col("q") * 1.25, F.lit(1.0)))
         .drop("u")
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance sampling (Xie et al. 2023, "Data Selection via
+# Importance Resampling"): score each document by the log-ratio of a
+# target-domain hashed-unigram model to the raw-corpus model, then keep
+# the top slice. Target domain here = lang='en' documents; features =
+# md5-hashed token buckets (B=64) with Laplace smoothing. Per-bucket
+# log-ratios are 9-grid rounded and per-doc sums are DECIMAL-exact, so
+# the scores (and the top-100 selection, tie-broken by doc_id) are
+# engine-portable. Plan shape: one token explode, two bucket-count
+# shuffles (bucket cardinality 64 -> tiny), scalar totals broadcast,
+# one doc-level agg — the corpus is scanned once and never re-shuffled
+# on anything wider than doc_id.
+# --------------------------------------------------------------------------
+
+_B = 64  # hashed feature buckets
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT d.doc_id, d.lang,
+         CAST(('0x' || substring(md5(t.token), 1, 8)) AS BIGINT) % {_B} AS b
+  FROM documents d, unnest({sql_tokens('d.text')}) AS t(token)
+),
+ct AS (SELECT b, COUNT(*) AS n FROM tok WHERE lang = 'en' GROUP BY b),
+cr AS (SELECT b, COUNT(*) AS n FROM tok GROUP BY b),
+tots AS (
+  SELECT (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS tt,
+         (SELECT COUNT(*) FROM tok) AS tr
+),
+w AS (
+  SELECT cr.b,
+         ROUND(LN(CAST((COALESCE(ct.n, 0) + 1) * (tots.tr + {_B}) AS DOUBLE)
+                  / CAST((cr.n + 1) * (tots.tt + {_B}) AS DOUBLE)), 9) AS wb
+  FROM cr LEFT JOIN ct USING (b) CROSS JOIN tots
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CAST(wb AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*) AS dsir_score
+FROM tok JOIN w USING (b)
+GROUP BY doc_id
+ORDER BY dsir_score DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("curation_dsir_sample", _DSIR_ORACLE, tags=("llm", "curation"))
+def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("token"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % _B
+        ).alias("b"),
+    )
+    ct = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    cr = tok.groupBy("b").agg(F.count(F.lit(1)).alias("nr"))
+    tots = tok.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
+        F.count(F.lit(1)).alias("tr"),
+    )
+    w = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("nt"), F.lit(0)) + 1) * (F.col("tr") + _B)).cast(
+                        "double"
+                    )
+                    / ((F.col("nr") + 1) * (F.col("tt") + _B)).cast("double")
+                ),
+                9,
+            ).alias("wb"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.col("wb").cast("decimal(38,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), "doc_id")
+        .limit(100)
+    )
