@@ -393,3 +393,167 @@ def hyperplane_lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): sub-vector codebooks + asymmetric distance
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    sub: int = 16,
+    kcents: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[DataFrame]:
+    """Train ``m`` per-subspace codebooks (Jégou et al. 2011 product
+    quantization — the memory-bound ANN serving tier: a D-dim float
+    vector compresses to m byte codes).
+
+    Each subspace j covers dims [j*sub, (j+1)*sub); its codebook is the
+    same deterministic Lloyd training as the IVF coarse quantizer
+    (:func:`kmeans_cells` — fixed lowest-id init, unrolled iterations,
+    decimal-grid means), so the whole train->encode->search pipeline is
+    cross-engine hash-gateable. Returns one (cell, centroid) DataFrame
+    per subspace.
+    """
+    books = []
+    for j in range(m):
+        subemb = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding")
+        )
+        books.append(
+            kmeans_cells(subemb, k=kcents, iters=iters, id_col=id_col, dim=sub)
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[DataFrame],
+    sub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as m nearest-centroid codes (one broadcast
+    argmin per subspace; the corpus never shuffles on anything but the
+    per-vector window, and at scale the codebooks ride the broadcast)."""
+    codes = emb.select(id_col)
+    for j, book in enumerate(books):
+        subemb = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding")
+        )
+        a = assign_cells(subemb, book, id_col=id_col)
+        codes = codes.join(
+            a.select(F.col(id_col), F.col("cell").alias(f"code{j}")), id_col
+        )
+    return codes
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[DataFrame],
+    codes: DataFrame,
+    sub: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_scale: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query stays a float vector,
+    each corpus vector is its m codes, and the approximate distance is
+    the sum of exact subspace distances query->assigned-centroid. The
+    scan side touches only the byte codes; centroid tables and the
+    query set broadcast — the plan shape that serves ANN over a corpus
+    too large to hold float vectors in memory.
+
+    Distances fold per subspace in index order and sum in subspace
+    order, then round to ``round_scale`` before ranking (ascending,
+    ties on neighbor id) — bit-identical to the DuckDB twin.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    scored = codes.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("__qid"))
+    dist = F.lit(0.0)
+    for j, book in enumerate(books):
+        scored = scored.join(
+            F.broadcast(
+                book.select(
+                    F.col("cell").alias(f"code{j}"),
+                    F.col("centroid").alias(f"__cent{j}"),
+                )
+            ),
+            f"code{j}",
+        )
+        d = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__qvec"), j * sub + 1, sub),
+                F.col(f"__cent{j}"),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = scored.withColumn(f"__d{j}", d)
+        dist = dist + F.col(f"__d{j}")
+    scored = scored.select(
+        F.col("__qid").alias("query_id"),
+        F.col(id_col).alias("neighbor_id"),
+        F.round(dist, round_scale).alias("adist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sql_pq_corpus(m: int = 4, sub: int = 16, kcents: int = 16, iters: int = 1) -> str:
+    """DuckDB CTE chain mirroring pq_codebooks + pq_encode: per-subspace
+    sliced source, unrolled Lloyd chain, final code table ``codes``
+    (vec_id, code0..code{m-1}) plus centroid CTEs ``s{j}c{iters}``."""
+    ctes = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"s{j} AS (SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+            " FROM embeddings)"
+        )
+        ctes.append(
+            f"s{j}c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell,"
+            " CAST(embedding AS DOUBLE[]) AS centroid"
+            f" FROM (SELECT * FROM s{j} ORDER BY vec_id LIMIT {kcents}))"
+        )
+
+        def assign(name: str, cents: str) -> str:
+            return (
+                f"{name} AS (SELECT vec_id, embedding, cell FROM ("
+                " SELECT e.vec_id, e.embedding, c.cell,"
+                " ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+                f"{sql_sq_l2('e.embedding', 'c.centroid')}, c.cell) AS rnk"
+                f" FROM s{j} e CROSS JOIN {cents} c) WHERE rnk = 1)"
+            )
+
+        for t in range(1, iters + 1):
+            ctes.append(assign(f"s{j}a{t}", f"s{j}c{t - 1}"))
+            means = ", ".join(
+                f"CAST(SUM(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE), 6)"
+                " AS DECIMAL(38,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)"
+                for i in range(sub)
+            )
+            ctes.append(
+                f"s{j}c{t} AS (SELECT cell, [{means}] AS centroid"
+                f" FROM s{j}a{t} GROUP BY cell)"
+            )
+        ctes.append(assign(f"s{j}af", f"s{j}c{iters}"))
+    joins = " ".join(f"JOIN s{j}af USING (vec_id)" for j in range(1, m))
+    code_cols = ", ".join(f"s{j}af.cell AS code{j}" for j in range(m))
+    ctes.append(
+        f"codes AS (SELECT vec_id, {code_cols} FROM s0af {joins})"
+        if m > 1
+        else "codes AS (SELECT vec_id, s0af.cell AS code0 FROM s0af)"
+    )
+    return ",\n".join(ctes)

@@ -398,3 +398,57 @@ def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= 5
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization ANN (Jégou et al. 2011): train m=4 sub-vector
+# codebooks (deterministic Lloyd, same device as the IVF quantizer),
+# encode the corpus to 4 byte codes, search by asymmetric distance
+# (query stays float, corpus contributes only its codes -> centroid
+# lookups). The memory-bound serving tier: at 100 TB the float vectors
+# never leave the scan that encodes them; search touches a table 64x
+# narrower. Whole pipeline hash-gated: subspace distances fold in index
+# order, sum in subspace order, round(6) before ranking.
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS = 4, 16, 16, 1
+
+
+def _pq_adist_sql() -> str:
+    terms = " + ".join(
+        S.sql_sq_l2(
+            f"q.qvec[{j * _PQ_SUB + 1}:{(j + 1) * _PQ_SUB}]", f"b{j}.centroid"
+        )
+        for j in range(_PQ_M)
+    )
+    return f"ROUND({terms}, 6)"
+
+
+_PQ_ORACLE = f"""
+WITH {S.sql_pq_corpus(_PQ_M, _PQ_SUB, _PQ_K, _PQ_ITERS)},
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec
+  FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, {_pq_adist_sql()} AS adist
+  FROM codes c
+  JOIN q ON c.vec_id <> q.query_id
+  {' '.join(f'JOIN s{j}c{_PQ_ITERS} b{j} ON b{j}.cell = c.code{j}' for j in range(_PQ_M))}
+)
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register("similarity_pq_topk", _PQ_ORACLE, tags=("llm", "similarity"))
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(emb, m=_PQ_M, sub=_PQ_SUB, kcents=_PQ_K, iters=_PQ_ITERS)
+    codes = S.pq_encode(emb, books, sub=_PQ_SUB)
+    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(emb, q, books, codes, sub=_PQ_SUB, k=5)
