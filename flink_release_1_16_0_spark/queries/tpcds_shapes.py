@@ -376,3 +376,92 @@ FROM (
 def ds_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(_DS_CHANNEL_INTERSECT)
+
+
+# --------------------------------------------------------------------------
+# Ratio-to-report window over aggregates (TPC-DS q36 shape): segment
+# revenue as a share of its nation's total — SUM OVER of a SUM, the
+# two-level aggregate+window plan. Both sums are DECIMAL-exact; the
+# final share is one double division of identical inputs.
+# --------------------------------------------------------------------------
+
+_DS_RATIO_TO_TOTAL = """
+SELECT n_name, c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+         / CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(38,2))))
+                  OVER (PARTITION BY n_name) AS DOUBLE) AS share
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+"""
+
+
+@register("ds_ratio_to_total", _DS_RATIO_TO_TOTAL, tags=("tpcds", "window", "agg"))
+def ds_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_DS_RATIO_TO_TOTAL)
+
+
+# --------------------------------------------------------------------------
+# Two-band count ratio (TPC-DS q90 am/pm shape) over the events table:
+# integer counts, one exact double division.
+# --------------------------------------------------------------------------
+
+_DS_AM_PM = """
+SELECT CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) < 12 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) >= 12 THEN 1 ELSE 0 END) AS DOUBLE)
+         AS am_pm_ratio
+FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register("ds_am_pm_ratio", _DS_AM_PM, tags=("tpcds", "agg"))
+def ds_am_pm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "events")
+    return spark.sql(_DS_AM_PM)
+
+
+# --------------------------------------------------------------------------
+# Frequent-buyer cohort (TPC-DS q23 shape): a HAVING-filtered grouped
+# subquery defines the cohort, the outer query re-joins and
+# re-aggregates it.
+# --------------------------------------------------------------------------
+
+_DS_FREQUENT_BUYERS = """
+SELECT c.c_custkey, c.c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_spend
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IN (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+)
+GROUP BY c.c_custkey, c.c_name
+"""
+
+
+@register("ds_frequent_buyers", _DS_FREQUENT_BUYERS, tags=("tpcds", "subquery", "agg"))
+def ds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_DS_FREQUENT_BUYERS)
+
+
+# --------------------------------------------------------------------------
+# GROUPING() level detection inside ROLLUP (TPC-DS q27/q36 shape): the
+# lochierarchy expression distinguishing detail/subtotal/grand-total
+# rows, computed identically on both engines.
+# --------------------------------------------------------------------------
+
+_DS_GROUPING_LEVEL = """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(c_mktsegment, 'ALL') AS segment,
+       CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS INT) AS lochierarchy,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+@register("ds_grouping_level", _DS_GROUPING_LEVEL, tags=("tpcds", "rollup"))
+def ds_grouping_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "nation")
+    return spark.sql(_DS_GROUPING_LEVEL)
