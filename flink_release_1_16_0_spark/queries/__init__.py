@@ -88,22 +88,21 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q9_product_profit",
-    # q18/q21 (driver-proven in r01/r02) yield their slots to the two
-    # queries that were rows-only in r02 and are now fully oracled
+    # q1/q3/q5/q9 + join_semi/join_interval/join_asof were driver-proven
+    # green in r02; their slots go to the round-3 additions (streaming
+    # CEP, reluctant quantifiers, BPE training, DSIR sampling, PQ ANN,
+    # new TPC-DS shapes) so those families get driver rows too
+    "stream_cep_within",
+    "cep_reluctant",
+    "text_bpe_train_merges",
+    "curation_dsir_sample",
+    # the two queries that were rows-only in r02 and are now fully oracled
     "agg_approx_count_distinct",
     "cep_nfa_define",
-    "join_semi",
-    # join_anti/agg_percentile/agg_grouping_sets/agg_distinct_split
-    # were driver-proven green in r02; their slots go to the round-3
-    # additions (full-outer interval join, CEP WITHIN, corpus tf-idf,
-    # quantized ANN) so those families get driver rows too
+    "similarity_pq_topk",
     "stream_interval_join_full",
-    "join_interval",
-    "join_asof",
+    "ds_ratio_to_total",
+    "ds_grouping_level",
     "agg_collect_listagg",
     "cep_within",
     "text_tfidf_top_terms",
