@@ -425,8 +425,12 @@ def pq_codebooks(
         subemb = emb.select(
             F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding")
         )
+        # each codebook is consumed twice (encode + ADC lookup) and costs
+        # a corpus scan to train — persist the k-row result so the Lloyd
+        # chain runs once per subspace
         books.append(
             kmeans_cells(subemb, k=kcents, iters=iters, id_col=id_col, dim=sub)
+            .persist()
         )
     return books
 

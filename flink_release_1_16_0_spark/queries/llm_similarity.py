@@ -107,7 +107,11 @@ SELECT query_id, neighbor_id, score, rank FROM (
 def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.kmeans_cells(emb, k=_KMEANS_K, iters=_KMEANS_ITERS, dim=_DIM)
-    corpus = S.assign_cells(emb, cents)
+    # the assigned corpus feeds BOTH probe sides (query slice + corpus);
+    # without a persist the whole unrolled Lloyd chain (2 iterations x
+    # crossJoin-argmin) re-executes once per consumer — at any scale the
+    # assignment is the thing you materialize once
+    corpus = S.assign_cells(emb, cents).persist()
     q = corpus.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding", "cell"
     )
