@@ -702,3 +702,76 @@ def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_score"), "doc_id")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Paragraph-level exact dedup with document reconstruction (the
+# CCNet/RefinedWeb "dedup at paragraph granularity" pass): explode each
+# document into position-tagged sentence units, keep the corpus-wide
+# FIRST occurrence of each normalized unit (md5 key, winner =
+# lexicographic (doc_id, pos) — deterministic), then rebuild every
+# document from its surviving units in original order. Plan shape: one
+# explode (no shuffle), one window shuffle on the unit hash, one
+# groupBy shuffle on doc_id — both keys are high-cardinality and
+# skew-free, so the shape holds at corpus scale.
+# --------------------------------------------------------------------------
+
+_PARA_DEDUP_ORACLE = """
+WITH units AS (
+  SELECT d.doc_id, u.i AS pos,
+         string_split_regex(d.text, '\\. ')[u.i] AS para
+  FROM documents d,
+       unnest(range(1, len(string_split_regex(d.text, '\\. ')) + 1)) AS u(i)
+), clean AS (
+  SELECT doc_id, pos, para, md5(lower(trim(para))) AS k
+  FROM units WHERE trim(para) <> ''
+), flagged AS (
+  SELECT doc_id, pos, para,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, pos) = 1
+              THEN 1 ELSE 0 END AS kept
+  FROM clean
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_units,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(para, '. ' ORDER BY pos) FILTER (WHERE kept = 1),
+                '') AS kept_text
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+@register("curation_paragraph_dedup", _PARA_DEDUP_ORACLE, tags=("llm", "curation", "dedup"))
+def curation_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    units = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("pos0", "para"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "para")
+    clean = units.filter(F.trim("para") != "").withColumn(
+        "k", F.md5(F.lower(F.trim("para")))
+    )
+    w = Window.partitionBy("k").orderBy("doc_id", "pos")
+    flagged = clean.withColumn(
+        "kept", F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept") == 1, F.struct("pos", "para")
+                            )
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+                ". ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
