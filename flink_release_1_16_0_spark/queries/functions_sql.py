@@ -604,3 +604,52 @@ def func_sql_udf_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE event_id % 13 = 0
         """
     )
+
+
+# --------------------------------------------------------------------------
+# PARSE_URL family + HEX encoding (the last two section-2.8 names
+# without an oracle row). URLs are synthesized deterministically from
+# order columns; the DuckDB twin extracts the same parts with anchored
+# regexes (DuckDB has no parse_url builtin).
+# --------------------------------------------------------------------------
+
+_URL_HEX_ORACLE = """
+WITH u AS (
+  SELECT o_orderkey,
+         'https://shop' || CAST(o_custkey % 10 AS VARCHAR)
+           || '.example.com/order/' || CAST(o_orderkey AS VARCHAR)
+           || '?prio=' || replace(o_orderpriority, ' ', '_') AS url
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderkey,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)        AS url_host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS url_path,
+       regexp_extract(url, '\\?([^#]*)', 1)                 AS url_query,
+       regexp_extract(url, '[?&]prio=([^&#]*)', 1)          AS url_prio,
+       hex(o_orderkey)                                      AS key_hex
+FROM u
+"""
+
+
+@register("func_url_hex", _URL_HEX_ORACLE, tags=("function", "string"))
+def func_url_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    )
+    url = F.concat(
+        F.lit("https://shop"),
+        (F.col("o_custkey") % 10).cast("string"),
+        F.lit(".example.com/order/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?prio="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("_")),
+    )
+    u = orders.select("o_orderkey", url.alias("url"))
+    return u.select(
+        "o_orderkey",
+        FF.parse_url("url", "HOST").alias("url_host"),
+        FF.parse_url("url", "PATH").alias("url_path"),
+        FF.parse_url("url", "QUERY").alias("url_query"),
+        FF.parse_url("url", "QUERY", "prio").alias("url_prio"),
+        F.hex("o_orderkey").alias("key_hex"),
+    )
