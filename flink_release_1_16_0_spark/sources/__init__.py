@@ -47,6 +47,18 @@ def file_source(
     """
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported file format: {fmt}")
+    if fmt == "avro":
+        # no spark-avro DataSource in this environment; route through
+        # the pure-Python OCF reader (sources/avro_format.py, validated
+        # against the JVM avro-core writer). Batch only: the decoder
+        # runs in mapInPandas over binaryFile rows.
+        if streaming:
+            raise NotImplementedError(
+                "streaming avro scans need the spark-avro DataSource module"
+            )
+        from flink_release_1_16_0_spark.sources.avro_format import avro_source
+
+        return avro_source(spark, path)
     if streaming:
         if schema is None:
             raise ValueError("streaming file sources require an explicit schema")

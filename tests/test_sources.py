@@ -56,19 +56,32 @@ def test_values_source(spark):
     assert df.collect()[0]["s"] == "x"
 
 
-def test_avro_format_roundtrip_or_gated(spark, tmp_path):
-    """Avro is in the reference's format matrix; Spark treats it as an
-    external module — exercise the roundtrip when the jar is present,
-    otherwise pin the builder surface and skip (same gating as kafka)."""
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
-    path = str(tmp_path / "avro_rt")
-    try:
-        df.write.format("avro").save(path)
-    except Exception as e:
-        assert "avro" in str(e).lower()
-        pytest.skip("avro data source jar not bundled in this environment")
-    back = S.file_source(spark, path, fmt="avro")
+def test_avro_format_reads_via_python_ocf_reader(spark, tmp_path):
+    """Avro is in the reference's format matrix; with no spark-avro
+    DataSource in the environment, file_source routes 'avro' through
+    the pure-Python OCF reader. Ground truth written by the JVM
+    avro-core library (on Spark's classpath) so the bytes are the
+    reference encoding, not our own."""
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        '{"type":"record","name":"KV","fields":['
+        '{"name":"k","type":"long"},{"name":"v","type":"string"}]}'
+    )
+    d = tmp_path / "avro_rt"
+    d.mkdir()
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(writer)
+    dfw.create(schema, jvm.java.io.File(str(d / "part-0.avro")))
+    for k, v in [(1, "a"), (2, "b")]:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("k", k)
+        rec.put("v", v)
+        dfw.append(rec)
+    dfw.close()
+    back = S.file_source(spark, str(d), fmt="avro")
     assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        S.file_source(spark, str(d), fmt="avro", streaming=True, schema="k long")
 
 
 def test_protobuf_format_roundtrip_or_gated(spark):
