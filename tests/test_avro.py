@@ -111,3 +111,22 @@ def test_schema_discovery_and_type_mapping(spark, tmp_path):
     st = avro_to_spark_type(schema)
     names = [f.name for f in st.fields]
     assert names == ["id", "name", "score", "flag", "maybe", "tags", "color", "ts"]
+
+
+def test_avro_ddl_scan(spark, tmp_path):
+    """CREATE TABLE ... WITH ('format'='avro') scans through the OCF
+    reader (DDL schema is declarative; columns come from the file)."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    d = tmp_path / "avro_ddl"
+    d.mkdir()
+    _write_jvm_avro(spark, str(d / "part-0.avro"))
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE av (id BIGINT, name STRING) WITH (
+          'connector' = 'filesystem', 'path' = '{d}', 'format' = 'avro')
+        """
+    )
+    out = tenv.sql_query("SELECT id, name FROM av ORDER BY id").to_data_frame().collect()
+    assert [(r["id"], r["name"]) for r in out][:2] == [(1, "alpha"), (2, "beta")]
