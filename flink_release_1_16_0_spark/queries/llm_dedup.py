@@ -10,7 +10,7 @@ oracle-gated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_release_1_16_0_spark.catalog import load_table
@@ -258,4 +258,66 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup restricted to trained
+# k-means clusters — the scalable alternative to all-pairs embedding
+# dedup. Cluster the corpus with the deterministic-Lloyd quantizer
+# (k=32 so cells stay small), then mark a vector as a duplicate iff a
+# LOWER-ID vector in the SAME cell has cosine >= 0.93; dup_of = the
+# smallest such id (deterministic keeper). All-pairs work is bounded
+# per cell (the SemDeDup point: O(sum cell^2), never O(corpus^2));
+# the join key is the cell id, so the corpus shuffles once.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_K, _SEMDEDUP_T = 32, 0.93
+
+_SEMDEDUP_ORACLE = f"""
+WITH {S.sql_kmeans_corpus(_SEMDEDUP_K, 1, 64)},
+pairs AS (
+  SELECT b.vec_id, b.cell, a.vec_id AS cand,
+         ROUND({S.sql_cosine('a.embedding', 'b.embedding')}, 6) AS sim
+  FROM afinal a JOIN afinal b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT vec_id, cell, MIN(cand) AS dup_of,
+       MAX(CASE WHEN cand = m THEN sim END) AS sim
+FROM (
+  SELECT *, MIN(cand) OVER (PARTITION BY vec_id) AS m
+  FROM pairs WHERE sim >= {_SEMDEDUP_T}
+)
+GROUP BY vec_id, cell
+"""
+
+
+@register("dedup_semdedup", _SEMDEDUP_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_cells(emb, k=_SEMDEDUP_K, iters=1, dim=64)
+    corpus = S.assign_cells(emb, cents).persist()
+    a = corpus.select(
+        F.col("vec_id").alias("cand"), F.col("embedding").alias("e_a"), "cell"
+    )
+    b = corpus.select("vec_id", F.col("embedding").alias("e_b"), "cell")
+    pairs = (
+        a.join(b, ["cell"])
+        .filter(F.col("cand") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cell",
+            "cand",
+            F.round(S.cosine(F.col("e_a"), F.col("e_b")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= _SEMDEDUP_T)
+    )
+    w = Window.partitionBy("vec_id")
+    return (
+        pairs.withColumn("m", F.min("cand").over(w))
+        .groupBy("vec_id", "cell")
+        .agg(
+            F.min("cand").alias("dup_of"),
+            F.max(F.when(F.col("cand") == F.col("m"), F.col("sim"))).alias("sim"),
+        )
     )
