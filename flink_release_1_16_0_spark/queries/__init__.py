@@ -111,7 +111,7 @@ _PRIORITY = (
     "rank_topn_per_group",
     "dedup_keep_first",
     "sort_null_ordering",
-    "setop_intersect_all",
+    "curation_paragraph_dedup",
     "setop_except_all",
     "func_temporal",
     "func_json_nested",
@@ -140,8 +140,8 @@ _PRIORITY = (
     "types_decimal_agg",
     "types_interval_arithmetic",
     "api_table_fluent",
-    "api_sql_cumulate_tvf",
-    "values_inline",
+    "dedup_semdedup",
+    "func_url_hex",
     "correlate_unnest",
 )
 
