@@ -121,6 +121,15 @@ _BNLJ_ALLOWED = {
     "text_unigram_logprob",
     "text_bigram_pmi",
     "curation_source_mixing",
+    # 1-row top-pair / totals broadcast per round (BPE merge select,
+    # DSIR bucket-model totals) — same no-collect scalar device
+    "text_bpe_train_merges",
+    "curation_dsir_sample",
+    # broadcast probe/centroid sets: PQ query side + per-subspace
+    # codebooks; SemDeDup's Lloyd assignment crossJoins the k-row
+    # centroid table (the argmin pattern shared with ivf_kmeans)
+    "similarity_pq_topk",
+    "dedup_semdedup",
 }
 
 # Streaming/stateful/facade queries execute work on build (replay), so
