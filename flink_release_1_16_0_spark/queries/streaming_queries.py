@@ -1230,3 +1230,92 @@ def stream_cep_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         F.sum("n_rows").cast("bigint").alias("matched_rows"),
     )
+
+
+# --------------------------------------------------------------------------
+# streaming CEP with MEASURES: the full StreamExecMatch surface on the
+# streaming tier — per-variable aggregates (COUNT/SUM/LAST over the
+# named-group spans) computed at emission time from keyed state, with
+# the same WITHIN finalization bound as stream_cep_within. SUM runs on
+# the scale-2 grid so the emitted measures are engine-exact.
+# --------------------------------------------------------------------------
+
+_SCEP_MEASURES_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym
+  FROM events
+), seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM tagged
+), runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, sym ORDER BY rn) AS grp
+  FROM seq
+), c_runs AS (
+  SELECT user_id, grp, MIN(rn) AS run_start, MAX(rn) AS run_end
+  FROM runs WHERE sym = 'c' GROUP BY user_id, grp
+), p_rows AS (
+  SELECT user_id, rn AS p_rn, ts AS p_ts, event_id AS p_id
+  FROM seq WHERE sym = 'p'
+), matches AS (
+  SELECT p.user_id, p.p_rn, p.p_id,
+         CAST(COUNT(*) AS INT) AS n_clicks,
+         CAST(SUM(CAST(ROUND(r.value * 100) AS BIGINT)) AS DOUBLE) / 100
+           AS clicks_value
+  FROM p_rows p
+  JOIN c_runs cr
+    ON cr.user_id = p.user_id AND p.p_rn - 1 = cr.run_end
+  JOIN runs r
+    ON r.user_id = p.user_id AND r.sym = 'c'
+   AND r.rn BETWEEN cr.run_start AND cr.run_end
+   AND r.ts > p.p_ts - INTERVAL 12 HOUR
+  GROUP BY p.user_id, p.p_rn, p.p_id
+  HAVING epoch_ms(MIN(r.ts)) + 43200000
+         <= (SELECT epoch_ms(MAX(ts)) - 600000 FROM events)
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p_rn) - 1 AS INT)
+         AS match_no,
+       n_clicks,
+       clicks_value,
+       p_id AS purchase_id
+FROM matches
+"""
+
+
+@register(
+    "stream_cep_measures", _SCEP_MEASURES_ORACLE, tags=("streaming", "cep", "match")
+)
+def stream_cep_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.cep import classify
+    from flink_release_1_16_0_spark.streaming.cep_stream import streaming_cep_within
+
+    ev = events_stream(spark, sf_dir)
+    tagged = ev.withColumn(
+        "__sym",
+        classify(
+            {
+                "c": F.col("event_type") == "click",
+                "p": F.col("event_type") == "purchase",
+            }
+        ),
+    )
+    matches = streaming_cep_within(
+        tagged,
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        sym_col="__sym",
+        pattern="(?P<C>c+)(?P<P>p)",
+        within_ms=12 * 3600 * 1000,
+        measures={
+            "n_clicks": ("C", "count", "event_id", "int"),
+            "clicks_value": ("C", "sum", "value", "double"),
+            "purchase_id": ("P", "last", "event_id", "bigint"),
+        },
+        value_cols=["value"],
+        grid_scale=2,
+    )
+    return run_to_table(matches, "update")

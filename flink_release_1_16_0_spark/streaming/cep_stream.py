@@ -44,6 +44,7 @@ from pyspark.sql.types import (
     StructField,
     StructType,
     TimestampType,
+    _parse_datatype_string,
 )
 
 
@@ -55,43 +56,72 @@ def streaming_cep_within(
     sym_col: str,
     pattern: str,
     within_ms: int,
+    measures: dict[str, tuple[str, str, str, str]] | None = None,
+    value_cols: Sequence[str] = (),
+    grid_scale: int | None = None,
 ) -> DataFrame:
     """Streaming regex-tier CEP with a WITHIN finalization bound.
 
     ``stream`` must be watermarked on ``ts_col`` and carry a 1-char
-    symbol column (``operators.cep.classify``). Emits one row per
-    completed match — (keys..., match_no, start_id, end_id, n_rows),
-    the same shape as the batch ``match_regex_pattern`` — as soon as
-    the watermark passes ``start_ts + within_ms``. Matches are
+    symbol column (``operators.cep.classify``). Matches are
     leftmost-greedy, AFTER MATCH SKIP PAST LAST ROW; ``match_no`` is a
-    stable per-key counter carried in state.
+    stable per-key counter carried in state. A match emits — and is
+    final — as soon as the watermark passes ``start_ts + within_ms``.
+
+    Without ``measures``, emits (keys..., match_no, start_id, end_id,
+    n_rows) — the batch ``match_regex_pattern`` shape. With
+    ``measures`` (alias -> (group, agg, column, spark_type), the
+    ``match_regex_measures`` MEASURES surface), pattern variables are
+    regex named groups and each measure aggregates that variable's
+    rows; ``value_cols`` are carried through keyed state for the
+    aggregates, ``grid_scale`` makes SUM exact on a decimal grid.
 
     Rows the final watermark never finalizes stay buffered (bounded
     replay: the oracle cutoff is ``start_ts + within <= max(ts) -
     delay``).
     """
+    from flink_release_1_16_0_spark.operators.cep import _AGGS, _measure_value
+
+    if measures:
+        for alias, (_var, agg, _col, _t) in measures.items():
+            if agg not in _AGGS:
+                raise ValueError(f"{alias}: unsupported agg {agg}")
     rx = re.compile(pattern)
     tagged = stream.select(
         *keys,
         F.col(ts_col).alias("__ts"),
         F.col(id_col).alias("__id"),
         F.col(sym_col).alias("__sym"),
+        *value_cols,
     )
     key_fields = [tagged.schema[k] for k in keys]
-    out_schema = StructType(
-        [
-            *key_fields,
-            StructField("match_no", IntegerType()),
-            StructField("start_id", LongType()),
-            StructField("end_id", LongType()),
-            StructField("n_rows", IntegerType()),
+    if measures:
+        m_fields = [
+            StructField(a, _parse_datatype_string(t))
+            for a, (_v, _g, _c, t) in measures.items()
         ]
-    )
+        out_schema = StructType(
+            [*key_fields, StructField("match_no", IntegerType()), *m_fields]
+        )
+        out_cols = [*keys, "match_no", *measures]
+    else:
+        out_schema = StructType(
+            [
+                *key_fields,
+                StructField("match_no", IntegerType()),
+                StructField("start_id", LongType()),
+                StructField("end_id", LongType()),
+                StructField("n_rows", IntegerType()),
+            ]
+        )
+        out_cols = [*keys, "match_no", "start_id", "end_id", "n_rows"]
+    val_fields = [tagged.schema[c] for c in value_cols]
     row_schema = StructType(
         [
             StructField("__ts", TimestampType()),
             StructField("__id", LongType()),
             StructField("__sym", StringType()),
+            *val_fields,
         ]
     )
     state_schema = StructType(
@@ -100,7 +130,22 @@ def streaming_cep_within(
             StructField("match_no", LongType()),
         ]
     )
-    out_cols = [*keys, "match_no", "start_id", "end_id", "n_rows"]
+    slice_cols = ["__ts", "__id", "__sym", *value_cols]
+
+    def make_conv(dt):
+        name = dt.typeName()
+        if name in ("long", "integer", "short", "byte"):
+            return lambda v: None if pd.isna(v) else int(v)
+        if name in ("double", "float"):
+            return lambda v: None if pd.isna(v) else float(v)
+        if name.startswith("timestamp"):
+            return lambda v: None if pd.isna(v) else pd.Timestamp(v)
+        return lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
+
+    convs = [make_conv(f.dataType) for f in val_fields]
+
+    def col_name(c: str) -> str:
+        return "__ts" if c == ts_col else "__id" if c == id_col else c
 
     def ms(t) -> int:
         return pd.Timestamp(t).value // 1_000_000
@@ -111,18 +156,25 @@ def streaming_cep_within(
         wm = state.getCurrentWatermarkMs()
         if state.exists:
             raw, match_no = state.get
-            pending = [(pd.Timestamp(p[0]), int(p[1]), p[2]) for p in (raw or [])]
+            pending = [
+                (pd.Timestamp(p[0]), int(p[1]), p[2], *p[3:]) for p in (raw or [])
+            ]
         else:
             pending, match_no = [], 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            for t, i, sy in pdf[["__ts", "__id", "__sym"]].itertuples(
-                index=False, name=None
-            ):
-                if ms(t) <= wm:
+            for tup in pdf[slice_cols].itertuples(index=False, name=None):
+                if ms(tup[0]) <= wm:
                     continue  # late beyond the watermark: dropped
-                pending.append((pd.Timestamp(t), int(i), str(sy)))
+                pending.append(
+                    (
+                        pd.Timestamp(tup[0]),
+                        int(tup[1]),
+                        str(tup[2]),
+                        *[c(v) for c, v in zip(convs, tup[3:])],
+                    )
+                )
         settled = sorted(
             (p for p in pending if ms(p[0]) <= wm), key=lambda p: (p[0].value, p[1])
         )
@@ -141,15 +193,28 @@ def streaming_cep_within(
             m = rx.match(sym, s, e_max)
             if m and m.end() > m.start():
                 if ms(settled[s][0]) + within_ms <= wm:
-                    out.append(
-                        (
-                            *key,
-                            int(match_no),
-                            settled[m.start()][1],
-                            settled[m.end() - 1][1],
-                            m.end() - m.start(),
+                    if measures:
+                        sdf = pd.DataFrame(
+                            settled[m.start() : m.end()], columns=slice_cols
                         )
-                    )
+                        vals = []
+                        for _alias, (var, agg, col, _t) in measures.items():
+                            vs, ve = m.span(var)
+                            sl = sdf.iloc[vs - m.start() : ve - m.start()]
+                            vals.append(
+                                _measure_value(sl, agg, col_name(col), grid_scale)
+                            )
+                        out.append((*key, int(match_no), *vals))
+                    else:
+                        out.append(
+                            (
+                                *key,
+                                int(match_no),
+                                settled[m.start()][1],
+                                settled[m.end() - 1][1],
+                                m.end() - m.start(),
+                            )
+                        )
                     match_no += 1
                     consumed = s = m.end()
                 else:
