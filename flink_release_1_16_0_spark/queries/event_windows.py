@@ -289,3 +289,109 @@ def window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --------------------------------------------------------------------------
+# TUMBLE with an alignment offset (Flink TUMBLE(ts, size, offset) /
+# TumblingWindowAssigner.withOffset) — windows align to epoch+offset,
+# Spark's window(ts, size, size, startTime). Oracle shifts the epoch
+# before bucketing and shifts back.
+# --------------------------------------------------------------------------
+
+_OFFSET_US = 7 * 60 * _US  # 7-minute alignment offset
+
+_TUMBLE_OFFSET_ORACLE = f"""
+SELECT
+  make_timestamp(((epoch_us(ts) - {_OFFSET_US}) // {15 * 60 * _US})
+                 * {15 * 60 * _US} + {_OFFSET_US}) AS win_start,
+  COUNT(*) AS n,
+  {sql_dsum('value')} AS total
+FROM events
+GROUP BY 1
+"""
+
+
+@register("window_tumble_offset", _TUMBLE_OFFSET_ORACLE, tags=("window", "time"))
+def window_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes", "15 minutes", "7 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(F.col("w.start").alias("win_start"), "n", "total")
+    )
+
+
+# --------------------------------------------------------------------------
+# Count windows (CountTumblingWindowAssigner / CountSlidingWindowAssigner,
+# RT/window/assigners — the row-count duals of the time windows).
+# Tumbling: consecutive groups of N rows per key in (ts, id) order.
+# Sliding: a window of the trailing N rows fires every S rows.
+# Both lower to rank arithmetic / window frames — pure Catalyst.
+# --------------------------------------------------------------------------
+
+_COUNT_TUMBLE_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_id,
+       CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('value')} AS total
+FROM seq
+GROUP BY user_id, (rn - 1) // 10
+"""
+
+
+@register("window_count_tumble", _COUNT_TUMBLE_ORACLE, tags=("window", "count"))
+def window_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("rn")
+    ).withColumn("win_id", ((F.col("rn") - 1) / 10).cast("bigint"))
+    return seq.groupBy("user_id", "win_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), dsum("value").alias("total")
+    )
+
+
+_COUNT_SLIDE_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER w AS rn,
+         CAST(COUNT(*) OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS trailing_n,
+         CAST(SUM(CAST(value AS DECIMAL(38,2)))
+                OVER (w ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS trailing_total
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS fire_id, trailing_n, trailing_total
+FROM seq WHERE rn % 5 = 0
+"""
+
+
+@register("window_count_slide", _COUNT_SLIDE_ORACLE, tags=("window", "count"))
+def window_count_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-19, 0)
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("trailing_n"),
+        F.sum(F.col("value").cast("decimal(38,2)"))
+        .over(wf)
+        .cast("double")
+        .alias("trailing_total"),
+    )
+    return seq.filter(F.col("rn") % 5 == 0).select(
+        "user_id", F.col("event_id").alias("fire_id"), "trailing_n", "trailing_total"
+    )
