@@ -665,17 +665,17 @@ def curation_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("bigint") % _B
         ).alias("b"),
     )
-    ct = tok.filter(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("nt")
-    )
-    cr = tok.groupBy("b").agg(F.count(F.lit(1)).alias("nr"))
-    tots = tok.agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tt"),
-        F.count(F.lit(1)).alias("tr"),
-    )
+    # ONE corpus pass builds both bucket models (target = conditional
+    # count), and the totals derive from the 64-row bucket table — so
+    # the token table is scanned twice overall (model + scoring), not
+    # four times; the only wide shuffle is the cardinality-64 bucket agg
+    stats = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    ).persist()  # 64 rows consumed twice (totals + weights): one model pass
+    tots = stats.agg(F.sum("nt").alias("tt"), F.sum("nr").alias("tr"))
     w = (
-        cr.join(ct, "b", "left")
-        .crossJoin(F.broadcast(tots))
+        stats.crossJoin(F.broadcast(tots))
         .select(
             "b",
             F.round(
