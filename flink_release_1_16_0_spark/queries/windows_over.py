@@ -397,3 +397,57 @@ def over_range_time_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)"""
         ).alias("value_last_hour"),
     )
+
+
+# --------------------------------------------------------------------------
+# FIRST_VALUE / LAST_VALUE / LEAD with IGNORE NULLS (the null-skipping
+# analytic variants, FlinkSqlOperatorTable FIRST_VALUE/LAST_VALUE —
+# Flink's functions skip NULLs like the SQL-standard IGNORE NULLS).
+# A NULL-bearing column is synthesized deterministically so both
+# engines see identical gaps.
+# --------------------------------------------------------------------------
+
+_IGNORE_NULLS_ORACLE = """
+WITH src AS (
+  SELECT o_custkey, o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_orderkey END AS maybe_key
+  FROM orders WHERE o_custkey % 25 = 1
+)
+SELECT o_custkey, o_orderkey,
+       LAST_VALUE(maybe_key IGNORE NULLS) OVER w AS last_nonnull,
+       FIRST_VALUE(maybe_key IGNORE NULLS) OVER w2 AS first_nonnull
+FROM src
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@register("over_ignore_nulls", _IGNORE_NULLS_ORACLE, tags=("over",))
+def over_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 1)
+    src = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderkey"))
+        .alias("maybe_key"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return src.select(
+        "o_custkey",
+        "o_orderkey",
+        F.last("maybe_key", ignorenulls=True).over(w).alias("last_nonnull"),
+        F.first("maybe_key", ignorenulls=True).over(w2).alias("first_nonnull"),
+    )
