@@ -1319,3 +1319,58 @@ def stream_cep_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid_scale=2,
     )
     return run_to_table(matches, "update")
+
+
+# --------------------------------------------------------------------------
+# streaming COUNT window (CountTumblingWindowAssigner on a stream): per
+# user, every 10 settled events in event-time order form one window,
+# which fires only when FULL. Composed from the keyed temporal-sort
+# operator's emission counter (the deterministic event-time dual of
+# Flink's arrival-order count trigger): window id = (seq-1)/10 over
+# emitted rows, complete windows only. Oracle: ROW_NUMBER over the
+# settled region with the same grouping and HAVING n = 10.
+# --------------------------------------------------------------------------
+
+_SCOUNT_TUMBLE_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events),
+seq AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events, cut
+  WHERE epoch_ms(ts) <= cut.wm
+)
+SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS win_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+FROM seq
+GROUP BY user_id, (rn - 1) // 10
+HAVING COUNT(*) = 10
+"""
+
+
+@register(
+    "stream_count_tumble", _SCOUNT_TUMBLE_ORACLE, tags=("streaming", "window", "count")
+)
+def stream_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_temporal_sort
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "10 minutes")
+    )
+    ordered = run_to_table(
+        streaming_temporal_sort(
+            ev, order_cols=["ts", "event_id"], keys=["user_id"]
+        ),
+        "update",
+    )
+    return (
+        ordered.withColumn("win_id", ((F.col("emit_seq") - 1) / 10).cast("bigint"))
+        .groupBy("user_id", "win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total"),
+        )
+        .filter(F.col("n") == 10)
+        .drop("n")
+    )
