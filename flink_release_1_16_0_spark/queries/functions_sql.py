@@ -653,3 +653,32 @@ def func_url_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         FF.parse_url("url", "QUERY", "prio").alias("url_prio"),
         F.hex("o_orderkey").alias("key_hex"),
     )
+
+
+# --------------------------------------------------------------------------
+# UNNEST of a MAP (UnnestRowsFunction.java:41 handles arrays, maps and
+# multisets; the array path is correlate_unnest): each map entry
+# becomes a (key, value) row.
+# --------------------------------------------------------------------------
+
+_UNNEST_MAP_ORACLE = """
+SELECT n_name, e.key AS attr, e.value AS val
+FROM (
+  SELECT n_name,
+         unnest(map_entries(MAP(['nation_key', 'region_key'],
+                                [n_nationkey, n_regionkey]))) AS e
+  FROM nation
+)
+"""
+
+
+@register("correlate_unnest_map", _UNNEST_MAP_ORACLE, tags=("correlate", "unnest"))
+def correlate_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nation_key"),
+        F.col("n_nationkey"),
+        F.lit("region_key"),
+        F.col("n_regionkey"),
+    )
+    return nation.select("n_name", F.explode(m).alias("attr", "val"))
