@@ -682,3 +682,33 @@ def correlate_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey"),
     )
     return nation.select("n_name", F.explode(m).alias("attr", "val"))
+
+
+# --------------------------------------------------------------------------
+# UNNEST of a MULTISET (the third UnnestRowsFunction input kind):
+# COLLECT builds the element->count multiset encoding, UNNEST emits
+# each element count times — so collect-then-unnest is the identity on
+# the grouped rows, which is exactly what the oracle states.
+# --------------------------------------------------------------------------
+
+_UNNEST_MULTISET_ORACLE = """
+SELECT c_nationkey, c_mktsegment AS segment FROM customer
+"""
+
+
+@register(
+    "correlate_unnest_multiset", _UNNEST_MULTISET_ORACLE, tags=("correlate", "unnest")
+)
+def correlate_unnest_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.functions import multiset_from_array
+
+    cust = load_table(spark, sf_dir, "customer")
+    ms = cust.groupBy("c_nationkey").agg(
+        multiset_from_array(F.collect_list("c_mktsegment")).alias("ms")
+    )
+    entries = ms.select("c_nationkey", F.explode("ms").alias("segment", "cnt"))
+    return entries.select(
+        "c_nationkey",
+        "segment",
+        F.explode(F.sequence(F.lit(1), F.col("cnt"))).alias("__i"),
+    ).drop("__i")
