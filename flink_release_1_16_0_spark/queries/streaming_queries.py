@@ -1374,3 +1374,103 @@ def stream_count_tumble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") == 10)
         .drop("n")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming ALL ROWS PER MATCH: the per-event emission mode of the
+# streaming CEP tier — every matched event emits with match_no,
+# CLASSIFIER() and RUNNING measures, finalized under the same WITHIN
+# watermark bound. Oracle: the batch all-rows derivation with the
+# WITHIN-truncated match start (earliest in-window click) and the
+# finalization cutoff.
+# --------------------------------------------------------------------------
+
+_SCEP_ALL_ROWS_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'click' THEN 'c'
+              WHEN event_type = 'purchase' THEN 'p'
+              ELSE '-' END AS sym,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), clicks AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM tagged WHERE sym = 'c'
+), islands AS (
+  SELECT user_id, grp, MIN(rn) AS run_start, MAX(rn) AS run_end
+  FROM clicks GROUP BY user_id, grp
+), p_match AS (
+  SELECT i.user_id, i.run_start, i.run_end, p.rn AS p_rn, p.ts AS p_ts
+  FROM islands i
+  JOIN tagged p
+    ON p.user_id = i.user_id AND p.rn = i.run_end + 1 AND p.sym = 'p'
+), matches AS (
+  SELECT pm.user_id, pm.p_rn, MIN(r.rn) AS start_rn
+  FROM p_match pm
+  JOIN tagged r
+    ON r.user_id = pm.user_id AND r.sym = 'c'
+   AND r.rn BETWEEN pm.run_start AND pm.run_end
+   AND r.ts > pm.p_ts - INTERVAL 12 HOUR
+  GROUP BY pm.user_id, pm.p_rn
+  HAVING epoch_ms(MIN(r.ts)) + 43200000
+         <= (SELECT epoch_ms(MAX(ts)) - 600000 FROM events)
+), numbered AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY start_rn) - 1
+                 AS INT) AS match_no
+  FROM matches
+), rows_out AS (
+  SELECT t.user_id, t.ts, t.event_id, t.value, t.sym, t.rn,
+         n.match_no, n.start_rn, n.p_rn
+  FROM tagged t
+  JOIN numbered n
+    ON t.user_id = n.user_id AND t.rn BETWEEN n.start_rn AND n.p_rn
+)
+SELECT user_id, ts, event_id, value, match_no,
+       CASE WHEN sym = 'c' THEN 'C' ELSE 'P' END AS classifier,
+       CAST(CASE WHEN sym = 'c' THEN rn - start_rn + 1
+                 ELSE p_rn - start_rn END AS BIGINT) AS n_clicks,
+       CAST(SUM(CASE WHEN sym = 'c' THEN CAST(value AS DECIMAL(38,2))
+                     ELSE CAST(0 AS DECIMAL(38,2)) END)
+            OVER (PARTITION BY user_id, start_rn ORDER BY rn) AS DOUBLE)
+           AS click_value_sum
+FROM rows_out
+"""
+
+
+@register(
+    "stream_cep_all_rows", _SCEP_ALL_ROWS_ORACLE, tags=("streaming", "cep", "match")
+)
+def stream_cep_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.cep import classify
+    from flink_release_1_16_0_spark.streaming.cep_stream import streaming_cep_within
+
+    ev = events_stream(spark, sf_dir)
+    tagged = ev.withColumn(
+        "__sym",
+        classify(
+            {
+                "c": F.col("event_type") == "click",
+                "p": F.col("event_type") == "purchase",
+            }
+        ),
+    )
+    matches = streaming_cep_within(
+        tagged,
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        sym_col="__sym",
+        pattern="(?P<C>c+)(?P<P>p)",
+        within_ms=12 * 3600 * 1000,
+        measures={
+            "n_clicks": ("C", "count", "event_id", "bigint"),
+            "click_value_sum": ("C", "sum", "value", "double"),
+        },
+        value_cols=["value"],
+        grid_scale=2,
+        all_rows=True,
+    )
+    out = run_to_table(matches, "update")
+    return out.withColumn(
+        "classifier", F.upper("classifier")
+    )

@@ -59,6 +59,7 @@ def streaming_cep_within(
     measures: dict[str, tuple[str, str, str, str]] | None = None,
     value_cols: Sequence[str] = (),
     grid_scale: int | None = None,
+    all_rows: bool = False,
 ) -> DataFrame:
     """Streaming regex-tier CEP with a WITHIN finalization bound.
 
@@ -75,6 +76,11 @@ def streaming_cep_within(
     regex named groups and each measure aggregates that variable's
     rows; ``value_cols`` are carried through keyed state for the
     aggregates, ``grid_scale`` makes SUM exact on a decimal grid.
+    ``all_rows=True`` adds the ALL ROWS PER MATCH streaming tier
+    (``match_regex_all_rows`` dual): one output row per matched EVENT
+    — keys, the row's own (ts, id, value_cols), match_no, classifier,
+    then each measure with RUNNING semantics (the variable's rows up
+    to and including the current row).
 
     Rows the final watermark never finalizes stay buffered (bounded
     replay: the oracle cutoff is ``start_ts + within <= max(ts) -
@@ -94,8 +100,32 @@ def streaming_cep_within(
         F.col(sym_col).alias("__sym"),
         *value_cols,
     )
+    if all_rows and not measures:
+        raise ValueError("all_rows=True requires measures")
     key_fields = [tagged.schema[k] for k in keys]
-    if measures:
+    if all_rows:
+        m_fields = [
+            StructField(a, _parse_datatype_string(t))
+            for a, (_v, _g, _c, t) in measures.items()
+        ]
+        row_fields = [
+            StructField(ts_col, tagged.schema["__ts"].dataType),
+            StructField(id_col, tagged.schema["__id"].dataType),
+            *[tagged.schema[c] for c in value_cols],
+        ]
+        out_schema = StructType(
+            [
+                *key_fields,
+                *row_fields,
+                StructField("match_no", IntegerType()),
+                StructField("classifier", StringType()),
+                *m_fields,
+            ]
+        )
+        out_cols = [
+            *keys, ts_col, id_col, *value_cols, "match_no", "classifier", *measures
+        ]
+    elif measures:
         m_fields = [
             StructField(a, _parse_datatype_string(t))
             for a, (_v, _g, _c, t) in measures.items()
@@ -193,7 +223,44 @@ def streaming_cep_within(
             m = rx.match(sym, s, e_max)
             if m and m.end() > m.start():
                 if ms(settled[s][0]) + within_ms <= wm:
-                    if measures:
+                    if all_rows:
+                        sdf = pd.DataFrame(
+                            settled[m.start() : m.end()], columns=slice_cols
+                        )
+                        spans = {
+                            v: (m.span(v)[0] - m.start(), m.span(v)[1] - m.start())
+                            for v in m.re.groupindex
+                        }
+                        for r in range(len(sdf)):
+                            row = sdf.iloc[r]
+                            classifier = next(
+                                (v for v, (a, b) in spans.items() if a <= r < b),
+                                None,
+                            )
+                            vals = []
+                            for _alias, (var, agg, col, _t) in measures.items():
+                                a, b = spans.get(var, (-1, -1))
+                                hi = min(r + 1, b)
+                                sl = (
+                                    sdf.iloc[a:hi]
+                                    if 0 <= a < hi
+                                    else sdf.iloc[0:0]
+                                )
+                                vals.append(
+                                    _measure_value(sl, agg, col_name(col), grid_scale)
+                                )
+                            out.append(
+                                (
+                                    *key,
+                                    row["__ts"],
+                                    row["__id"],
+                                    *[row[c] for c in value_cols],
+                                    int(match_no),
+                                    classifier,
+                                    *vals,
+                                )
+                            )
+                    elif measures:
                         sdf = pd.DataFrame(
                             settled[m.start() : m.end()], columns=slice_cols
                         )
