@@ -316,10 +316,30 @@ class CatalogTable:
                 self.columns
             ):
                 df = df.toDF(*[c.name for c in self.columns])
+        elif connector == "hive":
+            # Hive catalog connector (flink-connectors/flink-connector-hive,
+            # HiveDynamicTableFactory): the table lives in the engine's
+            # session catalog — backed by the Hive metastore (embedded
+            # Derby) when the SparkSession was built with
+            # enableHiveSupport, the in-memory session catalog otherwise.
+            # Scanning through spark.table() keeps metastore partition
+            # pruning native.
+            if streaming:
+                raise ValueError(
+                    "hive connector is a bounded (batch) scan source, "
+                    "same as the reference's HiveSource in batch mode"
+                )
+            tbl = opts.pop("table-name", self.name)
+            # fully qualify so resolution hits the catalog table, not
+            # the engine's same-named temp view (which would otherwise
+            # make this scan self-referential on refresh)
+            df = spark.table(
+                f"spark_catalog.{spark.catalog.currentDatabase()}.{tbl}"
+            )
         else:
             raise ValueError(
                 f"unsupported connector {connector!r} for scans "
-                "(supported: filesystem, kafka, upsert-kafka, datagen, jdbc)"
+                "(supported: filesystem, kafka, upsert-kafka, datagen, jdbc, hive)"
             )
         for cname, expr in self.computed:
             if expr.startswith("@metadata:"):
@@ -407,9 +427,16 @@ class CatalogTable:
                 driver=self.options.get("driver"),
             )
             return
+        if connector == "hive":
+            tbl = self.options.get("table-name", self.name)
+            writer = out.write.mode("overwrite" if overwrite else "append")
+            if self.partitioned_by:
+                writer = writer.partitionBy(*self.partitioned_by)
+            writer.saveAsTable(tbl)
+            return
         raise ValueError(
             f"unsupported sink connector {connector!r} "
-            "(supported: filesystem, print, blackhole, jdbc)"
+            "(supported: filesystem, print, blackhole, jdbc, hive)"
         )
 
     def _write_stream(self, out: DataFrame) -> None:
@@ -1827,9 +1854,23 @@ class TableEnvironment:
             database=self._current_db,
         )
         self._tables[name] = table
+        if table.connector == "hive":
+            # materialize the backing catalog table eagerly (the
+            # reference's HiveCatalog.createTable): scans work before
+            # the first INSERT
+            tbl = options.get("table-name", name)
+            if not self.spark.catalog.tableExists(tbl):
+                parts = (
+                    f" PARTITIONED BY ({', '.join(table.partitioned_by)})"
+                    if table.partitioned_by
+                    else ""
+                )
+                self.spark.sql(
+                    f"CREATE TABLE {tbl} ({table.schema_ddl()}) USING PARQUET{parts}"
+                )
         # register the scan as a temp view so SQL can reference it; sinks
         # (print/blackhole, write-only filesystem dirs) stay catalog-only
-        if table.connector in ("filesystem", "kafka", "upsert-kafka", "datagen", "jdbc"):
+        if table.connector in ("filesystem", "kafka", "upsert-kafka", "datagen", "jdbc", "hive"):
             try:
                 table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
             except Exception:
@@ -1886,16 +1927,18 @@ class TableEnvironment:
                 f"INSERT column count mismatch: query has {len(df.columns)}, "
                 f"table {name} declares {len(declared)}"
             )
-        # positional alignment + declared-type casts, per Flink INSERT
-        aligned = df.select(
-            *[
-                F.col(src).cast(c.spark_type).alias(c.name)
-                for src, c in zip(df.columns, table.columns)
-            ]
+        # positional alignment + declared-type casts, per Flink INSERT.
+        # Rename positionally FIRST (toDF): query-derived column names
+        # can contain dots (e.g. a literal aliased '20.0'), which
+        # F.col() would mis-parse as struct access.
+        aligned = df.toDF(*declared).select(
+            *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in table.columns]
         )
         table.write(aligned, overwrite)
-        # refresh the readable view if the sink is also scannable
-        if table.connector in ("filesystem", "jdbc"):
+        # refresh the readable view if the sink is also scannable (the
+        # temp view pins a resolved relation whose file index would
+        # otherwise go stale after the write)
+        if table.connector in ("filesystem", "jdbc", "hive"):
             table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
         return TableResult(rows=["OK"])
 

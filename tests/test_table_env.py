@@ -1470,3 +1470,41 @@ def test_maxwell_json_parameterized_types(tenv, spark, tmp_path):
         for r in tenv.from_path("mxp_t").to_data_frame().collect()
     )
     assert rows == [("+U", 10.5), ("-U", 9.25)]
+
+
+def test_hive_connector_catalog_table_roundtrip(spark, tmp_path):
+    """'connector'='hive' maps to a session-catalog (Hive metastore
+    when enabled) managed table: CREATE materializes it, INSERT INTO
+    appends through saveAsTable, scans read via spark.table (metastore
+    partition pruning native), INSERT OVERWRITE replaces."""
+    spark.sql("DROP TABLE IF EXISTS hive_sales")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/hive_sales", ignore_errors=True)
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        """
+        CREATE TABLE hive_sales (k BIGINT, region STRING, amt DOUBLE)
+        PARTITIONED BY (region)
+        WITH ('connector' = 'hive')
+        """
+    )
+    try:
+        tenv.execute_sql(
+            "INSERT INTO hive_sales SELECT 1, 'eu', 10.0 UNION ALL SELECT 2, 'us', 20.0"
+        )
+        got = {
+            (r["k"], r["region"], r["amt"])
+            for r in tenv.sql_query("SELECT * FROM hive_sales").to_data_frame().collect()
+        }
+        assert got == {(1, "eu", 10.0), (2, "us", 20.0)}
+        tenv.execute_sql("INSERT INTO hive_sales SELECT 3, 'eu', 30.0")
+        n = tenv.sql_query(
+            "SELECT COUNT(*) AS n FROM hive_sales WHERE region = 'eu'"
+        ).to_data_frame().collect()[0]["n"]
+        assert n == 2
+        tenv.execute_sql("INSERT OVERWRITE hive_sales SELECT 9, 'ap', 1.0")
+        rows = tenv.sql_query("SELECT k FROM hive_sales").to_data_frame().collect()
+        assert [r["k"] for r in rows] == [9]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hive_sales")
