@@ -465,3 +465,113 @@ GROUP BY ROLLUP (n_name, c_mktsegment)
 def ds_grouping_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "nation")
     return spark.sql(_DS_GROUPING_LEVEL)
+
+
+# --------------------------------------------------------------------------
+# Multi-channel COUNT(DISTINCT) pivot (TPC-DS q35/q69 shape): distinct
+# entity counts per channel computed in one pass over the fact table.
+# --------------------------------------------------------------------------
+
+_DS_DISTINCT_CHANNELS = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN o_custkey END) AS BIGINT) AS urgent_custs,
+       CAST(COUNT(DISTINCT CASE WHEN o_orderpriority = '5-LOW'
+                                THEN o_custkey END) AS BIGINT) AS low_custs,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS all_custs
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+@register("ds_distinct_channels", _DS_DISTINCT_CHANNELS, tags=("tpcds", "agg"))
+def ds_distinct_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_DS_DISTINCT_CHANNELS)
+
+
+# --------------------------------------------------------------------------
+# Year-over-year cohort retention (TPC-DS q11/q74 customer-activity
+# shape): customers active in consecutive years, retention counted per
+# base year via a self-join of per-(customer, year) activity.
+# --------------------------------------------------------------------------
+
+_DS_RETENTION = """
+WITH activity AS (
+  SELECT DISTINCT o_custkey, EXTRACT(YEAR FROM o_orderdate) AS yr
+  FROM orders
+)
+SELECT a.yr AS base_year,
+       CAST(COUNT(*) AS BIGINT) AS active,
+       CAST(COUNT(b.o_custkey) AS BIGINT) AS retained
+FROM activity a
+LEFT JOIN activity b
+  ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+GROUP BY a.yr
+"""
+
+
+@register("ds_cohort_retention", _DS_RETENTION, tags=("tpcds", "join", "agg"))
+def ds_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_DS_RETENTION)
+
+
+# --------------------------------------------------------------------------
+# Best/worst rank join-back (TPC-DS q44 shape): rank parts by exact
+# average revenue, then join the top-10 ascending and descending ranks
+# back to the part names in one row per rank position.
+# --------------------------------------------------------------------------
+
+_DS_RANK_JOIN_BACK = """
+WITH perf AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+           / COUNT(*) AS avg_rev
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT l_partkey, avg_rev,
+         ROW_NUMBER() OVER (ORDER BY avg_rev DESC, l_partkey) AS best_rn,
+         ROW_NUMBER() OVER (ORDER BY avg_rev ASC, l_partkey) AS worst_rn
+  FROM perf
+)
+SELECT b.best_rn AS rnk, pb.p_name AS best_part, pw.p_name AS worst_part
+FROM ranked b
+JOIN ranked w ON w.worst_rn = b.best_rn
+JOIN part pb ON pb.p_partkey = b.l_partkey
+JOIN part pw ON pw.p_partkey = w.l_partkey
+WHERE b.best_rn <= 10
+"""
+
+
+@register("ds_rank_join_back", _DS_RANK_JOIN_BACK, tags=("tpcds", "window", "join"))
+def ds_rank_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_DS_RANK_JOIN_BACK)
+
+
+# --------------------------------------------------------------------------
+# Channel-share HAVING filter (TPC-DS q90-adjacent ratio shape):
+# customers whose urgent-priority spend exceeds half their total spend —
+# the ratio comparison is cross-multiplied into DECIMAL-exact terms.
+# --------------------------------------------------------------------------
+
+_DS_CHANNEL_SHARE = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                     THEN CAST(o_totalprice AS DECIMAL(38,2))
+                     ELSE CAST(0 AS DECIMAL(38,2)) END) AS DOUBLE) AS urgent_spend
+FROM orders
+GROUP BY o_custkey
+HAVING SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN CAST(o_totalprice AS DECIMAL(38,2))
+                ELSE CAST(0 AS DECIMAL(38,2)) END) * 2
+       > SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+"""
+
+
+@register("ds_channel_share", _DS_CHANNEL_SHARE, tags=("tpcds", "agg"))
+def ds_channel_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_DS_CHANNEL_SHARE)
