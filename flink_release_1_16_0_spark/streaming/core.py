@@ -72,6 +72,12 @@ def run_to_table(
     )
     try:
         q.awaitTermination(timeout_sec)
+        # awaitTermination(timeout) returns a bool and does NOT re-raise
+        # stream failures — surface them so a failed replay never
+        # masquerades as an empty sink table
+        exc = q.exception()
+        if exc is not None:
+            raise exc
     finally:
         if q.isActive:
             q.stop()

@@ -484,14 +484,42 @@ class CatalogTable:
                     "checkpointLocation",
                     f"{path.rstrip('/')}/.checkpoints/exec_{uuid.uuid4().hex}",
                 )
+        elif connector == "hive":
+            # streaming write into the catalog-managed table (the
+            # reference's Hive streaming sink, partition-commit on
+            # checkpoint): per-batch saveAsTable appends under a
+            # per-execution checkpoint, same fresh-job discipline as
+            # the filesystem sink
+            tbl = self.options.get("table-name", self.name)
+            partitions = list(self.partitioned_by)
+
+            def _append_tbl(batch_df: DataFrame, _batch_id: int) -> None:
+                # insertInto (positional) — the foreachBatch idiom for
+                # existing catalog tables; partitioning comes from the
+                # table definition
+                batch_df.write.insertInto(tbl, overwrite=False)
+
+            wh = out.sparkSession.conf.get(
+                "spark.sql.warehouse.dir", "/tmp"
+            ).rstrip("/")
+            writer = out.writeStream.foreachBatch(_append_tbl).option(
+                "checkpointLocation",
+                f"{wh}/.checkpoints/{tbl}_exec_{uuid.uuid4().hex}",
+            )
         else:
             raise ValueError(
                 f"unsupported streaming sink connector {connector!r} "
-                "(supported: filesystem, blackhole)"
+                "(supported: filesystem, blackhole, hive)"
             )
         q = writer.outputMode("append").trigger(availableNow=True).start()
         try:
             q.awaitTermination(300)
+            # awaitTermination(timeout) returns a bool and does NOT
+            # re-raise stream failures — surface them explicitly so a
+            # failed INSERT never looks like an empty success
+            exc = q.exception()
+            if exc is not None:
+                raise exc
         finally:
             if q.isActive:
                 q.stop()
@@ -1872,7 +1900,11 @@ class TableEnvironment:
         # (print/blackhole, write-only filesystem dirs) stay catalog-only
         if table.connector in ("filesystem", "kafka", "upsert-kafka", "datagen", "jdbc", "hive"):
             try:
-                table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
+                # hive scans are bounded by definition (HiveSource batch
+                # mode) — even a streaming environment reads them as a
+                # batch snapshot
+                streaming_scan = self.streaming and table.connector != "hive"
+                table.scan(self.spark, streaming_scan).createOrReplaceTempView(name)
             except Exception:
                 if table.connector in ("filesystem", "jdbc"):
                     # write-only target (path / db table does not exist yet)
@@ -1939,7 +1971,8 @@ class TableEnvironment:
         # temp view pins a resolved relation whose file index would
         # otherwise go stale after the write)
         if table.connector in ("filesystem", "jdbc", "hive"):
-            table.scan(self.spark, self.streaming).createOrReplaceTempView(name)
+            streaming_scan = self.streaming and table.connector != "hive"
+            table.scan(self.spark, streaming_scan).createOrReplaceTempView(name)
         return TableResult(rows=["OK"])
 
 

@@ -1508,3 +1508,42 @@ def test_hive_connector_catalog_table_roundtrip(spark, tmp_path):
         assert [r["k"] for r in rows] == [9]
     finally:
         spark.sql("DROP TABLE IF EXISTS hive_sales")
+
+
+def test_streaming_insert_into_hive_table(spark, tmp_path):
+    """Streaming INSERT INTO a hive-connector table: availableNow drain
+    appends per-batch into the catalog-managed table (the reference's
+    Hive streaming sink with partition commit)."""
+    spark.sql("DROP TABLE IF EXISTS hive_stream_snk")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/hive_stream_snk", ignore_errors=True)
+    tenv = TableEnvironment.create(spark, streaming=True)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE hs_src (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    tenv.execute_sql(
+        """
+        CREATE TABLE hive_stream_snk (k BIGINT, name STRING)
+        WITH ('connector'='hive')
+        """
+    )
+    try:
+        tenv.execute_sql(
+            "INSERT INTO hive_stream_snk SELECT r_regionkey, upper(r_name) "
+            "FROM hs_src WHERE r_regionkey < 3"
+        )
+        got = sorted(
+            (r["k"], r["name"])
+            for r in spark.sql(
+                "SELECT * FROM spark_catalog.default.hive_stream_snk"
+            ).collect()
+        )
+        assert [k for k, _ in got] == [0, 1, 2]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hive_stream_snk")
