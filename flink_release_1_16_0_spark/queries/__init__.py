@@ -119,7 +119,7 @@ _PRIORITY = (
     "window_cumulate",
     "window_session",
     "window_join",
-    "window_topn",
+    "window_count_tumble",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_ivf_topk",
