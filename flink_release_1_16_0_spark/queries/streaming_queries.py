@@ -1474,3 +1474,45 @@ def stream_cep_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "classifier", F.upper("classifier")
     )
+
+
+# --------------------------------------------------------------------------
+# streaming first-N per key (AppendOnlyFirstNFunction: emit only the
+# first N rows per key, by time, then drop the rest). Deterministic
+# event-time reading via the keyed temporal-sort emission counter.
+# --------------------------------------------------------------------------
+
+_SFIRST_N_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events),
+seq AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events, cut
+  WHERE epoch_ms(ts) <= cut.wm
+)
+SELECT user_id, event_id, ts, CAST(rn AS BIGINT) AS arrival_rank
+FROM seq WHERE rn <= 5
+"""
+
+
+@register("stream_first_n", _SFIRST_N_ORACLE, tags=("streaming", "rank"))
+def stream_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_temporal_sort
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts")
+        .withWatermark("ts", "10 minutes")
+    )
+    ordered = run_to_table(
+        streaming_temporal_sort(
+            ev, order_cols=["ts", "event_id"], keys=["user_id"]
+        ),
+        "update",
+    )
+    return (
+        ordered.filter(F.col("emit_seq") <= 5)
+        .select(
+            "user_id", "event_id", "ts", F.col("emit_seq").alias("arrival_rank")
+        )
+    )

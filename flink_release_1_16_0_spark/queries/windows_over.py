@@ -451,3 +451,37 @@ def over_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("maybe_key", ignorenulls=True).over(w).alias("last_nonnull"),
         F.first("maybe_key", ignorenulls=True).over(w2).alias("first_nonnull"),
     )
+
+
+# --------------------------------------------------------------------------
+# RANK-mode TopN (RankType.java:30 RANK vs ROW_NUMBER; the reference's
+# TopN supports both): ties share a rank, so "top 3" can emit more than
+# 3 rows per group. Balances are on a cents grid, so tie groups are
+# engine-identical.
+# --------------------------------------------------------------------------
+
+_TOPN_RANK_MODE_ORACLE = """
+SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, rnk
+FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         CAST(RANK() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC) AS INT) AS rnk
+  FROM customer
+)
+WHERE rnk <= 3
+"""
+
+
+@register("rank_topn_rank_mode", _TOPN_RANK_MODE_ORACLE, tags=("rank", "topn"))
+def rank_topn_rank_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.rank().over(w).cast("int").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
