@@ -1516,3 +1516,46 @@ def stream_first_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_id", "ts", F.col("emit_seq").alias("arrival_rank")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# streaming ROWS-bounded over agg (RowTimeRowsBoundedPrecedingFunction):
+# trailing-20-rows frame per user in event-time order — completes the
+# streaming OVER matrix (proc/rowtime x unbounded, RANGE-bounded,
+# ROWS-bounded).
+# --------------------------------------------------------------------------
+
+_SOVER_ROWS_BOUNDED_ORACLE = """
+WITH cut AS (SELECT epoch_ms(MAX(ts)) - 600000 AS wm FROM events)
+SELECT user_id, event_id, ts,
+       CAST(COUNT(*) OVER f AS BIGINT) AS win_n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER f AS DOUBLE) / 100
+           AS win_sum
+FROM events, cut
+WHERE epoch_ms(ts) <= cut.wm
+WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register(
+    "stream_over_rows_bounded",
+    _SOVER_ROWS_BOUNDED_ORACLE,
+    tags=("streaming", "over", "time"),
+)
+def stream_over_rows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_over_rows_bounded_event_time,
+    )
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withWatermark("ts", "10 minutes")
+    )
+    return run_to_table(
+        streaming_over_rows_bounded_event_time(
+            ev, keys=["user_id"], value_col="value", id_col="event_id"
+        ),
+        "update",
+    )

@@ -1266,3 +1266,99 @@ def streaming_retracting_minmax(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_over_rows_bounded_event_time(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    id_col: str,
+    ts_col: str = "ts",
+    n_rows: int = 20,
+) -> DataFrame:
+    """Rowtime ROWS-bounded-preceding OVER aggregation
+    (RowTimeRowsBoundedPrecedingFunction.java): for each row, SUM/COUNT
+    over the key's previous ``n_rows - 1`` rows plus itself, in strict
+    (ts, id) event-time order. Unlike the RANGE variant, every row has
+    its OWN frame (no peer sharing).
+
+    Watermark discipline as the sibling operators: rows buffer until
+    the watermark passes, finalize in order, late rows drop. Retained
+    state is exactly the last ``n_rows - 1`` finalized rows per key
+    plus the unsettled buffer — the reference's retract-list bound,
+    O(n_rows + out-of-orderness window), never O(stream).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType as ST,
+    )
+
+    key_fields = [stream.schema[k] for k in keys]
+    id_field = stream.schema[id_col]
+    ts_field = stream.schema[ts_col]
+    out_schema = ST(
+        [
+            *key_fields,
+            id_field,
+            ts_field,
+            StructField("win_n", LongType()),
+            StructField("win_sum", DoubleType()),
+        ]
+    )
+    row_schema = ST([ts_field, id_field, StructField("v", DoubleType())])
+    state_schema = ST(
+        [
+            StructField("pending", ArrayType(row_schema)),
+            StructField("window", ArrayType(row_schema)),
+        ]
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def ms(t):
+            return pd.Timestamp(t).value // 1_000_000
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            pending, window = state.get
+            pending = [(pd.Timestamp(p[0]), p[1], p[2]) for p in (pending or [])]
+            window = [(pd.Timestamp(p[0]), p[1], p[2]) for p in (window or [])]
+        else:
+            pending, window = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
+                if ms(t) <= wm:
+                    continue  # late: dropped
+                pending.append((pd.Timestamp(t), int(i), float(v)))
+        ready = sorted(
+            (p for p in pending if ms(p[0]) <= wm), key=lambda p: (p[0], p[1])
+        )
+        pending = [p for p in pending if ms(p[0]) > wm]
+        out = []
+        for t, i, v in ready:
+            window.append((t, i, v))
+            window = window[-n_rows:]
+            cents = sum(int(round(w[2] * 100)) for w in window)
+            out.append((*key, i, t, len(window), cents / 100.0))
+        window = window[-(n_rows - 1):] if n_rows > 1 else []
+        state.update((pending, window))
+        if pending:
+            state.setTimeoutTimestamp(min(ms(p[0]) for p in pending) + 1)
+        if out:
+            yield pd.DataFrame(
+                out, columns=[*keys, id_col, ts_col, "win_n", "win_sum"]
+            )
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
