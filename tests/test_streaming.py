@@ -580,3 +580,59 @@ def test_streaming_cep_within_converges_multibatch(
         .collect()
     )
     assert got == want
+
+
+def test_streaming_over_rows_bounded_multibatch(spark, sf_smoke, tmp_path_factory):
+    """Trailing-rows frames must be identical whether the log arrives in
+    one batch or four (the retained last-n-1 window carries across)."""
+    from pyspark.sql import Window
+
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_over_rows_bounded_event_time,
+    )
+
+    path = str(tmp_path_factory.mktemp("rows_bounded_chunks"))
+    sel = _batch_events(spark, sf_smoke).filter(F.col("user_id") % 10 == 3).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    m = sel.agg(F.max("event_id")).first()[0]
+    sel.withColumn(
+        "chunk", F.least(F.floor(F.col("event_id") / ((m + 1) / 4)), F.lit(3)).cast("int")
+    ).repartition(1).write.partitionBy("chunk").mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+    )
+    out = run_to_table(
+        streaming_over_rows_bounded_event_time(
+            stream, keys=["user_id"], value_col="value", id_col="event_id", n_rows=5
+        ),
+        "update",
+    )
+    got = {
+        (r["user_id"], r["event_id"]): (r["win_n"], r["win_sum"]) for r in out.collect()
+    }
+    wm_ms = (
+        sel.agg((F.floor(F.unix_micros(F.max("ts")) / 1000) - 600000).alias("w"))
+        .collect()[0]["w"]
+    )
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    want_df = (
+        sel.filter(F.floor(F.unix_micros("ts") / 1000) <= wm_ms)
+        .select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(f).alias("win_n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).over(f) / 100.0
+            ).alias("win_sum"),
+        )
+    )
+    for r in want_df.collect():
+        assert got[(r["user_id"], r["event_id"])] == (r["win_n"], r["win_sum"]), r
