@@ -356,11 +356,14 @@ def simhash32(text: Column, k: int = 3) -> Column:
 
 def sql_simhash32(expr: str, k: int = 3) -> str:
     sh = sql_shingles(expr, k)
+    # Outer CAST matters: DuckDB list_sum returns HUGEINT, which
+    # fetchdf() materializes as float64 — the driver's value-hash then
+    # differs from Spark's bigint even though values are identical.
     return f"""(
-      SELECT list_sum(list_transform(range(32), b ->
+      SELECT CAST(list_sum(list_transform(range(32), b ->
         CASE WHEN list_sum(list_transform(__hs, h ->
                CASE WHEN (h // (1 << b)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
-             THEN (1 << b)::BIGINT ELSE 0 END))
+             THEN (1 << b)::BIGINT ELSE 0 END)) AS BIGINT)
       FROM (SELECT list_transform({sh},
                    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS __hs)
     )"""

@@ -473,6 +473,196 @@ def api_sql_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# AFTER MATCH SKIP TO FIRST/LAST <var> through the SQL surface
+# (SkipToFirstStrategy.java / SkipToLastStrategy.java; the planner's
+# MatchRecognizeITCase skip forms). Pattern (S C+ E) over the user's
+# click/purchase subsequence: purchase, clicks, purchase. SKIP TO LAST E
+# resumes AT the closing purchase, so consecutive matches CHAIN through
+# shared purchases — every consecutive purchase pair with >=1 click
+# between them matches (PAST LAST ROW would only yield alternate pairs).
+# Oracle: self-join consecutive purchases over the filtered sequence; the
+# click-value sum comes from a cumulative DECIMAL window (grid scale 2,
+# same device as the operator's grid_scale).
+# --------------------------------------------------------------------------
+
+_CEP_SKIP_CHAIN_ORACLE_FMT = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('click', 'purchase')
+), cums AS (
+  SELECT *, SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(38,2))
+                     ELSE CAST(0 AS DECIMAL(38,2)) END)
+            OVER (PARTITION BY user_id ORDER BY rn) AS cum
+  FROM seq
+), purch AS (
+  SELECT user_id, rn, event_id, cum,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS pn
+  FROM cums WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.event_id AS start_purchase_id, b.event_id AS end_purchase_id,
+       CAST(b.rn - a.rn - 1 AS BIGINT) AS n_clicks,
+       {extra}
+FROM purch a
+JOIN purch b ON b.user_id = a.user_id AND b.pn = a.pn + 1 AND b.rn > a.rn + 1
+"""
+
+_CEP_SKIP_LAST_ORACLE = _CEP_SKIP_CHAIN_ORACLE_FMT.format(
+    extra="CAST(b.cum - a.cum AS DOUBLE) AS click_value_sum"
+)
+
+_CEP_SKIP_FIRST_ORACLE = _CEP_SKIP_CHAIN_ORACLE_FMT.format(
+    extra="""(SELECT c.value FROM seq c
+        WHERE c.user_id = a.user_id AND c.rn = a.rn + 1) AS first_click_value,
+       (SELECT c.value FROM seq c
+        WHERE c.user_id = a.user_id AND c.rn = b.rn - 1) AS last_click_value"""
+)
+
+
+def _events_cp_view(spark: SparkSession, sf_dir: str) -> None:
+    """Temp view of each user's click/purchase subsequence."""
+    from flink_release_1_16_0_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("events",))
+    spark.sql(
+        "SELECT * FROM events WHERE event_type IN ('click', 'purchase')"
+    ).createOrReplaceTempView("events_cp")
+
+
+@register("api_sql_match_skip_last", _CEP_SKIP_LAST_ORACLE, tags=("cep", "match", "api", "sql"))
+def api_sql_match_skip_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    _events_cp_view(spark, sf_dir)
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("SET 'table.exec.match-recognize.sum-scale' = '2'")
+    return tenv.sql_query(
+        """
+        SELECT user_id, start_purchase_id, end_purchase_id, n_clicks,
+               click_value_sum
+        FROM events_cp MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            S.event_id AS start_purchase_id,
+            E.event_id AS end_purchase_id,
+            COUNT(C.event_id) AS n_clicks,
+            SUM(C.value) AS click_value_sum
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO LAST E
+          PATTERN (S C+ E)
+          DEFINE
+            S AS S.event_type = 'purchase',
+            C AS C.event_type = 'click',
+            E AS E.event_type = 'purchase'
+        ) AS m
+        """
+    ).to_data_frame()
+
+
+@register("api_sql_match_skip_first", _CEP_SKIP_FIRST_ORACLE, tags=("cep", "match", "api", "sql"))
+def api_sql_match_skip_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP TO FIRST C resumes at the first click after the opening
+    purchase; attempts starting on clicks cannot match S, so scanning
+    lands on the closing purchase — yielding the same chained
+    consecutive-pair set (and differing from PAST LAST ROW, which skips
+    alternate pairs)."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    _events_cp_view(spark, sf_dir)
+    tenv = TableEnvironment.create(spark)
+    return tenv.sql_query(
+        """
+        SELECT user_id, start_purchase_id, end_purchase_id, n_clicks,
+               first_click_value, last_click_value
+        FROM events_cp MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            S.event_id AS start_purchase_id,
+            E.event_id AS end_purchase_id,
+            COUNT(C.event_id) AS n_clicks,
+            FIRST(C.value) AS first_click_value,
+            LAST(C.value) AS last_click_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP TO FIRST C
+          PATTERN (S C+ E)
+          DEFINE
+            S AS S.event_type = 'purchase',
+            C AS C.event_type = 'click',
+            E AS E.event_type = 'purchase'
+        ) AS m
+        """
+    ).to_data_frame()
+
+
+# --------------------------------------------------------------------------
+# Cross-variable DEFINE through the SQL surface, lowered to the NFA tier
+# (nfa/NFA.java predicate-over-partial-match semantics): same pattern and
+# oracle derivation as cep_nfa_define, expressed as MATCH_RECOGNIZE SQL.
+# --------------------------------------------------------------------------
+
+_CEP_NFA_SQL_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_id
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), clicks AS (
+  SELECT user_id, run_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, run_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, run_id) AS run_len
+  FROM seq WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, run_id, ts, event_id, value AS purchase_value
+  FROM seq WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.user_id, p.run_id, p.ts, p.event_id, p.purchase_value,
+         MIN(c.rn) AS start_rn, MAX(c.run_len) AS run_len
+  FROM purchases p
+  JOIN clicks c ON c.user_id = p.user_id AND c.run_id = p.run_id
+             AND p.purchase_value > c.value
+  GROUP BY p.user_id, p.run_id, p.ts, p.event_id, p.purchase_value
+)
+SELECT m.user_id,
+       CAST(m.run_len - m.start_rn + 1 AS BIGINT) AS n_clicks,
+       fc.value AS first_click_value,
+       m.purchase_value
+FROM matched m
+JOIN clicks fc ON fc.user_id = m.user_id AND fc.run_id = m.run_id AND fc.rn = m.start_rn
+"""
+
+
+@register("api_sql_match_nfa_define", _CEP_NFA_SQL_ORACLE, tags=("cep", "match", "api", "sql"))
+def api_sql_match_nfa_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    _events_cp_view(spark, sf_dir)
+    tenv = TableEnvironment.create(spark)
+    return tenv.sql_query(
+        """
+        SELECT user_id, n_clicks, first_click_value, purchase_value
+        FROM events_cp MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            COUNT(A.event_id) AS n_clicks,
+            FIRST(A.value) AS first_click_value,
+            LAST(B.value) AS purchase_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+ B)
+          DEFINE
+            A AS A.event_type = 'click',
+            B AS B.event_type = 'purchase' AND B.value > FIRST(A.value)
+        ) AS m
+        """
+    ).to_data_frame()
+
+
+# --------------------------------------------------------------------------
 # Multimodal frame sampling: binary payload -> N evenly-spaced frame
 # rows (the video keyframe-extraction batch shape, 1->N mapInPandas).
 # Frames are deterministic byte slices, so the DuckDB oracle mirrors

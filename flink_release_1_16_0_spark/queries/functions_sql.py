@@ -138,8 +138,8 @@ SELECT
   ABS(n_nationkey - 12)                      AS abs_c,
   SIGN(n_nationkey - 12)                     AS sign_c,
   n_nationkey % 7                            AS mod_c,
-  FLOOR(n_nationkey / 4.0)                   AS floor_c,
-  CEIL(n_nationkey / 4.0)                    AS ceil_c,
+  CAST(FLOOR(n_nationkey / 4.0) AS BIGINT)   AS floor_c,
+  CAST(CEIL(n_nationkey / 4.0) AS BIGINT)    AS ceil_c,
   ROUND(SQRT(n_nationkey), 9)                AS sqrt_c,
   POWER(n_nationkey, 2)                      AS pow_c,
   ROUND(EXP(n_nationkey / 10.0), 9)          AS exp_c,

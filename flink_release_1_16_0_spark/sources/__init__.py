@@ -29,7 +29,7 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_FILE_FORMATS = ("parquet", "csv", "json", "orc", "text", "avro")
+_FILE_FORMATS = ("parquet", "csv", "json", "orc", "text", "avro", "protobuf")
 
 
 def file_source(
@@ -59,6 +59,24 @@ def file_source(
         from flink_release_1_16_0_spark.sources.avro_format import avro_source
 
         return avro_source(spark, path)
+    if fmt == "protobuf":
+        # jar-free wire-format decoder (sources/protobuf_format.py);
+        # the DDL schema supplies the row layout (column i = field i+1)
+        if streaming:
+            raise NotImplementedError(
+                "streaming protobuf scans are not supported (batch binaryFile path)"
+            )
+        if schema is None:
+            raise ValueError("'protobuf' format requires an explicit schema")
+        from pyspark.sql.types import StructType
+
+        from flink_release_1_16_0_spark.sources.protobuf_format import (
+            protobuf_source,
+        )
+
+        st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+        ignore = options.get("protobuf.ignore-parse-errors", "false") == "true"
+        return protobuf_source(spark, path, st, ignore_parse_errors=ignore)
     if streaming:
         if schema is None:
             raise ValueError("streaming file sources require an explicit schema")

@@ -2079,16 +2079,101 @@ def _parse_match_recognize_body(body: str) -> dict:
         sections[name] = body[e:nxt].strip().rstrip(",").strip()
     if "pattern" not in sections or "define" not in sections:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
-    tail = body.upper().split("SKIP", 1)[-1][:40] if "after_match" in sections else ""
-    if "TO" in tail and not re.search(r"TO\s+NEXT\s+ROW", body, re.IGNORECASE):
-        raise NotImplementedError(
-            "AFTER MATCH SKIP supports PAST LAST ROW (default) and "
-            "TO NEXT ROW; SKIP TO [FIRST|LAST] <var> is not implemented"
-        )
     return sections
 
 
+def _parse_skip_strategy(body: str):
+    """AFTER MATCH SKIP clause -> the operator tier's skip spec
+    (nfa/aftermatch/AfterMatchSkipStrategy.java and its
+    SkipPastLastStrategy / SkipToNextStrategy / SkipToFirstStrategy /
+    SkipToLastStrategy subclasses): ``"past_last_row"`` (default),
+    ``"to_next_row"``, or ``("to_first"|"to_last", var)``; a bare
+    ``SKIP TO <var>`` is SKIP TO LAST <var> per the SQL standard."""
+    if re.search(r"SKIP\s+TO\s+NEXT\s+ROW", body, re.IGNORECASE):
+        return "to_next_row"
+    m = re.search(
+        r"SKIP\s+TO\s+(?:(FIRST|LAST)\s+)?(\w+)", body, re.IGNORECASE
+    )
+    if m:
+        mode = (m.group(1) or "LAST").lower()
+        return (f"to_{mode}", m.group(2))
+    return "past_last_row"
+
+
 _MR_COUNTER = iter(range(1, 1 << 30))
+
+
+class _UnboundVariable(Exception):
+    """DEFINE referenced a pattern variable with no bound rows yet."""
+
+
+def _compile_define_predicate(
+    pred: str, cur_var: str, variables: list, rename: dict
+):
+    """SQL DEFINE predicate -> ``fn(row, ctx)`` for the NFA tier
+    (operators/cep.py match_nfa; cross-variable semantics of
+    nfa/NFA.java evaluating predicates against the partial match).
+
+    ``X.col`` on the variable being defined reads the candidate row;
+    ``Y.col`` on another variable is LAST(Y.col) per the SQL standard;
+    ``FIRST/LAST(X.col)`` read the rows bound so far. A reference to a
+    variable with no bound rows (or a NULL comparison) makes the
+    predicate false — MATCH_RECOGNIZE's null-predicate semantics.
+    ``rename`` maps source column names to the row-dict names the NFA
+    tier uses internally (ts/id are renamed to __ts/__id).
+    """
+    vset = set(variables)
+
+    def col(c: str) -> str:
+        return rename.get(c, c)
+
+    src = re.sub(
+        r"\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
+        lambda m: f'_first("{m.group(1)}","{col(m.group(2))}")',
+        pred,
+        flags=re.IGNORECASE,
+    )
+    src = re.sub(
+        r"\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
+        lambda m: f'_last("{m.group(1)}","{col(m.group(2))}")',
+        src,
+        flags=re.IGNORECASE,
+    )
+
+    def ref(m: re.Match) -> str:
+        v, c = m.group(1), col(m.group(2))
+        if v not in vset:  # e.g. a numeric literal like 3.5
+            return m.group(0)
+        if v == cur_var:
+            return f"row[{c!r}]"
+        return f'_last("{v}","{c}")'
+
+    src = re.sub(r"\b(\w+)\s*\.\s*(\w+)", ref, src)
+    src = src.replace("<>", "!=")
+    src = re.sub(r"(?<![<>=!])=(?!=)", "==", src)
+    src = re.sub(r"\bAND\b", "and", src, flags=re.IGNORECASE)
+    src = re.sub(r"\bOR\b", "or", src, flags=re.IGNORECASE)
+    src = re.sub(r"\bNOT\b", "not", src, flags=re.IGNORECASE)
+    code = compile(src, f"<define {cur_var}>", "eval")
+
+    def predicate(row, ctx):
+        def _get(v, c, pos):
+            rows_v = ctx.get(v)
+            if not rows_v:
+                raise _UnboundVariable(v)
+            return rows_v[pos][c]
+
+        env = {
+            "row": row,
+            "_first": lambda v, c: _get(v, c, 0),
+            "_last": lambda v, c: _get(v, c, -1),
+        }
+        try:
+            return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
+        except (_UnboundVariable, TypeError):
+            return False
+
+    return predicate
 
 
 def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
@@ -2099,16 +2184,20 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     Supported: PARTITION BY, ORDER BY, MEASURES with
     FIRST/LAST/SUM/COUNT/MIN/MAX or bare `V.col` (= LAST), ONE ROW PER
     MATCH (final measures) and ALL ROWS PER MATCH (one row per matched
-    event, RUNNING measures + match_no + classifier columns), AFTER
-    MATCH SKIP PAST LAST ROW, PATTERN with quantifiers, single-variable
-    DEFINE predicates. One pattern
-    variable may be left undefined (matches any row). Cross-variable
-    DEFINE predicates need the NFA tier (operators/cep.py match_nfa).
-    SUM over doubles uses the decimal grid from
+    event, RUNNING measures + match_no + classifier columns), the full
+    AFTER MATCH SKIP matrix (PAST LAST ROW, TO NEXT ROW, TO
+    [FIRST|LAST] <var> — SkipToFirstStrategy.java /
+    SkipToLastStrategy.java), PATTERN with quantifiers. Single-variable
+    DEFINE predicates run on the regex tier (one may be left undefined
+    = match-any); cross-variable DEFINE predicates (references to
+    another variable or FIRST/LAST navigation) are lowered to the NFA
+    tier (operators/cep.py match_nfa) — ONE ROW PER MATCH + SKIP PAST
+    LAST ROW only there. SUM over doubles uses the decimal grid from
     `SET 'table.exec.match-recognize.sum-scale'` when present.
     """
     from flink_release_1_16_0_spark.operators.cep import (
         classify,
+        match_nfa,
         match_regex_all_rows,
         match_regex_measures,
     )
@@ -2149,11 +2238,7 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             raise ValueError(f"unsupported WITHIN unit {wm_m.group(2)!r}")
         within_ms = int(float(wm_m.group(1)) * unit_ms)
         pat = pat[: wm_m.start()].strip()
-    skip_strategy = (
-        "to_next_row"
-        if re.search(r"SKIP\s+TO\s+NEXT\s+ROW", body, re.IGNORECASE)
-        else "past_last_row"
-    )
+    skip_strategy = _parse_skip_strategy(body)
     if pat.startswith("(") and pat.endswith(")"):
         pat = pat[1:-1].strip()
     tokens = re.findall(r"(\w+)\s*([+*?]\??|\{\d+(?:,\d*)?\}\??)?", pat)
@@ -2165,27 +2250,18 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
         var, pred = re.split(r"\s+AS\s+", item, maxsplit=1, flags=re.IGNORECASE)
         defines[var.strip()] = pred.strip()
 
-    undefined = [v for v in variables if v not in defines]
-    if len(undefined) > 1:
-        raise NotImplementedError(
-            f"at most one undefined (match-any) pattern variable: {undefined}"
+    # Cross-variable DEFINE (a predicate reading another variable's
+    # bound rows, incl. FIRST/LAST navigation) cannot be a per-row
+    # static symbol — route those to the NFA tier (match_nfa), the
+    # same split as nfa/NFA.java vs the planner's symbol precompute.
+    def _is_cross_var(var: str, p: str) -> bool:
+        if re.search(r"\b(FIRST|LAST)\s*\(", p, re.IGNORECASE):
+            return True
+        return any(
+            re.search(rf"\b{o}\s*\.", p) for o in set(variables) if o != var
         )
-    symbols = {v: chr(ord("a") + i) for i, v in enumerate(dict.fromkeys(variables))}
 
-    symbol_exprs = {}
-    for var, pred in defines.items():
-        for other in variables:
-            if other != var and re.search(rf"\b{other}\.", pred):
-                raise NotImplementedError(
-                    "cross-variable DEFINE predicates need the NFA tier "
-                    "(operators/cep.py match_nfa)"
-                )
-        symbol_exprs[symbols[var]] = F.expr(re.sub(rf"\b{var}\.", "", pred))
-    default_sym = symbols[undefined[0]] if undefined else "-"
-
-    regex = "".join(
-        f"(?P<{var}>{symbols[var]}{quant})" for var, quant in tokens
-    )
+    nfa_route = any(_is_cross_var(v, p) for v, p in defines.items())
 
     df = tenv.spark.table(tbl)
     dtypes = dict(df.dtypes)
@@ -2212,7 +2288,7 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             if not m:
                 raise ValueError(f"cannot parse MEASURES item {item!r}")
             agg, var, col, out_alias = "last", m.group(1), m.group(2), m.group(3)
-        if var not in symbols:
+        if var not in set(variables):
             raise ValueError(f"MEASURES references unknown variable {var!r}")
         if agg == "count":
             out_type = "bigint"
@@ -2224,20 +2300,93 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
         if col not in (ts_col, id_col) and col not in value_cols and col in dtypes:
             value_cols.append(col)
 
-    tier = match_regex_all_rows if all_rows else match_regex_measures
-    out = tier(
-        df,
-        keys=keys,
-        ts_col=ts_col,
-        symbol=classify(symbol_exprs, default=default_sym),
-        pattern=regex,
-        id_col=id_col,
-        measures=measures,
-        value_cols=[c for c in value_cols if c not in (ts_col, id_col)],
-        grid_scale=int(sum_scale) if sum_scale else None,
-        within_ms=within_ms,
-        skip=skip_strategy,
-    )
+    if nfa_route:
+        if all_rows:
+            raise NotImplementedError(
+                "cross-variable DEFINE with ALL ROWS PER MATCH is not supported"
+            )
+        if skip_strategy != "past_last_row":
+            raise NotImplementedError(
+                "the NFA tier supports AFTER MATCH SKIP PAST LAST ROW only"
+            )
+        steps = []
+        for v, q in tokens:
+            if q not in ("", "?", "+", "*"):
+                raise NotImplementedError(
+                    f"NFA-tier quantifier {q!r} on {v!r} not supported "
+                    "(one of: <none> ? + *)"
+                )
+            steps.append((v, q or "1"))
+        rename = {ts_col: "__ts", id_col: "__id"}
+        compiled = {
+            v: _compile_define_predicate(p, v, variables, rename)
+            for v, p in defines.items()
+        }
+        for p in defines.values():
+            for mm in re.finditer(r"\b(\w+)\s*\.\s*(\w+)", p):
+                c = mm.group(2)
+                if (
+                    mm.group(1) in set(variables)
+                    and c in dtypes
+                    and c not in (ts_col, id_col)
+                    and c not in value_cols
+                ):
+                    value_cols.append(c)
+        out = match_nfa(
+            df,
+            keys=keys,
+            ts_col=ts_col,
+            id_col=id_col,
+            steps=steps,
+            defines=compiled,
+            measures=measures,
+            value_cols=[c for c in value_cols if c not in (ts_col, id_col)],
+            grid_scale=int(sum_scale) if sum_scale else None,
+            within_ms=within_ms,
+        )
+    else:
+        undefined = [v for v in variables if v not in defines]
+        if len(undefined) > 1:
+            raise NotImplementedError(
+                f"at most one undefined (match-any) pattern variable: {undefined}"
+            )
+        # Symbols are keyed by the NORMALIZED predicate, not the
+        # variable: PATTERN (S C+ E) with S and E both defined as
+        # `event_type = 'purchase'` must classify every purchase row to
+        # ONE shared symbol or E could never match (classification is
+        # per-row static; the named regex groups still distinguish the
+        # variables for spans/measures/skip targets).
+        norm = {
+            var: re.sub(rf"\b{var}\.", "", pred) for var, pred in defines.items()
+        }
+        pred_sym: dict[str, str] = {}
+        symbols: dict[str, str] = {}
+        for var in dict.fromkeys(variables):
+            key = norm.get(var, "__match_any__")
+            if key not in pred_sym:
+                pred_sym[key] = chr(ord("a") + len(pred_sym))
+            symbols[var] = pred_sym[key]
+        symbol_exprs = {}
+        for var in defines:
+            symbol_exprs[symbols[var]] = F.expr(norm[var])
+        default_sym = symbols[undefined[0]] if undefined else "-"
+        regex = "".join(
+            f"(?P<{var}>{symbols[var]}{quant})" for var, quant in tokens
+        )
+        tier = match_regex_all_rows if all_rows else match_regex_measures
+        out = tier(
+            df,
+            keys=keys,
+            ts_col=ts_col,
+            symbol=classify(symbol_exprs, default=default_sym),
+            pattern=regex,
+            id_col=id_col,
+            measures=measures,
+            value_cols=[c for c in value_cols if c not in (ts_col, id_col)],
+            grid_scale=int(sum_scale) if sum_scale else None,
+            within_ms=within_ms,
+            skip=skip_strategy,
+        )
     if not all_rows:
         out = out.drop("match_no")
     view = f"__match_recognize_{next(_MR_COUNTER)}"

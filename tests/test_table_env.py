@@ -877,18 +877,90 @@ def test_match_recognize_sql(tenv, spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.select("user_id", "n_clicks", "click_value_sum", "purchase_id").collect())
     )
-    with pytest.raises(NotImplementedError, match="cross-variable"):
-        tenv.sql_query(
-            """
-            SELECT user_id FROM events MATCH_RECOGNIZE (
-              PARTITION BY user_id ORDER BY ts
-              MEASURES COUNT(C.event_id) AS n
-              PATTERN (C P)
-              DEFINE C AS C.event_type = 'click',
-                     P AS P.value > C.value
-            )
-            """
-        )
+
+
+def test_match_recognize_sql_cross_variable_define(tenv, spark):
+    """Cross-variable DEFINE lowers to the NFA tier and matches the
+    operator called directly (a click followed immediately by a larger
+    purchase — P reads LAST(C.value) from the partial match)."""
+    from flink_release_1_16_0_spark.catalog import register_tables
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    register_tables(spark, SF, ("events",))
+    got = tenv.sql_query(
+        """
+        SELECT user_id, n, purchase_value FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts, event_id
+          MEASURES COUNT(C.event_id) AS n,
+                   LAST(P.value) AS purchase_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (C P)
+          DEFINE C AS C.event_type = 'click',
+                 P AS P.event_type = 'purchase' AND P.value > C.value
+        ) AS m
+        """
+    ).to_data_frame()
+    want = match_nfa(
+        spark.table("events"),
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("C", "1"), ("P", "1")],
+        defines={
+            "C": lambda row, ctx: row["event_type"] == "click",
+            "P": lambda row, ctx: row["event_type"] == "purchase"
+            and row["value"] > ctx["C"][-1]["value"],
+        },
+        measures={
+            "n": ("C", "count", "event_id", "bigint"),
+            "purchase_value": ("P", "last", "value", "double"),
+        },
+        value_cols=["event_type", "value"],
+    ).drop("match_no")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    assert got.count() > 0
+
+
+def test_match_recognize_sql_skip_to_last_chains(tenv, spark):
+    """AFTER MATCH SKIP TO LAST E resumes AT the closing purchase, so
+    p c p c p yields TWO chained matches; PAST LAST ROW yields one."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), t, float(i))
+        for i, t in enumerate(["p", "c", "p", "c", "p"])
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, sym string, value double"
+    ).createOrReplaceTempView("skip_demo")
+    body = """
+        SELECT user_id, start_value, end_value
+        FROM skip_demo MATCH_RECOGNIZE (
+          PARTITION BY user_id ORDER BY ts
+          MEASURES S.value AS start_value, E.value AS end_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP {skip}
+          PATTERN (S C+ E)
+          DEFINE S AS S.sym = 'p', C AS C.sym = 'c', E AS E.sym = 'p'
+        ) AS m
+    """
+    chained = tenv.sql_query(body.format(skip="TO LAST E")).to_data_frame()
+    assert sorted((r.start_value, r.end_value) for r in chained.collect()) == [
+        (0.0, 2.0),
+        (2.0, 4.0),
+    ]
+    default = tenv.sql_query(body.format(skip="PAST LAST ROW")).to_data_frame()
+    assert sorted((r.start_value, r.end_value) for r in default.collect()) == [
+        (0.0, 2.0)
+    ]
+    first = tenv.sql_query(body.format(skip="TO FIRST C")).to_data_frame()
+    assert sorted((r.start_value, r.end_value) for r in first.collect()) == [
+        (0.0, 2.0),
+        (2.0, 4.0),
+    ]
 
 
 def test_match_recognize_all_rows_per_match(tenv, spark):

@@ -52,6 +52,19 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str
         return "SCHEMA", f"spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
     if len(spark_pdf) != len(oracle_pdf):
         return "ROWS", f"spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
+    # The driver hashes RAW dtypes — an oracle column that comes back
+    # float64 while Spark's is integral (DuckDB HUGEINT via list_sum /
+    # <<, materialized as float by fetchdf) hash-mismatches even when
+    # every value is identical. Our _normalize below would hide that,
+    # so fail it explicitly (fix = CAST(... AS BIGINT) in the oracle).
+    drift = [
+        c
+        for c in spark_pdf.columns
+        if pd.api.types.is_integer_dtype(spark_pdf[c])
+        and pd.api.types.is_float_dtype(oracle_pdf[c])
+    ]
+    if drift:
+        return "DTYPE", f"oracle float64 vs spark integral: {drift} (CAST oracle AS BIGINT)"
     a, b = _normalize(spark_pdf.copy()), _normalize(oracle_pdf.copy())
     mism = []
     for c in a.columns:
