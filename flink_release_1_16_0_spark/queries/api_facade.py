@@ -269,3 +269,47 @@ def api_sql_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.event_type = 'purchase'
         """
     ).to_data_frame()
+
+
+# --------------------------------------------------------------------------
+# protobuf format end to end (flink-formats/flink-protobuf,
+# PbFormatFactory.java / PbRowDataDeserializationSchema.java): nation is
+# serialized through the distributed protobuf sink (varint-delimited
+# wire-format files, sources/protobuf_format.py) and scanned back via a
+# 'format' = 'protobuf' DDL table. proto3 default semantics are on the
+# path: nation 0 / region-0 rows leave zero-valued fields off the wire
+# and the reader materializes defaults. Oracle: the same rows straight
+# from parquet.
+# --------------------------------------------------------------------------
+
+_PROTOBUF_ORACLE = """
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@register("format_protobuf_roundtrip", _PROTOBUF_ORACLE, tags=("format", "protobuf"))
+def format_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.sources.protobuf_format import write_protobuf
+
+    path = tempfile.mkdtemp(prefix="nation_pb_")
+    write_protobuf(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ),
+        path,
+    )
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE nation_pb (
+          n_nationkey INT, n_name STRING, n_regionkey INT
+        ) WITH ('connector' = 'filesystem', 'path' = '{path}',
+                'format' = 'protobuf')
+        """
+    )
+    return tenv.sql_query(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation_pb"
+    ).to_data_frame()

@@ -24,9 +24,10 @@ block-splittable in principle; per-file parallelism is the documented
 trade-off here, so at corpus scale keep files shard-sized (the
 standard guidance for container formats without a splitting reader).
 
-The sink side stays unsupported (writing distributed avro without the
-DataSource module would funnel through the driver); INSERT into an
-avro table raises with that explanation.
+The sink side (write_avro below) is the inverse: a pure-Python OCF
+writer running per-partition inside mapInPandas, validated by reading
+its output back through the JVM GenericDatumReader
+(tests/test_avro.py) — so the format is read+write symmetric.
 """
 
 from __future__ import annotations
@@ -290,3 +291,196 @@ def avro_source(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(decode, schema=spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# sink side: pure-Python OCF writer (inverse of the reader above;
+# AvroOutputFormat.java / AvroWriterFactory in the reference). Validated
+# against the JVM GenericDatumReader in tests/test_avro.py.
+# ---------------------------------------------------------------------------
+
+
+def spark_to_avro_schema(st: Any, name: str = "Rec") -> dict:
+    """Spark StructType -> Avro record schema. Every field is a
+    nullable union [null, T] (Spark columns are nullable by default)."""
+    from pyspark.sql.types import (  # local: avoid polluting module ns
+        ShortType,
+    )
+
+    def conv(dt: DataType, path: str) -> Any:
+        if isinstance(dt, BooleanType):
+            return "boolean"
+        if isinstance(dt, (IntegerType, ShortType)):
+            return "int"
+        if isinstance(dt, LongType):
+            return "long"
+        if isinstance(dt, FloatType):
+            return "float"
+        if isinstance(dt, DoubleType):
+            return "double"
+        if isinstance(dt, StringType):
+            return "string"
+        if isinstance(dt, BinaryType):
+            return "bytes"
+        if isinstance(dt, DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, ArrayType):
+            return {"type": "array", "items": conv(dt.elementType, path + "_it")}
+        if isinstance(dt, MapType):
+            if not isinstance(dt.keyType, StringType):
+                raise ValueError("avro maps require string keys")
+            return {"type": "map", "values": conv(dt.valueType, path + "_v")}
+        if isinstance(dt, StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {
+                        "name": f.name,
+                        "type": ["null", conv(f.dataType, path + "_" + f.name)],
+                    }
+                    for f in dt.fields
+                ],
+            }
+        raise ValueError(f"unsupported spark type for avro: {dt!r}")
+
+    return conv(st, name)
+
+
+def _w_long(out: bytearray, v: int) -> None:
+    """zigzag varint."""
+    v = (v << 1) ^ (v >> 63)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _encode_value(schema: Any, v: Any, out: bytearray) -> None:
+    if isinstance(schema, list):  # nullable union [null, T]
+        if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
+            _w_long(out, 0)
+            return
+        _w_long(out, 1)
+        _encode_value(schema[1], v, out)
+        return
+    if isinstance(schema, str):
+        t = schema
+        if t == "boolean":
+            out.append(1 if v else 0)
+        elif t in ("int", "long"):
+            _w_long(out, int(v))
+        elif t == "float":
+            out += struct.pack("<f", float(v))
+        elif t == "double":
+            out += struct.pack("<d", float(v))
+        elif t == "string":
+            b = str(v).encode("utf-8")
+            _w_long(out, len(b))
+            out += b
+        elif t == "bytes":
+            b = bytes(v)
+            _w_long(out, len(b))
+            out += b
+        else:
+            raise ValueError(f"unsupported avro type {t!r}")
+        return
+    t = schema["type"]
+    lt = schema.get("logicalType")
+    if lt == "date":
+        days = (pd.Timestamp(v) - pd.Timestamp("1970-01-01")).days
+        _w_long(out, days)
+        return
+    if lt == "timestamp-micros":
+        _w_long(out, int(pd.Timestamp(v).value // 1000))
+        return
+    if t in ("boolean", "int", "long", "float", "double", "string", "bytes"):
+        _encode_value(t, v, out)
+        return
+    if t == "record":
+        fields = schema["fields"]
+        vals = list(v.values()) if isinstance(v, dict) else list(v)
+        for f, fv in zip(fields, vals):
+            _encode_value(f["type"], fv, out)
+        return
+    if t == "array":
+        items = list(v)
+        if items:
+            _w_long(out, len(items))
+            for e in items:
+                _encode_value(schema["items"], e, out)
+        _w_long(out, 0)
+        return
+    if t == "map":
+        entries = sorted(v.items()) if isinstance(v, dict) else sorted(v)
+        if entries:
+            _w_long(out, len(entries))
+            for k, mv in entries:
+                _encode_value("string", k, out)
+                _encode_value(schema["values"], mv, out)
+        _w_long(out, 0)
+        return
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def encode_ocf(rows: Any, schema: dict, sync: bytes | None = None) -> bytes:
+    """One Object Container File (null codec) holding ``rows``."""
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(json.dumps(schema).encode()).digest()
+    out = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"null",
+    }
+    _w_long(out, len(meta))
+    for k, v in meta.items():
+        _encode_value("string", k, out)
+        _encode_value("bytes", v, out)
+    _w_long(out, 0)
+    out += sync
+    payload = bytearray()
+    n = 0
+    for row in rows:
+        _encode_value(schema, row, payload)
+        n += 1
+    if n:
+        _w_long(out, n)
+        _w_long(out, len(payload))
+        out += payload
+        out += sync
+    return bytes(out)
+
+
+def write_avro(df: DataFrame, path: str, overwrite: bool = False) -> None:
+    """Distributed avro sink: one OCF file per partition, encoded on the
+    executors inside mapInPandas (AvroOutputFormat.java's per-subtask
+    files). Complements the read path so the format matrix is
+    read+write symmetric."""
+    schema = spark_to_avro_schema(df.schema)
+    os.makedirs(path, exist_ok=True)
+    if overwrite:
+        for f in os.listdir(path):
+            if f.endswith(".avro"):
+                os.remove(os.path.join(path, f))
+
+    def write_part(it: Any) -> Any:
+        import uuid
+
+        rows: list[tuple] = []
+        for pdf in it:
+            rows.extend(tuple(r) for r in pdf.itertuples(index=False))
+        if rows:
+            name = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            with open(name, "wb") as fh:
+                fh.write(encode_ocf(rows, schema))
+        return iter([pd.DataFrame({"files": pd.Series([1], dtype="int64")})])
+
+    df.mapInPandas(write_part, schema="files bigint").count()

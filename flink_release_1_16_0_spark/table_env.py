@@ -409,7 +409,34 @@ class CatalogTable:
             out.write.format("noop").mode("overwrite").save()
             return
         if connector == "filesystem":
-            writer = out.write.format(self.options.get("format", "parquet")).mode(
+            fmt = self.options.get("format", "parquet")
+            if fmt in ("avro", "protobuf"):
+                # jar-free formats: distributed pure-Python encoders
+                # (one file per partition, written on the executors)
+                if self.partitioned_by:
+                    raise NotImplementedError(
+                        f"partitioned {fmt} sinks are not supported"
+                    )
+                if fmt == "avro":
+                    from flink_release_1_16_0_spark.sources.avro_format import (
+                        write_avro,
+                    )
+
+                    write_avro(out, self.options["path"], overwrite=overwrite)
+                else:
+                    from flink_release_1_16_0_spark.sources.protobuf_format import (
+                        write_protobuf,
+                    )
+
+                    if overwrite:
+                        p = self.options["path"]
+                        if os.path.isdir(p):
+                            for f in os.listdir(p):
+                                if f.endswith(".pb"):
+                                    os.remove(os.path.join(p, f))
+                    write_protobuf(out, self.options["path"])
+                return
+            writer = out.write.format(fmt).mode(
                 "overwrite" if overwrite else "append"
             )
             if self.partitioned_by:

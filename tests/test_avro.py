@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import sys
 
+import pandas as pd
 import pytest
 
 sys.path.insert(0, "/root/repo")
@@ -130,3 +131,89 @@ def test_avro_ddl_scan(spark, tmp_path):
     )
     out = tenv.sql_query("SELECT id, name FROM av ORDER BY id").to_data_frame().collect()
     assert [(r["id"], r["name"]) for r in out][:2] == [(1, "alpha"), (2, "beta")]
+
+
+# ---------------------------------------------------------------------------
+# sink side: the pure-Python OCF writer read back by the JVM
+# GenericDatumReader (ground truth in the write direction), plus the
+# Spark roundtrip and the INSERT INTO avro DDL path.
+# ---------------------------------------------------------------------------
+
+
+def _read_jvm_avro(spark, path: str):
+    """Read an OCF through avro-core; rows as list[dict] (py4j)."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.generic.GenericDatumReader()
+    dfr = jvm.org.apache.avro.file.DataFileReader(jvm.java.io.File(path), reader)
+    out = []
+    while dfr.hasNext():
+        out.append(dfr.next())
+    dfr.close()
+    return out
+
+
+def test_writer_matches_jvm_reader(spark, tmp_path):
+    from flink_release_1_16_0_spark.sources.avro_format import (
+        encode_ocf,
+        spark_to_avro_schema,
+    )
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(
+        "id bigint, name string, score double, flag boolean, "
+        "tags array<string>, ts timestamp"
+    )
+    schema = spark_to_avro_schema(st)
+    rows = [
+        (1, "alpha", 1.5, True, ["x", "y"], pd.Timestamp("2023-11-14 22:13:20")),
+        (2, None, -2.25, False, [], pd.Timestamp("2023-11-14 22:13:20.123456")),
+    ]
+    p = str(tmp_path / "py.avro")
+    with open(p, "wb") as fh:
+        fh.write(encode_ocf(rows, schema))
+    jrows = _read_jvm_avro(spark, p)
+    assert len(jrows) == 2
+    r0, r1 = jrows
+    assert r0.get("id") == 1 and str(r0.get("name")) == "alpha"
+    assert r0.get("score") == 1.5 and r0.get("flag") is True
+    assert [str(x) for x in r0.get("tags")] == ["x", "y"]
+    assert r0.get("ts") == 1700000000000000  # timestamp-micros long
+    assert r1.get("name") is None
+    assert r1.get("ts") == 1700000000123456
+
+
+def test_write_avro_spark_roundtrip(spark, tmp_path):
+    from flink_release_1_16_0_spark.sources.avro_format import write_avro
+
+    df = spark.range(0, 500).selectExpr(
+        "id", "concat('n-', id) AS name", "CAST(id AS DOUBLE)/8 AS score",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id % 5 END AS bucket",
+    )
+    d = str(tmp_path / "avro_sink")
+    write_avro(df.repartition(4), d)
+    back = avro_source(spark, d)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_insert_into_avro_ddl(spark, tmp_path):
+    """INSERT INTO an avro table routes through write_avro; the scan
+    reads the rows back (the read+write format-matrix symmetry)."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    d = tmp_path / "avro_insert"
+    d.mkdir()
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE av_sink (k BIGINT, name STRING) WITH (
+          'connector' = 'filesystem', 'path' = '{d}', 'format' = 'avro')
+        """
+    )
+    spark.range(0, 20).selectExpr(
+        "id", "concat('v-', id) AS name"
+    ).createOrReplaceTempView("av_src")
+    tenv.execute_sql("INSERT INTO av_sink SELECT id, name FROM av_src")
+    got = tenv.sql_query("SELECT k, name FROM av_sink WHERE k < 3").to_data_frame()
+    assert sorted(map(tuple, got.collect())) == [
+        (0, "v-0"), (1, "v-1"), (2, "v-2"),
+    ]

@@ -1,0 +1,178 @@
+"""protobuf format: wire-format codec pinned to the public spec's
+canonical byte fixtures, roundtrips over the full type matrix, and the
+Spark source/sink path (binaryFile + mapInPandas scan, per-partition
+delimited sink). Reference counterpart: flink-formats/flink-protobuf
+(PbFormatFactory.java, PbRowDataDeserializationSchema.java,
+PbRowDataSerializationSchema.java)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql.types import StructType
+
+from flink_release_1_16_0_spark.sources.protobuf_format import (
+    decode_delimited,
+    decode_message,
+    encode_delimited,
+    encode_message,
+    protobuf_source,
+    write_protobuf,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+# ---------------------------------------------------------------------------
+# spec fixtures (https://protobuf.dev/programming-guides/encoding/)
+# ---------------------------------------------------------------------------
+
+
+def test_spec_varint_150():
+    # the spec's canonical example: message Test1 { int32 a = 1; } a=150
+    # encodes to exactly 08 96 01
+    st = StructType.fromDDL("a int")
+    assert encode_message((150,), st) == bytes.fromhex("089601")
+    assert decode_message(bytes.fromhex("089601"), st) == (150,)
+
+
+def test_spec_string_testing():
+    # message Test2 { string b = 2; } b="testing" -> 12 07 74 ... 67
+    st = StructType.fromDDL("a int, b string")
+    buf = bytes.fromhex("120774657374696e67")
+    assert encode_message((0, "testing"), st) == buf  # a=0 is default: absent
+    assert decode_message(buf, st) == (0, "testing")
+
+
+def test_spec_nested_message():
+    # message Test3 { Test1 c = 3; } with c.a=150 -> 1a 03 08 96 01
+    inner = StructType.fromDDL("a int")
+    st = StructType.fromDDL("x int, y string")
+    st = st.add("c", inner)
+    buf = bytes.fromhex("1a03089601")
+    assert encode_message((0, "", (150,)), st) == buf
+    assert decode_message(buf, st) == (0, "", (150,))
+
+
+def test_spec_packed_repeated():
+    # message Test5 { repeated int32 f = 4 [packed=true]; } f=[3,270,86942]
+    # -> 22 06 03 8e 02 9e a7 05 (the spec's packed example, field 4)
+    st = StructType.fromDDL("a int, b string, c int, f array<int>")
+    buf = bytes.fromhex("2206038e029ea705")
+    assert encode_message((0, "", 0, [3, 270, 86942]), st) == buf
+    assert decode_message(buf, st) == (0, "", 0, [3, 270, 86942])
+
+
+def test_negative_int64_ten_byte_varint():
+    # int32/int64 negatives are 10-byte two's-complement varints
+    st = StructType.fromDDL("a bigint")
+    enc = encode_message((-2,), st)
+    assert enc == bytes.fromhex("08feffffffffffffffff01")
+    assert decode_message(enc, st) == (-2,)
+
+
+def test_unknown_field_skipped():
+    # forward compatibility: unknown field numbers skip by wire type
+    st = StructType.fromDDL("a int")
+    extra = bytes.fromhex("089601") + bytes.fromhex("120774657374696e67")
+    assert decode_message(extra, st) == (150,)
+
+
+def test_proto3_defaults_absent_and_materialized():
+    st = StructType.fromDDL(
+        "i int, l bigint, f float, d double, b boolean, s string, "
+        "bin binary, arr array<bigint>, m map<string,bigint>"
+    )
+    enc = encode_message((0, 0, 0.0, 0.0, False, "", b"", [], {}), st)
+    assert enc == b""  # every default value stays off the wire
+    assert decode_message(b"", st) == (0, 0, 0.0, 0.0, False, "", b"", [], {})
+    assert decode_message(b"", st, read_defaults=False) == (None,) * 9
+
+
+def test_roundtrip_type_matrix():
+    inner = StructType.fromDDL("x bigint, y string")
+    st = StructType.fromDDL(
+        "i int, l bigint, f float, d double, b boolean, s string, "
+        "bin binary, arr_l array<bigint>, arr_s array<string>, "
+        "m map<string,bigint>"
+    ).add("nested", inner)
+    row = (
+        -123,
+        1 << 60,
+        0.5,
+        3.25,
+        True,
+        "héllo",
+        b"\x00\xff",
+        [1, -2, 3],
+        ["a", "", "c"],
+        {"k1": 7, "k2": -9},
+        (42, "inner"),
+    )
+    assert decode_message(encode_message(row, st), st) == row
+
+
+def test_delimited_stream_roundtrip():
+    st = StructType.fromDDL("a bigint, b string")
+    rows = [(i, f"row-{i}") for i in range(100)]
+    blob = encode_delimited(iter(rows), st)
+    assert decode_delimited(blob, st) == rows
+
+
+def test_ignore_parse_errors_stops_at_corruption():
+    st = StructType.fromDDL("a bigint, b string")
+    good = encode_delimited(iter([(1, "x"), (2, "y")]), st)
+    corrupt = good + b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff\xff"
+    with pytest.raises(Exception):
+        decode_delimited(corrupt, st)
+    assert decode_delimited(corrupt, st, ignore_parse_errors=True) == [
+        (1, "x"),
+        (2, "y"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Spark source/sink path
+# ---------------------------------------------------------------------------
+
+
+def test_spark_sink_source_roundtrip(spark):
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k",
+        "CAST(id AS STRING) AS name",
+        "CAST(id AS DOUBLE) / 4 AS score",
+        "id % 2 = 0 AS flag",
+    )
+    path = tempfile.mkdtemp(prefix="pb_roundtrip_")
+    write_protobuf(df.repartition(4), path)
+    assert len([f for f in os.listdir(path) if f.endswith(".pb")]) >= 1
+    back = protobuf_source(spark, path, df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_ddl_protobuf_scan(spark):
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    df = spark.range(0, 50).selectExpr("id AS k", "concat('n-', id) AS name")
+    path = tempfile.mkdtemp(prefix="pb_ddl_")
+    write_protobuf(df, path)
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE pb_tbl (k BIGINT, name STRING)
+        WITH ('connector' = 'filesystem', 'path' = '{path}',
+              'format' = 'protobuf')
+        """
+    )
+    got = tenv.sql_query(
+        "SELECT k, name FROM pb_tbl WHERE k % 10 = 3"
+    ).to_data_frame()
+    assert sorted(map(tuple, got.collect())) == [
+        (3, "n-3"),
+        (13, "n-13"),
+        (23, "n-23"),
+        (33, "n-33"),
+        (43, "n-43"),
+    ]
