@@ -1559,3 +1559,64 @@ def stream_over_rows_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "update",
     )
+
+
+# --------------------------------------------------------------------------
+# stream-stream LEFT ANTI join (StreamingSemiAntiJoinOperator.java:217):
+# purchases with NO same-user click in the prior 10 minutes, emitted
+# when the watermark closes the purchase's match window — the stateful
+# dual of stream_semi_join, which Structured Streaming cannot express
+# natively. Oracle cutoff: a purchase is final once the ms-floored
+# watermark (max event ts over the filtered union, minus the 10-minute
+# delay) passes its own ms-floored ts (upper bound = 0); the NOT EXISTS
+# window is µs-exact, same as the operator's in-state comparison.
+# --------------------------------------------------------------------------
+
+_SANTI_ORACLE = """
+WITH cut AS (
+  SELECT MAX(epoch_ms(ts)) - 600000 AS wm
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts
+FROM p, cut
+WHERE epoch_ms(p.ts) <= cut.wm
+  AND NOT EXISTS (
+    SELECT 1 FROM c
+    WHERE c.user_id = p.user_id
+      AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+  )
+"""
+
+
+@register("stream_anti_join", _SANTI_ORACLE, tags=("streaming", "join", "time"))
+def stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_anti_join
+
+    base = replay_stream(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).withWatermark("ts", "10 minutes")
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    out = run_to_table(
+        streaming_anti_join(
+            purchases,
+            clicks,
+            keys=["user_id"],
+            l_ts_col="ts",
+            r_ts_col="ts",
+            lower_ms=-600_000,
+            upper_ms=0,
+        ),
+        "append",
+    )
+    return out.select(
+        F.col("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts")
+    )

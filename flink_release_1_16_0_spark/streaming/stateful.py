@@ -1362,3 +1362,159 @@ def streaming_over_rows_bounded_event_time(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    l_ts_col: str,
+    r_ts_col: str,
+    lower_ms: int,
+    upper_ms: int,
+) -> DataFrame:
+    """Time-bounded stream-stream LEFT ANTI equi-join
+    (flink-table-runtime .../join/stream/
+    StreamingSemiAntiJoinOperator.java:217 — the anti branch that emits
+    a left row when its match-window closes with no right match;
+    interval bound semantics of IntervalJoinFunction).
+
+    Structured Streaming rejects stream-stream left_anti natively, so
+    the operator is rebuilt on the repo's keyed-horizon pattern
+    (streaming_cep_within's watermark-finalized buffer): tag and UNION
+    the two sides, group by the join key, buffer in keyed state, and
+    finalize from the watermark. A left row l matches a right row r
+    when ``l.ts + lower_ms <= r.ts < l.ts + upper_ms`` (µs-exact
+    comparison; bounds on the ms grid). l is emitted — and the emission
+    is final — once the watermark passes ``floor_ms(l.ts) + upper_ms``:
+    any later-arriving right row has ``ms(r.ts) > wm`` so it sits at or
+    beyond the exclusive upper bound, and rows below the watermark are
+    late and dropped (the reference's interval join drops late rows the
+    same way).
+
+    State per key is O(rows inside the join horizon): finalized lefts
+    leave immediately, and a right row is discarded once it can match
+    neither a buffered left nor any future (non-late) left — i.e. when
+    ``r.ts < min(min_pending_left_ts, wm + 1ms) + lower_ms``.
+
+    Scale shape: one shuffle on the join key (the
+    applyInPandasWithState exchange), per-key work linear in buffered
+    rows per trigger — the same cost model as the reference's keyed
+    join state. Output: keys + left timestamp + left payload columns.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StructField, TimestampType
+
+    lpay = [c for c in left.columns if c not in (*keys, l_ts_col)]
+
+    unioned = left.select(
+        *keys,
+        F.col(l_ts_col).alias("__t"),
+        F.lit(0).alias("__side"),
+        *lpay,
+    ).unionByName(
+        right.select(
+            *keys,
+            F.col(r_ts_col).alias("__t"),
+            F.lit(1).alias("__side"),
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in lpay
+            ],
+        )
+    )
+
+    key_fields = [left.schema[k] for k in keys]
+    pay_fields = [left.schema[c] for c in lpay]
+    out_schema = StructType(
+        [
+            *key_fields,
+            StructField(l_ts_col, left.schema[l_ts_col].dataType),
+            *pay_fields,
+        ]
+    )
+    out_cols = [*keys, l_ts_col, *lpay]
+    left_row = StructType([StructField("__t", TimestampType()), *pay_fields])
+    state_schema = StructType(
+        [
+            StructField("pending", ArrayType(left_row)),
+            StructField("rights", ArrayType(TimestampType())),
+        ]
+    )
+
+    def make_conv(dt):
+        name = dt.typeName()
+        if name in ("long", "integer", "short", "byte"):
+            return lambda v: None if pd.isna(v) else int(v)
+        if name in ("double", "float"):
+            return lambda v: None if pd.isna(v) else float(v)
+        if name.startswith("timestamp"):
+            return lambda v: None if pd.isna(v) else pd.Timestamp(v)
+        return lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
+
+    convs = [make_conv(f.dataType) for f in pay_fields]
+    lower_td = pd.Timedelta(milliseconds=lower_ms)
+    upper_td = pd.Timedelta(milliseconds=upper_ms)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def ms(t) -> int:
+            return pd.Timestamp(t).value // 1_000_000
+
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            raw_pending, raw_rights = state.get
+            pending = [
+                (pd.Timestamp(p[0]), *p[1:]) for p in (raw_pending or [])
+            ]
+            rights = [pd.Timestamp(t) for t in (raw_rights or [])]
+        else:
+            pending, rights = [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for tup in pdf[["__t", "__side", *lpay]].itertuples(
+                index=False, name=None
+            ):
+                if ms(tup[0]) <= wm:
+                    continue  # late beyond the watermark: dropped
+                if int(tup[1]) == 0:
+                    pending.append(
+                        (
+                            pd.Timestamp(tup[0]),
+                            *[c(v) for c, v in zip(convs, tup[2:])],
+                        )
+                    )
+                else:
+                    rights.append(pd.Timestamp(tup[0]))
+        out: list[tuple] = []
+        still = []
+        for p in pending:
+            if ms(p[0]) + upper_ms <= wm:  # window closed: final verdict
+                lo, hi = p[0] + lower_td, p[0] + upper_td
+                if not any(lo <= r < hi for r in rights):
+                    out.append((*key, *p))
+            else:
+                still.append(p)
+        pending = still
+        horizon = pd.Timestamp((wm + 1) * 1_000_000)
+        if pending:
+            horizon = min(horizon, min(p[0] for p in pending))
+        keep_from = horizon + lower_td
+        rights = [r for r in rights if r >= keep_from]
+        state.update((pending, rights))
+        if pending:
+            state.setTimeoutTimestamp(
+                max(wm + 1, min(ms(p[0]) for p in pending) + upper_ms + 1)
+            )
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -636,3 +636,67 @@ def test_streaming_over_rows_bounded_multibatch(spark, sf_smoke, tmp_path_factor
     )
     for r in want_df.collect():
         assert got[(r["user_id"], r["event_id"])] == (r["win_n"], r["win_sum"]), r
+
+
+def test_streaming_anti_join_converges_multibatch(spark, sf_smoke, tmp_path_factory):
+    """Time-bounded left ANTI join over 4 ordered micro-batches equals
+    the batch NOT EXISTS restricted to watermark-finalized left rows:
+    a purchase emits exactly once, only after its match window closes,
+    and a click arriving in a LATER batch still suppresses a pending
+    purchase (state carries across batches)."""
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_anti_join
+
+    path = str(tmp_path_factory.mktemp("anti_chunks"))
+    sel = _batch_events(spark, sf_smoke).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = sel.agg(F.max("event_id")).first()[0]
+    sel.withColumn(
+        "chunk",
+        F.least(F.floor(F.col("event_id") / ((m + 1) / 4)), F.lit(3)).cast("int"),
+    ).repartition(1).write.partitionBy("chunk").mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select("user_id", "ts")
+    out = run_to_table(
+        streaming_anti_join(
+            purchases,
+            clicks,
+            keys=["user_id"],
+            l_ts_col="ts",
+            r_ts_col="ts",
+            lower_ms=-600_000,
+            upper_ms=0,
+        ),
+        "append",
+    )
+    got = sorted(r["purchase_id"] for r in out.collect())
+    assert len(got) == len(set(got)), "a purchase emitted twice"
+    # batch dual with the multi-batch watermark cutoff: the watermark
+    # the FINAL trigger saw is max ts over the whole log minus delay
+    ev = sel
+    wm_ms = ev.agg(
+        (F.floor(F.unix_micros(F.max("ts")) / 1000) - 600000).alias("w")
+    ).collect()[0]["w"]
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    want = sorted(
+        r["event_id"]
+        for r in p.join(
+            c,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("c.ts") < F.col("p.ts")),
+            "left_anti",
+        )
+        .filter(F.floor(F.unix_micros("p.ts") / 1000) <= F.lit(wm_ms))
+        .collect()
+    )
+    assert got == want
