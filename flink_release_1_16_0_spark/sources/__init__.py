@@ -25,6 +25,7 @@ Upsert-kafka maps to kafka + streaming.changelog.changelog_normalize
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,6 +106,76 @@ def rate_source(
     )
 
 
+def kafka_options_from_ddl(options: dict) -> dict:
+    """Translate Flink Kafka DDL options to Spark kafka reader options.
+
+    The option surface is KafkaConnectorOptions.java (TOPIC,
+    TOPIC_PATTERN, PROPS_BOOTSTRAP_SERVERS, SCAN_STARTUP_MODE,
+    SCAN_STARTUP_SPECIFIC_OFFSETS, SCAN_STARTUP_TIMESTAMP_MILLIS, and
+    the ``properties.*`` passthrough that
+    KafkaConnectorOptionsUtil.getKafkaProperties strips the prefix
+    from). Pure mapping, no reader construction — unit-testable with no
+    kafka jar in the environment. Mode mapping:
+
+    - earliest-offset / latest-offset -> startingOffsets
+    - timestamp -> startingTimestamp (ms, from
+      scan.startup.timestamp-millis)
+    - specific-offsets -> startingOffsets JSON
+      (``partition:0,offset:42;partition:1,offset:300`` ->
+      ``{"topic": {"0": 42, "1": 300}}``)
+    - group-offsets -> startingOffsets=earliest (documented divergence:
+      Spark's kafka source manages offsets in its own checkpoint, not
+      the consumer group; first-run behavior falls back to earliest)
+    """
+    import json as _json
+
+    opts = dict(options)
+    out: dict[str, str] = {}
+    servers = opts.pop("properties.bootstrap.servers", "")
+    if not servers:
+        raise ValueError("'properties.bootstrap.servers' is required")
+    out["kafka.bootstrap.servers"] = servers
+    topic = opts.pop("topic", None)
+    pattern = opts.pop("topic-pattern", None)
+    if (topic is None) == (pattern is None):
+        raise ValueError("exactly one of 'topic' / 'topic-pattern' is required")
+    if topic is not None:
+        # Flink's TOPIC is a List<String> ('t1;t2'); Spark wants commas
+        out["subscribe"] = ",".join(t for t in re.split(r"[;,]", topic) if t)
+    else:
+        out["subscribePattern"] = pattern
+    mode = opts.pop("scan.startup.mode", "group-offsets")
+    if mode == "earliest-offset":
+        out["startingOffsets"] = "earliest"
+    elif mode == "latest-offset":
+        out["startingOffsets"] = "latest"
+    elif mode == "group-offsets":
+        out["startingOffsets"] = "earliest"
+    elif mode == "timestamp":
+        out["startingTimestamp"] = opts.pop("scan.startup.timestamp-millis")
+    elif mode == "specific-offsets":
+        if topic is None:
+            raise ValueError("specific-offsets requires 'topic'")
+        spec = opts.pop("scan.startup.specific-offsets")
+        offsets: dict[str, int] = {}
+        for item in spec.split(";"):
+            m = re.fullmatch(
+                r"\s*partition:\s*(\d+)\s*,\s*offset:\s*(\d+)\s*", item
+            )
+            if not m:
+                raise ValueError(f"cannot parse specific-offsets item {item!r}")
+            offsets[m.group(1)] = int(m.group(2))
+        out["startingOffsets"] = _json.dumps(
+            {t: offsets for t in out["subscribe"].split(",")}
+        )
+    else:
+        raise ValueError(f"unsupported scan.startup.mode {mode!r}")
+    for k in list(opts):
+        if k.startswith("properties."):
+            out["kafka." + k[len("properties.") :]] = opts.pop(k)
+    return out
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -117,19 +188,24 @@ def kafka_source(
     Output schema is Spark's fixed kafka relation (key/value binary,
     topic, partition, offset, timestamp); callers decode `value` with a
     format function (from_json/from_csv) exactly as the reference pairs
-    a connector with a DecodingFormat.
+    a connector with a DecodingFormat. Option translation lives in
+    :func:`kafka_options_from_ddl` so it stays testable without the
+    kafka jar.
     """
     if not bootstrap_servers:
         raise ValueError("bootstrap_servers is required")
     topic_list = topics if isinstance(topics, str) else ",".join(topics)
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic_list)
-        .option("startingOffsets", starting_offsets)
-        .options(**options)
-        .load()
-    )
+    ddl_opts = {
+        "properties.bootstrap.servers": bootstrap_servers,
+        "topic": topic_list,
+        "scan.startup.mode": {
+            "earliest": "earliest-offset",
+            "latest": "latest-offset",
+        }.get(starting_offsets, "earliest-offset"),
+    }
+    reader_opts = kafka_options_from_ddl(ddl_opts)
+    reader_opts.update(options)
+    return spark.readStream.format("kafka").options(**reader_opts).load()
 
 
 def values_source(

@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from flink_release_1_16_0_spark.functions.sql_udfs import register_sql_functions
 from flink_release_1_16_0_spark.operators.sink import enforce_constraints
-from flink_release_1_16_0_spark.sources import file_source, kafka_source
+from flink_release_1_16_0_spark.sources import file_source
 
 # ---------------------------------------------------------------------------
 # Flink DDL type -> Spark SQL type (SURVEY.md section 1.2 mapping table)
@@ -274,11 +274,24 @@ class CatalogTable:
                     **opts,
                 )
         elif connector in ("kafka", "upsert-kafka"):
-            df = kafka_source(
-                spark,
-                bootstrap_servers=opts.pop("properties.bootstrap.servers", ""),
-                topics=opts.pop("topic", ""),
-                **{k: v for k, v in opts.items() if k.startswith("kafka.")},
+            # full DDL option translation (KafkaConnectorOptions.java)
+            # lives in kafka_options_from_ddl — unit-tested jar-free
+            from flink_release_1_16_0_spark.sources import kafka_options_from_ddl
+
+            reader_opts = kafka_options_from_ddl(
+                {
+                    k: v
+                    for k, v in opts.items()
+                    if k == "topic"
+                    or k == "topic-pattern"
+                    or k.startswith(("properties.", "scan.startup"))
+                }
+            )
+            reader_opts.update(
+                {k: v for k, v in opts.items() if k.startswith("kafka.")}
+            )
+            df = (
+                spark.readStream.format("kafka").options(**reader_opts).load()
             )
         elif connector == "datagen":
             if not streaming:

@@ -51,6 +51,77 @@ def test_kafka_source_builder_validates(spark):
     assert "value" in df.columns and "offset" in df.columns
 
 
+def test_kafka_ddl_option_mapping():
+    """Full KafkaConnectorOptions.java -> Spark reader option
+    translation, asserted with no jar (the builder's real work)."""
+    out = S.kafka_options_from_ddl(
+        {
+            "properties.bootstrap.servers": "h1:9092,h2:9092",
+            "topic": "orders;clicks",
+            "scan.startup.mode": "earliest-offset",
+            "properties.group.id": "g1",
+            "properties.max.poll.records": "500",
+        }
+    )
+    assert out == {
+        "kafka.bootstrap.servers": "h1:9092,h2:9092",
+        "subscribe": "orders,clicks",
+        "startingOffsets": "earliest",
+        "kafka.group.id": "g1",
+        "kafka.max.poll.records": "500",
+    }
+
+
+def test_kafka_ddl_option_mapping_modes():
+    base = {"properties.bootstrap.servers": "h:9092", "topic": "t"}
+    assert (
+        S.kafka_options_from_ddl({**base, "scan.startup.mode": "latest-offset"})[
+            "startingOffsets"
+        ]
+        == "latest"
+    )
+    # group-offsets: documented divergence -> earliest on first run
+    assert S.kafka_options_from_ddl(base)["startingOffsets"] == "earliest"
+    assert (
+        S.kafka_options_from_ddl(
+            {
+                **base,
+                "scan.startup.mode": "timestamp",
+                "scan.startup.timestamp-millis": "1700000000000",
+            }
+        )["startingTimestamp"]
+        == "1700000000000"
+    )
+    import json
+
+    spec = S.kafka_options_from_ddl(
+        {
+            **base,
+            "scan.startup.mode": "specific-offsets",
+            "scan.startup.specific-offsets": "partition:0,offset:42;partition:1,offset:300",
+        }
+    )
+    assert json.loads(spec["startingOffsets"]) == {"t": {"0": 42, "1": 300}}
+    # topic-pattern routes to subscribePattern; exclusivity enforced
+    pat = S.kafka_options_from_ddl(
+        {
+            "properties.bootstrap.servers": "h:9092",
+            "topic-pattern": "orders-.*",
+        }
+    )
+    assert pat["subscribePattern"] == "orders-.*"
+    with pytest.raises(ValueError, match="exactly one"):
+        S.kafka_options_from_ddl(
+            {
+                "properties.bootstrap.servers": "h:9092",
+                "topic": "t",
+                "topic-pattern": "p.*",
+            }
+        )
+    with pytest.raises(ValueError, match="bootstrap.servers"):
+        S.kafka_options_from_ddl({"topic": "t"})
+
+
 def test_values_source(spark):
     df = S.values_source(spark, [(1, "x")], "id int, s string")
     assert df.collect()[0]["s"] == "x"
