@@ -261,3 +261,100 @@ def test_tfidf_scalar_join_is_broadcast(spark, sf_smoke):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar distribution
+
+
+# ---------------------------------------------------------------------------
+# streaming stateful shuffle layout: each applyInPandasWithState
+# operator must shuffle EXACTLY once, hash-partitioned on exactly its
+# grouping key — that exchange IS the state-store sharding at scale
+# (Flink's keyBy before every keyed operator). An extra exchange or a
+# wider key would re-shard state on every trigger at 100x.
+# ---------------------------------------------------------------------------
+
+
+def _streaming_plan(spark, df):
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _assert_single_keyed_exchange(plan: str, key: str):
+    import re as _re
+
+    exchanges = _re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    assert len(exchanges) == 1, f"expected 1 exchange, plan has {len(exchanges)}"
+    cols = [c.split("#")[0].strip() for c in exchanges[0].split(",")[:-1]]
+    assert cols == [key], f"exchange hashes {cols}, want [{key}]"
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
+
+
+def test_streaming_retracting_agg_shuffle_layout(spark, sf_smoke):
+    from flink_release_1_16_0_spark.streaming.core import replay_stream
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_retracting_agg,
+    )
+
+    ev = replay_stream(spark, sf_smoke, "events")
+    out = streaming_retracting_agg(
+        ev.select("user_id", "value"), keys=["user_id"], value_col="value"
+    )
+    plan = _streaming_plan(spark, out)
+    _assert_single_keyed_exchange(plan, "user_id")
+    assert "FlatMapGroupsInPandasWithState" in plan
+
+
+def test_streaming_topn_shuffle_layout(spark, sf_smoke):
+    from flink_release_1_16_0_spark.streaming.core import replay_stream
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_topn
+
+    ev = replay_stream(spark, sf_smoke, "events")
+    out = streaming_topn(
+        ev.select("event_type", "event_id", "value"),
+        keys=["event_type"],
+        order_col="value",
+        n=3,
+    )
+    plan = _streaming_plan(spark, out)
+    _assert_single_keyed_exchange(plan, "event_type")
+
+
+def test_streaming_dedup_keep_last_shuffle_layout(spark, sf_smoke):
+    from flink_release_1_16_0_spark.streaming.core import replay_stream
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_dedup_keep_last,
+    )
+
+    ev = replay_stream(spark, sf_smoke, "events")
+    out = streaming_dedup_keep_last(
+        ev.select("user_id", "event_id", "ts"),
+        keys=["user_id"],
+        order_col="event_id",
+    )
+    plan = _streaming_plan(spark, out)
+    _assert_single_keyed_exchange(plan, "user_id")
+
+
+def test_streaming_anti_join_shuffle_layout(spark, sf_smoke):
+    """The tag+union anti-join shuffles ONCE on the join key — the
+    union itself must not add an exchange."""
+    import pyspark.sql.functions as F
+
+    from flink_release_1_16_0_spark.streaming.core import replay_stream
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_anti_join
+
+    base = replay_stream(spark, sf_smoke, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).withWatermark("ts", "10 minutes")
+    out = streaming_anti_join(
+        base.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", F.col("event_id").alias("purchase_id")
+        ),
+        base.filter(F.col("event_type") == "click").select("user_id", "ts"),
+        keys=["user_id"],
+        l_ts_col="ts",
+        r_ts_col="ts",
+        lower_ms=-600_000,
+        upper_ms=0,
+    )
+    plan = _streaming_plan(spark, out)
+    _assert_single_keyed_exchange(plan, "user_id")
