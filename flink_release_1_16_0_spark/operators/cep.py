@@ -391,11 +391,16 @@ def match_nfa(
     value_cols: Sequence[str] = (),
     grid_scale: int | None = None,
     within_ms: int | None = None,
+    skip: str = "past_last_row",
 ) -> DataFrame:
     """Linear-pattern NFA with cross-variable DEFINE predicates — the
     full MATCH_RECOGNIZE DEFINE semantics the regex tier cannot
     express (CepOperator.java:82 / nfa/NFA.java: predicates evaluated
-    per row against the partial match's bound rows).
+    per row against the partial match's bound rows). ``skip`` selects
+    the AFTER MATCH strategy with the same matrix as the regex tiers
+    (nfa/aftermatch/*Strategy.java): ``"past_last_row"`` (default),
+    ``"to_next_row"``, or ``("to_first"|"to_last", var)`` — resuming at
+    or before the match's own start raises, like the reference.
 
     ``steps`` is the linear pattern: (variable, quantifier) with
     quantifier in ``1 ? + *`` (greedy, with backtracking).
@@ -416,6 +421,7 @@ def match_nfa(
     once per start position with backtracking bounded by run lengths —
     the same keyed-NFA state profile as the reference's CepOperator.
     """
+    _check_skip(skip)
     tagged = df.select(
         *keys,
         F.col(ts_col).alias("__ts"),
@@ -505,7 +511,21 @@ def match_nfa(
                 )
             out.append((*keyvals, m_no, *vals))
             m_no += 1
-            pos = end  # SKIP PAST LAST ROW
+            if skip == "past_last_row":
+                pos = end
+            elif skip == "to_next_row":
+                pos = pos + 1
+            else:
+                mode, var = skip
+                idxs = bound.get(var, [])
+                target = idxs[0] if mode == "to_first" else idxs[-1] if idxs else -1
+                if not idxs or target <= pos:
+                    raise ValueError(
+                        f"AFTER MATCH SKIP {mode} {var!r} would not "
+                        "advance past the match start (the reference "
+                        "raises here too)"
+                    )
+                pos = target
         return pd.DataFrame(out, columns=[*keys, "match_no", *measures])
 
     return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)

@@ -488,3 +488,44 @@ def stream_retract_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct("version", "n_live", "min_v", "max_v")).alias("s")
     )
     return final.select("o_orderpriority", "s.n_live", "s.min_v", "s.max_v")
+
+
+# --------------------------------------------------------------------------
+# changelog-ENCODING formats (DebeziumJsonSerializationSchema.java):
+# the same synthetic changelog as format_debezium_cdc is serialized to
+# debezium envelopes and decoded back. The wire maps each row alone
+# (+I/+U -> create, -D/-U -> delete — the reference's serializer does
+# not re-pair updates), so the decoded changelog is the source's with
+# +U collapsed to +I and -U to -D.
+# --------------------------------------------------------------------------
+
+_DEBEZIUM_ENCODE_ORACLE = """
+WITH e AS (SELECT * FROM events WHERE event_id % 7 = 0)
+SELECT '+I' AS rowkind, event_id, user_id, value FROM e
+ WHERE event_type IN ('click', 'view')
+UNION ALL
+SELECT '-D', event_id, user_id, value FROM e WHERE event_type = 'purchase'
+UNION ALL
+SELECT '+I', event_id, user_id, value * 2 FROM e WHERE event_type = 'purchase'
+UNION ALL
+SELECT '-D', event_id, user_id, value FROM e WHERE event_type = 'error'
+"""
+
+
+@register(
+    "format_debezium_encode", _DEBEZIUM_ENCODE_ORACLE, tags=("format", "changelog")
+)
+def format_debezium_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.sources.formats import (
+        changelog_to_debezium_json,
+        debezium_json_to_changelog,
+    )
+
+    log = format_debezium_cdc(spark, sf_dir).withColumnRenamed(
+        "rowkind", "__rowkind"
+    )
+    wire = changelog_to_debezium_json(log)
+    decoded = debezium_json_to_changelog(
+        wire, "value", "event_id BIGINT, user_id BIGINT, value DOUBLE"
+    )
+    return decoded.withColumnRenamed("__rowkind", "rowkind")

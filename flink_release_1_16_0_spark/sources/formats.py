@@ -228,3 +228,75 @@ def ogg_json_to_changelog(
         F.col("__p.row").isNotNull()
     )
     return exploded.select(F.col("__p.kind").alias(ROWKIND), F.col("__p.row.*"))
+
+
+# ---------------------------------------------------------------------------
+# Changelog-ENCODING formats: the serialization side the reference pairs
+# with sinks (flink-formats/flink-json/.../debezium/
+# DebeziumJsonSerializationSchema.java, canal/CanalJsonSerializationSchema
+# .java, maxwell/MaxwellJsonSerializationSchema.java,
+# ogg/OggJsonSerializationSchema.java). The reference serializes each
+# changelog row to ONE envelope — it does NOT re-pair -U/+U into a
+# single update message: +I/+U -> create, -D/-U -> delete. Encoding is
+# a pure Catalyst to_json projection (map-side, no shuffle, any scale);
+# nulls are kept explicit so the envelopes match the reference's shape.
+# ---------------------------------------------------------------------------
+
+_KEEP_NULLS = {"ignoreNullFields": "false"}
+
+
+def _payload(df: DataFrame):
+    cols = [c for c in df.columns if c != ROWKIND]
+    return F.struct(*[F.col(c) for c in cols]), cols
+
+
+def changelog_to_debezium_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """+I/+U -> {"before": null, "after": row, "op": "c"};
+    -D/-U -> {"before": row, "after": null, "op": "d"}."""
+    row, _ = _payload(df)
+    ins = F.col(ROWKIND).isin(INSERT, UPDATE_AFTER)
+    env = F.struct(
+        F.when(~ins, row).alias("before"),
+        F.when(ins, row).alias("after"),
+        F.when(ins, F.lit("c")).otherwise(F.lit("d")).alias("op"),
+    )
+    return df.select(F.to_json(env, _KEEP_NULLS).alias(value_col))
+
+
+def changelog_to_canal_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """+I/+U -> {"data": [row], "old": null, "type": "INSERT"};
+    -D/-U -> {"data": [row], "old": null, "type": "DELETE"}."""
+    row, _ = _payload(df)
+    ins = F.col(ROWKIND).isin(INSERT, UPDATE_AFTER)
+    env = F.struct(
+        F.array(row).alias("data"),
+        F.expr("CAST(NULL AS STRING)").alias("old"),
+        F.when(ins, F.lit("INSERT")).otherwise(F.lit("DELETE")).alias("type"),
+    )
+    return df.select(F.to_json(env, _KEEP_NULLS).alias(value_col))
+
+
+def changelog_to_maxwell_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """+I/+U -> {"data": row, "old": null, "type": "insert"};
+    -D/-U -> {"data": row, "old": null, "type": "delete"}."""
+    row, _ = _payload(df)
+    ins = F.col(ROWKIND).isin(INSERT, UPDATE_AFTER)
+    env = F.struct(
+        row.alias("data"),
+        F.expr("CAST(NULL AS STRING)").alias("old"),
+        F.when(ins, F.lit("insert")).otherwise(F.lit("delete")).alias("type"),
+    )
+    return df.select(F.to_json(env, _KEEP_NULLS).alias(value_col))
+
+
+def changelog_to_ogg_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """+I/+U -> {"before": null, "after": row, "op_type": "I"};
+    -D/-U -> {"before": row, "after": null, "op_type": "D"}."""
+    row, _ = _payload(df)
+    ins = F.col(ROWKIND).isin(INSERT, UPDATE_AFTER)
+    env = F.struct(
+        F.when(~ins, row).alias("before"),
+        F.when(ins, row).alias("after"),
+        F.when(ins, F.lit("I")).otherwise(F.lit("D")).alias("op_type"),
+    )
+    return df.select(F.to_json(env, _KEEP_NULLS).alias(value_col))

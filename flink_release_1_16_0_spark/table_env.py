@@ -423,6 +423,30 @@ class CatalogTable:
             return
         if connector == "filesystem":
             fmt = self.options.get("format", "parquet")
+            if fmt in ("debezium-json", "canal-json", "maxwell-json", "ogg-json"):
+                # changelog-encoding sink (the reference's
+                # *JsonSerializationSchema side): each row serializes to
+                # one envelope line; a plain append-only input encodes
+                # as all-inserts
+                from flink_release_1_16_0_spark.sources import formats as FMT
+                from flink_release_1_16_0_spark.streaming.changelog import (
+                    INSERT as _INS,
+                    ROWKIND as _RK,
+                )
+
+                encode = {
+                    "debezium-json": FMT.changelog_to_debezium_json,
+                    "canal-json": FMT.changelog_to_canal_json,
+                    "maxwell-json": FMT.changelog_to_maxwell_json,
+                    "ogg-json": FMT.changelog_to_ogg_json,
+                }[fmt]
+                src = out
+                if _RK not in src.columns:
+                    src = src.withColumn(_RK, F.lit(_INS))
+                encode(src).write.format("text").mode(
+                    "overwrite" if overwrite else "append"
+                ).save(self.options["path"])
+                return
             if fmt in ("avro", "protobuf"):
                 # jar-free formats: distributed pure-Python encoders
                 # (one file per partition, written on the executors)
@@ -2231,8 +2255,9 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     DEFINE predicates run on the regex tier (one may be left undefined
     = match-any); cross-variable DEFINE predicates (references to
     another variable or FIRST/LAST navigation) are lowered to the NFA
-    tier (operators/cep.py match_nfa) — ONE ROW PER MATCH + SKIP PAST
-    LAST ROW only there. SUM over doubles uses the decimal grid from
+    tier (operators/cep.py match_nfa), which carries the full skip
+    matrix too — only ALL ROWS PER MATCH stays regex-tier-only. SUM
+    over doubles uses the decimal grid from
     `SET 'table.exec.match-recognize.sum-scale'` when present.
     """
     from flink_release_1_16_0_spark.operators.cep import (
@@ -2345,10 +2370,6 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             raise NotImplementedError(
                 "cross-variable DEFINE with ALL ROWS PER MATCH is not supported"
             )
-        if skip_strategy != "past_last_row":
-            raise NotImplementedError(
-                "the NFA tier supports AFTER MATCH SKIP PAST LAST ROW only"
-            )
         steps = []
         for v, q in tokens:
             if q not in ("", "?", "+", "*"):
@@ -2383,6 +2404,7 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             value_cols=[c for c in value_cols if c not in (ts_col, id_col)],
             grid_scale=int(sum_scale) if sum_scale else None,
             within_ms=within_ms,
+            skip=skip_strategy,
         )
     else:
         undefined = [v for v in variables if v not in defines]

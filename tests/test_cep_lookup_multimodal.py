@@ -467,3 +467,71 @@ def test_regex_reluctant_vs_greedy_quantifier(spark):
 
     assert spans("v.*?p") == [(0, 2), (3, 4)]
     assert spans("v.*p") == [(0, 4)]
+
+
+def test_nfa_skip_to_last_chains_matches(spark):
+    """S C+ E with cross-variable E (E.value > LAST(C.value)) and
+    AFTER MATCH SKIP TO LAST E: the closing row re-anchors the next
+    match, chaining p c p c p into two matches; PAST LAST ROW yields
+    one. (SkipToLastStrategy.java semantics on the NFA tier.)"""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(
+        spark,
+        [(0, "p", 1), (1, "c", 0), (2, "p", 2), (3, "c", 1), (4, "p", 3)],
+    )
+    common = dict(
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("S", "1"), ("C", "+"), ("E", "1")],
+        defines={
+            "S": lambda r, c: r["event_type"] == "p",
+            "C": lambda r, c: r["event_type"] == "c",
+            "E": lambda r, c: r["event_type"] == "p"
+            and r["value"] > c["C"][-1]["value"],
+        },
+        measures={
+            "s_val": ("S", "first", "value", "double"),
+            "e_val": ("E", "last", "value", "double"),
+        },
+        value_cols=["event_type", "value"],
+    )
+    chained = match_nfa(df, skip=("to_last", "E"), **common).collect()
+    assert sorted((r["s_val"], r["e_val"]) for r in chained) == [
+        (1.0, 2.0),
+        (2.0, 3.0),
+    ]
+    default = match_nfa(df, **common).collect()
+    assert sorted((r["s_val"], r["e_val"]) for r in default) == [(1.0, 2.0)]
+    nxt = match_nfa(df, skip="to_next_row", **common).collect()
+    assert sorted((r["s_val"], r["e_val"]) for r in nxt) == [
+        (1.0, 2.0),
+        (2.0, 3.0),
+    ]
+
+
+def test_nfa_skip_no_progress_raises(spark):
+    """SKIP TO FIRST <first variable> cannot advance past the match
+    start — the reference throws; so do we."""
+    import pytest as _pytest
+
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(spark, [(0, "c", 1), (1, "p", 2)])
+    with _pytest.raises(Exception, match="advance past the match start"):
+        match_nfa(
+            df,
+            keys=["k"],
+            ts_col="ts",
+            id_col="event_id",
+            steps=[("A", "1"), ("B", "1")],
+            defines={
+                "A": lambda r, c: r["event_type"] == "c",
+                "B": lambda r, c: r["event_type"] == "p"
+                and r["value"] > c["A"][0]["value"],
+            },
+            measures={"v": ("B", "last", "value", "double")},
+            value_cols=["event_type", "value"],
+            skip=("to_first", "A"),
+        ).collect()

@@ -82,3 +82,99 @@ def test_sign_mapping(spark, cdc):
     rows = cdc.select(C.ROWKIND, C.sign().alias("s")).distinct().collect()
     got = {r[C.ROWKIND]: r["s"] for r in rows}
     assert got == {"+I": 1, "+U": 1, "-U": -1, "-D": -1}
+
+
+# ---------------------------------------------------------------------------
+# changelog-encoding formats (the *JsonSerializationSchema side):
+# encode -> decode must reproduce the changelog, with the reference's
+# per-row mapping (+I/+U -> create envelope, -D/-U -> delete envelope —
+# no -U/+U re-pairing on the wire).
+# ---------------------------------------------------------------------------
+
+
+def _changelog_df(spark):
+    from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+
+    return spark.createDataFrame(
+        [
+            ("+I", 1, "a", 10.0),
+            ("+U", 1, "a", 11.5),
+            ("-U", 1, "a", 10.0),
+            ("-D", 2, "b", 7.0),
+            ("+I", 3, None, 0.25),
+        ],
+        f"{ROWKIND} string, k bigint, name string, v double",
+    )
+
+
+@pytest.mark.parametrize("fmt", ["debezium", "canal", "maxwell", "ogg"])
+def test_cdc_encode_decode_roundtrip(spark, fmt):
+    from flink_release_1_16_0_spark.sources import formats as FMT
+    from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+
+    encode = getattr(FMT, f"changelog_to_{fmt}_json")
+    decode = getattr(FMT, f"{fmt}_json_to_changelog")
+    log = _changelog_df(spark)
+    wire = encode(log)
+    assert wire.columns == ["value"]
+    back = decode(wire, "value", "k BIGINT, name STRING, v DOUBLE")
+    # the wire collapses +U->create/-U->delete, so compare the decoded
+    # rows against the same collapse of the source changelog
+    want = sorted(
+        (
+            ("+I" if r[ROWKIND] in ("+I", "+U") else "-D"),
+            r["k"],
+            r["name"],
+            r["v"],
+        )
+        for r in log.collect()
+    )
+    got = sorted(
+        (r[ROWKIND], r["k"], r["name"], r["v"]) for r in back.collect()
+    )
+    assert got == want
+
+
+def test_cdc_envelope_shape_debezium(spark):
+    import json
+
+    from flink_release_1_16_0_spark.sources.formats import (
+        changelog_to_debezium_json,
+    )
+
+    rows = changelog_to_debezium_json(_changelog_df(spark)).collect()
+    envs = [json.loads(r["value"]) for r in rows]
+    ops = sorted(e["op"] for e in envs)
+    assert ops == ["c", "c", "c", "d", "d"]
+    for e in envs:
+        assert set(e) == {"before", "after", "op"}  # nulls explicit
+        assert (e["op"] == "c") == (e["after"] is not None)
+        assert (e["op"] == "d") == (e["before"] is not None)
+
+
+def test_cdc_ddl_sink_roundtrip(spark, tmp_path):
+    """INSERT INTO a debezium-json filesystem table writes envelope
+    lines; the scan decodes them back (format matrix symmetry for the
+    CDC family)."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    d = tmp_path / "dbz"
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE dbz_sink (k BIGINT, name STRING) WITH (
+          'connector' = 'filesystem', 'path' = '{d}',
+          'format' = 'debezium-json')
+        """
+    )
+    spark.range(0, 10).selectExpr(
+        "id", "concat('n-', id) AS name"
+    ).createOrReplaceTempView("dbz_src")
+    tenv.execute_sql("INSERT INTO dbz_sink SELECT id, name FROM dbz_src")
+    got = tenv.sql_query(
+        "SELECT rowkind, k, name FROM (SELECT __rowkind AS rowkind, k, name FROM dbz_sink) WHERE k < 2"
+    ).to_data_frame()
+    assert sorted(map(tuple, got.collect())) == [
+        ("+I", 0, "n-0"),
+        ("+I", 1, "n-1"),
+    ]
