@@ -392,6 +392,7 @@ def match_nfa(
     grid_scale: int | None = None,
     within_ms: int | None = None,
     skip: str = "past_last_row",
+    all_rows: bool = False,
 ) -> DataFrame:
     """Linear-pattern NFA with cross-variable DEFINE predicates — the
     full MATCH_RECOGNIZE DEFINE semantics the regex tier cannot
@@ -401,6 +402,11 @@ def match_nfa(
     (nfa/aftermatch/*Strategy.java): ``"past_last_row"`` (default),
     ``"to_next_row"``, or ``("to_first"|"to_last", var)`` — resuming at
     or before the match's own start raises, like the reference.
+    ``all_rows=True`` switches to ALL ROWS PER MATCH emission (the
+    ``match_regex_all_rows`` dual): one output row per BOUND event —
+    keys, the row's own (ts, id, value_cols), match_no, classifier,
+    then each measure with RUNNING semantics over the variable's bound
+    rows up to and including the current row.
 
     ``steps`` is the linear pattern: (variable, quantifier) with
     quantifier in ``1 ? + *`` (greedy, with backtracking).
@@ -431,7 +437,20 @@ def match_nfa(
     key_types = dict(tagged.dtypes)
     out_fields = ", ".join(f"{k} {key_types[k]}" for k in keys)
     m_fields = ", ".join(f"{a} {t}" for a, (_v, _g, _c, t) in measures.items())
-    schema = f"{out_fields}, match_no int, {m_fields}"
+    if all_rows:
+        row_fields = f"{ts_col} {key_types['__ts']}, {id_col} {key_types['__id']}"
+        for c in value_cols:
+            row_fields += f", {c} {key_types[c]}"
+        schema = (
+            f"{out_fields}, {row_fields}, match_no int, classifier string, "
+            f"{m_fields}"
+        )
+        all_rows_cols = [
+            *keys, ts_col, id_col, *value_cols, "match_no", "classifier",
+            *measures,
+        ]
+    else:
+        schema = f"{out_fields}, match_no int, {m_fields}"
 
     def col_name(c: str) -> str:
         return "__ts" if c == ts_col else "__id" if c == id_col else c
@@ -503,13 +522,40 @@ def match_nfa(
                 pos += 1
                 continue
             end, bound = res
-            vals = []
-            for _alias, (var, agg, col, _t) in measures.items():
-                idxs = bound.get(var, [])
-                vals.append(
-                    _measure_value(pdf.iloc[idxs], agg, col_name(col), grid_scale)
-                )
-            out.append((*keyvals, m_no, *vals))
+            if all_rows:
+                owner = {}
+                for var, idxs in bound.items():
+                    for i in idxs:
+                        owner.setdefault(i, var)
+                for r in sorted(owner):
+                    row = rows[r]
+                    vals = []
+                    for _alias, (var, agg, col, _t) in measures.items():
+                        run = [i for i in bound.get(var, []) if i <= r]
+                        vals.append(
+                            _measure_value(
+                                pdf.iloc[run], agg, col_name(col), grid_scale
+                            )
+                        )
+                    out.append(
+                        (
+                            *keyvals,
+                            row["__ts"],
+                            row["__id"],
+                            *[row[c] for c in value_cols],
+                            m_no,
+                            owner[r],
+                            *vals,
+                        )
+                    )
+            else:
+                vals = []
+                for _alias, (var, agg, col, _t) in measures.items():
+                    idxs = bound.get(var, [])
+                    vals.append(
+                        _measure_value(pdf.iloc[idxs], agg, col_name(col), grid_scale)
+                    )
+                out.append((*keyvals, m_no, *vals))
             m_no += 1
             if skip == "past_last_row":
                 pos = end
@@ -526,6 +572,7 @@ def match_nfa(
                         "raises here too)"
                     )
                 pos = target
-        return pd.DataFrame(out, columns=[*keys, "match_no", *measures])
+        cols = all_rows_cols if all_rows else [*keys, "match_no", *measures]
+        return pd.DataFrame(out, columns=cols)
 
     return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)

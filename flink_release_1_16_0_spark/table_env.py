@@ -2256,8 +2256,8 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     = match-any); cross-variable DEFINE predicates (references to
     another variable or FIRST/LAST navigation) are lowered to the NFA
     tier (operators/cep.py match_nfa), which carries the full skip
-    matrix too — only ALL ROWS PER MATCH stays regex-tier-only. SUM
-    over doubles uses the decimal grid from
+    matrix, {n,m} quantifier expansion, and ALL ROWS PER MATCH too.
+    SUM over doubles uses the decimal grid from
     `SET 'table.exec.match-recognize.sum-scale'` when present.
     """
     from flink_release_1_16_0_spark.operators.cep import (
@@ -2366,18 +2366,27 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             value_cols.append(col)
 
     if nfa_route:
-        if all_rows:
-            raise NotImplementedError(
-                "cross-variable DEFINE with ALL ROWS PER MATCH is not supported"
-            )
         steps = []
         for v, q in tokens:
-            if q not in ("", "?", "+", "*"):
+            rng = re.fullmatch(r"\{(\d+)(?:,(\d*))?\}", q)
+            if rng:
+                # A{n,m} expands to n required + (m-n) optional same-var
+                # steps; bindings accumulate per variable, so measures
+                # and cross-variable references see one A run
+                lo = int(rng.group(1))
+                hi = rng.group(2)
+                steps.extend([(v, "1")] * lo)
+                if hi == "":  # {n,} unbounded tail
+                    steps.append((v, "*"))
+                elif hi is not None:
+                    steps.extend([(v, "?")] * (int(hi) - lo))
+            elif q in ("", "?", "+", "*"):
+                steps.append((v, q or "1"))
+            else:
                 raise NotImplementedError(
                     f"NFA-tier quantifier {q!r} on {v!r} not supported "
-                    "(one of: <none> ? + *)"
+                    "(one of: <none> ? + * {{n}} {{n,}} {{n,m}})"
                 )
-            steps.append((v, q or "1"))
         rename = {ts_col: "__ts", id_col: "__id"}
         compiled = {
             v: _compile_define_predicate(p, v, variables, rename)
@@ -2405,13 +2414,10 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             grid_scale=int(sum_scale) if sum_scale else None,
             within_ms=within_ms,
             skip=skip_strategy,
+            all_rows=all_rows,
         )
     else:
         undefined = [v for v in variables if v not in defines]
-        if len(undefined) > 1:
-            raise NotImplementedError(
-                f"at most one undefined (match-any) pattern variable: {undefined}"
-            )
         # Symbols are keyed by the NORMALIZED predicate, not the
         # variable: PATTERN (S C+ E) with S and E both defined as
         # `event_type = 'purchase'` must classify every purchase row to

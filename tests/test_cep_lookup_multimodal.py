@@ -535,3 +535,91 @@ def test_nfa_skip_no_progress_raises(spark):
             value_cols=["event_type", "value"],
             skip=("to_first", "A"),
         ).collect()
+
+
+def test_nfa_all_rows_per_match(spark):
+    """ALL ROWS PER MATCH on the NFA tier: one row per bound event,
+    classifier + RUNNING measures, consistent with the one-row tier's
+    final values."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(
+        spark,
+        [(0, "c", 2), (1, "c", 3), (2, "p", 4), (3, "c", 9), (4, "p", 5)],
+    )
+    common = dict(
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "+"), ("B", "1")],
+        defines={
+            "A": lambda r, c: r["event_type"] == "c",
+            "B": lambda r, c: r["event_type"] == "p"
+            and r["value"] > c["A"][0]["value"],
+        },
+        measures={
+            "n": ("A", "count", "event_id", "bigint"),
+            "s": ("A", "sum", "value", "double"),
+            "pv": ("B", "last", "value", "double"),
+        },
+        value_cols=["event_type", "value"],
+    )
+    rows = match_nfa(df, all_rows=True, **common).collect()
+    got = [
+        (r["event_id"], r["match_no"], r["classifier"], r["n"], r["s"], r["pv"])
+        for r in sorted(rows, key=lambda r: r["event_id"])
+    ]
+    # match 0 binds rows 0,1,2 (purchase 4 > first click 2); row 3's
+    # click run (value 9) never gets a qualifying purchase (5 < 9... no:
+    # 5 > 9 false) -> only one match
+    assert got == [
+        (0, 0, "A", 1, 2.0, None),
+        (1, 0, "A", 2, 5.0, None),
+        (2, 0, "B", 2, 5.0, 4.0),
+    ]
+    final = match_nfa(df, **common).collect()
+    assert [(r["n"], r["s"], r["pv"]) for r in final] == [(2, 5.0, 4.0)]
+
+
+def test_match_recognize_sql_nfa_all_rows_and_range_quantifier(spark):
+    """SQL surface: cross-variable DEFINE + ALL ROWS PER MATCH + a
+    {n,m} range quantifier all lower to the NFA tier."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), i, t, float(v))
+        for i, (t, v) in enumerate(
+            [("c", 2), ("c", 3), ("c", 4), ("p", 5), ("c", 9), ("p", 1)]
+        )
+    ]
+    spark.createDataFrame(
+        rows, "k bigint, ts timestamp, event_id bigint, sym string, value double"
+    ).createOrReplaceTempView("nfa_all_rows_src")
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    got = tenv.sql_query(
+        """
+        SELECT k, event_id, classifier, n, pv
+        FROM nfa_all_rows_src MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts, event_id
+          MEASURES COUNT(A.event_id) AS n, LAST(B.value) AS pv
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A{2,3} B)
+          DEFINE A AS A.sym = 'c',
+                 B AS B.sym = 'p' AND B.value > FIRST(A.value)
+        ) AS m
+        """
+    ).to_data_frame()
+    rows_out = sorted(
+        (r["event_id"], r["classifier"], r["n"], r["pv"]) for r in got.collect()
+    )
+    # greedy {2,3} takes clicks 0,1,2 then purchase 3 (5 > 2); the
+    # trailing c,p never matches (1 > 9 false)
+    assert rows_out == [
+        (0, "A", 1, None),
+        (1, "A", 2, None),
+        (2, "A", 3, None),
+        (3, "B", 3, 5.0),
+    ]
