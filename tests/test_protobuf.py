@@ -176,3 +176,49 @@ def test_ddl_protobuf_scan(spark):
         (33, "n-33"),
         (43, "n-43"),
     ]
+
+
+def test_column_codec_roundtrip(spark):
+    """protobuf as a VALUE format: encode columns to one binary column
+    (the kafka-value sink shape), decode it back in place."""
+    from flink_release_1_16_0_spark.sources.protobuf_format import (
+        protobuf_decode_column,
+        protobuf_encode_column,
+    )
+
+    df = spark.range(0, 200).selectExpr(
+        "id AS topic_key",
+        "id * 2 AS a",
+        "concat('m-', id) AS b",
+        "CAST(id AS DOUBLE) / 7 AS c",
+    )
+    wire = protobuf_encode_column(df, cols=["a", "b", "c"], out_col="value")
+    assert set(wire.columns) == {"topic_key", "value"}
+    back = protobuf_decode_column(
+        wire, "value", StructType.fromDDL("a bigint, b string, c double")
+    )
+    assert sorted(map(tuple, back.select("topic_key", "a", "b", "c").collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_column_codec_ignore_parse_errors(spark):
+    from pyspark.sql import functions as F
+
+    from flink_release_1_16_0_spark.sources.protobuf_format import (
+        protobuf_decode_column,
+        protobuf_encode_column,
+    )
+
+    df = spark.range(0, 5).selectExpr("id AS a", "concat('x', id) AS b")
+    wire = protobuf_encode_column(df, out_col="value")
+    poisoned = wire.union(
+        spark.createDataFrame(
+            [(bytearray(b"\x08"),)], "value binary"  # truncated varint field
+        )
+    )
+    st = StructType.fromDDL("a bigint, b string")
+    with pytest.raises(Exception):
+        protobuf_decode_column(poisoned, "value", st).collect()
+    ok = protobuf_decode_column(poisoned, "value", st, ignore_parse_errors=True)
+    assert ok.count() == 5
