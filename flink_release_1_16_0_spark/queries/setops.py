@@ -98,12 +98,24 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXCEPT_ORACLE = f"({_A_SQL}) EXCEPT ({_B_SQL})"
+# EXCEPT projects the key itself: the low-cardinality pair projection
+# saturates on both sides at every scale factor (A EXCEPT B would be
+# vacuously empty), while keyed slices differ structurally — the result
+# is exactly the %5==0 customers, nonzero at any scale.
+_EXCEPT_A = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 5 IN (0, 1)"
+_EXCEPT_B = "SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 5 IN (1, 2)"
+_EXCEPT_ORACLE = f"({_EXCEPT_A}) EXCEPT ({_EXCEPT_B})"
 
 
 @register("setop_except", _EXCEPT_ORACLE, tags=("setop",))
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a, b = _slices(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.filter((F.col("c_custkey") % 5).isin(0, 1)).select(
+        "c_custkey", "c_mktsegment"
+    )
+    b = cust.filter((F.col("c_custkey") % 5).isin(1, 2)).select(
+        "c_custkey", "c_mktsegment"
+    )
     return a.subtract(b)
 
 
