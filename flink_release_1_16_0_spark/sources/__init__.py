@@ -39,12 +39,16 @@ def file_source(
     fmt: str = "parquet",
     schema: str | None = None,
     streaming: bool = False,
+    partition_cols: Iterable[str] = (),
     **options: str,
 ) -> DataFrame:
     """FileSystemTableSource: batch or streaming scan over a path.
 
     Streaming file sources require an explicit schema (Spark contract);
     batch sources infer from footers/headers per format.
+    ``partition_cols`` names Hive-style directory partition columns —
+    only consulted by the jar-free avro/protobuf decoders (the native
+    formats do their own partition discovery).
     """
     if fmt not in _FILE_FORMATS:
         raise ValueError(f"unsupported file format: {fmt}")
@@ -59,7 +63,17 @@ def file_source(
             )
         from flink_release_1_16_0_spark.sources.avro_format import avro_source
 
-        return avro_source(spark, path)
+        ptypes = None
+        if partition_cols and schema is not None:
+            from pyspark.sql.types import StructType
+
+            st = (
+                schema
+                if isinstance(schema, StructType)
+                else StructType.fromDDL(schema)
+            )
+            ptypes = {c: st[c].dataType for c in partition_cols}
+        return avro_source(spark, path, partition_cols=ptypes)
     if fmt == "protobuf":
         # jar-free wire-format decoder (sources/protobuf_format.py);
         # the DDL schema supplies the row layout (column i = field i+1)
@@ -77,7 +91,13 @@ def file_source(
 
         st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
         ignore = options.get("protobuf.ignore-parse-errors", "false") == "true"
-        return protobuf_source(spark, path, st, ignore_parse_errors=ignore)
+        return protobuf_source(
+            spark,
+            path,
+            st,
+            ignore_parse_errors=ignore,
+            partition_cols=list(partition_cols),
+        )
     if streaming:
         if schema is None:
             raise ValueError("streaming file sources require an explicit schema")

@@ -246,7 +246,11 @@ def avro_to_spark_type(schema: Any) -> DataType:
 
 def read_schema(path: str) -> dict:
     """Driver-side schema discovery: parse the header of one file."""
-    files = sorted(glob.glob(os.path.join(path, "*.avro"))) if os.path.isdir(path) else [path]
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.avro"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(files[0], "rb") as fh:
@@ -268,11 +272,18 @@ def read_schema(path: str) -> dict:
     return json.loads(meta["avro.schema"].decode())
 
 
-def avro_source(spark: SparkSession, path: str) -> DataFrame:
+def avro_source(
+    spark: SparkSession, path: str, partition_cols: dict | None = None
+) -> DataFrame:
     """Batch scan over avro container files at ``path``.
 
     Top-level schema must be a record; its fields become columns.
+    ``partition_cols`` maps Hive-style directory partition columns
+    (``col=val/``) to their Spark types; binaryFile's partition
+    discovery supplies the values and they are appended after the
+    record's own fields.
     """
+    partition_cols = partition_cols or {}
     schema = read_schema(path)
     if schema.get("type") != "record":
         raise ValueError("top-level avro schema must be a record")
@@ -282,15 +293,26 @@ def avro_source(spark: SparkSession, path: str) -> DataFrame:
     bf = spark.read.format("binaryFile")
     if os.path.isdir(path):
         bf = bf.option("pathGlobFilter", "*.avro")
-    files = bf.load(path).select("content")
+    from pyspark.sql import functions as F
+
+    files = bf.load(path).select(
+        "content",
+        *[F.col(c).cast(t).alias(c) for c, t in partition_cols.items()],
+    )
+    out_schema = StructType(list(spark_schema.fields))
+    for c, t in partition_cols.items():
+        out_schema = out_schema.add(c, t)
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            for content in pdf["content"]:
-                _, rows = parse_ocf(bytes(content))
-                yield pd.DataFrame(rows, columns=cols)
+            for i in range(len(pdf)):
+                _, rows = parse_ocf(bytes(pdf["content"].iloc[i]))
+                out = pd.DataFrame(rows, columns=cols)
+                for c in partition_cols:
+                    out[c] = pdf[c].iloc[i]
+                yield out
 
-    return files.mapInPandas(decode, schema=spark_schema)
+    return files.mapInPandas(decode, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -459,26 +481,66 @@ def encode_ocf(rows: Any, schema: dict, sync: bytes | None = None) -> bytes:
     return bytes(out)
 
 
-def write_avro(df: DataFrame, path: str, overwrite: bool = False) -> None:
-    """Distributed avro sink: one OCF file per partition, encoded on the
-    executors inside mapInPandas (AvroOutputFormat.java's per-subtask
-    files). Complements the read path so the format matrix is
-    read+write symmetric."""
-    schema = spark_to_avro_schema(df.schema)
+def write_avro(
+    df: DataFrame,
+    path: str,
+    overwrite: bool = False,
+    partition_cols: Any = (),
+) -> None:
+    """Distributed avro sink: one OCF file per Spark partition, encoded
+    on the executors inside mapInPandas (AvroOutputFormat.java's
+    per-subtask files). Complements the read path so the format matrix
+    is read+write symmetric. With ``partition_cols`` the layout is
+    Hive-style (``col=val/part-*.avro``) and those columns stay out of
+    the record; the input is co-partitioned on them first.
+    """
+    partition_cols = list(partition_cols)
+    wire_df_schema = df.schema
+    from pyspark.sql.types import StructType as _ST
+
+    wire_st = _ST(
+        [f for f in wire_df_schema.fields if f.name not in partition_cols]
+    )
+    wire_cols = [f.name for f in wire_st.fields]
+    schema = spark_to_avro_schema(wire_st)
     os.makedirs(path, exist_ok=True)
     if overwrite:
-        for f in os.listdir(path):
-            if f.endswith(".avro"):
-                os.remove(os.path.join(path, f))
+        for root, _dirs, fs in os.walk(path):
+            for f in fs:
+                if f.endswith(".avro"):
+                    os.remove(os.path.join(root, f))
+    if partition_cols:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(*[F.col(c) for c in partition_cols])
 
     def write_part(it: Any) -> Any:
         import uuid
 
-        rows: list[tuple] = []
+        buckets: dict = {}
         for pdf in it:
-            rows.extend(tuple(r) for r in pdf.itertuples(index=False))
-        if rows:
-            name = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+            if not len(pdf):
+                continue
+            if partition_cols:
+                for pvals, sub in pdf.groupby(partition_cols, sort=False):
+                    if not isinstance(pvals, tuple):
+                        pvals = (pvals,)
+                    buckets.setdefault(pvals, []).extend(
+                        tuple(r)
+                        for r in sub[wire_cols].itertuples(index=False, name=None)
+                    )
+            else:
+                buckets.setdefault((), []).extend(
+                    tuple(r) for r in pdf.itertuples(index=False, name=None)
+                )
+        for pvals, rows in buckets.items():
+            if not rows:
+                continue
+            sub_dir = os.path.join(
+                path, *[f"{c}={v}" for c, v in zip(partition_cols, pvals)]
+            )
+            os.makedirs(sub_dir, exist_ok=True)
+            name = os.path.join(sub_dir, f"part-{uuid.uuid4().hex}.avro")
             with open(name, "wb") as fh:
                 fh.write(encode_ocf(rows, schema))
         return iter([pd.DataFrame({"files": pd.Series([1], dtype="int64")})])

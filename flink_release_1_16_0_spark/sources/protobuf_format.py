@@ -385,47 +385,105 @@ def protobuf_source(
     path: str,
     schema: StructType,
     ignore_parse_errors: bool = False,
+    partition_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Batch scan over varint-delimited ``.pb`` files at ``path``."""
+    """Batch scan over varint-delimited ``.pb`` files at ``path``.
+
+    ``partition_cols`` name columns of ``schema`` that live in the
+    Hive-style directory layout (``col=val/``) rather than on the wire
+    — binaryFile's partition discovery supplies them, and field
+    numbering covers only the wire columns (column i of the wire
+    schema = field i+1).
+    """
+    from pyspark.sql import functions as F
+
     bf = spark.read.format("binaryFile")
     if os.path.isdir(path):
-        bf = bf.option("pathGlobFilter", "*.pb")
-    files = bf.load(path).select("content")
-    cols = [f.name for f in schema.fields]
+        bf = bf.option("pathGlobFilter", "*.pb").option(
+            "recursiveFileLookup", "false"
+        )
+    wire = StructType([f for f in schema.fields if f.name not in partition_cols])
+    files = bf.load(path).select(
+        "content",
+        *[F.col(c).cast(schema[c].dataType).alias(c) for c in partition_cols],
+    )
+    wire_cols = [f.name for f in wire.fields]
+    out_cols = [f.name for f in schema.fields]
+    out_schema = StructType([schema[c] for c in out_cols])
 
     def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            for content in pdf["content"]:
+            for i in range(len(pdf)):
                 rows = decode_delimited(
-                    bytes(content), schema, ignore_parse_errors
+                    bytes(pdf["content"].iloc[i]), wire, ignore_parse_errors
                 )
-                yield pd.DataFrame(rows, columns=cols)
+                out = pd.DataFrame(rows, columns=wire_cols)
+                for c in partition_cols:
+                    out[c] = pdf[c].iloc[i]
+                yield out[out_cols]
 
-    return files.mapInPandas(decode, schema=schema)
+    return files.mapInPandas(decode, schema=out_schema)
 
 
-def write_protobuf(df: DataFrame, path: str) -> None:
-    """Distributed sink: one varint-delimited ``.pb`` file per partition
-    (PbRowDataSerializationSchema / the filesystem sink's per-subtask
-    files). Encoding runs inside mapInPandas on the executors; only
-    file bytes hit disk, nothing funnels through the driver."""
+def write_protobuf(
+    df: DataFrame, path: str, partition_cols: Sequence[str] = ()
+) -> None:
+    """Distributed sink: one varint-delimited ``.pb`` file per Spark
+    partition (PbRowDataSerializationSchema / the filesystem sink's
+    per-subtask files). Encoding runs inside mapInPandas on the
+    executors; only file bytes hit disk, nothing funnels through the
+    driver. With ``partition_cols`` the layout is Hive-style
+    (``col=val/part-*.pb``, values stringified — keep them path-safe)
+    and those columns stay OFF the wire; the input is co-partitioned
+    on them first so each task writes whole partition values.
+    """
     schema = df.schema
+    wire = StructType([f for f in schema.fields if f.name not in partition_cols])
+    wire_cols = [f.name for f in wire.fields]
     os.makedirs(path, exist_ok=True)
+    if partition_cols:
+        from pyspark.sql import functions as F
+
+        df = df.repartition(*[F.col(c) for c in partition_cols])
 
     def write_part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import uuid
 
-        chunks: list[bytes] = []
+        buckets: dict[tuple, list[bytes]] = {}
         for pdf in it:
-            chunks.append(
-                encode_delimited(
-                    (tuple(r) for r in pdf.itertuples(index=False)), schema
+            if not len(pdf):
+                continue
+            if partition_cols:
+                for pvals, sub in pdf.groupby(list(partition_cols), sort=False):
+                    if not isinstance(pvals, tuple):
+                        pvals = (pvals,)
+                    chunk = encode_delimited(
+                        (
+                            tuple(r)
+                            for r in sub[wire_cols].itertuples(
+                                index=False, name=None
+                            )
+                        ),
+                        wire,
+                    )
+                    buckets.setdefault(pvals, []).append(chunk)
+            else:
+                chunk = encode_delimited(
+                    (tuple(r) for r in pdf.itertuples(index=False, name=None)),
+                    wire,
                 )
+                buckets.setdefault((), []).append(chunk)
+        for pvals, chunks in buckets.items():
+            data = b"".join(chunks)
+            if not data:
+                continue
+            sub_dir = os.path.join(
+                path, *[f"{c}={v}" for c, v in zip(partition_cols, pvals)]
             )
-        data = b"".join(chunks)
-        if data:
-            name = os.path.join(path, f"part-{uuid.uuid4().hex}.pb")
-            with open(name, "wb") as fh:
+            os.makedirs(sub_dir, exist_ok=True)
+            with open(
+                os.path.join(sub_dir, f"part-{uuid.uuid4().hex}.pb"), "wb"
+            ) as fh:
                 fh.write(data)
         return iter([pd.DataFrame({"files": pd.Series([1], dtype="int64")})])
 

@@ -271,6 +271,7 @@ class CatalogTable:
                     fmt=fmt,
                     schema=self.schema_ddl(),
                     streaming=streaming,
+                    partition_cols=list(self.partitioned_by),
                     **opts,
                 )
         elif connector in ("kafka", "upsert-kafka"):
@@ -449,17 +450,20 @@ class CatalogTable:
                 return
             if fmt in ("avro", "protobuf"):
                 # jar-free formats: distributed pure-Python encoders
-                # (one file per partition, written on the executors)
-                if self.partitioned_by:
-                    raise NotImplementedError(
-                        f"partitioned {fmt} sinks are not supported"
-                    )
+                # (one file per partition, written on the executors;
+                # PARTITIONED BY lays out Hive-style col=val dirs)
+                pcols = list(self.partitioned_by)
                 if fmt == "avro":
                     from flink_release_1_16_0_spark.sources.avro_format import (
                         write_avro,
                     )
 
-                    write_avro(out, self.options["path"], overwrite=overwrite)
+                    write_avro(
+                        out,
+                        self.options["path"],
+                        overwrite=overwrite,
+                        partition_cols=pcols,
+                    )
                 else:
                     from flink_release_1_16_0_spark.sources.protobuf_format import (
                         write_protobuf,
@@ -467,11 +471,13 @@ class CatalogTable:
 
                     if overwrite:
                         p = self.options["path"]
-                        if os.path.isdir(p):
-                            for f in os.listdir(p):
+                        for root, _dirs, fs in os.walk(p):
+                            for f in fs:
                                 if f.endswith(".pb"):
-                                    os.remove(os.path.join(p, f))
-                    write_protobuf(out, self.options["path"])
+                                    os.remove(os.path.join(root, f))
+                    write_protobuf(
+                        out, self.options["path"], partition_cols=pcols
+                    )
                 return
             writer = out.write.format(fmt).mode(
                 "overwrite" if overwrite else "append"

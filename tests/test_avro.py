@@ -217,3 +217,24 @@ def test_insert_into_avro_ddl(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == [
         (0, "v-0"), (1, "v-1"), (2, "v-2"),
     ]
+
+
+def test_partitioned_avro_write_read(spark, tmp_path):
+    from flink_release_1_16_0_spark.sources.avro_format import write_avro
+
+    df = spark.range(0, 30).selectExpr(
+        "id", "concat('v-', id) AS name", "CAST(id % 3 AS INT) AS seg"
+    )
+    d = str(tmp_path / "avro_part")
+    write_avro(df, d, partition_cols=["seg"])
+    import os as _os
+
+    assert sorted(x for x in _os.listdir(d) if x.startswith("seg=")) == [
+        "seg=0", "seg=1", "seg=2",
+    ]
+    from pyspark.sql.types import IntegerType
+
+    back = avro_source(spark, d, partition_cols={"seg": IntegerType()})
+    assert sorted(map(tuple, back.select("id", "name", "seg").collect())) == sorted(
+        map(tuple, df.collect())
+    )

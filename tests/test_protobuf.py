@@ -222,3 +222,36 @@ def test_column_codec_ignore_parse_errors(spark):
         protobuf_decode_column(poisoned, "value", st).collect()
     ok = protobuf_decode_column(poisoned, "value", st, ignore_parse_errors=True)
     assert ok.count() == 5
+
+
+def test_partitioned_ddl_roundtrip(spark, tmp_path):
+    """PARTITIONED BY protobuf table: Hive-style col=val layout on
+    write, partition-column reattachment + pruning-compatible dirs on
+    read. Partition columns stay off the wire."""
+    import os as _os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    d = tmp_path / "pb_part"
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE pb_part (k BIGINT, name STRING, seg INT)
+        PARTITIONED BY (seg)
+        WITH ('connector' = 'filesystem', 'path' = '{d}',
+              'format' = 'protobuf')
+        """
+    )
+    spark.range(0, 40).selectExpr(
+        "id AS k", "concat('n-', id) AS name", "CAST(id % 4 AS INT) AS seg"
+    ).createOrReplaceTempView("pb_part_src")
+    tenv.execute_sql("INSERT INTO pb_part SELECT * FROM pb_part_src")
+    assert sorted(
+        x for x in _os.listdir(d) if x.startswith("seg=")
+    ) == ["seg=0", "seg=1", "seg=2", "seg=3"]
+    got = tenv.sql_query(
+        "SELECT k, name, seg FROM pb_part WHERE seg = 2"
+    ).to_data_frame()
+    assert sorted(map(tuple, got.collect())) == [
+        (k, f"n-{k}", 2) for k in range(2, 40, 4)
+    ]
