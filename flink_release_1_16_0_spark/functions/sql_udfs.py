@@ -58,6 +58,27 @@ FLINK_SQL_UDFS: dict[str, tuple[str, str]] = {
         "(bound INT) RETURNS INT",
         "cast(floor(rand() * bound) AS INT)",
     ),
+    # SqlFunctionUtils.convertTz: reinterpret a wall-clock string from
+    # one zone into another (Flink's 3-arg string form)
+    "CONVERT_TZ": (
+        "(s STRING, tz_from STRING, tz_to STRING) RETURNS STRING",
+        "date_format(from_utc_timestamp(to_utc_timestamp(s, tz_from), tz_to),"
+        " 'yyyy-MM-dd HH:mm:ss')",
+    ),
+    # CurrentRowTimestampSqlFunction: per-row evaluation timestamp
+    # (non-deterministic by contract, like PROCTIME)
+    "CURRENT_ROW_TIMESTAMP": (
+        "() RETURNS TIMESTAMP_LTZ", "current_timestamp()"
+    ),
+    # Flink's fixed-width SHA spellings over Spark's sha2 family
+    "SHA224": ("(s STRING) RETURNS STRING", "sha2(s, 224)"),
+    "SHA256": ("(s STRING) RETURNS STRING", "sha2(s, 256)"),
+    "SHA384": ("(s STRING) RETURNS STRING", "sha2(s, 384)"),
+    "SHA512": ("(s STRING) RETURNS STRING", "sha2(s, 512)"),
+    # PrintSqlFunction: identity passthrough (the reference prints to
+    # the taskmanager log as a side effect; a distributed stdout has no
+    # Spark equivalent — use the print sink for inspection)
+    "PRINT": ("(tag STRING, v STRING) RETURNS STRING", "v"),
 }
 
 

@@ -128,3 +128,47 @@ def test_json_string_scalars(spark):
     assert _one(spark, FF.json_string(F.lit(True))) == "true"
     # null-on-null like the reference
     assert _one(spark, FF.json_string(F.lit(None).cast("string"))) is None
+
+
+def test_sql_udf_sha_family_known_answers(spark):
+    """Flink's fixed-width SHA spellings over sha2 — pinned to the
+    published test vectors for 'abc'."""
+    from flink_release_1_16_0_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT SHA224('abc') a, SHA256('abc') b, SHA384('abc') c, SHA512('abc') d"
+    ).collect()[0]
+    assert row["a"] == "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7"
+    assert row["b"] == (
+        "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
+    )
+    assert row["c"] == (
+        "cb00753f45a35e8bb5a03d699ac65007272c32ab0eded1631a8b605a43ff5bed"
+        "8086072ba1e7cc2358baeca134c825a7"
+    )
+    assert row["d"] == (
+        "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a"
+        "2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"
+    )
+
+
+def test_sql_udf_convert_tz_and_print(spark):
+    from flink_release_1_16_0_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT CONVERT_TZ('1970-01-01 00:00:00', 'UTC', 'America/Los_Angeles') a,"
+        "       CONVERT_TZ('2024-07-01 12:00:00', 'Asia/Shanghai', 'UTC') b,"
+        "       PRINT('tag: ', 'payload') p"
+    ).collect()[0]
+    assert row["a"] == "1969-12-31 16:00:00"
+    assert row["b"] == "2024-07-01 04:00:00"
+    assert row["p"] == "payload"
+
+
+def test_sql_udf_current_row_timestamp_registered(spark):
+    from flink_release_1_16_0_spark.functions.sql_udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    assert spark.sql("SELECT CURRENT_ROW_TIMESTAMP() ts").collect()[0]["ts"] is not None
