@@ -1495,9 +1495,32 @@ class TableEnvironment:
                 rows=[(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema]
             )
         if up.startswith("EXPLAIN"):
-            # Flink's `EXPLAIN [PLAN FOR]` -> Spark's native EXPLAIN FORMATTED
+            # Flink's `EXPLAIN [PLAN FOR | <details> ]` (ExplainDetail
+            # enum) -> Spark's native EXPLAIN modes: ESTIMATED_COST ->
+            # COST; CHANGELOG_MODE has no Spark dual for arbitrary SQL
+            # (the changelog-inference pass operates on the operator
+            # tree — plans/changelog_inference.py)
             q = re.sub(r"^EXPLAIN(\s+PLAN\s+FOR)?\s+", "", stmt, flags=re.IGNORECASE)
-            return TableResult(df=self.spark.sql(f"EXPLAIN FORMATTED {q}"))
+            mode = "FORMATTED"
+            dm = re.match(
+                r"\s*(ESTIMATED_COST|CHANGELOG_MODE|JSON_EXECUTION_PLAN)\s+",
+                q,
+                re.IGNORECASE,
+            )
+            if dm:
+                detail = dm.group(1).upper()
+                q = q[dm.end() :]
+                if detail == "ESTIMATED_COST":
+                    mode = "COST"
+                elif detail == "CHANGELOG_MODE":
+                    raise NotImplementedError(
+                        "EXPLAIN CHANGELOG_MODE applies to the operator "
+                        "tree (plans/changelog_inference.py), not "
+                        "arbitrary SQL"
+                    )
+                else:  # JSON_EXECUTION_PLAN
+                    mode = "FORMATTED"
+            return TableResult(df=self.spark.sql(f"EXPLAIN {mode} {q}"))
         return TableResult(df=self.spark.sql(self._rewrite_query(stmt)))
 
     def sql_query(self, sql: str) -> Table:
