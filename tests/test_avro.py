@@ -238,3 +238,59 @@ def test_partitioned_avro_write_read(spark, tmp_path):
     assert sorted(map(tuple, back.select("id", "name", "seg").collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# property-based: the OCF writer/reader roundtrip over the full value
+# domain (nullable unions included)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    _AV_ST = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("c", DoubleType()),
+            StructField("d", BooleanType()),
+            StructField("e", ArrayType(LongType())),
+        ]
+    )
+    _I64 = hst.integers(min_value=-(2**63), max_value=2**63 - 1)
+    _AV_ROW = hst.tuples(
+        hst.one_of(hst.none(), _I64),
+        hst.one_of(hst.none(), hst.text(max_size=40)),
+        hst.one_of(hst.none(), hst.floats(allow_nan=False)),
+        hst.one_of(hst.none(), hst.booleans()),
+        hst.one_of(hst.none(), hst.lists(_I64, max_size=8)),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(hst.lists(_AV_ROW, max_size=15))
+    def test_property_ocf_roundtrip(rows):
+        from flink_release_1_16_0_spark.sources.avro_format import (
+            encode_ocf,
+            parse_ocf,
+            spark_to_avro_schema,
+        )
+
+        schema = spark_to_avro_schema(_AV_ST)
+        _, back = parse_ocf(encode_ocf(rows, schema))
+        assert back == [tuple(r) for r in rows]

@@ -255,3 +255,62 @@ def test_partitioned_ddl_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == [
         (k, f"n-{k}", 2) for k in range(2, 40, 4)
     ]
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrips (beyond the reference's test strategy —
+# SURVEY §5 notes it has none; the wire codec is pure Python, so
+# hypothesis can hammer the full value domain cheaply)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as hst
+
+    _HAS_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAS_HYPOTHESIS = False
+
+if _HAS_HYPOTHESIS:
+    _I64 = hst.integers(min_value=-(2**63), max_value=2**63 - 1)
+    _ROW = hst.tuples(
+        _I64,
+        hst.text(max_size=40),
+        hst.floats(allow_nan=False),
+        hst.booleans(),
+        hst.binary(max_size=40),
+        hst.lists(_I64, max_size=10),
+    )
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    # built without fromDDL: module-level collection has no Spark session
+    _PB_ST = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("c", DoubleType()),
+            StructField("d", BooleanType()),
+            StructField("e", BinaryType()),
+            StructField("f", ArrayType(LongType())),
+        ]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(_ROW)
+    def test_property_message_roundtrip(row):
+        assert decode_message(encode_message(row, _PB_ST), _PB_ST) == row
+
+    @settings(max_examples=100, deadline=None)
+    @given(hst.lists(_ROW, max_size=20))
+    def test_property_delimited_roundtrip(rows):
+        assert decode_delimited(encode_delimited(iter(rows), _PB_ST), _PB_ST) == [
+            tuple(r) for r in rows
+        ]
