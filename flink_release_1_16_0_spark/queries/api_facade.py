@@ -313,3 +313,44 @@ def format_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tenv.sql_query(
         "SELECT n_nationkey, n_name, n_regionkey FROM nation_pb"
     ).to_data_frame()
+
+
+# --------------------------------------------------------------------------
+# LEGACY group-window SQL syntax (FlinkSqlOperatorTable TUMBLE_OLD /
+# HOP_OLD and the *_START/_END auxiliaries) — the syntax most Flink
+# 1.16 queries actually use, rewritten by rewrite_group_windows into
+# Spark window()/session_window() grouping. Same 30-day tumble as the
+# TVF query, expressed in the old dialect.
+# --------------------------------------------------------------------------
+
+_LEGACY_GW_ORACLE = f"""
+SELECT
+  make_timestamp((epoch_us(o_orderdate) // {_30D_US}) * {_30D_US}) AS w_start,
+  make_timestamp((epoch_us(o_orderdate) // {_30D_US}) * {_30D_US}
+                 + {_30D_US}) AS w_end,
+  o_orderstatus,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@register("api_sql_legacy_group_window", _LEGACY_GW_ORACLE, tags=("api", "window", "sql"))
+def api_sql_legacy_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.catalog import register_tables
+
+    register_tables(spark, sf_dir, ("orders",))
+    tenv = TableEnvironment.create(spark)
+    return tenv.sql_query(
+        """
+        SELECT TUMBLE_START(o_orderdate, INTERVAL '30' DAY) AS w_start,
+               TUMBLE_END(o_orderdate, INTERVAL '30' DAY) AS w_end,
+               o_orderstatus,
+               COUNT(*) AS order_count,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY TUMBLE(o_orderdate, INTERVAL '30' DAY), o_orderstatus
+        """
+    ).to_data_frame()

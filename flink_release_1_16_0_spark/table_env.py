@@ -630,6 +630,78 @@ def _interval_str(text: str) -> str:
     return f"{n} {unit.lower()}s"
 
 
+def _replace_call(sql: str, name: str, repl, skip_if_table: bool = False) -> str:
+    """Replace every ``name( <balanced args> )`` call with
+    ``repl(args_list)``; ``skip_if_table`` leaves windowing-TVF forms
+    (first arg starts with TABLE) for the TVF rewriter."""
+    out, i = [], 0
+    pat = re.compile(rf"(?<![\w_]){name}\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+            j += 1
+        args = [a.strip() for a in _split_top_level(sql[m.end() : j - 1])]
+        if skip_if_table and args and args[0].upper().startswith("TABLE"):
+            out.append(sql[i : j])
+        else:
+            out.append(sql[i : m.start()])
+            out.append(repl(args))
+        i = j
+
+
+def rewrite_group_windows(sql: str) -> str:
+    """Translate Flink's LEGACY group-window syntax — ``GROUP BY
+    TUMBLE/HOP/SESSION(timeattr, INTERVAL ...)`` with the
+    ``*_START/_END/_ROWTIME/_PROCTIME`` auxiliary selectors
+    (FlinkSqlOperatorTable TUMBLE_OLD/HOP_OLD/SESSION_OLD and their
+    auxiliary functions) — into Spark's ``window()`` /
+    ``session_window()`` grouping expressions. The grouped struct
+    column is named ``window`` / ``session_window`` by Spark, so the
+    selectors become field accesses on it; ``*_ROWTIME`` is the
+    window's end minus 1ms (the reference's rowtime attribute of a
+    fired window; ``*_PROCTIME`` maps to the same value — a proctime
+    attribute has no batch dual, same divergence as PROCTIME()).
+    """
+    if not re.search(r"\b(TUMBLE|HOP|SESSION)\s*\(|\b(TUMBLE|HOP|SESSION)_", sql, re.I):
+        return sql
+    for base, gcol in (("TUMBLE", "window"), ("HOP", "window"), ("SESSION", "session_window")):
+        for suf, expr in (
+            ("START", f"{gcol}.start"),
+            ("END", f"{gcol}.end"),
+            ("ROWTIME", f"({gcol}.end - INTERVAL '0.001' SECOND)"),
+            ("PROCTIME", f"({gcol}.end - INTERVAL '0.001' SECOND)"),
+        ):
+            sql = _replace_call(sql, f"{base}_{suf}", lambda _a, e=expr: e)
+    sql = _replace_call(
+        sql,
+        "TUMBLE",
+        lambda a: f"window({a[0]}, '{_interval_str(a[1])}')",
+        skip_if_table=True,
+    )
+    # Flink HOP args: (time, slide, size); Spark: (time, size, slide)
+    sql = _replace_call(
+        sql,
+        "HOP",
+        lambda a: f"window({a[0]}, '{_interval_str(a[2])}', '{_interval_str(a[1])}')",
+        skip_if_table=True,
+    )
+    sql = _replace_call(
+        sql,
+        "SESSION",
+        lambda a: f"session_window({a[0]}, '{_interval_str(a[1])}')",
+        skip_if_table=True,
+    )
+    return sql
+
+
 def rewrite_window_tvfs(sql: str) -> str:
     """Translate Flink's windowing TVFs (SqlTumbleTableFunction /
     SqlHopTableFunction, FlinkSqlOperatorTable.java:1219-1221) to
@@ -653,6 +725,7 @@ def rewrite_window_tvfs(sql: str) -> str:
     sql = re.sub(
         r"\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[\w.]+(\s*\(\s*\))?", " ", sql, flags=re.I
     )
+    sql = rewrite_group_windows(sql)
 
     def sub(m: re.Match) -> str:
         kind, tbl, col, args = m.group(1).upper(), m.group(2), m.group(3), m.group(4)

@@ -1619,3 +1619,47 @@ def test_streaming_insert_into_hive_table(spark, tmp_path):
         assert [k for k, _ in got] == [0, 1, 2]
     finally:
         spark.sql("DROP TABLE IF EXISTS hive_stream_snk")
+
+
+def test_legacy_group_window_hop_session(tenv, spark):
+    """Flink 1.16's legacy GROUP BY HOP/SESSION forms rewrite to
+    Spark's window()/session_window() grouping; the *_START/_END
+    auxiliaries become field accesses on the grouped struct."""
+    from flink_release_1_16_0_spark.catalog import register_tables
+
+    register_tables(spark, SF, ("events",))
+    hop = tenv.sql_query(
+        """
+        SELECT HOP_START(ts, INTERVAL '5' MINUTE, INTERVAL '15' MINUTE) AS ws,
+               HOP_END(ts, INTERVAL '5' MINUTE, INTERVAL '15' MINUTE) AS we,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY HOP(ts, INTERVAL '5' MINUTE, INTERVAL '15' MINUTE)
+        """
+    ).to_data_frame()
+    want_hop = spark.sql(
+        """
+        SELECT window.start ws, window.end we, COUNT(*) n
+        FROM events GROUP BY window(ts, '15 minutes', '5 minutes')
+        """
+    )
+    assert sorted(map(tuple, hop.collect())) == sorted(
+        map(tuple, want_hop.collect())
+    )
+    sess = tenv.sql_query(
+        """
+        SELECT SESSION_START(ts, INTERVAL '10' MINUTE) AS ws,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY user_id, SESSION(ts, INTERVAL '10' MINUTE)
+        """
+    ).to_data_frame()
+    want_sess = spark.sql(
+        """
+        SELECT session_window.start ws, COUNT(*) n
+        FROM events GROUP BY user_id, session_window(ts, '10 minutes')
+        """
+    )
+    assert sorted(map(tuple, sess.collect())) == sorted(
+        map(tuple, want_sess.collect())
+    )
