@@ -134,12 +134,12 @@ _PRIORITY = (
     "curation_url_dedup",
     "curation_chunking",
     "similarity_hyperplane_lsh_topk",
-    "similarity_brute_force_topk",
+    "format_debezium_encode",
     "similarity_lsh_recall",
     "similarity_int8_quantization",
     "text_winnowing",
     "text_bigram_pmi",
-    "text_unigram_logprob",
+    "api_sql_legacy_group_window",
     "dedup_cluster_assign",
     "dedup_ngram_jaccard",
     "lookup_join_dim",

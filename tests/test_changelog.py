@@ -178,3 +178,33 @@ def test_cdc_ddl_sink_roundtrip(spark, tmp_path):
         ("+I", 0, "n-0"),
         ("+I", 1, "n-1"),
     ]
+
+
+def test_upsert_key_only_tombstone(spark):
+    """upsert-kafka compaction semantics: a delete arrives as a
+    key-only tombstone (null payload — the Kafka null-value record);
+    the emitted -D must carry the PRIOR version's payload from state,
+    exactly like ChangelogNormalize's state lookup."""
+    from flink_release_1_16_0_spark.streaming.changelog import (
+        ROWKIND,
+        upsert_to_retract,
+    )
+
+    log = spark.createDataFrame(
+        [
+            ("+U", 1, 1, "k1", 10.0),
+            ("+U", 2, 2, "k1", 20.0),
+            ("-D", 3, 3, "k1", None),   # tombstone: key only
+            ("+U", 4, 4, "k1", 30.0),   # re-insert after delete
+        ],
+        f"{ROWKIND} string, ts bigint, seq bigint, k string, v double",
+    )
+    out = upsert_to_retract(log, keys=["k"], ts_col="ts", seq_col="seq")
+    got = [(r[ROWKIND], r["v"]) for r in out.orderBy("seq").collect()]
+    assert got == [
+        ("+I", 10.0),
+        ("-U", 10.0),
+        ("+U", 20.0),
+        ("-D", 20.0),   # payload restored from state, not the null tombstone
+        ("+I", 30.0),
+    ]
