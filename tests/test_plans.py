@@ -358,3 +358,27 @@ def test_streaming_anti_join_shuffle_layout(spark, sf_smoke):
     )
     plan = _streaming_plan(spark, out)
     _assert_single_keyed_exchange(plan, "user_id")
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """The reference's dynamic-filtering operator family
+    (RT/dynamicfiltering/DynamicFilteringDataCollectorOperator.java,
+    DynamicPartitionPruningRule) is Spark-native DPP — pin that a
+    selective dim filter actually injects a dynamicpruning subquery
+    into the partitioned fact scan, rather than merely claiming the
+    ability exists."""
+    d = str(tmp_path)
+    spark.range(0, 50000).selectExpr(
+        "id", "id % 20 AS part_key"
+    ).write.partitionBy("part_key").mode("overwrite").parquet(d + "/fact")
+    spark.range(0, 20).selectExpr(
+        "id AS dim_key", "CASE WHEN id = 3 THEN 'pick' ELSE 'other' END AS tag"
+    ).write.mode("overwrite").parquet(d + "/dim")
+    f = spark.read.parquet(d + "/fact")
+    dm = spark.read.parquet(d + "/dim")
+    q = f.join(dm, f.part_key == dm.dim_key).filter("tag = 'pick'")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "dynamicpruning" in plan.lower()
+    assert q.count() == 2500  # and the result is right: one of 20 parts
