@@ -382,3 +382,22 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower()
     assert q.count() == 2500  # and the result is right: one of 20 parts
+
+
+def test_legacy_group_window_partial_agg(spark, sf_smoke):
+    """The legacy GROUP BY TUMBLE rewrite must land on the native
+    window-agg plan: one scan, partial agg below a single exchange."""
+    import re as _re
+
+    _, plan = _executed_plan(spark, "api_sql_legacy_group_window", sf_smoke)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_cdc_encode_stays_catalyst(spark, sf_smoke):
+    """The changelog encoders are pure to_json projections — no Python
+    UDF may appear in the plan (map-side at any scale)."""
+    _, plan = _executed_plan(spark, "format_debezium_encode", sf_smoke)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
