@@ -380,6 +380,74 @@ def match_regex_all_rows(
     return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
 
 
+def nfa_try_match(
+    rows: list,
+    start: int,
+    steps: Sequence[tuple[str, str]],
+    defines: dict,
+    within_ms: int | None,
+):
+    """Greedy backtracking linear-NFA match anchored at ``start``
+    (nfa/NFA.java's per-state predicate evaluation over the partial
+    match). Returns (end, bindings) or None; bindings: var -> list of
+    row indices. ``rows`` are dicts with ``__ts`` plus value columns;
+    ``defines[var]`` is ``fn(row, ctx) -> bool``. Shared by the batch
+    tier (match_nfa) and the streaming tier
+    (streaming/cep_stream.streaming_cep_nfa_within).
+    """
+    deadline = (
+        None
+        if within_ms is None
+        else pd.Timestamp(rows[start]["__ts"])
+        + pd.Timedelta(milliseconds=within_ms)
+    )
+
+    def step(pos: int, si: int, bound: dict):
+        if si == len(steps):
+            return pos, bound
+        var, quant = steps[si]
+        pred = defines.get(var)
+
+        def accepts(i, cur_taken):
+            if i >= len(rows):
+                return False
+            if deadline is not None and pd.Timestamp(rows[i]["__ts"]) >= deadline:
+                # WITHIN timeout: Flink prunes at ts - start >= within,
+                # so the boundary row itself cannot extend the match
+                return False
+            if pred is None:
+                return True
+            # ctx sees every row bound so far, including this
+            # variable's rows taken earlier in the current run —
+            # running predicates like A.value > LAST(A.value) work
+            ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
+            ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
+            return bool(pred(rows[i], ctx))
+
+        if quant in ("1", "?"):
+            if accepts(pos, []):
+                b2 = {**bound, var: bound.get(var, []) + [pos]}
+                r = step(pos + 1, si + 1, b2)
+                if r is not None:
+                    return r
+            if quant == "?":
+                return step(pos, si + 1, bound)
+            return None
+        # + / * : consume greedily, backtrack on failure
+        taken: list[int] = []
+        while accepts(pos + len(taken), taken):
+            taken.append(pos + len(taken))
+        min_n = 1 if quant == "+" else 0
+        for n in range(len(taken), min_n - 1, -1):
+            bn = {**bound, var: bound.get(var, []) + taken[:n]} if n else bound
+            r = step(pos + n, si + 1, bn)
+            if r is not None:
+                return r
+        return None
+
+    return step(start, 0, {})
+
+
 def match_nfa(
     df: DataFrame,
     keys: Sequence[str],
@@ -456,59 +524,7 @@ def match_nfa(
         return "__ts" if c == ts_col else "__id" if c == id_col else c
 
     def try_match(rows: list[dict], start: int):
-        """Greedy backtracking match at `start`; returns (end, bindings)
-        or None. bindings: var -> list of row indices."""
-        deadline = (
-            None
-            if within_ms is None
-            else pd.Timestamp(rows[start]["__ts"])
-            + pd.Timedelta(milliseconds=within_ms)
-        )
-
-        def step(pos: int, si: int, bound: dict):
-            if si == len(steps):
-                return pos, bound
-            var, quant = steps[si]
-            pred = defines.get(var)
-
-            def accepts(i, cur_taken):
-                if i >= len(rows):
-                    return False
-                if deadline is not None and pd.Timestamp(rows[i]["__ts"]) >= deadline:
-                    # WITHIN timeout: Flink prunes at ts - start >= within,
-                    # so the boundary row itself cannot extend the match
-                    return False
-                if pred is None:
-                    return True
-                # ctx sees every row bound so far, including this
-                # variable's rows taken earlier in the current run —
-                # running predicates like A.value > LAST(A.value) work
-                ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
-                ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
-                return bool(pred(rows[i], ctx))
-
-            if quant in ("1", "?"):
-                if accepts(pos, []):
-                    b2 = {**bound, var: bound.get(var, []) + [pos]}
-                    r = step(pos + 1, si + 1, b2)
-                    if r is not None:
-                        return r
-                if quant == "?":
-                    return step(pos, si + 1, bound)
-                return None
-            # + / * : consume greedily, backtrack on failure
-            taken: list[int] = []
-            while accepts(pos + len(taken), taken):
-                taken.append(pos + len(taken))
-            min_n = 1 if quant == "+" else 0
-            for n in range(len(taken), min_n - 1, -1):
-                bn = {**bound, var: bound.get(var, []) + taken[:n]} if n else bound
-                r = step(pos + n, si + 1, bn)
-                if r is not None:
-                    return r
-            return None
-
-        return step(start, 0, {})
+        return nfa_try_match(rows, start, steps, defines, within_ms)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort").reset_index(drop=True)

@@ -138,7 +138,7 @@ _PRIORITY = (
     "similarity_lsh_recall",
     "similarity_int8_quantization",
     "text_winnowing",
-    "text_bigram_pmi",
+    "stream_cep_nfa_define",
     "api_sql_legacy_group_window",
     "dedup_cluster_assign",
     "dedup_ngram_jaccard",

@@ -1620,3 +1620,97 @@ def stream_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("purchase_id"), F.col("user_id"), F.col("ts").alias("p_ts")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming NFA CEP: cross-variable DEFINE over a watermarked stream
+# (CepOperator.java:82 with IterativeCondition — the reference's normal
+# CEP usage) with WITHIN finalization. Pattern A+ B on the
+# click/purchase subsequence: B must be a purchase strictly larger than
+# FIRST(A.value) AND inside the anchor's 12-hour WITHIN window. Same
+# leftmost-anchor derivation as cep_nfa_define (an attempt at click s
+# succeeds iff p.value > value[s], now also p.ts < s.ts + 12h — the
+# deadline excludes the boundary row, so strict <), restricted to
+# watermark-finalizable anchors: ms-floored anchor ts + WITHIN <= wm
+# (epoch_ms flooring per the established convention; the WITHIN window
+# membership itself is µs-exact like the operator's timestamp compare).
+# --------------------------------------------------------------------------
+
+_SCEP_NFA_ORACLE = """
+WITH cut AS (
+  SELECT MAX(epoch_ms(ts)) - 600000 AS wm
+  FROM events WHERE event_type IN ('click', 'purchase')
+), seq AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_id
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), clicks AS (
+  SELECT user_id, run_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, run_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, run_id) AS run_len
+  FROM seq WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, run_id, ts, event_id, value AS purchase_value
+  FROM seq WHERE event_type = 'purchase'
+), matched AS (
+  SELECT p.user_id, p.run_id, p.ts, p.event_id, p.purchase_value,
+         MIN(c.rn) AS start_rn, MAX(c.run_len) AS run_len
+  FROM purchases p
+  JOIN clicks c ON c.user_id = p.user_id AND c.run_id = p.run_id
+             AND p.purchase_value > c.value
+             AND p.ts < c.ts + INTERVAL 12 HOUR
+  GROUP BY p.user_id, p.run_id, p.ts, p.event_id, p.purchase_value
+), final AS (
+  SELECT m.*, fc.ts AS anchor_ts, fc.value AS first_click_value
+  FROM matched m
+  JOIN clicks fc ON fc.user_id = m.user_id AND fc.run_id = m.run_id
+               AND fc.rn = m.start_rn
+)
+SELECT f.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY f.user_id
+                               ORDER BY f.anchor_ts, f.event_id) - 1 AS INT)
+         AS match_no,
+       CAST(f.run_len - f.start_rn + 1 AS BIGINT) AS n_clicks,
+       f.first_click_value,
+       f.purchase_value
+FROM final f, cut
+WHERE epoch_ms(f.anchor_ts) + 43200000 <= cut.wm
+"""
+
+
+@register(
+    "stream_cep_nfa_define", _SCEP_NFA_ORACLE, tags=("streaming", "cep", "match")
+)
+def stream_cep_nfa_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.cep_stream import (
+        streaming_cep_nfa_within,
+    )
+
+    base = replay_stream(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).withWatermark("ts", "10 minutes")
+    return run_to_table(
+        streaming_cep_nfa_within(
+            base,
+            keys=["user_id"],
+            ts_col="ts",
+            id_col="event_id",
+            steps=[("A", "+"), ("B", "1")],
+            defines={
+                "A": lambda r, c: r["event_type"] == "click",
+                "B": lambda r, c: r["event_type"] == "purchase"
+                and r["value"] > c["A"][0]["value"],
+            },
+            measures={
+                "n_clicks": ("A", "count", "__id", "bigint"),
+                "first_click_value": ("A", "first", "value", "double"),
+                "purchase_value": ("B", "last", "value", "double"),
+            },
+            within_ms=12 * 3600 * 1000,
+            value_cols=["event_type", "value"],
+        ),
+        "update",
+    )

@@ -309,3 +309,163 @@ def streaming_cep_within(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_cep_nfa_within(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    id_col: str,
+    steps: Sequence[tuple[str, str]],
+    defines: dict,
+    measures: dict[str, tuple[str, str, str, str]],
+    within_ms: int,
+    value_cols: Sequence[str] = (),
+    grid_scale: int | None = None,
+) -> DataFrame:
+    """Streaming NFA-tier CEP: cross-variable DEFINE predicates over a
+    watermarked stream with a WITHIN finalization bound — the
+    IterativeCondition case of CepOperator.java:82, which is how the
+    reference's CEP is normally used (conditions reading the partial
+    match's bound rows), on top of this module's keyed-horizon pattern.
+
+    Same finalization/retirement argument as the regex tier above: a
+    match anchored at ts0 can only bind rows with ts < ts0 + within
+    (nfa_try_match's deadline pruning), every such row is settled once
+    watermark >= ms(ts0) + within, and greedy backtracking over a
+    settled prefix is deterministic — so emission is final, matches are
+    leftmost non-overlapping (AFTER MATCH SKIP PAST LAST ROW), and
+    unconsumed settled rows outside the WITHIN horizon retire, keeping
+    state O(rows inside the horizon) per key. ``steps`` / ``defines`` /
+    ``measures`` are exactly the batch ``operators.cep.match_nfa``
+    surface; the bounded-replay result equals match_nfa restricted to
+    finalizable starts.
+    """
+    from flink_release_1_16_0_spark.operators.cep import (
+        _AGGS,
+        _measure_value,
+        nfa_try_match,
+    )
+
+    for alias, (_var, agg, _col, _t) in measures.items():
+        if agg not in _AGGS:
+            raise ValueError(f"{alias}: unsupported agg {agg}")
+    tagged = stream.select(
+        *keys,
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        *value_cols,
+    )
+    key_fields = [tagged.schema[k] for k in keys]
+    m_fields = [
+        StructField(a, _parse_datatype_string(t))
+        for a, (_v, _g, _c, t) in measures.items()
+    ]
+    out_schema = StructType(
+        [*key_fields, StructField("match_no", IntegerType()), *m_fields]
+    )
+    out_cols = [*keys, "match_no", *measures]
+    val_fields = [tagged.schema[c] for c in value_cols]
+    row_schema = StructType(
+        [
+            StructField("__ts", TimestampType()),
+            StructField("__id", LongType()),
+            *val_fields,
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pending", ArrayType(row_schema)),
+            StructField("match_no", LongType()),
+        ]
+    )
+    slice_cols = ["__ts", "__id", *value_cols]
+
+    def make_conv(dt):
+        name = dt.typeName()
+        if name in ("long", "integer", "short", "byte"):
+            return lambda v: None if pd.isna(v) else int(v)
+        if name in ("double", "float"):
+            return lambda v: None if pd.isna(v) else float(v)
+        if name.startswith("timestamp"):
+            return lambda v: None if pd.isna(v) else pd.Timestamp(v)
+        return lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
+
+    convs = [make_conv(f.dataType) for f in val_fields]
+
+    def col_name(c: str) -> str:
+        return "__ts" if c == ts_col else "__id" if c == id_col else c
+
+    def ms(t) -> int:
+        return pd.Timestamp(t).value // 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            raw, match_no = state.get
+            pending = [
+                (pd.Timestamp(p[0]), int(p[1]), *p[2:]) for p in (raw or [])
+            ]
+        else:
+            pending, match_no = [], 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for tup in pdf[slice_cols].itertuples(index=False, name=None):
+                if ms(tup[0]) <= wm:
+                    continue  # late beyond the watermark: dropped
+                pending.append(
+                    (
+                        pd.Timestamp(tup[0]),
+                        int(tup[1]),
+                        *[c(v) for c, v in zip(convs, tup[2:])],
+                    )
+                )
+        settled = sorted(
+            (p for p in pending if ms(p[0]) <= wm), key=lambda p: (p[0].value, p[1])
+        )
+        unsettled = [p for p in pending if ms(p[0]) > wm]
+        rows = [dict(zip(slice_cols, p)) for p in settled]
+        pdf_all = pd.DataFrame(settled, columns=slice_cols)
+        out: list[tuple] = []
+        s = consumed = 0
+        while s < len(rows):
+            res = nfa_try_match(rows, s, steps, defines, within_ms)
+            if res is not None and res[0] > s:
+                if ms(rows[s]["__ts"]) + within_ms <= wm:
+                    end, bound = res
+                    vals = []
+                    for _alias, (var, agg, col, _t) in measures.items():
+                        idxs = bound.get(var, [])
+                        vals.append(
+                            _measure_value(
+                                pdf_all.iloc[idxs], agg, col_name(col), grid_scale
+                            )
+                        )
+                    out.append((*key, int(match_no), *vals))
+                    match_no += 1
+                    consumed = s = end
+                else:
+                    # anchors are time-ordered: once one start is not
+                    # finalizable, no later start is either
+                    break
+            else:
+                s += 1
+        retained = [
+            p for p in settled[consumed:] if ms(p[0]) + within_ms > wm
+        ] + unsettled
+        state.update((retained, int(match_no)))
+        if retained:
+            state.setTimeoutTimestamp(wm + 1)
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return tagged.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -700,3 +700,89 @@ def test_streaming_anti_join_converges_multibatch(spark, sf_smoke, tmp_path_fact
         .collect()
     )
     assert got == want
+
+
+def test_streaming_cep_nfa_converges_multibatch(spark, sf_smoke, tmp_path_factory):
+    """Streaming NFA CEP (cross-variable DEFINE) over 4 ordered
+    micro-batches equals the batch match_nfa restricted to finalizable
+    anchors — matches emit once with stable match_no, state carries
+    partial matches across batches."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+    from flink_release_1_16_0_spark.streaming.cep_stream import (
+        streaming_cep_nfa_within,
+    )
+
+    within_ms = 12 * 3600 * 1000
+    path = str(tmp_path_factory.mktemp("nfa_chunks"))
+    sel = _batch_events(spark, sf_smoke).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = sel.agg(F.max("event_id")).first()[0]
+    sel.withColumn(
+        "chunk",
+        F.least(F.floor(F.col("event_id") / ((m + 1) / 4)), F.lit(3)).cast("int"),
+    ).repartition(1).write.partitionBy("chunk").mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+    )
+    defines = {
+        "A": lambda r, c: r["event_type"] == "click",
+        "B": lambda r, c: r["event_type"] == "purchase"
+        and r["value"] > c["A"][0]["value"],
+    }
+    measures = {
+        "n_clicks": ("A", "count", "__id", "bigint"),
+        "first_click_value": ("A", "first", "value", "double"),
+        "purchase_value": ("B", "last", "value", "double"),
+    }
+    out = run_to_table(
+        streaming_cep_nfa_within(
+            stream,
+            keys=["user_id"],
+            ts_col="ts",
+            id_col="event_id",
+            steps=[("A", "+"), ("B", "1")],
+            defines=defines,
+            measures=measures,
+            within_ms=within_ms,
+            value_cols=["event_type", "value"],
+        ),
+        "update",
+    )
+    got = sorted(
+        (r["user_id"], r["match_no"], r["n_clicks"], r["first_click_value"],
+         r["purchase_value"])
+        for r in out.collect()
+    )
+    assert len(got) == len(set(got)), "duplicate emission"
+    # batch dual: match_nfa with the same WITHIN, anchors finalizable
+    # under the final watermark (anchor = FIRST bound row's event time)
+    batch = match_nfa(
+        sel,
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "+"), ("B", "1")],
+        defines=defines,
+        measures={**measures, "anchor_ts": ("A", "first", "ts", "timestamp")},
+        value_cols=["event_type", "value"],
+        within_ms=within_ms,
+    )
+    wm_ms = sel.agg(
+        (F.floor(F.unix_micros(F.max("ts")) / 1000) - 600000).alias("w")
+    ).collect()[0]["w"]
+    want_rows = (
+        batch.filter(
+            F.floor(F.unix_micros("anchor_ts") / 1000) + within_ms <= F.lit(wm_ms)
+        )
+        .collect()
+    )
+    want = sorted(
+        (r["user_id"], r["match_no"], r["n_clicks"], r["first_click_value"],
+         r["purchase_value"])
+        for r in want_rows
+    )
+    assert got == want
