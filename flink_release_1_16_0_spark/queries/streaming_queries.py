@@ -1714,3 +1714,85 @@ def stream_cep_nfa_define(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "update",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CEP with AFTER MATCH SKIP TO NEXT ROW (SkipToNextStrategy
+# .java on CepOperator's keyed horizon): overlapping c+p matches — every
+# click of a purchase-terminated run anchors its own match. A click c
+# in a run ending at purchase p matches iff p is inside c's WITHIN
+# window (µs-exact p.ts < c.ts + 12h; intermediate clicks are closer so
+# always inside), finalized once the ms-floored watermark passes
+# c.ts + WITHIN. match_no = per-user anchor order.
+# --------------------------------------------------------------------------
+
+_SCEP_SKIPNEXT_ORACLE = """
+WITH cut AS (
+  SELECT MAX(epoch_ms(ts)) - 600000 AS wm
+  FROM events WHERE event_type IN ('click', 'purchase')
+), seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('click', 'purchase')
+), runs AS (
+  SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY rn) AS grp
+  FROM seq
+), c_runs AS (
+  SELECT user_id, grp, MIN(rn) AS run_start, MAX(rn) AS run_end
+  FROM runs WHERE event_type = 'click' GROUP BY user_id, grp
+), p_adj AS (
+  SELECT cr.user_id, cr.run_start, cr.run_end,
+         p.event_id AS end_id, p.ts AS p_ts
+  FROM c_runs cr
+  JOIN seq p ON p.user_id = cr.user_id AND p.rn = cr.run_end + 1
+            AND p.event_type = 'purchase'
+), anchors AS (
+  SELECT a.user_id, c.ts AS anchor_ts, c.event_id AS start_id,
+         a.end_id, CAST(a.run_end - c.rn + 2 AS INT) AS n_rows
+  FROM p_adj a
+  JOIN runs c ON c.user_id = a.user_id AND c.event_type = 'click'
+             AND c.rn BETWEEN a.run_start AND a.run_end
+  WHERE a.p_ts < c.ts + INTERVAL 12 HOUR
+)
+SELECT a.user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY a.user_id
+                               ORDER BY a.anchor_ts, a.start_id) - 1 AS INT)
+         AS match_no,
+       a.start_id, a.end_id, a.n_rows
+FROM anchors a, cut
+WHERE epoch_ms(a.anchor_ts) + 43200000 <= cut.wm
+"""
+
+
+@register(
+    "stream_cep_skip_next", _SCEP_SKIPNEXT_ORACLE, tags=("streaming", "cep", "match")
+)
+def stream_cep_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.operators.cep import classify
+    from flink_release_1_16_0_spark.streaming.cep_stream import streaming_cep_within
+
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    base = (
+        replay_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .withWatermark("ts", "10 minutes")
+        .withColumn("__s", sym)
+    )
+    return run_to_table(
+        streaming_cep_within(
+            base,
+            keys=["user_id"],
+            ts_col="ts",
+            id_col="event_id",
+            sym_col="__s",
+            pattern="c+p",
+            within_ms=12 * 3600 * 1000,
+            skip="to_next_row",
+        ),
+        "update",
+    )

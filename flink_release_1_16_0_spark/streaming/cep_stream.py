@@ -60,6 +60,7 @@ def streaming_cep_within(
     value_cols: Sequence[str] = (),
     grid_scale: int | None = None,
     all_rows: bool = False,
+    skip: str = "past_last_row",
 ) -> DataFrame:
     """Streaming regex-tier CEP with a WITHIN finalization bound.
 
@@ -85,7 +86,18 @@ def streaming_cep_within(
     Rows the final watermark never finalizes stay buffered (bounded
     replay: the oracle cutoff is ``start_ts + within <= max(ts) -
     delay``).
+
+    ``skip`` selects the AFTER MATCH strategy: ``"past_last_row"``
+    (default, non-overlapping) or ``"to_next_row"`` (overlapping — the
+    scan resumes one row after the emitted anchor; retirement is safe
+    because ``consumed`` only ever advances past anchors whose WITHIN
+    horizon the watermark already closed, so their verdicts were final,
+    and regex matches only bind rows at or after their anchor).
     """
+    if skip not in ("past_last_row", "to_next_row"):
+        raise ValueError(
+            f"streaming CEP supports past_last_row / to_next_row, got {skip!r}"
+        )
     from flink_release_1_16_0_spark.operators.cep import _AGGS, _measure_value
 
     if measures:
@@ -283,7 +295,11 @@ def streaming_cep_within(
                             )
                         )
                     match_no += 1
-                    consumed = s = m.end()
+                    if skip == "to_next_row":
+                        s += 1
+                        consumed = s
+                    else:
+                        consumed = s = m.end()
                 else:
                     # anchors are time-ordered: once one start is not
                     # finalizable, no later start is either
