@@ -786,3 +786,83 @@ def test_streaming_cep_nfa_converges_multibatch(spark, sf_smoke, tmp_path_factor
         for r in want_rows
     )
     assert got == want
+
+
+def test_streaming_cep_skip_next_converges_multibatch(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Overlapping SKIP TO NEXT ROW matches over 4 ordered
+    micro-batches: each anchor emits exactly once, and the result
+    equals the batch regex tier with to_next_row restricted to
+    finalizable anchors."""
+    from flink_release_1_16_0_spark.operators.cep import (
+        classify,
+        match_regex_pattern,
+    )
+    from flink_release_1_16_0_spark.streaming.cep_stream import streaming_cep_within
+
+    within_ms = 12 * 3600 * 1000
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    path = str(tmp_path_factory.mktemp("skipnext_chunks"))
+    sel = _batch_events(spark, sf_smoke).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = sel.agg(F.max("event_id")).first()[0]
+    sel.withColumn(
+        "chunk",
+        F.least(F.floor(F.col("event_id") / ((m + 1) / 4)), F.lit(3)).cast("int"),
+    ).repartition(1).write.partitionBy("chunk").mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+        .withColumn("__s", sym)
+    )
+    out = run_to_table(
+        streaming_cep_within(
+            stream,
+            keys=["user_id"],
+            ts_col="ts",
+            id_col="event_id",
+            sym_col="__s",
+            pattern="c+p",
+            within_ms=within_ms,
+            skip="to_next_row",
+        ),
+        "update",
+    )
+    got = sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_rows"])
+        for r in out.collect()
+    )
+    assert len(got) == len(set(got)), "an anchor emitted twice"
+    batch = match_regex_pattern(
+        sel,
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="c+p",
+        id_col="event_id",
+        within_ms=within_ms,
+        skip="to_next_row",
+    )
+    wm_ms = sel.agg(
+        (F.floor(F.unix_micros(F.max("ts")) / 1000) - 600000).alias("w")
+    ).collect()[0]["w"]
+    start_ts = sel.select(
+        F.col("event_id").alias("start_id"),
+        F.floor(F.unix_micros("ts") / 1000).alias("start_ms"),
+    )
+    want = sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_rows"])
+        for r in batch.join(start_ts, "start_id")
+        .filter(F.col("start_ms") + within_ms <= F.lit(wm_ms))
+        .collect()
+    )
+    assert got == want
