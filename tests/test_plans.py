@@ -401,3 +401,53 @@ def test_cdc_encode_stays_catalyst(spark, sf_smoke):
     _, plan = _executed_plan(spark, "format_debezium_encode", sf_smoke)
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_streaming_cep_shuffle_layout(spark, sf_smoke):
+    """Both streaming CEP tiers (regex and NFA) shuffle exactly once on
+    the partition key — the keyed-state sharding contract."""
+    import pyspark.sql.functions as F
+
+    from flink_release_1_16_0_spark.operators.cep import classify
+    from flink_release_1_16_0_spark.streaming.core import replay_stream
+    from flink_release_1_16_0_spark.streaming.cep_stream import (
+        streaming_cep_nfa_within,
+        streaming_cep_within,
+    )
+
+    base = replay_stream(spark, sf_smoke, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).withWatermark("ts", "10 minutes")
+    regex_tier = streaming_cep_within(
+        base.withColumn(
+            "__s",
+            classify(
+                {
+                    "c": F.col("event_type") == "click",
+                    "p": F.col("event_type") == "purchase",
+                }
+            ),
+        ),
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        sym_col="__s",
+        pattern="c+p",
+        within_ms=3_600_000,
+    )
+    _assert_single_keyed_exchange(_streaming_plan(spark, regex_tier), "user_id")
+    nfa_tier = streaming_cep_nfa_within(
+        base,
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "+"), ("B", "1")],
+        defines={
+            "A": lambda r, c: r["event_type"] == "click",
+            "B": lambda r, c: r["event_type"] == "purchase",
+        },
+        measures={"n": ("A", "count", "__id", "bigint")},
+        within_ms=3_600_000,
+        value_cols=["event_type"],
+    )
+    _assert_single_keyed_exchange(_streaming_plan(spark, nfa_tier), "user_id")
