@@ -580,7 +580,7 @@ def match_nfa(
             else:
                 mode, var = skip
                 idxs = bound.get(var, [])
-                target = idxs[0] if mode == "to_first" else idxs[-1] if idxs else -1
+                target = -1 if not idxs else (idxs[0] if mode == "to_first" else idxs[-1])
                 if not idxs or target <= pos:
                     raise ValueError(
                         f"AFTER MATCH SKIP {mode} {var!r} would not "

@@ -136,7 +136,7 @@ _MATH_ORACLE = """
 SELECT
   n_nationkey AS k,
   ABS(n_nationkey - 12)                      AS abs_c,
-  SIGN(n_nationkey - 12)                     AS sign_c,
+  CAST(SIGN(n_nationkey - 12) AS DOUBLE)     AS sign_c,
   n_nationkey % 7                            AS mod_c,
   CAST(FLOOR(n_nationkey / 4.0) AS BIGINT)   AS floor_c,
   CAST(CEIL(n_nationkey / 4.0) AS BIGINT)    AS ceil_c,

@@ -349,11 +349,22 @@ def spark_to_avro_schema(st: Any, name: str = "Rec") -> dict:
         if isinstance(dt, TimestampType):
             return {"type": "long", "logicalType": "timestamp-micros"}
         if isinstance(dt, ArrayType):
-            return {"type": "array", "items": conv(dt.elementType, path + "_it")}
+            # Spark arrays default to containsNull=True — emit a
+            # ["null", T] item union so a null element encodes instead
+            # of raising in _encode_value's scalar branch.
+            it = conv(dt.elementType, path + "_it")
+            return {
+                "type": "array",
+                "items": ["null", it] if dt.containsNull else it,
+            }
         if isinstance(dt, MapType):
             if not isinstance(dt.keyType, StringType):
                 raise ValueError("avro maps require string keys")
-            return {"type": "map", "values": conv(dt.valueType, path + "_v")}
+            vt = conv(dt.valueType, path + "_v")
+            return {
+                "type": "map",
+                "values": ["null", vt] if dt.valueContainsNull else vt,
+            }
         if isinstance(dt, StructType):
             return {
                 "type": "record",

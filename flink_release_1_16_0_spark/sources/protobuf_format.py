@@ -205,8 +205,15 @@ def encode_message(row: Any, schema: StructType) -> bytes:
     for i, f in enumerate(schema.fields):
         v = values[i]
         no = i + 1
-        if v is None or (pd.api.types.is_scalar(v) and pd.isna(v)):
+        if v is None:
             continue
+        if pd.api.types.is_scalar(v) and pd.isna(v):
+            # NaN is a legitimate IEEE-754 payload for float/double
+            # fields (the reference's generated-message serializer
+            # preserves the bits); only non-float NA sentinels
+            # (pd.NaT etc.) mean "absent".
+            if not isinstance(f.dataType, (FloatType, DoubleType)):
+                continue
         dt = f.dataType
         if isinstance(dt, ArrayType):
             elems = list(v)
@@ -524,6 +531,15 @@ def protobuf_decode_column(
         rows = []
         for raw in s:
             if raw is None:
+                # strict mode surfaces null payloads (e.g. kafka
+                # tombstones reaching a plain value decoder) the same
+                # way it surfaces undecodable bytes; only
+                # ignore_parse_errors=True drops them
+                if not ignore_parse_errors:
+                    raise ValueError(
+                        "protobuf value format: null payload "
+                        "(enable ignore_parse_errors to drop)"
+                    )
                 rows.append((*((None,) * len(schema.fields)), False))
                 continue
             try:

@@ -2273,6 +2273,35 @@ class _UnboundVariable(Exception):
     """DEFINE referenced a pattern variable with no bound rows yet."""
 
 
+def _split_sql_literals(src: str) -> list:
+    """Split SQL text into ``(is_literal, text)`` segments, where literal
+    segments are single-quoted SQL strings (with ``''`` escapes) kept
+    verbatim including the quotes. Non-literal segments are everything
+    between them. An unterminated literal extends to end-of-string."""
+    parts = []
+    i, n, start = 0, len(src), 0
+    while i < n:
+        if src[i] != "'":
+            i += 1
+            continue
+        if i > start:
+            parts.append((False, src[start:i]))
+        j = i + 1
+        while j < n:
+            if src[j] == "'":
+                if j + 1 < n and src[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        parts.append((True, src[i : min(j + 1, n)]))
+        i = j + 1
+        start = i
+    if start < n:
+        parts.append((False, src[start:]))
+    return parts
+
+
 def _compile_define_predicate(
     pred: str, cur_var: str, variables: list, rename: dict
 ):
@@ -2293,33 +2322,43 @@ def _compile_define_predicate(
     def col(c: str) -> str:
         return rename.get(c, c)
 
-    src = re.sub(
-        r"\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
-        lambda m: f'_first("{m.group(1)}","{col(m.group(2))}")',
-        pred,
-        flags=re.IGNORECASE,
-    )
-    src = re.sub(
-        r"\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
-        lambda m: f'_last("{m.group(1)}","{col(m.group(2))}")',
-        src,
-        flags=re.IGNORECASE,
-    )
+    def rewrite(seg: str) -> str:
+        # SQL -> Python rewrites for one NON-LITERAL segment only: a
+        # string literal like 'x=y' or 'a AND b' must pass through
+        # verbatim, so the caller splits literals out first.
+        seg = re.sub(
+            r"\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
+            lambda m: f'_first("{m.group(1)}","{col(m.group(2))}")',
+            seg,
+            flags=re.IGNORECASE,
+        )
+        seg = re.sub(
+            r"\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
+            lambda m: f'_last("{m.group(1)}","{col(m.group(2))}")',
+            seg,
+            flags=re.IGNORECASE,
+        )
 
-    def ref(m: re.Match) -> str:
-        v, c = m.group(1), col(m.group(2))
-        if v not in vset:  # e.g. a numeric literal like 3.5
-            return m.group(0)
-        if v == cur_var:
-            return f"row[{c!r}]"
-        return f'_last("{v}","{c}")'
+        def ref(m: re.Match) -> str:
+            v, c = m.group(1), col(m.group(2))
+            if v not in vset:  # e.g. a numeric literal like 3.5
+                return m.group(0)
+            if v == cur_var:
+                return f"row[{c!r}]"
+            return f'_last("{v}","{c}")'
 
-    src = re.sub(r"\b(\w+)\s*\.\s*(\w+)", ref, src)
-    src = src.replace("<>", "!=")
-    src = re.sub(r"(?<![<>=!])=(?!=)", "==", src)
-    src = re.sub(r"\bAND\b", "and", src, flags=re.IGNORECASE)
-    src = re.sub(r"\bOR\b", "or", src, flags=re.IGNORECASE)
-    src = re.sub(r"\bNOT\b", "not", src, flags=re.IGNORECASE)
+        seg = re.sub(r"\b(\w+)\s*\.\s*(\w+)", ref, seg)
+        seg = seg.replace("<>", "!=")
+        seg = re.sub(r"(?<![<>=!])=(?!=)", "==", seg)
+        seg = re.sub(r"\bAND\b", "and", seg, flags=re.IGNORECASE)
+        seg = re.sub(r"\bOR\b", "or", seg, flags=re.IGNORECASE)
+        seg = re.sub(r"\bNOT\b", "not", seg, flags=re.IGNORECASE)
+        return seg
+
+    src = "".join(
+        repr(text[1:-1].replace("''", "'")) if is_lit else rewrite(text)
+        for is_lit, text in _split_sql_literals(pred)
+    )
     code = compile(src, f"<define {cur_var}>", "eval")
 
     def predicate(row, ctx):

@@ -294,3 +294,25 @@ if _HAS_HYPOTHESIS:
         schema = spark_to_avro_schema(_AV_ST)
         _, back = parse_ocf(encode_ocf(rows, schema))
         assert back == [tuple(r) for r in rows]
+
+
+def test_nullable_array_and_map_elements_roundtrip(spark, tmp_path):
+    """Spark ArrayType/MapType default to containsNull/valueContainsNull
+    =True; a null element must encode as a ['null', T] item union
+    instead of raising in the scalar encoder (regression)."""
+    from flink_release_1_16_0_spark.sources.avro_format import write_avro
+
+    df = spark.sql(
+        """
+        SELECT id,
+               array(CAST(id AS DOUBLE), NULL, CAST(id * 2 AS DOUBLE)) AS arr,
+               map('a', CAST(id AS BIGINT), 'b', CAST(NULL AS BIGINT)) AS m
+        FROM range(0, 50)
+        """
+    )
+    d = str(tmp_path / "avro_nullable_elems")
+    write_avro(df, d)
+    back = avro_source(spark, d)
+    want = sorted((r["id"], tuple(r["arr"]), tuple(sorted(r["m"].items()))) for r in df.collect())
+    got = sorted((r["id"], tuple(r["arr"]), tuple(sorted(r["m"].items()))) for r in back.collect())
+    assert got == want

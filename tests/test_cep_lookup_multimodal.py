@@ -623,3 +623,31 @@ def test_match_recognize_sql_nfa_all_rows_and_range_quantifier(spark):
         (2, "A", 3, None),
         (3, "B", 3, 5.0),
     ]
+
+
+def test_nfa_skip_to_first_unbound_raises_value_error(spark):
+    """AFTER MATCH SKIP TO FIRST <var> with <var> unbound in the match
+    must raise the intended ValueError ('would not advance'), not an
+    IndexError from indexing the empty bound list (regression: ternary
+    precedence evaluated idxs[0] before the emptiness guard)."""
+    import pytest
+
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(spark, [(0, "click", 1), (1, "click", 2)])
+    out = match_nfa(
+        df,
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=[("A", "1"), ("B", "?")],
+        defines={
+            "A": lambda r, c: r["event_type"] == "click",
+            "B": lambda r, c: r["event_type"] == "purchase",
+        },
+        measures={"n": ("A", "count", "event_id", "bigint")},
+        value_cols=["event_type", "value"],
+        skip=("to_first", "B"),
+    )
+    with pytest.raises(Exception, match="would not advance"):
+        out.collect()

@@ -314,3 +314,43 @@ if _HAS_HYPOTHESIS:
         assert decode_delimited(encode_delimited(iter(rows), _PB_ST), _PB_ST) == [
             tuple(r) for r in rows
         ]
+
+
+def test_nan_double_roundtrips():
+    """NaN is a legitimate IEEE-754 payload for double/float fields —
+    the encoder must write its bits, not treat it as absent
+    (regression: pd.isna skipped it, so NaN read back as 0.0/NULL)."""
+    import math
+
+    from flink_release_1_16_0_spark.sources.protobuf_format import (
+        decode_message,
+        encode_message,
+    )
+
+    st = StructType.fromDDL("a double, b float, c bigint")
+    wire = encode_message((float("nan"), float("nan"), 7), st)
+    a, b, c = decode_message(wire, st)
+    assert math.isnan(a) and math.isnan(b) and c == 7
+    # None still means absent for float fields
+    wire2 = encode_message((None, None, 7), st)
+    assert len(wire2) < len(wire)
+
+
+def test_null_payload_strict_raises(spark):
+    """Strict mode (ignore_parse_errors=False) must surface a null
+    payload (e.g. a kafka tombstone reaching a plain value decoder),
+    not silently drop the row; only ignore_parse_errors=True drops."""
+    from flink_release_1_16_0_spark.sources.protobuf_format import (
+        protobuf_decode_column,
+        protobuf_encode_column,
+    )
+
+    df = spark.range(0, 3).selectExpr("id AS a", "concat('x', id) AS b")
+    wire = protobuf_encode_column(df, out_col="value").union(
+        spark.createDataFrame([(None,)], "value binary")
+    )
+    st = StructType.fromDDL("a bigint, b string")
+    with pytest.raises(Exception, match="null payload"):
+        protobuf_decode_column(wire, "value", st).collect()
+    ok = protobuf_decode_column(wire, "value", st, ignore_parse_errors=True)
+    assert ok.count() == 3

@@ -1663,3 +1663,48 @@ def test_legacy_group_window_hop_session(tenv, spark):
     assert sorted(map(tuple, sess.collect())) == sorted(
         map(tuple, want_sess.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# regression: DEFINE rewrites must not touch string literals
+# ---------------------------------------------------------------------------
+
+
+def test_define_predicate_string_literals_kept_verbatim():
+    """Operator rewrites (= -> ==, <> -> !=, AND/OR/NOT lowercasing)
+    must apply only outside single-quoted SQL literals: DEFINE
+    A AS A.tag = 'x=y' previously compiled to a comparison against
+    'x==y' and silently never matched."""
+    from flink_release_1_16_0_spark.table_env import _compile_define_predicate
+
+    fn = _compile_define_predicate("A.tag = 'x=y'", "A", ["A"], {})
+    assert fn({"tag": "x=y"}, {}) is True
+    assert fn({"tag": "x==y"}, {}) is False
+
+    fn2 = _compile_define_predicate(
+        "A.tag = 'p AND q' OR A.tag = 'a<>b'", "A", ["A"], {}
+    )
+    assert fn2({"tag": "p AND q"}, {}) is True
+    assert fn2({"tag": "a<>b"}, {}) is True
+    assert fn2({"tag": "p and q"}, {}) is False
+
+    # SQL '' escape becomes a literal quote
+    fn3 = _compile_define_predicate("A.tag <> 'it''s'", "A", ["A"], {})
+    assert fn3({"tag": "it's"}, {}) is False
+    assert fn3({"tag": "other"}, {}) is True
+
+
+def test_split_sql_literals_segments():
+    from flink_release_1_16_0_spark.table_env import _split_sql_literals
+
+    assert _split_sql_literals("a = 'x=y' AND b") == [
+        (False, "a = "),
+        (True, "'x=y'"),
+        (False, " AND b"),
+    ]
+    assert _split_sql_literals("'only'") == [(True, "'only'")]
+    assert _split_sql_literals("no literals") == [(False, "no literals")]
+    assert _split_sql_literals("x = 'a''b'") == [
+        (False, "x = "),
+        (True, "'a''b'"),
+    ]

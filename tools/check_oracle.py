@@ -52,19 +52,35 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str
         return "SCHEMA", f"spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"
     if len(spark_pdf) != len(oracle_pdf):
         return "ROWS", f"spark={len(spark_pdf)} oracle={len(oracle_pdf)}"
-    # The driver hashes RAW dtypes — an oracle column that comes back
-    # float64 while Spark's is integral (DuckDB HUGEINT via list_sum /
-    # <<, materialized as float by fetchdf) hash-mismatches even when
-    # every value is identical. Our _normalize below would hide that,
-    # so fail it explicitly (fix = CAST(... AS BIGINT) in the oracle).
-    drift = [
-        c
-        for c in spark_pdf.columns
-        if pd.api.types.is_integer_dtype(spark_pdf[c])
-        and pd.api.types.is_float_dtype(oracle_pdf[c])
-    ]
+    # The driver hashes RAW dtypes — any dtype-kind or width difference
+    # between the Spark result and the oracle result hash-mismatches even
+    # when every value is identical.  Two escapes proved this guard must
+    # be symmetric and width-aware:
+    #   r3 dedup_simhash:   oracle float64 (DuckDB HUGEINT via fetchdf)
+    #                       vs spark int64  -> CAST(... AS BIGINT)
+    #   r4 func_math:       oracle int8    (DuckDB SIGN(int) -> TINYINT)
+    #                       vs spark float64 -> CAST(... AS DOUBLE)
+    # Our _normalize below would hide both, so fail them explicitly here.
+    # Width drift within a kind (spark int32 vs oracle int64) does NOT
+    # driver-mismatch: window_topn and similarity_hyperplane_lsh_topk
+    # carry exactly that drift (Spark RANK -> int32, DuckDB -> int64)
+    # and were driver-green hash_match:true in r4 — so it's a warning,
+    # not a failure. Kind mismatch is the real hash-breaker.
+    drift, widths = [], []
+    for c in spark_pdf.columns:
+        s_dt, o_dt = spark_pdf[c].dtype, oracle_pdf[c].dtype
+        s_int = pd.api.types.is_integer_dtype(s_dt)
+        o_int = pd.api.types.is_integer_dtype(o_dt)
+        s_flt = pd.api.types.is_float_dtype(s_dt)
+        o_flt = pd.api.types.is_float_dtype(o_dt)
+        if (s_int and o_flt) or (s_flt and o_int):
+            drift.append((c, f"spark {s_dt} vs oracle {o_dt} (kind mismatch)"))
+        elif (s_int and o_int or s_flt and o_flt) and s_dt != o_dt:
+            widths.append(f"{c}: spark {s_dt} vs oracle {o_dt}")
     if drift:
-        return "DTYPE", f"oracle float64 vs spark integral: {drift} (CAST oracle AS BIGINT)"
+        return "DTYPE", "; ".join(f"{c}: {msg}" for c, msg in drift)
+    if widths:
+        print(f"  width-drift (driver-benign): {'; '.join(widths)}")
     a, b = _normalize(spark_pdf.copy()), _normalize(oracle_pdf.copy())
     mism = []
     for c in a.columns:
