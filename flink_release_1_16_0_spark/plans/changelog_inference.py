@@ -109,6 +109,28 @@ class GroupAgg(Node):
 
 
 @dataclass
+class Join(Node):
+    """Two-input streaming join (StreamExecJoin /
+    StreamingJoinOperator.java:60). An inner join of insert-only inputs
+    stays insert-only; outer joins can retract their null-padding
+    (StreamingJoinOperator's outer-state paths), and any updating input
+    makes the output fully updating. A join consumes updating inputs
+    only in BEFORE_AND_AFTER encoding (the planner normalizes upsert
+    inputs in front of it), and its output has no inferable unique key
+    here, so it emits BEFORE_AND_AFTER itself."""
+
+    left: Node = None
+    right: Node = None
+    on: tuple[str, ...] = ()
+    join_type: str = "inner"  # inner | left | right | full
+
+    # single-input traversals reach both children through this
+    @property
+    def input(self) -> "Node":
+        return self.left
+
+
+@dataclass
 class Sink(Node):
     """DML target. 'append' accepts inserts only; 'upsert' accepts
     +I/+U/-D keyed by ``key`` (ONLY_UPDATE_AFTER); 'retract' accepts
@@ -153,6 +175,13 @@ def _modify_kinds(node: Node) -> frozenset[str]:
             raise PlanError(f"unknown source mode {node.mode!r}")
     elif isinstance(node, (Calc, UpsertToRetract, DropUpdateBefore)):
         kinds = _modify_kinds(node.input)
+    elif isinstance(node, Join):
+        kl, kr = _modify_kinds(node.left), _modify_kinds(node.right)
+        if node.join_type == "inner" and kl == kr == frozenset({INSERT}):
+            kinds = frozenset({INSERT})
+        else:
+            # outer padding retraction, or updating inputs
+            kinds = frozenset({INSERT, UPDATE, DELETE})
     elif isinstance(node, GroupAgg):
         in_kinds = _modify_kinds(node.input)
         # insert-only input: groups only ever grow -> I then U, never D;
@@ -189,7 +218,7 @@ def _update_key(node: Node) -> tuple[str, ...]:
         return tuple(node.keys)
     if isinstance(node, (UpsertToRetract, DropUpdateBefore)):
         return _update_key(node.input)
-    return ()
+    return ()  # Join and unknown nodes: no unique key survives
 
 
 def _satisfy(node: Node, required: str) -> Node:
@@ -239,6 +268,22 @@ def _satisfy(node: Node, required: str) -> Node:
         )
         node.input = _satisfy(node.input, in_req)
         node.update_kind = required if required != NONE else BEFORE_AND_AFTER
+        return node
+
+    if isinstance(node, Join):
+        # each updating input must arrive fully retractable — the
+        # planner normalizes upsert sources in front of the join
+        # (StreamExecJoin's required UpdateKindTrait); with no unique
+        # key on the output, the join emits BEFORE_AND_AFTER
+        node.left = _satisfy(
+            node.left,
+            BEFORE_AND_AFTER if UPDATE in node.left.produces else NONE,
+        )
+        node.right = _satisfy(
+            node.right,
+            BEFORE_AND_AFTER if UPDATE in node.right.produces else NONE,
+        )
+        node.update_kind = BEFORE_AND_AFTER
         return node
 
     raise PlanError(f"cannot satisfy {required} for {type(node).__name__}")
@@ -329,6 +374,18 @@ def _lower(node: Node) -> DataFrame:
             sum_cols=node.sum_cols,
             count_alias=node.count_alias,
         )
+    if isinstance(node, Join):
+        if node.join_type != "inner":
+            raise PlanError(
+                "only inner equi-joins lower to the bounded replay here; "
+                "outer variants run as streaming.stateful."
+                "streaming_changelog_join"
+            )
+        lsrc, rsrc = _source_of(node.left), _source_of(node.right)
+        ldf = _lower(node.left).drop(lsrc.ts_col, lsrc.seq_col)
+        rdf = _lower(node.right).drop(rsrc.ts_col, rsrc.seq_col)
+        # changelog_join materializes (row, multiplicity) directly
+        return C.changelog_join(ldf, rdf, list(node.on))
     raise PlanError(f"cannot lower {type(node).__name__}")
 
 
@@ -340,8 +397,8 @@ def execute(sink: Sink) -> DataFrame:
     if not sink.produces:  # not yet inferred
         infer(sink)
     df = _lower(sink.input)
-    if isinstance(sink.input, GroupAgg):
-        # retracting agg already materializes the net state
+    if isinstance(sink.input, (GroupAgg, Join)):
+        # retracting agg / changelog join already materialize net state
         return df
     if sink.mode == "append":
         return df.drop(C.ROWKIND) if C.ROWKIND in df.columns else df
@@ -351,3 +408,91 @@ def execute(sink: Sink) -> DataFrame:
             df, list(sink.key), src.ts_col, src.seq_col
         ).drop(src.ts_col, src.seq_col)
     return C.net_multiplicity(df.drop(src.ts_col, src.seq_col))
+
+
+# --------------------------------------------------------------------------
+# EXPLAIN CHANGELOG_MODE renderer (ExplainDetail.CHANGELOG_MODE;
+# the reference renders `changelogMode=[I,UB,UA,D]` per physical node —
+# FlinkRelOptUtil.toString with withChangelogTraits=true)
+# --------------------------------------------------------------------------
+
+
+def changelog_mode_str(node: Node) -> str:
+    """Render a node's changelog mode the way the reference does:
+    subset of [I, UB, UA, D] in that order. UB appears only under
+    BEFORE_AND_AFTER encoding; ONLY_UPDATE_AFTER renders bare UA."""
+    if not node.produces:
+        raise PlanError("node not inferred yet — call infer() first")
+    parts = []
+    if INSERT in node.produces:
+        parts.append("I")
+    if UPDATE in node.produces:
+        if node.update_kind == BEFORE_AND_AFTER:
+            parts.append("UB")
+        parts.append("UA")
+    if DELETE in node.produces:
+        parts.append("D")
+    return ",".join(parts)
+
+
+def _node_label(node: Node) -> str:
+    if isinstance(node, Source):
+        name = getattr(node, "table_name", None) or "source"
+        return f"TableSourceScan(table=[{name}], mode=[{node.mode}]"
+    if isinstance(node, UpsertToRetract):
+        return "ChangelogNormalize(" + (
+            f"key=[{', '.join(_update_key(node))}]"
+        )
+    if isinstance(node, DropUpdateBefore):
+        return "DropUpdateBefore("
+    if isinstance(node, Calc):
+        bits = []
+        if node.project is not None:
+            bits.append(f"select=[{', '.join(node.project)}]")
+        if node.predicate is not None:
+            bits.append("where=[...]")
+        return "Calc(" + ", ".join(bits)
+    if isinstance(node, GroupAgg):
+        return f"GroupAggregate(groupBy=[{', '.join(node.keys)}]"
+    if isinstance(node, Join):
+        return (
+            f"Join(joinType=[{node.join_type}], "
+            f"on=[{', '.join(node.on)}]"
+        )
+    if isinstance(node, Sink):
+        return f"Sink(mode=[{node.mode}]"
+    return type(node).__name__ + "("
+
+
+def render(sink: Sink) -> str:
+    """Render the inferred DAG as the reference's CHANGELOG_MODE
+    explain tree: one line per node, `changelogMode=[...]` appended,
+    children indented with the `+- ` / `   ` ASCII-art the reference's
+    ExplainDetail.CHANGELOG_MODE output uses."""
+    if not sink.produces:
+        infer(sink)
+    lines: list[str] = []
+
+    def emit(node: Node, prefix: str, child_prefix: str) -> None:
+        label = _node_label(node)
+        sep = ", " if not label.endswith("(") else ""
+        lines.append(
+            f"{prefix}{label}{sep}changelogMode=[{changelog_mode_str(node)}])"
+        )
+        children = (
+            [node.left, node.right]
+            if isinstance(node, Join)
+            else [node.input]
+            if not isinstance(node, Source)
+            else []
+        )
+        for i, ch in enumerate(children):
+            last = i == len(children) - 1
+            emit(
+                ch,
+                child_prefix + "+- ",
+                child_prefix + ("   " if last else "|  "),
+            )
+
+    emit(sink, "", "")
+    return "\n".join(lines)

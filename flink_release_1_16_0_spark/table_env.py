@@ -1586,11 +1586,7 @@ class TableEnvironment:
                 if detail == "ESTIMATED_COST":
                     mode = "COST"
                 elif detail == "CHANGELOG_MODE":
-                    raise NotImplementedError(
-                        "EXPLAIN CHANGELOG_MODE applies to the operator "
-                        "tree (plans/changelog_inference.py), not "
-                        "arbitrary SQL"
-                    )
+                    return TableResult(df=self._explain_changelog_mode(q))
                 else:  # JSON_EXECUTION_PLAN
                     mode = "FORMATTED"
             return TableResult(df=self.spark.sql(f"EXPLAIN {mode} {q}"))
@@ -1609,6 +1605,90 @@ class TableEnvironment:
         sql = self._translate_lateral_temporal(sql)
         sql = self._translate_event_time_temporal_join(sql)
         return rewrite_window_tvfs(sql)
+
+    def _explain_changelog_mode(self, q: str) -> DataFrame:
+        """EXPLAIN CHANGELOG_MODE <query> (ExplainDetail.CHANGELOG_MODE,
+        flink-table-api-java .../ExplainDetail.java): build the
+        changelog op-DAG the engine would run for the query and render
+        plans/changelog_inference's per-node ModifyKindSet/UpdateKind
+        as the reference's ``changelogMode=[I,UB,UA,D]`` tree.
+
+        Covered SQL shape — the engine's streaming changelog surface:
+        ``[INSERT INTO tgt] SELECT ... FROM t1 [[LEFT|RIGHT|FULL] JOIN
+        t2 ON a = b] [WHERE ...] [GROUP BY cols]``. Source modes come
+        from catalog metadata: ``changelog-mode = 'upsert'`` tables are
+        upsert sources (keyed by PRIMARY KEY), CDC-format tables
+        (debezium/canal/maxwell/ogg) are retract sources, everything
+        else is insert-only. A target table with a PRIMARY KEY explains
+        as an upsert sink, otherwise append; a bare SELECT explains to
+        the collect sink (retract, like the reference's
+        TableResult#collect)."""
+        from flink_release_1_16_0_spark.plans import changelog_inference as CI
+
+        _CDC = {"debezium-json", "canal-json", "maxwell-json", "ogg-json"}
+
+        def src_node(tname: str) -> CI.Source:
+            t = self._tables.get(tname)
+            if t is None:
+                node = CI.Source(mode="insert_only")
+            elif t.options.get("changelog-mode") == "upsert":
+                node = CI.Source(mode="upsert", key=tuple(t.primary_key))
+            elif t.options.get("format") in _CDC:
+                node = CI.Source(mode="retract", key=tuple(t.primary_key))
+            else:
+                node = CI.Source(mode="insert_only")
+            node.table_name = tname
+            return node
+
+        text = q.strip().rstrip(";")
+        m_ins = re.match(r"INSERT\s+INTO\s+(\w+)\s+", text, re.IGNORECASE)
+        target = None
+        if m_ins:
+            target = m_ins.group(1)
+            text = text[m_ins.end() :]
+        m = re.match(
+            r"SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<t1>\w+)(?:\s+AS\s+\w+|\s+(?!WHERE|GROUP|LEFT|RIGHT|FULL|INNER|JOIN)\w+)?"
+            r"(?:\s+(?P<jt>LEFT|RIGHT|FULL|INNER)?(?:\s+OUTER)?\s*JOIN\s+(?P<t2>\w+)(?:\s+AS\s+\w+|\s+(?!ON)\w+)?"
+            r"\s+ON\s+(?P<on>.+?))?"
+            r"(?:\s+WHERE\s+(?P<where>.+?))?"
+            r"(?:\s+GROUP\s+BY\s+(?P<gb>.+?))?\s*$",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "EXPLAIN CHANGELOG_MODE: unsupported query shape "
+                "(supported: [INSERT INTO t] SELECT ... FROM a [JOIN b "
+                "ON ...] [WHERE ...] [GROUP BY ...])"
+            )
+        node: "CI.Node" = src_node(m.group("t1"))
+        if m.group("t2"):
+            on_cols = tuple(
+                c.strip().split(".")[-1]
+                for c in re.split(r"=|\bAND\b", m.group("on"), flags=re.IGNORECASE)
+            )
+            node = CI.Join(
+                left=node,
+                right=src_node(m.group("t2")),
+                on=tuple(dict.fromkeys(on_cols)),
+                join_type=(m.group("jt") or "inner").lower(),
+            )
+        if m.group("where"):
+            node = CI.Calc(input=node, predicate=F.expr("true"))
+        if m.group("gb"):
+            keys = tuple(c.strip() for c in m.group("gb").split(","))
+            node = CI.GroupAgg(input=node, keys=keys)
+        if target is not None:
+            t = self._tables.get(target)
+            if t is not None and t.primary_key:
+                sink = CI.Sink(input=node, mode="upsert", key=tuple(t.primary_key))
+            else:
+                sink = CI.Sink(input=node, mode="append")
+        else:
+            sink = CI.Sink(input=node, mode="retract")
+        return self.spark.createDataFrame(
+            [(CI.render(sink),)], "plan string"
+        )
 
     def register_temporal_table_function(
         self, name: str, history_table: str, time_attr: str, primary_key: str

@@ -164,3 +164,97 @@ def test_upsert_sink_requires_key(spark):
     src = _upsert_source(spark)
     with pytest.raises(P.PlanError, match="primary key"):
         P.infer(P.Sink(input=src, mode="upsert"))
+
+
+# --------------------------------------------------------------------------
+# EXPLAIN CHANGELOG_MODE (ExplainDetail.CHANGELOG_MODE) — SQL wiring
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def tenv(spark):
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    return TableEnvironment.create(spark)
+
+
+def _plan_text(tenv, sql):
+    [row] = tenv.execute_sql(sql).collect()
+    return row["plan"]
+
+
+def test_explain_changelog_mode_agg_to_sink(tenv, spark, tmp_path):
+    """Insert-only scan -> group agg -> retract collect sink renders
+    [I] at the scan and [I,UB,UA] at the agg (no D: groups on an
+    append-only input never vanish, GroupAggFunction.java:155-166)."""
+    src = str(tmp_path / "cm_src")
+    spark.range(5).selectExpr("id AS k", "id % 2 AS grp").write.parquet(src)
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_t (k BIGINT, grp BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    plan = _plan_text(
+        tenv, "EXPLAIN CHANGELOG_MODE SELECT grp, COUNT(*) FROM cm_t GROUP BY grp"
+    )
+    assert "TableSourceScan(table=[cm_t], mode=[insert_only], changelogMode=[I])" in plan
+    assert "GroupAggregate(groupBy=[grp], changelogMode=[I,UB,UA])" in plan
+    assert plan.startswith("Sink(mode=[retract], changelogMode=[I,UB,UA])")
+
+
+def test_explain_changelog_mode_upsert_join(tenv, spark, tmp_path):
+    """Upsert source joined to an insert-only table: the planner
+    injects ChangelogNormalize in front of the join (the join needs
+    BEFORE_AND_AFTER), the upsert scan itself stays [I,UA,D]."""
+    src = str(tmp_path / "cm_ups")
+    spark.createDataFrame(
+        [(1, "a", 10)], "k INT, v STRING, ver INT"
+    ).write.parquet(src)
+    dim = str(tmp_path / "cm_dim")
+    spark.createDataFrame([(1, "x")], "k INT, d STRING").write.parquet(dim)
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_ups (
+          k INT, v STRING, ver INT, PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{src}','format'='parquet',
+                'changelog-mode'='upsert','upsert.order-column'='ver')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_dim (k INT, d STRING)
+        WITH ('connector'='filesystem','path'='{dim}','format'='parquet')"""
+    )
+    plan = _plan_text(
+        tenv,
+        "EXPLAIN CHANGELOG_MODE SELECT v, d FROM cm_ups JOIN cm_dim ON k = k",
+    )
+    assert "Join(joinType=[inner], on=[k], changelogMode=[I,UB,UA,D])" in plan
+    assert "ChangelogNormalize(key=[k], changelogMode=[I,UB,UA,D])" in plan
+    assert (
+        "TableSourceScan(table=[cm_ups], mode=[upsert], changelogMode=[I,UA,D])"
+        in plan
+    )
+    assert "TableSourceScan(table=[cm_dim], mode=[insert_only], changelogMode=[I])" in plan
+
+
+def test_explain_changelog_mode_insert_into_upsert_sink(tenv, spark, tmp_path):
+    """INSERT INTO a PRIMARY KEY target: agg output keyed by the group
+    column matches the sink key, so the encoding relaxes to
+    ONLY_UPDATE_AFTER — UB disappears from the sink edge (the
+    DropUpdateBefore decision, UpdateKindTrait.scala:65)."""
+    src = str(tmp_path / "cm_src2")
+    spark.range(5).selectExpr("id AS k", "id % 2 AS grp").write.parquet(src)
+    out = str(tmp_path / "cm_out")
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_t2 (k BIGINT, grp BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_tgt (grp BIGINT, n BIGINT,
+          PRIMARY KEY (grp) NOT ENFORCED)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    plan = _plan_text(
+        tenv,
+        "EXPLAIN CHANGELOG_MODE INSERT INTO cm_tgt "
+        "SELECT grp, COUNT(*) AS n FROM cm_t2 GROUP BY grp",
+    )
+    assert plan.startswith("Sink(mode=[upsert], changelogMode=[I,UA])")
+    assert "GroupAggregate(groupBy=[grp], changelogMode=[I,UA])" in plan
