@@ -55,32 +55,35 @@ def file_source(
     if fmt == "avro":
         # no spark-avro DataSource in this environment; route through
         # the pure-Python OCF reader (sources/avro_format.py, validated
-        # against the JVM avro-core writer). Batch only: the decoder
-        # runs in mapInPandas over binaryFile rows.
-        if streaming:
-            raise NotImplementedError(
-                "streaming avro scans need the spark-avro DataSource module"
-            )
+        # against the JVM avro-core writer). The decoder runs in
+        # mapInPandas over binaryFile rows — batch, or a readStream
+        # file listing (AvroInputFormat.java:66 serves both modes).
+        from pyspark.sql.types import StructType
+
         from flink_release_1_16_0_spark.sources.avro_format import avro_source
 
-        ptypes = None
-        if partition_cols and schema is not None:
-            from pyspark.sql.types import StructType
-
+        st = None
+        if schema is not None:
             st = (
                 schema
                 if isinstance(schema, StructType)
                 else StructType.fromDDL(schema)
             )
+        if streaming and st is None:
+            raise ValueError("streaming avro scans require an explicit schema")
+        ptypes = None
+        if partition_cols and st is not None:
             ptypes = {c: st[c].dataType for c in partition_cols}
-        return avro_source(spark, path, partition_cols=ptypes)
+        return avro_source(
+            spark,
+            path,
+            partition_cols=ptypes,
+            streaming=streaming,
+            reader_schema=st,
+        )
     if fmt == "protobuf":
         # jar-free wire-format decoder (sources/protobuf_format.py);
         # the DDL schema supplies the row layout (column i = field i+1)
-        if streaming:
-            raise NotImplementedError(
-                "streaming protobuf scans are not supported (batch binaryFile path)"
-            )
         if schema is None:
             raise ValueError("'protobuf' format requires an explicit schema")
         from pyspark.sql.types import StructType
@@ -97,6 +100,7 @@ def file_source(
             st,
             ignore_parse_errors=ignore,
             partition_cols=list(partition_cols),
+            streaming=streaming,
         )
     if streaming:
         if schema is None:

@@ -272,26 +272,63 @@ def read_schema(path: str) -> dict:
     return json.loads(meta["avro.schema"].decode())
 
 
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
 def avro_source(
-    spark: SparkSession, path: str, partition_cols: dict | None = None
+    spark: SparkSession,
+    path: str,
+    partition_cols: dict | None = None,
+    streaming: bool = False,
+    reader_schema: StructType | None = None,
 ) -> DataFrame:
-    """Batch scan over avro container files at ``path``.
+    """Batch or streaming scan over avro container files at ``path``
+    (AvroInputFormat.java:66 serves both modes in the reference).
 
     Top-level schema must be a record; its fields become columns.
     ``partition_cols`` maps Hive-style directory partition columns
     (``col=val/``) to their Spark types; binaryFile's partition
     discovery supplies the values and they are appended after the
     record's own fields.
+
+    ``streaming=True`` rides Spark's file-stream listing over the same
+    directory (readStream binaryFile -> per-micro-batch mapInPandas
+    decode). The directory may be empty at start, so the reader schema
+    cannot come from file footers: pass ``reader_schema`` (the DDL
+    schema, wire columns in record-field order, partition columns
+    excluded).
     """
     partition_cols = partition_cols or {}
-    schema = read_schema(path)
-    if schema.get("type") != "record":
-        raise ValueError("top-level avro schema must be a record")
-    spark_schema = avro_to_spark_type(schema)
-    assert isinstance(spark_schema, StructType)
+    if streaming:
+        if reader_schema is None:
+            raise ValueError(
+                "streaming avro scans require an explicit schema "
+                "(the directory may be empty at start)"
+            )
+        spark_schema = StructType(
+            [f for f in reader_schema.fields if f.name not in partition_cols]
+        )
+    else:
+        schema = read_schema(path)
+        if schema.get("type") != "record":
+            raise ValueError("top-level avro schema must be a record")
+        spark_schema = avro_to_spark_type(schema)
+        assert isinstance(spark_schema, StructType)
     cols = [f.name for f in spark_schema.fields]
-    bf = spark.read.format("binaryFile")
-    if os.path.isdir(path):
+    if streaming:
+        # partition columns ride the user schema in a file stream
+        # (Spark fills them from the col=val directory names)
+        from pyspark.sql.types import StructField
+
+        bf_schema = StructType.fromDDL(_BINARYFILE_SCHEMA)
+        for c, t in partition_cols.items():
+            bf_schema = bf_schema.add(StructField(c, t))
+        bf = spark.readStream.format("binaryFile").schema(bf_schema)
+    else:
+        bf = spark.read.format("binaryFile")
+    if streaming or os.path.isdir(path):
         bf = bf.option("pathGlobFilter", "*.avro")
     from pyspark.sql import functions as F
 

@@ -393,22 +393,44 @@ def protobuf_source(
     schema: StructType,
     ignore_parse_errors: bool = False,
     partition_cols: Sequence[str] = (),
+    streaming: bool = False,
 ) -> DataFrame:
-    """Batch scan over varint-delimited ``.pb`` files at ``path``.
+    """Batch or streaming scan over varint-delimited ``.pb`` files at
+    ``path`` (the reference's format serves both modes).
 
     ``partition_cols`` name columns of ``schema`` that live in the
     Hive-style directory layout (``col=val/``) rather than on the wire
     — binaryFile's partition discovery supplies them, and field
     numbering covers only the wire columns (column i of the wire
     schema = field i+1).
+
+    ``streaming=True`` rides Spark's file-stream listing (readStream
+    binaryFile + per-micro-batch mapInPandas decode); the declared
+    ``schema`` already supplies the row layout, so nothing else is
+    needed.
     """
     from pyspark.sql import functions as F
 
-    bf = spark.read.format("binaryFile")
-    if os.path.isdir(path):
-        bf = bf.option("pathGlobFilter", "*.pb").option(
-            "recursiveFileLookup", "false"
+    if streaming:
+        from pyspark.sql.types import StructField
+
+        bf_schema = StructType.fromDDL(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
         )
+        for c in partition_cols:
+            bf_schema = bf_schema.add(StructField(c, schema[c].dataType))
+        bf = (
+            spark.readStream.format("binaryFile")
+            .schema(bf_schema)
+            .option("pathGlobFilter", "*.pb")
+        )
+    else:
+        bf = spark.read.format("binaryFile")
+        if os.path.isdir(path):
+            bf = bf.option("pathGlobFilter", "*.pb").option(
+                "recursiveFileLookup", "false"
+            )
     wire = StructType([f for f in schema.fields if f.name not in partition_cols])
     files = bf.load(path).select(
         "content",

@@ -151,8 +151,21 @@ def test_avro_format_reads_via_python_ocf_reader(spark, tmp_path):
     dfw.close()
     back = S.file_source(spark, str(d), fmt="avro")
     assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
-    with pytest.raises(NotImplementedError, match="spark-avro"):
-        S.file_source(spark, str(d), fmt="avro", streaming=True, schema="k long")
+    # streaming scan over the same directory (readStream file listing
+    # driving the same decoder; schema comes from the DDL, not footers)
+    sdf = S.file_source(
+        spark, str(d), fmt="avro", streaming=True, schema="k bigint, v string"
+    )
+    assert sdf.isStreaming
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("avro_stream_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["k"], r["v"]) for r in spark.sql("SELECT * FROM avro_stream_probe").collect()}
+    assert got == {(1, "a"), (2, "b")}
 
 
 def test_protobuf_format_roundtrip_or_gated(spark):

@@ -1708,3 +1708,54 @@ def test_split_sql_literals_segments():
         (False, "x = "),
         (True, "'a''b'"),
     ]
+
+
+def test_streaming_insert_from_avro_table(spark, tmp_path):
+    """Streaming INSERT INTO sourced from an avro table: the readStream
+    file listing drives the pure-Python OCF decoder per micro-batch
+    (AvroInputFormat.java:66 serves both modes in the reference)."""
+    from flink_release_1_16_0_spark.sources.avro_format import write_avro
+
+    src = str(tmp_path / "avro_stream_src")
+    df = spark.range(0, 20).selectExpr("id AS k", "concat('v-', id) AS v")
+    write_avro(df, src)
+    tenv = TableEnvironment.create(spark, streaming=True)
+    tenv.execute_sql(
+        f"""CREATE TABLE av_src (k BIGINT, v STRING)
+        WITH ('connector'='filesystem','path'='{src}','format'='avro')"""
+    )
+    assert spark.table("av_src").isStreaming
+    out = str(tmp_path / "avro_stream_out")
+    tenv.execute_sql(
+        f"""CREATE TABLE av_snk (k BIGINT, v STRING)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    tenv.execute_sql("INSERT INTO av_snk SELECT k, upper(v) AS v FROM av_src WHERE k < 5")
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+    assert got == [(i, f"V-{i}") for i in range(5)]
+
+
+def test_streaming_insert_from_protobuf_table(spark, tmp_path):
+    """Streaming INSERT INTO sourced from a protobuf table (readStream
+    listing + wire-format decoder per micro-batch)."""
+    from flink_release_1_16_0_spark.sources.protobuf_format import (
+        write_protobuf,
+    )
+
+    src = str(tmp_path / "pb_stream_src")
+    df = spark.range(0, 20).selectExpr("id AS k", "concat('p-', id) AS v")
+    write_protobuf(df, src)
+    tenv = TableEnvironment.create(spark, streaming=True)
+    tenv.execute_sql(
+        f"""CREATE TABLE pb_src (k BIGINT, v STRING)
+        WITH ('connector'='filesystem','path'='{src}','format'='protobuf')"""
+    )
+    assert spark.table("pb_src").isStreaming
+    out = str(tmp_path / "pb_stream_out")
+    tenv.execute_sql(
+        f"""CREATE TABLE pb_snk (k BIGINT, v STRING)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    tenv.execute_sql("INSERT INTO pb_snk SELECT k, v FROM pb_src WHERE k >= 15")
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
+    assert got == [(i, f"p-{i}") for i in range(15, 20)]
