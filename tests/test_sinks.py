@@ -174,3 +174,55 @@ def test_orc_roundtrip_ddl(spark, tmp_path):
     import os
 
     assert any(f.endswith(".orc") for f in os.listdir(d))
+
+
+# ---------------------------------------------------------------------------
+# upsert-kafka record composition: tombstones x all three value formats
+# (DynamicKafkaRecordSerializationSchema semantics, transport mocked)
+# ---------------------------------------------------------------------------
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("fmt", ["json", "avro", "protobuf"])
+def test_upsert_kafka_tombstone_roundtrip(spark, fmt):
+    from flink_release_1_16_0_spark.sources.upsert_kafka import (
+        changelog_to_upsert_kafka,
+        upsert_kafka_to_changelog,
+    )
+    from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+    from pyspark.sql.types import StructType
+
+    log = spark.createDataFrame(
+        [
+            ("+I", 1, "a", 10.0),
+            ("-U", 1, "a", 10.0),   # dropped: sinks get ONLY_UPDATE_AFTER
+            ("+U", 1, "a2", 20.0),
+            ("+I", 2, "b", 15.0),
+            ("-D", 2, "b", 15.0),   # tombstone
+        ],
+        f"{ROWKIND} string, k long, v string, x double",
+    )
+    wire = changelog_to_upsert_kafka(log, key_cols=["k"], fmt=fmt)
+    rows = wire.collect()
+    assert wire.columns == ["key", "value"]
+    assert len(rows) == 4                       # -U dropped
+    tombs = [r for r in rows if r["value"] is None]
+    assert len(tombs) == 1 and tombs[0]["key"] is not None
+
+    back = upsert_kafka_to_changelog(
+        wire,
+        key_schema=StructType.fromDDL("k long"),
+        value_schema=StructType.fromDDL("k long, v string, x double"),
+        fmt=fmt,
+    )
+    got = sorted(
+        (r[ROWKIND], r["k"], r["v"], r["x"]) for r in back.collect()
+    )
+    assert got == [
+        ("+U", 1, "a", 10.0),
+        ("+U", 1, "a2", 20.0),
+        ("+U", 2, "b", 15.0),
+        ("-D", 2, None, None),
+    ]

@@ -103,11 +103,27 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--tag",
+        action="append",
+        default=[],
+        help="run only queries carrying ANY of these registry tags "
+        "(e.g. --tag streaming); combines with positional names",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     registry = load_registry()
-    names = args.names or list(registry)
+    names = list(args.names)
+    if args.tag:
+        want = set(args.tag)
+        names += [
+            n
+            for n, s in registry.items()
+            if want & set(s.tags) and n not in names
+        ]
+    if not names:
+        names = list(registry)
 
     spark = get_spark("oracle-check")
     register_tables(spark, args.sf)
