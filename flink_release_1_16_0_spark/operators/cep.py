@@ -387,10 +387,14 @@ def nfa_try_match(
     defines: dict,
     within_ms: int | None,
 ):
-    """Greedy backtracking linear-NFA match anchored at ``start``
+    """Backtracking linear-NFA match anchored at ``start``
     (nfa/NFA.java's per-state predicate evaluation over the partial
-    match). Returns (end, bindings) or None; bindings: var -> list of
-    row indices. ``rows`` are dicts with ``__ts`` plus value columns;
+    match). Quantifiers: ``1 ? + *`` greedy plus the reluctant forms
+    ``?? +? *?`` (shortest-first preference — the reference's
+    Quantifier without the GREEDY property; CommonExecMatch.java:137
+    in fact REQUIRES patterns to end with a simple variable or a
+    reluctant quantifier). Returns (end, bindings) or None; bindings:
+    var -> list of row indices. ``rows`` are dicts with ``__ts`` plus value columns;
     ``defines[var]`` is ``fn(row, ctx) -> bool``. Shared by the batch
     tier (match_nfa) and the streaming tier
     (streaming/cep_stream.streaming_cep_nfa_within).
@@ -424,7 +428,14 @@ def nfa_try_match(
             ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
             return bool(pred(rows[i], ctx))
 
-        if quant in ("1", "?"):
+        if quant in ("1", "?", "??"):
+            if quant == "??":
+                # reluctant optional: prefer skipping (Quantifier
+                # GREEDY property absent -> NFACompiler builds the
+                # ignore-first branch order)
+                r = step(pos, si + 1, bound)
+                if r is not None:
+                    return r
             if accepts(pos, []):
                 b2 = {**bound, var: bound.get(var, []) + [pos]}
                 r = step(pos + 1, si + 1, b2)
@@ -433,12 +444,20 @@ def nfa_try_match(
             if quant == "?":
                 return step(pos, si + 1, bound)
             return None
-        # + / * : consume greedily, backtrack on failure
+        # + / * and their reluctant twins: the maximal run is scanned
+        # once (prefix validity is history-consistent), then candidate
+        # lengths are tried longest-first (greedy) or shortest-first
+        # (reluctant +? / *?)
         taken: list[int] = []
         while accepts(pos + len(taken), taken):
             taken.append(pos + len(taken))
-        min_n = 1 if quant == "+" else 0
-        for n in range(len(taken), min_n - 1, -1):
+        min_n = 1 if quant in ("+", "+?") else 0
+        order = (
+            range(min_n, len(taken) + 1)
+            if quant.endswith("?")
+            else range(len(taken), min_n - 1, -1)
+        )
+        for n in order:
             bn = {**bound, var: bound.get(var, []) + taken[:n]} if n else bound
             r = step(pos + n, si + 1, bn)
             if r is not None:
@@ -477,7 +496,8 @@ def match_nfa(
     rows up to and including the current row.
 
     ``steps`` is the linear pattern: (variable, quantifier) with
-    quantifier in ``1 ? + *`` (greedy, with backtracking).
+    quantifier in ``1 ? + *`` (greedy, with backtracking) or the
+    reluctant ``?? +? *?`` (shortest-first).
     ``defines[var]`` is ``fn(row, ctx) -> bool`` where ``row`` is the
     candidate row as a dict and ``ctx`` maps each variable to its
     already-bound rows in the current partial match — so a predicate

@@ -929,3 +929,64 @@ def cep_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern="v.*?p",
         id_col="event_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Reluctant quantifier through the SQL surface (Quantifier without the
+# GREEDY property; CommonExecMatch.java:135-138 REQUIRES a pattern to
+# end with a simple variable or a reluctant quantifier, so trailing
+# C+? is the reference's canonical legal form). PATTERN (P C+?) binds
+# the purchase plus exactly ONE following click — a greedy C+ would
+# swallow the whole click run, so click_id (and n_clicks) decide the
+# semantics. Oracle: adjacent (purchase, click) row pairs in the
+# per-user click/purchase subsequence; the match set is exactly those
+# pairs (a following pair cannot start on the consumed click).
+# --------------------------------------------------------------------------
+
+_CEP_RELUCTANT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, ts, event_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type IN ('click', 'purchase')
+)
+SELECT a.user_id,
+       a.event_id AS purchase_id,
+       b.event_id AS click_id,
+       CAST(1 AS BIGINT) AS n_clicks,
+       b.value AS click_value
+FROM seq a
+JOIN seq b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+"""
+
+
+@register(
+    "api_sql_match_reluctant",
+    _CEP_RELUCTANT_ORACLE,
+    tags=("cep", "match", "api", "sql"),
+)
+def api_sql_match_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    _events_cp_view(spark, sf_dir)
+    tenv = TableEnvironment.create(spark)
+    return tenv.sql_query(
+        """
+        SELECT user_id, purchase_id, click_id, n_clicks, click_value
+        FROM events_cp MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES
+            P.event_id AS purchase_id,
+            LAST(C.event_id) AS click_id,
+            COUNT(C.event_id) AS n_clicks,
+            LAST(C.value) AS click_value
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (P C+?)
+          DEFINE
+            P AS P.event_type = 'purchase',
+            C AS C.event_type = 'click'
+        ) AS m
+        """
+    ).to_data_frame()

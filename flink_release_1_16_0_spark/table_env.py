@@ -2589,24 +2589,28 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     if nfa_route:
         steps = []
         for v, q in tokens:
-            rng = re.fullmatch(r"\{(\d+)(?:,(\d*))?\}", q)
+            rng = re.fullmatch(r"\{(\d+)(?:,(\d*))?\}(\?)?", q)
             if rng:
                 # A{n,m} expands to n required + (m-n) optional same-var
                 # steps; bindings accumulate per variable, so measures
-                # and cross-variable references see one A run
+                # and cross-variable references see one A run. A
+                # trailing ? makes the optional tail reluctant.
                 lo = int(rng.group(1))
                 hi = rng.group(2)
+                tail = "?" if rng.group(3) is None else "??"
+                star = "*" if rng.group(3) is None else "*?"
                 steps.extend([(v, "1")] * lo)
                 if hi == "":  # {n,} unbounded tail
-                    steps.append((v, "*"))
+                    steps.append((v, star))
                 elif hi is not None:
-                    steps.extend([(v, "?")] * (int(hi) - lo))
-            elif q in ("", "?", "+", "*"):
+                    steps.extend([(v, tail)] * (int(hi) - lo))
+            elif q in ("", "?", "+", "*", "??", "+?", "*?"):
                 steps.append((v, q or "1"))
             else:
                 raise NotImplementedError(
                     f"NFA-tier quantifier {q!r} on {v!r} not supported "
-                    "(one of: <none> ? + * {{n}} {{n,}} {{n,m}})"
+                    "(one of: <none> ? + * ?? +? *? {{n}} {{n,}} {{n,m}} "
+                    "and their ? reluctant forms)"
                 )
         rename = {ts_col: "__ts", id_col: "__id"}
         compiled = {

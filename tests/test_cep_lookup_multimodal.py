@@ -651,3 +651,56 @@ def test_nfa_skip_to_first_unbound_raises_value_error(spark):
     )
     with pytest.raises(Exception, match="would not advance"):
         out.collect()
+
+
+def test_nfa_reluctant_plus_takes_minimal_run(spark):
+    """A+? prefers the shortest run (the reference's non-GREEDY
+    Quantifier; CommonExecMatch.java:137 requires patterns to END in a
+    simple variable or reluctant quantifier, so this is the
+    reference-legal trailing form): three matchable rows yield three
+    1-row matches instead of one greedy 3-row match."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(spark, [(0, "e", 1), (1, "e", 2), (2, "e", 3)])
+    common = dict(
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        defines={"A": lambda r, c: r["event_type"] == "e"},
+        measures={"n": ("A", "count", "event_id", "bigint")},
+        value_cols=["event_type", "value"],
+    )
+    greedy = match_nfa(df, steps=[("A", "+")], **common).collect()
+    assert [r["n"] for r in greedy] == [3]
+    reluctant = match_nfa(df, steps=[("A", "+?")], **common).collect()
+    assert [r["n"] for r in reluctant] == [1, 1, 1]
+
+
+def test_nfa_reluctant_optional_prefers_skip(spark):
+    """B?? skips when the continuation also matches; B? consumes."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+
+    df = _seq_df(spark, [(0, "a", 1), (1, "x", 2), (2, "x", 3)])
+    common = dict(
+        keys=["k"],
+        ts_col="ts",
+        id_col="event_id",
+        defines={
+            "A": lambda r, c: r["event_type"] == "a",
+            "B": lambda r, c: r["event_type"] == "x",
+            "C": lambda r, c: r["event_type"] == "x",
+        },
+        measures={
+            "n_b": ("B", "count", "event_id", "bigint"),
+            "c_val": ("C", "last", "value", "double"),
+        },
+        value_cols=["event_type", "value"],
+    )
+    greedy = match_nfa(
+        df, steps=[("A", "1"), ("B", "?"), ("C", "1")], **common
+    ).collect()
+    assert [(r["n_b"], r["c_val"]) for r in greedy] == [(1, 3.0)]
+    reluctant = match_nfa(
+        df, steps=[("A", "1"), ("B", "??"), ("C", "1")], **common
+    ).collect()
+    assert [(r["n_b"], r["c_val"]) for r in reluctant] == [(0, 2.0)]

@@ -1759,3 +1759,59 @@ def test_streaming_insert_from_protobuf_table(spark, tmp_path):
     tenv.execute_sql("INSERT INTO pb_snk SELECT k, v FROM pb_src WHERE k >= 15")
     got = sorted((r["k"], r["v"]) for r in spark.read.parquet(out).collect())
     assert got == [(i, f"p-{i}") for i in range(15, 20)]
+
+
+def test_match_recognize_reluctant_quantifiers(tenv, spark):
+    """Reluctant quantifiers (+?) prefer the shortest run on BOTH
+    tiers — the reference in fact requires patterns to END with a
+    simple variable or a reluctant quantifier
+    (CommonExecMatch.java:137), so trailing +? is the canonical
+    reference-legal form."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, i), i, "e", float(i + 1))
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows, "k long, ts timestamp, event_id long, event_type string, value double"
+    ).createOrReplaceTempView("rel_events")
+
+    # regex tier (single-variable DEFINE): A+? alone -> four 1-row
+    # matches instead of one greedy 4-row match
+    got = tenv.sql_query(
+        """
+        SELECT k, n FROM rel_events MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES COUNT(A.event_id) AS n
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A+?)
+          DEFINE A AS A.event_type = 'e'
+        ) AS m
+        """
+    ).to_data_frame()
+    assert [r["n"] for r in got.collect()] == [1, 1, 1, 1]
+
+    # NFA tier (cross-variable DEFINE forces the route): A B+? takes
+    # the minimal B run -> two (A,B) matches instead of one
+    got2 = tenv.sql_query(
+        """
+        SELECT k, a_val, n_b FROM rel_events MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES LAST(A.value) AS a_val, COUNT(B.event_id) AS n_b
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B+?)
+          DEFINE
+            A AS A.event_type = 'e',
+            B AS B.value > FIRST(A.value)
+        ) AS m
+        """
+    ).to_data_frame()
+    assert sorted((r["a_val"], r["n_b"]) for r in got2.collect()) == [
+        (1.0, 1),
+        (3.0, 1),
+    ]
