@@ -258,3 +258,37 @@ def test_explain_changelog_mode_insert_into_upsert_sink(tenv, spark, tmp_path):
     )
     assert plan.startswith("Sink(mode=[upsert], changelogMode=[I,UA])")
     assert "GroupAggregate(groupBy=[grp], changelogMode=[I,UA])" in plan
+
+
+def test_explain_changelog_mode_cdc_drop_update_before(tenv, spark, tmp_path):
+    """Retract (CDC) source into a PRIMARY-KEY sink with a matching
+    key: the planner relaxes the edge to ONLY_UPDATE_AFTER by
+    injecting DropUpdateBefore (DropUpdateBeforeFunction.java) — UB
+    present at the scan, absent above the filter."""
+    src = str(tmp_path / "cm_cdc")
+    with open(src, "w") as f:
+        f.write(
+            '{"op":"c","after":{"k":1,"v":"a"},"before":null}\n'
+        )
+    out = str(tmp_path / "cm_cdc_out")
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_cdc (
+          k INT, v STRING, PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{src}',
+                'format'='debezium-json')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_cdc_tgt (k INT, v STRING,
+          PRIMARY KEY (k) NOT ENFORCED)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    [row] = tenv.execute_sql(
+        "EXPLAIN CHANGELOG_MODE INSERT INTO cm_cdc_tgt SELECT k, v FROM cm_cdc"
+    ).collect()
+    plan = row["plan"]
+    assert plan.startswith("Sink(mode=[upsert], changelogMode=[I,UA,D])")
+    assert "DropUpdateBefore(changelogMode=[I,UA,D])" in plan
+    assert (
+        "TableSourceScan(table=[cm_cdc], mode=[retract], changelogMode=[I,UB,UA,D])"
+        in plan
+    )

@@ -866,3 +866,82 @@ def test_streaming_cep_skip_next_converges_multibatch(
         .collect()
     )
     assert got == want
+
+
+def test_streaming_cep_nfa_reluctant_matches_batch(spark, sf_smoke, tmp_path_factory):
+    """Reluctant +? rides the streaming NFA tier unchanged (shortest-
+    first over a settled prefix is deterministic): multi-batch replay
+    equals the batch match_nfa restricted to finalizable anchors."""
+    from flink_release_1_16_0_spark.operators.cep import match_nfa
+    from flink_release_1_16_0_spark.streaming.cep_stream import (
+        streaming_cep_nfa_within,
+    )
+
+    within_ms = 12 * 3600 * 1000
+    path = str(tmp_path_factory.mktemp("nfa_rel_chunks"))
+    sel = _batch_events(spark, sf_smoke).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    m = sel.agg(F.max("event_id")).first()[0]
+    sel.withColumn(
+        "chunk",
+        F.least(F.floor(F.col("event_id") / ((m + 1) / 4)), F.lit(3)).cast("int"),
+    ).repartition(1).write.partitionBy("chunk").mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(sel.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+        .withWatermark("ts", "10 minutes")
+    )
+    # P C+? with a cross-variable guard: exactly one click bound per
+    # match (greedy would bind the full run)
+    defines = {
+        "P": lambda r, c: r["event_type"] == "purchase",
+        "C": lambda r, c: r["event_type"] == "click"
+        and r["value"] >= c["P"][0]["value"] * 0,
+    }
+    steps = [("P", "1"), ("C", "+?")]
+    measures = {
+        "n_clicks": ("C", "count", "__id", "bigint"),
+        "click_id": ("C", "last", "event_id", "bigint"),
+    }
+    out = run_to_table(
+        streaming_cep_nfa_within(
+            stream,
+            keys=["user_id"],
+            ts_col="ts",
+            id_col="event_id",
+            steps=steps,
+            defines=defines,
+            measures=measures,
+            within_ms=within_ms,
+            value_cols=["event_type", "value"],
+        ),
+        "update",
+    )
+    got = sorted(
+        (r["user_id"], r["match_no"], r["n_clicks"], r["click_id"])
+        for r in out.collect()
+    )
+    assert got and all(n == 1 for _, _, n, _ in got), "reluctant must bind 1 click"
+    batch = match_nfa(
+        sel,
+        keys=["user_id"],
+        ts_col="ts",
+        id_col="event_id",
+        steps=steps,
+        defines=defines,
+        measures={**measures, "anchor_ts": ("P", "first", "ts", "timestamp")},
+        value_cols=["event_type", "value"],
+        within_ms=within_ms,
+    )
+    wm_ms = sel.agg(
+        (F.floor(F.unix_micros(F.max("ts")) / 1000) - 600000).alias("w")
+    ).collect()[0]["w"]
+    want = sorted(
+        (r["user_id"], r["match_no"], r["n_clicks"], r["click_id"])
+        for r in batch.filter(
+            F.floor(F.unix_micros("anchor_ts") / 1000) + within_ms <= F.lit(wm_ms)
+        ).collect()
+    )
+    assert got == want
