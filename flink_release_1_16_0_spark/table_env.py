@@ -2527,8 +2527,12 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     skip_strategy = _parse_skip_strategy(body)
     if pat.startswith("(") and pat.endswith(")"):
         pat = pat[1:-1].strip()
-    tokens = re.findall(r"(\w+)\s*([+*?]\??|\{\d+(?:,\d*)?\}\??)?", pat)
-    tokens = [(v, q or "") for v, q in tokens if v]
+    # quantifiers: + * ? {n} {n,} {n,m} {,m} and their ? reluctant forms
+    # (CommonExecMatch.applyQuantifier's startNum/endNum matrix);
+    # whitespace inside braces is stripped so the regex tier can splice
+    # the quantifier into a Python pattern verbatim
+    tokens = re.findall(r"(\w+)\s*([+*?]\??|\{\s*\d*\s*(?:,\s*\d*)?\s*\}\??)?", pat)
+    tokens = [(v, (q or "").replace(" ", "")) for v, q in tokens if v]
     variables = [v for v, _ in tokens]
 
     defines: dict[str, str] = {}
@@ -2589,13 +2593,14 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     if nfa_route:
         steps = []
         for v, q in tokens:
-            rng = re.fullmatch(r"\{(\d+)(?:,(\d*))?\}(\?)?", q)
-            if rng:
+            rng = re.fullmatch(r"\{(\d*)(?:,(\d*))?\}(\?)?", q)
+            if rng and (rng.group(1) or rng.group(2)):
                 # A{n,m} expands to n required + (m-n) optional same-var
                 # steps; bindings accumulate per variable, so measures
                 # and cross-variable references see one A run. A
-                # trailing ? makes the optional tail reluctant.
-                lo = int(rng.group(1))
+                # trailing ? makes the optional tail reluctant; {,m}
+                # means {0,m} (applyQuantifier startNum=0).
+                lo = int(rng.group(1) or 0)
                 hi = rng.group(2)
                 tail = "?" if rng.group(3) is None else "??"
                 star = "*" if rng.group(3) is None else "*?"

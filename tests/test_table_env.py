@@ -1815,3 +1815,57 @@ def test_match_recognize_reluctant_quantifiers(tenv, spark):
         (1.0, 1),
         (3.0, 1),
     ]
+
+
+def test_match_recognize_upper_bounded_quantifier(tenv, spark):
+    """{,m} = {0,m} (applyQuantifier startNum=0) on both tiers."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 10, i), i, t, float(i))
+        for i, t in enumerate(["a", "x", "x", "x", "b"])
+    ]
+    spark.createDataFrame(
+        rows, "k long, ts timestamp, event_id long, event_type string, value double"
+    ).createOrReplaceTempView("ub_events")
+    # regex tier: A X{,2} B — only 2 of the 3 x rows fit, so no match
+    # unless the bound permits skipping... with 3 x's between, no match;
+    # widen to {,3} and it matches binding all three
+    for bound, expect in (("{,2}", 0), ("{ , 3 }", 1)):
+        got = tenv.sql_query(
+            f"""
+            SELECT k, n_x FROM ub_events MATCH_RECOGNIZE (
+              PARTITION BY k
+              ORDER BY ts
+              MEASURES COUNT(X.event_id) AS n_x
+              ONE ROW PER MATCH
+              AFTER MATCH SKIP PAST LAST ROW
+              PATTERN (A X{bound} B)
+              DEFINE
+                A AS A.event_type = 'a',
+                X AS X.event_type = 'x',
+                B AS B.event_type = 'b'
+            ) AS m
+            """
+        ).to_data_frame().collect()
+        assert len(got) == expect, (bound, got)
+        if expect:
+            assert got[0]["n_x"] == 3
+    # NFA route (cross-var define): same bound semantics
+    got2 = tenv.sql_query(
+        """
+        SELECT k, n_x FROM ub_events MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY ts
+          MEASURES COUNT(X.event_id) AS n_x
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A X{,3} B)
+          DEFINE
+            A AS A.event_type = 'a',
+            X AS X.event_type = 'x',
+            B AS B.event_type = 'b' AND B.value > FIRST(A.value)
+        ) AS m
+        """
+    ).to_data_frame().collect()
+    assert [r["n_x"] for r in got2] == [3]
