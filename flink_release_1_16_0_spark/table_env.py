@@ -407,14 +407,16 @@ class CatalogTable:
             df = df.withWatermark(col, delay)
         return df
 
-    def write(self, df: DataFrame, overwrite: bool) -> None:
+    def write(
+        self, df: DataFrame, overwrite: bool, output_mode: str = "append"
+    ) -> None:
         not_null = [c.name for c in self.columns if c.not_null]
         char_limits = {
             c.name: c.char_limit for c in self.columns if c.char_limit is not None
         }
         out = enforce_constraints(df, not_null=not_null, char_limits=char_limits)
         if out.isStreaming:
-            return self._write_stream(out)
+            return self._write_stream(out, output_mode)
         connector = self.connector
         if connector == "print":
             out.show(truncate=False)
@@ -509,8 +511,16 @@ class CatalogTable:
             "(supported: filesystem, print, blackhole, jdbc, hive)"
         )
 
-    def _write_stream(self, out: DataFrame) -> None:
+    def _write_stream(self, out: DataFrame, output_mode: str = "append") -> None:
         """Streaming INSERT: bounded availableNow drain into the sink.
+
+        ``output_mode='update'`` is the early-fire path
+        (GroupWindowAggregate with table.exec.emit.early-fire.enabled —
+        WindowEmitStrategy.scala): each micro-batch appends the CHANGED
+        window partials, so the sink carries each window's partial
+        history and the latest row per window key is the converged
+        value (an upsert consumer keeps-last per key, exactly how the
+        reference pairs early-fire with an upsert sink).
 
         Each streaming ``INSERT INTO`` runs as a FRESH job processing its
         full input, matching the reference where every INSERT statement
@@ -581,7 +591,7 @@ class CatalogTable:
                 f"unsupported streaming sink connector {connector!r} "
                 "(supported: filesystem, blackhole, hive)"
             )
-        q = writer.outputMode("append").trigger(availableNow=True).start()
+        q = writer.outputMode(output_mode).trigger(availableNow=True).start()
         try:
             q.awaitTermination(300)
             # awaitTermination(timeout) returns a bool and does NOT
@@ -765,6 +775,32 @@ def rewrite_window_tvfs(sql: str) -> str:
     )
     out = re.sub(r"\bwindow_start\b", "__w.start", out, flags=re.I)
     out = re.sub(r"\bwindow_end\b", "__w.end", out, flags=re.I)
+
+    # GROUP BY must key the window STRUCT, not its fields: Spark's
+    # streaming planner recognizes event-time window aggregation (and
+    # so permits append output after the watermark) only when the
+    # grouping expression is the window() struct itself; grouping by
+    # __w.start is semantically identical (start determines end for a
+    # given TVF) but would demote the agg to a plain streaming agg and
+    # reject append mode ("without watermark").
+    def _group_by_struct(m: re.Match) -> str:
+        parts = [p.strip() for p in _split_top_level(m.group(2))]
+        out_parts, seen_w = [], False
+        for p in parts:
+            if p in ("__w.start", "__w.end"):
+                if not seen_w:
+                    out_parts.append("__w")
+                    seen_w = True
+            else:
+                out_parts.append(p)
+        return m.group(1) + ", ".join(out_parts) + m.group(3)
+
+    out = re.sub(
+        r"(GROUP\s+BY\s+)([^;]*?)(\s+HAVING\b|\s+ORDER\b|\s+LIMIT\b|\s*$)",
+        _group_by_struct,
+        out,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
     # re-alias bare window columns in the OUTER select list so output
     # names keep Flink's window_start/window_end spelling
     head = re.match(r"(\s*SELECT\s+)(.*)", out, re.IGNORECASE | re.DOTALL)
@@ -2212,7 +2248,16 @@ class TableEnvironment:
         aligned = df.toDF(*declared).select(
             *[F.col(c.name).cast(c.spark_type).alias(c.name) for c in table.columns]
         )
-        table.write(aligned, overwrite)
+        # early-fire emit (WindowEmitStrategy.scala; table.exec.emit.*):
+        # run the streaming agg in UPDATE output mode so window partials
+        # emit per micro-batch instead of only at watermark finalization
+        early = (
+            self._config.get("table.exec.emit.early-fire.enabled", "false")
+            == "true"
+        )
+        table.write(
+            aligned, overwrite, output_mode="update" if early else "append"
+        )
         # refresh the readable view if the sink is also scannable (the
         # temp view pins a resolved relation whose file index would
         # otherwise go stale after the write)

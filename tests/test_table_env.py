@@ -1869,3 +1869,55 @@ def test_match_recognize_upper_bounded_quantifier(tenv, spark):
         """
     ).to_data_frame().collect()
     assert [r["n_x"] for r in got2] == [3]
+
+
+def test_early_fire_window_emit(spark, tmp_path):
+    """table.exec.emit.early-fire.enabled (WindowEmitStrategy.scala):
+    the streaming group-window agg emits CHANGED partials every
+    micro-batch (update mode) instead of waiting for the watermark to
+    close the window; the latest partial per window converges to the
+    batch truth (the upsert-consumer contract the reference pairs
+    early-fire with). Default mode still withholds unclosed windows."""
+    import datetime as dt
+
+    src = str(tmp_path / "ef_src")
+    rows = [(i, dt.datetime(2024, 1, 1, 10, m, 0)) for i, m in enumerate([0, 1, 2, 30, 31])]
+    schema = "event_id bigint, ts timestamp"
+    # two files -> two micro-batches, both inside the 10:00 and 10:10 windows
+    spark.createDataFrame(rows[:3], schema).repartition(1).write.parquet(src + "/b=0")
+    spark.createDataFrame(rows[3:], schema).repartition(1).write.parquet(src + "/b=1")
+
+    def run(early: bool, out_name: str) -> list:
+        tenv = TableEnvironment.create(spark, streaming=True)
+        out = str(tmp_path / out_name)
+        tenv.execute_sql(
+            f"""CREATE TABLE ef_src_{out_name} (event_id BIGINT, ts TIMESTAMP(3),
+              WATERMARK FOR ts AS ts - INTERVAL '5' MINUTE)
+            WITH ('connector'='filesystem','path'='{src}/b=*',
+                  'format'='parquet','maxFilesPerTrigger'='1')"""
+        )
+        tenv.execute_sql(
+            f"""CREATE TABLE ef_snk_{out_name} (ws TIMESTAMP(3), n BIGINT)
+            WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+        )
+        if early:
+            tenv.execute_sql("SET 'table.exec.emit.early-fire.enabled' = 'true'")
+        tenv.execute_sql(
+            f"""INSERT INTO ef_snk_{out_name}
+            SELECT window_start AS ws, COUNT(*) AS n
+            FROM TABLE(TUMBLE(TABLE ef_src_{out_name}, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+            GROUP BY window_start"""
+        )
+        return spark.read.parquet(out).collect()
+
+    early_rows = run(True, "early")
+    # partial history present: the 10:00 window fired while still open
+    per_window = {}
+    for r in early_rows:
+        per_window.setdefault(str(r["ws"]), []).append(r["n"])
+    assert max(per_window["2024-01-01 10:00:00"]) == 3
+    assert max(per_window["2024-01-01 10:30:00"]) == 2  # unclosed window fired
+    final_rows = run(False, "final")
+    got_final = {str(r["ws"]): r["n"] for r in final_rows}
+    # append mode: only the watermark-closed 10:00 window emitted
+    assert got_final == {"2024-01-01 10:00:00": 3}
