@@ -96,8 +96,10 @@ _PRIORITY = (
     # All are green in the local full-registry run of the same gate.
     # ~44 never-graded remain for round 6.
     "func_math",
-    # added this round (reluctant MATCH_RECOGNIZE quantifiers)
+    # added this round (reluctant MATCH_RECOGNIZE quantifiers;
+    # allowed-lateness window agg)
     "api_sql_match_reluctant",
+    "stream_window_allowed_lateness",
     # ds_* TPC-DS-shape family (19, never graded)
     "ds_correlated_scalar_subquery",
     "ds_exists_not_exists",
@@ -151,8 +153,7 @@ _PRIORITY = (
     "types_decimal_arithmetic",
     "types_time_of_day",
     "types_nested_access",
-    # misc (1, never graded; udf_pandas_* and the rest go in round 6)
-    "values_inline",
+    # (values_inline, udf_pandas_* and the rest go in round 6)
 )
 
 

@@ -1796,3 +1796,58 @@ def stream_cep_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "update",
     )
+
+
+# --------------------------------------------------------------------------
+# tumbling window agg with ALLOWED LATENESS + late firing
+# (WindowOperator.java:380-409 — the lateness path Spark's native
+# window agg cannot express; operator in streaming/stateful.py). The
+# bounded single-file replay has no late arrivals, so the oracle
+# verifies the on-time firing set: windows whose end the final
+# watermark passed (ms-floored, the module convention); the -U/+U late
+# path is pytest-covered with a multi-batch replay
+# (tests/test_streaming.py::test_window_agg_allowed_lateness). COUNT
+# only: the operator's sequential float accumulator is not
+# cross-engine bit-stable for SUM.
+# --------------------------------------------------------------------------
+
+_SLATENESS_ORACLE = f"""
+WITH wm AS (
+  SELECT (epoch_us(MAX(ts)) // 1000) - 600000 AS wm_ms FROM events
+), b AS (
+  SELECT (epoch_us(ts) // {5 * 60 * _US}) AS bucket FROM events
+)
+SELECT
+  make_timestamp(bucket * {5 * 60 * _US}) AS win_start,
+  '+I' AS op,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM b, wm
+GROUP BY bucket, wm_ms
+HAVING bucket * {5 * 60 * 1000} + {5 * 60 * 1000} <= wm_ms
+"""
+
+
+@register(
+    "stream_window_allowed_lateness",
+    _SLATENESS_ORACLE,
+    tags=("streaming", "window", "time"),
+)
+def stream_window_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_window_agg_allowed_lateness,
+    )
+
+    ev = events_stream(spark, sf_dir)
+    out = streaming_window_agg_allowed_lateness(
+        ev.select("ts", "value", F.lit(0).alias("__g")),
+        keys=["__g"],
+        ts_col="ts",
+        window_ms=5 * 60 * 1000,
+        allowed_lateness_ms=10 * 60 * 1000,
+        value_col="value",
+    )
+    return run_to_table(out, "update").select(
+        F.col("window_start").alias("win_start"),
+        F.col("__rowkind").alias("op"),
+        "n",
+    )

@@ -1518,3 +1518,151 @@ def streaming_anti_join(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_window_agg_allowed_lateness(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    window_ms: int,
+    allowed_lateness_ms: int,
+    value_col: str,
+) -> DataFrame:
+    """Tumbling window COUNT/SUM with allowed lateness + late firing —
+    the reference's WindowOperator.java lateness path (allowedLateness
+    + isElementLate/sideOutput at WindowOperator.java:380-409, late
+    firing per late element) that Spark's native window agg cannot
+    express (Structured Streaming drops state the moment the watermark
+    passes the window, so a late-but-allowed row is lost).
+
+    Per (key, window): accumulate; when the watermark passes window_end
+    emit ``+I`` once; a row arriving while ``window_end <= wm <
+    window_end + lateness`` re-accumulates and re-fires as a ``-U/+U``
+    pair (the changelog the reference's legacy group-window produces
+    under late firing); rows beyond the lateness horizon are dropped
+    (the reference side-outputs them); state retires at ``window_end +
+    lateness`` — so state per key is O(windows inside the lateness
+    horizon), the same bound as the reference.
+
+    One hash exchange on the grouping key; window assignment is
+    row-local arithmetic. The watermark visible to a batch is the
+    previous batch's (the module's settlement convention), so firing is
+    deterministic under replay.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        TimestampType,
+        StructType as ST,
+    )
+
+    key_fields = [stream.schema[k] for k in keys]
+    out_schema = ST(
+        [
+            StructField(ROWKIND, StringType()),
+            *key_fields,
+            StructField("window_start", TimestampType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    state_schema = ST(
+        [
+            StructField("starts", ArrayType(LongType())),
+            StructField("ns", ArrayType(LongType())),
+            StructField("totals", ArrayType(DoubleType())),
+            StructField("fired_ns", ArrayType(LongType())),  # -1 = unfired
+            StructField("fired_totals", ArrayType(DoubleType())),
+        ]
+    )
+    out_cols = [ROWKIND, *keys, "window_start", "n", "total"]
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        wins: dict[int, list] = {}
+        if state.exists:
+            starts, ns, totals, f_ns, f_ts = state.get
+            for i, w in enumerate(starts or []):
+                wins[int(w)] = [
+                    int(ns[i]),
+                    float(totals[i]),
+                    None if f_ns[i] < 0 else int(f_ns[i]),
+                    None if f_ns[i] < 0 else float(f_ts[i]),
+                ]
+        out: list[tuple] = []
+        # 1) fire windows that became ready on the watermark BEFORE
+        # touching this batch's rows — the timer fires first in the
+        # reference, so a late row landing in the same micro-batch is
+        # observed as a separate late firing, not folded into the +I
+        for w in sorted(wins):
+            n, total, fn_, _ft = wins[w]
+            if fn_ is None and wm >= w + window_ms and n > 0:
+                out.append((INSERT, *key, pd.Timestamp(w * 1_000_000), n, total))
+                wins[w][2:] = [n, total]
+        # 2) accumulate this batch (rows for already-fired windows are
+        # the late-but-allowed case; beyond the horizon they drop, the
+        # reference's sideOutput at WindowOperator.java:405)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for t, v in pdf[[ts_col, value_col]].itertuples(index=False, name=None):
+                ts_ms = pd.Timestamp(t).value // 1_000_000
+                w = (ts_ms // window_ms) * window_ms
+                if wm >= w + window_ms + allowed_lateness_ms:
+                    continue  # beyond the lateness horizon: dropped
+                acc = wins.setdefault(w, [0, 0.0, None, None])
+                acc[0] += 1
+                acc[1] += float(v)
+        # 3) late firings + retirement
+        retired: list[int] = []
+        for w in sorted(wins):
+            n, total, fn_, ft_ = wins[w]
+            w_end = w + window_ms
+            if wm >= w_end and n > 0:
+                ws = pd.Timestamp(w * 1_000_000)
+                if fn_ is None:  # first firing was itself late
+                    out.append((INSERT, *key, ws, n, total))
+                    wins[w][2:] = [n, total]
+                elif (n, total) != (fn_, ft_):
+                    out.append((UPDATE_BEFORE, *key, ws, fn_, ft_))
+                    out.append((UPDATE_AFTER, *key, ws, n, total))
+                    wins[w][2:] = [n, total]
+            if wm >= w_end + allowed_lateness_ms:
+                retired.append(w)
+        for w in retired:
+            del wins[w]
+        if wins:
+            starts = sorted(wins)
+            state.update(
+                (
+                    starts,
+                    [wins[w][0] for w in starts],
+                    [wins[w][1] for w in starts],
+                    [-1 if wins[w][2] is None else wins[w][2] for w in starts],
+                    [-1.0 if wins[w][3] is None else wins[w][3] for w in starts],
+                )
+            )
+            # next event-time action: earliest unfired end, earliest
+            # retirement — whichever comes first after the current wm
+            bounds = [
+                w + window_ms for w in starts if wins[w][2] is None
+            ] + [w + window_ms + allowed_lateness_ms for w in starts]
+            nxt = min(b for b in bounds if b > wm)
+            state.setTimeoutTimestamp(nxt)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

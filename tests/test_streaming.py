@@ -945,3 +945,67 @@ def test_streaming_cep_nfa_reluctant_matches_batch(spark, sf_smoke, tmp_path_fac
         ).collect()
     )
     assert got == want
+
+
+def test_window_agg_allowed_lateness(spark, tmp_path_factory):
+    """Allowed lateness + late firing (WindowOperator.java:380-409):
+    a late-but-allowed row re-fires the already-emitted window as a
+    -U/+U pair; a row beyond the horizon is dropped; state retires."""
+    import datetime as dt
+
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_window_agg_allowed_lateness,
+    )
+
+    path = str(tmp_path_factory.mktemp("lateness"))
+    schema = "k bigint, ts timestamp, v double"
+    T = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minute):
+        return T.replace(minute=0) + dt.timedelta(minutes=minute)
+
+    batches = [
+        [(1, at(0), 1.0), (1, at(2), 2.0)],     # window [10:00,10:10)
+        [(1, at(15), 5.0)],                      # wm -> 10:14, fires w0
+        [(1, at(5), 3.0)],                       # late, allowed -> -U/+U
+        [(1, at(40), 7.0)],                      # wm -> 10:39, retires w0
+        [(1, at(6), 9.0)],                       # beyond horizon: dropped
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            f"{path}/b={i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path + "/b=*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_to_table(
+        streaming_window_agg_allowed_lateness(
+            stream,
+            keys=["k"],
+            ts_col="ts",
+            window_ms=10 * 60 * 1000,
+            allowed_lateness_ms=10 * 60 * 1000,
+            value_col="v",
+        ),
+        "update",
+    )
+    rows = sorted(
+        (str(r["window_start"]), r["__rowkind"], r["n"], r["total"])
+        for r in out.collect()
+    )
+    w0 = [r for r in rows if r[0] == "2024-01-01 10:00:00"]
+    # +I at first fire (2 rows), then the allowed-late row re-fires as
+    # -U/+U; the beyond-horizon row adds NOTHING after retirement
+    assert w0 == [
+        ("2024-01-01 10:00:00", "+I", 2, 3.0),
+        ("2024-01-01 10:00:00", "+U", 3, 6.0),
+        ("2024-01-01 10:00:00", "-U", 2, 3.0),
+    ]
+    # the 10:10 window fired once the watermark passed 10:20
+    w1 = [r for r in rows if r[0] == "2024-01-01 10:10:00"]
+    assert w1 == [("2024-01-01 10:10:00", "+I", 1, 5.0)]
+    # the 10:40 window never fires (watermark never passes its end)
+    assert not [r for r in rows if r[0] == "2024-01-01 10:40:00"]
