@@ -656,3 +656,91 @@ def avro_decode_column(
     return dec.select(
         *others, *[F.col(f"__av.{f.name}") for f in schema.fields]
     )
+
+
+# ---------------------------------------------------------------------------
+# avro-confluent (schema-registry) framing: magic byte 0x00 + 4-byte
+# big-endian schema id + raw avro binary (flink-avro-confluent-registry
+# .../ConfluentSchemaRegistryCoder.java:40,86). The registry CLIENT is
+# network-bound and mocked as an id->schema mapping; the wire format
+# itself is exact.
+# ---------------------------------------------------------------------------
+
+
+def confluent_encode_column(
+    df: DataFrame,
+    schema_id: int,
+    cols: Sequence | None = None,
+    out_col: str = "value",
+) -> DataFrame:
+    """Like :func:`avro_encode_column` but with the Confluent registry
+    framing (writeSchema: magic 0 + int32 id, then the record bytes).
+    ``schema_id`` plays the role of the registered id the reference
+    obtains from SchemaRegistryClient.register."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    use = list(cols) if cols is not None else list(df.columns)
+    st = StructType([df.schema[c] for c in use])
+    avsc = spark_to_avro_schema(st)
+    frame = b"\x00" + struct.pack(">i", int(schema_id))
+
+    @pandas_udf(BinaryType())
+    def _enc(pdf: pd.DataFrame) -> pd.Series:
+        outs = []
+        for t in pdf.itertuples(index=False, name=None):
+            buf = bytearray(frame)
+            for fs, v in zip(avsc["fields"], t):
+                _encode_value(fs["type"], v, buf)
+            outs.append(bytes(buf))
+        return pd.Series(outs, dtype=object)
+
+    keep = [c for c in df.columns if c not in use]
+    return df.select(*keep, _enc(F.struct(*use)).alias(out_col))
+
+
+def confluent_decode_column(
+    df: DataFrame, col: str, schemas: dict
+) -> DataFrame:
+    """Decode a Confluent-framed binary column: verify the magic byte,
+    resolve the schema id through ``schemas`` (the jar-free stand-in
+    for SchemaRegistryClient.getById), then decode the avro binary.
+    All mapped schemas must agree on the Spark row type (the reader
+    schema); an unknown id or bad magic raises, matching the
+    reference's IOException paths (ConfluentSchemaRegistryCoder.java:
+    68,76)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    readers = {int(i): spark_to_avro_schema(st) for i, st in schemas.items()}
+    row_types = {st.simpleString() for st in schemas.values()}
+    if len(row_types) != 1:
+        raise ValueError(
+            "all registry ids must map to one reader row type "
+            f"(got {sorted(row_types)})"
+        )
+    out_st: StructType = next(iter(schemas.values()))
+
+    @pandas_udf(out_st)
+    def _dec(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for raw in s:
+            b = bytes(raw)
+            if not b or b[0] != 0:
+                raise ValueError(
+                    "Unknown data format. Magic number does not match"
+                )
+            (sid,) = struct.unpack(">i", b[1:5])
+            avsc = readers.get(sid)
+            if avsc is None:
+                raise ValueError(f"Could not find schema with id {sid} in registry")
+            r = _Bin(b, pos=5)
+            rows.append(tuple(_decode(fs["type"], r) for fs in avsc["fields"]))
+        return pd.DataFrame(rows, columns=[f.name for f in out_st.fields])
+
+    others = [c for c in df.columns if c != col]
+    dec = df.withColumn("__avc", _dec(F.col(col))).drop(col)
+    return dec.select(
+        *others, *[F.col(f"__avc.{f.name}") for f in out_st.fields]
+    )

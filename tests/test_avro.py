@@ -316,3 +316,31 @@ def test_nullable_array_and_map_elements_roundtrip(spark, tmp_path):
     want = sorted((r["id"], tuple(r["arr"]), tuple(sorted(r["m"].items()))) for r in df.collect())
     got = sorted((r["id"], tuple(r["arr"]), tuple(sorted(r["m"].items()))) for r in back.collect())
     assert got == want
+
+
+def test_confluent_registry_framing_roundtrip(spark):
+    """avro-confluent wire format: magic 0x00 + big-endian int32 schema
+    id + raw avro binary (ConfluentSchemaRegistryCoder.java:40,86);
+    registry client mocked as an id->schema mapping."""
+    import pytest
+
+    from flink_release_1_16_0_spark.sources.avro_format import (
+        confluent_decode_column,
+        confluent_encode_column,
+    )
+
+    df = spark.range(0, 100).selectExpr(
+        "id AS k", "concat('c-', id) AS v", "CAST(id AS DOUBLE)/3 AS x"
+    )
+    wire = confluent_encode_column(df, schema_id=7, cols=["k", "v", "x"])
+    [probe] = wire.limit(1).collect()
+    assert bytes(probe["value"])[:5] == b"\x00\x00\x00\x00\x07"
+    st = StructType.fromDDL("k bigint, v string, x double")
+    back = confluent_decode_column(wire, "value", {7: st})
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # unknown id and bad magic raise (the reference's IOException paths)
+    with pytest.raises(Exception, match="id 7"):
+        confluent_decode_column(wire, "value", {8: st}).collect()
+    bad = spark.createDataFrame([(b"\x01\x00\x00\x00\x07",)], "value binary")
+    with pytest.raises(Exception, match="Magic number"):
+        confluent_decode_column(bad, "value", {7: st}).collect()
