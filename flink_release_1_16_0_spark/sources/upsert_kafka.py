@@ -31,7 +31,7 @@ from pyspark.sql.types import StructType
 
 from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
 
-_FORMATS = ("json", "avro", "protobuf")
+_FORMATS = ("json", "csv", "avro", "protobuf")
 
 
 def _encode(
@@ -44,12 +44,12 @@ def _encode(
     """Encode ``cols`` into one binary ``out_col``. ``keep_cols=True``
     retains the source columns too (key encode happens before value
     encode, and the key columns are part of the value row)."""
-    if fmt == "json":
-        keep = [c for c in df.columns if keep_cols or c not in cols]
-        return df.select(
-            *keep,
-            F.to_json(F.struct(*cols)).cast("binary").alias(out_col),
+    if fmt in ("json", "csv"):
+        enc_col = F.to_json(F.struct(*cols)) if fmt == "json" else F.to_csv(
+            F.struct(*cols)
         )
+        keep = [c for c in df.columns if keep_cols or c not in cols]
+        return df.select(*keep, enc_col.cast("binary").alias(out_col))
     if fmt == "avro":
         from flink_release_1_16_0_spark.sources.avro_format import (
             avro_encode_column,
@@ -79,11 +79,15 @@ def _encode(
 
 
 def _decode(df: DataFrame, col: str, schema: StructType, fmt: str) -> DataFrame:
-    if fmt == "json":
+    if fmt in ("json", "csv"):
         others = [c for c in df.columns if c != col]
-        dec = df.select(
-            *others, F.from_json(F.col(col).cast("string"), schema).alias("__j")
+        txt = F.col(col).cast("string")
+        parsed = (
+            F.from_json(txt, schema)
+            if fmt == "json"
+            else F.from_csv(txt, schema.simpleString())
         )
+        dec = df.select(*others, parsed.alias("__j"))
         return dec.select(
             *others, *[F.col(f"__j.{f.name}") for f in schema.fields]
         )

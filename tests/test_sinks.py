@@ -185,7 +185,7 @@ def test_orc_roundtrip_ddl(spark, tmp_path):
 import pytest as _pytest
 
 
-@_pytest.mark.parametrize("fmt", ["json", "avro", "protobuf"])
+@_pytest.mark.parametrize("fmt", ["json", "csv", "avro", "protobuf"])
 def test_upsert_kafka_tombstone_roundtrip(spark, fmt):
     from flink_release_1_16_0_spark.sources.upsert_kafka import (
         changelog_to_upsert_kafka,
