@@ -1642,6 +1642,138 @@ class TableEnvironment:
         sql = self._translate_event_time_temporal_join(sql)
         return rewrite_window_tvfs(sql)
 
+    def _maybe_lateness_window_agg(self, query: str) -> DataFrame | None:
+        """Dispatch a streaming tumble-window agg to the allowed-
+        lateness operator when ``table.exec.emit.allow-lateness`` (+
+        late-fire) is configured — the reference's WindowEmitStrategy
+        lateness path, which Spark's native window agg cannot serve
+        (state drops at the watermark, so late-but-allowed rows are
+        lost).
+
+        Covered shape: ``SELECT window_start [AS a] [, <keys>]
+        [, COUNT(*) AS n] [, SUM(col) AS t] FROM TABLE(TUMBLE(TABLE
+        src, DESCRIPTOR(ts), INTERVAL 'n' U)) GROUP BY window_start
+        [, keys]``. Returns None when lateness is not configured or the
+        query has no tumble TVF; raises for an unsupported agg shape so
+        a configured lateness is never silently ignored. The emitted
+        update stream keeps ``+I/+U`` firings (``-U`` is dropped on the
+        way to the sink — ONLY_UPDATE_AFTER, the encoding the reference
+        hands upsert sinks)."""
+        lateness = self._config.get("table.exec.emit.allow-lateness")
+        late_fire = (
+            self._config.get("table.exec.emit.late-fire.enabled", "false")
+            == "true"
+        )
+        if not (self.streaming and lateness and late_fire):
+            return None
+        tvf = re.search(
+            r"TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,"
+            r"\s*(INTERVAL\s+'[^']+'\s+\w+)\s*\)\s*\)",
+            query,
+            re.IGNORECASE,
+        )
+        if not tvf:
+            return None
+        src, ts_col, ival = tvf.group(1), tvf.group(2), tvf.group(3)
+        m = re.match(
+            r"\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+TABLE.*?GROUP\s+BY\s+(?P<gb>[\w\s,]+?)\s*$",
+            query,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise NotImplementedError(
+                "table.exec.emit.allow-lateness: unsupported query shape "
+                "(supported: SELECT window_start[, keys][, COUNT(*)]"
+                "[, SUM(col)] FROM TABLE(TUMBLE(...)) GROUP BY "
+                "window_start[, keys])"
+            )
+        gb = [g.strip() for g in m.group("gb").split(",")]
+        keys = [g for g in gb if g.lower() != "window_start"]
+        sel_items = [s.strip() for s in _split_top_level(m.group("sel"))]
+        out_exprs: list[tuple[str, str]] = []  # (operator col, out alias)
+        sum_col = None
+        for it in sel_items:
+            am = re.fullmatch(
+                r"(?:(window_start)|COUNT\s*\(\s*\*\s*\)|SUM\s*\(\s*(\w+)\s*\)|(\w+))"
+                r"(?:\s+AS\s+(\w+))?",
+                it,
+                re.IGNORECASE,
+            )
+            if not am:
+                raise NotImplementedError(
+                    f"allow-lateness dispatch cannot map SELECT item {it!r}"
+                )
+            alias = am.group(4)
+            if am.group(1):  # window_start
+                out_exprs.append(("window_start", alias or "window_start"))
+            elif am.group(2):  # SUM(col)
+                sum_col = am.group(2)
+                out_exprs.append(("total", alias or f"sum_{sum_col}"))
+            elif am.group(3):  # bare key column
+                if am.group(3) not in keys:
+                    raise NotImplementedError(
+                        f"allow-lateness dispatch: {am.group(3)!r} is not "
+                        "a grouping key"
+                    )
+                out_exprs.append((am.group(3), alias or am.group(3)))
+            else:  # COUNT(*)
+                out_exprs.append(("n", alias or "n"))
+        n_, u_ = re.match(
+            r"INTERVAL\s+'([\d.]+)'\s+(\w+)", ival, re.IGNORECASE
+        ).groups()
+        unit_ms = {
+            "SECOND": 1000,
+            "MINUTE": 60_000,
+            "HOUR": 3_600_000,
+            "DAY": 86_400_000,
+        }[u_.upper().rstrip("S")]
+        window_ms = int(float(n_) * unit_ms)
+        lm = re.fullmatch(r"\s*(\d+)\s*(\w+)\s*", lateness)
+        if not lm:
+            raise ValueError(
+                "table.exec.emit.allow-lateness must be '<n> <unit>' "
+                f"(got {lateness!r})"
+            )
+        lateness_ms = int(lm.group(1)) * {
+            "s": 1000,
+            "sec": 1000,
+            "second": 1000,
+            "seconds": 1000,
+            "min": 60_000,
+            "minute": 60_000,
+            "minutes": 60_000,
+            "h": 3_600_000,
+            "hour": 3_600_000,
+            "hours": 3_600_000,
+            "d": 86_400_000,
+            "day": 86_400_000,
+            "days": 86_400_000,
+        }[lm.group(2).lower()]
+        from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+        from flink_release_1_16_0_spark.streaming.stateful import (
+            streaming_window_agg_allowed_lateness,
+        )
+
+        stream = self.spark.table(src)
+        if sum_col is None:
+            stream = stream.withColumn("__zero", F.lit(0.0))
+        if not keys:  # global window: one synthetic key group
+            stream = stream.withColumn("__g", F.lit(0))
+            keys = ["__g"]
+        out = streaming_window_agg_allowed_lateness(
+            stream,
+            keys=keys,
+            ts_col=ts_col,
+            window_ms=window_ms,
+            allowed_lateness_ms=lateness_ms,
+            value_col=sum_col or "__zero",
+        )
+        # ONLY_UPDATE_AFTER toward the sink: drop the -U half
+        out = out.filter(F.col(ROWKIND) != "-U")
+        return out.select(
+            *[F.col(c).alias(a) for c, a in out_exprs]
+        )
+
     def _explain_changelog_mode(self, q: str) -> DataFrame:
         """EXPLAIN CHANGELOG_MODE <query> (ExplainDetail.CHANGELOG_MODE,
         flink-table-api-java .../ExplainDetail.java): build the
@@ -2205,7 +2337,12 @@ class TableEnvironment:
         if name not in self._tables:
             raise ValueError(f"unknown sink table {name!r} (CREATE TABLE it first)")
         table = self._tables[name]
-        df = self.spark.sql(rewrite_window_tvfs(query))
+        lateness_df = self._maybe_lateness_window_agg(query)
+        df = (
+            lateness_df
+            if lateness_df is not None
+            else self.spark.sql(rewrite_window_tvfs(query))
+        )
         declared = [c.name for c in table.columns]
         if partition_spec:
             # static partition INSERT (Parser.tdd SqlInsert partition
@@ -2255,8 +2392,11 @@ class TableEnvironment:
             self._config.get("table.exec.emit.early-fire.enabled", "false")
             == "true"
         )
+        # the lateness operator is applyInPandasWithState in update
+        # mode — its sink drain must be update too
+        update = early or lateness_df is not None
         table.write(
-            aligned, overwrite, output_mode="update" if early else "append"
+            aligned, overwrite, output_mode="update" if update else "append"
         )
         # refresh the readable view if the sink is also scannable (the
         # temp view pins a resolved relation whose file index would

@@ -1921,3 +1921,56 @@ def test_early_fire_window_emit(spark, tmp_path):
     got_final = {str(r["ws"]): r["n"] for r in final_rows}
     # append mode: only the watermark-closed 10:00 window emitted
     assert got_final == {"2024-01-01 10:00:00": 3}
+
+
+def test_allow_lateness_sql_dispatch(spark, tmp_path):
+    """table.exec.emit.allow-lateness + late-fire route a streaming
+    tumble-window agg INSERT to the allowed-lateness operator: a
+    late-but-allowed row RE-FIRES the window (+U with the corrected
+    count) where Spark's native path would have dropped it."""
+    import datetime as dt
+
+    src = str(tmp_path / "al_src")
+    schema = "k bigint, ts timestamp, v double"
+    T = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minute):
+        return T + dt.timedelta(minutes=minute)
+
+    batches = [
+        [(1, at(0), 1.0), (1, at(2), 2.0)],
+        [(1, at(15), 5.0)],        # wm -> 10:14, fires [10:00,10:10)
+        [(1, at(5), 3.0)],         # late but allowed -> +U n=3
+        [(1, at(40), 7.0)],        # advances wm; retires the window
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            f"{src}/b={i}"
+        )
+    tenv = TableEnvironment.create(spark, streaming=True)
+    tenv.execute_sql(
+        f"""CREATE TABLE al_src (k BIGINT, ts TIMESTAMP(3), v DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)
+        WITH ('connector'='filesystem','path'='{src}/b=*',
+              'format'='parquet','maxFilesPerTrigger'='1')"""
+    )
+    out = str(tmp_path / "al_out")
+    tenv.execute_sql(
+        f"""CREATE TABLE al_snk (k BIGINT, ws TIMESTAMP(3), n BIGINT, t DOUBLE)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    tenv.execute_sql("SET 'table.exec.emit.allow-lateness' = '10 min'")
+    tenv.execute_sql("SET 'table.exec.emit.late-fire.enabled' = 'true'")
+    tenv.execute_sql(
+        """INSERT INTO al_snk
+        SELECT k, window_start AS ws, COUNT(*) AS n, SUM(v) AS t
+        FROM TABLE(TUMBLE(TABLE al_src, DESCRIPTOR(ts), INTERVAL '10' MINUTE))
+        GROUP BY window_start, k"""
+    )
+    rows = sorted(
+        (str(r["ws"]), r["n"], r["t"]) for r in spark.read.parquet(out).collect()
+    )
+    w0 = [r for r in rows if r[0] == "2024-01-01 10:00:00"]
+    # first firing n=2, late re-firing n=3 (native Spark would emit
+    # only n=2 and silently drop the 10:05 row)
+    assert w0 == [("2024-01-01 10:00:00", 2, 3.0), ("2024-01-01 10:00:00", 3, 6.0)]
