@@ -296,3 +296,28 @@ def compact_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def sequence_file_source(
+    spark: SparkSession, path: str, key_col: str = "key", value_col: str = "value"
+) -> DataFrame:
+    """Hadoop SequenceFile source (flink-formats/flink-sequence-file;
+    the reference reads Writable K/V pairs through its hadoop
+    compatibility layer). Spark's Hadoop client converts the common
+    Writables (Text/Long/Int/Double/BytesWritable) to Python values;
+    the pair lands as a two-column DataFrame.
+
+    Scale shape: sequence files are block-splittable and sc.sequenceFile
+    preserves HDFS split parallelism — one task per split, no driver
+    materialization."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd).toDF(key_col, value_col)
+
+
+def write_sequence_file(
+    df: DataFrame, path: str, key_col: str, value_col: str
+) -> None:
+    """SequenceFile sink (SequenceFileWriterFactory.java:43 — the
+    reference's bulk Writable writer for the streaming file sink).
+    Partition-parallel saveAsSequenceFile of (key, value) pairs."""
+    df.select(key_col, value_col).rdd.map(tuple).saveAsSequenceFile(path)

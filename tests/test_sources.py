@@ -192,3 +192,14 @@ def test_protobuf_format_roundtrip_or_gated(spark):
         msg = str(e).lower()
         assert any(k in msg for k in ("protobuf", "descriptor", "classnotfound", "no such file"))
         pytest.skip("spark-protobuf jar/descriptor tooling not available in this environment")
+
+
+def test_sequence_file_roundtrip(spark, tmp_path):
+    """SequenceFile K/V roundtrip (flink-sequence-file's
+    SequenceFileWriterFactory / hadoop-compat read path) through
+    Spark's native Hadoop Writable converters."""
+    df = spark.range(0, 100).selectExpr("id AS k", "concat('s-', id) AS v")
+    d = str(tmp_path / "seq")
+    S.write_sequence_file(df, d, "k", "v")
+    back = S.sequence_file_source(spark, d, key_col="k", value_col="v")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
