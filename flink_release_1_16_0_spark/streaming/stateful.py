@@ -1527,8 +1527,10 @@ def streaming_window_agg_allowed_lateness(
     window_ms: int,
     allowed_lateness_ms: int,
     value_col: str,
+    slide_ms: int | None = None,
 ) -> DataFrame:
-    """Tumbling window COUNT/SUM with allowed lateness + late firing —
+    """Tumbling (or, with ``slide_ms``, hopping) window COUNT/SUM with
+    allowed lateness + late firing —
     the reference's WindowOperator.java lateness path (allowedLateness
     + isElementLate/sideOutput at WindowOperator.java:380-409, late
     firing per late element) that Spark's native window agg cannot
@@ -1612,12 +1614,20 @@ def streaming_window_agg_allowed_lateness(
                 continue
             for t, v in pdf[[ts_col, value_col]].itertuples(index=False, name=None):
                 ts_ms = pd.Timestamp(t).value // 1_000_000
-                w = (ts_ms // window_ms) * window_ms
-                if wm >= w + window_ms + allowed_lateness_ms:
-                    continue  # beyond the lateness horizon: dropped
-                acc = wins.setdefault(w, [0, 0.0, None, None])
-                acc[0] += 1
-                acc[1] += float(v)
+                if slide_ms is None:
+                    assigned = [(ts_ms // window_ms) * window_ms]
+                else:
+                    # hop assignment (SliceAssigners.Hopping): every
+                    # slide-aligned start w with w <= ts < w + size
+                    first = ((ts_ms - window_ms) // slide_ms + 1) * slide_ms
+                    last = (ts_ms // slide_ms) * slide_ms
+                    assigned = list(range(first, last + 1, slide_ms))
+                for w in assigned:
+                    if wm >= w + window_ms + allowed_lateness_ms:
+                        continue  # beyond the lateness horizon: dropped
+                    acc = wins.setdefault(w, [0, 0.0, None, None])
+                    acc[0] += 1
+                    acc[1] += float(v)
         # 3) late firings + retirement
         retired: list[int] = []
         for w in sorted(wins):

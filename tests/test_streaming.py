@@ -1009,3 +1009,61 @@ def test_window_agg_allowed_lateness(spark, tmp_path_factory):
     assert w1 == [("2024-01-01 10:10:00", "+I", 1, 5.0)]
     # the 10:40 window never fires (watermark never passes its end)
     assert not [r for r in rows if r[0] == "2024-01-01 10:40:00"]
+
+
+def test_hop_window_agg_allowed_lateness(spark, tmp_path_factory):
+    """Hop (sliding) windows through the lateness operator: a row lands
+    in size/slide overlapping windows, and a late-but-allowed row
+    re-fires EVERY fired window that contains it."""
+    import datetime as dt
+
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_window_agg_allowed_lateness,
+    )
+
+    path = str(tmp_path_factory.mktemp("hoplate"))
+    schema = "k bigint, ts timestamp, v double"
+    T = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minute):
+        return T + dt.timedelta(minutes=minute)
+
+    batches = [
+        [(1, at(2), 1.0)],        # windows [9:55,10:05) and [10:00,10:10)
+        [(1, at(14), 5.0)],       # wm -> 10:13: fires both
+        [(1, at(3), 2.0)],        # late, allowed: re-fires both
+        [(1, at(50), 7.0)],       # retires everything old
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            f"{path}/b={i}"
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path + "/b=*")
+        .withWatermark("ts", "1 minute")
+    )
+    out = run_to_table(
+        streaming_window_agg_allowed_lateness(
+            stream,
+            keys=["k"],
+            ts_col="ts",
+            window_ms=10 * 60 * 1000,
+            allowed_lateness_ms=10 * 60 * 1000,
+            value_col="v",
+            slide_ms=5 * 60 * 1000,
+        ),
+        "update",
+    )
+    rows = sorted(
+        (str(r["window_start"]), r["__rowkind"], r["n"], r["total"])
+        for r in out.collect()
+    )
+    for ws in ("2024-01-01 09:55:00", "2024-01-01 10:00:00"):
+        got = [r for r in rows if r[0] == ws]
+        assert got == [
+            (ws, "+I", 1, 1.0),
+            (ws, "+U", 2, 3.0),
+            (ws, "-U", 1, 1.0),
+        ], got
