@@ -1667,14 +1667,18 @@ class TableEnvironment:
         if not (self.streaming and lateness and late_fire):
             return None
         tvf = re.search(
-            r"TABLE\s*\(\s*TUMBLE\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,"
-            r"\s*(INTERVAL\s+'[^']+'\s+\w+)\s*\)\s*\)",
+            r"TABLE\s*\(\s*(TUMBLE|HOP)\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,"
+            r"\s*(INTERVAL\s+'[^']+'\s+\w+)\s*(?:,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*)?\)\s*\)",
             query,
             re.IGNORECASE,
         )
         if not tvf:
             return None
-        src, ts_col, ival = tvf.group(1), tvf.group(2), tvf.group(3)
+        kind = tvf.group(1).upper()
+        src, ts_col = tvf.group(2), tvf.group(3)
+        # TUMBLE(t, d, size); HOP(t, d, slide, size) — Flink arg order
+        ival = tvf.group(5) if kind == "HOP" else tvf.group(4)
+        slide_ival = tvf.group(4) if kind == "HOP" else None
         m = re.match(
             r"\s*SELECT\s+(?P<sel>.*?)\s+FROM\s+TABLE.*?GROUP\s+BY\s+(?P<gb>[\w\s,]+?)\s*$",
             query,
@@ -1728,6 +1732,20 @@ class TableEnvironment:
             "DAY": 86_400_000,
         }[u_.upper().rstrip("S")]
         window_ms = int(float(n_) * unit_ms)
+        slide_ms = None
+        if slide_ival is not None:
+            sn_, su_ = re.match(
+                r"INTERVAL\s+'([\d.]+)'\s+(\w+)", slide_ival, re.IGNORECASE
+            ).groups()
+            slide_ms = int(
+                float(sn_)
+                * {
+                    "SECOND": 1000,
+                    "MINUTE": 60_000,
+                    "HOUR": 3_600_000,
+                    "DAY": 86_400_000,
+                }[su_.upper().rstrip("S")]
+            )
         lm = re.fullmatch(r"\s*(\d+)\s*(\w+)\s*", lateness)
         if not lm:
             raise ValueError(
@@ -1767,6 +1785,7 @@ class TableEnvironment:
             window_ms=window_ms,
             allowed_lateness_ms=lateness_ms,
             value_col=sum_col or "__zero",
+            slide_ms=slide_ms,
         )
         # ONLY_UPDATE_AFTER toward the sink: drop the -U half
         out = out.filter(F.col(ROWKIND) != "-U")

@@ -1974,3 +1974,50 @@ def test_allow_lateness_sql_dispatch(spark, tmp_path):
     # first firing n=2, late re-firing n=3 (native Spark would emit
     # only n=2 and silently drop the 10:05 row)
     assert w0 == [("2024-01-01 10:00:00", 2, 3.0), ("2024-01-01 10:00:00", 3, 6.0)]
+
+
+def test_allow_lateness_sql_dispatch_hop(spark, tmp_path):
+    """HOP TVF also routes to the lateness operator (Flink arg order:
+    slide then size); a late row re-fires both overlapping windows."""
+    import datetime as dt
+
+    src = str(tmp_path / "alh_src")
+    schema = "k bigint, ts timestamp, v double"
+    T = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def at(minute):
+        return T + dt.timedelta(minutes=minute)
+
+    batches = [
+        [(1, at(2), 1.0)],   # windows [9:55,10:05) and [10:00,10:10)
+        [(1, at(14), 5.0)],  # wm -> 10:13: fires both
+        [(1, at(3), 2.0)],   # late but allowed: re-fires both
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            f"{src}/b={i}"
+        )
+    tenv = TableEnvironment.create(spark, streaming=True)
+    tenv.execute_sql(
+        f"""CREATE TABLE alh_src (k BIGINT, ts TIMESTAMP(3), v DOUBLE,
+          WATERMARK FOR ts AS ts - INTERVAL '1' MINUTE)
+        WITH ('connector'='filesystem','path'='{src}/b=*',
+              'format'='parquet','maxFilesPerTrigger'='1')"""
+    )
+    out = str(tmp_path / "alh_out")
+    tenv.execute_sql(
+        f"""CREATE TABLE alh_snk (ws TIMESTAMP(3), n BIGINT)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    tenv.execute_sql("SET 'table.exec.emit.allow-lateness' = '10 min'")
+    tenv.execute_sql("SET 'table.exec.emit.late-fire.enabled' = 'true'")
+    tenv.execute_sql(
+        """INSERT INTO alh_snk
+        SELECT window_start AS ws, COUNT(*) AS n
+        FROM TABLE(HOP(TABLE alh_src, DESCRIPTOR(ts),
+                       INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
+        GROUP BY window_start"""
+    )
+    rows = sorted((str(r["ws"]), r["n"]) for r in spark.read.parquet(out).collect())
+    for ws in ("2024-01-01 09:55:00", "2024-01-01 10:00:00"):
+        assert [r for r in rows if r[0] == ws] == [(ws, 1), (ws, 2)], rows
