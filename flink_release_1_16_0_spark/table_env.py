@@ -1666,6 +1666,11 @@ class TableEnvironment:
         )
         if not (self.streaming and lateness and late_fire):
             return None
+        # SESSION deliberately absent: the reference IGNORES
+        # allow-lateness for session windows ("retraction is not
+        # supported", WindowEmitStrategy.scala:176-177) and throws on
+        # session + early/late-fire (:47-48) — falling through to the
+        # native session path reproduces the ignore behavior.
         tvf = re.search(
             r"TABLE\s*\(\s*(TUMBLE|HOP)\s*\(\s*TABLE\s+(\w+)\s*,\s*DESCRIPTOR\s*\(\s*(\w+)\s*\)\s*,"
             r"\s*(INTERVAL\s+'[^']+'\s+\w+)\s*(?:,\s*(INTERVAL\s+'[^']+'\s+\w+)\s*)?\)\s*\)",
