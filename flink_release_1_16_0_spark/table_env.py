@@ -487,6 +487,7 @@ class CatalogTable:
             if self.partitioned_by:
                 writer = writer.partitionBy(*self.partitioned_by)
             writer.save(self.options["path"])
+            self._commit_partitions(self._touched_partitions(out))
             return
         if connector == "jdbc":
             from flink_release_1_16_0_spark.sources.jdbc import jdbc_write
@@ -510,6 +511,48 @@ class CatalogTable:
             f"unsupported sink connector {connector!r} "
             "(supported: filesystem, print, blackhole, jdbc, hive)"
         )
+
+    def _touched_partitions(self, df: DataFrame) -> list[str]:
+        """Relative partition paths (``a=1/b=x``) this INSERT touched —
+        the set the reference's FileSystemCommitter / PartitionCommitter
+        applies commit policies to. Cost: one distinct over the
+        partition columns (partial-agg shuffle with tiny output — noise
+        next to the write itself); unpartitioned sinks commit the
+        root."""
+        if not self.partitioned_by:
+            return [""]
+        rows = df.select(*self.partitioned_by).distinct().collect()
+        return [
+            "/".join(f"{c}={r[c]}" for c in self.partitioned_by) for r in rows
+        ]
+
+    def _commit_partitions(self, rel_paths: list[str]) -> None:
+        """Apply ``sink.partition-commit.policy.kind`` policies
+        (FileSystemConnectorOptions.java:201): 'success-file' touches
+        the marker (name from sink.partition-commit.success-file.name,
+        default _SUCCESS — SuccessFileCommitPolicy.java:33) in each
+        committed partition directory; 'metastore' is a no-op for a
+        pathless filesystem table (MetastoreCommitPolicy applies to
+        hive-catalog tables, where saveAsTable already registers the
+        partitions)."""
+        kinds = [
+            k.strip()
+            for k in self.options.get(
+                "sink.partition-commit.policy.kind", ""
+            ).split(",")
+            if k.strip()
+        ]
+        if "success-file" not in kinds:
+            return
+        name = self.options.get(
+            "sink.partition-commit.success-file.name", "_SUCCESS"
+        )
+        base = self.options["path"]
+        for rel in rel_paths:
+            d = os.path.join(base, rel) if rel else base
+            if os.path.isdir(d):
+                with open(os.path.join(d, name), "w"):
+                    pass
 
     def _write_stream(self, out: DataFrame, output_mode: str = "append") -> None:
         """Streaming INSERT: bounded availableNow drain into the sink.
@@ -553,12 +596,17 @@ class CatalogTable:
                 if partitions:
                     writer = writer.partitionBy(*partitions)
             else:
+                touched: set[str] = set()
 
                 def _append(batch_df: DataFrame, _batch_id: int) -> None:
                     w = batch_df.write.format(fmt).mode("append")
                     if partitions:
                         w = w.partitionBy(*partitions)
                     w.save(path)
+                    # partition-commit bookkeeping (PartitionCommitter):
+                    # the bounded drain commits at end-of-input, like the
+                    # reference's finite-stream endInput path
+                    touched.update(self._touched_partitions(batch_df))
 
                 writer = out.writeStream.foreachBatch(_append).option(
                     "checkpointLocation",
@@ -600,6 +648,8 @@ class CatalogTable:
             exc = q.exception()
             if exc is not None:
                 raise exc
+            if connector == "filesystem" and "checkpoint" not in self.options:
+                self._commit_partitions(sorted(touched))
         finally:
             if q.isActive:
                 q.stop()

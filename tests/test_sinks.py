@@ -226,3 +226,58 @@ def test_upsert_kafka_tombstone_roundtrip(spark, fmt):
         ("+U", 2, "b", 15.0),
         ("-D", 2, None, None),
     ]
+
+
+def test_partition_commit_success_file(spark, tmp_path):
+    """sink.partition-commit.policy.kind='success-file'
+    (SuccessFileCommitPolicy.java:33): committed partition directories
+    get the marker, batch and streaming (end-of-input commit), with a
+    configurable name; unpartitioned sinks mark the root."""
+    import os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "pc_src")
+    spark.range(0, 20).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+
+    # batch INSERT, partitioned
+    tenv = TableEnvironment.create(spark)
+    out_b = str(tmp_path / "pc_batch")
+    tenv.execute_sql(
+        f"""CREATE TABLE pc_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE pc_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out_b}','format'='parquet',
+              'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    tenv.execute_sql("INSERT INTO pc_snk SELECT k, p FROM pc_src")
+    assert os.path.exists(f"{out_b}/p=0/_SUCCESS")
+    assert os.path.exists(f"{out_b}/p=1/_SUCCESS")
+
+    # streaming INSERT, custom marker name, unpartitioned root marker
+    stenv = TableEnvironment.create(spark, streaming=True)
+    out_s = str(tmp_path / "pc_stream")
+    stenv.execute_sql(
+        f"""CREATE TABLE pc_src_s (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    stenv.execute_sql(
+        f"""CREATE TABLE pc_snk_s (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out_s}','format'='parquet',
+              'sink.partition-commit.policy.kind'='success-file',
+              'sink.partition-commit.success-file.name'='_DONE')"""
+    )
+    stenv.execute_sql("INSERT INTO pc_snk_s SELECT k, p FROM pc_src_s WHERE p = 1")
+    assert os.path.exists(f"{out_s}/p=1/_DONE")
+    assert not os.path.exists(f"{out_s}/p=0/_DONE")  # untouched partition
+
+    out_u = str(tmp_path / "pc_unpart")
+    tenv.execute_sql(
+        f"""CREATE TABLE pc_snk_u (k BIGINT)
+        WITH ('connector'='filesystem','path'='{out_u}','format'='parquet',
+              'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    tenv.execute_sql("INSERT INTO pc_snk_u SELECT k FROM pc_src")
+    assert os.path.exists(f"{out_u}/_SUCCESS")
