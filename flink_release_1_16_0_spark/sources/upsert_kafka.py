@@ -143,12 +143,21 @@ def upsert_kafka_to_changelog(
     ChangelogNormalize consumes (UpsertKafkaDynamicTableFactory's
     source side)."""
     key_names = {f.name for f in key_schema.fields}
+    # transport metadata (offset/partition/timestamp — the columns the
+    # reference exposes as kafka METADATA) passes through: downstream
+    # ChangelogNormalize needs the ARRIVAL order, which lives in the
+    # record metadata, not the decoded payload
+    meta = [c for c in df.columns if c not in ("key", "value")]
     data = _decode(
         df.filter(F.col("value").isNotNull()).drop("key"),
         "value",
         value_schema,
         fmt,
-    ).select(F.lit("+U").alias(ROWKIND), *[f.name for f in value_schema.fields])
+    ).select(
+        F.lit("+U").alias(ROWKIND),
+        *meta,
+        *[f.name for f in value_schema.fields],
+    )
     tombs = _decode(
         df.filter(F.col("value").isNull()).drop("value"),
         "key",
@@ -156,6 +165,7 @@ def upsert_kafka_to_changelog(
         key_fmt or fmt,
     ).select(
         F.lit("-D").alias(ROWKIND),
+        *meta,
         *[
             F.col(f.name)
             if f.name in key_names

@@ -281,3 +281,50 @@ def test_partition_commit_success_file(spark, tmp_path):
     )
     tenv.execute_sql("INSERT INTO pc_snk_u SELECT k FROM pc_src")
     assert os.path.exists(f"{out_u}/_SUCCESS")
+
+
+def test_upsert_kafka_source_pipeline_materializes(spark):
+    """The full upsert-kafka SOURCE pipeline: framed (key, value)
+    records -> value-format decode (-D from tombstones) ->
+    ChangelogNormalize -> the table the reference's planner converges
+    to (latest version per key; tombstoned keys gone)."""
+    from flink_release_1_16_0_spark.sources.upsert_kafka import (
+        changelog_to_upsert_kafka,
+        upsert_kafka_to_changelog,
+    )
+    from flink_release_1_16_0_spark.streaming.changelog import (
+        ROWKIND,
+        changelog_normalize,
+    )
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    log = spark.createDataFrame(
+        [
+            ("+I", 1, 1, "a"),
+            ("+U", 2, 1, "a2"),   # second version of key 1
+            ("+I", 1, 2, "b"),
+            ("-D", 2, 2, "b"),    # key 2 tombstoned
+            ("+I", 1, 3, "c"),
+        ],
+        f"{ROWKIND} string, ver int, k int, v string",
+    )
+    wire = changelog_to_upsert_kafka(log, key_cols=["k"], fmt="avro")
+    # kafka preserves per-key order; the bounded stand-in carries an
+    # explicit arrival sequence the way offsets would
+    wire = wire.withColumn("__off", F.monotonically_increasing_id())
+    back = upsert_kafka_to_changelog(
+        wire,
+        key_schema=StructType.fromDDL("k int"),
+        value_schema=StructType.fromDDL("ver int, k int, v string"),
+        fmt="avro",
+    )
+    # normalize by ARRIVAL order (the offset metadata), as the
+    # reference's ChangelogNormalize does on the upsert-kafka source
+    state = changelog_normalize(
+        back.withColumn("__seq", F.lit(0)), ["k"], "__off", "__seq"
+    ).drop("__off")
+    assert sorted((r["k"], r["v"]) for r in state.collect()) == [
+        (1, "a2"),
+        (3, "c"),
+    ]
