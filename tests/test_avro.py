@@ -344,3 +344,59 @@ def test_confluent_registry_framing_roundtrip(spark):
     bad = spark.createDataFrame([(b"\x01\x00\x00\x00\x07",)], "value binary")
     with pytest.raises(Exception, match="Magic number"):
         confluent_decode_column(bad, "value", {7: st}).collect()
+
+
+def test_property_raw_binary_record_roundtrip():
+    """Property-based roundtrip of the raw avro binary record encoding
+    that backs both the kafka value codec (avro_encode_column) and the
+    confluent framing."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as hst
+    except ImportError:
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+    )
+
+    from flink_release_1_16_0_spark.sources.avro_format import (
+        _Bin,
+        _decode,
+        _encode_value,
+        spark_to_avro_schema,
+    )
+
+    st = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("c", DoubleType()),
+            StructField("d", BooleanType()),
+        ]
+    )
+    avsc = spark_to_avro_schema(st)
+    row_st = hst.tuples(
+        hst.none() | hst.integers(min_value=-(2**63), max_value=2**63 - 1),
+        hst.none() | hst.text(max_size=40),
+        hst.none() | hst.floats(allow_nan=False, width=64),
+        hst.none() | hst.booleans(),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(row_st)
+    def check(row):
+        buf = bytearray()
+        for fs, v in zip(avsc["fields"], row):
+            _encode_value(fs["type"], v, buf)
+        r = _Bin(bytes(buf))
+        assert tuple(_decode(fs["type"], r) for fs in avsc["fields"]) == row
+        assert r.pos == len(buf)  # no trailing bytes
+
+    check()
