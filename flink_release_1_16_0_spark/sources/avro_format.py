@@ -605,10 +605,16 @@ def write_avro(
 
 
 def avro_encode_column(
-    df: DataFrame, cols: Sequence | None = None, out_col: str = "value"
+    df: DataFrame,
+    cols: Sequence | None = None,
+    out_col: str = "value",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Serialize ``cols`` (default: all) into one binary column holding
-    the raw avro binary encoding of a record with those fields."""
+    the raw avro binary encoding of a record with those fields.
+    ``keep_cols=True`` retains the source columns beside the encoded
+    one (key-format composition) — the record's field NAMES stay the
+    real column names either way."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
@@ -627,7 +633,9 @@ def avro_encode_column(
             outs.append(bytes(buf))
         return pd.Series(outs, dtype=object)
 
-    keep = [c for c in df.columns if c not in use]
+    keep = list(df.columns) if keep_cols else [
+        c for c in df.columns if c not in use
+    ]
     return df.select(*keep, _enc(F.struct(*use)).alias(out_col))
 
 

@@ -583,11 +583,16 @@ def protobuf_decode_column(
 
 
 def protobuf_encode_column(
-    df: DataFrame, cols: Sequence[str] | None = None, out_col: str = "value"
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    out_col: str = "value",
+    keep_cols: bool = False,
 ) -> DataFrame:
     """Serialize ``cols`` (default: all columns) into one binary
     protobuf column — the sink-side value format
-    (PbRowDataSerializationSchema)."""
+    (PbRowDataSerializationSchema). ``keep_cols=True`` retains the
+    source columns beside the encoded one (key-format composition,
+    where the key columns are also part of the value row)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import BinaryType
@@ -605,5 +610,7 @@ def protobuf_encode_column(
             dtype=object,
         )
 
-    others = [c for c in df.columns if c not in use]
+    others = list(df.columns) if keep_cols else [
+        c for c in df.columns if c not in use
+    ]
     return df.select(*others, _enc(F.struct(*use)).alias(out_col))

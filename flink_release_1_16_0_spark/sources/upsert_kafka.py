@@ -66,16 +66,9 @@ def _encode(
         raise ValueError(
             f"unsupported upsert-kafka format {fmt!r} (use {_FORMATS})"
         )
-    if not keep_cols:
-        return enc(df, cols=list(cols), out_col=out_col)
-    # the codecs consume their input columns; encode a duplicate set
-    dup = df
-    alias = {}
-    for c in cols:
-        alias[c] = f"__uk_{c}"
-        dup = dup.withColumn(alias[c], F.col(c))
-    out = enc(dup, cols=[alias[c] for c in cols], out_col=out_col)
-    return out
+    # keep_cols rides the codec itself so the encoded record's field
+    # names stay the REAL column names on the wire
+    return enc(df, cols=list(cols), out_col=out_col, keep_cols=keep_cols)
 
 
 def _decode(df: DataFrame, col: str, schema: StructType, fmt: str) -> DataFrame:
