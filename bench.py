@@ -6,11 +6,12 @@ Prints ONE JSON line:
 
 Each benched query is executed once untimed (plan compilation, codegen,
 shuffle-file warmup — one-time costs that amortize to nothing on a real
-cluster run) and then three times timed as a full action (noop write —
+cluster run) and then five times timed as a full action (noop write —
 forces the whole plan without driver-side materialization cost).
 Reported time is the minimum of the timed runs: this host is a shared
-VM whose wall-clock noise spans 2-20x on identical plans, and the min
-is the standard noise-floor estimator. The bench set is the
+VM whose wall-clock noise spans 2-20x on identical plans (observed same
+code: 5.9s and 30s totals minutes apart), and the min is the standard
+noise-floor estimator. The bench set is the
 ``bench=True`` subset of the registry.
 """
 
@@ -41,7 +42,7 @@ def main() -> None:
     for name, spec in bench_specs.items():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
