@@ -1753,7 +1753,7 @@ class TableEnvironment:
         sum_col = None
         for it in sel_items:
             am = re.fullmatch(
-                r"(?:(window_start)|COUNT\s*\(\s*\*\s*\)|SUM\s*\(\s*(\w+)\s*\)|(\w+))"
+                r"(?:(window_start)|(window_end)|COUNT\s*\(\s*\*\s*\)|SUM\s*\(\s*(\w+)\s*\)|(\w+))"
                 r"(?:\s+AS\s+(\w+))?",
                 it,
                 re.IGNORECASE,
@@ -1762,19 +1762,21 @@ class TableEnvironment:
                 raise NotImplementedError(
                     f"allow-lateness dispatch cannot map SELECT item {it!r}"
                 )
-            alias = am.group(4)
+            alias = am.group(5)
             if am.group(1):  # window_start
                 out_exprs.append(("window_start", alias or "window_start"))
-            elif am.group(2):  # SUM(col)
-                sum_col = am.group(2)
+            elif am.group(2):  # window_end = start + size, computed below
+                out_exprs.append(("__window_end", alias or "window_end"))
+            elif am.group(3):  # SUM(col)
+                sum_col = am.group(3)
                 out_exprs.append(("total", alias or f"sum_{sum_col}"))
-            elif am.group(3):  # bare key column
-                if am.group(3) not in keys:
+            elif am.group(4):  # bare key column
+                if am.group(4) not in keys:
                     raise NotImplementedError(
-                        f"allow-lateness dispatch: {am.group(3)!r} is not "
+                        f"allow-lateness dispatch: {am.group(4)!r} is not "
                         "a grouping key"
                     )
-                out_exprs.append((am.group(3), alias or am.group(3)))
+                out_exprs.append((am.group(4), alias or am.group(4)))
             else:  # COUNT(*)
                 out_exprs.append(("n", alias or "n"))
         n_, u_ = re.match(
@@ -1844,6 +1846,12 @@ class TableEnvironment:
         )
         # ONLY_UPDATE_AFTER toward the sink: drop the -U half
         out = out.filter(F.col(ROWKIND) != "-U")
+        if any(c == "__window_end" for c, _a in out_exprs):
+            out = out.withColumn(
+                "__window_end",
+                F.col("window_start")
+                + F.expr(f"INTERVAL {window_ms // 1000} SECOND"),
+            )
         return out.select(
             *[F.col(c).alias(a) for c, a in out_exprs]
         )

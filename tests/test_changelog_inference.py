@@ -292,3 +292,32 @@ def test_explain_changelog_mode_cdc_drop_update_before(tenv, spark, tmp_path):
         "TableSourceScan(table=[cm_cdc], mode=[retract], changelogMode=[I,UB,UA,D])"
         in plan
     )
+
+
+def test_explain_changelog_mode_join_then_agg(tenv, spark, tmp_path):
+    """Combined topology: upsert source -> normalize -> join -> group
+    agg -> retract collect sink. The agg's updating input makes it
+    fully updating ({I,U,D}) and the whole spine is BEFORE_AND_AFTER."""
+    src = str(tmp_path / "cm_ja_ups")
+    spark.createDataFrame([(1, "a", 10)], "k INT, v STRING, ver INT").write.parquet(src)
+    dim = str(tmp_path / "cm_ja_dim")
+    spark.createDataFrame([(1, "x")], "k INT, d STRING").write.parquet(dim)
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_ja_ups (
+          k INT, v STRING, ver INT, PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('connector'='filesystem','path'='{src}','format'='parquet',
+                'changelog-mode'='upsert','upsert.order-column'='ver')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE cm_ja_dim (k INT, d STRING)
+        WITH ('connector'='filesystem','path'='{dim}','format'='parquet')"""
+    )
+    [row] = tenv.execute_sql(
+        "EXPLAIN CHANGELOG_MODE SELECT d, COUNT(*) FROM cm_ja_ups "
+        "JOIN cm_ja_dim ON k = k GROUP BY d"
+    ).collect()
+    plan = row["plan"]
+    assert plan.startswith("Sink(mode=[retract], changelogMode=[I,UB,UA,D])")
+    assert "GroupAggregate(groupBy=[d], changelogMode=[I,UB,UA,D])" in plan
+    assert "Join(joinType=[inner], on=[k], changelogMode=[I,UB,UA,D])" in plan
+    assert "ChangelogNormalize(key=[k], changelogMode=[I,UB,UA,D])" in plan

@@ -2006,18 +2006,22 @@ def test_allow_lateness_sql_dispatch_hop(spark, tmp_path):
     )
     out = str(tmp_path / "alh_out")
     tenv.execute_sql(
-        f"""CREATE TABLE alh_snk (ws TIMESTAMP(3), n BIGINT)
+        f"""CREATE TABLE alh_snk (ws TIMESTAMP(3), we TIMESTAMP(3), n BIGINT)
         WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
     )
     tenv.execute_sql("SET 'table.exec.emit.allow-lateness' = '10 min'")
     tenv.execute_sql("SET 'table.exec.emit.late-fire.enabled' = 'true'")
     tenv.execute_sql(
         """INSERT INTO alh_snk
-        SELECT window_start AS ws, COUNT(*) AS n
+        SELECT window_start AS ws, window_end AS we, COUNT(*) AS n
         FROM TABLE(HOP(TABLE alh_src, DESCRIPTOR(ts),
                        INTERVAL '5' MINUTE, INTERVAL '10' MINUTE))
         GROUP BY window_start"""
     )
-    rows = sorted((str(r["ws"]), r["n"]) for r in spark.read.parquet(out).collect())
+    got = spark.read.parquet(out).collect()
+    import datetime as _dt
+
+    assert all(r["we"] - r["ws"] == _dt.timedelta(minutes=10) for r in got)
+    rows = sorted((str(r["ws"]), r["n"]) for r in got)
     for ws in ("2024-01-01 09:55:00", "2024-01-01 10:00:00"):
         assert [r for r in rows if r[0] == ws] == [(ws, 1), (ws, 2)], rows
