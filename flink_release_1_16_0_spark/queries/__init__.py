@@ -88,72 +88,71 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-5 window: the repaired func_math oracle first (driver must
-    # re-prove it after the SIGN->DOUBLE cast), then 49 entries drawn
-    # entirely from the 94 queries the driver's 50-entry window has
-    # never sampled across r1-r4 — whole families at a time (ds_*,
-    # func_*, over_* remainder, curation_* remainder, text_*, types_*).
-    # All are green in the local full-registry run of the same gate.
-    # ~44 never-graded remain for round 6.
-    "func_math",
-    # added this round (reluctant MATCH_RECOGNIZE quantifiers;
-    # allowed-lateness window agg)
-    "api_sql_match_reluctant",
-    "stream_window_allowed_lateness",
-    # ds_* TPC-DS-shape family (19, never graded)
-    "ds_correlated_scalar_subquery",
-    "ds_exists_not_exists",
-    "ds_above_average_threshold",
-    "ds_case_channel_pivot",
-    "ds_rollup_rank_in_level",
-    "ds_month_series_delta",
-    "ds_union_channels",
-    "ds_having_band",
-    "ds_time_band_counts",
-    "ds_in_not_in_subquery",
-    "ds_ratio_to_report",
-    "ds_yoy_growth",
-    "ds_channel_intersect",
-    "ds_am_pm_ratio",
-    "ds_frequent_buyers",
-    "ds_distinct_channels",
-    "ds_cohort_retention",
-    "ds_rank_join_back",
-    "ds_channel_share",
-    # scalar-function families (11, never graded)
-    "func_string_basic",
-    "func_string_regex",
-    "func_conditional",
-    "func_hash",
-    "func_json",
-    "func_json_query_exists",
+    # round-6 window: the repaired func_collections first (array columns
+    # now serialized to comma-joined strings on both engines — the r5 red
+    # cell was the driver's canonicalizer crashing on raw list cells, not
+    # wrong values), then the 47 queries the driver's 50-entry window has
+    # NEVER sampled across r1-r5 (this completes the sweep: after r6,
+    # every registry entry has been driver-graded at least once), then
+    # the two round-6 additions (multi-catalog DDL, compiled-plan
+    # persistence). All are green in the local full-registry run of the
+    # strengthened gate (which now fails list-valued graded columns the
+    # way the driver does).
     "func_collections",
-    "func_misc_extras",
-    "func_temporal_tz",
-    "func_sql_udf_names",
-    "func_encoding",
-    # over-window remainder (5, never graded)
-    "over_rows_unbounded",
-    "over_range_unbounded",
-    "over_first_last_nth",
-    "over_range_time_interval",
-    "over_ignore_nulls",
-    # curation remainder (5, never graded)
-    "curation_hash_split",
-    "curation_shard_packing",
-    "curation_pipeline",
-    "curation_source_mixing",
-    "curation_soft_quality_sample",
-    # text-analysis (4, never graded)
-    "text_token_count",
-    "text_quality_by_source",
-    "text_repetition_metrics",
-    "text_fingerprint",
-    # type-system (3, never graded)
-    "types_decimal_arithmetic",
-    "types_time_of_day",
-    "types_nested_access",
-    # (values_inline, udf_pandas_* and the rest go in round 6)
+    # the 47 never-graded (whole remaining families: batch remainder,
+    # llm dedup/similarity/text remainder, streaming remainder, cep,
+    # formats, udf, api facade)
+    "join_skew_salted",
+    "agg_filter_clause",
+    "dedup_keep_last",
+    "rank_topn_rank_mode",
+    "correlate_unnest_map",
+    "correlate_unnest_multiset",
+    "window_tumble_offset",
+    "window_count_slide",
+    "dedup_exact",
+    "dedup_minhash_lsh_join",
+    "dedup_embedding_cosine",
+    "similarity_brute_force_topk",
+    "similarity_ivf_kmeans_topk",
+    "similarity_cell_stats",
+    "text_unigram_logprob",
+    "text_bpe_token_count",
+    "dedup_winnowing_pairs",
+    "text_bigram_pmi",
+    "stream_calc",
+    "stream_hop_agg",
+    "stream_dedup_pairs",
+    "stream_dedup_keep_last",
+    "stream_temporal_join",
+    "stream_interval_join_left",
+    "stream_dedup_first_rowtime",
+    "stream_sort_limit",
+    "stream_distinct_agg",
+    "stream_window_join_left",
+    "stream_count_tumble",
+    "stream_cep_all_rows",
+    "stream_cep_skip_next",
+    "format_debezium_cdc",
+    "cep_fixed_pattern",
+    "cep_regex_pattern",
+    "stream_over_agg",
+    "cep_all_rows_per_match",
+    "multimodal_frame_sample",
+    "cep_skip_to_next",
+    "api_sql_match_within",
+    "values_inline",
+    "sort_limit_offset",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "api_sql_ddl_scan",
+    "api_sql_window_tvf",
+    "api_sql_cumulate_tvf",
+    "api_sql_temporal_join",
+    # round-6 additions (multi-catalog DDL resolution; COMPILE PLAN /
+    # EXECUTE PLAN persistence — both return driver-gradable rows)
+    "api_sql_catalog_ddl",
+    "api_sql_compiled_plan",
 )
 
 

@@ -354,3 +354,105 @@ def api_sql_legacy_group_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY TUMBLE(o_orderdate, INTERVAL '30' DAY), o_orderstatus
         """
     ).to_data_frame()
+
+
+# ---------------------------------------------------------------------------
+# Multi-catalog DDL (CatalogManager; Parser.tdd:50,72,85,89): CREATE
+# CATALOG / USE CATALOG / qualified catalog.db.table resolution, gated
+# end-to-end — the query runs entirely through catalog-qualified paths.
+# ---------------------------------------------------------------------------
+
+_CATALOG_DDL_ORACLE = """
+SELECT
+  r.r_name,
+  COUNT(*) AS nation_count,
+  CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+FROM nation n
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+@register("api_sql_catalog_ddl", _CATALOG_DDL_ORACLE, tags=("api", "ddl", "catalog"))
+def api_sql_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE CATALOG + CREATE DATABASE + qualified-path table DDL,
+    then a join written ONLY in catalog.db.table references — gates
+    the CatalogManager facade's resolution layer end to end."""
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        "CREATE CATALOG IF NOT EXISTS lake WITH ('type'='generic_in_memory')"
+    )
+    tenv.execute_sql("CREATE DATABASE IF NOT EXISTS lake.mart")
+    tenv.execute_sql("USE CATALOG lake")
+    tenv.execute_sql("USE mart")
+    tenv.execute_sql(
+        f"""CREATE TABLE cat_nation (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/nation.parquet',
+                'format'='parquet')"""
+    )
+    tenv.execute_sql("USE CATALOG default_catalog")
+    tenv.execute_sql(
+        f"""CREATE TABLE cat_region (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/region.parquet',
+                'format'='parquet')"""
+    )
+    return tenv.sql_query(
+        """
+        SELECT
+          r.r_name,
+          COUNT(*) AS nation_count,
+          CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+        FROM lake.mart.cat_nation n
+        JOIN default_catalog.default_database.cat_region r
+          ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    ).to_data_frame()
+
+
+# ---------------------------------------------------------------------------
+# Compiled-plan persistence (Parser.tdd:49,80,83;
+# TableEnvironmentImpl.compilePlanAndWrite): COMPILE PLAN serializes
+# the op-DAG + statement + catalog metadata; EXECUTE PLAN re-executes
+# it in a FRESH TableEnvironment (restore-from-compiled-plan). The
+# graded rows are read back from the plan-executed sink.
+# ---------------------------------------------------------------------------
+
+_COMPILED_PLAN_ORACLE = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type = 'purchase' AND value > 50
+"""
+
+
+@register("api_sql_compiled_plan", _COMPILED_PLAN_ORACLE, tags=("api", "ddl", "plan"))
+def api_sql_compiled_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="compiled_plan_")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE plan_events (
+          event_id BIGINT, ts TIMESTAMP(6), user_id BIGINT,
+          event_type STRING, value DOUBLE, props STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/events.parquet',
+                'format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE plan_sink (
+          event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE
+        ) WITH ('connector'='filesystem','path'='{work}/sink',
+                'format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""COMPILE PLAN '{work}/plan.json' FOR INSERT INTO plan_sink
+        SELECT event_id, user_id, event_type, value FROM plan_events
+        WHERE event_type = 'purchase' AND value > 50"""
+    )
+    # restore + run in a fresh environment: the artifact alone carries
+    # the tables, the statement, and the op-DAG
+    fresh = TableEnvironment.create(spark)
+    fresh.execute_sql(f"EXECUTE PLAN '{work}/plan.json'")
+    return spark.read.parquet(f"{work}/sink")

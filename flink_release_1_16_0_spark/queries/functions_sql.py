@@ -408,14 +408,20 @@ def func_json_query_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ARRAY_CONTAINS, sort, MAP construction + key access, ROW/STRUCT field
 # --------------------------------------------------------------------------
 
+# NOTE: the array-valued columns are serialized to comma-joined strings on
+# BOTH engines (Spark concat_ws vs DuckDB array_to_string) because the
+# driver's canonicalizer sorts with pandas and cannot hash raw list cells
+# (round-5 red cell). The collection operators themselves (ARRAY constructor,
+# LIST_SORT, element access, MAP, ROW field) remain fully under test — only
+# the wire format of the graded output is scalar.
 _COLLECTION_ORACLE = """
 SELECT
   n_nationkey,
-  [n_nationkey, n_regionkey, n_nationkey + n_regionkey]    AS arr,
+  ARRAY_TO_STRING([n_nationkey, n_regionkey, n_nationkey + n_regionkey], ',') AS arr,
   LEN([n_nationkey, n_regionkey])                          AS card,
   [n_nationkey, n_regionkey][1]                            AS first_elem,
   LIST_CONTAINS([0, 2, 4], n_regionkey)                    AS reg_even,
-  LIST_SORT([n_regionkey, n_nationkey % 5, 3])             AS sorted_arr,
+  ARRAY_TO_STRING(LIST_SORT([n_regionkey, n_nationkey % 5, 3]), ',') AS sorted_arr,
   MAP(['k','r'], [n_nationkey, n_regionkey])['r'][1]       AS map_r,
   {'name': n_name, 'region': n_regionkey}.name             AS row_name
 FROM nation
@@ -428,11 +434,13 @@ def func_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, r = F.col("n_nationkey"), F.col("n_regionkey")
     return nat.select(
         "n_nationkey",
-        F.array(k, r, k + r).alias("arr"),
+        F.concat_ws(",", F.array(k, r, k + r).cast("array<string>")).alias("arr"),
         F.size(F.array(k, r)).cast("bigint").alias("card"),
         F.array(k, r).getItem(0).alias("first_elem"),
         F.array_contains(F.array(F.lit(0), F.lit(2), F.lit(4)), r).alias("reg_even"),
-        F.sort_array(F.array(r, k % 5, F.lit(3))).alias("sorted_arr"),
+        F.concat_ws(
+            ",", F.sort_array(F.array(r, k % 5, F.lit(3))).cast("array<string>")
+        ).alias("sorted_arr"),
         F.create_map(F.lit("k"), k, F.lit("r"), r).getItem("r").alias("map_r"),
         F.struct(F.col("n_name").alias("name"), r.alias("region"))
         .getField("name")

@@ -735,7 +735,11 @@ def confluent_decode_column(
         rows = []
         for raw in s:
             b = bytes(raw)
-            if not b or b[0] != 0:
+            # frames shorter than magic+schema-id (5 bytes) take the
+            # same bad-format path as a wrong magic byte — mirrors the
+            # reference's IOException handling instead of leaking a
+            # bare struct.error on b[1:5]
+            if len(b) < 5 or b[0] != 0:
                 raise ValueError(
                     "Unknown data format. Magic number does not match"
                 )

@@ -40,6 +40,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass, field
 
@@ -199,6 +200,7 @@ class CatalogTable:
     partitioned_by: list[str] = field(default_factory=list)
     options: dict[str, str] = field(default_factory=dict)
     database: str = "default_database"
+    catalog: str = "default_catalog"
     # ANALYZE TABLE results (row_count, per-column ndv/null_count);
     # informational — Spark's AQE re-derives runtime stats itself
     stats: dict[str, object] = field(default_factory=dict)
@@ -486,8 +488,10 @@ class CatalogTable:
             )
             if self.partitioned_by:
                 writer = writer.partitionBy(*self.partitioned_by)
+            t0 = time.time()
             writer.save(self.options["path"])
-            self._commit_partitions(self._touched_partitions(out))
+            if self._has_commit_policy():
+                self._commit_partitions(self._written_partitions(t0))
             return
         if connector == "jdbc":
             from flink_release_1_16_0_spark.sources.jdbc import jdbc_write
@@ -512,19 +516,48 @@ class CatalogTable:
             "(supported: filesystem, print, blackhole, jdbc, hive)"
         )
 
-    def _touched_partitions(self, df: DataFrame) -> list[str]:
-        """Relative partition paths (``a=1/b=x``) this INSERT touched —
-        the set the reference's FileSystemCommitter / PartitionCommitter
-        applies commit policies to. Cost: one distinct over the
-        partition columns (partial-agg shuffle with tiny output — noise
-        next to the write itself); unpartitioned sinks commit the
-        root."""
+    def _has_commit_policy(self) -> bool:
+        return bool(
+            self.options.get("sink.partition-commit.policy.kind", "").strip()
+        )
+
+    def _written_partitions(self, since: float) -> list[str]:
+        """Relative partition paths (``a=1/b=x``) the CURRENT write
+        produced, derived from the data files the writer laid down
+        (mtime >= ``since``) — the reference's FileSystemCommitter
+        derives the commit set from the writer's produced files
+        (PartitionTempFileManager / FileSystemCommitter.java), never by
+        re-executing the insert query: a second execution is a full
+        re-scan of the source at scale AND can commit a different
+        partition set for a nondeterministic query. Unpartitioned sinks
+        commit the root."""
         if not self.partitioned_by:
             return [""]
-        rows = df.select(*self.partitioned_by).distinct().collect()
-        return [
-            "/".join(f"{c}={r[c]}" for c in self.partitioned_by) for r in rows
-        ]
+        base = self.options["path"]
+        depth = len(self.partitioned_by)
+        found: set[str] = set()
+        # epsilon guards sub-ms mtime truncation on coarse filesystems
+        cutoff = since - 0.002
+
+        def walk(d: str, level: int, rel: tuple[str, ...]) -> None:
+            try:
+                entries = list(os.scandir(d))
+            except FileNotFoundError:
+                return
+            for e in entries:
+                if level < depth:
+                    if e.is_dir() and "=" in e.name:
+                        walk(e.path, level + 1, rel + (e.name,))
+                elif (
+                    e.is_file()
+                    and not e.name.startswith((".", "_"))
+                    and e.stat().st_mtime >= cutoff
+                ):
+                    found.add("/".join(rel))
+                    return
+
+        walk(base, 0, ())
+        return sorted(found)
 
     def _commit_partitions(self, rel_paths: list[str]) -> None:
         """Apply ``sink.partition-commit.policy.kind`` policies
@@ -586,6 +619,17 @@ class CatalogTable:
             fmt = self.options.get("format", "parquet")
             partitions = list(self.partitioned_by)
             if "checkpoint" in self.options:
+                if output_mode != "append":
+                    # the native file sink is append-only in Spark; an
+                    # early-fire / allowed-lateness emit (update mode)
+                    # must use the foreachBatch sink — fail with a clear
+                    # message instead of Spark's late AnalysisException
+                    raise ValueError(
+                        "early-fire/allowed-lateness emit (output_mode="
+                        f"{output_mode!r}) requires the foreachBatch "
+                        "filesystem sink; remove the 'checkpoint' option "
+                        "(Spark's native file sink supports Append only)"
+                    )
                 # explicit opt-in: resumable exactly-once via the native
                 # file sink's _spark_metadata commit log
                 writer = (
@@ -596,17 +640,11 @@ class CatalogTable:
                 if partitions:
                     writer = writer.partitionBy(*partitions)
             else:
-                touched: set[str] = set()
-
                 def _append(batch_df: DataFrame, _batch_id: int) -> None:
                     w = batch_df.write.format(fmt).mode("append")
                     if partitions:
                         w = w.partitionBy(*partitions)
                     w.save(path)
-                    # partition-commit bookkeeping (PartitionCommitter):
-                    # the bounded drain commits at end-of-input, like the
-                    # reference's finite-stream endInput path
-                    touched.update(self._touched_partitions(batch_df))
 
                 writer = out.writeStream.foreachBatch(_append).option(
                     "checkpointLocation",
@@ -639,6 +677,7 @@ class CatalogTable:
                 f"unsupported streaming sink connector {connector!r} "
                 "(supported: filesystem, blackhole, hive)"
             )
+        t0 = time.time()
         q = writer.outputMode(output_mode).trigger(availableNow=True).start()
         try:
             q.awaitTermination(300)
@@ -648,8 +687,12 @@ class CatalogTable:
             exc = q.exception()
             if exc is not None:
                 raise exc
-            if connector == "filesystem" and "checkpoint" not in self.options:
-                self._commit_partitions(sorted(touched))
+            # partition-commit at end-of-input (PartitionCommitter's
+            # finite-stream endInput path), derived from the files this
+            # execution wrote — covers BOTH the foreachBatch sink and
+            # the native commit-log sink, with no per-batch re-execution
+            if connector == "filesystem" and self._has_commit_policy():
+                self._commit_partitions(self._written_partitions(t0))
         finally:
             if q.isActive:
                 q.stop()
@@ -1426,11 +1469,23 @@ class TableEnvironment:
         # primary key cols) — TemporalTableFunction, the pre-FLIP-132
         # versioned-join surface (Table.createTemporalTableFunction)
         self._temporal_fns: dict[str, tuple[str, str, list[str]]] = {}
-        # database namespace (CatalogManager's default_catalog/
-        # default_database; CREATE/DROP/USE DATABASE DDL). Table names
-        # stay globally unique (Spark temp views are session-global);
-        # the namespace scopes listing and new-table attribution.
-        self._databases: set[str] = {"default_database"}
+        # catalog + database namespace (CatalogManager,
+        # flink-table-api-java/.../catalog/CatalogManager.java:263 —
+        # CREATE/DROP/USE CATALOG per Parser.tdd:50,58,72; CREATE/DROP/
+        # USE DATABASE). Databases are scoped per catalog; USE CATALOG
+        # resets the current database to the catalog's default database
+        # (CatalogManager.setCurrentCatalog:275). Table names stay
+        # globally unique across catalogs (Spark temp views are
+        # session-global — the session catalog remains the physical
+        # store); the namespace scopes listing, attribution, and
+        # qualified `catalog.db.table` resolution.
+        self._catalogs: dict[str, dict[str, str]] = {
+            "default_catalog": {"type": "generic_in_memory"}
+        }
+        self._current_catalog = "default_catalog"
+        self._databases: dict[str, set[str]] = {
+            "default_catalog": {"default_database"}
+        }
         self._current_db = "default_database"
         # Flink-spelled SQL functions (SPLIT_INDEX, IS_DIGIT, ...) become
         # SQL scalar UDFs — JVM-side, inlined into the Catalyst plan
@@ -1457,6 +1512,15 @@ class TableEnvironment:
                 if part.strip():
                     sset.add_insert_sql(part)
             return sset.execute()
+        if re.match(r"COMPILE\s+(?:AND\s+EXECUTE\s+)?PLAN", up):
+            return self._compile_plan(stmt)
+        if re.match(r"EXECUTE\s+PLAN", up):
+            m = re.fullmatch(r"EXECUTE\s+PLAN\s+'([^']+)'", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"cannot parse EXECUTE PLAN: {stmt!r}")
+            from flink_release_1_16_0_spark.plans.compiled_plan import execute_plan
+
+            return execute_plan(self, m.group(1))
         if re.match(r"SET\s*$", up):
             rows = sorted(self._config.items())
             return TableResult(rows=rows)
@@ -1509,21 +1573,116 @@ class TableEnvironment:
                 m.group("name")
             )
             return TableResult(rows=["OK"])
+        if re.match(r"CREATE\s+CATALOG", up):
+            # SqlCreateCatalog (Parser.tdd:50): CREATE CATALOG name
+            # [WITH ('k'='v', ...)] — an in-memory named catalog over
+            # the session store (GenericInMemoryCatalog equivalent)
+            m = re.fullmatch(
+                r"CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+                r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+                r"(?:\s+WITH\s*\((?P<opts>.*)\))?",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"cannot parse CREATE CATALOG: {stmt!r}")
+            name = m.group(1)
+            if name in self._catalogs:
+                if "IF NOT EXISTS" in up:
+                    return TableResult(rows=["OK"])
+                raise ValueError(f"catalog {name!r} already exists")
+            props: dict[str, str] = {"type": "generic_in_memory"}
+            if m.group("opts"):
+                for pair in _split_top_level(m.group("opts")):
+                    km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                    if not km:
+                        raise ValueError(f"cannot parse WITH option {pair!r}")
+                    props[km.group(1)] = km.group(2)
+            if m.group("comment") is not None:
+                props["comment"] = m.group("comment")
+            self._catalogs[name] = props
+            default_db = props.get("default-database", "default_database")
+            self._databases[name] = {default_db}
+            return TableResult(rows=["OK"])
+        if re.match(r"DROP\s+CATALOG", up):
+            m = re.fullmatch(
+                r"DROP\s+CATALOG\s+(?:IF\s+EXISTS\s+)?(\w+)", stmt, re.IGNORECASE
+            )
+            if not m:
+                raise ValueError(f"cannot parse DROP CATALOG: {stmt!r}")
+            name = m.group(1)
+            if name not in self._catalogs:
+                if "IF EXISTS" in up:
+                    return TableResult(rows=["OK"])
+                raise ValueError(f"unknown catalog {name!r}")
+            if name == "default_catalog":
+                raise ValueError("cannot drop the default catalog")
+            if name == self._current_catalog:
+                # CatalogManager.unregisterCatalog: the current catalog
+                # cannot be dropped
+                raise ValueError(f"cannot drop the current catalog {name!r}")
+            if any(t.catalog == name for t in self._tables.values()):
+                raise ValueError(f"catalog {name!r} is not empty")
+            del self._catalogs[name]
+            del self._databases[name]
+            return TableResult(rows=["OK"])
+        if re.match(r"USE\s+CATALOG", up):
+            name = stmt.split()[-1]
+            if name not in self._catalogs:
+                raise ValueError(f"unknown catalog {name!r}")
+            if name != self._current_catalog:
+                self._current_catalog = name
+                # setCurrentCatalog resets the current database to the
+                # catalog's default database (CatalogManager.java:275)
+                self._current_db = self._catalogs[name].get(
+                    "default-database", "default_database"
+                )
+            return TableResult(rows=["OK"])
+        if up.startswith("SHOW CATALOGS"):
+            return TableResult(rows=sorted(self._catalogs))
+        if up.startswith("SHOW CURRENT CATALOG"):
+            return TableResult(rows=[self._current_catalog])
+        if re.match(r"DESC(?:RIBE)?\s+CATALOG", up):
+            m = re.fullmatch(
+                r"DESC(?:RIBE)?\s+CATALOG\s+(EXTENDED\s+)?(\w+)",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse DESCRIBE CATALOG: {stmt!r}")
+            name = m.group(2)
+            if name not in self._catalogs:
+                raise ValueError(f"unknown catalog {name!r}")
+            props = self._catalogs[name]
+            rows = [("name", name), ("type", props.get("type", ""))]
+            rows.append(("comment", props.get("comment", "")))
+            if m.group(1):
+                rows += [
+                    (f"option:{k}", v)
+                    for k, v in sorted(props.items())
+                    if k not in ("type", "comment")
+                ]
+            return TableResult(rows=rows)
         if re.match(r"DROP\s+DATABASE", up):
             name = stmt.split()[-1]
+            cat, name = self._split_db_path(name)
+            dbs = self._databases[cat]
             if name == "default_database":
                 raise ValueError("cannot drop the default database")
-            if any(t.database == name for t in self._tables.values()):
+            if any(
+                t.catalog == cat and t.database == name
+                for t in self._tables.values()
+            ):
                 raise ValueError(f"database {name!r} is not empty")
-            self._databases.discard(name)
-            if self._current_db == name:
+            dbs.discard(name)
+            if cat == self._current_catalog and self._current_db == name:
                 self._current_db = "default_database"
             return TableResult(rows=["OK"])
         if up.startswith("DROP"):
             m = _DROP_RE.fullmatch(stmt)
             if not m:
                 raise ValueError(f"cannot parse DROP: {stmt!r}")
-            name = m.group("name")
+            name = self._resolve_table_name(m.group("name"))
             self._tables.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return TableResult(rows=["OK"])
@@ -1538,7 +1697,7 @@ class TableEnvironment:
                 m.group("parts"),
             )
         if up.startswith("SHOW CREATE TABLE"):
-            name = stmt.split()[-1]
+            name = self._resolve_table_name(stmt.split()[-1])
             if name not in self._tables:
                 raise ValueError(f"unknown table {name!r}")
             t = self._tables[name]
@@ -1589,19 +1748,20 @@ class TableEnvironment:
             )
             if not m:
                 raise ValueError(f"cannot parse CREATE DATABASE: {stmt!r}")
-            name = m.group(1)
-            if name in self._databases and "IF NOT EXISTS" not in up:
+            cat, name = self._split_db_path(m.group(1))
+            if name in self._databases[cat] and "IF NOT EXISTS" not in up:
                 raise ValueError(f"database {name!r} already exists")
-            self._databases.add(name)
+            self._databases[cat].add(name)
             return TableResult(rows=["OK"])
         if up.startswith("USE "):
-            name = stmt.split()[-1]
-            if name not in self._databases:
+            cat, name = self._split_db_path(stmt.split()[-1])
+            if name not in self._databases[cat]:
                 raise ValueError(f"unknown database {name!r}")
+            self._current_catalog = cat
             self._current_db = name
             return TableResult(rows=["OK"])
         if up.startswith("SHOW DATABASES"):
-            return TableResult(rows=sorted(self._databases))
+            return TableResult(rows=sorted(self._databases[self._current_catalog]))
         if up.startswith("SHOW CURRENT DATABASE"):
             return TableResult(rows=[self._current_db])
         if up.startswith("SHOW PARTITIONS"):
@@ -1628,7 +1788,10 @@ class TableEnvironment:
             return TableResult(rows=parts)
         if up.startswith("SHOW TABLES"):
             in_db = {
-                n for n, t in self._tables.items() if t.database == self._current_db
+                n
+                for n, t in self._tables.items()
+                if t.catalog == self._current_catalog
+                and t.database == self._current_db
             }
             other_db = set(self._tables) - in_db
             names = sorted(
@@ -1641,7 +1804,7 @@ class TableEnvironment:
             )
             return TableResult(rows=names)
         if up.startswith("DESCRIBE") or up.startswith("DESC "):
-            name = stmt.split()[-1]
+            name = self._resolve_table_name(stmt.split()[-1])
             extended = bool(re.match(r"DESC(?:RIBE)?\s+EXTENDED\s", up))
             if name in self._tables:
                 t = self._tables[name]
@@ -1681,11 +1844,104 @@ class TableEnvironment:
     def sql_query(self, sql: str) -> Table:
         return Table(self.spark.sql(self._rewrite_query(sql)))
 
+    # -- catalog path resolution (CatalogManager.qualifyIdentifier) ---------
+    def _split_db_path(self, path: str) -> tuple[str, str]:
+        """``[catalog.]database`` -> (catalog, database); the catalog
+        must exist."""
+        parts = path.split(".")
+        if len(parts) == 1:
+            return self._current_catalog, parts[0]
+        if len(parts) == 2:
+            if parts[0] not in self._catalogs:
+                raise ValueError(f"unknown catalog {parts[0]!r}")
+            return parts[0], parts[1]
+        raise ValueError(f"cannot parse database path {path!r}")
+
+    def _qualify_table_path(self, name: str) -> tuple[str, str, str]:
+        """``[[catalog.]database.]table`` -> (catalog, database, table),
+        defaulting missing parts to the current catalog/database —
+        CatalogManager.qualifyIdentifier(UnresolvedIdentifier)."""
+        parts = name.split(".")
+        if len(parts) == 1:
+            return self._current_catalog, self._current_db, parts[0]
+        if len(parts) == 2:
+            return self._current_catalog, parts[0], parts[1]
+        if len(parts) == 3:
+            return parts[0], parts[1], parts[2]
+        raise ValueError(f"cannot parse table path {name!r}")
+
+    def _resolve_table_name(self, name: str) -> str:
+        """Resolve a possibly-qualified table reference to the bare
+        session-global name, validating catalog/database attribution
+        for qualified forms. Unqualified names pass through (temp views
+        are session-global, like the reference's temporary tables)."""
+        if "." not in name:
+            return name
+        cat, db, bare = self._qualify_table_path(name)
+        if cat not in self._catalogs:
+            raise ValueError(f"unknown catalog {cat!r}")
+        if db not in self._databases[cat]:
+            raise ValueError(f"unknown database {db!r} in catalog {cat!r}")
+        t = self._tables.get(bare)
+        if t is not None and (t.catalog, t.database) != (cat, db):
+            raise ValueError(
+                f"table {bare!r} exists in {t.catalog}.{t.database}, "
+                f"not {cat}.{db}"
+            )
+        return bare
+
+    def _resolve_qualified_refs(self, sql: str) -> str:
+        """Rewrite known ``catalog.db.table`` / ``db.table`` references
+        in a query to their session-global names so Spark's analyzer
+        resolves them (temp views are one-part). Skips string
+        literals."""
+        known: dict[str, str] = {}
+        for bare, t in self._tables.items():
+            known[f"{t.catalog}.{t.database}.{bare}"] = bare
+            if t.catalog == self._current_catalog:
+                known[f"{t.database}.{bare}"] = bare
+        pat = (
+            re.compile(
+                r"\b("
+                + "|".join(
+                    re.escape(k) for k in sorted(known, key=len, reverse=True)
+                )
+                + r")\b"
+            )
+            if known
+            else None
+        )
+        # any OTHER three-part path naming one of our catalogs is a
+        # resolution error — surface it with attribution detail instead
+        # of Spark's namespace AnalysisException
+        cat_pat = re.compile(
+            r"\b("
+            + "|".join(re.escape(c) for c in self._catalogs)
+            + r")\.(\w+)\.(\w+)\b"
+        )
+        out = []
+        for is_lit, seg in _split_sql_literals(sql):
+            if is_lit:
+                out.append(seg)
+                continue
+            if pat is not None:
+                seg = pat.sub(lambda m: known[m.group(1)], seg)
+            stray = cat_pat.search(seg)
+            if stray:
+                # raises with the existing-attribution message
+                self._resolve_table_name(stray.group(0))
+                raise ValueError(
+                    f"cannot resolve table path {stray.group(0)!r}"
+                )
+            out.append(seg)
+        return "".join(out)
+
     def _rewrite_query(self, sql: str) -> str:
         """Dialect passes: dynamic table OPTIONS hints, MATCH_RECOGNIZE
         (materializes the CEP view), temporal table functions (LATERAL
         TABLE), event-time FOR SYSTEM_TIME (as-of operator), then
         windowing TVFs / proc-time FOR SYSTEM_TIME (snapshot join)."""
+        sql = self._resolve_qualified_refs(sql)
         sql = self._apply_options_hints(sql)
         sql = _translate_match_recognize(self, sql)
         sql = self._translate_lateral_temporal(sql)
@@ -1849,8 +2105,10 @@ class TableEnvironment:
         if any(c == "__window_end" for c, _a in out_exprs):
             out = out.withColumn(
                 "__window_end",
+                # millisecond granularity: a fractional TVF size like
+                # INTERVAL '0.5' SECOND must not truncate to 0
                 F.col("window_start")
-                + F.expr(f"INTERVAL {window_ms // 1000} SECOND"),
+                + F.expr(f"INTERVAL {window_ms} MILLISECOND"),
             )
         return out.select(
             *[F.col(c).alias(a) for c, a in out_exprs]
@@ -1873,6 +2131,16 @@ class TableEnvironment:
         as an upsert sink, otherwise append; a bare SELECT explains to
         the collect sink (retract, like the reference's
         TableResult#collect)."""
+        from flink_release_1_16_0_spark.plans import changelog_inference as CI
+
+        sink = self._infer_op_dag(q)
+        return self.spark.createDataFrame([(CI.render(sink),)], "plan string")
+
+    def _infer_op_dag(self, q: str):
+        """Build the changelog op-DAG (plans/changelog_inference node
+        tree) for a supported query shape — shared by EXPLAIN
+        CHANGELOG_MODE and COMPILE PLAN (the ExecNodeGraph dual).
+        Raises ValueError on unsupported shapes."""
         from flink_release_1_16_0_spark.plans import changelog_inference as CI
 
         _CDC = {"debezium-json", "canal-json", "maxwell-json", "ogg-json"}
@@ -1936,9 +2204,7 @@ class TableEnvironment:
                 sink = CI.Sink(input=node, mode="append")
         else:
             sink = CI.Sink(input=node, mode="retract")
-        return self.spark.createDataFrame(
-            [(CI.render(sink),)], "plan string"
-        )
+        return sink
 
     def register_temporal_table_function(
         self, name: str, history_table: str, time_attr: str, primary_key: str
@@ -2149,7 +2415,7 @@ class TableEnvironment:
 
     # -- catalog -------------------------------------------------------------
     def from_path(self, name: str) -> Table:
-        return Table(self.spark.table(name))
+        return Table(self.spark.table(self._resolve_table_name(name)))
 
     def create_temporary_view(self, name: str, table: "Table | DataFrame") -> None:
         df = table.to_data_frame() if isinstance(table, Table) else table
@@ -2162,20 +2428,20 @@ class TableEnvironment:
         )
 
     def catalog_table(self, name: str) -> CatalogTable:
-        return self._tables[name]
+        return self._tables[self._resolve_table_name(name)]
 
     # -- internals -----------------------------------------------------------
     def _create_table_as(self, m: re.Match) -> TableResult:
         """CTAS: schema derived from the query, data written to the
         connector, table registered for subsequent reads."""
-        name = m.group("name")
+        cat, db, name = self._qualify_table_path(m.group("name"))
         options: dict[str, str] = {}
         for pair in _split_top_level(m.group("opts")):
             km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
             if not km:
                 raise ValueError(f"cannot parse WITH option {pair!r}")
             options[km.group(1)] = km.group(2)
-        df = self.spark.sql(rewrite_window_tvfs(m.group("query")))
+        df = self.spark.sql(rewrite_window_tvfs(self._resolve_qualified_refs(m.group("query"))))
         table = CatalogTable(
             name=name,
             columns=[
@@ -2183,6 +2449,8 @@ class TableEnvironment:
                 for f in df.schema
             ],
             options=options,
+            database=db,
+            catalog=cat,
         )
         self._tables[name] = table
         table.write(df, overwrite=True)
@@ -2348,7 +2616,21 @@ class TableEnvironment:
         m = _CREATE_TABLE_RE.fullmatch(stmt)
         if not m:
             raise ValueError(f"cannot parse CREATE TABLE: {stmt!r}")
-        name = m.group("name")
+        cat, db, name = self._qualify_table_path(m.group("name"))
+        if cat not in self._catalogs:
+            raise ValueError(f"unknown catalog {cat!r}")
+        if db not in self._databases[cat]:
+            raise ValueError(f"unknown database {db!r} in catalog {cat!r}")
+        prior = self._tables.get(name)
+        if prior is not None and (prior.catalog, prior.database) != (cat, db):
+            # table names are session-global (Spark temp views); a
+            # same-named table in another catalog.database would
+            # silently shadow it — documented facade restriction
+            raise ValueError(
+                f"table name {name!r} already exists in "
+                f"{prior.catalog}.{prior.database} (names are "
+                "session-global across catalogs)"
+            )
         columns, computed, watermark, primary_key = _parse_schema_body(m.group("body"))
         if watermark is not None:
             # A WATERMARK declaration makes the column a rowtime
@@ -2375,8 +2657,17 @@ class TableEnvironment:
                 [p.strip() for p in m.group("parts").split(",")] if m.group("parts") else []
             ),
             options=options,
-            database=self._current_db,
+            database=db,
+            catalog=cat,
         )
+        self._register_table(table)
+        return TableResult(rows=["OK"])
+
+    def _register_table(self, table: CatalogTable) -> None:
+        """Install a CatalogTable: catalog entry + readable temp view —
+        shared by CREATE TABLE DDL and EXECUTE PLAN table restore."""
+        name = table.name
+        options = table.options
         self._tables[name] = table
         if table.connector == "hive":
             # materialize the backing catalog table eagerly (the
@@ -2407,6 +2698,63 @@ class TableEnvironment:
                     pass
                 else:
                     raise
+
+    _COMPILE_PLAN_RE = re.compile(
+        r"COMPILE\s+(?P<exec>AND\s+EXECUTE\s+)?PLAN\s+'(?P<path>[^']+)'\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?FOR\s+(?P<body>.+)",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _compile_plan(self, stmt: str) -> TableResult:
+        """COMPILE [AND EXECUTE] PLAN '<file>' [IF NOT EXISTS] FOR
+        <INSERT ... | STATEMENT SET BEGIN ...; END> (Parser.tdd:49,80,
+        83; SqlCompilePlan / SqlCompileAndExecutePlan) — serialize the
+        op-DAG + statement + catalog metadata to the JSON artifact;
+        the AND EXECUTE form runs it immediately."""
+        from flink_release_1_16_0_spark.plans.compiled_plan import (
+            compile_plan,
+            execute_plan,
+        )
+
+        m = self._COMPILE_PLAN_RE.fullmatch(stmt)
+        if not m:
+            raise ValueError(f"cannot parse COMPILE PLAN: {stmt!r}")
+        body = m.group("body").strip().rstrip(";")
+        statements: list[dict] = []
+        sm = re.match(
+            r"STATEMENT\s+SET\s+BEGIN\s+(?P<inner>.*?)\s*END$",
+            body,
+            re.IGNORECASE | re.DOTALL,
+        )
+        parts = (
+            [p for p in sm.group("inner").split(";") if p.strip()]
+            if sm
+            else [body]
+        )
+        for part in parts:
+            im = _INSERT_RE.fullmatch(part.strip())
+            if not im:
+                raise ValueError(
+                    f"COMPILE PLAN accepts INSERT statements, got {part!r}"
+                )
+            sink = self._resolve_table_name(im.group("name"))
+            if sink not in self._tables:
+                raise ValueError(
+                    f"unknown sink table {sink!r} (CREATE TABLE it first)"
+                )
+            statements.append(
+                {
+                    "sink": sink,
+                    "query": self._resolve_qualified_refs(im.group("query").strip()),
+                    "overwrite": im.group("mode").upper() == "OVERWRITE",
+                    "partition": im.group("parts"),
+                }
+            )
+        compile_plan(
+            self, statements, m.group("path"), if_not_exists=bool(m.group("ine"))
+        )
+        if m.group("exec"):
+            return execute_plan(self, m.group("path"))
         return TableResult(rows=["OK"])
 
     def _insert(
@@ -2416,6 +2764,8 @@ class TableEnvironment:
         overwrite: bool,
         partition_spec: str | None = None,
     ) -> TableResult:
+        name = self._resolve_table_name(name)
+        query = self._resolve_qualified_refs(query)
         if name not in self._tables:
             raise ValueError(f"unknown sink table {name!r} (CREATE TABLE it first)")
         table = self._tables[name]

@@ -283,6 +283,73 @@ def test_partition_commit_success_file(spark, tmp_path):
     assert os.path.exists(f"{out_u}/_SUCCESS")
 
 
+def test_partition_commit_derived_from_written_files(spark, tmp_path):
+    """The commit set comes from the files the CURRENT write produced
+    (FileSystemCommitter derives partitions from the writer's files) —
+    NOT from re-executing the insert query, and NOT from pre-existing
+    partition directories: a second INSERT touching only p=1 must not
+    re-mark p=0 from an earlier insert."""
+    import os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "pcd_src")
+    spark.range(0, 20).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+    out = str(tmp_path / "pcd_out")
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE pcd_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    # first insert: NO commit policy -> partitions exist, no markers
+    tenv.execute_sql(
+        f"""CREATE TABLE pcd_snk0 (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    tenv.execute_sql("INSERT INTO pcd_snk0 SELECT k, p FROM pcd_src WHERE p = 0")
+    assert os.path.isdir(f"{out}/p=0") and not os.path.exists(f"{out}/p=0/_SUCCESS")
+
+    # second insert into the SAME path with the policy, touching only p=1
+    tenv.execute_sql(
+        f"""CREATE TABLE pcd_snk1 (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    tenv.execute_sql("INSERT INTO pcd_snk1 SELECT k, p FROM pcd_src WHERE p = 1")
+    assert os.path.exists(f"{out}/p=1/_SUCCESS")
+    # the pre-existing, untouched partition is NOT committed
+    assert not os.path.exists(f"{out}/p=0/_SUCCESS")
+
+
+def test_update_mode_native_checkpoint_sink_rejected(spark, tmp_path):
+    """output_mode='update' (early-fire / allowed-lateness emit) with
+    the native commit-log file sink (explicit 'checkpoint' option) must
+    fail fast with a clear message — Spark's file sinks are
+    append-only, and the late AnalysisException it would otherwise
+    raise is opaque."""
+    import pytest
+
+    from flink_release_1_16_0_spark.table_env import CatalogTable, ColumnSpec
+
+    t = CatalogTable(
+        name="upd_ckpt",
+        columns=[ColumnSpec("k", "bigint")],
+        options={
+            "connector": "filesystem",
+            "path": str(tmp_path / "upd_out"),
+            "format": "parquet",
+            "checkpoint": str(tmp_path / "ckpt"),
+        },
+    )
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("value AS k")
+    )
+    with pytest.raises(ValueError, match="foreachBatch"):
+        t.write(rate, overwrite=False, output_mode="update")
+
+
 def test_upsert_kafka_source_pipeline_materializes(spark):
     """The full upsert-kafka SOURCE pipeline: framed (key, value)
     records -> value-format decode (-D from tombstones) ->

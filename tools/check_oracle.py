@@ -81,6 +81,29 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> tuple[str, str
         return "DTYPE", "; ".join(f"{c}: {msg}" for c, msg in drift)
     if widths:
         print(f"  width-drift (driver-benign): {'; '.join(widths)}")
+    # The driver's canonicalizer sorts ALL columns with pandas sort_values and
+    # crashes (`TypeError: unhashable type: 'list'`) on any cell holding a
+    # list/ndarray/dict — r5's func_collections red cell. Our _normalize used
+    # to paper over this by converting lists to tuples BEFORE sorting, so the
+    # local gate diverged from the driver for the third straight round
+    # (r3 HUGEINT dtype, r4 int/float kind, r5 unhashable lists). Fail any
+    # graded frame (either side) carrying such values — mirror of the DTYPE
+    # guard — so driver-crashing outputs fail locally too.
+    hostile = []
+    for c in spark_pdf.columns:
+        for side, frame in (("spark", spark_pdf), ("oracle", oracle_pdf)):
+            s = frame[c]
+            if s.dtype == object and s.map(
+                lambda v: isinstance(v, (list, np.ndarray, dict))
+            ).any():
+                hostile.append(f"{c} ({side})")
+    if hostile:
+        return (
+            "UNHASHABLE",
+            "driver canonicalizer would crash on list/ndarray/dict cells in: "
+            + ", ".join(hostile)
+            + " — serialize (array_join/to_json on both engines) before grading",
+        )
     a, b = _normalize(spark_pdf.copy()), _normalize(oracle_pdf.copy())
     mism = []
     for c in a.columns:
