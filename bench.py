@@ -11,7 +11,9 @@ forces the whole plan without driver-side materialization cost).
 Reported time is the minimum of the timed runs: this host is a shared
 VM whose wall-clock noise spans 2-20x on identical plans (observed same
 code: 5.9s and 30s totals minutes apart), and the min is the standard
-noise-floor estimator. The bench set is the
+noise-floor estimator. The ``spread`` field carries per-query
+min/median so a reader can separate host noise (median >> min) from a
+real plan change (min moved) without rerunning. The bench set is the
 ``bench=True`` subset of the registry.
 """
 
@@ -39,6 +41,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, spec in bench_specs.items():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs = []
@@ -47,7 +50,12 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
-        timings[name] = round(min(runs), 3)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spread[name] = {
+            "min": round(runs[0], 3),
+            "median": round(runs[len(runs) // 2], 3),
+        }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -57,6 +65,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -82,9 +82,61 @@ FLINK_SQL_UDFS: dict[str, tuple[str, str]] = {
 }
 
 
-def register_sql_functions(spark: SparkSession) -> None:
-    """Create every Flink-spelled SQL UDF on the session (idempotent)."""
-    for name, (signature, body) in FLINK_SQL_UDFS.items():
+# Hive-module functions (the reference's HiveModule exposes Hive's
+# built-in UDFs; flink-connectors/flink-connector-hive/.../HiveModule.java).
+# Spark already ships almost every Hive built-in natively — the surface
+# that is genuinely hive-module-only here is the data-masking family
+# (GenericUDFMaskFirstN & co.), which Spark SQL lacks. Masking rules per
+# Hive: upper -> 'X', lower -> 'x', digit -> 'n', others unchanged.
+_MASK = (
+    "regexp_replace(regexp_replace(regexp_replace({v}, '[A-Z]', 'X'),"
+    " '[a-z]', 'x'), '[0-9]', 'n')"
+)
+HIVE_SQL_UDFS: dict[str, tuple[str, str]] = {
+    "MASK_FIRST_N": (
+        "(s STRING, n INT) RETURNS STRING",
+        f"concat({_MASK.format(v='substring(s, 1, n)')}, substring(s, n + 1))",
+    ),
+    "MASK_LAST_N": (
+        "(s STRING, n INT) RETURNS STRING",
+        "concat(substring(s, 1, greatest(length(s) - n, 0)), "
+        + _MASK.format(v="substring(s, greatest(length(s) - n, 0) + 1)")
+        + ")",
+    ),
+    "MASK_SHOW_FIRST_N": (
+        "(s STRING, n INT) RETURNS STRING",
+        f"concat(substring(s, 1, n), {_MASK.format(v='substring(s, n + 1)')})",
+    ),
+    "MASK_SHOW_LAST_N": (
+        "(s STRING, n INT) RETURNS STRING",
+        _MASK.format(v="substring(s, 1, greatest(length(s) - n, 0))")
+        + " || substring(s, greatest(length(s) - n, 0) + 1)",
+    ),
+    # Hive's mask_hash: deterministic one-way hash of the value
+    "MASK_HASH": ("(s STRING) RETURNS STRING", "md5(s)"),
+}
+
+# module name -> its SQL-UDF function set (the resolution surface the
+# module contributes; ModuleManager.listFunctions per-module scoping)
+MODULE_FUNCTIONS: dict[str, dict[str, tuple[str, str]]] = {
+    "core": FLINK_SQL_UDFS,
+    "hive": HIVE_SQL_UDFS,
+}
+
+
+def register_sql_functions(
+    spark: SparkSession, module: str = "core"
+) -> None:
+    """Create a module's SQL UDFs on the session (idempotent)."""
+    for name, (signature, body) in MODULE_FUNCTIONS[module].items():
         spark.sql(
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{signature} RETURN {body}"
         )
+
+
+def deregister_sql_functions(spark: SparkSession, module: str) -> None:
+    """Drop a module's SQL UDFs — its names stop resolving, the
+    reference's unload / not-used semantics (ModuleManager.unloadModule
+    / useModules)."""
+    for name in MODULE_FUNCTIONS[module]:
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")

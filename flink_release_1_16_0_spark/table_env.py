@@ -1487,6 +1487,22 @@ class TableEnvironment:
             "default_catalog": {"default_database"}
         }
         self._current_db = "default_database"
+        # module registry (ModuleManager; LOAD/UNLOAD/USE MODULES per
+        # Parser.tdd:88,103): ordered name -> used flag. The core module
+        # is loaded+used by default (ModuleManager's CoreModule); its
+        # function set is the Flink-spelled SQL UDF surface below.
+        self._modules: dict[str, bool] = {"core": True}
+        # database properties (SqlAlterDatabase / SqlDescribeDatabase):
+        # (catalog, database) -> {'comment': ..., props...}
+        self._db_props: dict[tuple[str, str], dict[str, str]] = {}
+        # CREATE VIEW text, for SHOW CREATE VIEW / ALTER VIEW
+        self._views: dict[str, str] = {}
+        # ADD/REMOVE/SHOW JARS registry (SqlAddJar & co.; jars also go
+        # to the live session via Spark's own ADD JAR)
+        self._jars: list[str] = []
+        # interactive statement set (SqlBeginStatementSet /
+        # SqlEndStatementSet): non-None while buffering INSERTs
+        self._stmt_buffer: list[str] | None = None
         # Flink-spelled SQL functions (SPLIT_INDEX, IS_DIGIT, ...) become
         # SQL scalar UDFs — JVM-side, inlined into the Catalyst plan
         register_sql_functions(spark)
@@ -1500,6 +1516,27 @@ class TableEnvironment:
     def execute_sql(self, stmt: str) -> TableResult:
         stmt = stmt.strip().rstrip(";").strip()
         up = stmt.upper()
+        # interactive statement set (SqlBeginStatementSet/
+        # SqlEndStatementSet, Parser.tdd:526-527 — the SQL-client form):
+        # between BEGIN STATEMENT SET; and END; only INSERTs are
+        # accepted and they execute together at END
+        if self._stmt_buffer is not None:
+            if up == "END":
+                inserts, self._stmt_buffer = self._stmt_buffer, None
+                sset = self.create_statement_set()
+                for part in inserts:
+                    sset.add_insert_sql(part)
+                return sset.execute()
+            if up.startswith("INSERT"):
+                self._stmt_buffer.append(stmt)
+                return TableResult(rows=["OK"])
+            raise ValueError(
+                "only INSERT statements are allowed inside a statement "
+                f"set (got {stmt.split()[0]!r}); terminate with END"
+            )
+        if re.match(r"BEGIN\s+STATEMENT\s+SET", up):
+            self._stmt_buffer = []
+            return TableResult(rows=["OK"])
         if re.match(r"EXECUTE\s+STATEMENT\s+SET", up):
             body = re.sub(
                 r"^EXECUTE\s+STATEMENT\s+SET\s+BEGIN\s+|\s+END$",
@@ -1556,6 +1593,121 @@ class TableEnvironment:
             return TableResult(rows=["OK"])
         if up.startswith("ANALYZE TABLE"):
             return self._analyze(stmt)
+        if re.match(r"ALTER\s+DATABASE", up):
+            # SqlAlterDatabase: ALTER DATABASE [cat.]db SET ('k'='v',...)
+            m = re.fullmatch(
+                r"ALTER\s+DATABASE\s+([\w.]+)\s+SET\s*\((.*)\)",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"cannot parse ALTER DATABASE: {stmt!r}")
+            cat, db = self._split_db_path(m.group(1))
+            if db not in self._databases[cat]:
+                raise ValueError(f"unknown database {db!r} in catalog {cat!r}")
+            props = self._db_props.setdefault((cat, db), {})
+            for pair in _split_top_level(m.group(2)):
+                km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                if not km:
+                    raise ValueError(f"cannot parse SET option {pair!r}")
+                props[km.group(1)] = km.group(2)
+            return TableResult(rows=["OK"])
+        if re.match(r"DESC(?:RIBE)?\s+DATABASE", up):
+            # SqlDescribeDatabase: name + comment, EXTENDED adds props
+            m = re.fullmatch(
+                r"DESC(?:RIBE)?\s+DATABASE\s+(EXTENDED\s+)?([\w.]+)",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse DESCRIBE DATABASE: {stmt!r}")
+            cat, db = self._split_db_path(m.group(2))
+            if db not in self._databases[cat]:
+                raise ValueError(f"unknown database {db!r} in catalog {cat!r}")
+            props = self._db_props.get((cat, db), {})
+            rows = [
+                ("name", db),
+                ("catalog", cat),
+                ("comment", props.get("comment", "")),
+            ]
+            if m.group(1):
+                rows += [
+                    (f"option:{k}", v)
+                    for k, v in sorted(props.items())
+                    if k != "comment"
+                ]
+            return TableResult(rows=rows)
+        if re.match(r"ALTER\s+VIEW", up):
+            # SqlAlterView: RENAME TO, or AS <query> (redefinition)
+            m = re.fullmatch(
+                r"ALTER\s+VIEW\s+(?P<name>[\w.]+)\s+"
+                r"(?:RENAME\s+TO\s+(?P<to>[\w.]+)|AS\s+(?P<query>.+))",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"cannot parse ALTER VIEW: {stmt!r}")
+            name = m.group("name")
+            if name not in self._views:
+                raise ValueError(f"unknown view {name!r}")
+            if m.group("to"):
+                new = m.group("to")
+                query = self._views.pop(name)
+                self.spark.sql(
+                    rewrite_window_tvfs(self._resolve_qualified_refs(query))
+                ).createOrReplaceTempView(new)
+                self.spark.catalog.dropTempView(name)
+                self._views[new] = query
+            else:
+                query = m.group("query")
+                self.spark.sql(
+                    rewrite_window_tvfs(self._resolve_qualified_refs(query))
+                ).createOrReplaceTempView(name)
+                self._views[name] = query
+            return TableResult(rows=["OK"])
+        if re.match(r"ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION", up):
+            # SqlAlterFunction: redefinition of an existing function —
+            # same body grammar as CREATE FUNCTION, must already exist
+            fname_m = re.match(
+                r"ALTER\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+                r"(?P<name>[\w.]+)",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not fname_m:
+                raise ValueError(f"cannot parse ALTER FUNCTION: {stmt!r}")
+            fname = fname_m.group("name")
+            if not any(
+                f.name.lower() == fname.lower()
+                for f in self.spark.catalog.listFunctions()
+            ):
+                raise ValueError(f"unknown function {fname!r}")
+            return self._create_function(
+                re.sub(r"^ALTER\b", "CREATE", stmt, flags=re.IGNORECASE)
+            )
+        if re.match(r"ADD\s+JAR", up):
+            m = re.fullmatch(r"ADD\s+JAR\s+'([^']+)'", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"cannot parse ADD JAR: {stmt!r}")
+            path = m.group(1)
+            if path not in self._jars:
+                self._jars.append(path)
+                self.spark.sql(f"ADD JAR '{path}'")
+            return TableResult(rows=["OK"])
+        if re.match(r"REMOVE\s+JAR", up):
+            m = re.fullmatch(r"REMOVE\s+JAR\s+'([^']+)'", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"cannot parse REMOVE JAR: {stmt!r}")
+            path = m.group(1)
+            if path not in self._jars:
+                raise ValueError(f"jar {path!r} was not added")
+            # the classpath entry cannot be unloaded from a live JVM
+            # (same restriction as the reference's session JARs before
+            # restart); the registry drop stops SHOW JARS listing it
+            self._jars.remove(path)
+            return TableResult(rows=["OK"])
+        if up.startswith("SHOW JARS"):
+            return TableResult(rows=list(self._jars))
         if up.startswith("ALTER TABLE"):
             return self._alter_table(stmt)
         if up.startswith("CREATE") and re.match(
@@ -1572,7 +1724,83 @@ class TableEnvironment:
             self.spark.sql(rewrite_window_tvfs(m.group("query"))).createOrReplaceTempView(
                 m.group("name")
             )
+            self._views[m.group("name")] = m.group("query")
             return TableResult(rows=["OK"])
+        if re.match(r"LOAD\s+MODULE", up):
+            # SqlLoadModule (Parser.tdd:88): LOAD MODULE name [WITH
+            # ('k'='v')] appends the module (loaded + used) and makes
+            # its function namespace resolvable
+            m = re.fullmatch(
+                r"LOAD\s+MODULE\s+(\w+)(?:\s+WITH\s*\(.*\))?",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"cannot parse LOAD MODULE: {stmt!r}")
+            name = m.group(1).lower()
+            from flink_release_1_16_0_spark.functions.sql_udfs import (
+                MODULE_FUNCTIONS,
+            )
+
+            if name in self._modules:
+                raise ValueError(f"module {name!r} is already loaded")
+            if name not in MODULE_FUNCTIONS:
+                raise ValueError(
+                    f"unknown module {name!r} "
+                    f"(available: {sorted(MODULE_FUNCTIONS)})"
+                )
+            register_sql_functions(self.spark, name)
+            self._modules[name] = True
+            return TableResult(rows=["OK"])
+        if re.match(r"UNLOAD\s+MODULE", up):
+            m = re.fullmatch(r"UNLOAD\s+MODULE\s+(\w+)", stmt, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"cannot parse UNLOAD MODULE: {stmt!r}")
+            name = m.group(1).lower()
+            if name not in self._modules:
+                raise ValueError(f"module {name!r} is not loaded")
+            from flink_release_1_16_0_spark.functions.sql_udfs import (
+                deregister_sql_functions,
+            )
+
+            deregister_sql_functions(self.spark, name)
+            del self._modules[name]
+            return TableResult(rows=["OK"])
+        if re.match(r"USE\s+MODULES", up):
+            # SqlUseModules: declares the USED set and resolution order;
+            # unlisted loaded modules stay loaded but stop resolving
+            names = [
+                n.strip().lower()
+                for n in re.sub(
+                    r"^USE\s+MODULES\s+", "", stmt, flags=re.IGNORECASE
+                ).split(",")
+            ]
+            unknown = [n for n in names if n not in self._modules]
+            if unknown:
+                raise ValueError(f"modules not loaded: {unknown}")
+            if len(set(names)) != len(names):
+                raise ValueError("duplicate module names in USE MODULES")
+            from flink_release_1_16_0_spark.functions.sql_udfs import (
+                deregister_sql_functions,
+            )
+
+            reordered = {n: True for n in names}
+            for n in self._modules:
+                if n not in reordered:
+                    reordered[n] = False
+                    deregister_sql_functions(self.spark, n)
+            for n in names:
+                register_sql_functions(self.spark, n)
+            self._modules = reordered
+            return TableResult(rows=["OK"])
+        if up.startswith("SHOW FULL MODULES"):
+            return TableResult(
+                rows=[(n, used) for n, used in self._modules.items()]
+            )
+        if up.startswith("SHOW MODULES"):
+            return TableResult(
+                rows=[n for n, used in self._modules.items() if used]
+            )
         if re.match(r"CREATE\s+CATALOG", up):
             # SqlCreateCatalog (Parser.tdd:50): CREATE CATALOG name
             # [WITH ('k'='v', ...)] — an in-memory named catalog over
@@ -1678,12 +1906,29 @@ class TableEnvironment:
             if cat == self._current_catalog and self._current_db == name:
                 self._current_db = "default_database"
             return TableResult(rows=["OK"])
+        if re.match(r"DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION", up):
+            # SqlDropFunction (SqlDropExtended)
+            m = re.fullmatch(
+                r"DROP\s+(?:TEMPORARY\s+)?(?:SYSTEM\s+)?FUNCTION\s+"
+                r"(?:IF\s+EXISTS\s+)?([\w.]+)",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse DROP FUNCTION: {stmt!r}")
+            if_exists = "IF EXISTS" in up
+            self.spark.sql(
+                f"DROP TEMPORARY FUNCTION {'IF EXISTS ' if if_exists else ''}"
+                f"{m.group(1)}"
+            )
+            return TableResult(rows=["OK"])
         if up.startswith("DROP"):
             m = _DROP_RE.fullmatch(stmt)
             if not m:
                 raise ValueError(f"cannot parse DROP: {stmt!r}")
             name = self._resolve_table_name(m.group("name"))
             self._tables.pop(name, None)
+            self._views.pop(name, None)
             self.spark.catalog.dropTempView(name)
             return TableResult(rows=["OK"])
         if up.startswith("INSERT"):
@@ -1726,6 +1971,48 @@ class TableEnvironment:
                 + f"\n){part_clause} WITH ({opts})"
             )
             return TableResult(rows=[ddl])
+        if up.startswith("SHOW CREATE VIEW"):
+            name = stmt.split()[-1]
+            if name not in self._views:
+                raise ValueError(f"unknown view {name!r}")
+            return TableResult(
+                rows=[f"CREATE VIEW {name} AS {self._views[name].strip()}"]
+            )
+        if up.startswith("SHOW COLUMNS"):
+            # SqlShowColumns: SHOW COLUMNS (FROM | IN) t [[NOT] LIKE 'p']
+            m = re.fullmatch(
+                r"SHOW\s+COLUMNS\s+(?:FROM|IN)\s+(?P<t>[\w.]+)"
+                r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<pat>[^']*)')?",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse SHOW COLUMNS: {stmt!r}")
+            name = self._resolve_table_name(m.group("t"))
+            if name in self._tables:
+                t = self._tables[name]
+                cols = [
+                    (c.name, c.spark_type, not c.not_null) for c in t.columns
+                ] + [(n, "computed", True) for n, _e in t.computed]
+            else:
+                cols = [
+                    (f.name, f.dataType.simpleString(), f.nullable)
+                    for f in self.spark.table(name).schema
+                ]
+            if m.group("pat") is not None:
+                # SQL LIKE pattern: % = any run, _ = any single char
+                rx = re.compile(
+                    "^"
+                    + re.escape(m.group("pat"))
+                    .replace("%", ".*")
+                    .replace("_", ".")
+                    + "$"
+                )
+                negate = bool(m.group("not"))
+                cols = [
+                    c for c in cols if bool(rx.match(c[0])) != negate
+                ]
+            return TableResult(rows=cols)
         if up.startswith("SHOW VIEWS"):
             views = sorted(
                 t.name
@@ -1742,9 +2029,10 @@ class TableEnvironment:
         if re.match(r"CREATE\s+DATABASE", up):
             m = re.fullmatch(
                 r"CREATE\s+DATABASE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
-                r"(?:\s+COMMENT\s+'[^']*')?",
+                r"(?:\s+COMMENT\s+'(?P<comment>[^']*)')?"
+                r"(?:\s+WITH\s*\((?P<opts>.*)\))?",
                 stmt,
-                re.IGNORECASE,
+                re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"cannot parse CREATE DATABASE: {stmt!r}")
@@ -1752,6 +2040,17 @@ class TableEnvironment:
             if name in self._databases[cat] and "IF NOT EXISTS" not in up:
                 raise ValueError(f"database {name!r} already exists")
             self._databases[cat].add(name)
+            props: dict[str, str] = {}
+            if m.group("comment") is not None:
+                props["comment"] = m.group("comment")
+            if m.group("opts"):
+                for pair in _split_top_level(m.group("opts")):
+                    km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                    if not km:
+                        raise ValueError(f"cannot parse WITH option {pair!r}")
+                    props[km.group(1)] = km.group(2)
+            if props:
+                self._db_props[(cat, name)] = props
             return TableResult(rows=["OK"])
         if up.startswith("USE "):
             cat, name = self._split_db_path(stmt.split()[-1])
