@@ -223,6 +223,7 @@ def execute_plan(tenv: "TableEnvironment", path: str):
                 st["query"],
                 bool(st.get("overwrite")),
                 st.get("partition"),
+                st.get("columns"),
             )
         )
     return TableResult(rows=["OK"] * len(results))

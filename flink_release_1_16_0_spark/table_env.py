@@ -1429,8 +1429,12 @@ _DROP_RE = re.compile(
     re.IGNORECASE,
 )
 _INSERT_RE = re.compile(
+    # RichSqlInsert: INSERT INTO|OVERWRITE t [PARTITION (...)]
+    # [(col, ...)] <query> — the optional target column list enables
+    # partial inserts (unlisted columns fill with NULL)
     r"INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?P<name>[\w.]+)\s*"
     r"(?:PARTITION\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"(?:\((?P<cols>\s*\w+\s*(?:,\s*\w+\s*)*)\)\s*)?"
     r"(?P<query>(?:SELECT|VALUES|WITH|TABLE)\b.+)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -1940,6 +1944,7 @@ class TableEnvironment:
                 m.group("query"),
                 m.group("mode").upper() == "OVERWRITE",
                 m.group("parts"),
+                m.group("cols"),
             )
         if up.startswith("SHOW CREATE TABLE"):
             name = self._resolve_table_name(stmt.split()[-1])
@@ -2086,11 +2091,29 @@ class TableEnvironment:
                 walk(base, 0, "")
             return TableResult(rows=parts)
         if up.startswith("SHOW TABLES"):
+            # SqlShowTables: SHOW TABLES [FROM|IN [cat.]db]
+            # [[NOT] LIKE 'pat'] — pattern is SQL LIKE (% and _)
+            m = re.fullmatch(
+                r"SHOW\s+TABLES"
+                r"(?:\s+(?:FROM|IN)\s+(?P<db>[\w.]+))?"
+                r"(?:\s+(?P<not>NOT\s+)?LIKE\s+'(?P<pat>[^']*)')?",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(f"cannot parse SHOW TABLES: {stmt!r}")
+            if m.group("db"):
+                cat, db = self._split_db_path(m.group("db"))
+                if db not in self._databases[cat]:
+                    raise ValueError(
+                        f"unknown database {db!r} in catalog {cat!r}"
+                    )
+            else:
+                cat, db = self._current_catalog, self._current_db
             in_db = {
                 n
                 for n, t in self._tables.items()
-                if t.catalog == self._current_catalog
-                and t.database == self._current_db
+                if t.catalog == cat and t.database == db
             }
             other_db = set(self._tables) - in_db
             names = sorted(
@@ -2101,6 +2124,16 @@ class TableEnvironment:
                     if t.isTemporary and t.name not in other_db
                 }
             )
+            if m.group("pat") is not None:
+                rx = re.compile(
+                    "^"
+                    + re.escape(m.group("pat"))
+                    .replace("%", ".*")
+                    .replace("_", ".")
+                    + "$"
+                )
+                negate = bool(m.group("not"))
+                names = [n for n in names if bool(rx.match(n)) != negate]
             return TableResult(rows=names)
         if up.startswith("DESCRIBE") or up.startswith("DESC "):
             name = self._resolve_table_name(stmt.split()[-1])
@@ -3047,6 +3080,7 @@ class TableEnvironment:
                     "query": self._resolve_qualified_refs(im.group("query").strip()),
                     "overwrite": im.group("mode").upper() == "OVERWRITE",
                     "partition": im.group("parts"),
+                    "columns": im.group("cols"),
                 }
             )
         compile_plan(
@@ -3062,6 +3096,7 @@ class TableEnvironment:
         query: str,
         overwrite: bool,
         partition_spec: str | None = None,
+        column_list: str | None = None,
     ) -> TableResult:
         name = self._resolve_table_name(name)
         query = self._resolve_qualified_refs(query)
@@ -3075,21 +3110,56 @@ class TableEnvironment:
             else self.spark.sql(rewrite_window_tvfs(query))
         )
         declared = [c.name for c in table.columns]
+        # static partition INSERT (Parser.tdd SqlInsert partition
+        # clause): PARTITION (col='v', ...) pins partition columns
+        static: dict[str, str] = {}
         if partition_spec:
-            # static partition INSERT (Parser.tdd SqlInsert partition
-            # clause): PARTITION (col='v', ...) pins partition columns;
-            # the SELECT provides the remaining columns in declared
-            # order — splice the literals into their declared slots
-            static: dict[str, str] = {}
             for pair in _split_top_level(partition_spec):
                 km = re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", pair)
                 if not km:
                     raise ValueError(f"cannot parse PARTITION item {pair!r}")
                 static[km.group(1)] = km.group(2)
-            unknown = set(static) - {c.name for c in table.columns}
+            unknown = set(static) - set(declared)
             if unknown:
                 raise ValueError(f"PARTITION columns not in schema: {sorted(unknown)}")
-            rest = [c.name for c in table.columns if c.name not in static]
+        if column_list:
+            # partial insert (RichSqlInsert target column list): listed
+            # columns take the query's values positionally, unlisted
+            # non-partition columns fill with NULL of the declared type
+            listed = [c.strip() for c in column_list.split(",")]
+            unknown = set(listed) - set(declared)
+            if unknown:
+                raise ValueError(
+                    f"INSERT column list names not in schema: {sorted(unknown)}"
+                )
+            if len(set(listed)) != len(listed):
+                raise ValueError("duplicate names in INSERT column list")
+            if set(listed) & set(static):
+                raise ValueError(
+                    "INSERT column list overlaps static PARTITION columns: "
+                    f"{sorted(set(listed) & set(static))}"
+                )
+            if len(df.columns) != len(listed):
+                raise ValueError(
+                    f"INSERT column count mismatch: query has "
+                    f"{len(df.columns)}, column list has {len(listed)}"
+                )
+            rest = [c for c in declared if c not in static]
+            renamed = df.toDF(*listed)
+            df = renamed.select(
+                *[
+                    F.col(c.name).alias(c.name)
+                    if c.name in listed
+                    else F.lit(None).cast(c.spark_type).alias(c.name)
+                    for c in table.columns
+                    if c.name in rest
+                ]
+            )
+        if static:
+            # the query (or column-list expansion) provides the
+            # remaining columns in declared order — splice the literals
+            # into their declared slots
+            rest = [c for c in declared if c not in static]
             if len(df.columns) != len(rest):
                 raise ValueError(
                     f"INSERT column count mismatch: query has {len(df.columns)}, "
@@ -3159,7 +3229,13 @@ class StatementSet:
         if not m:
             raise ValueError(f"statement sets accept INSERT statements, got {stmt!r}")
         self._inserts.append(
-            (m.group("name"), m.group("query"), m.group("mode").upper() == "OVERWRITE")
+            (
+                m.group("name"),
+                m.group("query"),
+                m.group("mode").upper() == "OVERWRITE",
+                m.group("parts"),
+                m.group("cols"),
+            )
         )
         return self
 
@@ -3170,7 +3246,7 @@ class StatementSet:
             if t.isTemporary
         }
         counts: dict[str, int] = {}
-        for _, query, _ in self._inserts:
+        for _, query, _, _, _ in self._inserts:
             for name in views:
                 if re.search(rf"\b{re.escape(name)}\b", query, re.IGNORECASE):
                     counts[name] = counts.get(name, 0) + 1
@@ -3181,8 +3257,8 @@ class StatementSet:
         for name in shared:
             self._tenv.spark.catalog.cacheTable(name)
         try:
-            for sink, query, overwrite in self._inserts:
-                self._tenv._insert(sink, query, overwrite)
+            for sink, query, overwrite, parts, cols in self._inserts:
+                self._tenv._insert(sink, query, overwrite, parts, cols)
         finally:
             for name in shared:
                 self._tenv.spark.catalog.uncacheTable(name)

@@ -130,3 +130,70 @@ def test_begin_end_statement_set(tenv, spark, tmp_path):
     tenv.execute_sql("INSERT INTO bss_t SELECT k FROM bss_s WHERE k = 0")
     tenv.execute_sql("END")
     assert spark.read.parquet(out).count() == 7
+
+
+def test_insert_column_list_partial(tenv, spark, tmp_path):
+    """RichSqlInsert target column list: listed columns take the query
+    values, unlisted fill NULL; composes with static PARTITION."""
+    src = str(tmp_path / "icl_src")
+    spark.range(0, 4).selectExpr("id AS k", "id * 10 AS v").write.parquet(src)
+    tenv.execute_sql(
+        "CREATE TABLE icl_src (k BIGINT, v BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{src}','format'='parquet')"
+    )
+    out = str(tmp_path / "icl_out")
+    tenv.execute_sql(
+        "CREATE TABLE icl_snk (a BIGINT, b STRING, c BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{out}','format'='parquet')"
+    )
+    tenv.execute_sql("INSERT INTO icl_snk (c, a) SELECT v, k FROM icl_src")
+    rows = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    assert rows == [(0, None, 0), (1, None, 10), (2, None, 20), (3, None, 30)]
+
+    pout = str(tmp_path / "icl_part")
+    tenv.execute_sql(
+        "CREATE TABLE icl_p (a BIGINT, b STRING, p STRING) PARTITIONED BY (p)"
+        f" WITH ('connector'='filesystem','path'='{pout}','format'='parquet')"
+    )
+    tenv.execute_sql(
+        "INSERT INTO icl_p PARTITION (p='x') (a) SELECT k FROM icl_src WHERE k < 2"
+    )
+    prow = sorted(tuple(r) for r in spark.read.parquet(pout).collect())
+    assert prow == [(0, None, "x"), (1, None, "x")]
+
+    with pytest.raises(ValueError, match="not in schema"):
+        tenv.execute_sql("INSERT INTO icl_snk (nope) SELECT k FROM icl_src")
+    with pytest.raises(ValueError, match="count mismatch"):
+        tenv.execute_sql("INSERT INTO icl_snk (a) SELECT k, v FROM icl_src")
+    with pytest.raises(ValueError, match="overlaps"):
+        tenv.execute_sql(
+            "INSERT INTO icl_p PARTITION (p='y') (a, p) SELECT k, k FROM icl_src"
+        )
+
+
+def test_show_tables_like_and_from(tenv, tmp_path):
+    tenv.execute_sql(
+        "CREATE TABLE stl_one (a BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{tmp_path}/a','format'='parquet')"
+    )
+    tenv.execute_sql(
+        "CREATE TABLE stl_two (a BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{tmp_path}/b','format'='parquet')"
+    )
+    got = tenv.execute_sql("SHOW TABLES LIKE 'stl%'").collect()
+    assert got == ["stl_one", "stl_two"]
+    assert tenv.execute_sql("SHOW TABLES LIKE 'stl_on_'").collect() == ["stl_one"]
+    assert "stl_one" not in tenv.execute_sql("SHOW TABLES NOT LIKE 'stl%'").collect()
+    # FROM a database: tables created in another db are listed there
+    tenv.execute_sql("CREATE DATABASE stl_db")
+    tenv.execute_sql("USE stl_db")
+    tenv.execute_sql(
+        "CREATE TABLE stl_three (a BIGINT) WITH ("
+        f"'connector'='filesystem','path'='{tmp_path}/c','format'='parquet')"
+    )
+    tenv.execute_sql("USE default_database")
+    assert "stl_three" in tenv.execute_sql(
+        "SHOW TABLES FROM stl_db LIKE 'stl%'"
+    ).collect()
+    with pytest.raises(ValueError, match="unknown database"):
+        tenv.execute_sql("SHOW TABLES FROM no_db")
