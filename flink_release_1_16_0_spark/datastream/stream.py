@@ -1,0 +1,1049 @@
+"""DataStream API facade lowered onto Spark DataFrames.
+
+Reference parity (SURVEY.md section 1.4 item 3 / section 3.3): the
+fluent surface of ``DataStream.java`` (map:572, flatMap:608,
+process:647, filter:695, union:227, connect:253/275, keyBy:290,
+broadcast:419/434, shuffle:448, forward:458, rebalance:468, rescale:491,
+global:503, partitionCustom:397, iterate:530, project:712, coGroup:720,
+join:728, assignTimestampsAndWatermarks:857),
+``KeyedStream.java`` (process:325, intervalJoin:438, window:725,
+countWindow:696, reduce:743, sum:767, min:816, max:857, minBy:882,
+maxBy:906) and ``WindowedStream.java`` (reduce:162, aggregate:285,
+apply:546, process:587).
+
+Execution model — NOT a port of Flink's StreamTask chain. A DataStream
+wraps a Spark DataFrame; transformations stay declarative:
+
+- built-in keyed aggregations (sum/min/max/minBy/maxBy) lower to native
+  Catalyst ``groupBy().agg()`` — one hash exchange, whole-stage codegen,
+  scale-safe;
+- window assignment lowers to native ``F.window``/``F.session_window``
+  before any Python runs, so the shuffle key is (key, window) and the
+  pandas harness only ever sees one group;
+- arbitrary user functions run Arrow-batched (``mapInPandas`` for
+  stateless ops, ``applyInPandas`` for keyed/window ops). Per-row Python
+  is inherent to user lambdas — the reference pays the same cost through
+  its Beam harness for PyFlink UDFs (AbstractPythonFunctionOperator.java:48).
+
+Bounded inputs execute with the reference's BATCH execution-mode
+semantics (RuntimeExecutionMode.BATCH): per key, elements are processed
+in event-time order, keyed state lives for the key's group, the
+watermark jumps to +inf at end of input and fires all timers. Unbounded
+(micro-batch) semantics for these operators live in
+``streaming/stateful.py`` via the Table layer.
+
+Scale note (100 TB): ``applyInPandas`` materializes one key's group in
+executor memory — the same bound as the reference's batch sort-based
+keyed operators holding one key's run. Heavy-key workloads should use
+the Table/SQL layer where aggregation is incremental.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+from pyspark.sql.window import Window
+
+from flink_release_1_16_0_spark.datastream.functions import (
+    AggregateFunction,
+    BroadcastContext,
+    BroadcastProcessFunction,
+    CoGroupFunction,
+    Collector,
+    Context,
+    CoProcessFunction,
+    CountWindow,
+    FilterFunction,
+    FlatMapFunction,
+    JoinFunction,
+    KeyedProcessFunction,
+    MapFunction,
+    MapStateDescriptor,
+    OutputTag,
+    ProcessFunction,
+    ProcessJoinFunction,
+    ProcessWindowFunction,
+    ReadOnlyBroadcastContext,
+    ReduceFunction,
+    RuntimeContext,
+    TimerService,
+    TimeWindow,
+    WatermarkStrategy,
+    WindowContext,
+    WindowFunction,
+    _to_ms,
+)
+
+_SIDE_TAG = "__side_tag"
+_SIDE_JSON = "__side_json"
+
+
+def _parse_ddl(spark: SparkSession, ddl: str | StructType) -> StructType:
+    if isinstance(ddl, StructType):
+        return ddl
+    return spark.createDataFrame([], ddl).schema
+
+
+def _to_pdf(rows: list[dict], names: list[str]) -> pd.DataFrame:
+    if rows:
+        return pd.DataFrame(rows, columns=names)
+    return pd.DataFrame({n: pd.Series(dtype="object") for n in names})
+
+
+def _row_iter(pdf: pd.DataFrame) -> Iterable[dict]:
+    # to_dict('records') keeps python-native access cheap; NaT/NaN appear
+    # as-is, matching what a PyFlink Row would carry for SQL NULL
+    return pdf.to_dict("records")
+
+
+def _ts_ms(v) -> int | None:
+    if v is None or v is pd.NaT:
+        return None
+    if isinstance(v, (int, float)):
+        return int(v)
+    if isinstance(v, pd.Timestamp):
+        return int(v.value // 1_000_000)
+    if isinstance(v, datetime.datetime):
+        return int(v.timestamp() * 1000)
+    return None
+
+
+def _dur_str(d) -> str:
+    return f"{_to_ms(d)} milliseconds"
+
+
+def _assign_time_windows(df: DataFrame, tcol: str, assigner) -> DataFrame:
+    """Window assignment as pure native arithmetic over epoch-ms — the
+    reference's TumblingEventTimeWindows.assignWindows /
+    SlidingEventTimeWindows.assignWindows math
+    (``windowing/assigners/*.java``), expressed in Catalyst so the
+    (key, window) shuffle needs no Python. Adds ``__win_start`` /
+    ``__win_end`` (long ms); a hop element explodes into every window
+    containing it."""
+    ts = F.unix_millis(F.col(tcol).cast("timestamp"))
+    size = _to_ms(assigner.size)
+    off = _to_ms(assigner.offset) if assigner.offset else 0
+    if assigner.slide is None:
+        start = (F.floor((ts - F.lit(off)) / F.lit(size)) * F.lit(size) + F.lit(off)).cast("long")
+        return df.withColumn("__win_start", start).withColumn(
+            "__win_end", (F.col("__win_start") + F.lit(size)).cast("long")
+        )
+    slide = _to_ms(assigner.slide)
+    m_last = F.floor((ts - F.lit(off)) / F.lit(slide))
+    m_first = F.floor((ts - F.lit(off) - F.lit(size)) / F.lit(slide)) + F.lit(1)
+    # size < slide (sampling windows): elements between windows get an
+    # empty range — guard, since sequence(a,b) descends when a > b
+    wins = F.when(m_last >= m_first, F.sequence(m_first, m_last)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    df = df.withColumn("__m", F.explode(wins))
+    df = df.withColumn(
+        "__win_start", (F.col("__m") * F.lit(slide) + F.lit(off)).cast("long")
+    ).drop("__m")
+    return df.withColumn("__win_end", (F.col("__win_start") + F.lit(size)).cast("long"))
+
+
+def _assign_session_ids(df: DataFrame, tcol: str, keys: list[str], gap_ms: int) -> DataFrame:
+    """Gap-based session ids per key (EventTimeSessionWindows semantics:
+    merge while successive elements are <= gap apart). Native window
+    functions: one exchange on the key, sort by time, cumulative-sum of
+    gap breaks."""
+    ts = F.unix_millis(F.col(tcol).cast("timestamp"))
+    w = Window.partitionBy(*keys).orderBy(ts)
+    # diff == gap starts a new session: [t, t+gap) excludes t+gap
+    brk = (ts - F.lag(ts).over(w) >= F.lit(gap_ms)).cast("int")
+    return df.withColumn("__sess", F.sum(F.coalesce(brk, F.lit(0))).over(w))
+
+
+# ---------------------------------------------------------------------------
+# window assigners (flink-streaming-java/.../windowing/assigners/*.java)
+
+
+class TumblingEventTimeWindows:
+    def __init__(self, size, offset=None) -> None:
+        self.size, self.offset, self.slide = size, offset, None
+
+    @staticmethod
+    def of(size, offset=None) -> "TumblingEventTimeWindows":
+        return TumblingEventTimeWindows(size, offset)
+
+
+class SlidingEventTimeWindows:
+    def __init__(self, size, slide, offset=None) -> None:
+        self.size, self.slide, self.offset = size, slide, offset
+
+    @staticmethod
+    def of(size, slide, offset=None) -> "SlidingEventTimeWindows":
+        return SlidingEventTimeWindows(size, slide, offset)
+
+
+class EventTimeSessionWindows:
+    def __init__(self, gap) -> None:
+        self.gap = gap
+
+    @staticmethod
+    def with_gap(gap) -> "EventTimeSessionWindows":
+        return EventTimeSessionWindows(gap)
+
+
+# ---------------------------------------------------------------------------
+# environment
+
+
+class StreamExecutionEnvironment:
+    """StreamExecutionEnvironment.java facade: source creation +
+    program entry. Bounded sources only (BATCH execution mode); the
+    streaming path of the engine is the Table layer."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    @staticmethod
+    def get_execution_environment(spark: SparkSession) -> "StreamExecutionEnvironment":
+        return StreamExecutionEnvironment(spark)
+
+    def from_collection(self, data: list[dict], type_ddl: str) -> "DataStream":
+        schema = _parse_ddl(self.spark, type_ddl)
+        rows = [tuple(d.get(f.name) for f in schema.fields) for d in data]
+        return DataStream(self, self.spark.createDataFrame(rows, schema))
+
+    def from_data_frame(self, df: DataFrame) -> "DataStream":
+        return DataStream(self, df)
+
+    def from_parquet(self, path: str) -> "DataStream":
+        return DataStream(self, self.spark.read.parquet(path))
+
+
+# ---------------------------------------------------------------------------
+# core stream
+
+
+class DataStream:
+    def __init__(
+        self,
+        env: StreamExecutionEnvironment,
+        df: DataFrame,
+        time_col: str | None = None,
+        side_tags: tuple[OutputTag, ...] = (),
+    ) -> None:
+        self.env = env
+        self.df = df
+        self.time_col = time_col
+        self._side_tags = side_tags
+
+    # -- bridging -----------------------------------------------------------
+
+    def to_data_frame(self) -> DataFrame:
+        """The main output as a Spark DataFrame (side-output columns
+        stripped, side rows filtered out)."""
+        df = self.df
+        if self._side_tags:
+            df = df.filter(F.col(_SIDE_TAG).isNull()).drop(_SIDE_TAG, _SIDE_JSON)
+        return df
+
+    def execute_and_collect(self, limit: int | None = None) -> list:
+        """DataStream.java executeAndCollect — driver-side results."""
+        df = self.to_data_frame()
+        return df.limit(limit).collect() if limit else df.collect()
+
+    def get_side_output(self, tag: OutputTag) -> "DataStream":
+        """SingleOutputStreamOperator.getSideOutput — decode the rows
+        routed to ``tag`` into their declared row type."""
+        if tag not in self._side_tags:
+            raise ValueError(f"side output {tag.tag_id!r} was not declared on this operator")
+        schema = _parse_ddl(self.env.spark, tag.type_ddl)
+        out = (
+            self.df.filter(F.col(_SIDE_TAG) == tag.tag_id)
+            .select(F.from_json(F.col(_SIDE_JSON), schema).alias("r"))
+            .select("r.*")
+        )
+        return DataStream(self.env, out)
+
+    # -- watermarks ---------------------------------------------------------
+
+    def assign_timestamps_and_watermarks(self, strategy: WatermarkStrategy) -> "DataStream":
+        """DataStream.java:857. Records the event-time column; BATCH
+        execution ignores the delay/idleness (single +inf watermark at
+        end of input), exactly as the reference does on bounded input."""
+        if not strategy.ts_field:
+            raise ValueError("WatermarkStrategy needs with_timestamp_assigner(<column>)")
+        return DataStream(self.env, self.df, strategy.ts_field, self._side_tags)
+
+    # -- stateless transforms ----------------------------------------------
+
+    def _map_rows(
+        self,
+        emit: Callable[[dict, list], None],
+        output_type: str | StructType,
+        side_tags: tuple[OutputTag, ...] = (),
+        fn: Any = None,
+    ) -> "DataStream":
+        schema = _parse_ddl(self.env.spark, output_type)
+        if side_tags:
+            schema = StructType(
+                list(schema.fields)
+                + list(_parse_ddl(self.env.spark, f"{_SIDE_TAG} STRING, {_SIDE_JSON} STRING").fields)
+            )
+        names = [f.name for f in schema.fields]
+
+        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            rc = RuntimeContext()
+            if fn is not None:
+                fn.open(rc)
+            for pdf in batches:
+                out: list[dict] = []
+                for row in _row_iter(pdf):
+                    emit(row, out)
+                yield _to_pdf(out, names)
+            if fn is not None:
+                fn.close()
+
+        # event-time survives a transform only if the column survives it
+        tcol = self.time_col if self.time_col in names else None
+        return DataStream(self.env, self.df.mapInPandas(gen, schema), tcol, side_tags)
+
+    def map(self, fn: MapFunction | Callable[[dict], dict], output_type: str | StructType) -> "DataStream":
+        f = fn.map if isinstance(fn, MapFunction) else fn
+
+        def emit(row: dict, out: list) -> None:
+            out.append(f(row))
+
+        return self._map_rows(emit, output_type, fn=fn if isinstance(fn, MapFunction) else None)
+
+    def flat_map(
+        self, fn: FlatMapFunction | Callable[[dict], Iterable[dict]], output_type: str | StructType
+    ) -> "DataStream":
+        f = fn.flat_map if isinstance(fn, FlatMapFunction) else fn
+
+        def emit(row: dict, out: list) -> None:
+            out.extend(f(row))
+
+        return self._map_rows(emit, output_type, fn=fn if isinstance(fn, FlatMapFunction) else None)
+
+    def filter(self, fn: FilterFunction | Callable[[dict], bool] | str | Column) -> "DataStream":
+        if isinstance(fn, (str, Column)):
+            # expression filters stay JVM-side (predicate pushdown survives)
+            return DataStream(self.env, self.df.filter(fn), self.time_col, self._side_tags)
+        f = fn.filter if isinstance(fn, FilterFunction) else fn
+
+        def emit(row: dict, out: list) -> None:
+            if f(row):
+                out.append(row)
+
+        return self._map_rows(emit, self.df.schema)
+
+    def process(
+        self,
+        fn: ProcessFunction,
+        output_type: str | StructType,
+        side_outputs: tuple[OutputTag, ...] = (),
+    ) -> "DataStream":
+        """Non-keyed process function (DataStream.java:647): no keyed
+        state / timers (the reference throws on timer registration in a
+        non-keyed context; here the TimerService is absent)."""
+        import json
+
+        tcol = self.time_col
+
+        def emit(row: dict, out: list) -> None:
+            ctx = Context(timer_service_obj=None, current_timestamp=_ts_ms(row.get(tcol)) if tcol else None)
+            col = Collector()
+            fn.process_element(row, ctx, col)
+            for r in col.rows:
+                out.append({**r, _SIDE_TAG: None, _SIDE_JSON: None} if side_outputs else r)
+            for tag_id, r in ctx.side_rows:
+                out.append({_SIDE_TAG: tag_id, _SIDE_JSON: json.dumps(r, default=str)})
+
+        return self._map_rows(emit, output_type, side_tags=tuple(side_outputs), fn=fn)
+
+    def project(self, *fields: str) -> "DataStream":
+        return DataStream(self.env, self.df.select(*fields), self.time_col)
+
+    # -- multi-stream -------------------------------------------------------
+
+    def union(self, *others: "DataStream") -> "DataStream":
+        df = self.df
+        for o in others:
+            df = df.unionByName(o.df)
+        return DataStream(self.env, df, self.time_col)
+
+    def connect(self, other) -> "ConnectedStreams | BroadcastConnectedStream":
+        if isinstance(other, BroadcastStream):
+            return BroadcastConnectedStream(self, other)
+        return ConnectedStreams(self, other)
+
+    def co_group(self, other: "DataStream") -> "CoGroupedStreams":
+        return CoGroupedStreams(self, other)
+
+    def join(self, other: "DataStream") -> "JoinedStreams":
+        return JoinedStreams(self, other)
+
+    # -- partitioning (physical hints; semantics-neutral) -------------------
+
+    def key_by(self, *keys: str) -> "KeyedStream":
+        if not keys or any(not isinstance(k, str) for k in keys):
+            raise TypeError(
+                "key_by takes column names (KeySelector lambdas would force "
+                "a Python pass over every row — project a key column first)"
+            )
+        return KeyedStream(self, list(keys))
+
+    def broadcast(self, *descriptors: MapStateDescriptor) -> "BroadcastStream | DataStream":
+        if descriptors:
+            return BroadcastStream(self, descriptors)
+        # hint-only broadcast (DataStream.java:419): replicate to every
+        # downstream task == Spark's broadcast hint on the next join
+        return DataStream(self.env, F.broadcast(self.df), self.time_col)
+
+    def shuffle(self) -> "DataStream":
+        # random redistribution (DataStream.java:448) == round-robin
+        return DataStream(self.env, self.df.repartition(self._parallelism()), self.time_col)
+
+    def rebalance(self) -> "DataStream":
+        return DataStream(self.env, self.df.repartition(self._parallelism()), self.time_col)
+
+    def rescale(self) -> "DataStream":
+        # local fan-in (DataStream.java:491): shuffle-free like coalesce
+        return DataStream(self.env, self.df.coalesce(max(1, self._parallelism() // 2)), self.time_col)
+
+    def global_(self) -> "DataStream":
+        return DataStream(self.env, self.df.coalesce(1), self.time_col)
+
+    def forward(self) -> "DataStream":
+        return self
+
+    def partition_custom(self, partitioner: Callable[[Any, int], int], field: str) -> "DataStream":
+        """DataStream.java:397. The partitioner's bucket becomes the
+        repartition key, so rows sharing a bucket co-locate (the
+        property downstream operators rely on); exact slot placement is
+        the scheduler's concern in both engines."""
+        n = self._parallelism()
+        bucket = F.udf(lambda k: None if k is None else int(partitioner(k, n)), "int")
+        df = (
+            self.df.withColumn("__bucket", bucket(F.col(field)))
+            .repartition(n, F.col("__bucket"))
+            .drop("__bucket")
+        )
+        return DataStream(self.env, df, self.time_col)
+
+    def _parallelism(self) -> int:
+        return int(self.env.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # -- iteration (DataStream.java:530) ------------------------------------
+
+    def iterate(
+        self,
+        body: Callable[["DataStream"], "DataStream"],
+        max_iterations: int,
+        termination: Callable[[DataFrame], bool] | None = None,
+    ) -> "DataStream":
+        """Bounded iteration: apply ``body`` repeatedly, cutting lineage
+        each round (localCheckpoint) so plans don't grow exponentially —
+        the Pregel-loop idiom (same as operators/dedup.py connected
+        components). Stops after ``max_iterations`` or when
+        ``termination(df)`` says converged."""
+        cur = self
+        for _ in range(max_iterations):
+            nxt = body(cur)
+            nxt = DataStream(self.env, nxt.df.localCheckpoint(eager=True), nxt.time_col)
+            if termination is not None and termination(nxt.df):
+                return nxt
+            cur = nxt
+        return cur
+
+    # -- non-keyed windows --------------------------------------------------
+
+    def window_all(self, assigner) -> "WindowedStream":
+        """DataStream.java:828 — single-channel by definition (the
+        reference forces parallelism 1 on windowAll); lowered as a
+        keyed window on a constant key."""
+        const = DataStream(self.env, self.df.withColumn("__all", F.lit(0)), self.time_col)
+        return WindowedStream(KeyedStream(const, ["__all"]), assigner, drop_key=True)
+
+    def count_window_all(self, size: int, slide: int | None = None) -> "WindowedStream":
+        const = DataStream(self.env, self.df.withColumn("__all", F.lit(0)), self.time_col)
+        return KeyedStream(const, ["__all"]).count_window(size, slide, _drop_key=True)
+
+    # -- sinks --------------------------------------------------------------
+
+    def sink_to_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self.to_data_frame().write.mode(mode).parquet(path)
+
+    def print_(self, n: int = 20) -> None:
+        self.to_data_frame().show(n, truncate=False)
+
+
+# ---------------------------------------------------------------------------
+# keyed stream
+
+
+class KeyedStream:
+    def __init__(self, stream: DataStream, keys: list[str]) -> None:
+        self.stream = stream
+        self.env = stream.env
+        self.keys = keys
+
+    # -- rolling aggregates (KeyedStream.java:743-1010), BATCH mode:
+    # only the final per-key value is emitted -------------------------------
+
+    def _order(self) -> Column:
+        if self.stream.time_col:
+            return F.col(self.stream.time_col)
+        return F.monotonically_increasing_id()
+
+    def _agg_one_field(self, field: str, how: str) -> DataStream:
+        """sum/min/max replace ``field`` and keep the other fields from
+        the FIRST element (the reference's ComparableAggregator /
+        SumAggregator fold starting at the first record). Native
+        Catalyst: one hash exchange, min_by for deterministic 'first'."""
+        df = self.stream.df.withColumn("__ord", self._order())
+        aggs = []
+        for c in self.stream.df.columns:
+            if c in self.keys:
+                continue
+            if c == field:
+                aggs.append(getattr(F, how)(c).alias(c))
+            else:
+                aggs.append(F.min_by(c, F.col("__ord")).alias(c))
+        out = df.groupBy(*self.keys).agg(*aggs).select(*self.stream.df.columns)
+        return DataStream(self.env, out, None)
+
+    def sum(self, field: str) -> DataStream:
+        return self._agg_one_field(field, "sum")
+
+    def min(self, field: str) -> DataStream:
+        return self._agg_one_field(field, "min")
+
+    def max(self, field: str) -> DataStream:
+        return self._agg_one_field(field, "max")
+
+    def _by(self, field: str, how: str, first: bool = True) -> DataStream:
+        """minBy/maxBy keep the whole extreme element. ``first`` picks
+        the earlier element on ties (KeyedStream.java:882,906)."""
+        df = self.stream.df.withColumn("__ord", self._order())
+        tie = F.col("__ord") if first else -F.col("__ord")
+        pick = F.min_by if how == "min" else F.max_by
+        # tie-break: order by (field, tie) so equal field values resolve
+        # to the first/last arrival deterministically
+        sel = pick(F.struct(*self.stream.df.columns), F.struct(F.col(field), tie)).alias("r")
+        out = df.groupBy(*self.keys).agg(sel).select("r.*")
+        return DataStream(self.env, out, None)
+
+    def min_by(self, field: str, first: bool = True) -> DataStream:
+        return self._by(field, "min", first)
+
+    def max_by(self, field: str, first: bool = True) -> DataStream:
+        return self._by(field, "max", first)
+
+    def reduce(self, fn: ReduceFunction | Callable[[dict, dict], dict]) -> DataStream:
+        """KeyedStream.java:743 — arbitrary fold in event-time order;
+        BATCH mode emits the final reduced value per key."""
+        f = fn.reduce if isinstance(fn, ReduceFunction) else fn
+        schema = self.stream.df.schema
+        names = [fld.name for fld in schema.fields]
+        tcol = self.stream.time_col
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            if tcol:
+                pdf = pdf.sort_values(tcol, kind="stable")
+            acc = None
+            for row in _row_iter(pdf):
+                acc = row if acc is None else f(acc, row)
+            return _to_pdf([acc] if acc is not None else [], names)
+
+        out = self.stream.df.groupBy(*self.keys).applyInPandas(fold, schema)
+        return DataStream(self.env, out, None)
+
+    # -- keyed process (KeyedStream.java:325) -------------------------------
+
+    def process(
+        self,
+        fn: KeyedProcessFunction,
+        output_type: str | StructType,
+        side_outputs: tuple[OutputTag, ...] = (),
+    ) -> DataStream:
+        import json
+
+        spark = self.env.spark
+        schema = _parse_ddl(spark, output_type)
+        if side_outputs:
+            schema = StructType(
+                list(schema.fields)
+                + list(_parse_ddl(spark, f"{_SIDE_TAG} STRING, {_SIDE_JSON} STRING").fields)
+            )
+        names = [fld.name for fld in schema.fields]
+        tcol = self.stream.time_col
+        keys = self.keys
+        use_side = bool(side_outputs)
+
+        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            if tcol:
+                pdf = pdf.sort_values(tcol, kind="stable")
+            rc = RuntimeContext()
+            fn.open(rc)
+            ts = TimerService()
+            kval = key[0] if len(key) == 1 else key
+            ctx = Context(timer_service_obj=ts, current_key=kval)
+            col = Collector()
+            for row in _row_iter(pdf):
+                ctx.current_timestamp = _ts_ms(row.get(tcol)) if tcol else None
+                fn.process_element(row, ctx, col)
+            for t in ts._drain():
+                ctx.current_timestamp = t
+                fn.on_timer(t, ctx, col)
+            fn.close()
+            out: list[dict] = []
+            for r in col.rows:
+                out.append({**r, _SIDE_TAG: None, _SIDE_JSON: None} if use_side else r)
+            for tag_id, r in ctx.side_rows:
+                out.append({_SIDE_TAG: tag_id, _SIDE_JSON: json.dumps(r, default=str)})
+            return _to_pdf(out, names)
+
+        out = self.stream.df.groupBy(*keys).applyInPandas(
+            lambda key, pdf: harness(key, pdf), schema
+        )
+        return DataStream(self.env, out, None, tuple(side_outputs))
+
+    # -- windows ------------------------------------------------------------
+
+    def window(self, assigner) -> "WindowedStream":
+        return WindowedStream(self, assigner)
+
+    def count_window(self, size: int, slide: int | None = None, _drop_key: bool = False) -> "WindowedStream":
+        """KeyedStream.java:696,706 — GlobalWindows + CountTrigger:
+        with ``slide`` the trigger fires every ``slide`` elements over
+        the last ``size`` elements (CountEvictor); without, every
+        ``size`` elements tumbling."""
+        return WindowedStream(self, None, count=(size, slide or size), drop_key=_drop_key)
+
+    # -- interval join (KeyedStream.java:438) -------------------------------
+
+    def interval_join(self, other: "KeyedStream") -> "IntervalJoin":
+        return IntervalJoin(self, other)
+
+
+class IntervalJoin:
+    def __init__(self, left: KeyedStream, right: KeyedStream) -> None:
+        self.left, self.right = left, right
+        self.lower_ms = self.upper_ms = 0
+
+    def between(self, lower, upper) -> "IntervalJoin":
+        self.lower_ms, self.upper_ms = _to_ms(lower), _to_ms(upper)
+        return self
+
+    def process(self, fn: ProcessJoinFunction, output_type: str | StructType) -> DataStream:
+        """Native equi+range join builds the pairs (the scale-bearing
+        part — no Python in the shuffle); the user function then maps
+        each pair Arrow-batched."""
+        lt, rt = self.left.stream.time_col, self.right.stream.time_col
+        if not lt or not rt:
+            raise ValueError("interval_join needs watermarked (timestamped) streams on both sides")
+        env = self.left.env
+        lcols, rcols = self.left.stream.df.columns, self.right.stream.df.columns
+        l = self.left.stream.df.select(*[F.col(c).alias(f"__l_{c}") for c in lcols])
+        r = self.right.stream.df.select(*[F.col(c).alias(f"__r_{c}") for c in rcols])
+        cond = F.lit(True)
+        for lk, rk in zip(self.left.keys, self.right.keys):
+            cond = cond & (F.col(f"__l_{lk}") == F.col(f"__r_{rk}"))
+        lts = F.unix_millis(F.col(f"__l_{lt}").cast("timestamp"))
+        rts = F.unix_millis(F.col(f"__r_{rt}").cast("timestamp"))
+        cond = (
+            cond
+            & (rts >= lts + F.lit(self.lower_ms))
+            & (rts <= lts + F.lit(self.upper_ms))
+        )
+        joined = l.join(r, cond)
+        schema = _parse_ddl(env.spark, output_type)
+        names = [fld.name for fld in schema.fields]
+
+        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            for pdf in batches:
+                out: list[dict] = []
+                colctx = Collector()
+                for row in _row_iter(pdf):
+                    lrow = {c: row[f"__l_{c}"] for c in lcols}
+                    rrow = {c: row[f"__r_{c}"] for c in rcols}
+                    fn.process_element(lrow, rrow, Context(timer_service_obj=None), colctx)
+                out.extend(colctx.rows)
+                yield _to_pdf(out, names)
+
+        return DataStream(env, joined.mapInPandas(gen, schema))
+
+
+# ---------------------------------------------------------------------------
+# windowed stream
+
+
+class WindowedStream:
+    def __init__(
+        self,
+        keyed: KeyedStream,
+        assigner,
+        count: tuple[int, int] | None = None,
+        drop_key: bool = False,
+    ) -> None:
+        self.keyed = keyed
+        self.assigner = assigner
+        self.count = count
+        self.drop_key = drop_key
+        self.env = keyed.env
+
+    def _with_window(self) -> tuple[DataFrame, list[str], str]:
+        """Assign windows natively (arithmetic over epoch ms) so the
+        (key, window) shuffle happens JVM-side; returns the augmented
+        frame, the window grouping columns, and the window kind."""
+        s = self.keyed.stream
+        tcol = s.time_col
+        if self.count:
+            size, slide = self.count
+            order = F.col(tcol) if tcol else F.monotonically_increasing_id()
+            wk = Window.partitionBy(*self.keyed.keys)
+            df = s.df.withColumn("__rn", F.row_number().over(wk.orderBy(order)))
+            df = df.withColumn("__total", F.max("__rn").over(wk))
+            # CountTrigger fires at element counts m*slide; the window
+            # contents are the last `size` elements at the fire point
+            # (CountEvictor) — element rn is in fire m iff
+            # m*slide - size < rn <= m*slide, and the fire only happens
+            # if the key reaches m*slide elements
+            first_m = F.ceil(F.col("__rn") / F.lit(slide))
+            last_m = F.least(
+                F.floor((F.col("__rn") + F.lit(size) - 1) / F.lit(slide)),
+                F.floor(F.col("__total") / F.lit(slide)),
+            )
+            # sequence(a,b) descends when a > b — emit nothing instead
+            fires = F.when(last_m >= first_m, F.sequence(first_m, last_m)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+            df = df.withColumn("__win", F.explode(fires)).drop("__total")
+            return df, ["__win"], "count"
+        if not tcol:
+            raise ValueError("time windows need assign_timestamps_and_watermarks first")
+        a = self.assigner
+        if isinstance(a, EventTimeSessionWindows):
+            df = _assign_session_ids(s.df, tcol, self.keyed.keys, _to_ms(a.gap))
+            return df, ["__sess"], "session"
+        return _assign_time_windows(s.df, tcol, a), ["__win_start", "__win_end"], "time"
+
+    def _run(
+        self,
+        per_window: Callable[[Any, Any, pd.DataFrame], list[dict]],
+        output_type: str | StructType,
+    ) -> DataStream:
+        spark = self.env.spark
+        schema = _parse_ddl(spark, output_type)
+        names = [fld.name for fld in schema.fields]
+        df, wcols, kind = self._with_window()
+        keys = self.keyed.keys
+        tcol = self.keyed.stream.time_col
+        drop_key = self.drop_key
+        nk = len(keys)
+        gap_ms = _to_ms(self.assigner.gap) if kind == "session" else 0
+
+        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            if tcol:
+                pdf = pdf.sort_values(tcol, kind="stable")
+            if kind == "count":
+                window = CountWindow(int(key[nk]))
+            elif kind == "session":
+                # session bounds from the merged run: [first, last+gap)
+                tvals = [_ts_ms(v) for v in pdf[tcol]]
+                window = TimeWindow(min(tvals), max(tvals) + gap_ms)
+            else:
+                window = TimeWindow(int(key[nk]), int(key[nk + 1]))
+            kval = None if drop_key else (key[0] if nk == 1 else tuple(key[:nk]))
+            helper = [c for c in (*wcols, "__rn") if c in pdf.columns]
+            rows = per_window(kval, window, pdf.drop(columns=helper))
+            return _to_pdf(rows, names)
+
+        out = df.groupBy(*keys, *wcols).applyInPandas(lambda k, p: harness(k, p), schema)
+        return DataStream(self.env, out, None)
+
+    def reduce(self, fn: ReduceFunction | Callable[[dict, dict], dict], output_type: str | StructType | None = None) -> DataStream:
+        f = fn.reduce if isinstance(fn, ReduceFunction) else fn
+        out_t = output_type or self.keyed.stream.df.schema
+
+        def per_window(_key, _window, pdf: pd.DataFrame) -> list[dict]:
+            acc = None
+            for row in _row_iter(pdf):
+                acc = row if acc is None else f(acc, row)
+            return [acc] if acc is not None else []
+
+        return self._run(per_window, out_t)
+
+    def aggregate(self, fn: AggregateFunction, output_type: str | StructType) -> DataStream:
+        def per_window(_key, _window, pdf: pd.DataFrame) -> list[dict]:
+            acc = fn.create_accumulator()
+            for row in _row_iter(pdf):
+                acc = fn.add(row, acc)
+            return [fn.get_result(acc)]
+
+        return self._run(per_window, output_type)
+
+    def apply(self, fn: WindowFunction, output_type: str | StructType) -> DataStream:
+        def per_window(key, window, pdf: pd.DataFrame) -> list[dict]:
+            col = Collector()
+            fn.apply(key, window, list(_row_iter(pdf)), col)
+            return col.rows
+
+        return self._run(per_window, output_type)
+
+    def process(self, fn: ProcessWindowFunction, output_type: str | StructType) -> DataStream:
+        def per_window(key, window, pdf: pd.DataFrame) -> list[dict]:
+            col = Collector()
+            fn.process(key, WindowContext(window), list(_row_iter(pdf)), col)
+            return col.rows
+
+        return self._run(per_window, output_type)
+
+
+# ---------------------------------------------------------------------------
+# connected streams (two-input keyed co-processing)
+
+
+class ConnectedStreams:
+    def __init__(self, first: DataStream, second: DataStream) -> None:
+        self.first, self.second = first, second
+        self.keys1: list[str] | None = None
+        self.keys2: list[str] | None = None
+
+    def key_by(self, keys1, keys2) -> "ConnectedStreams":
+        self.keys1 = [keys1] if isinstance(keys1, str) else list(keys1)
+        self.keys2 = [keys2] if isinstance(keys2, str) else list(keys2)
+        return self
+
+    def map(self, fn, output_type: str | StructType) -> DataStream:
+        """CoMapFunction: map1 on the first input, map2 on the second —
+        no shared keyed state in a non-keyed connect, so each side lowers
+        independently and unions (same observable output)."""
+        a = self.first.map(fn.map1, output_type)
+        b = self.second.map(fn.map2, output_type)
+        return a.union(b)
+
+    def flat_map(self, fn, output_type: str | StructType) -> DataStream:
+        a = self.first.flat_map(fn.flat_map1, output_type)
+        b = self.second.flat_map(fn.flat_map2, output_type)
+        return a.union(b)
+
+    def process(self, fn: CoProcessFunction, output_type: str | StructType) -> DataStream:
+        """Keyed co-process: both inputs shuffle to the same key (one
+        native exchange via union-with-tag), then one harness per key
+        processes the merged, time-sorted run — the two-input operator's
+        min-watermark ordering on bounded input."""
+        if not self.keys1 or not self.keys2:
+            raise ValueError("connect(...).process needs key_by(keys1, keys2) (keyed context)")
+        env = self.first.env
+        lcols, rcols = self.first.df.columns, self.second.df.columns
+        lt, rt = self.first.time_col, self.second.time_col
+        l = self.first.df.select(
+            F.lit(0).alias("__side"),
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys1)],
+            (F.col(lt).cast("timestamp") if lt else F.lit(None).cast("timestamp")).alias("__ts"),
+            *[F.col(c).alias(f"__l_{c}") for c in lcols],
+            *[F.lit(None).cast(f.dataType).alias(f"__r_{f.name}") for f in self.second.df.schema.fields],
+        )
+        r = self.second.df.select(
+            F.lit(1).alias("__side"),
+            *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys2)],
+            (F.col(rt).cast("timestamp") if rt else F.lit(None).cast("timestamp")).alias("__ts"),
+            *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in self.first.df.schema.fields],
+            *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        )
+        unioned = l.unionByName(r)
+        schema = _parse_ddl(env.spark, output_type)
+        names = [fld.name for fld in schema.fields]
+        kcols = [f"__k{i}" for i in range(len(self.keys1))]
+
+        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(["__ts", "__side"], kind="stable", na_position="first")
+            rc = RuntimeContext()
+            fn.open(rc)
+            ts = TimerService()
+            kval = key[0] if len(key) == 1 else key
+            ctx = Context(timer_service_obj=ts, current_key=kval)
+            col = Collector()
+            for row in _row_iter(pdf):
+                ctx.current_timestamp = _ts_ms(row["__ts"])
+                if row["__side"] == 0:
+                    fn.process_element1({c: row[f"__l_{c}"] for c in lcols}, ctx, col)
+                else:
+                    fn.process_element2({c: row[f"__r_{c}"] for c in rcols}, ctx, col)
+            for t in ts._drain():
+                ctx.current_timestamp = t
+                fn.on_timer(t, ctx, col)
+            fn.close()
+            return _to_pdf(col.rows, names)
+
+        out = unioned.groupBy(*kcols).applyInPandas(lambda k, p: harness(k, p), schema)
+        return DataStream(env, out)
+
+
+# ---------------------------------------------------------------------------
+# broadcast state (DataStream.java:434 / BroadcastProcessFunction)
+
+
+class BroadcastStream:
+    def __init__(self, stream: DataStream, descriptors: tuple[MapStateDescriptor, ...]) -> None:
+        self.stream = stream
+        self.descriptors = descriptors
+
+
+class BroadcastConnectedStream:
+    def __init__(self, main: DataStream, bcast: BroadcastStream) -> None:
+        self.main, self.bcast = main, bcast
+
+    def process(self, fn: BroadcastProcessFunction, output_type: str | StructType) -> DataStream:
+        """BATCH-mode broadcast state: the (small, by contract) broadcast
+        side is consumed in full FIRST — the reference's documented batch
+        behavior for broadcast state — building the state maps once on
+        the driver; the main side then maps over it Arrow-batched with
+        the state shipped in the task closure (every task holds the full
+        broadcast state, exactly the reference's replication model)."""
+        env = self.main.env
+        states: dict[str, Any] = {}
+        bctx = BroadcastContext(states)
+        for desc in self.bcast.descriptors:
+            bctx.get_broadcast_state(desc)  # materialize declared maps
+        brows = [r.asDict(recursive=True) for r in self.bcast.stream.df.collect()]
+        for row in brows:
+            fn.process_broadcast_element(row, bctx)
+        schema = _parse_ddl(env.spark, output_type)
+        names = [fld.name for fld in schema.fields]
+        tcol = self.main.time_col
+
+        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            rc = RuntimeContext()
+            fn.open(rc)
+            ro = ReadOnlyBroadcastContext(None, states)
+            for pdf in batches:
+                col = Collector()
+                for row in _row_iter(pdf):
+                    ro.current_timestamp = _ts_ms(row.get(tcol)) if tcol else None
+                    fn.process_element(row, ro, col)
+                yield _to_pdf(col.rows, names)
+            fn.close()
+
+        return DataStream(env, self.main.df.mapInPandas(gen, schema))
+
+
+# ---------------------------------------------------------------------------
+# window join / co-group (DataStream.java:720,728)
+
+
+class _WindowPair:
+    def __init__(self, first: DataStream, second: DataStream) -> None:
+        self.first, self.second = first, second
+        self.k1: str | None = None
+        self.k2: str | None = None
+        self.assigner = None
+
+    def where(self, key: str):
+        self.k1 = key
+        return self
+
+    def equal_to(self, key: str):
+        self.k2 = key
+        return self
+
+    def window(self, assigner):
+        self.assigner = assigner
+        return self
+
+    def _windowed(self) -> tuple[DataFrame, DataFrame]:
+        a = self.assigner
+        if isinstance(a, EventTimeSessionWindows):
+            raise ValueError(
+                "session windows merge per stream; a session window join is "
+                "not well-defined (the reference's WindowJoin uses time "
+                "windows) — use interval_join for proximity joins"
+            )
+        for s in (self.first, self.second):
+            if not s.time_col:
+                raise ValueError("window join/coGroup needs timestamped streams")
+        l = _assign_time_windows(self.first.df, self.first.time_col, a)
+        r = _assign_time_windows(self.second.df, self.second.time_col, a)
+        return l, r
+
+
+class JoinedStreams(_WindowPair):
+    def apply(self, fn: JoinFunction | Callable[[dict, dict], dict], output_type: str | StructType) -> DataStream:
+        """Pairs form via a native equi-join on (key, window) — the
+        shuffle is JVM-side; the user join function maps pairs after."""
+        f = fn.join if isinstance(fn, JoinFunction) else fn
+        env = self.first.env
+        l, r = self._windowed()
+        lcols, rcols = self.first.df.columns, self.second.df.columns
+        l = l.select(
+            F.col("__win_start"),
+            F.col(self.k1).alias("__k"),
+            *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        )
+        r = r.select(
+            F.col("__win_start").alias("__ws2"),
+            F.col(self.k2).alias("__k2"),
+            *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        )
+        joined = l.join(
+            r, (F.col("__k") == F.col("__k2")) & (F.col("__win_start") == F.col("__ws2"))
+        )
+        schema = _parse_ddl(env.spark, output_type)
+        names = [fld.name for fld in schema.fields]
+
+        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            for pdf in batches:
+                out = [
+                    f({c: row[f"__l_{c}"] for c in lcols}, {c: row[f"__r_{c}"] for c in rcols})
+                    for row in _row_iter(pdf)
+                ]
+                yield _to_pdf(out, names)
+
+        return DataStream(env, joined.mapInPandas(gen, schema))
+
+
+class CoGroupedStreams(_WindowPair):
+    def apply(self, fn: CoGroupFunction, output_type: str | StructType) -> DataStream:
+        """Both sides shuffle once to (key, window) via union-with-tag;
+        the co-group function sees the two element lists per group
+        (outer semantics: a group may have one empty side)."""
+        env = self.first.env
+        l, r = self._windowed()
+        lcols, rcols = self.first.df.columns, self.second.df.columns
+        lu = l.select(
+            F.lit(0).alias("__side"),
+            F.col(self.k1).alias("__k"),
+            F.col("__win_start"),
+            *[F.col(c).alias(f"__l_{c}") for c in lcols],
+            *[F.lit(None).cast(f.dataType).alias(f"__r_{f.name}") for f in self.second.df.schema.fields],
+        )
+        ru = r.select(
+            F.lit(1).alias("__side"),
+            F.col(self.k2).alias("__k"),
+            F.col("__win_start"),
+            *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in self.first.df.schema.fields],
+            *[F.col(c).alias(f"__r_{c}") for c in rcols],
+        )
+        unioned = lu.unionByName(ru)
+        schema = _parse_ddl(env.spark, output_type)
+        names = [fld.name for fld in schema.fields]
+
+        def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            firsts = [
+                {c: row[f"__l_{c}"] for c in lcols}
+                for row in _row_iter(pdf[pdf["__side"] == 0])
+            ]
+            seconds = [
+                {c: row[f"__r_{c}"] for c in rcols}
+                for row in _row_iter(pdf[pdf["__side"] == 1])
+            ]
+            col = Collector()
+            fn.co_group(firsts, seconds, col)
+            return _to_pdf(col.rows, names)
+
+        out = unioned.groupBy("__k", "__win_start").applyInPandas(
+            lambda k, p: harness(k, p), schema
+        )
+        return DataStream(env, out)

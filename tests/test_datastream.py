@@ -1,0 +1,447 @@
+"""DataStream API facade tests (SURVEY.md section 1.4 item 3).
+
+Mirrors the reference's DataStream ITCase style: small deterministic
+element logs, run the program, assert the exact output set. BATCH
+execution-mode semantics throughout (per-key event-time order, all
+timers fire at end-of-input watermark — the reference's documented
+behavior for DataStream programs on bounded input).
+"""
+
+from __future__ import annotations
+
+import datetime
+import sys
+
+import pytest
+from pyspark import cloudpickle
+
+# classes defined in this test module must ship to executor workers by
+# value (the tests dir is not on the workers' import path)
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+from flink_release_1_16_0_spark.datastream import (
+    AggregateFunction,
+    CoGroupFunction,
+    Collector,
+    EventTimeSessionWindows,
+    KeyedCoProcessFunction,
+    KeyedProcessFunction,
+    ListStateDescriptor,
+    MapStateDescriptor,
+    OutputTag,
+    ProcessFunction,
+    ProcessJoinFunction,
+    ProcessWindowFunction,
+    SlidingEventTimeWindows,
+    StreamExecutionEnvironment,
+    TumblingEventTimeWindows,
+    ValueStateDescriptor,
+    WatermarkStrategy,
+)
+from flink_release_1_16_0_spark.datastream.functions import (
+    BroadcastProcessFunction,
+    MAX_WATERMARK,
+)
+
+
+def _ts(minute: int, second: int = 0) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def env(spark) -> StreamExecutionEnvironment:
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+@pytest.fixture(scope="module")
+def clicks(env):
+    rows = [
+        {"user": "a", "ts": _ts(0), "n": 1},
+        {"user": "a", "ts": _ts(1), "n": 3},
+        {"user": "a", "ts": _ts(12), "n": 5},
+        {"user": "b", "ts": _ts(2), "n": 10},
+        {"user": "b", "ts": _ts(3), "n": 20},
+        {"user": "c", "ts": _ts(30), "n": 7},
+    ]
+    s = env.from_collection(rows, "user STRING, ts TIMESTAMP, n INT")
+    return s.assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_bounded_out_of_orderness("5 seconds").with_timestamp_assigner("ts")
+    )
+
+
+# -- stateless ---------------------------------------------------------------
+
+
+def test_map_flat_map_filter(env, clicks):
+    doubled = clicks.map(lambda r: {"user": r["user"], "n2": r["n"] * 2}, "user STRING, n2 INT")
+    assert sorted(r.n2 for r in doubled.to_data_frame().collect()) == [2, 6, 10, 14, 20, 40]
+
+    dup = clicks.flat_map(
+        lambda r: [{"u": r["user"]}] * r["n"], "u STRING"
+    ).to_data_frame()
+    assert dup.count() == 46
+
+    # expression filter stays JVM-side
+    hot = clicks.filter("n >= 5")
+    assert hot.to_data_frame().count() == 4
+    # python-function filter
+    hot2 = clicks.filter(lambda r: r["n"] >= 5)
+    assert hot2.to_data_frame().count() == 4
+
+
+def test_union_project(env, clicks):
+    u = clicks.union(clicks).project("user", "n")
+    assert u.to_data_frame().count() == 12
+    assert u.to_data_frame().columns == ["user", "n"]
+
+
+# -- keyed rolling aggregates ------------------------------------------------
+
+
+def test_keyed_sum_min_max(clicks):
+    got = {
+        r.user: r.n
+        for r in clicks.key_by("user").sum("n").to_data_frame().collect()
+    }
+    assert got == {"a": 9, "b": 30, "c": 7}
+    # non-aggregated field keeps the FIRST element's value
+    first_ts = {
+        r.user: r.ts
+        for r in clicks.key_by("user").sum("n").to_data_frame().collect()
+    }
+    assert first_ts["a"] == _ts(0)
+
+    mx = {r.user: r.n for r in clicks.key_by("user").max("n").to_data_frame().collect()}
+    assert mx == {"a": 5, "b": 20, "c": 7}
+
+
+def test_keyed_min_by_max_by(clicks):
+    rows = clicks.key_by("user").max_by("n").to_data_frame().collect()
+    got = {r.user: (r.n, r.ts) for r in rows}
+    # maxBy returns the whole extreme element
+    assert got["a"] == (5, _ts(12))
+    assert got["b"] == (20, _ts(3))
+
+
+def test_keyed_reduce_in_time_order(clicks):
+    def concat(a, b):
+        return {"user": a["user"], "ts": b["ts"], "n": a["n"] * 10 + b["n"]}
+
+    got = {
+        r.user: r.n
+        for r in clicks.key_by("user").reduce(concat).to_data_frame().collect()
+    }
+    # digits prove the event-time fold order
+    assert got == {"a": 135, "b": 120, "c": 7}
+
+
+# -- keyed process: state + timers -------------------------------------------
+
+
+class GapSessionCounter(KeyedProcessFunction):
+    """Sessionization with event-time timers: emit (user, session_size)
+    when a 5-minute gap timer fires (the canonical ProcessFunction
+    example from the reference docs)."""
+
+    GAP_MS = 5 * 60 * 1000
+
+    def open(self, rc):
+        self.count = rc.get_state(ValueStateDescriptor("count", 0))
+        self.deadline = rc.get_state(ValueStateDescriptor("deadline"))
+
+    def process_element(self, value, ctx, out):
+        t = ctx.timestamp()
+        dl = self.deadline.value()
+        if dl is not None and t >= dl:
+            out.collect({"user": ctx.get_current_key(), "session_n": self.count.value()})
+            self.count.update(0)
+        self.count.update(self.count.value() + 1)
+        new_dl = t + self.GAP_MS
+        if dl is not None:
+            ctx.timer_service().delete_event_time_timer(dl)
+        ctx.timer_service().register_event_time_timer(new_dl)
+        self.deadline.update(new_dl)
+
+    def on_timer(self, timestamp, ctx, out):
+        if self.count.value():
+            out.collect({"user": ctx.get_current_key(), "session_n": self.count.value()})
+            self.count.update(0)
+
+
+def test_keyed_process_timers(clicks):
+    out = clicks.key_by("user").process(GapSessionCounter(), "user STRING, session_n INT")
+    rows = sorted((r.user, r.session_n) for r in out.to_data_frame().collect())
+    # a: [10:00,10:01] then [10:12]; b: [10:02,10:03]; c: [10:30]
+    assert rows == [("a", 1), ("a", 2), ("b", 2), ("c", 1)]
+
+
+class SplitBySize(ProcessFunction):
+    SMALL = OutputTag("small", "user STRING, n INT")
+
+    def process_element(self, value, ctx, out):
+        if value["n"] >= 5:
+            out.collect({"user": value["user"], "n": value["n"]})
+        else:
+            ctx.output(self.SMALL, {"user": value["user"], "n": value["n"]})
+
+
+def test_side_outputs(clicks):
+    main = clicks.process(
+        SplitBySize(), "user STRING, n INT", side_outputs=(SplitBySize.SMALL,)
+    )
+    assert sorted(r.n for r in main.to_data_frame().collect()) == [5, 7, 10, 20]
+    side = main.get_side_output(SplitBySize.SMALL)
+    assert sorted(r.n for r in side.to_data_frame().collect()) == [1, 3]
+
+
+# -- windows -----------------------------------------------------------------
+
+
+class SumAgg(AggregateFunction):
+    def create_accumulator(self):
+        return 0
+
+    def add(self, value, acc):
+        return acc + value["n"]
+
+    def get_result(self, acc):
+        return {"total": acc}
+
+    def merge(self, a, b):
+        return a + b
+
+
+class WindowInfo(ProcessWindowFunction):
+    def process(self, key, context, elements, out):
+        out.collect(
+            {
+                "user": key,
+                "start_ms": context.window.start,
+                "cnt": len(elements),
+            }
+        )
+
+
+def test_tumbling_window_aggregate(clicks):
+    win = clicks.key_by("user").window(TumblingEventTimeWindows.of("10 minutes"))
+    out = win.aggregate(SumAgg(), "total INT").to_data_frame()
+    assert sorted(r.total for r in out.collect()) == [4, 5, 7, 30]
+
+
+def test_tumbling_window_process_has_bounds(clicks):
+    win = clicks.key_by("user").window(TumblingEventTimeWindows.of("10 minutes"))
+    rows = win.process(WindowInfo(), "user STRING, start_ms LONG, cnt INT").to_data_frame().collect()
+    by = {(r.user, r.start_ms): r.cnt for r in rows}
+    base = int(_ts(0).replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    # local-session timezone may shift the epoch; assert alignment + counts
+    assert all(s % 600_000 == 0 for (_, s) in by)
+    assert sorted(by.values()) == [1, 1, 2, 2]
+
+
+def test_sliding_window(clicks):
+    win = clicks.key_by("user").window(SlidingEventTimeWindows.of("10 minutes", "5 minutes"))
+    out = win.aggregate(SumAgg(), "total INT").to_data_frame()
+    # each element lands in exactly 2 sliding windows
+    assert sum(r.total for r in out.collect()) == 2 * 46
+
+
+def test_session_window(clicks):
+    win = clicks.key_by("user").window(EventTimeSessionWindows.with_gap("5 minutes"))
+    rows = win.process(WindowInfo(), "user STRING, start_ms LONG, cnt INT").to_data_frame().collect()
+    got = sorted((r.user, r.cnt) for r in rows)
+    assert got == [("a", 1), ("a", 2), ("b", 2), ("c", 1)]
+
+
+def test_count_window(clicks):
+    win = clicks.key_by("user").count_window(2)
+    out = win.reduce(
+        lambda a, b: {"user": a["user"], "ts": b["ts"], "n": a["n"] + b["n"]}
+    ).to_data_frame()
+    # only complete windows of 2 fire: a->[1,3], b->[10,20]; a's 3rd and c never fire
+    assert sorted(r.n for r in out.collect()) == [4, 30]
+
+
+def test_count_window_sliding(clicks):
+    # size 2, slide 1: fires at every element with the last 2 elements
+    win = clicks.key_by("user").count_window(2, 1)
+    out = win.aggregate(SumAgg(), "total INT").to_data_frame()
+    assert sorted(r.total for r in out.collect()) == [1, 4, 7, 8, 10, 30]
+
+
+# -- connected streams -------------------------------------------------------
+
+
+class EnrichWithLimit(KeyedCoProcessFunction):
+    """Control stream (limits) + data stream: emit data joined to the
+    latest limit at-or-before it (both sides time-sorted per key)."""
+
+    def open(self, rc):
+        self.limit = rc.get_state(ValueStateDescriptor("limit"))
+
+    def process_element1(self, value, ctx, out):  # data
+        lim = self.limit.value()
+        out.collect({"user": value["user"], "n": value["n"], "lim": lim})
+
+    def process_element2(self, value, ctx, out):  # control
+        self.limit.update(value["lim"])
+
+
+def test_connect_keyed_co_process(env, clicks):
+    limits = env.from_collection(
+        [
+            {"user": "a", "ts": _ts(0, 30), "lim": 100},
+            {"user": "b", "ts": _ts(0), "lim": 5},
+        ],
+        "user STRING, ts TIMESTAMP, lim INT",
+    ).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    out = (
+        clicks.connect(limits)
+        .key_by("user", "user")
+        .process(EnrichWithLimit(), "user STRING, n INT, lim INT")
+        .to_data_frame()
+    )
+    got = {(r.user, r.n): r.lim for r in out.collect()}
+    assert got[("a", 1)] is None  # 10:00 data precedes 10:00:30 control
+    assert got[("a", 3)] == 100
+    assert got[("b", 10)] == 5
+    assert got[("c", 7)] is None
+
+
+# -- broadcast state ---------------------------------------------------------
+
+
+class ApplyRules(BroadcastProcessFunction):
+    RULES = MapStateDescriptor("rules")
+
+    def process_broadcast_element(self, value, ctx):
+        ctx.get_broadcast_state(self.RULES).put(value["event"], value["factor"])
+
+    def process_element(self, value, ctx, out):
+        f = ctx.get_broadcast_state(self.RULES).get(value["user"])
+        out.collect({"user": value["user"], "scaled": value["n"] * (f or 1)})
+
+
+def test_broadcast_state(env, clicks):
+    rules = env.from_collection(
+        [{"event": "a", "factor": 10}, {"event": "b", "factor": 100}],
+        "event STRING, factor INT",
+    )
+    out = (
+        clicks.connect(rules.broadcast(ApplyRules.RULES))
+        .process(ApplyRules(), "user STRING, scaled INT")
+        .to_data_frame()
+    )
+    assert sorted(r.scaled for r in out.collect()) == [7, 10, 30, 50, 1000, 2000]
+
+
+# -- joins -------------------------------------------------------------------
+
+
+class PairJoin(ProcessJoinFunction):
+    def process_element(self, left, right, ctx, out):
+        out.collect({"user": left["user"], "ln": left["n"], "rn": right["n"]})
+
+
+def test_interval_join(env, clicks):
+    right = env.from_collection(
+        [
+            {"user": "a", "ts": _ts(1, 30), "n": 42},
+            {"user": "b", "ts": _ts(9), "n": 43},
+        ],
+        "user STRING, ts TIMESTAMP, n INT",
+    ).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    out = (
+        clicks.key_by("user")
+        .interval_join(right.key_by("user"))
+        .between("-2 minutes", "2 minutes")
+        .process(PairJoin(), "user STRING, ln INT, rn INT")
+        .to_data_frame()
+    )
+    got = sorted((r.user, r.ln) for r in out.collect())
+    # a@10:00 and a@10:01 are within 2min of a@10:01:30; b@9:00 right
+    # matches nothing within [-2m,+2m] of 10:02/10:03... wait: 10:02 is
+    # outside [10:07,10:11]; nothing for b
+    assert got == [("a", 1), ("a", 3)]
+
+
+def test_window_join_and_cogroup(env, clicks):
+    right = env.from_collection(
+        [{"user": "a", "ts": _ts(3), "m": 1}, {"user": "x", "ts": _ts(3), "m": 2}],
+        "user STRING, ts TIMESTAMP, m INT",
+    ).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    joined = (
+        clicks.join(right)
+        .where("user")
+        .equal_to("user")
+        .window(TumblingEventTimeWindows.of("10 minutes"))
+        .apply(lambda l, r: {"user": l["user"], "n": l["n"], "m": r["m"]}, "user STRING, n INT, m INT")
+        .to_data_frame()
+    )
+    assert sorted((r.user, r.n) for r in joined.collect()) == [("a", 1), ("a", 3)]
+
+    class CountBoth(CoGroupFunction):
+        def co_group(self, first, second, out):
+            out.collect({"nl": len(first), "nr": len(second)})
+
+    cg = (
+        clicks.co_group(right)
+        .where("user")
+        .equal_to("user")
+        .window(TumblingEventTimeWindows.of("10 minutes"))
+        .apply(CountBoth(), "nl INT, nr INT")
+        .to_data_frame()
+    )
+    pairs = sorted((r.nl, r.nr) for r in cg.collect())
+    # outer semantics: windows with only one populated side appear
+    assert (0, 1) in pairs and (2, 1) in pairs
+
+
+# -- iteration + partitioning ------------------------------------------------
+
+
+def test_iterate_converges(env):
+    s = env.from_collection([{"x": 1}, {"x": 40}, {"x": 100}], "x INT")
+
+    def body(ds):
+        return ds.map(lambda r: {"x": min(r["x"] * 2, 100)}, "x INT")
+
+    out = s.iterate(
+        body,
+        max_iterations=10,
+        termination=lambda df: df.filter("x < 100").count() == 0,
+    )
+    assert sorted(r.x for r in out.to_data_frame().collect()) == [100, 100, 100]
+
+
+def test_partitioning_ops_preserve_rows(env, clicks):
+    n = clicks.to_data_frame().count()
+    assert clicks.shuffle().to_data_frame().count() == n
+    assert clicks.rebalance().to_data_frame().count() == n
+    assert clicks.rescale().to_data_frame().count() == n
+    assert clicks.global_().to_data_frame().count() == n
+    assert clicks.forward().to_data_frame().count() == n
+    custom = clicks.partition_custom(lambda key, parts: hash(key) % parts, "user")
+    assert custom.to_data_frame().count() == n
+
+
+def test_keyed_builtin_agg_is_native_single_exchange(clicks):
+    plan = clicks.key_by("user").sum("n").to_data_frame()._jdf.queryExecution().executedPlan().toString()
+    # native hash aggregate; no Python evaluation in the plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_window_all(env, clicks):
+    out = (
+        clicks.window_all(TumblingEventTimeWindows.of("10 minutes"))
+        .aggregate(SumAgg(), "total INT")
+        .to_data_frame()
+    )
+    assert sorted(r.total for r in out.collect()) == [5, 7, 34]
