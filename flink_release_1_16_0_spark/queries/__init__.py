@@ -60,6 +60,7 @@ _MODULES = (
     "udf_surface",
     "types_coverage",
     "api_facade",
+    "datastream_api",
 )
 
 
