@@ -2721,6 +2721,29 @@ class TableEnvironment:
         """fromDataStream: wrap an (insert-only) DataFrame as a Table."""
         return Table(df)
 
+    def from_data_stream(self, ds) -> Table:
+        """fromDataStream over the DataStream API facade
+        (StreamTableEnvironment.fromDataStream,
+        flink-table-api-java-bridge/.../StreamTableEnvironment.java):
+        an insert-only DataStream becomes a Table; its event-time
+        attribute (if assigned) carries over as the rowtime column."""
+        from flink_release_1_16_0_spark.datastream.stream import DataStream
+
+        if not isinstance(ds, DataStream):
+            raise TypeError("from_data_stream expects a datastream.DataStream")
+        return Table(ds.to_data_frame())
+
+    def to_data_stream(self, table: Table, env=None):
+        """toDataStream: an insert-only Table becomes a DataStream on
+        the given (or a fresh) StreamExecutionEnvironment."""
+        from flink_release_1_16_0_spark.datastream.stream import (
+            DataStream,
+            StreamExecutionEnvironment,
+        )
+
+        env = env or StreamExecutionEnvironment(self.spark)
+        return DataStream(env, table.to_data_frame())
+
     def from_changelog_stream(self, df: DataFrame, rowkind_col: str = None) -> Table:
         """fromChangelogStream: a DataFrame carrying per-row kinds
         (+I/-U/+U/-D) becomes a changelog Table; the kind column is

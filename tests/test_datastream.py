@@ -445,3 +445,24 @@ def test_window_all(env, clicks):
         .to_data_frame()
     )
     assert sorted(r.total for r in out.collect()) == [5, 7, 34]
+
+
+# -- Table <-> DataStream bridge --------------------------------------------
+
+
+def test_table_bridge_roundtrip(spark, env, clicks):
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    # DataStream -> Table -> SQL
+    t = tenv.from_data_stream(clicks)
+    tenv.create_temporary_view("bridge_clicks", t)
+    agg = tenv.execute_sql(
+        "SELECT user, SUM(n) AS total FROM bridge_clicks GROUP BY user"
+    )
+    got = {r.user: r.total for r in agg.to_data_frame().collect()}
+    assert got == {"a": 9, "b": 30, "c": 7}
+    # Table -> DataStream -> fluent op
+    back = tenv.to_data_stream(agg, env)
+    doubled = back.map(lambda r: {"user": r["user"], "t2": r["total"] * 2}, "user STRING, t2 LONG")
+    assert sorted(r.t2 for r in doubled.to_data_frame().collect()) == [14, 18, 60]
