@@ -264,6 +264,36 @@ class TimerService:
     def delete_processing_time_timer(self, t: int) -> None:
         self._proc_set.discard(int(t))
 
+    def _advance(self, watermark_ms: int) -> Iterable[int]:
+        """Fire event-time timers the watermark has passed (streaming
+        micro-batch mode): yield due timers in timestamp order, leave
+        the rest pending. Mirrors InternalTimerServiceImpl
+        .advanceWatermark (timers with t <= watermark fire)."""
+        self._watermark = max(self._watermark, watermark_ms)
+        while self._event and self._event[0] <= self._watermark:
+            t = heapq.heappop(self._event)
+            if t in self._event_set:
+                self._event_set.discard(t)
+                yield t
+
+    def _due_proc(self, now_ms: int) -> Iterable[int]:
+        """Fire processing-time timers wall-clock has passed (streaming
+        micro-batch mode — batch granularity)."""
+        while self._proc:
+            while self._proc and self._proc[0] not in self._proc_set:
+                heapq.heappop(self._proc)
+            if not self._proc or self._proc[0] > now_ms:
+                break
+            t = heapq.heappop(self._proc)
+            self._proc_set.discard(t)
+            yield t
+
+    def _next_pending(self) -> int | None:
+        """Earliest registered event-time timer still pending."""
+        while self._event and self._event[0] not in self._event_set:
+            heapq.heappop(self._event)
+        return self._event[0] if self._event else None
+
     def _drain(self) -> Iterable[int]:
         """Fire everything (watermark -> +inf): event-time first, then
         processing-time, each in timestamp order; timers registered

@@ -272,7 +272,12 @@ class DataStream:
         end of input), exactly as the reference does on bounded input."""
         if not strategy.ts_field:
             raise ValueError("WatermarkStrategy needs with_timestamp_assigner(<column>)")
-        return DataStream(self.env, self.df, strategy.ts_field, self._side_tags)
+        df = self.df
+        if df.isStreaming and strategy.delay_ms >= 0:
+            # unbounded: lower the bounded-out-of-orderness delay onto
+            # Spark's watermark (the §1.3 mapping)
+            df = df.withWatermark(strategy.ts_field, f"{strategy.delay_ms} milliseconds")
+        return DataStream(self.env, df, strategy.ts_field, self._side_tags)
 
     # -- stateless transforms ----------------------------------------------
 
@@ -541,12 +546,16 @@ class KeyedStream:
         return self._by(field, "max", first)
 
     def reduce(self, fn: ReduceFunction | Callable[[dict, dict], dict]) -> DataStream:
-        """KeyedStream.java:743 — arbitrary fold in event-time order;
-        BATCH mode emits the final reduced value per key."""
+        """KeyedStream.java:743 — arbitrary fold in event-time order.
+        BATCH mode emits the final reduced value per key; STREAMING
+        mode (unbounded input) emits the rolling reduce per element,
+        the reference's StreamGroupedReduceOperator behavior."""
         f = fn.reduce if isinstance(fn, ReduceFunction) else fn
         schema = self.stream.df.schema
         names = [fld.name for fld in schema.fields]
         tcol = self.stream.time_col
+        if self.stream.df.isStreaming:
+            return self._streaming_rolling_reduce(f, schema, names, tcol)
 
         def fold(pdf: pd.DataFrame) -> pd.DataFrame:
             if tcol:
@@ -557,6 +566,42 @@ class KeyedStream:
             return _to_pdf([acc] if acc is not None else [], names)
 
         out = self.stream.df.groupBy(*self.keys).applyInPandas(fold, schema)
+        return DataStream(self.env, out, None)
+
+    def _streaming_rolling_reduce(
+        self, f: Callable[[dict, dict], dict], schema: StructType, names: list[str], tcol: str | None
+    ) -> DataStream:
+        """Unbounded rolling reduce via ``applyInPandasWithState``: the
+        accumulator element is the keyed state (pickled — arbitrary
+        user types), each arriving element emits the updated
+        accumulator (update changelog downstream)."""
+        import pickle
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def func(key: tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+            acc = pickle.loads(state.get[0]) if state.exists else None
+            out: list[dict] = []
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                if tcol:
+                    pdf = pdf.sort_values(tcol, kind="stable")
+                for row in _row_iter(pdf):
+                    acc = row if acc is None else f(acc, row)
+                    out.append(acc)
+            if acc is not None:
+                state.update((pickle.dumps(acc),))
+            if out:
+                yield _to_pdf(out, names)
+
+        out = self.stream.df.groupBy(*self.keys).applyInPandasWithState(
+            func,
+            outputStructType=schema,
+            stateStructType="acc BINARY",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
         return DataStream(self.env, out, None)
 
     # -- keyed process (KeyedStream.java:325) -------------------------------
@@ -580,6 +625,8 @@ class KeyedStream:
         tcol = self.stream.time_col
         keys = self.keys
         use_side = bool(side_outputs)
+        if self.stream.df.isStreaming:
+            return self._process_streaming(fn, schema, names, tuple(side_outputs))
 
         def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             if tcol:
@@ -608,6 +655,88 @@ class KeyedStream:
             lambda key, pdf: harness(key, pdf), schema
         )
         return DataStream(self.env, out, None, tuple(side_outputs))
+
+    def _process_streaming(
+        self,
+        fn: KeyedProcessFunction,
+        schema: StructType,
+        names: list[str],
+        side_outputs: tuple[OutputTag, ...],
+    ) -> DataStream:
+        """Unbounded KeyedProcessFunction via ``applyInPandasWithState``
+        (STREAMING execution mode). Keyed state and the timer queue are
+        the group state (pickled — arbitrary user state types); the
+        micro-batch watermark drives event-time timers: due timers fire
+        before the batch's elements, and a state timeout at the earliest
+        pending timer wakes keys that receive no further data —
+        the KeyedProcessOperator pattern in micro-batch clothing.
+        Processing-time timers fire on the following batch once wall
+        clock passes them (micro-batch granularity, documented)."""
+        import json
+        import pickle
+        import time as _time
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        tcol = self.stream.time_col
+        if not tcol:
+            raise ValueError(
+                "streaming keyed process needs assign_timestamps_and_watermarks "
+                "(event-time timers require a watermarked column)"
+            )
+        keys = self.keys
+        use_side = bool(side_outputs)
+
+        def func(key: tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+            if state.exists:
+                rc, ts = pickle.loads(state.get[0])
+            else:
+                rc, ts = RuntimeContext(), TimerService()
+            fn.open(rc)
+            kval = key[0] if len(key) == 1 else key
+            ctx = Context(timer_service_obj=ts, current_key=kval)
+            col = Collector()
+            wm = state.getCurrentWatermarkMs()
+
+            def fire_due() -> None:
+                for t in ts._advance(wm):
+                    ctx.current_timestamp = t
+                    fn.on_timer(t, ctx, col)
+                for t in ts._due_proc(int(_time.time() * 1000)):
+                    ctx.current_timestamp = t
+                    fn.on_timer(t, ctx, col)
+
+            fire_due()
+            if not state.hasTimedOut:
+                for pdf in pdfs:
+                    if len(pdf) == 0:
+                        continue
+                    pdf = pdf.sort_values(tcol, kind="stable")
+                    for row in _row_iter(pdf):
+                        ctx.current_timestamp = _ts_ms(row.get(tcol))
+                        fn.process_element(row, ctx, col)
+                fire_due()
+            state.update((pickle.dumps((rc, ts)),))
+            nxt = ts._next_pending()
+            if nxt is not None:
+                # timeouts must sit beyond the current watermark
+                state.setTimeoutTimestamp(max(nxt, wm + 1))
+            out: list[dict] = []
+            for r in col.rows:
+                out.append({**r, _SIDE_TAG: None, _SIDE_JSON: None} if use_side else r)
+            for tag_id, r in ctx.side_rows:
+                out.append({_SIDE_TAG: tag_id, _SIDE_JSON: json.dumps(r, default=str)})
+            if out:
+                yield _to_pdf(out, names)
+
+        out = self.stream.df.groupBy(*keys).applyInPandasWithState(
+            func,
+            outputStructType=schema,
+            stateStructType="state BINARY",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return DataStream(self.env, out, None, side_outputs)
 
     # -- windows ------------------------------------------------------------
 

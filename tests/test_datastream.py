@@ -466,3 +466,60 @@ def test_table_bridge_roundtrip(spark, env, clicks):
     back = tenv.to_data_stream(agg, env)
     doubled = back.map(lambda r: {"user": r["user"], "t2": r["total"] * 2}, "user STRING, t2 LONG")
     assert sorted(r.t2 for r in doubled.to_data_frame().collect()) == [14, 18, 60]
+
+
+# -- STREAMING execution mode (unbounded micro-batch) ------------------------
+
+
+@pytest.fixture(scope="module")
+def clicks_parquet(spark, tmp_path_factory):
+    import shutil
+
+    d = str(tmp_path_factory.mktemp("ds_stream"))
+    rows = [
+        ("a", _ts(0), 1),
+        ("a", _ts(1), 3),
+        ("a", _ts(12), 5),
+        ("b", _ts(2), 10),
+        ("b", _ts(3), 20),
+        ("c", _ts(30), 7),
+    ]
+    df = spark.createDataFrame(rows, "user STRING, ts TIMESTAMP, n INT")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _stream_clicks(spark, env, path):
+    schema = spark.read.parquet(path).schema
+    sdf = spark.readStream.schema(schema).parquet(path)
+    return env.from_data_frame(sdf).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_bounded_out_of_orderness("0 seconds").with_timestamp_assigner("ts")
+    )
+
+
+def test_streaming_rolling_reduce(spark, env, clicks_parquet):
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    s = _stream_clicks(spark, env, clicks_parquet)
+    out = s.key_by("user").reduce(
+        lambda a, b: {"user": a["user"], "ts": b["ts"], "n": a["n"] + b["n"]}
+    )
+    assert out.df.isStreaming
+    got = run_to_table(out.to_data_frame(), output_mode="update")
+    # rolling emission: one output per input element, per key
+    assert sorted(r.n for r in got.collect()) == [1, 4, 7, 9, 10, 30]
+
+
+def test_streaming_keyed_process_timers(spark, env, clicks_parquet):
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    s = _stream_clicks(spark, env, clicks_parquet)
+    out = s.key_by("user").process(GapSessionCounter(), "user STRING, session_n INT")
+    got = run_to_table(out.to_data_frame(), output_mode="append")
+    rows = sorted((r.user, r.session_n) for r in got.collect())
+    # watermark reaches 10:30: a's two sessions fire (10:01+5m in-element,
+    # 10:12+5m by timer), b's session fires by timer; c's deadline
+    # 10:35 is beyond the final watermark — unfired, exactly the
+    # max(ts)-delay cutoff the engine's streaming oracles use
+    assert rows == [("a", 1), ("a", 2), ("b", 2)]
