@@ -822,6 +822,41 @@ class WindowedStream:
         self.drop_key = drop_key
         self.env = keyed.env
 
+    def allowed_lateness(self, lateness) -> "WindowedStream":
+        """WindowedStream.java:108. On bounded input (BATCH mode) every
+        element precedes the end-of-input watermark, so no element is
+        ever late and any lateness bound is exact as a no-op — the
+        reference's batch runtime drops the concept the same way. The
+        unbounded path for allowed lateness + late firing is the Table
+        layer's allowed-lateness operator (streaming/stateful.py)."""
+        _to_ms(lateness)  # validate the duration spelling
+        return self
+
+    def side_output_late_data(self, tag: OutputTag) -> "WindowedStream":
+        """WindowedStream.java:124. BATCH mode: the late-data side
+        output is exactly empty (no element follows the end-of-input
+        watermark); the tag is recorded so get_side_output resolves."""
+        self.keyed.stream._side_tags = tuple(self.keyed.stream._side_tags) + (tag,)
+        return self
+
+    def trigger(self, trigger) -> "WindowedStream":
+        """Custom triggers (WindowedStream.java:95) are out of scope
+        (SURVEY.md §2.9): the engine fires windows on the watermark
+        (event-time trigger) or on element count (count windows)."""
+        raise NotImplementedError(
+            "custom triggers are out of scope (EventTimeTrigger == default "
+            "behavior; CountTrigger == count_window; see SURVEY.md §2.9)"
+        )
+
+    def evictor(self, evictor) -> "WindowedStream":
+        """Custom evictors (WindowedStream.java:137) are out of scope
+        (SURVEY.md §2.9); the sliding count window implements the
+        CountEvictor case."""
+        raise NotImplementedError(
+            "custom evictors are out of scope (CountEvictor == sliding "
+            "count_window; see SURVEY.md §2.9)"
+        )
+
     def _with_window(self) -> tuple[DataFrame, list[str], str]:
         """Assign windows natively (arithmetic over epoch ms) so the
         (key, window) shuffle happens JVM-side; returns the augmented

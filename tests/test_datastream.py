@@ -523,3 +523,22 @@ def test_streaming_keyed_process_timers(spark, env, clicks_parquet):
     # 10:35 is beyond the final watermark — unfired, exactly the
     # max(ts)-delay cutoff the engine's streaming oracles use
     assert rows == [("a", 1), ("a", 2), ("b", 2)]
+
+
+def test_windowed_lateness_api_parity(clicks):
+    # BATCH mode: allowed lateness is exactly a no-op (no element
+    # follows the end-of-input watermark) and the late-data side output
+    # is exactly empty; triggers/evictors raise the documented scope
+    late = OutputTag("late", "user STRING, ts TIMESTAMP, n INT")
+    win = (
+        clicks.key_by("user")
+        .window(TumblingEventTimeWindows.of("10 minutes"))
+        .allowed_lateness("1 minute")
+        .side_output_late_data(late)
+    )
+    out = win.aggregate(SumAgg(), "total INT")
+    assert sorted(r.total for r in out.to_data_frame().collect()) == [4, 5, 7, 30]
+    with pytest.raises(NotImplementedError):
+        clicks.key_by("user").window(TumblingEventTimeWindows.of("10 minutes")).trigger(object())
+    with pytest.raises(NotImplementedError):
+        clicks.key_by("user").window(TumblingEventTimeWindows.of("10 minutes")).evictor(object())
