@@ -40,6 +40,7 @@ from flink_release_1_16_0_spark.datastream.functions import (
     WatermarkStrategy,
     WindowFunction,
 )
+from flink_release_1_16_0_spark.datastream.cep import CEP, Pattern, PatternStream
 from flink_release_1_16_0_spark.datastream.stream import (
     DataStream,
     EventTimeSessionWindows,

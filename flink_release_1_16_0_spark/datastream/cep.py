@@ -1,0 +1,236 @@
+"""CEP on DataStream: the reference's flink-cep Pattern API.
+
+Reference parity: ``Pattern.java`` (flink-libraries/flink-cep/.../pattern/
+Pattern.java — begin:120, next:209, followedBy:231, where:142, or:158,
+oneOrMore:354, times:404, optional:318, greedy:335, within:186) and
+``CEP.pattern`` (CEP.java:47) producing a PatternStream whose ``select``
+maps each match's variable->rows bindings through a user function.
+
+Lowering — the NFA core is shared with the SQL tier: patterns compile to
+the ``(var, quantifier)`` step list + ``fn(row, ctx)`` predicates of
+``operators.cep.nfa_try_match`` (the backtracking linear NFA both
+MATCH_RECOGNIZE tiers run on). Relaxed contiguity (``followed_by``)
+compiles to an unnamed reluctant-star skip step — exactly the
+ignore-events edge NFACompiler inserts for FOLLOWED_BY. Matching runs
+per key inside one ``applyInPandas`` group (rows time-sorted), with the
+reference's default AfterMatchSkipStrategy.noSkip (every start may
+anchor a match, overlaps allowed) or ``skip_past_last_row``.
+
+Bounded (BATCH-mode) inputs only — the unbounded NFA with the WITHIN
+finalization horizon is the Table layer's ``streaming/cep_stream.py``.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from flink_release_1_16_0_spark.datastream.functions import _to_ms
+from flink_release_1_16_0_spark.datastream.stream import (
+    DataStream,
+    KeyedStream,
+    _parse_ddl,
+    _row_iter,
+    _to_pdf,
+)
+
+
+class Pattern:
+    """Fluent pattern builder (Pattern.java)."""
+
+    def __init__(self) -> None:
+        self._steps: list[dict] = []
+        self.within_ms: int | None = None
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def begin(name: str) -> "Pattern":
+        p = Pattern()
+        p._add(name, strict=True)
+        return p
+
+    def _add(self, name: str, strict: bool) -> None:
+        if any(s["name"] == name for s in self._steps):
+            # repeated names are legal in the NFA (bindings accumulate)
+            # but almost always a user mistake in a fluent chain
+            raise ValueError(f"pattern variable {name!r} already defined")
+        self._steps.append({"name": name, "quant": "1", "conds": [], "strict": strict})
+
+    def next(self, name: str) -> "Pattern":
+        """Strict contiguity (Pattern.next:209)."""
+        self._add(name, strict=True)
+        return self
+
+    def followed_by(self, name: str) -> "Pattern":
+        """Relaxed contiguity (Pattern.followedBy:231): any events may
+        sit between the previous variable and this one."""
+        self._add(name, strict=False)
+        return self
+
+    # -- conditions ---------------------------------------------------------
+
+    def where(self, cond: Callable) -> "Pattern":
+        """AND-combined predicates (Pattern.where:142). ``cond`` takes
+        ``(row)`` (SimpleCondition) or ``(row, ctx)`` (IterativeCondition
+        — ctx maps each variable to its bound rows so far)."""
+        self._steps[-1]["conds"].append((cond, len(inspect.signature(cond).parameters)))
+        return self
+
+    def or_(self, cond: Callable) -> "Pattern":
+        """OR with the previous condition (Pattern.or:158)."""
+        step = self._steps[-1]
+        if not step["conds"]:
+            return self.where(cond)
+        prev, prev_n = step["conds"].pop()
+        new_n = len(inspect.signature(cond).parameters)
+
+        def either(row, ctx):
+            a = prev(row) if prev_n == 1 else prev(row, ctx)
+            if a:
+                return True
+            return cond(row) if new_n == 1 else cond(row, ctx)
+
+        step["conds"].append((either, 2))
+        return self
+
+    # -- quantifiers --------------------------------------------------------
+
+    def one_or_more(self) -> "Pattern":
+        self._steps[-1]["quant"] = "+"
+        return self
+
+    def zero_or_more(self) -> "Pattern":
+        self._steps[-1]["quant"] = "*"
+        return self
+
+    def optional(self) -> "Pattern":
+        self._steps[-1]["quant"] = "?"
+        return self
+
+    def times(self, n: int) -> "Pattern":
+        """Exactly-n repetition (Pattern.times:404): expands to n
+        strict-contiguous copies binding the same variable."""
+        self._steps[-1]["times"] = n
+        return self
+
+    def greedy(self) -> "Pattern":
+        return self  # greedy is the NFA default
+
+    def reluctant(self) -> "Pattern":
+        """Shortest-first preference (Quantifier without GREEDY)."""
+        q = self._steps[-1]["quant"]
+        if q in ("?", "+", "*"):
+            self._steps[-1]["quant"] = q + "?"
+        return self
+
+    def within(self, duration) -> "Pattern":
+        self.within_ms = _to_ms(duration)
+        return self
+
+    # -- compilation to the shared NFA surface ------------------------------
+
+    def _compile(self) -> tuple[list[tuple[str, str]], dict]:
+        steps: list[tuple[str, str]] = []
+        defines: dict = {}
+        for i, s in enumerate(self._steps):
+            if i > 0 and not s["strict"]:
+                # NFACompiler's ignore-events edge for FOLLOWED_BY:
+                # an unnamed, unconditioned, reluctant-star skip
+                steps.append((f"__skip{i}", "*?"))
+            conds = s["conds"]
+            if conds:
+
+                def pred(row, ctx, conds=conds):
+                    return all(c(row) if n == 1 else c(row, ctx) for c, n in conds)
+
+                defines[s["name"]] = pred
+            reps = s.get("times", 1)
+            for _ in range(reps):
+                steps.append((s["name"], s["quant"] if reps == 1 else "1"))
+        return steps, defines
+
+
+class CEP:
+    @staticmethod
+    def pattern(stream: "DataStream | KeyedStream", pattern: Pattern) -> "PatternStream":
+        """CEP.java:47 — a PatternStream over a (keyed) stream. A
+        non-keyed input matches as one sequence (the reference forces
+        parallelism 1 there; here a constant key does)."""
+        return PatternStream(stream, pattern)
+
+
+class PatternStream:
+    def __init__(self, stream: "DataStream | KeyedStream", pattern: Pattern) -> None:
+        if isinstance(stream, KeyedStream):
+            self.keyed = stream
+        else:
+            from pyspark.sql import functions as F
+
+            const = DataStream(
+                stream.env, stream.df.withColumn("__all", F.lit(0)), stream.time_col
+            )
+            self.keyed = KeyedStream(const, ["__all"])
+        self.pattern = pattern
+        if self.keyed.stream.df.isStreaming:
+            raise ValueError(
+                "the Pattern facade lowers bounded inputs; unbounded CEP is "
+                "streaming/cep_stream.py (WITHIN-horizon NFA) via the Table layer"
+            )
+
+    def select(
+        self,
+        fn: Callable[[dict], dict],
+        output_type,
+        tiebreaker: str | None = None,
+        after_match: str = "no_skip",
+    ) -> DataStream:
+        """PatternStream.select: ``fn(bindings) -> row`` where bindings
+        map each variable to its list of matched rows (in order).
+        ``after_match``: ``no_skip`` (reference default — overlapping
+        matches from every start) or ``skip_past_last_row``.
+        ``tiebreaker`` orders equal-timestamp rows deterministically."""
+        from flink_release_1_16_0_spark.operators.cep import nfa_try_match
+
+        if after_match not in ("no_skip", "skip_past_last_row"):
+            raise ValueError(f"unsupported after_match: {after_match!r}")
+        keyed = self.keyed
+        tcol = keyed.stream.time_col
+        if not tcol:
+            raise ValueError("CEP needs assign_timestamps_and_watermarks (event order)")
+        steps, defines = self.pattern._compile()
+        within_ms = self.pattern.within_ms
+        schema = _parse_ddl(keyed.env.spark, output_type)
+        names = [f.name for f in schema.fields]
+        sort_cols = [tcol] + ([tiebreaker] if tiebreaker else [])
+        var_names = [s["name"] for s in self.pattern._steps]
+        skip_past = after_match == "skip_past_last_row"
+
+        def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(sort_cols, kind="stable")
+            rows = list(_row_iter(pdf.rename(columns={tcol: "__ts"})))
+            # user predicates/select see the original column name too
+            for r in rows:
+                r[tcol] = r["__ts"]
+            out: list[dict] = []
+            start = 0
+            while start < len(rows):
+                m = nfa_try_match(rows, start, steps, defines, within_ms)
+                if m is not None:
+                    end, bound = m
+                    bindings = {
+                        v: [rows[j] for j in bound.get(v, [])] for v in var_names
+                    }
+                    out.append(fn(bindings))
+                    start = max(end, start + 1) if skip_past else start + 1
+                else:
+                    start += 1
+            return _to_pdf(out, names)
+
+        out = keyed.stream.df.groupBy(*keyed.keys).applyInPandas(
+            lambda k, p: harness(k, p), schema
+        )
+        return DataStream(keyed.env, out)

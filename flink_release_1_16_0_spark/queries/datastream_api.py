@@ -372,3 +372,47 @@ def dsapi_window_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .apply(CountBoth(), "user_id BIGINT, win_ms BIGINT, n_clicks INT, n_purchases INT")
     )
     return out.to_data_frame()
+
+
+# ---------------------------------------------------------------------------
+# flink-cep Pattern API (CEP.java:47 / Pattern.java)
+
+_CEP_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         lead(ts)       OVER w AS b_ts,
+         lead(event_id) OVER w AS b_id,
+         lead(value)    OVER w AS b_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id AS a_id, b_id
+FROM o
+WHERE value < 50 AND b_value > 200 AND b_ts < ts + INTERVAL 1 DAY
+"""
+
+
+@register("dsapi_cep_pattern", _CEP_ORACLE, tags=("dsapi", "cep"))
+def dsapi_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern.begin(low).next(high).within(1d) over the keyed event
+    stream (strict contiguity, reference-default no-skip) — oracle'd as
+    the adjacent-pair lead() formulation."""
+    from flink_release_1_16_0_spark.datastream import CEP, Pattern
+
+    pat = (
+        Pattern.begin("low")
+        .where(lambda r: r["value"] < 50)
+        .next("high")
+        .where(lambda r: r["value"] > 200)
+        .within("1 day")
+    )
+    out = CEP.pattern(_events(spark, sf_dir).key_by("user_id"), pat).select(
+        lambda m: {
+            "user_id": m["low"][0]["user_id"],
+            "a_id": m["low"][0]["event_id"],
+            "b_id": m["high"][0]["event_id"],
+        },
+        "user_id BIGINT, a_id BIGINT, b_id BIGINT",
+        tiebreaker="event_id",
+    )
+    return out.to_data_frame()

@@ -1,0 +1,147 @@
+"""flink-cep Pattern API facade tests (datastream/cep.py).
+
+Mirrors the reference's CEPITCase style: a deterministic keyed event
+log, fluent patterns, exact match assertions — strict/relaxed
+contiguity, quantifiers, iterative conditions, WITHIN, and both
+after-match strategies.
+"""
+
+from __future__ import annotations
+
+import datetime
+import sys
+
+import pytest
+from pyspark import cloudpickle
+
+cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+from flink_release_1_16_0_spark.datastream import (
+    CEP,
+    Pattern,
+    StreamExecutionEnvironment,
+    WatermarkStrategy,
+)
+
+
+def _ts(minute: int) -> datetime.datetime:
+    return datetime.datetime(2024, 1, 1, 10, minute)
+
+
+@pytest.fixture(scope="module")
+def env(spark):
+    return StreamExecutionEnvironment.get_execution_environment(spark)
+
+
+@pytest.fixture(scope="module")
+def quotes(env):
+    rows = [
+        # key k1: 1, 9, 2, 12, 3, 8
+        {"k": "k1", "ts": _ts(0), "v": 1},
+        {"k": "k1", "ts": _ts(1), "v": 9},
+        {"k": "k1", "ts": _ts(2), "v": 2},
+        {"k": "k1", "ts": _ts(3), "v": 12},
+        {"k": "k1", "ts": _ts(4), "v": 3},
+        {"k": "k1", "ts": _ts(5), "v": 8},
+        # key k2: 4, 5
+        {"k": "k2", "ts": _ts(0), "v": 4},
+        {"k": "k2", "ts": _ts(1), "v": 5},
+    ]
+    s = env.from_collection(rows, "k STRING, ts TIMESTAMP, v INT")
+    return s.assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+
+
+def test_strict_next_no_skip(quotes):
+    # low (<5) immediately followed by high (>7): overlapping starts allowed
+    pat = (
+        Pattern.begin("low")
+        .where(lambda r: r["v"] < 5)
+        .next("high")
+        .where(lambda r: r["v"] > 7)
+    )
+    out = CEP.pattern(quotes.key_by("k"), pat).select(
+        lambda m: {"k": m["low"][0]["k"], "lo": m["low"][0]["v"], "hi": m["high"][0]["v"]},
+        "k STRING, lo INT, hi INT",
+    )
+    got = sorted((r.lo, r.hi) for r in out.to_data_frame().collect())
+    assert got == [(1, 9), (2, 12), (3, 8)]
+
+
+def test_followed_by_relaxed(quotes):
+    # 1 ... 12 with events between (relaxed contiguity)
+    pat = (
+        Pattern.begin("a")
+        .where(lambda r: r["v"] == 1)
+        .followed_by("b")
+        .where(lambda r: r["v"] > 10)
+    )
+    out = CEP.pattern(quotes.key_by("k"), pat).select(
+        lambda m: {"bv": m["b"][0]["v"]}, "bv INT"
+    )
+    assert [r.bv for r in out.to_data_frame().collect()] == [12]
+
+
+def test_one_or_more_iterative_condition(quotes):
+    # a run of ascending values: each next row must exceed the last bound one
+    def ascending(row, ctx):
+        run = ctx.get("up", [])
+        return not run or row["v"] > run[-1]["v"]
+
+    pat = Pattern.begin("up").where(ascending).one_or_more()
+    out = CEP.pattern(quotes.key_by("k"), pat).select(
+        lambda m: {"k": m["up"][0]["k"], "len": len(m["up"]), "first": m["up"][0]["v"]},
+        "k STRING, len INT, first INT",
+        after_match="skip_past_last_row",
+    )
+    rows = sorted((r.k, r.first, r.len) for r in out.to_data_frame().collect())
+    # k1: [1,9] then [2,12] then [3,8]; k2: [4,5]
+    assert rows == [("k1", 1, 2), ("k1", 2, 2), ("k1", 3, 2), ("k2", 4, 2)]
+
+
+def test_times_and_within(quotes):
+    # any three consecutive events within 2 minutes — impossible
+    # (spacing is 1 minute, 3 rows span 2 minutes; deadline excludes the
+    # boundary), but two consecutive within 2 minutes always works
+    pat3 = Pattern.begin("t").times(3).within("2 minutes")
+    out3 = CEP.pattern(quotes.key_by("k"), pat3).select(
+        lambda m: {"n": len(m["t"])}, "n INT"
+    )
+    assert out3.to_data_frame().count() == 0
+    pat2 = Pattern.begin("t").times(2).within("2 minutes")
+    out2 = CEP.pattern(quotes.key_by("k"), pat2).select(
+        lambda m: {"n": len(m["t"])}, "n INT", after_match="skip_past_last_row"
+    )
+    # k1: 3 non-overlapping pairs, k2: 1
+    assert out2.to_data_frame().count() == 4
+
+
+def test_or_condition_and_optional(quotes):
+    pat = (
+        Pattern.begin("x")
+        .where(lambda r: r["v"] == 9)
+        .or_(lambda r: r["v"] == 12)
+        .next("y")
+        .where(lambda r: r["v"] < 5)
+        .optional()
+    )
+    out = CEP.pattern(quotes.key_by("k"), pat).select(
+        lambda m: {"xv": m["x"][0]["v"], "yv": m["y"][0]["v"] if m["y"] else None},
+        "xv INT, yv INT",
+    )
+    got = sorted((r.xv, r.yv) for r in out.to_data_frame().collect())
+    # 9 -> 2 (greedy binds the optional), 12 -> 3
+    assert got == [(9, 2), (12, 3)]
+
+
+def test_non_keyed_single_sequence(env):
+    rows = [{"ts": _ts(i), "v": v} for i, v in enumerate([1, 2, 1, 2])]
+    s = env.from_collection(rows, "ts TIMESTAMP, v INT").assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    pat = Pattern.begin("a").where(lambda r: r["v"] == 1).next("b").where(lambda r: r["v"] == 2)
+    out = CEP.pattern(s, pat).select(
+        lambda m: {"a_min": m["a"][0]["ts"].minute}, "a_min INT"
+    )
+    assert sorted(r.a_min for r in out.to_data_frame().collect()) == [0, 2]
