@@ -8,6 +8,7 @@ side outputs — lowered onto Spark DataFrames. See
 
 from flink_release_1_16_0_spark.datastream.functions import (
     AggregateFunction,
+    AsyncFunction,
     AggregatingState,
     AggregatingStateDescriptor,
     BroadcastProcessFunction,
@@ -42,6 +43,7 @@ from flink_release_1_16_0_spark.datastream.functions import (
 )
 from flink_release_1_16_0_spark.datastream.cep import CEP, Pattern, PatternStream
 from flink_release_1_16_0_spark.datastream.stream import (
+    AsyncDataStream,
     DataStream,
     EventTimeSessionWindows,
     KeyedStream,

@@ -497,6 +497,20 @@ class WindowFunction(Function):
         raise NotImplementedError
 
 
+class AsyncFunction(Function):
+    """AsyncFunction.java (api/functions/async): ``async_invoke``
+    returns the output element(s) for one input (dict, iterable of
+    dicts, or None for no output); ``timeout`` is the per-element
+    timeout hook — the reference default completes the element
+    exceptionally (fails the job), override to supply fallback rows."""
+
+    def async_invoke(self, value: dict) -> dict | Iterable[dict] | None:
+        raise NotImplementedError
+
+    def timeout(self, value: dict) -> dict | Iterable[dict] | None:
+        raise TimeoutError(f"async lookup timed out for {value!r}")
+
+
 class ProcessJoinFunction(Function):
     """IntervalJoin.process (ProcessJoinFunction.java)."""
 

@@ -505,7 +505,18 @@ class KeyedStream:
         """sum/min/max replace ``field`` and keep the other fields from
         the FIRST element (the reference's ComparableAggregator /
         SumAggregator fold starting at the first record). Native
-        Catalyst: one hash exchange, min_by for deterministic 'first'."""
+        Catalyst: one hash exchange, min_by for deterministic 'first'.
+        Unbounded input: rolling per-element emission via the stateful
+        fold (StreamGroupedReduceOperator)."""
+        if self.stream.df.isStreaming:
+            import operator
+
+            pick = {"sum": operator.add, "min": min, "max": max}[how]
+
+            def fold(a: dict, b: dict) -> dict:
+                return {**a, field: pick(a[field], b[field])}
+
+            return self.reduce(fold)
         df = self.stream.df.withColumn("__ord", self._order())
         aggs = []
         for c in self.stream.df.columns:
@@ -530,6 +541,15 @@ class KeyedStream:
     def _by(self, field: str, how: str, first: bool = True) -> DataStream:
         """minBy/maxBy keep the whole extreme element. ``first`` picks
         the earlier element on ties (KeyedStream.java:882,906)."""
+        if self.stream.df.isStreaming:
+            better = (lambda b, a: b < a) if how == "min" else (lambda b, a: b > a)
+
+            def fold(a: dict, b: dict) -> dict:
+                if better(b[field], a[field]) or (not first and b[field] == a[field]):
+                    return b
+                return a
+
+            return self.reduce(fold)
         df = self.stream.df.withColumn("__ord", self._order())
         tie = F.col("__ord") if first else -F.col("__ord")
         pick = F.min_by if how == "min" else F.max_by
@@ -1092,6 +1112,56 @@ class BroadcastConnectedStream:
             fn.close()
 
         return DataStream(env, self.main.df.mapInPandas(gen, schema))
+
+
+# ---------------------------------------------------------------------------
+# async I/O (AsyncDataStream.java / AsyncWaitOperator.java:91)
+
+
+class AsyncDataStream:
+    """AsyncDataStream.orderedWait/unorderedWait: hide external
+    point-lookup latency with up to ``capacity`` in-flight requests per
+    task. Spark lowering (same as operators/async_lookup.py): a bounded
+    thread pool inside ``mapInPandas`` — the pool is the in-flight
+    window, futures resolve in input order (ORDERED mode; the unordered
+    variant shares it — ordered output satisfies the weaker contract).
+    Prefer a broadcast join when the dimension is snapshottable."""
+
+    @staticmethod
+    def ordered_wait(
+        stream: DataStream,
+        fn,
+        timeout,
+        capacity: int = 100,
+        output_type: str | StructType = None,
+    ) -> DataStream:
+        from concurrent.futures import ThreadPoolExecutor
+
+        env = stream.env
+        schema = _parse_ddl(env.spark, output_type)
+        names = [f.name for f in schema.fields]
+        timeout_s = _to_ms(timeout) / 1000.0
+
+        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            with ThreadPoolExecutor(max_workers=capacity) as pool:
+                for pdf in batches:
+                    rows = list(_row_iter(pdf))
+                    futs = [pool.submit(fn.async_invoke, r) for r in rows]
+                    out: list[dict] = []
+                    for fut, row in zip(futs, rows):
+                        try:
+                            res = fut.result(timeout=timeout_s)
+                        except TimeoutError:
+                            fut.cancel()
+                            res = fn.timeout(row)
+                        if res is None:
+                            continue
+                        out.append(res) if isinstance(res, dict) else out.extend(res)
+                    yield _to_pdf(out, names)
+
+        return DataStream(env, stream.df.mapInPandas(gen, schema))
+
+    unordered_wait = ordered_wait
 
 
 # ---------------------------------------------------------------------------

@@ -542,3 +542,49 @@ def test_windowed_lateness_api_parity(clicks):
         clicks.key_by("user").window(TumblingEventTimeWindows.of("10 minutes")).trigger(object())
     with pytest.raises(NotImplementedError):
         clicks.key_by("user").window(TumblingEventTimeWindows.of("10 minutes")).evictor(object())
+
+
+# -- async I/O ---------------------------------------------------------------
+
+
+def test_async_data_stream(env, clicks):
+    import time
+
+    from flink_release_1_16_0_spark.datastream import AsyncDataStream, AsyncFunction
+
+    class Lookup(AsyncFunction):
+        DIM = {"a": "alpha", "b": "beta"}
+
+        def async_invoke(self, value):
+            if value["user"] == "c":
+                time.sleep(5)  # trips the timeout
+            return {"user": value["user"], "name": self.DIM.get(value["user"])}
+
+        def timeout(self, value):
+            return {"user": value["user"], "name": "TIMEOUT"}
+
+    out = AsyncDataStream.ordered_wait(
+        clicks, Lookup(), "500 milliseconds", capacity=4,
+        output_type="user STRING, name STRING",
+    )
+    got = {(r.user, r.name) for r in out.to_data_frame().collect()}
+    assert got == {("a", "alpha"), ("b", "beta"), ("c", "TIMEOUT")}
+
+
+def test_streaming_builtin_aggs(spark, env, clicks_parquet):
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    s = _stream_clicks(spark, env, clicks_parquet)
+    rolled = run_to_table(
+        s.key_by("user").sum("n").to_data_frame(), output_mode="update"
+    )
+    # rolling sum per element: a -> 1,4,9; b -> 10,30; c -> 7
+    assert sorted(r.n for r in rolled.collect()) == [1, 4, 7, 9, 10, 30]
+
+    best = run_to_table(
+        s.key_by("user").max_by("n").to_data_frame(), output_mode="update"
+    )
+    # rolling extreme element per arrival
+    assert sorted((r.user, r.n) for r in best.collect()) == [
+        ("a", 1), ("a", 3), ("a", 5), ("b", 10), ("b", 20), ("c", 7),
+    ]
