@@ -230,11 +230,15 @@ class DataStream:
         df: DataFrame,
         time_col: str | None = None,
         side_tags: tuple[OutputTag, ...] = (),
+        empty_tags: tuple[OutputTag, ...] = (),
     ) -> None:
         self.env = env
         self.df = df
         self.time_col = time_col
         self._side_tags = side_tags
+        # tags that resolve to a statically-empty side output (batch
+        # late-data: no element follows the end-of-input watermark)
+        self._empty_tags = empty_tags
 
     # -- bridging -----------------------------------------------------------
 
@@ -254,6 +258,9 @@ class DataStream:
     def get_side_output(self, tag: OutputTag) -> "DataStream":
         """SingleOutputStreamOperator.getSideOutput — decode the rows
         routed to ``tag`` into their declared row type."""
+        if tag in self._empty_tags:
+            schema = _parse_ddl(self.env.spark, tag.type_ddl)
+            return DataStream(self.env, self.env.spark.createDataFrame([], schema))
         if tag not in self._side_tags:
             raise ValueError(f"side output {tag.tag_id!r} was not declared on this operator")
         schema = _parse_ddl(self.env.spark, tag.type_ddl)
@@ -855,8 +862,9 @@ class WindowedStream:
     def side_output_late_data(self, tag: OutputTag) -> "WindowedStream":
         """WindowedStream.java:124. BATCH mode: the late-data side
         output is exactly empty (no element follows the end-of-input
-        watermark); the tag is recorded so get_side_output resolves."""
-        self.keyed.stream._side_tags = tuple(self.keyed.stream._side_tags) + (tag,)
+        watermark); the tag is recorded so get_side_output on the
+        window result resolves to an empty typed stream."""
+        self._late_tags = getattr(self, "_late_tags", ()) + (tag,)
         return self
 
     def trigger(self, trigger) -> "WindowedStream":
@@ -945,7 +953,9 @@ class WindowedStream:
             return _to_pdf(rows, names)
 
         out = df.groupBy(*keys, *wcols).applyInPandas(lambda k, p: harness(k, p), schema)
-        return DataStream(self.env, out, None)
+        return DataStream(
+            self.env, out, None, empty_tags=getattr(self, "_late_tags", ())
+        )
 
     def reduce(self, fn: ReduceFunction | Callable[[dict, dict], dict], output_type: str | StructType | None = None) -> DataStream:
         f = fn.reduce if isinstance(fn, ReduceFunction) else fn

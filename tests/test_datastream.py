@@ -538,6 +538,8 @@ def test_windowed_lateness_api_parity(clicks):
     )
     out = win.aggregate(SumAgg(), "total INT")
     assert sorted(r.total for r in out.to_data_frame().collect()) == [4, 5, 7, 30]
+    # the late-data side output resolves and is exactly empty
+    assert out.get_side_output(late).to_data_frame().count() == 0
     with pytest.raises(NotImplementedError):
         clicks.key_by("user").window(TumblingEventTimeWindows.of("10 minutes")).trigger(object())
     with pytest.raises(NotImplementedError):
