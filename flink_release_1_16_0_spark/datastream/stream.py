@@ -926,6 +926,13 @@ class WindowedStream:
         per_window: Callable[[Any, Any, pd.DataFrame], list[dict]],
         output_type: str | StructType,
     ) -> DataStream:
+        if self.keyed.stream.df.isStreaming:
+            raise NotImplementedError(
+                "unbounded window apply/aggregate with arbitrary Python "
+                "functions is the Table layer's surface (window TVFs / "
+                "group windows, incl. allowed-lateness + early/late fire); "
+                "the DataStream window facade lowers bounded input"
+            )
         spark = self.env.spark
         schema = _parse_ddl(spark, output_type)
         names = [fld.name for fld in schema.fields]
