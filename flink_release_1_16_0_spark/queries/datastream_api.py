@@ -416,3 +416,83 @@ def dsapi_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreaker="event_id",
     )
     return out.to_data_frame()
+
+
+# ---------------------------------------------------------------------------
+# interval join (KeyedStream.java:438)
+
+_INTERVAL_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND epoch_ms(b.ts) >= epoch_ms(a.ts)
+ AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 7200000
+"""
+
+
+@register("dsapi_interval_join", _INTERVAL_ORACLE, tags=("dsapi", "join"))
+def dsapi_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed interval join via the facade: the equi+range pair build is
+    a native join (no Python in the shuffle); the ProcessJoinFunction
+    maps pairs Arrow-batched. Oracle bounds compare at the same epoch-ms
+    precision the facade uses."""
+    from flink_release_1_16_0_spark.datastream import ProcessJoinFunction
+
+    class Pair(ProcessJoinFunction):
+        def process_element(self, left, right, ctx, out):
+            out.collect(
+                {
+                    "user_id": left["user_id"],
+                    "a_id": left["event_id"],
+                    "b_id": right["event_id"],
+                }
+            )
+
+    s = _events(spark, sf_dir)
+    clicks = s.filter("event_type = 'click'")
+    buys = s.filter("event_type = 'purchase'")
+    out = (
+        clicks.key_by("user_id")
+        .interval_join(buys.key_by("user_id"))
+        .between("0 seconds", "2 hours")
+        .process(Pair(), "user_id BIGINT, a_id BIGINT, b_id BIGINT")
+    )
+    return out.to_data_frame()
+
+
+# ---------------------------------------------------------------------------
+# window join (DataStream.java:728 / JoinedStreams)
+
+_WJOIN_ORACLE = """
+SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND (epoch_ms(a.ts) // 3600000) = (epoch_ms(b.ts) // 3600000)
+"""
+
+
+@register("dsapi_window_join", _WJOIN_ORACLE, tags=("dsapi", "join", "window"))
+def dsapi_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window join via the facade — pairs form through a
+    native equi-join on (key, window start); the JoinFunction maps each
+    pair."""
+    s = _events(spark, sf_dir)
+    signups = s.filter("event_type = 'signup'")
+    buys = s.filter("event_type = 'purchase'")
+    out = (
+        signups.join(buys)
+        .where("user_id")
+        .equal_to("user_id")
+        .window(TumblingEventTimeWindows.of("1 hour"))
+        .apply(
+            lambda l, r: {
+                "user_id": l["user_id"],
+                "a_id": l["event_id"],
+                "b_id": r["event_id"],
+            },
+            "user_id BIGINT, a_id BIGINT, b_id BIGINT",
+        )
+    )
+    return out.to_data_frame()
