@@ -777,6 +777,16 @@ class KeyedStream:
         ``size`` elements tumbling."""
         return WindowedStream(self, None, count=(size, slide or size), drop_key=_drop_key)
 
+    # -- keyed broadcast connect (KeyedBroadcastProcessFunction) ------------
+
+    def connect(self, bcast: "BroadcastStream") -> "KeyedBroadcastConnectedStream":
+        """keyBy(...).connect(broadcastStream) — the keyed broadcast
+        form: per-key state + timers alongside the replicated broadcast
+        state."""
+        if not isinstance(bcast, BroadcastStream):
+            raise TypeError("KeyedStream.connect takes a BroadcastStream")
+        return KeyedBroadcastConnectedStream(self, bcast)
+
     # -- interval join (KeyedStream.java:438) -------------------------------
 
     def interval_join(self, other: "KeyedStream") -> "IntervalJoin":
@@ -1129,6 +1139,54 @@ class BroadcastConnectedStream:
             fn.close()
 
         return DataStream(env, self.main.df.mapInPandas(gen, schema))
+
+
+class KeyedBroadcastConnectedStream:
+    """Keyed main stream + broadcast control stream
+    (KeyedBroadcastProcessFunction.java): per-key keyed state and timers
+    PLUS the replicated broadcast state. BATCH-mode order: broadcast
+    side first in full (its state maps build once), then each key's
+    time-sorted run with timers firing at end of input."""
+
+    def __init__(self, keyed: KeyedStream, bcast: "BroadcastStream") -> None:
+        self.keyed, self.bcast = keyed, bcast
+
+    def process(self, fn, output_type: str | StructType) -> DataStream:
+        env = self.keyed.env
+        states: dict[str, Any] = {}
+        bctx = BroadcastContext(states)
+        for desc in self.bcast.descriptors:
+            bctx.get_broadcast_state(desc)
+        for row in (r.asDict(recursive=True) for r in self.bcast.stream.df.collect()):
+            fn.process_broadcast_element(row, bctx)
+        schema = _parse_ddl(env.spark, output_type)
+        names = [fld.name for fld in schema.fields]
+        tcol = self.keyed.stream.time_col
+        keys = self.keyed.keys
+
+        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            if tcol:
+                pdf = pdf.sort_values(tcol, kind="stable")
+            rc = RuntimeContext()
+            fn.open(rc)
+            ts = TimerService()
+            kval = key[0] if len(key) == 1 else key
+            ctx = ReadOnlyBroadcastContext(ts, states)
+            ctx.current_key = kval
+            col = Collector()
+            for row in _row_iter(pdf):
+                ctx.current_timestamp = _ts_ms(row.get(tcol)) if tcol else None
+                fn.process_element(row, ctx, col)
+            for t in ts._drain():
+                ctx.current_timestamp = t
+                fn.on_timer(t, ctx, col)
+            fn.close()
+            return _to_pdf(col.rows, names)
+
+        out = self.keyed.stream.df.groupBy(*keys).applyInPandas(
+            lambda k, p: harness(k, p), schema
+        )
+        return DataStream(env, out)
 
 
 # ---------------------------------------------------------------------------

@@ -590,3 +590,44 @@ def test_streaming_builtin_aggs(spark, env, clicks_parquet):
     assert sorted((r.user, r.n) for r in best.collect()) == [
         ("a", 1), ("a", 3), ("a", 5), ("b", 10), ("b", 20), ("c", 7),
     ]
+
+
+def test_keyed_broadcast_process_with_timers(env, clicks):
+    from flink_release_1_16_0_spark.datastream import KeyedBroadcastProcessFunction
+
+    class ThresholdAlert(KeyedBroadcastProcessFunction):
+        """Broadcast per-user thresholds; count per-key breaches in
+        keyed state; flush at the end-of-input timer."""
+
+        LIMITS = MapStateDescriptor("limits")
+
+        def open(self, rc):
+            self.breaches = rc.get_state(ValueStateDescriptor("breaches", 0))
+
+        def process_broadcast_element(self, value, ctx):
+            ctx.get_broadcast_state(self.LIMITS).put(value["user"], value["cap"])
+
+        def process_element(self, value, ctx, out):
+            cap = ctx.get_broadcast_state(self.LIMITS).get(value["user"])
+            if cap is not None and value["n"] > cap:
+                self.breaches.update(self.breaches.value() + 1)
+                ctx.timer_service().register_event_time_timer(ctx.timestamp() + 1)
+
+        def on_timer(self, t, ctx, out):
+            if self.breaches.value():
+                out.collect({"user": ctx.get_current_key(), "breaches": self.breaches.value()})
+                self.breaches.update(0)
+
+    caps = env.from_collection(
+        [{"user": "a", "cap": 2}, {"user": "b", "cap": 15}],
+        "user STRING, cap INT",
+    )
+    out = (
+        clicks.key_by("user")
+        .connect(caps.broadcast(ThresholdAlert.LIMITS))
+        .process(ThresholdAlert(), "user STRING, breaches INT")
+        .to_data_frame()
+    )
+    got = {(r.user, r.breaches) for r in out.collect()}
+    # a: n=3,5 breach cap 2 -> 2; b: n=20 breaches cap 15 -> 1; c: no cap
+    assert got == {("a", 2), ("b", 1)}
