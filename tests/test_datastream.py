@@ -631,3 +631,18 @@ def test_keyed_broadcast_process_with_timers(env, clicks):
     got = {(r.user, r.breaches) for r in out.collect()}
     # a: n=3,5 breach cap 2 -> 2; b: n=20 breaches cap 15 -> 1; c: no cap
     assert got == {("a", 2), ("b", 1)}
+
+
+def test_facade_plan_topology(env, clicks):
+    # keyed builtin agg: exactly one exchange (the groupBy hash
+    # partitioning), nothing Python, partial aggregation present
+    plan = (
+        clicks.key_by("user").sum("n").to_data_frame()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    # keyed process: exactly one exchange feeding the pandas harness
+    out = clicks.key_by("user").process(GapSessionCounter(), "user STRING, session_n INT")
+    plan2 = out.to_data_frame()._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan2
