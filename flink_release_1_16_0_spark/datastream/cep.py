@@ -99,21 +99,28 @@ class Pattern:
 
     # -- quantifiers --------------------------------------------------------
 
-    def one_or_more(self) -> "Pattern":
-        self._steps[-1]["quant"] = "+"
+    def _set_quant(self, q: str) -> "Pattern":
+        if "times" in self._steps[-1]:
+            raise ValueError("times(n) cannot combine with another quantifier")
+        self._steps[-1]["quant"] = q
         return self
+
+    def one_or_more(self) -> "Pattern":
+        return self._set_quant("+")
 
     def zero_or_more(self) -> "Pattern":
-        self._steps[-1]["quant"] = "*"
-        return self
+        return self._set_quant("*")
 
     def optional(self) -> "Pattern":
-        self._steps[-1]["quant"] = "?"
-        return self
+        return self._set_quant("?")
 
     def times(self, n: int) -> "Pattern":
         """Exactly-n repetition (Pattern.times:404): expands to n
-        strict-contiguous copies binding the same variable."""
+        strict-contiguous copies binding the same variable. Combining
+        with another quantifier (times(n).optional() etc.) is rejected
+        rather than silently dropping the quantifier."""
+        if self._steps[-1]["quant"] != "1":
+            raise ValueError("times(n) cannot combine with another quantifier")
         self._steps[-1]["times"] = n
         return self
 

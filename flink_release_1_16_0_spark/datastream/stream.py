@@ -155,8 +155,10 @@ def _assign_session_ids(df: DataFrame, tcol: str, keys: list[str], gap_ms: int) 
     gap breaks."""
     ts = F.unix_millis(F.col(tcol).cast("timestamp"))
     w = Window.partitionBy(*keys).orderBy(ts)
-    # diff == gap starts a new session: [t, t+gap) excludes t+gap
-    brk = (ts - F.lag(ts).over(w) >= F.lit(gap_ms)).cast("int")
+    # TimeWindow.intersects uses <=/>=, so TOUCHING windows merge: a
+    # diff of exactly `gap` stays in the session; only diff > gap breaks
+    # (the reference's session merge semantics)
+    brk = (ts - F.lag(ts).over(w) > F.lit(gap_ms)).cast("int")
     return df.withColumn("__sess", F.sum(F.coalesce(brk, F.lit(0))).over(w))
 
 
@@ -250,6 +252,15 @@ class DataStream:
             df = df.filter(F.col(_SIDE_TAG).isNull()).drop(_SIDE_TAG, _SIDE_JSON)
         return df
 
+    def _as_main(self) -> "DataStream":
+        """Downstream transforms consume the MAIN output only — side
+        rows belong exclusively to get_side_output on the operator that
+        produced them (the reference's SingleOutputStreamOperator
+        contract)."""
+        if not self._side_tags:
+            return self
+        return DataStream(self.env, self.to_data_frame(), self.time_col)
+
     def execute_and_collect(self, limit: int | None = None) -> list:
         """DataStream.java executeAndCollect — driver-side results."""
         df = self.to_data_frame()
@@ -284,7 +295,9 @@ class DataStream:
             # unbounded: lower the bounded-out-of-orderness delay onto
             # Spark's watermark (the §1.3 mapping)
             df = df.withWatermark(strategy.ts_field, f"{strategy.delay_ms} milliseconds")
-        return DataStream(self.env, df, strategy.ts_field, self._side_tags)
+        return DataStream(
+            self.env, df, strategy.ts_field, self._side_tags, self._empty_tags
+        )
 
     # -- stateless transforms ----------------------------------------------
 
@@ -295,6 +308,7 @@ class DataStream:
         side_tags: tuple[OutputTag, ...] = (),
         fn: Any = None,
     ) -> "DataStream":
+        src = self._as_main()
         schema = _parse_ddl(self.env.spark, output_type)
         if side_tags:
             schema = StructType(
@@ -317,7 +331,7 @@ class DataStream:
 
         # event-time survives a transform only if the column survives it
         tcol = self.time_col if self.time_col in names else None
-        return DataStream(self.env, self.df.mapInPandas(gen, schema), tcol, side_tags)
+        return DataStream(self.env, src.df.mapInPandas(gen, schema), tcol, side_tags)
 
     def map(self, fn: MapFunction | Callable[[dict], dict], output_type: str | StructType) -> "DataStream":
         f = fn.map if isinstance(fn, MapFunction) else fn
@@ -340,7 +354,7 @@ class DataStream:
     def filter(self, fn: FilterFunction | Callable[[dict], bool] | str | Column) -> "DataStream":
         if isinstance(fn, (str, Column)):
             # expression filters stay JVM-side (predicate pushdown survives)
-            return DataStream(self.env, self.df.filter(fn), self.time_col, self._side_tags)
+            return DataStream(self.env, self._as_main().df.filter(fn), self.time_col)
         f = fn.filter if isinstance(fn, FilterFunction) else fn
 
         def emit(row: dict, out: list) -> None:
@@ -374,14 +388,14 @@ class DataStream:
         return self._map_rows(emit, output_type, side_tags=tuple(side_outputs), fn=fn)
 
     def project(self, *fields: str) -> "DataStream":
-        return DataStream(self.env, self.df.select(*fields), self.time_col)
+        return DataStream(self.env, self._as_main().df.select(*fields), self.time_col)
 
     # -- multi-stream -------------------------------------------------------
 
     def union(self, *others: "DataStream") -> "DataStream":
-        df = self.df
+        df = self._as_main().df
         for o in others:
-            df = df.unionByName(o.df)
+            df = df.unionByName(o._as_main().df)
         return DataStream(self.env, df, self.time_col)
 
     def connect(self, other) -> "ConnectedStreams | BroadcastConnectedStream":
@@ -403,28 +417,28 @@ class DataStream:
                 "key_by takes column names (KeySelector lambdas would force "
                 "a Python pass over every row — project a key column first)"
             )
-        return KeyedStream(self, list(keys))
+        return KeyedStream(self._as_main(), list(keys))
 
     def broadcast(self, *descriptors: MapStateDescriptor) -> "BroadcastStream | DataStream":
         if descriptors:
             return BroadcastStream(self, descriptors)
         # hint-only broadcast (DataStream.java:419): replicate to every
         # downstream task == Spark's broadcast hint on the next join
-        return DataStream(self.env, F.broadcast(self.df), self.time_col)
+        return DataStream(self.env, F.broadcast(self._as_main().df), self.time_col)
 
     def shuffle(self) -> "DataStream":
         # random redistribution (DataStream.java:448) == round-robin
-        return DataStream(self.env, self.df.repartition(self._parallelism()), self.time_col)
+        return DataStream(self.env, self._as_main().df.repartition(self._parallelism()), self.time_col)
 
     def rebalance(self) -> "DataStream":
-        return DataStream(self.env, self.df.repartition(self._parallelism()), self.time_col)
+        return DataStream(self.env, self._as_main().df.repartition(self._parallelism()), self.time_col)
 
     def rescale(self) -> "DataStream":
         # local fan-in (DataStream.java:491): shuffle-free like coalesce
-        return DataStream(self.env, self.df.coalesce(max(1, self._parallelism() // 2)), self.time_col)
+        return DataStream(self.env, self._as_main().df.coalesce(max(1, self._parallelism() // 2)), self.time_col)
 
     def global_(self) -> "DataStream":
-        return DataStream(self.env, self.df.coalesce(1), self.time_col)
+        return DataStream(self.env, self._as_main().df.coalesce(1), self.time_col)
 
     def forward(self) -> "DataStream":
         return self
@@ -437,7 +451,7 @@ class DataStream:
         n = self._parallelism()
         bucket = F.udf(lambda k: None if k is None else int(partitioner(k, n)), "int")
         df = (
-            self.df.withColumn("__bucket", bucket(F.col(field)))
+            self._as_main().df.withColumn("__bucket", bucket(F.col(field)))
             .repartition(n, F.col("__bucket"))
             .drop("__bucket")
         )
@@ -474,11 +488,15 @@ class DataStream:
         """DataStream.java:828 — single-channel by definition (the
         reference forces parallelism 1 on windowAll); lowered as a
         keyed window on a constant key."""
-        const = DataStream(self.env, self.df.withColumn("__all", F.lit(0)), self.time_col)
+        const = DataStream(
+            self.env, self._as_main().df.withColumn("__all", F.lit(0)), self.time_col
+        )
         return WindowedStream(KeyedStream(const, ["__all"]), assigner, drop_key=True)
 
     def count_window_all(self, size: int, slide: int | None = None) -> "WindowedStream":
-        const = DataStream(self.env, self.df.withColumn("__all", F.lit(0)), self.time_col)
+        const = DataStream(
+            self.env, self._as_main().df.withColumn("__all", F.lit(0)), self.time_col
+        )
         return KeyedStream(const, ["__all"]).count_window(size, slide, _drop_key=True)
 
     # -- sinks --------------------------------------------------------------
@@ -504,8 +522,9 @@ class KeyedStream:
     # only the final per-key value is emitted -------------------------------
 
     def _order(self) -> Column:
+        # numeric arrival order (ms) so tie-break signs can negate it
         if self.stream.time_col:
-            return F.col(self.stream.time_col)
+            return F.unix_millis(F.col(self.stream.time_col).cast("timestamp"))
         return F.monotonically_increasing_id()
 
     def _agg_one_field(self, field: str, how: str) -> DataStream:
@@ -558,10 +577,13 @@ class KeyedStream:
 
             return self.reduce(fold)
         df = self.stream.df.withColumn("__ord", self._order())
-        tie = F.col("__ord") if first else -F.col("__ord")
+        # tie-break sign: min_by minimizes the struct, max_by maximizes
+        # it — to pick the FIRST arrival on equal field values the
+        # arrival order must sort WITH the extremum direction
+        # (min/first and max/last keep +ord; min/last and max/first
+        # negate it)
+        tie = F.col("__ord") if (how == "min") == first else -F.col("__ord")
         pick = F.min_by if how == "min" else F.max_by
-        # tie-break: order by (field, tie) so equal field values resolve
-        # to the first/last arrival deterministically
         sel = pick(F.struct(*self.stream.df.columns), F.struct(F.col(field), tie)).alias("r")
         out = df.groupBy(*self.keys).agg(sel).select("r.*")
         return DataStream(self.env, out, None)
@@ -966,6 +988,10 @@ class WindowedStream:
                 window = TimeWindow(int(key[nk]), int(key[nk + 1]))
             kval = None if drop_key else (key[0] if nk == 1 else tuple(key[:nk]))
             helper = [c for c in (*wcols, "__rn") if c in pdf.columns]
+            if drop_key:
+                # the synthetic constant key of windowAll is plumbing,
+                # not data — user functions never see it
+                helper += [k for k in keys if k in pdf.columns]
             rows = per_window(kval, window, pdf.drop(columns=helper))
             return _to_pdf(rows, names)
 
@@ -976,7 +1002,13 @@ class WindowedStream:
 
     def reduce(self, fn: ReduceFunction | Callable[[dict, dict], dict], output_type: str | StructType | None = None) -> DataStream:
         f = fn.reduce if isinstance(fn, ReduceFunction) else fn
-        out_t = output_type or self.keyed.stream.df.schema
+        in_schema = self.keyed.stream.df.schema
+        if self.drop_key:
+            # windowAll's synthetic key is not part of the element type
+            in_schema = StructType(
+                [fld for fld in in_schema.fields if fld.name not in self.keyed.keys]
+            )
+        out_t = output_type or in_schema
 
         def per_window(_key, _window, pdf: pd.DataFrame) -> list[dict]:
             acc = None

@@ -2224,48 +2224,39 @@ class TableEnvironment:
 
     def _resolve_qualified_refs(self, sql: str) -> str:
         """Rewrite known ``catalog.db.table`` / ``db.table`` references
-        in a query to their session-global names so Spark's analyzer
-        resolves them (temp views are one-part). Skips string
+        to their session-global names so Spark's analyzer resolves them
+        (temp views are one-part). Only TABLE POSITIONS are rewritten —
+        after FROM / JOIN / INTO / TABLE( — so a select-list
+        ``alias.column`` (or ``alias.struct.field``) that happens to
+        spell a registered path is never mangled. Skips string
         literals."""
         known: dict[str, str] = {}
         for bare, t in self._tables.items():
             known[f"{t.catalog}.{t.database}.{bare}"] = bare
             if t.catalog == self._current_catalog:
                 known[f"{t.database}.{bare}"] = bare
-        pat = (
-            re.compile(
-                r"\b("
-                + "|".join(
-                    re.escape(k) for k in sorted(known, key=len, reverse=True)
-                )
-                + r")\b"
-            )
-            if known
-            else None
+        kw_pat = re.compile(
+            r"(?i)\b(FROM|JOIN|INTO|TABLE\s*\()\s*([A-Za-z_]\w*(?:\.\w+){1,2})"
         )
-        # any OTHER three-part path naming one of our catalogs is a
-        # resolution error — surface it with attribution detail instead
-        # of Spark's namespace AnalysisException
-        cat_pat = re.compile(
-            r"\b("
-            + "|".join(re.escape(c) for c in self._catalogs)
-            + r")\.(\w+)\.(\w+)\b"
-        )
+        # a dotted path in table position naming one of our catalogs
+        # that did NOT resolve is a resolution error — surface it with
+        # attribution detail instead of Spark's namespace exception
+        cats = set(self._catalogs)
+
+        def repl(m: re.Match) -> str:
+            path = m.group(2)
+            if path in known:
+                return m.group(1) + m.group(0)[len(m.group(1)) : -len(path)] + known[path]
+            parts = path.split(".")
+            if len(parts) == 3 and parts[0] in cats:
+                # raises with the existing-attribution message
+                self._resolve_table_name(path)
+                raise ValueError(f"cannot resolve table path {path!r}")
+            return m.group(0)
+
         out = []
         for is_lit, seg in _split_sql_literals(sql):
-            if is_lit:
-                out.append(seg)
-                continue
-            if pat is not None:
-                seg = pat.sub(lambda m: known[m.group(1)], seg)
-            stray = cat_pat.search(seg)
-            if stray:
-                # raises with the existing-attribution message
-                self._resolve_table_name(stray.group(0))
-                raise ValueError(
-                    f"cannot resolve table path {stray.group(0)!r}"
-                )
-            out.append(seg)
+            out.append(seg if is_lit else kw_pat.sub(repl, seg))
         return "".join(out)
 
     def _rewrite_query(self, sql: str) -> str:

@@ -241,3 +241,27 @@ class TestCompiledPlan:
         assert [n["type"] for n in doc["nodes"]] == ["sql-insert"]
         tenv.execute_sql(f"EXECUTE PLAN '{plan}'")
         assert spark.read.parquet(out).count() == 7
+
+
+def test_qualified_refs_only_rewrite_table_positions(spark, tmp_path):
+    """A select-list alias.column that textually collides with a
+    registered db.table must not be rewritten (review finding: the old
+    resolver rewrote every occurrence)."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("CREATE DATABASE o")
+    # a table literally named 'amount' inside database 'o'
+    tenv.execute_sql(
+        f"""CREATE TABLE o.amount (x INT) WITH (
+            'connector'='filesystem', 'path'='{tmp_path}/amt', 'format'='parquet')"""
+    )
+    tenv.execute_sql("INSERT INTO o.amount VALUES (7)")
+    # alias 'o' + column 'amount': the old rewrite turned o.amount into
+    # the bare table name and broke resolution
+    df = tenv.execute_sql(
+        "SELECT o.amount FROM (SELECT 41 AS amount) o"
+    ).to_data_frame()
+    assert [r.amount for r in df.collect()] == [41]
+    # table position still resolves through the rewrite
+    assert tenv.execute_sql("SELECT * FROM o.amount").to_data_frame().collect()[0].x == 7

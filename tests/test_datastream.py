@@ -646,3 +646,68 @@ def test_facade_plan_topology(env, clicks):
     plan2 = out.to_data_frame()._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan2
+
+
+# -- review-finding regressions ----------------------------------------------
+
+
+def test_min_by_max_by_tie_break(env):
+    rows = [
+        {"k": "x", "ts": _ts(0), "n": 5},
+        {"k": "x", "ts": _ts(1), "n": 5},
+    ]
+    s = env.from_collection(rows, "k STRING, ts TIMESTAMP, n INT").assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    # first=True (default): the FIRST arrival wins ties — both directions
+    assert s.key_by("k").max_by("n").to_data_frame().collect()[0].ts == _ts(0)
+    assert s.key_by("k").min_by("n").to_data_frame().collect()[0].ts == _ts(0)
+    # first=False: the LAST arrival wins ties (also exercises negating
+    # the order column, which must be numeric, not TIMESTAMP)
+    assert s.key_by("k").max_by("n", first=False).to_data_frame().collect()[0].ts == _ts(1)
+    assert s.key_by("k").min_by("n", first=False).to_data_frame().collect()[0].ts == _ts(1)
+
+
+def test_session_windows_merge_touching(env):
+    # two elements exactly `gap` apart share a session (TimeWindow.
+    # intersects uses <=/>=, so touching windows merge)
+    rows = [
+        {"k": "x", "ts": _ts(0), "n": 1},
+        {"k": "x", "ts": _ts(5), "n": 2},   # exactly the 5-minute gap
+        {"k": "x", "ts": _ts(11), "n": 4},  # > gap: new session
+    ]
+    s = env.from_collection(rows, "k STRING, ts TIMESTAMP, n INT").assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    out = (
+        s.key_by("k")
+        .window(EventTimeSessionWindows.with_gap("5 minutes"))
+        .aggregate(SumAgg(), "total INT")
+        .to_data_frame()
+    )
+    assert sorted(r.total for r in out.collect()) == [3, 4]
+
+
+def test_side_output_rows_do_not_leak_downstream(clicks):
+    main = clicks.process(
+        SplitBySize(), "user STRING, n INT", side_outputs=(SplitBySize.SMALL,)
+    )
+    # downstream transforms see ONLY main rows (side rows carried
+    # null main columns and crashed/polluted downstream user fns)
+    doubled = main.map(lambda r: {"n2": r["n"] * 2}, "n2 INT")
+    assert sorted(r.n2 for r in doubled.to_data_frame().collect()) == [10, 14, 20, 40]
+    assert "__side_tag" not in main.filter("n > 5").to_data_frame().columns
+    keyed = main.key_by("user").sum("n").to_data_frame()
+    # only main rows aggregate: a:5, b:30, c:7 (no null-keyed side row)
+    assert {(r.user, r.n) for r in keyed.collect()} == {("a", 5), ("b", 30), ("c", 7)}
+    # the side output itself is still intact on the producing operator
+    assert main.get_side_output(SplitBySize.SMALL).to_data_frame().count() == 2
+
+
+def test_window_all_reduce_hides_synthetic_key(env, clicks):
+    out = clicks.window_all(TumblingEventTimeWindows.of("10 minutes")).reduce(
+        lambda a, b: {"user": a["user"], "ts": b["ts"], "n": a["n"] + b["n"]}
+    )
+    df = out.to_data_frame()
+    assert "__all" not in df.columns
+    assert sorted(r.n for r in df.collect()) == [5, 7, 34]
