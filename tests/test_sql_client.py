@@ -1,0 +1,53 @@
+"""SQL Client script runner tests (sql-client.sh -f parity)."""
+
+from __future__ import annotations
+
+from flink_release_1_16_0_spark.sql_client import run_script, split_statements
+
+
+def test_split_statements_literals_and_comments():
+    script = """
+    -- a comment; with a semicolon
+    SET 'pipeline.name' = 'a;b';  /* block; comment */
+    SELECT ';' AS semi, 1 AS x;
+    INSERT INTO t VALUES ('it''s; fine')
+    """
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert stmts[0] == "SET 'pipeline.name' = 'a;b'"
+    assert stmts[1] == "SELECT ';' AS semi, 1 AS x"
+    assert stmts[2] == "INSERT INTO t VALUES ('it''s; fine')"
+
+
+def test_split_statement_set_keeps_inner_semicolons():
+    script = """
+    EXECUTE STATEMENT SET
+    BEGIN
+      INSERT INTO a SELECT 1;
+      INSERT INTO b SELECT 2;
+    END;
+    SELECT 3;
+    """
+    stmts = split_statements(script)
+    assert len(stmts) == 2
+    assert stmts[0].upper().startswith("EXECUTE STATEMENT SET")
+    assert "INSERT INTO b" in stmts[0]
+    assert stmts[1] == "SELECT 3"
+
+
+def test_run_script_end_to_end(spark, tmp_path):
+    out = tmp_path / "sink"
+    script = f"""
+    -- end-to-end: DDL, config, INSERT, query
+    CREATE TABLE src (x INT, tag STRING) WITH (
+      'connector' = 'filesystem', 'path' = '{tmp_path}/src', 'format' = 'parquet');
+    INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, 'a');
+    CREATE TABLE snk (tag STRING, total BIGINT) WITH (
+      'connector' = 'filesystem', 'path' = '{out}', 'format' = 'parquet');
+    INSERT INTO snk SELECT tag, SUM(x) AS total FROM src GROUP BY tag;
+    """
+    run_script(spark, script, echo=False)
+    got = {
+        (r.tag, r.total) for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == {("a", 4), ("b", 2)}
