@@ -2759,6 +2759,24 @@ class TableEnvironment:
         df = table.to_data_frame()
         return df if ROWKIND in df.columns else to_changelog(df)
 
+    # -- descriptor API (TableDescriptor.java:63; TableEnvironment.
+    # createTable / createTemporaryTable / from) ------------------------------
+    def create_table(self, path: str, descriptor) -> None:
+        """Programmatic CREATE TABLE — lowers to the same DDL path as
+        executeSql (one schema/connector code path)."""
+        self.execute_sql(descriptor.to_create_sql(path))
+
+    def create_temporary_table(self, path: str, descriptor) -> None:
+        self.execute_sql(descriptor.to_create_sql(path, temporary=True))
+
+    def from_descriptor(self, descriptor) -> Table:
+        """from(TableDescriptor): an anonymous inline table."""
+        import uuid as _uuid
+
+        name = f"__anon_{_uuid.uuid4().hex[:8]}"
+        self.create_temporary_table(name, descriptor)
+        return self.from_path(name)
+
     # -- catalog -------------------------------------------------------------
     def from_path(self, name: str) -> Table:
         return Table(self.spark.table(self._resolve_table_name(name)))
