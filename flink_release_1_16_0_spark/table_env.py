@@ -1054,6 +1054,14 @@ class TableResult:
         return self
 
 
+def _frag(parts) -> str:
+    """Coerce Table-API arguments — one SQL fragment string, one
+    expression-DSL object, or several of either — to a SQL fragment."""
+    if len(parts) == 1 and isinstance(parts[0], str):
+        return parts[0]
+    return ", ".join(str(p) for p in parts)
+
+
 class Table:
     """Fluent Table API over a DataFrame.
 
@@ -1067,11 +1075,13 @@ class Table:
         self._df = df
 
     # -- projection / filter -------------------------------------------------
-    def select(self, exprs: str) -> "Table":
-        return self._sql(f"SELECT {exprs} FROM {{t}}")
+    def select(self, *exprs) -> "Table":
+        # accepts one SQL fragment string OR expression-DSL objects
+        # (expressions.col/lit/call) / several of either
+        return self._sql(f"SELECT {_frag(exprs)} FROM {{t}}")
 
-    def add_columns(self, exprs: str) -> "Table":
-        return self._sql(f"SELECT *, {exprs} FROM {{t}}")
+    def add_columns(self, *exprs) -> "Table":
+        return self._sql(f"SELECT *, {_frag(exprs)} FROM {{t}}")
 
     def drop_columns(self, cols: str) -> "Table":
         names = [c.strip() for c in cols.split(",")]
@@ -1090,8 +1100,8 @@ class Table:
     filter = where
 
     # -- aggregation ---------------------------------------------------------
-    def group_by(self, keys: str) -> "GroupedTable":
-        return GroupedTable(self._df, keys)
+    def group_by(self, *keys) -> "GroupedTable":
+        return GroupedTable(self._df, _frag(keys))
 
     def window(self, window: "GroupWindow") -> "WindowedTable":
         """Group-window surface (Tumble/Slide/Session classes)."""
@@ -1180,7 +1190,8 @@ class GroupedTable:
         self._df = df
         self._keys = keys
 
-    def select(self, exprs: str) -> Table:
+    def select(self, *exprs) -> Table:
+        exprs = _frag(exprs)
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT {exprs} FROM {{t}} GROUP BY {self._keys}", t=self._df
