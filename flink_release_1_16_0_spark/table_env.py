@@ -1054,6 +1054,43 @@ class TableResult:
         return self
 
 
+class EnvironmentSettings:
+    """EnvironmentSettings.java facade: the mode selector handed to
+    TableEnvironment.create. ``new_instance()...build()`` and the
+    ``in_streaming_mode()/in_batch_mode()`` shorthands both work."""
+
+    def __init__(self, streaming: bool = False) -> None:
+        self.streaming = streaming
+
+    @staticmethod
+    def in_streaming_mode() -> "EnvironmentSettings":
+        return EnvironmentSettings(True)
+
+    @staticmethod
+    def in_batch_mode() -> "EnvironmentSettings":
+        return EnvironmentSettings(False)
+
+    @staticmethod
+    def new_instance() -> "EnvironmentSettingsBuilder":
+        return EnvironmentSettingsBuilder()
+
+
+class EnvironmentSettingsBuilder:
+    def __init__(self) -> None:
+        self._streaming = False
+
+    def in_streaming_mode(self) -> "EnvironmentSettingsBuilder":
+        self._streaming = True
+        return self
+
+    def in_batch_mode(self) -> "EnvironmentSettingsBuilder":
+        self._streaming = False
+        return self
+
+    def build(self) -> EnvironmentSettings:
+        return EnvironmentSettings(self._streaming)
+
+
 def _frag(parts) -> str:
     """Coerce Table-API arguments — one SQL fragment string, one
     expression-DSL object, or several of either — to a SQL fragment."""
@@ -1524,7 +1561,12 @@ class TableEnvironment:
 
     # EnvironmentSettings-style constructors
     @classmethod
-    def create(cls, spark: SparkSession, streaming: bool = False) -> "TableEnvironment":
+    def create(cls, spark: SparkSession, streaming=False) -> "TableEnvironment":
+        """Accepts the mode as a bool or an EnvironmentSettings
+        (EnvironmentSettings.java inStreamingMode/inBatchMode — the
+        reference's create(settings) spelling)."""
+        if isinstance(streaming, EnvironmentSettings):
+            streaming = streaming.streaming
         return cls(spark, streaming=streaming)
 
     # -- statements ----------------------------------------------------------

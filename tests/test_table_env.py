@@ -2025,3 +2025,17 @@ def test_allow_lateness_sql_dispatch_hop(spark, tmp_path):
     rows = sorted((str(r["ws"]), r["n"]) for r in got)
     for ws in ("2024-01-01 09:55:00", "2024-01-01 10:00:00"):
         assert [r for r in rows if r[0] == ws] == [(ws, 1), (ws, 2)], rows
+
+
+def test_environment_settings_create(spark):
+    from flink_release_1_16_0_spark.table_env import (
+        EnvironmentSettings,
+        TableEnvironment,
+    )
+
+    t1 = TableEnvironment.create(spark, EnvironmentSettings.in_streaming_mode())
+    assert t1.streaming is True
+    t2 = TableEnvironment.create(
+        spark, EnvironmentSettings.new_instance().in_batch_mode().build()
+    )
+    assert t2.streaming is False
