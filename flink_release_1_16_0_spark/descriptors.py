@@ -89,14 +89,17 @@ class TableDescriptor:
     def to_create_sql(self, path: str, temporary: bool = False) -> str:
         if self.schema is None:
             raise ValueError(f"table {path!r} needs a schema")
+        def q(s: str) -> str:
+            return s.replace("'", "''")
+
         opts = {"connector": self.connector, **self.options}
         with_clause = ", ".join(
-            f"'{k}' = '{v}'" for k, v in opts.items()
+            f"'{q(k)}' = '{q(v)}'" for k, v in opts.items()
         )
         sql = f"CREATE {'TEMPORARY ' if temporary else ''}TABLE {path} (\n  "
         sql += self.schema.to_ddl() + "\n)"
         if self.comment:
-            sql += f" COMMENT '{self.comment}'"
+            sql += f" COMMENT '{q(self.comment)}'"
         if self.partition_keys:
             sql += f" PARTITIONED BY ({', '.join(self.partition_keys)})"
         sql += f" WITH ({with_clause})"

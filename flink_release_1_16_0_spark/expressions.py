@@ -17,6 +17,9 @@ from __future__ import annotations
 
 
 def _render(v) -> str:
+    import datetime
+    import decimal
+
     if isinstance(v, Expr):
         return v.sql
     if isinstance(v, str):
@@ -25,7 +28,15 @@ def _render(v) -> str:
         return "TRUE" if v else "FALSE"
     if v is None:
         return "NULL"
-    return str(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, datetime.timedelta):
+        return f"INTERVAL '{v.total_seconds()}' SECOND"
+    if isinstance(v, (int, float, decimal.Decimal)):
+        return str(v)
+    raise TypeError(f"cannot render {type(v).__name__} as a SQL literal: {v!r}")
 
 
 class Expr:
@@ -83,8 +94,14 @@ class Expr:
     def __truediv__(self, other) -> "Expr":
         return self._bin("/", other)
 
+    def __rtruediv__(self, other) -> "Expr":
+        return Expr(f"({_render(other)} / {self.sql})")
+
     def __mod__(self, other) -> "Expr":
         return Expr(f"MOD({self.sql}, {_render(other)})")
+
+    def __rmod__(self, other) -> "Expr":
+        return Expr(f"MOD({_render(other)}, {self.sql})")
 
     def __neg__(self) -> "Expr":
         return Expr(f"(- {self.sql})")

@@ -23,54 +23,71 @@ import sys
 from pyspark.sql import SparkSession
 
 
+def _is_word_at(src: str, i: int, word: str) -> bool:
+    """Case-insensitive whole-word match at position i (alnum/_ are
+    word characters on both sides)."""
+    n = len(src)
+    if not src[i : i + len(word)].upper() == word:
+        return False
+    if i > 0 and (src[i - 1].isalnum() or src[i - 1] == "_"):
+        return False
+    j = i + len(word)
+    return not (j < n and (src[j].isalnum() or src[j] == "_"))
+
+
 def split_statements(script: str) -> list[str]:
-    """Split a SQL script into statements: ``;`` terminates a statement
-    only outside single-quoted literals; ``--`` and ``/* */`` comments
-    are stripped outside literals (the SQL-client parsing rules).
-    Statement-set blocks (EXECUTE STATEMENT SET BEGIN ... END;) keep
-    their inner semicolons."""
-    from flink_release_1_16_0_spark.table_env import _split_sql_literals
-
-    # strip comments, preserving literals verbatim
-    cleaned: list[str] = []
-    for is_lit, seg in _split_sql_literals(script):
-        if is_lit:
-            cleaned.append(seg)
-            continue
-        out, i, n = [], 0, len(seg)
-        while i < n:
-            if seg.startswith("--", i):
-                nl = seg.find("\n", i)
-                i = n if nl < 0 else nl  # keep the newline
-            elif seg.startswith("/*", i):
-                end = seg.find("*/", i + 2)
-                i = n if end < 0 else end + 2
-            else:
-                out.append(seg[i])
-                i += 1
-        cleaned.append("".join(out))
-    text = "".join(cleaned)
-
+    """Split a SQL script into statements with one scanner pass: ``;``
+    terminates a statement only outside single-quoted literals; ``--``
+    and ``/* */`` comments are treated as whitespace (only OUTSIDE
+    literals — an apostrophe inside a comment is comment text, not a
+    literal opener, and vice versa). Statement-set blocks
+    (EXECUTE STATEMENT SET BEGIN ... END;) keep their inner semicolons;
+    CASE ... END inside a block does not close it."""
     stmts: list[str] = []
     buf: list[str] = []
-    depth_set = 0  # inside EXECUTE STATEMENT SET BEGIN ... END
-    for is_lit, seg in _split_sql_literals(text):
-        if is_lit:
-            buf.append(seg)
+    i, n = 0, len(script)
+    begin_depth = 0  # EXECUTE STATEMENT SET BEGIN ... END nesting
+    case_depth = 0  # CASE ... END pairs consume their own END
+    while i < n:
+        c = script[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if script[j] == "'":
+                    if j + 1 < n and script[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(script[i : min(j + 1, n)])
+            i = j + 1
             continue
-        i, n = 0, len(seg)
-        while i < n:
-            up = seg[i : i + 24].upper()
-            if up.startswith("BEGIN") and not (i + 5 < n and seg[i + 5].isalnum()):
-                depth_set += 1
-            elif up.startswith("END") and not (i + 3 < n and seg[i + 3].isalnum()):
-                depth_set = max(0, depth_set - 1)
-            if seg[i] == ";" and depth_set == 0:
-                stmts.append("".join(buf))
-                buf = []
+        if script.startswith("--", i):
+            nl = script.find("\n", i)
+            buf.append(" ")  # a comment is whitespace, not glue
+            i = n if nl < 0 else nl
+            continue
+        if script.startswith("/*", i):
+            end = script.find("*/", i + 2)
+            buf.append(" ")
+            i = n if end < 0 else end + 2
+            continue
+        if _is_word_at(script, i, "BEGIN"):
+            begin_depth += 1
+        elif _is_word_at(script, i, "CASE"):
+            case_depth += 1
+        elif _is_word_at(script, i, "END"):
+            if case_depth > 0:
+                case_depth -= 1
             else:
-                buf.append(seg[i])
+                begin_depth = max(0, begin_depth - 1)
+        if c == ";" and begin_depth == 0:
+            stmts.append("".join(buf))
+            buf = []
             i += 1
+            continue
+        buf.append(c)
+        i += 1
     stmts.append("".join(buf))
     return [s.strip() for s in stmts if s.strip()]
 
@@ -89,10 +106,11 @@ def run_script(spark: SparkSession, script: str, echo: bool = True) -> list:
         res = tenv.execute_sql(stmt)
         results.append(res)
         if echo and res is not None and hasattr(res, "to_data_frame"):
-            try:
-                res.to_data_frame().show(20, truncate=False)
-            except Exception:  # noqa: BLE001 — non-query results have no frame
-                pass
+            df = res.to_data_frame()
+            if df is not None:
+                # real execution errors propagate — only a frameless
+                # (DDL/DML) result skips printing
+                df.show(20, truncate=False)
     return results
 
 

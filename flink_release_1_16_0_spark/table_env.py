@@ -1602,7 +1602,7 @@ class TableEnvironment:
                 flags=re.IGNORECASE | re.DOTALL,
             )
             sset = self.create_statement_set()
-            for part in body.split(";"):
+            for part in _split_outside_literals(body, ";"):
                 if part.strip():
                     sset.add_insert_sql(part)
             return sset.execute()
@@ -2823,12 +2823,20 @@ class TableEnvironment:
         self.execute_sql(descriptor.to_create_sql(path, temporary=True))
 
     def from_descriptor(self, descriptor) -> Table:
-        """from(TableDescriptor): an anonymous inline table."""
+        """from(TableDescriptor): an anonymous inline table — like the
+        reference, it never becomes catalog-visible: the scan is
+        materialized into the Table and the temporary registration is
+        dropped immediately."""
         import uuid as _uuid
 
         name = f"__anon_{_uuid.uuid4().hex[:8]}"
         self.create_temporary_table(name, descriptor)
-        return self.from_path(name)
+        try:
+            # spark.table analyzes eagerly, so the Table's plan holds
+            # the resolved scan and survives the registration drop
+            return self.from_path(name)
+        finally:
+            self.execute_sql(f"DROP TABLE {name}")
 
     # -- catalog -------------------------------------------------------------
     def from_path(self, name: str) -> Table:
@@ -3144,7 +3152,7 @@ class TableEnvironment:
             re.IGNORECASE | re.DOTALL,
         )
         parts = (
-            [p for p in sm.group("inner").split(";") if p.strip()]
+            [p for p in _split_outside_literals(sm.group("inner"), ";") if p.strip()]
             if sm
             else [body]
         )
@@ -3428,6 +3436,24 @@ _MR_COUNTER = iter(range(1, 1 << 30))
 
 class _UnboundVariable(Exception):
     """DEFINE referenced a pattern variable with no bound rows yet."""
+
+
+def _split_outside_literals(src: str, sep: str) -> list[str]:
+    """Split on ``sep`` only outside single-quoted SQL literals."""
+    parts: list[str] = []
+    buf: list[str] = []
+    for is_lit, seg in _split_sql_literals(src):
+        if is_lit:
+            buf.append(seg)
+            continue
+        pieces = seg.split(sep)
+        for piece in pieces[:-1]:
+            buf.append(piece)
+            parts.append("".join(buf))
+            buf = []
+        buf.append(pieces[-1])
+    parts.append("".join(buf))
+    return parts
 
 
 def _split_sql_literals(src: str) -> list:

@@ -51,3 +51,40 @@ def test_run_script_end_to_end(spark, tmp_path):
         (r.tag, r.total) for r in spark.read.parquet(str(out)).collect()
     }
     assert got == {("a", 4), ("b", 2)}
+
+
+def test_split_hardening():
+    # apostrophes inside comments are comment text, not literal openers
+    s = split_statements("-- don't use this\nSELECT 1;\nSELECT 2;")
+    assert s == ["SELECT 1", "SELECT 2"]
+    # identifiers containing begin/end don't affect block tracking
+    s = split_statements(
+        "EXECUTE STATEMENT SET BEGIN INSERT INTO a SELECT window_end FROM w; "
+        "INSERT INTO b SELECT 2; END; SELECT trip_begin FROM t; SELECT 3;"
+    )
+    assert len(s) == 3 and "INSERT INTO b" in s[0]
+    # CASE ... END inside a block consumes its own END
+    s = split_statements(
+        "EXECUTE STATEMENT SET BEGIN "
+        "INSERT INTO a SELECT CASE WHEN x THEN 1 ELSE 2 END FROM w; END; SELECT 9;"
+    )
+    assert len(s) == 2 and s[1] == "SELECT 9"
+    # block comments are whitespace, not token glue
+    s = split_statements("SELECT x FROM t WHERE a=1/*c*/AND b=2;")
+    assert "1 AND" in s[0]
+
+
+def test_statement_set_literal_semicolons(spark, tmp_path):
+    script = f"""
+    CREATE TABLE semi_src (x INT, s STRING) WITH (
+      'connector' = 'filesystem', 'path' = '{tmp_path}/ss', 'format' = 'parquet');
+    CREATE TABLE semi_a (x INT, s STRING) WITH (
+      'connector' = 'filesystem', 'path' = '{tmp_path}/sa', 'format' = 'parquet');
+    INSERT INTO semi_src VALUES (1, 'a;b');
+    EXECUTE STATEMENT SET
+    BEGIN
+      INSERT INTO semi_a SELECT x, ';' FROM semi_src;
+    END;
+    """
+    run_script(spark, script, echo=False)
+    assert spark.read.parquet(f"{tmp_path}/sa").collect()[0].s == ";"
