@@ -496,3 +496,41 @@ def dsapi_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.to_data_frame()
+
+
+# ---------------------------------------------------------------------------
+# async I/O (AsyncWaitOperator.java:91 / AsyncDataStream)
+
+_ASYNC_ORACLE = """
+SELECT c_custkey, n_name AS nation
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+@register("dsapi_async_lookup", _ASYNC_ORACLE, tags=("dsapi", "join", "async"))
+def dsapi_async_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsyncDataStream.ordered_wait over a point-lookup dimension: a
+    bounded in-flight window per task, ordered emission — the async
+    I/O pattern for dimensions that can only be point-queried (here the
+    'service' is a dict snapshot of nation)."""
+    from flink_release_1_16_0_spark.datastream import AsyncDataStream, AsyncFunction
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    dim = {
+        r.n_nationkey: r.n_name
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+
+    class Lookup(AsyncFunction):
+        def async_invoke(self, value):
+            return {
+                "c_custkey": value["c_custkey"],
+                "nation": dim.get(value["c_nationkey"]),
+            }
+
+    customers = env.from_data_frame(load_table(spark, sf_dir, "customer"))
+    out = AsyncDataStream.ordered_wait(
+        customers, Lookup(), "30 seconds", capacity=16,
+        output_type="c_custkey BIGINT, nation STRING",
+    )
+    return out.to_data_frame()
