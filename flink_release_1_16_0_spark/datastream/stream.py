@@ -204,10 +204,24 @@ class StreamExecutionEnvironment:
 
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
+        self._parallelism: int | None = None
 
     @staticmethod
     def get_execution_environment(spark: SparkSession) -> "StreamExecutionEnvironment":
         return StreamExecutionEnvironment(spark)
+
+    def set_parallelism(self, n: int) -> "StreamExecutionEnvironment":
+        """StreamExecutionEnvironment.setParallelism — the partition
+        count the explicit redistribution ops (shuffle/rebalance/
+        partitionCustom) target; defaults to the session's shuffle
+        partitions."""
+        self._parallelism = int(n)
+        return self
+
+    def get_parallelism(self) -> int:
+        if self._parallelism is not None:
+            return self._parallelism
+        return int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     def from_collection(self, data: list[dict], type_ddl: str) -> "DataStream":
         schema = _parse_ddl(self.spark, type_ddl)
@@ -458,7 +472,7 @@ class DataStream:
         return DataStream(self.env, df, self.time_col)
 
     def _parallelism(self) -> int:
-        return int(self.env.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        return self.env.get_parallelism()
 
     # -- iteration (DataStream.java:530) ------------------------------------
 

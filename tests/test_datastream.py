@@ -711,3 +711,9 @@ def test_window_all_reduce_hides_synthetic_key(env, clicks):
     df = out.to_data_frame()
     assert "__all" not in df.columns
     assert sorted(r.n for r in df.collect()) == [5, 7, 34]
+
+
+def test_set_parallelism(spark, clicks):
+    env2 = StreamExecutionEnvironment.get_execution_environment(spark).set_parallelism(3)
+    s = env2.from_collection([{"x": i} for i in range(10)], "x INT")
+    assert s.rebalance().to_data_frame().rdd.getNumPartitions() == 3
