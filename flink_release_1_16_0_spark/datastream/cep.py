@@ -35,6 +35,7 @@ from flink_release_1_16_0_spark.datastream.stream import (
     _parse_ddl,
     _row_iter,
     _to_pdf,
+    _ts_ms as _ms,
 )
 
 
@@ -182,11 +183,6 @@ class PatternStream:
             )
             self.keyed = KeyedStream(const, ["__all"])
         self.pattern = pattern
-        if self.keyed.stream.df.isStreaming:
-            raise ValueError(
-                "the Pattern facade lowers bounded inputs; unbounded CEP is "
-                "streaming/cep_stream.py (WITHIN-horizon NFA) via the Table layer"
-            )
 
     def select(
         self,
@@ -215,6 +211,10 @@ class PatternStream:
         sort_cols = [tcol] + ([tiebreaker] if tiebreaker else [])
         var_names = [s["name"] for s in self.pattern._steps]
         skip_past = after_match == "skip_past_last_row"
+        if keyed.stream.df.isStreaming:
+            return self._select_streaming(
+                fn, schema, names, tiebreaker, skip_past, steps, defines, var_names
+            )
 
         def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(sort_cols, kind="stable")
@@ -239,5 +239,83 @@ class PatternStream:
 
         out = keyed.stream.df.groupBy(*keyed.keys).applyInPandas(
             lambda k, p: harness(k, p), schema
+        )
+        return DataStream(keyed.env, out)
+
+    def _select_streaming(
+        self, fn, schema, names, tiebreaker, skip_past, steps, defines, var_names
+    ) -> DataStream:
+        """Unbounded Pattern matching with the WITHIN finalization bound
+        (the CepOperator pattern, same argument as
+        streaming/cep_stream.py): events buffer in keyed state; an
+        anchor is DECIDED once the watermark passes ``anchor + within``
+        (every row a match could bind is settled), at which point the
+        match emits (or the anchor is dropped) exactly once; decided
+        prefix rows retire, keeping state O(rows in the horizon).
+        Requires ``within`` (the reference's streaming NFA state bound)
+        and a ``tiebreaker`` column for deterministic equal-timestamp
+        order."""
+        import pickle
+
+        import pandas as _pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        from flink_release_1_16_0_spark.operators.cep import nfa_try_match
+
+        keyed = self.keyed
+        tcol = keyed.stream.time_col
+        within_ms = self.pattern.within_ms
+        if within_ms is None:
+            raise ValueError(
+                "unbounded CEP needs Pattern.within(...) — the WITHIN horizon "
+                "is what finalizes emission and bounds keyed state"
+            )
+        if not tiebreaker:
+            raise ValueError("unbounded CEP needs a tiebreaker column")
+
+        def func(key, pdfs, state):
+            wm = state.getCurrentWatermarkMs()
+            pending: list[dict] = pickle.loads(state.get[0]) if state.exists else []
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                for row in _row_iter(pdf):
+                    if _ms(row[tcol]) > wm:  # at/under the watermark = late
+                        pending.append(row)
+            settled = sorted(
+                (r for r in pending if _ms(r[tcol]) <= wm),
+                key=lambda r: (_ms(r[tcol]), r[tiebreaker]),
+            )
+            unsettled = [r for r in pending if _ms(r[tcol]) > wm]
+            rows = [{**r, "__ts": _pd.Timestamp(r[tcol])} for r in settled]
+            out: list[dict] = []
+            s = decided = 0
+            while s < len(rows):
+                if _ms(rows[s][tcol]) + within_ms > wm:
+                    break  # horizon not settled: this and later anchors wait
+                m = nfa_try_match(rows, s, steps, defines, within_ms)
+                if m is not None and m[0] > s:
+                    end, bound = m
+                    bindings = {
+                        v: [rows[j] for j in bound.get(v, [])] for v in var_names
+                    }
+                    out.append(fn(bindings))
+                    s = max(end, s + 1) if skip_past else s + 1
+                else:
+                    s += 1
+                decided = s
+            retained = settled[decided:] + unsettled
+            state.update((pickle.dumps(retained),))
+            if retained:
+                state.setTimeoutTimestamp(wm + 1)
+            if out:
+                yield _to_pdf(out, names)
+
+        out = keyed.stream.df.groupBy(*keyed.keys).applyInPandasWithState(
+            func,
+            outputStructType=schema,
+            stateStructType="buf BINARY",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
         return DataStream(keyed.env, out)

@@ -145,3 +145,48 @@ def test_non_keyed_single_sequence(env):
         lambda m: {"a_min": m["a"][0]["ts"].minute}, "a_min INT"
     )
     assert sorted(r.a_min for r in out.to_data_frame().collect()) == [0, 2]
+
+
+def test_streaming_pattern_within(spark, env, tmp_path):
+    """Unbounded Pattern matching: only anchors whose WITHIN horizon the
+    final watermark settles emit — the same cutoff the Table layer's
+    streaming CEP applies."""
+    import shutil
+
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    d = str(tmp_path / "cep_stream")
+    rows = [
+        # k1: (1, 9) matches and finalizes; (2, 8) anchors at 10:40 but
+        # its 10-minute horizon passes the final watermark only if
+        # 10:50 <= max ts (10:50) — boundary: NOT finalizable
+        ("k1", _ts(0), 0, 1),
+        ("k1", _ts(1), 1, 9),
+        ("k1", _ts(40), 2, 2),
+        ("k1", _ts(41), 3, 8),
+        ("k1", _ts(50), 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, eid INT, v INT")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    s = env.from_data_frame(sdf).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_bounded_out_of_orderness("0 seconds").with_timestamp_assigner("ts")
+    )
+    pat = (
+        Pattern.begin("lo")
+        .where(lambda r: r["v"] < 5)
+        .next("hi")
+        .where(lambda r: r["v"] > 7)
+        .within("10 minutes")
+    )
+    out = CEP.pattern(s.key_by("k"), pat).select(
+        lambda m: {"k": m["lo"][0]["k"], "lo": m["lo"][0]["v"], "hi": m["hi"][0]["v"]},
+        "k STRING, lo INT, hi INT",
+        tiebreaker="eid",
+    )
+    got = run_to_table(out.to_data_frame(), output_mode="append")
+    pairs = sorted((r.lo, r.hi) for r in got.collect())
+    # (1,9) anchored 10:00 finalizes (wm 10:50 >= 10:10); (2,8) anchored
+    # 10:40 needs wm > 10:49:59.999 -> 10:50 settles it too
+    assert pairs == [(1, 9), (2, 8)]
+    shutil.rmtree(d, ignore_errors=True)
