@@ -852,13 +852,24 @@ class IntervalJoin:
         cond = F.lit(True)
         for lk, rk in zip(self.left.keys, self.right.keys):
             cond = cond & (F.col(f"__l_{lk}") == F.col(f"__r_{rk}"))
-        lts = F.unix_millis(F.col(f"__l_{lt}").cast("timestamp"))
-        rts = F.unix_millis(F.col(f"__r_{rt}").cast("timestamp"))
-        cond = (
-            cond
-            & (rts >= lts + F.lit(self.lower_ms))
-            & (rts <= lts + F.lit(self.upper_ms))
-        )
+        if l.isStreaming and r.isStreaming:
+            # native interval bounds on the watermarked columns — the
+            # form Spark's stream-stream join recognizes for state
+            # cleanup (unbounded inputs would otherwise hold all state)
+            lcol, rcol = F.col(f"__l_{lt}"), F.col(f"__r_{rt}")
+            cond = (
+                cond
+                & (rcol >= lcol + F.expr(f"INTERVAL {self.lower_ms} MILLISECOND"))
+                & (rcol <= lcol + F.expr(f"INTERVAL {self.upper_ms} MILLISECOND"))
+            )
+        else:
+            lts = F.unix_millis(F.col(f"__l_{lt}").cast("timestamp"))
+            rts = F.unix_millis(F.col(f"__r_{rt}").cast("timestamp"))
+            cond = (
+                cond
+                & (rts >= lts + F.lit(self.lower_ms))
+                & (rts <= lts + F.lit(self.upper_ms))
+            )
         joined = l.join(r, cond)
         schema = _parse_ddl(env.spark, output_type)
         names = [fld.name for fld in schema.fields]

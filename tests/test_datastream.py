@@ -717,3 +717,31 @@ def test_set_parallelism(spark, clicks):
     env2 = StreamExecutionEnvironment.get_execution_environment(spark).set_parallelism(3)
     s = env2.from_collection([{"x": i} for i in range(10)], "x INT")
     assert s.rebalance().to_data_frame().rdd.getNumPartitions() == 3
+
+
+def test_streaming_interval_join(spark, env, clicks_parquet, tmp_path):
+    import shutil
+
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    d = str(tmp_path / "right_stream")
+    rows = [("a", _ts(1, 30), 42), ("b", _ts(9), 43)]
+    rdf = spark.createDataFrame(rows, "user STRING, ts TIMESTAMP, n INT")
+    rdf.coalesce(1).write.mode("overwrite").parquet(d)
+
+    left = _stream_clicks(spark, env, clicks_parquet)
+    right = env.from_data_frame(
+        spark.readStream.schema(rdf.schema).parquet(d)
+    ).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_bounded_out_of_orderness("0 seconds").with_timestamp_assigner("ts")
+    )
+    out = (
+        left.key_by("user")
+        .interval_join(right.key_by("user"))
+        .between("-2 minutes", "2 minutes")
+        .process(PairJoin(), "user STRING, ln INT, rn INT")
+    )
+    assert out.df.isStreaming
+    got = run_to_table(out.to_data_frame(), output_mode="append")
+    assert sorted((r.user, r.ln) for r in got.collect()) == [("a", 1), ("a", 3)]
+    shutil.rmtree(d, ignore_errors=True)
