@@ -1321,6 +1321,11 @@ class _WindowPair:
 
     def _windowed(self) -> tuple[DataFrame, DataFrame]:
         a = self.assigner
+        if self.first.df.isStreaming or self.second.df.isStreaming:
+            raise NotImplementedError(
+                "unbounded window join/coGroup is the Table layer's surface "
+                "(streaming window join operators); the facade lowers bounded input"
+            )
         if isinstance(a, EventTimeSessionWindows):
             raise ValueError(
                 "session windows merge per stream; a session window join is "

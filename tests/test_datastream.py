@@ -745,3 +745,27 @@ def test_streaming_interval_join(spark, env, clicks_parquet, tmp_path):
     got = run_to_table(out.to_data_frame(), output_mode="append")
     assert sorted((r.user, r.ln) for r in got.collect()) == [("a", 1), ("a", 3)]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_keyed_process_side_outputs(spark, env, clicks_parquet):
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    class Route(KeyedProcessFunction):
+        BIG = OutputTag("big", "user STRING, n INT")
+
+        def process_element(self, value, ctx, out):
+            if value["n"] >= 10:
+                ctx.output(self.BIG, {"user": value["user"], "n": value["n"]})
+            else:
+                out.collect({"user": value["user"], "n": value["n"]})
+
+    s = _stream_clicks(spark, env, clicks_parquet)
+    routed = s.key_by("user").process(
+        Route(), "user STRING, n INT", side_outputs=(Route.BIG,)
+    )
+    main = run_to_table(routed.to_data_frame(), output_mode="append")
+    big = run_to_table(
+        routed.get_side_output(Route.BIG).to_data_frame(), output_mode="append"
+    )
+    assert sorted(r.n for r in main.collect()) == [1, 3, 5, 7]
+    assert sorted(r.n for r in big.collect()) == [10, 20]
