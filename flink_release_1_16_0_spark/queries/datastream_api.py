@@ -534,3 +534,52 @@ def dsapi_async_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_type="c_custkey BIGINT, nation STRING",
     )
     return out.to_data_frame()
+
+
+# ---------------------------------------------------------------------------
+# STREAMING-mode keyed process (applyInPandasWithState lowering)
+
+_STREAM_SESSIONS_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM d
+), g AS (
+  SELECT user_id, sess, COUNT(*) AS n, MAX(ts) AS last_ts
+  FROM s GROUP BY user_id, sess
+), m AS (SELECT MAX(ts) AS maxts FROM events)
+SELECT user_id, CAST(n AS INT) AS session_n
+FROM g, m
+WHERE sess < (SELECT MAX(sess) FROM g g2 WHERE g2.user_id = g.user_id)
+   OR last_ts + INTERVAL 30 MINUTE < maxts - INTERVAL 10 MINUTE
+"""
+
+
+@register(
+    "dsapi_stream_process_timers",
+    _STREAM_SESSIONS_ORACLE,
+    tags=("dsapi", "streaming", "state", "timers"),
+)
+def dsapi_stream_process_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionization KeyedProcessFunction run UNBOUNDED: the events
+    log replays through the micro-batch engine, keyed state + the timer
+    queue live in applyInPandasWithState, and the final watermark
+    (max ts - 10 min bounded delay) decides which tail-session timers
+    fire — non-final sessions emit in-element when their successor
+    arrives; a user's last session emits only if its 30-min deadline is
+    strictly under the final watermark (Spark fires event-time timeouts
+    strictly past the watermark), which the oracle mirrors."""
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    s = env.from_data_frame(
+        replay_stream(spark, sf_dir, "events")
+    ).assign_timestamps_and_watermarks(_EVENT_TIME)
+    out = s.key_by("user_id").process(_GapSessions(), "user_id BIGINT, session_n INT")
+    return run_to_table(out.to_data_frame(), output_mode="append")
