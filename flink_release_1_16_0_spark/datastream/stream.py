@@ -1107,24 +1107,48 @@ class ConnectedStreams:
         env = self.first.env
         lcols, rcols = self.first.df.columns, self.second.df.columns
         lt, rt = self.first.time_col, self.second.time_col
+        # each side's own time column ships ONLY as __ts (a second alias
+        # of a watermarked column would give the union two event-time
+        # columns, which Spark rejects); dispatch reinserts it
         l = self.first.df.select(
             F.lit(0).alias("__side"),
             *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys1)],
-            (F.col(lt).cast("timestamp") if lt else F.lit(None).cast("timestamp")).alias("__ts"),
-            *[F.col(c).alias(f"__l_{c}") for c in lcols],
-            *[F.lit(None).cast(f.dataType).alias(f"__r_{f.name}") for f in self.second.df.schema.fields],
+            # direct alias: a cast would strip the watermark tag and
+            # EventTimeTimeout needs an event-time column to survive
+            (F.col(lt) if lt else F.lit(None).cast("timestamp")).alias("__ts"),
+            *[F.col(c).alias(f"__l_{c}") for c in lcols if c != lt],
+            *[
+                F.lit(None).cast(f.dataType).alias(f"__r_{f.name}")
+                for f in self.second.df.schema.fields
+                if f.name != rt
+            ],
         )
         r = self.second.df.select(
             F.lit(1).alias("__side"),
             *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys2)],
-            (F.col(rt).cast("timestamp") if rt else F.lit(None).cast("timestamp")).alias("__ts"),
-            *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in self.first.df.schema.fields],
-            *[F.col(c).alias(f"__r_{c}") for c in rcols],
+            (F.col(rt) if rt else F.lit(None).cast("timestamp")).alias("__ts"),
+            *[
+                F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
+                for f in self.first.df.schema.fields
+                if f.name != lt
+            ],
+            *[F.col(c).alias(f"__r_{c}") for c in rcols if c != rt],
         )
         unioned = l.unionByName(r)
         schema = _parse_ddl(env.spark, output_type)
         names = [fld.name for fld in schema.fields]
         kcols = [f"__k{i}" for i in range(len(self.keys1))]
+
+        def dispatch(fn_, row: dict, ctx: Context, col: Collector) -> None:
+            if row["__side"] == 0:
+                d = {c: (row["__ts"] if c == lt else row[f"__l_{c}"]) for c in lcols}
+                fn_.process_element1(d, ctx, col)
+            else:
+                d = {c: (row["__ts"] if c == rt else row[f"__r_{c}"]) for c in rcols}
+                fn_.process_element2(d, ctx, col)
+
+        if unioned.isStreaming:
+            return self._process_streaming(unioned, fn, schema, names, kcols, dispatch)
 
         def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values(["__ts", "__side"], kind="stable", na_position="first")
@@ -1136,10 +1160,7 @@ class ConnectedStreams:
             col = Collector()
             for row in _row_iter(pdf):
                 ctx.current_timestamp = _ts_ms(row["__ts"])
-                if row["__side"] == 0:
-                    fn.process_element1({c: row[f"__l_{c}"] for c in lcols}, ctx, col)
-                else:
-                    fn.process_element2({c: row[f"__r_{c}"] for c in rcols}, ctx, col)
+                dispatch(fn, row, ctx, col)
             for t in ts._drain():
                 ctx.current_timestamp = t
                 fn.on_timer(t, ctx, col)
@@ -1147,6 +1168,65 @@ class ConnectedStreams:
             return _to_pdf(col.rows, names)
 
         out = unioned.groupBy(*kcols).applyInPandas(lambda k, p: harness(k, p), schema)
+        return DataStream(env, out)
+
+    def _process_streaming(
+        self, unioned: DataFrame, fn, schema: StructType, names: list[str],
+        kcols: list[str], dispatch,
+    ) -> DataStream:
+        """Unbounded keyed co-process: the union-with-tag shuffles both
+        inputs to the key natively; per key, pickled state + the timer
+        queue live in applyInPandasWithState — the two-input
+        KeyedCoProcessOperator with the union's min-across-inputs
+        watermark driving timers (Spark's multi-watermark min policy)."""
+        import pickle
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        env = self.first.env
+
+        def func(key, pdfs, state):
+            if state.exists:
+                rc, ts = pickle.loads(state.get[0])
+            else:
+                rc, ts = RuntimeContext(), TimerService()
+            fn.open(rc)
+            kval = key[0] if len(key) == 1 else key
+            ctx = Context(timer_service_obj=ts, current_key=kval)
+            col = Collector()
+            wm = state.getCurrentWatermarkMs()
+
+            def fire_due() -> None:
+                for t in ts._advance(wm):
+                    ctx.current_timestamp = t
+                    fn.on_timer(t, ctx, col)
+
+            fire_due()
+            if not state.hasTimedOut:
+                for pdf in pdfs:
+                    if len(pdf) == 0:
+                        continue
+                    pdf = pdf.sort_values(
+                        ["__ts", "__side"], kind="stable", na_position="first"
+                    )
+                    for row in _row_iter(pdf):
+                        ctx.current_timestamp = _ts_ms(row["__ts"])
+                        dispatch(fn, row, ctx, col)
+                fire_due()
+            state.update((pickle.dumps((rc, ts)),))
+            nxt = ts._next_pending()
+            if nxt is not None:
+                state.setTimeoutTimestamp(max(nxt, wm + 1))
+            if col.rows:
+                yield _to_pdf(col.rows, names)
+
+        out = unioned.groupBy(*kcols).applyInPandasWithState(
+            func,
+            outputStructType=schema,
+            stateStructType="state BINARY",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
         return DataStream(env, out)
 
 

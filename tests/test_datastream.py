@@ -769,3 +769,32 @@ def test_streaming_keyed_process_side_outputs(spark, env, clicks_parquet):
     )
     assert sorted(r.n for r in main.collect()) == [1, 3, 5, 7]
     assert sorted(r.n for r in big.collect()) == [10, 20]
+
+
+def test_streaming_connect_co_process(spark, env, clicks_parquet, tmp_path):
+    import shutil
+
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    d = str(tmp_path / "limits_stream")
+    rows = [("a", _ts(0, 30), 100), ("b", _ts(0), 5)]
+    ldf = spark.createDataFrame(rows, "user STRING, ts TIMESTAMP, lim INT")
+    ldf.coalesce(1).write.mode("overwrite").parquet(d)
+
+    clicks_s = _stream_clicks(spark, env, clicks_parquet)
+    limits = env.from_data_frame(
+        spark.readStream.schema(ldf.schema).parquet(d)
+    ).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    out = (
+        clicks_s.connect(limits)
+        .key_by("user", "user")
+        .process(EnrichWithLimit(), "user STRING, n INT, lim INT")
+    )
+    assert out.df.isStreaming
+    got = run_to_table(out.to_data_frame(), output_mode="append")
+    vals = {(r.user, r.n): r.lim for r in got.collect()}
+    assert vals[("a", 1)] is None and vals[("a", 3)] == 100
+    assert vals[("b", 10)] == 5 and vals[("c", 7)] is None
+    shutil.rmtree(d, ignore_errors=True)
