@@ -583,3 +583,41 @@ def dsapi_stream_process_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).assign_timestamps_and_watermarks(_EVENT_TIME)
     out = s.key_by("user_id").process(_GapSessions(), "user_id BIGINT, session_n INT")
     return run_to_table(out.to_data_frame(), output_mode="append")
+
+
+@register(
+    "dsapi_stream_interval_join",
+    _INTERVAL_ORACLE,
+    tags=("dsapi", "streaming", "join"),
+)
+def dsapi_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The facade interval join on UNBOUNDED inputs: Spark's native
+    stream-stream join with timestamp-interval bounds (state cleanup
+    recognizable), pairs mapped by the ProcessJoinFunction. A bounded
+    drain emits every qualifying pair, so the batch oracle applies."""
+    from flink_release_1_16_0_spark.datastream import ProcessJoinFunction
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+
+    class Pair(ProcessJoinFunction):
+        def process_element(self, left, right, ctx, out):
+            out.collect(
+                {
+                    "user_id": left["user_id"],
+                    "a_id": left["event_id"],
+                    "b_id": right["event_id"],
+                }
+            )
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    s = env.from_data_frame(
+        replay_stream(spark, sf_dir, "events")
+    ).assign_timestamps_and_watermarks(_EVENT_TIME)
+    clicks = s.filter("event_type = 'click'")
+    buys = s.filter("event_type = 'purchase'")
+    out = (
+        clicks.key_by("user_id")
+        .interval_join(buys.key_by("user_id"))
+        .between("0 seconds", "2 hours")
+        .process(Pair(), "user_id BIGINT, a_id BIGINT, b_id BIGINT")
+    )
+    return run_to_table(out.to_data_frame(), output_mode="append")
