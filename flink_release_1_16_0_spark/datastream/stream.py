@@ -375,7 +375,8 @@ class DataStream:
             if f(row):
                 out.append(row)
 
-        return self._map_rows(emit, self.df.schema)
+        # schema of the MAIN output (side helper columns stripped)
+        return self._map_rows(emit, self._as_main().df.schema)
 
     def process(
         self,
@@ -414,14 +415,14 @@ class DataStream:
 
     def connect(self, other) -> "ConnectedStreams | BroadcastConnectedStream":
         if isinstance(other, BroadcastStream):
-            return BroadcastConnectedStream(self, other)
-        return ConnectedStreams(self, other)
+            return BroadcastConnectedStream(self._as_main(), other)
+        return ConnectedStreams(self._as_main(), other._as_main())
 
     def co_group(self, other: "DataStream") -> "CoGroupedStreams":
-        return CoGroupedStreams(self, other)
+        return CoGroupedStreams(self._as_main(), other._as_main())
 
     def join(self, other: "DataStream") -> "JoinedStreams":
-        return JoinedStreams(self, other)
+        return JoinedStreams(self._as_main(), other._as_main())
 
     # -- partitioning (physical hints; semantics-neutral) -------------------
 
@@ -435,7 +436,7 @@ class DataStream:
 
     def broadcast(self, *descriptors: MapStateDescriptor) -> "BroadcastStream | DataStream":
         if descriptors:
-            return BroadcastStream(self, descriptors)
+            return BroadcastStream(self._as_main(), descriptors)
         # hint-only broadcast (DataStream.java:419): replicate to every
         # downstream task == Spark's broadcast hint on the next join
         return DataStream(self.env, F.broadcast(self._as_main().df), self.time_col)
@@ -784,6 +785,10 @@ class KeyedStream:
             if nxt is not None:
                 # timeouts must sit beyond the current watermark
                 state.setTimeoutTimestamp(max(nxt, wm + 1))
+            elif ts._proc_set:
+                # pending processing-time timers: wake on the next
+                # watermark advance so wall clock is re-checked
+                state.setTimeoutTimestamp(wm + 1)
             out: list[dict] = []
             for r in col.rows:
                 out.append({**r, _SIDE_TAG: None, _SIDE_JSON: None} if use_side else r)
@@ -1110,12 +1115,21 @@ class ConnectedStreams:
         # each side's own time column ships ONLY as __ts (a second alias
         # of a watermarked column would give the union two event-time
         # columns, which Spark rejects); dispatch reinserts it
+        streaming = self.first.df.isStreaming or self.second.df.isStreaming
+
+        def ts_expr(col_name):
+            if not col_name:
+                return F.lit(None).cast("timestamp")
+            c = F.col(col_name)
+            # streaming: direct alias (a cast strips the watermark tag
+            # EventTimeTimeout needs); batch: normalize to timestamp so
+            # the two sides union cleanly
+            return c if streaming else c.cast("timestamp")
+
         l = self.first.df.select(
             F.lit(0).alias("__side"),
             *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys1)],
-            # direct alias: a cast would strip the watermark tag and
-            # EventTimeTimeout needs an event-time column to survive
-            (F.col(lt) if lt else F.lit(None).cast("timestamp")).alias("__ts"),
+            ts_expr(lt).alias("__ts"),
             *[F.col(c).alias(f"__l_{c}") for c in lcols if c != lt],
             *[
                 F.lit(None).cast(f.dataType).alias(f"__r_{f.name}")
@@ -1126,7 +1140,7 @@ class ConnectedStreams:
         r = self.second.df.select(
             F.lit(1).alias("__side"),
             *[F.col(k).alias(f"__k{i}") for i, k in enumerate(self.keys2)],
-            (F.col(rt) if rt else F.lit(None).cast("timestamp")).alias("__ts"),
+            ts_expr(rt).alias("__ts"),
             *[
                 F.lit(None).cast(f.dataType).alias(f"__l_{f.name}")
                 for f in self.first.df.schema.fields
@@ -1355,7 +1369,8 @@ class AsyncDataStream:
         timeout_s = _to_ms(timeout) / 1000.0
 
         def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-            with ThreadPoolExecutor(max_workers=capacity) as pool:
+            pool = ThreadPoolExecutor(max_workers=capacity)
+            try:
                 for pdf in batches:
                     rows = list(_row_iter(pdf))
                     futs = [pool.submit(fn.async_invoke, r) for r in rows]
@@ -1370,6 +1385,11 @@ class AsyncDataStream:
                             continue
                         out.append(res) if isinstance(res, dict) else out.extend(res)
                     yield _to_pdf(out, names)
+            finally:
+                # wait=False: a worker stuck past its timeout must not
+                # wedge the task at pool teardown (its element already
+                # completed via fn.timeout)
+                pool.shutdown(wait=False)
 
         return DataStream(env, stream.df.mapInPandas(gen, schema))
 

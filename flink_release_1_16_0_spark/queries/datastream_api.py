@@ -100,7 +100,9 @@ class _GapSessions(KeyedProcessFunction):
     def process_element(self, value, ctx, out):
         t = ctx.timestamp()
         dl = self.deadline.value()
-        if dl is not None and t >= dl:
+        if dl is not None and t >= dl and self.count.value():
+            # count==0 means the deadline timer already flushed this
+            # session (multi-batch replay) — nothing to emit
             out.collect({"user_id": ctx.get_current_key(), "session_n": self.count.value()})
             self.count.update(0)
         self.count.update(self.count.value() + 1)

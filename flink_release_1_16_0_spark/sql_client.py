@@ -35,6 +35,17 @@ def _is_word_at(src: str, i: int, word: str) -> bool:
     return not (j < n and (src[j].isalnum() or src[j] == "_"))
 
 
+def _in_statement_set_context(buf: list[str]) -> bool:
+    """BEGIN opens a splitter block only as 'EXECUTE STATEMENT SET ...
+    BEGIN' — a column/alias literally named 'begin' must not disable
+    splitting, and the interactive 'BEGIN STATEMENT SET;' form must
+    SPLIT normally (execute_sql's statement buffering handles it)."""
+    import re
+
+    prefix = "".join(buf)
+    return bool(re.search(r"STATEMENT\s+SET\s*$", prefix, re.IGNORECASE))
+
+
 def split_statements(script: str) -> list[str]:
     """Split a SQL script into statements with one scanner pass: ``;``
     terminates a statement only outside single-quoted literals; ``--``
@@ -72,7 +83,7 @@ def split_statements(script: str) -> list[str]:
             buf.append(" ")
             i = n if end < 0 else end + 2
             continue
-        if _is_word_at(script, i, "BEGIN"):
+        if _is_word_at(script, i, "BEGIN") and _in_statement_set_context(buf):
             begin_depth += 1
         elif _is_word_at(script, i, "CASE"):
             case_depth += 1

@@ -2288,8 +2288,12 @@ class TableEnvironment:
             known[f"{t.catalog}.{t.database}.{bare}"] = bare
             if t.catalog == self._current_catalog:
                 known[f"{t.database}.{bare}"] = bare
+        # TABLE with or without the paren covers both `TABLE(...)` TVF
+        # wrapping and the TVF's inner `TABLE db.t` argument. Known
+        # limitation: a comma-separated FROM list (`FROM db.a, db.b`)
+        # rewrites only the first reference — spell it as a JOIN.
         kw_pat = re.compile(
-            r"(?i)\b(FROM|JOIN|INTO|TABLE\s*\()\s*([A-Za-z_]\w*(?:\.\w+){1,2})"
+            r"(?i)\b(FROM|JOIN|INTO|TABLE)\s*\(?\s*([A-Za-z_]\w*(?:\.\w+){1,2})"
         )
         # a dotted path in table position naming one of our catalogs
         # that did NOT resolve is a resolution error — surface it with

@@ -265,3 +265,27 @@ def test_qualified_refs_only_rewrite_table_positions(spark, tmp_path):
     assert [r.amount for r in df.collect()] == [41]
     # table position still resolves through the rewrite
     assert tenv.execute_sql("SELECT * FROM o.amount").to_data_frame().collect()[0].x == 7
+
+
+def test_qualified_ref_in_window_tvf(spark, tmp_path):
+    """`TABLE db.t` inside a window TVF resolves through the rewrite."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("CREATE DATABASE tvfdb")
+    tenv.execute_sql(
+        f"""CREATE TABLE tvfdb.evts (ts TIMESTAMP(3), v INT) WITH (
+            'connector'='filesystem', 'path'='{tmp_path}/evts', 'format'='parquet')"""
+    )
+    tenv.execute_sql(
+        "INSERT INTO tvfdb.evts VALUES (TIMESTAMP '2024-01-01 10:00:00', 1),"
+        " (TIMESTAMP '2024-01-01 10:20:00', 2)"
+    )
+    df = tenv.execute_sql(
+        """
+        SELECT window_start, SUM(v) AS total
+        FROM TABLE(TUMBLE(TABLE tvfdb.evts, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start
+        """
+    ).to_data_frame()
+    assert [r.total for r in df.collect()] == [3]

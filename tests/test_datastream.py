@@ -152,7 +152,7 @@ class GapSessionCounter(KeyedProcessFunction):
     def process_element(self, value, ctx, out):
         t = ctx.timestamp()
         dl = self.deadline.value()
-        if dl is not None and t >= dl:
+        if dl is not None and t >= dl and self.count.value():
             out.collect({"user": ctx.get_current_key(), "session_n": self.count.value()})
             self.count.update(0)
         self.count.update(self.count.value() + 1)
@@ -798,3 +798,35 @@ def test_streaming_connect_co_process(spark, env, clicks_parquet, tmp_path):
     assert vals[("a", 1)] is None and vals[("a", 3)] == 100
     assert vals[("b", 10)] == 5 and vals[("c", 7)] is None
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_side_tagged_stream_two_input_ops_see_main_only(env, clicks):
+    routed = clicks.process(
+        SplitBySize(), "user STRING, n INT", side_outputs=(SplitBySize.SMALL,)
+    )
+    # python-callable filter: no helper columns in the output schema
+    filtered = routed.filter(lambda r: r["n"] > 0)
+    assert "__side_tag" not in filtered.to_data_frame().columns
+    # two-input ops consume main rows only (no all-null phantom elements)
+    class CountBoth(CoGroupFunction):
+        def co_group(self, first, second, out):
+            out.collect({"nl": len(first), "nr": len(second)})
+
+    other = clicks.filter("n = 7")
+    # routed main rows have no ts column, so re-derive a timestamped copy
+    routed_ts = routed.map(
+        lambda r: {"user": r["user"], "ts": _ts(0), "n": r["n"]},
+        "user STRING, ts TIMESTAMP, n INT",
+    ).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    cg = (
+        routed_ts.co_group(other)
+        .where("user")
+        .equal_to("user")
+        .window(TumblingEventTimeWindows.of("1 hour"))
+        .apply(CountBoth(), "nl INT, nr INT")
+        .to_data_frame()
+    )
+    # main rows: a:1(n=5), b:2, c:1 — none of the 2 side rows appear
+    assert sum(r.nl for r in cg.collect()) == 4

@@ -88,3 +88,11 @@ def test_statement_set_literal_semicolons(spark, tmp_path):
     """
     run_script(spark, script, echo=False)
     assert spark.read.parquet(f"{tmp_path}/sa").collect()[0].s == ";"
+
+
+def test_begin_alias_does_not_block_splitting():
+    s = split_statements("SELECT ts AS begin FROM t; SELECT 2;")
+    assert s == ["SELECT ts AS begin FROM t", "SELECT 2"]
+    # interactive form splits normally (execute_sql buffers it)
+    s = split_statements("BEGIN STATEMENT SET; INSERT INTO a SELECT 1; END;")
+    assert s == ["BEGIN STATEMENT SET", "INSERT INTO a SELECT 1", "END"]
