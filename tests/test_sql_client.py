@@ -96,3 +96,24 @@ def test_begin_alias_does_not_block_splitting():
     # interactive form splits normally (execute_sql buffers it)
     s = split_statements("BEGIN STATEMENT SET; INSERT INTO a SELECT 1; END;")
     assert s == ["BEGIN STATEMENT SET", "INSERT INTO a SELECT 1", "END"]
+
+
+def test_interactive_begin_statement_set_via_script(spark, tmp_path):
+    """The SQL-client interactive form (BEGIN STATEMENT SET; ...; END;)
+    splits into individual statements that execute_sql buffers."""
+    script = f"""
+    CREATE TABLE ib_src (x INT) WITH (
+      'connector' = 'filesystem', 'path' = '{tmp_path}/ibs', 'format' = 'parquet');
+    INSERT INTO ib_src VALUES (1), (2);
+    CREATE TABLE ib_a (x INT) WITH (
+      'connector' = 'filesystem', 'path' = '{tmp_path}/iba', 'format' = 'parquet');
+    CREATE TABLE ib_b (x INT) WITH (
+      'connector' = 'filesystem', 'path' = '{tmp_path}/ibb', 'format' = 'parquet');
+    BEGIN STATEMENT SET;
+      INSERT INTO ib_a SELECT x FROM ib_src WHERE x = 1;
+      INSERT INTO ib_b SELECT x * 10 AS x FROM ib_src;
+    END;
+    """
+    run_script(spark, script, echo=False)
+    assert [r.x for r in spark.read.parquet(f"{tmp_path}/iba").collect()] == [1]
+    assert sorted(r.x for r in spark.read.parquet(f"{tmp_path}/ibb").collect()) == [10, 20]
