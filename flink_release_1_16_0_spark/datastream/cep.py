@@ -8,13 +8,20 @@ maps each match's variable->rows bindings through a user function.
 
 Lowering — the NFA core is shared with the SQL tier: patterns compile to
 the ``(var, quantifier)`` step list + ``fn(row, ctx)`` predicates of
-``operators.cep.nfa_try_match`` (the backtracking linear NFA both
-MATCH_RECOGNIZE tiers run on). Relaxed contiguity (``followed_by``)
-compiles to an unnamed reluctant-star skip step — exactly the
-ignore-events edge NFACompiler inserts for FOLLOWED_BY. Matching runs
-per key inside one ``applyInPandas`` group (rows time-sorted), with the
-reference's default AfterMatchSkipStrategy.noSkip (every start may
-anchor a match, overlaps allowed) or ``skip_past_last_row``.
+``operators.cep.nfa_all_matches`` (the enumerating sibling of the
+backtracking linear NFA the MATCH_RECOGNIZE tiers run on). Relaxed
+contiguity (``followed_by``) compiles to an unnamed reluctant-star skip
+step — exactly the ignore-events edge NFACompiler inserts for
+FOLLOWED_BY. Looping patterns (``one_or_more``/``times``) default to
+RELAXED internal contiguity (Pattern.java:437 — strict only via
+``consecutive()``), and under the default noSkip strategy every partial
+match of a non-``greedy()`` loop emits (the reference's looping-state
+branches), so ``a b+ c`` over ``a b1 b2 c`` yields both 1-b and 2-b
+matches. Matching runs per key inside one ``applyInPandas`` group (rows
+time-sorted), with the reference's default AfterMatchSkipStrategy.noSkip
+(every start may anchor a match, overlaps allowed) or
+``skip_past_last_row`` (non-overlapping; emits the greedy-longest match
+per anchor).
 
 Bounded (BATCH-mode) inputs only — the unbounded NFA with the WITHIN
 finalization horizon is the Table layer's ``streaming/cep_stream.py``.
@@ -59,7 +66,16 @@ class Pattern:
             # repeated names are legal in the NFA (bindings accumulate)
             # but almost always a user mistake in a fluent chain
             raise ValueError(f"pattern variable {name!r} already defined")
-        self._steps.append({"name": name, "quant": "1", "conds": [], "strict": strict})
+        self._steps.append(
+            {
+                "name": name,
+                "quant": "1",
+                "conds": [],
+                "strict": strict,
+                "consecutive": False,
+                "greedy": False,
+            }
+        )
 
     def next(self, name: str) -> "Pattern":
         """Strict contiguity (Pattern.next:209)."""
@@ -115,18 +131,41 @@ class Pattern:
     def optional(self) -> "Pattern":
         return self._set_quant("?")
 
-    def times(self, n: int) -> "Pattern":
-        """Exactly-n repetition (Pattern.times:404): expands to n
-        strict-contiguous copies binding the same variable. Combining
-        with another quantifier (times(n).optional() etc.) is rejected
-        rather than silently dropping the quantifier."""
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """``times(n)`` — exactly-n repetition (Pattern.times:404);
+        ``times(n, m)`` — n-to-m repetition (Pattern.times:418). Like
+        the reference, internal contiguity is RELAXED by default
+        (``consecutive()`` for strict) and under noSkip every count in
+        [n, m] emits unless ``greedy()``. Combining with another
+        quantifier (times(n).optional() etc.) is rejected rather than
+        silently dropping the quantifier."""
         if self._steps[-1]["quant"] != "1":
             raise ValueError("times(n) cannot combine with another quantifier")
-        self._steps[-1]["times"] = n
+        if m is not None and m < n:
+            raise ValueError("times(n, m) needs n <= m")
+        self._steps[-1]["times"] = (n, n if m is None else m)
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """STRICT internal contiguity for a looping pattern
+        (Pattern.consecutive:437): the repetitions must sit on adjacent
+        rows; without it, rows failing the loop condition may sit
+        between repetitions (the reference's relaxed default). Only
+        valid on ``one_or_more``/``zero_or_more``/``times``, as in the
+        reference (MalformedPatternException otherwise)."""
+        s = self._steps[-1]
+        if s["quant"] not in ("+", "*", "+?", "*?") and "times" not in s:
+            raise ValueError("consecutive() applies to looping patterns only")
+        s["consecutive"] = True
         return self
 
     def greedy(self) -> "Pattern":
-        return self  # greedy is the NFA default
+        """GREEDY property (Pattern.greedy:335): the loop binds as many
+        rows as possible and only the longest run per anchor emits —
+        without it (the reference's default) every partial match of the
+        loop emits under noSkip."""
+        self._steps[-1]["greedy"] = True
+        return self
 
     def reluctant(self) -> "Pattern":
         """Shortest-first preference (Quantifier without GREEDY)."""
@@ -141,9 +180,14 @@ class Pattern:
 
     # -- compilation to the shared NFA surface ------------------------------
 
-    def _compile(self) -> tuple[list[tuple[str, str]], dict]:
+    def _compile(self) -> tuple[list[tuple[str, str]], dict, frozenset]:
+        """Compile to the shared-NFA surface: the ``(var, quantifier)``
+        step list, the DEFINE predicates, and ``multi_vars`` — the
+        non-greedy looping variables whose partial matches emit under
+        noSkip (see ``operators.cep.nfa_all_matches``)."""
         steps: list[tuple[str, str]] = []
         defines: dict = {}
+        multi: set[str] = set()
         for i, s in enumerate(self._steps):
             if i > 0 and not s["strict"]:
                 # NFACompiler's ignore-events edge for FOLLOWED_BY:
@@ -156,10 +200,23 @@ class Pattern:
                     return all(c(row) if n == 1 else c(row, ctx) for c, n in conds)
 
                 defines[s["name"]] = pred
-            reps = s.get("times", 1)
-            for _ in range(reps):
-                steps.append((s["name"], s["quant"] if reps == 1 else "1"))
-        return steps, defines
+            # relaxed internal contiguity is the reference's looping
+            # default (Pattern.java:437); consecutive() keeps strict
+            relax = "" if s["consecutive"] else "~"
+            if "times" in s:
+                a, b = s["times"]
+                steps.append((s["name"], f"{{{a},{b}}}{relax}"))
+                if a != b and not s["greedy"]:
+                    multi.add(s["name"])
+            else:
+                q = s["quant"]
+                if q in ("+", "*", "+?", "*?"):
+                    steps.append((s["name"], q + relax))
+                    if q in ("+", "*") and not s["greedy"]:
+                        multi.add(s["name"])
+                else:
+                    steps.append((s["name"], q))
+        return steps, defines, frozenset(multi)
 
 
 class CEP:
@@ -194,9 +251,12 @@ class PatternStream:
         """PatternStream.select: ``fn(bindings) -> row`` where bindings
         map each variable to its list of matched rows (in order).
         ``after_match``: ``no_skip`` (reference default — overlapping
-        matches from every start) or ``skip_past_last_row``.
-        ``tiebreaker`` orders equal-timestamp rows deterministically."""
-        from flink_release_1_16_0_spark.operators.cep import nfa_try_match
+        matches from every start; non-``greedy()`` loops additionally
+        emit every partial match, the looping-state branches) or
+        ``skip_past_last_row`` (non-overlapping, greedy-longest per
+        anchor). ``tiebreaker`` orders equal-timestamp rows
+        deterministically."""
+        from flink_release_1_16_0_spark.operators.cep import nfa_all_matches
 
         if after_match not in ("no_skip", "skip_past_last_row"):
             raise ValueError(f"unsupported after_match: {after_match!r}")
@@ -204,16 +264,20 @@ class PatternStream:
         tcol = keyed.stream.time_col
         if not tcol:
             raise ValueError("CEP needs assign_timestamps_and_watermarks (event order)")
-        steps, defines = self.pattern._compile()
+        steps, defines, multi_vars = self.pattern._compile()
         within_ms = self.pattern.within_ms
         schema = _parse_ddl(keyed.env.spark, output_type)
         names = [f.name for f in schema.fields]
         sort_cols = [tcol] + ([tiebreaker] if tiebreaker else [])
         var_names = [s["name"] for s in self.pattern._steps]
         skip_past = after_match == "skip_past_last_row"
+        # skip_past resumes after ONE match per anchor, so enumeration
+        # only serves the noSkip strategy
+        enum = multi_vars if (multi_vars and not skip_past) else frozenset()
         if keyed.stream.df.isStreaming:
             return self._select_streaming(
-                fn, schema, names, tiebreaker, skip_past, steps, defines, var_names
+                fn, schema, names, tiebreaker, skip_past, steps, defines,
+                var_names, enum,
             )
 
         def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -225,7 +289,18 @@ class PatternStream:
             out: list[dict] = []
             start = 0
             while start < len(rows):
-                m = nfa_try_match(rows, start, steps, defines, within_ms)
+                if enum:
+                    for _end, bound in nfa_all_matches(
+                        rows, start, steps, defines, within_ms, enum
+                    ):
+                        if not any(bound.get(v) for v in var_names):
+                            continue  # an all-optional empty match
+                        out.append(
+                            fn({v: [rows[j] for j in bound.get(v, [])] for v in var_names})
+                        )
+                    start += 1
+                    continue
+                m = next(nfa_all_matches(rows, start, steps, defines, within_ms), None)
                 if m is not None:
                     end, bound = m
                     bindings = {
@@ -243,7 +318,8 @@ class PatternStream:
         return DataStream(keyed.env, out)
 
     def _select_streaming(
-        self, fn, schema, names, tiebreaker, skip_past, steps, defines, var_names
+        self, fn, schema, names, tiebreaker, skip_past, steps, defines,
+        var_names, enum=frozenset(),
     ) -> DataStream:
         """Unbounded Pattern matching with the WITHIN finalization bound
         (the CepOperator pattern, same argument as
@@ -260,7 +336,7 @@ class PatternStream:
         import pandas as _pd
         from pyspark.sql.streaming.state import GroupStateTimeout
 
-        from flink_release_1_16_0_spark.operators.cep import nfa_try_match
+        from flink_release_1_16_0_spark.operators.cep import nfa_all_matches
 
         keyed = self.keyed
         tcol = keyed.stream.time_col
@@ -293,7 +369,19 @@ class PatternStream:
             while s < len(rows):
                 if _ms(rows[s][tcol]) + within_ms > wm:
                     break  # horizon not settled: this and later anchors wait
-                m = nfa_try_match(rows, s, steps, defines, within_ms)
+                if enum:
+                    for _end, bound in nfa_all_matches(
+                        rows, s, steps, defines, within_ms, enum
+                    ):
+                        if not any(bound.get(v) for v in var_names):
+                            continue
+                        out.append(
+                            fn({v: [rows[j] for j in bound.get(v, [])] for v in var_names})
+                        )
+                    s += 1
+                    decided = s
+                    continue
+                m = next(nfa_all_matches(rows, s, steps, defines, within_ms), None)
                 if m is not None and m[0] > s:
                     end, bound = m
                     bindings = {

@@ -105,11 +105,20 @@ def _ts_ms(v) -> int | None:
     if v is None or v is pd.NaT:
         return None
     if isinstance(v, (int, float)):
+        # epoch-MILLISECONDS (Flink's long timestamps); numeric time
+        # columns are normalized to TIMESTAMP at watermark assignment so
+        # the JVM-side lowerings agree with this reading
         return int(v)
     if isinstance(v, pd.Timestamp):
         return int(v.value // 1_000_000)
     if isinstance(v, datetime.datetime):
         return int(v.timestamp() * 1000)
+    if isinstance(v, datetime.date):
+        # DATE event time (e.g. o_orderdate): midnight UTC, matching
+        # Spark's cast(date as timestamp) in the JVM-side lowerings
+        return int(
+            datetime.datetime(v.year, v.month, v.day, tzinfo=datetime.timezone.utc).timestamp() * 1000
+        )
     return None
 
 
@@ -305,6 +314,17 @@ class DataStream:
         if not strategy.ts_field:
             raise ValueError("WatermarkStrategy needs with_timestamp_assigner(<column>)")
         df = self.df
+        dt = dict(df.dtypes).get(strategy.ts_field)
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double"):
+            # numeric event time is epoch-MILLISECONDS (the reference's
+            # long timestamps). Normalize to TIMESTAMP once, here, so the
+            # JVM-side lowerings (window assignment, ordering, interval
+            # join bounds — which cast via Spark's epoch-SECONDS rule)
+            # and the Python harness's _ts_ms agree.
+            df = df.withColumn(
+                strategy.ts_field,
+                F.timestamp_millis(F.col(strategy.ts_field).cast("long")),
+            )
         if df.isStreaming and strategy.delay_ms >= 0:
             # unbounded: lower the bounded-out-of-orderness delay onto
             # Spark's watermark (the §1.3 mapping)
@@ -403,7 +423,12 @@ class DataStream:
         return self._map_rows(emit, output_type, side_tags=tuple(side_outputs), fn=fn)
 
     def project(self, *fields: str) -> "DataStream":
-        return DataStream(self.env, self._as_main().df.select(*fields), self.time_col)
+        out = self._as_main().df.select(*fields)
+        # event-time survives the projection only if its column does
+        # (the _map_rows guard; a dropped time_col would KeyError in a
+        # later keyed/window op's pandas harness)
+        tcol = self.time_col if self.time_col in out.columns else None
+        return DataStream(self.env, out, tcol)
 
     # -- multi-stream -------------------------------------------------------
 
@@ -1194,6 +1219,7 @@ class ConnectedStreams:
         KeyedCoProcessOperator with the union's min-across-inputs
         watermark driving timers (Spark's multi-watermark min policy)."""
         import pickle
+        import time as _time
 
         from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -1214,6 +1240,12 @@ class ConnectedStreams:
                 for t in ts._advance(wm):
                     ctx.current_timestamp = t
                     fn.on_timer(t, ctx, col)
+                # processing-time timers fire on the following batch once
+                # wall clock passes them (micro-batch granularity — the
+                # single-input path's contract)
+                for t in ts._due_proc(int(_time.time() * 1000)):
+                    ctx.current_timestamp = t
+                    fn.on_timer(t, ctx, col)
 
             fire_due()
             if not state.hasTimedOut:
@@ -1231,6 +1263,12 @@ class ConnectedStreams:
             nxt = ts._next_pending()
             if nxt is not None:
                 state.setTimeoutTimestamp(max(nxt, wm + 1))
+            elif ts._proc_set:
+                # pending processing-time timers: wake on the next
+                # watermark advance so wall clock is re-checked — without
+                # this a CoProcessFunction registering a proc-time timer
+                # on a then-quiet key waits for the next element
+                state.setTimeoutTimestamp(wm + 1)
             if col.rows:
                 yield _to_pdf(col.rows, names)
 
@@ -1369,15 +1407,25 @@ class AsyncDataStream:
         timeout_s = _to_ms(timeout) / 1000.0
 
         def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            import time
+
             pool = ThreadPoolExecutor(max_workers=capacity)
             try:
                 for pdf in batches:
                     rows = list(_row_iter(pdf))
-                    futs = [pool.submit(fn.async_invoke, r) for r in rows]
+                    # the timeout clock starts at SUBMISSION (the
+                    # reference arms AsyncWaitOperator's timer when the
+                    # element enters the operator), not at the sequential
+                    # result() call — under backlog the latter would let
+                    # an element wait far past its declared timeout
+                    futs = [
+                        (pool.submit(fn.async_invoke, r), time.monotonic() + timeout_s)
+                        for r in rows
+                    ]
                     out: list[dict] = []
-                    for fut, row in zip(futs, rows):
+                    for (fut, deadline), row in zip(futs, rows):
                         try:
-                            res = fut.result(timeout=timeout_s)
+                            res = fut.result(timeout=max(0.0, deadline - time.monotonic()))
                         except TimeoutError:
                             fut.cancel()
                             res = fn.timeout(row)
@@ -1386,10 +1434,14 @@ class AsyncDataStream:
                         out.append(res) if isinstance(res, dict) else out.extend(res)
                     yield _to_pdf(out, names)
             finally:
-                # wait=False: a worker stuck past its timeout must not
-                # wedge the task at pool teardown (its element already
-                # completed via fn.timeout)
-                pool.shutdown(wait=False)
+                # wait=False + cancel_futures: a worker stuck past its
+                # timeout must not wedge the task at pool teardown (its
+                # element already completed via fn.timeout). A lookup
+                # that never returns still pins its thread until the
+                # Python worker exits — the documented hard cap is the
+                # user's own I/O timeout inside async_invoke, the same
+                # contract the reference's async clients carry.
+                pool.shutdown(wait=False, cancel_futures=True)
 
         return DataStream(env, stream.df.mapInPandas(gen, schema))
 

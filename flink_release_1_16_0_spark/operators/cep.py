@@ -467,6 +467,155 @@ def nfa_try_match(
     return step(start, 0, {})
 
 
+def _parse_loop_quant(q: str):
+    """Parse a loop quantifier into ``(min_n, max_n, reluctant,
+    relaxed)`` or None when ``q`` is not a loop. Grammar (superset of
+    :func:`nfa_try_match`'s, for the Pattern-API facade):
+
+    - ``+`` / ``*`` and reluctant ``+?`` / ``*?`` — strict-contiguous
+      runs (the MATCH_RECOGNIZE semantics);
+    - a trailing ``~`` marks RELAXED internal contiguity (Pattern API
+      default for looping patterns, Pattern.java:437 — events not
+      matching the loop condition may sit between repetitions; strict
+      only via ``consecutive()``);
+    - ``{a,b}`` bounded repetition (Pattern.times(from, to)).
+    """
+    relaxed = q.endswith("~")
+    if relaxed:
+        q = q[:-1]
+    if q in ("+", "+?"):
+        return 1, None, q == "+?", relaxed
+    if q in ("*", "*?"):
+        return 0, None, q == "*?", relaxed
+    m = re.fullmatch(r"\{(\d+),(\d+)\}(\?)?", q)
+    if m:
+        return int(m.group(1)), int(m.group(2)), bool(m.group(3)), relaxed
+    return None
+
+
+def nfa_all_matches(
+    rows: list,
+    start: int,
+    steps: Sequence[tuple[str, str]],
+    defines: dict,
+    within_ms: int | None,
+    multi_vars: frozenset | set = frozenset(),
+):
+    """Enumerating sibling of :func:`nfa_try_match` for the flink-cep
+    Pattern API (NFACompiler's looping states + AfterMatchSkipStrategy.
+    noSkip): yields EVERY ``(end, bindings)`` the NFA accepts from the
+    anchor, where
+
+    - variables in ``multi_vars`` (the non-greedy looping patterns —
+      Flink's default oneOrMore/times(a,b) emit every partial match of
+      the loop, Quantifier without the GREEDY property) enumerate all
+      viable repetition counts, shortest first;
+    - every other step is DETERMINISTIC: choices are tried in
+      preference order (greedy longest-first, reluctant
+      shortest-first) and the first choice with any full match commits
+      — so unnamed relaxed-contiguity skip steps never fork matches.
+
+    Quantifiers additionally support relaxed internal contiguity
+    (``+~`` / ``*~`` / ``{a,b}~`` — see :func:`_parse_loop_quant`):
+    rows failing the loop predicate are stepped over instead of ending
+    the run (matching rows are never skipped — that would be
+    Pattern.allowCombinations, which is out of scope).
+
+    ``nfa_try_match`` (used by the SQL MATCH_RECOGNIZE tiers, where
+    contiguity is strict by definition) is intentionally untouched —
+    ``next(nfa_all_matches(...))`` with no ``multi_vars`` reproduces
+    its greedy single match over this grammar.
+    """
+    deadline = (
+        None
+        if within_ms is None
+        else pd.Timestamp(rows[start]["__ts"])
+        + pd.Timedelta(milliseconds=within_ms)
+    )
+
+    def in_window(i: int) -> bool:
+        return i < len(rows) and (
+            deadline is None or pd.Timestamp(rows[i]["__ts"]) < deadline
+        )
+
+    def step(pos: int, si: int, bound: dict):
+        if si == len(steps):
+            yield pos, bound
+            return
+        var, quant = steps[si]
+        pred = defines.get(var)
+
+        def accepts(i: int, cur_taken: list) -> bool:
+            if not in_window(i):
+                return False
+            if pred is None:
+                return True
+            ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
+            ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
+            return bool(pred(rows[i], ctx))
+
+        def first_success(choices):
+            # deterministic preference order: commit to the first
+            # choice whose continuation yields at least one match
+            for np, nb in choices:
+                hit = False
+                for r in step(np, si + 1, nb):
+                    hit = True
+                    yield r
+                if hit:
+                    return
+
+        loop = _parse_loop_quant(quant)
+        if loop is None:
+            take = None
+            if accepts(pos, []):
+                take = (pos + 1, {**bound, var: bound.get(var, []) + [pos]})
+            skip = (pos, bound)
+            if quant == "1":
+                choices = [take] if take else []
+            elif quant == "?":
+                choices = ([take] if take else []) + [skip]
+            elif quant == "??":
+                choices = [skip] + ([take] if take else [])
+            else:
+                raise ValueError(f"unknown quantifier {quant!r}")
+            yield from first_success(choices)
+            return
+        min_n, max_n, reluctant, relaxed = loop
+        # scan the candidate run once: strict ends at the first
+        # non-accepting row; relaxed steps over it (but never skips a
+        # matching row, and the first repetition must sit at ``pos`` —
+        # contiguity TO the loop is the preceding connection's business)
+        taken: list[int] = []
+        i = pos
+        while in_window(i) and (max_n is None or len(taken) < max_n):
+            if accepts(i, taken):
+                taken.append(i)
+            elif not relaxed or not taken:
+                break
+            i += 1
+        hi = len(taken)
+        ns = (
+            range(min_n, hi + 1)
+            if (reluctant or var in multi_vars)
+            else range(hi, min_n - 1, -1)
+        )
+        choices = []
+        for n in ns:
+            if n > hi:
+                continue
+            np = pos if n == 0 else taken[n - 1] + 1
+            nb = {**bound, var: bound.get(var, []) + taken[:n]} if n else bound
+            choices.append((np, nb))
+        if var in multi_vars:
+            for np, nb in choices:
+                yield from step(np, si + 1, nb)
+        else:
+            yield from first_success(choices)
+
+    yield from step(start, 0, {})
+
+
 def match_nfa(
     df: DataFrame,
     keys: Sequence[str],

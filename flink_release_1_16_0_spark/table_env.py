@@ -2289,31 +2289,58 @@ class TableEnvironment:
             if t.catalog == self._current_catalog:
                 known[f"{t.database}.{bare}"] = bare
         # TABLE with or without the paren covers both `TABLE(...)` TVF
-        # wrapping and the TVF's inner `TABLE db.t` argument. Known
-        # limitation: a comma-separated FROM list (`FROM db.a, db.b`)
-        # rewrites only the first reference — spell it as a JOIN.
-        kw_pat = re.compile(
-            r"(?i)\b(FROM|JOIN|INTO|TABLE)\s*\(?\s*([A-Za-z_]\w*(?:\.\w+){1,2})"
-        )
+        # wrapping and the TVF's inner `TABLE db.t` argument. After a
+        # table-position keyword the scan follows a comma-separated
+        # reference list (`FROM db.a x, db.b y`), rewriting every
+        # qualified reference — the classic implicit-cross-join spelling.
+        head_pat = re.compile(r"(?i)\b(?:FROM|JOIN|INTO|TABLE)\b\s*\(?\s*")
+        ref_pat = re.compile(r"[A-Za-z_]\w*(?:\.\w+){0,2}")
+        alias_pat = re.compile(r"\s+(?:AS\s+)?[A-Za-z_]\w*", re.IGNORECASE)
+        cont_pat = re.compile(r"\s*,\s*")
+        # `FROM (SELECT a, b ...)` must not have its select list walked
+        # as a table list — a leading keyword stops the scan
+        stop_words = {"select", "values", "with"}
         # a dotted path in table position naming one of our catalogs
         # that did NOT resolve is a resolution error — surface it with
         # attribution detail instead of Spark's namespace exception
         cats = set(self._catalogs)
 
-        def repl(m: re.Match) -> str:
-            path = m.group(2)
+        def rewrite_ref(path: str) -> str:
             if path in known:
-                return m.group(1) + m.group(0)[len(m.group(1)) : -len(path)] + known[path]
+                return known[path]
             parts = path.split(".")
             if len(parts) == 3 and parts[0] in cats:
                 # raises with the existing-attribution message
                 self._resolve_table_name(path)
                 raise ValueError(f"cannot resolve table path {path!r}")
-            return m.group(0)
+            return path
+
+        def scan(seg: str) -> str:
+            out: list[str] = []
+            pos = 0
+            while True:
+                h = head_pat.search(seg, pos)
+                if h is None:
+                    out.append(seg[pos:])
+                    return "".join(out)
+                out.append(seg[pos : h.end()])
+                pos = h.end()
+                while True:
+                    r = ref_pat.match(seg, pos)
+                    if r is None or r.group(0).split(".")[0].lower() in stop_words:
+                        break
+                    out.append(rewrite_ref(r.group(0)))
+                    pos = r.end()
+                    a = alias_pat.match(seg, pos)
+                    c = cont_pat.match(seg, a.end() if a else pos)
+                    if c is None:
+                        break
+                    out.append(seg[pos : c.end()])
+                    pos = c.end()
 
         out = []
         for is_lit, seg in _split_sql_literals(sql):
-            out.append(seg if is_lit else kw_pat.sub(repl, seg))
+            out.append(seg if is_lit else scan(seg))
         return "".join(out)
 
     def _rewrite_query(self, sql: str) -> str:

@@ -267,6 +267,34 @@ def test_qualified_refs_only_rewrite_table_positions(spark, tmp_path):
     assert tenv.execute_sql("SELECT * FROM o.amount").to_data_frame().collect()[0].x == 7
 
 
+def test_qualified_refs_in_comma_from_list(spark, tmp_path):
+    """`FROM db.a, db.b` (implicit cross join) rewrites EVERY reference
+    in the comma list, not just the first (review finding: the
+    table-position rewrite used to stop after one)."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("CREATE DATABASE cfl")
+    for name, vals in (("ca", "(1), (2)"), ("cb", "(10)")):
+        tenv.execute_sql(
+            f"""CREATE TABLE cfl.{name} (x INT) WITH (
+                'connector'='filesystem', 'path'='{tmp_path}/{name}', 'format'='parquet')"""
+        )
+        tenv.execute_sql(f"INSERT INTO cfl.{name} VALUES {vals}")
+    got = sorted(
+        (r.ax, r.bx)
+        for r in tenv.execute_sql(
+            "SELECT a.x AS ax, b.x AS bx FROM cfl.ca a, cfl.cb AS b"
+        ).to_data_frame().collect()
+    )
+    assert got == [(1, 10), (2, 10)]
+    # three-way, mixing unqualified and qualified references
+    n = tenv.execute_sql(
+        "SELECT COUNT(*) AS n FROM cfl.ca, cfl.cb, cfl.ca"
+    ).to_data_frame().collect()[0].n
+    assert n == 4
+
+
 def test_qualified_ref_in_window_tvf(spark, tmp_path):
     """`TABLE db.t` inside a window TVF resolves through the rewrite."""
     from flink_release_1_16_0_spark.table_env import TableEnvironment

@@ -93,6 +93,38 @@ def test_union_project(env, clicks):
     u = clicks.union(clicks).project("user", "n")
     assert u.to_data_frame().count() == 12
     assert u.to_data_frame().columns == ["user", "n"]
+    # the projection dropped the event-time column, so downstream keyed
+    # ops must not try to sort by it (review finding: time_col used to
+    # survive the drop and KeyError inside the pandas harness)
+    assert u.time_col is None
+    assert u.key_by("user").sum("n").to_data_frame().count() == 3
+    # projections keeping the column keep event time
+    assert clicks.project("user", "ts", "n").time_col == "ts"
+
+
+def test_numeric_event_time_is_epoch_millis(env):
+    """A BIGINT event-time column is epoch-MILLISECONDS everywhere
+    (review finding: JVM lowerings used to read it as epoch-seconds
+    while the Python harness read milliseconds)."""
+    from flink_release_1_16_0_spark.datastream import TumblingEventTimeWindows
+
+    base = int(datetime.datetime(2024, 1, 1, 10, 0, tzinfo=datetime.timezone.utc).timestamp() * 1000)
+    rows = [
+        {"k": "a", "ts": base + i * 60_000, "n": i} for i in range(3)
+    ]  # 10:00, 10:01, 10:02
+    s = env.from_collection(rows, "k STRING, ts BIGINT, n INT").assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    out = (
+        s.key_by("k")
+        .window(TumblingEventTimeWindows.of("2 minutes"))
+        .reduce(lambda a, b: {**a, "n": a["n"] + b["n"]})
+        .to_data_frame()
+        .collect()
+    )
+    # ms reading: windows [10:00,10:02) -> n=0+1, [10:02,10:04) -> n=2;
+    # a (wrong) seconds reading would collapse everything into one window
+    assert sorted(r.n for r in out) == [1, 2]
 
 
 # -- keyed rolling aggregates ------------------------------------------------
@@ -797,6 +829,51 @@ def test_streaming_connect_co_process(spark, env, clicks_parquet, tmp_path):
     vals = {(r.user, r.n): r.lim for r in got.collect()}
     assert vals[("a", 1)] is None and vals[("a", 3)] == 100
     assert vals[("b", 10)] == 5 and vals[("c", 7)] is None
+    shutil.rmtree(d, ignore_errors=True)
+
+
+class ProcTimerCoProcess(KeyedCoProcessFunction):
+    """process_element2 arms a PROCESSING-time timer already in the
+    past; the key then goes quiet — the timer must still fire on a
+    later micro-batch (review finding: the co-process streaming loop
+    only woke for event-time timers)."""
+
+    def process_element1(self, row, ctx, out):
+        pass
+
+    def process_element2(self, row, ctx, out):
+        ctx.timer_service().register_processing_time_timer(
+            ctx.timer_service().current_processing_time() - 1
+        )
+
+    def on_timer(self, t, ctx, out):
+        out.collect({"user": ctx.get_current_key(), "fired": True})
+
+
+def test_streaming_co_process_proc_time_timer(spark, env, clicks_parquet, tmp_path):
+    import shutil
+
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    d = str(tmp_path / "proc_timer_stream")
+    # only user b appears on input 2, with the EARLIEST event time — the
+    # clicks stream keeps advancing the watermark afterwards, so the
+    # wm+1 re-arm (not a new element for b) is what fires the timer
+    ldf = spark.createDataFrame([("b", _ts(0), 1)], "user STRING, ts TIMESTAMP, x INT")
+    ldf.coalesce(1).write.mode("overwrite").parquet(d)
+    clicks_s = _stream_clicks(spark, env, clicks_parquet)
+    side2 = env.from_data_frame(
+        spark.readStream.schema(ldf.schema).parquet(d)
+    ).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    out = (
+        clicks_s.connect(side2)
+        .key_by("user", "user")
+        .process(ProcTimerCoProcess(), "user STRING, fired BOOLEAN")
+    )
+    got = run_to_table(out.to_data_frame(), output_mode="append")
+    assert [(r.user, r.fired) for r in got.collect()] == [("b", True)]
     shutil.rmtree(d, ignore_errors=True)
 
 

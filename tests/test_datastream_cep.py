@@ -89,6 +89,9 @@ def test_one_or_more_iterative_condition(quotes):
         run = ctx.get("up", [])
         return not run or row["v"] > run[-1]["v"]
 
+    # default = RELAXED internal contiguity (Pattern.java:437): rows
+    # failing the condition sit between repetitions, so k1's run from 1
+    # is [1, 9, 12] (2, 3, 8 stepped over)
     pat = Pattern.begin("up").where(ascending).one_or_more()
     out = CEP.pattern(quotes.key_by("k"), pat).select(
         lambda m: {"k": m["up"][0]["k"], "len": len(m["up"]), "first": m["up"][0]["v"]},
@@ -96,8 +99,103 @@ def test_one_or_more_iterative_condition(quotes):
         after_match="skip_past_last_row",
     )
     rows = sorted((r.k, r.first, r.len) for r in out.to_data_frame().collect())
+    # k1: [1,9,12] then [3,8]; k2: [4,5]
+    assert rows == [("k1", 1, 3), ("k1", 3, 2), ("k2", 4, 2)]
+
+    # consecutive(): strict runs break at the first non-ascending row
+    pat_c = Pattern.begin("up").where(ascending).one_or_more().consecutive()
+    out_c = CEP.pattern(quotes.key_by("k"), pat_c).select(
+        lambda m: {"k": m["up"][0]["k"], "len": len(m["up"]), "first": m["up"][0]["v"]},
+        "k STRING, len INT, first INT",
+        after_match="skip_past_last_row",
+    )
+    rows_c = sorted((r.k, r.first, r.len) for r in out_c.to_data_frame().collect())
     # k1: [1,9] then [2,12] then [3,8]; k2: [4,5]
-    assert rows == [("k1", 1, 2), ("k1", 2, 2), ("k1", 3, 2), ("k2", 4, 2)]
+    assert rows_c == [("k1", 1, 2), ("k1", 2, 2), ("k1", 3, 2), ("k2", 4, 2)]
+
+
+@pytest.fixture(scope="module")
+def docs_sequence(env):
+    # the reference docs' looping-contiguity corpus: C D A1 A2 A3 D A4 B
+    syms = ["c", "d", "a", "a", "a", "d", "a", "b"]
+    rows = [
+        {"k": "x", "ts": _ts(i), "s": s, "v": i} for i, s in enumerate(syms)
+    ]
+    s = env.from_collection(rows, "k STRING, ts TIMESTAMP, s STRING, v INT")
+    return s.assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+
+
+def _contiguity_pattern(consecutive: bool = False):
+    p = (
+        Pattern.begin("start")
+        .where(lambda r: r["s"] == "c")
+        .followed_by("middle")
+        .where(lambda r: r["s"] == "a")
+        .one_or_more()
+    )
+    if consecutive:
+        p = p.consecutive()
+    return p.followed_by("end").where(lambda r: r["s"] == "b")
+
+
+def _middle_lens(stream, pat):
+    out = CEP.pattern(stream.key_by("k"), pat).select(
+        lambda m: {"n": len(m["middle"])}, "n INT"
+    )
+    return sorted(r.n for r in out.to_data_frame().collect())
+
+
+def test_looping_partial_matches_relaxed_default(docs_sequence):
+    # Flink docs example (Pattern API "contiguity within looping
+    # patterns"): relaxed default emits every prefix of the relaxed run
+    # [A1 A2 A3 A4] -> {C A1 B} .. {C A1..A4 B}
+    assert _middle_lens(docs_sequence, _contiguity_pattern()) == [1, 2, 3, 4]
+
+
+def test_looping_partial_matches_consecutive(docs_sequence):
+    # consecutive(): the run breaks at D, prefixes of [A1 A2 A3]
+    assert _middle_lens(docs_sequence, _contiguity_pattern(consecutive=True)) == [1, 2, 3]
+
+
+def test_looping_greedy_longest_only(docs_sequence):
+    # greedy(): only the longest run per anchor emits
+    pat = (
+        Pattern.begin("start")
+        .where(lambda r: r["s"] == "c")
+        .followed_by("middle")
+        .where(lambda r: r["s"] == "a")
+        .one_or_more()
+        .greedy()
+        .followed_by("end")
+        .where(lambda r: r["s"] == "b")
+    )
+    assert _middle_lens(docs_sequence, pat) == [4]
+
+
+def test_times_range(docs_sequence):
+    # times(2, 3): each count in [2, 3] emits under noSkip (relaxed run
+    # [A1 A2 A3 A4] -> counts 2 and 3 both anchored at A1)
+    def build(greedy: bool):
+        p = (
+            Pattern.begin("start")
+            .where(lambda r: r["s"] == "c")
+            .followed_by("middle")
+            .where(lambda r: r["s"] == "a")
+            .times(2, 3)
+        )
+        if greedy:
+            p = p.greedy()
+        return p.followed_by("end").where(lambda r: r["s"] == "b")
+
+    assert _middle_lens(docs_sequence, build(False)) == [2, 3]
+    assert _middle_lens(docs_sequence, build(True)) == [3]
+
+
+def test_consecutive_on_non_loop_rejected():
+    with pytest.raises(ValueError, match="looping"):
+        Pattern.begin("a").consecutive()
 
 
 def test_times_and_within(quotes):
