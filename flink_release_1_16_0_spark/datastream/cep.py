@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame
 
 from flink_release_1_16_0_spark.datastream.functions import _to_ms
 from flink_release_1_16_0_spark.datastream.stream import (
+    _SIDE_JSON,
+    _SIDE_TAG,
     DataStream,
     KeyedStream,
     _parse_ddl,
@@ -247,6 +249,8 @@ class PatternStream:
         output_type,
         tiebreaker: str | None = None,
         after_match: str = "no_skip",
+        timeout_tag=None,
+        timeout_fn: Callable[[dict, int], dict] | None = None,
     ) -> DataStream:
         """PatternStream.select: ``fn(bindings) -> row`` where bindings
         map each variable to its list of matched rows (in order).
@@ -255,18 +259,78 @@ class PatternStream:
         emit every partial match, the looping-state branches) or
         ``skip_past_last_row`` (non-overlapping, greedy-longest per
         anchor). ``tiebreaker`` orders equal-timestamp rows
-        deterministically."""
-        from flink_release_1_16_0_spark.operators.cep import nfa_all_matches
+        deterministically.
+
+        ``timeout_tag`` + ``timeout_fn`` enable the reference's
+        timed-out-partial-match side output (PatternStream.select's
+        timeout variant / TimedOutPartialMatchHandler): when an
+        anchor's WITHIN horizon expires before the pattern completes,
+        ``timeout_fn(partial_bindings, timeout_ts_ms)`` routes a row to
+        the OutputTag instead of the partial silently vanishing.
+        Requires ``Pattern.within`` (without a horizon nothing ever
+        times out, exactly as in the reference)."""
+        return self._run(
+            lambda b: [fn(b)], output_type, tiebreaker, after_match,
+            timeout_tag, timeout_fn,
+        )
+
+    def flat_select(
+        self,
+        fn: Callable[[dict], "list[dict]"],
+        output_type,
+        tiebreaker: str | None = None,
+        after_match: str = "no_skip",
+        timeout_tag=None,
+        timeout_fn: Callable[[dict, int], dict] | None = None,
+    ) -> DataStream:
+        """PatternStream.flatSelect (PatternStream.java:352):
+        ``fn(bindings)`` returns an ITERABLE of rows — zero, one, or
+        many output rows per match (the PatternFlatSelectFunction
+        collector contract). Timeout side output as in :meth:`select`."""
+        return self._run(
+            lambda b: list(fn(b)), output_type, tiebreaker, after_match,
+            timeout_tag, timeout_fn,
+        )
+
+    def _run(
+        self, emit, output_type, tiebreaker, after_match, timeout_tag, timeout_fn
+    ) -> DataStream:
+        import json
+
+        from flink_release_1_16_0_spark.operators.cep import (
+            nfa_all_matches,
+            nfa_longest_partial,
+        )
 
         if after_match not in ("no_skip", "skip_past_last_row"):
             raise ValueError(f"unsupported after_match: {after_match!r}")
+        if (timeout_tag is None) != (timeout_fn is None):
+            raise ValueError("timeout_tag and timeout_fn come together")
         keyed = self.keyed
         tcol = keyed.stream.time_col
         if not tcol:
             raise ValueError("CEP needs assign_timestamps_and_watermarks (event order)")
         steps, defines, multi_vars = self.pattern._compile()
         within_ms = self.pattern.within_ms
+        if timeout_tag is not None and within_ms is None:
+            raise ValueError(
+                "the timed-out-partial-match side output needs "
+                "Pattern.within(...) — without a horizon no partial "
+                "match ever times out"
+            )
         schema = _parse_ddl(keyed.env.spark, output_type)
+        use_side = timeout_tag is not None
+        if use_side:
+            from pyspark.sql.types import StructType
+
+            schema = StructType(
+                list(schema.fields)
+                + list(
+                    _parse_ddl(
+                        keyed.env.spark, f"{_SIDE_TAG} STRING, {_SIDE_JSON} STRING"
+                    ).fields
+                )
+            )
         names = [f.name for f in schema.fields]
         sort_cols = [tcol] + ([tiebreaker] if tiebreaker else [])
         var_names = [s["name"] for s in self.pattern._steps]
@@ -274,10 +338,23 @@ class PatternStream:
         # skip_past resumes after ONE match per anchor, so enumeration
         # only serves the noSkip strategy
         enum = multi_vars if (multi_vars and not skip_past) else frozenset()
+
+        def pad(r: dict) -> dict:
+            return {**r, _SIDE_TAG: None, _SIDE_JSON: None} if use_side else r
+
+        def timeout_row(rows, start) -> dict | None:
+            partial = nfa_longest_partial(rows, start, steps, defines, within_ms)
+            if partial is None:
+                return None
+            bindings = {v: [rows[j] for j in partial.get(v, [])] for v in var_names}
+            t_out = _ms(rows[start]["__ts"]) + within_ms
+            r = timeout_fn(bindings, t_out)
+            return {_SIDE_TAG: timeout_tag.tag_id, _SIDE_JSON: json.dumps(r, default=str)}
+
         if keyed.stream.df.isStreaming:
             return self._select_streaming(
-                fn, schema, names, tiebreaker, skip_past, steps, defines,
-                var_names, enum,
+                emit, schema, names, tiebreaker, skip_past, steps, defines,
+                var_names, enum, use_side, pad, timeout_row, timeout_tag,
             )
 
         def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -290,14 +367,26 @@ class PatternStream:
             start = 0
             while start < len(rows):
                 if enum:
+                    matched = False
                     for _end, bound in nfa_all_matches(
                         rows, start, steps, defines, within_ms, enum
                     ):
                         if not any(bound.get(v) for v in var_names):
                             continue  # an all-optional empty match
-                        out.append(
-                            fn({v: [rows[j] for j in bound.get(v, [])] for v in var_names})
+                        matched = True
+                        out.extend(
+                            pad(r)
+                            for r in emit(
+                                {v: [rows[j] for j in bound.get(v, [])] for v in var_names}
+                            )
                         )
+                    if use_side and not matched:
+                        # bounded input: end-of-input advances time past
+                        # every WITHIN horizon, so an unmatched anchor's
+                        # partial times out (the reference's endInput)
+                        tr = timeout_row(rows, start)
+                        if tr is not None:
+                            out.append(tr)
                     start += 1
                     continue
                 m = next(nfa_all_matches(rows, start, steps, defines, within_ms), None)
@@ -306,20 +395,26 @@ class PatternStream:
                     bindings = {
                         v: [rows[j] for j in bound.get(v, [])] for v in var_names
                     }
-                    out.append(fn(bindings))
+                    out.extend(pad(r) for r in emit(bindings))
                     start = max(end, start + 1) if skip_past else start + 1
                 else:
+                    if use_side:
+                        tr = timeout_row(rows, start)
+                        if tr is not None:
+                            out.append(tr)
                     start += 1
             return _to_pdf(out, names)
 
         out = keyed.stream.df.groupBy(*keyed.keys).applyInPandas(
             lambda k, p: harness(k, p), schema
         )
-        return DataStream(keyed.env, out)
+        side = (timeout_tag,) if use_side else ()
+        return DataStream(keyed.env, out, None, side)
 
     def _select_streaming(
-        self, fn, schema, names, tiebreaker, skip_past, steps, defines,
-        var_names, enum=frozenset(),
+        self, emit, schema, names, tiebreaker, skip_past, steps, defines,
+        var_names, enum=frozenset(), use_side=False, pad=None,
+        timeout_row=None, timeout_tag=None,
     ) -> DataStream:
         """Unbounded Pattern matching with the WITHIN finalization bound
         (the CepOperator pattern, same argument as
@@ -370,14 +465,25 @@ class PatternStream:
                 if _ms(rows[s][tcol]) + within_ms > wm:
                     break  # horizon not settled: this and later anchors wait
                 if enum:
+                    matched = False
                     for _end, bound in nfa_all_matches(
                         rows, s, steps, defines, within_ms, enum
                     ):
                         if not any(bound.get(v) for v in var_names):
                             continue
-                        out.append(
-                            fn({v: [rows[j] for j in bound.get(v, [])] for v in var_names})
+                        matched = True
+                        out.extend(
+                            pad(r)
+                            for r in emit(
+                                {v: [rows[j] for j in bound.get(v, [])] for v in var_names}
+                            )
                         )
+                    if use_side and not matched:
+                        # the anchor's horizon just expired unmatched:
+                        # its partial times out exactly once
+                        tr = timeout_row(rows, s)
+                        if tr is not None:
+                            out.append(tr)
                     s += 1
                     decided = s
                     continue
@@ -387,9 +493,13 @@ class PatternStream:
                     bindings = {
                         v: [rows[j] for j in bound.get(v, [])] for v in var_names
                     }
-                    out.append(fn(bindings))
+                    out.extend(pad(r) for r in emit(bindings))
                     s = max(end, s + 1) if skip_past else s + 1
                 else:
+                    if use_side:
+                        tr = timeout_row(rows, s)
+                        if tr is not None:
+                            out.append(tr)
                     s += 1
                 decided = s
             retained = settled[decided:] + unsettled
@@ -406,4 +516,5 @@ class PatternStream:
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
-        return DataStream(keyed.env, out)
+        side = (timeout_tag,) if use_side else ()
+        return DataStream(keyed.env, out, None, side)

@@ -1015,10 +1015,12 @@ class WindowedStream:
     ) -> DataStream:
         if self.keyed.stream.df.isStreaming:
             raise NotImplementedError(
-                "unbounded window apply/aggregate with arbitrary Python "
-                "functions is the Table layer's surface (window TVFs / "
-                "group windows, incl. allowed-lateness + early/late fire); "
-                "the DataStream window facade lowers bounded input"
+                "unbounded window apply/process/reduce with arbitrary "
+                "Python functions is the Table layer's surface (window "
+                "TVFs / group windows, incl. allowed-lateness + early/"
+                "late fire); an incremental AggregateFunction runs "
+                "unbounded via WindowedStream.aggregate; otherwise the "
+                "DataStream window facade lowers bounded input"
             )
         spark = self.env.spark
         schema = _parse_ddl(spark, output_type)
@@ -1074,6 +1076,16 @@ class WindowedStream:
         return self._run(per_window, out_t)
 
     def aggregate(self, fn: AggregateFunction, output_type: str | StructType) -> DataStream:
+        if (
+            self.keyed.stream.df.isStreaming
+            and not self.count
+            and not isinstance(self.assigner, EventTimeSessionWindows)
+        ):
+            # the incremental create/add/get contract works unbounded
+            # (WindowedStream.java:285 on streams); arbitrary
+            # apply/process stay behind the _run scope guard
+            return self._aggregate_streaming(fn, output_type)
+
         def per_window(_key, _window, pdf: pd.DataFrame) -> list[dict]:
             acc = fn.create_accumulator()
             for row in _row_iter(pdf):
@@ -1081,6 +1093,68 @@ class WindowedStream:
             return [fn.get_result(acc)]
 
         return self._run(per_window, output_type)
+
+    def _aggregate_streaming(
+        self, fn: AggregateFunction, output_type: str | StructType
+    ) -> DataStream:
+        """Unbounded tumble/slide AggregateFunction
+        (WindowedStream.java:285 + AggregatingStateDescriptor — the
+        reference's incremental window aggregation): windows assign
+        natively (epoch-ms arithmetic, so the (key, window) shuffle is
+        JVM-side), one pickled accumulator per (key, window) lives in
+        ``applyInPandasWithState``, and the window finalizes exactly
+        once when the watermark passes its end (EventTimeTrigger.onEventTime)
+        — elements arriving after finalization are late and drop, the
+        reference's default zero allowed-lateness."""
+        import pickle
+
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        s = self.keyed.stream
+        tcol = s.time_col
+        if not tcol:
+            raise ValueError("time windows need assign_timestamps_and_watermarks first")
+        schema = _parse_ddl(self.env.spark, output_type)
+        names = [fld.name for fld in schema.fields]
+        df = _assign_time_windows(s.df, tcol, self.assigner)
+        gcols = [*self.keyed.keys, "__win_start", "__win_end"]
+        nk = len(self.keyed.keys)
+
+        def func(key: tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
+            win_end = int(key[nk + 1])
+            wm = state.getCurrentWatermarkMs()
+            acc = pickle.loads(state.get[0]) if state.exists else None
+            if not state.hasTimedOut and wm < win_end:
+                for pdf in pdfs:
+                    if len(pdf) == 0:
+                        continue
+                    pdf = pdf.sort_values(tcol, kind="stable")
+                    for row in _row_iter(
+                        pdf.drop(columns=["__win_start", "__win_end"])
+                    ):
+                        if acc is None:
+                            acc = fn.create_accumulator()
+                        acc = fn.add(row, acc)
+            if acc is None:
+                return
+            if wm >= win_end:
+                # the watermark passed the window end: fire exactly once
+                # and retire the accumulator (state removal means a late
+                # straggler can never re-fire the window)
+                state.remove()
+                yield _to_pdf([fn.get_result(acc)], names)
+            else:
+                state.update((pickle.dumps(acc),))
+                state.setTimeoutTimestamp(max(win_end, wm + 1))
+
+        out = df.groupBy(*gcols).applyInPandasWithState(
+            func,
+            outputStructType=schema,
+            stateStructType="acc BINARY",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        return DataStream(self.env, out)
 
     def apply(self, fn: WindowFunction, output_type: str | StructType) -> DataStream:
         def per_window(key, window, pdf: pd.DataFrame) -> list[dict]:

@@ -1,0 +1,175 @@
+"""Hive SQL dialect subset — ``SET 'table.sql-dialect'='hive'``.
+
+Reference parity: the reference ships a second parser for Hive-spelled
+statements (``flink-table/flink-sql-parser-hive/src/main/codegen/
+includes/parserImpls.ftl`` — SqlCreateHiveTable: ``CREATE [EXTERNAL]
+TABLE [IF NOT EXISTS] t (cols) [COMMENT] [PARTITIONED BY (col type,..)]
+[ROW FORMAT ...] [STORED AS fmt] [LOCATION 'uri'] [TBLPROPERTIES
+(...)]``; ``.../hive/ddl/SqlCreateHiveTable.java:45``) selected per
+statement by ``table.sql-dialect`` (TableConfig.setSqlDialect,
+``flink-table/flink-table-api-java/.../TableConfig.java``).
+
+Spark-first lowering: rather than a second parser, the high-frequency
+Hive DDL/DML forms TRANSLATE onto the engine's existing Flink-DDL path —
+Hive's separately-typed partition columns append to the schema (Flink's
+PARTITIONED BY references schema columns by name), STORED AS becomes the
+filesystem connector's format (PARQUET/ORC native; TEXTFILE maps to the
+csv reader with the declared field delimiter — Hive's ^A default), a
+missing LOCATION defaults under the Spark warehouse dir exactly like a
+managed Hive table, and TBLPROPERTIES pass through as table options.
+Query syntax needs no translation: Spark SQL accepts backtick
+identifiers and Hive type spellings natively.
+
+Scope (documented, like the reference's own dialect gaps): SERDE row
+formats, SKEWED BY / CLUSTERED BY bucket specs, and STRUCT<a:b> column
+types are not translated and raise; ALTER TABLE ADD PARTITION is served
+by the engine's dynamic partition discovery instead.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+def _strip_backticks(env, stmt: str) -> str:
+    from flink_release_1_16_0_spark.table_env import _split_sql_literals
+
+    out = []
+    for is_lit, seg in _split_sql_literals(stmt):
+        out.append(seg if is_lit else seg.replace("`", ""))
+    return "".join(out)
+
+
+_CREATE_TABLE_RE = re.compile(
+    r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*\((?P<body>.*?)\)\s*"
+    r"(?:COMMENT\s+'(?P<comment>[^']*)'\s*)?"
+    r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
+    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'[^']*')\s*)?"
+    r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
+    r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?"
+    r"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_INSERT_TABLE_RE = re.compile(
+    r"^(INSERT\s+(?:INTO|OVERWRITE))\s+TABLE\s+", re.IGNORECASE
+)
+
+_DB_LOCATION_RE = re.compile(r"\s+LOCATION\s+'[^']*'", re.IGNORECASE)
+
+_STORED_FORMATS = {
+    "parquet": "parquet",
+    "orc": "orc",
+    "textfile": "csv",
+    "jsonfile": "json",
+}
+
+
+def _split_cols(body: str) -> list[str]:
+    from flink_release_1_16_0_spark.table_env import _split_top_level
+
+    return [c.strip() for c in _split_top_level(body) if c.strip()]
+
+
+def _clean_col(col: str) -> str:
+    """Strip a trailing per-column COMMENT; reject untranslatable Hive
+    constructs instead of mis-creating the table."""
+    col = re.sub(r"\s+COMMENT\s+'[^']*'\s*$", "", col, flags=re.IGNORECASE)
+    if re.search(r"\bSTRUCT\s*<", col, re.IGNORECASE):
+        raise ValueError(
+            "hive dialect: STRUCT<name:type> columns are not translated "
+            "— spell the table in the default dialect with ROW<name type>"
+        )
+    return col.strip()
+
+
+def _default_location(env, name: str) -> str:
+    wh = env.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    return f"{wh}/hive_dialect/{name.split('.')[-1]}"
+
+
+def _translate_create_table(env, stmt: str) -> str:
+    m = _CREATE_TABLE_RE.fullmatch(stmt)
+    if not m:
+        raise ValueError(f"hive dialect: cannot parse CREATE TABLE: {stmt!r}")
+    rowformat = m.group("rowformat")
+    if rowformat and rowformat.upper().startswith("SERDE"):
+        raise ValueError(
+            "hive dialect: ROW FORMAT SERDE is not translated (supported: "
+            "ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>')"
+        )
+    cols = [_clean_col(c) for c in _split_cols(m.group("body"))]
+    part_names: list[str] = []
+    if m.group("parts"):
+        # Hive declares partition columns OUTSIDE the schema with their
+        # own types; Flink DDL references schema columns — append them
+        for p in _split_cols(m.group("parts")):
+            p = _clean_col(p)
+            part_names.append(p.split()[0])
+            cols.append(p)
+    stored = (m.group("stored") or "textfile").lower()
+    fmt = _STORED_FORMATS.get(stored)
+    if fmt is None:
+        raise ValueError(
+            f"hive dialect: STORED AS {stored.upper()} is not translated "
+            f"(supported: {', '.join(s.upper() for s in _STORED_FORMATS)})"
+        )
+    opts = {
+        "connector": "filesystem",
+        "path": m.group("loc") or _default_location(env, m.group("name")),
+        "format": fmt,
+    }
+    if fmt == "csv":
+        delim = m.group("delim")
+        # Hive's default field delimiter is ^A (\001); '\t'-style escapes
+        # in the DDL decode to the real character for Spark's csv reader
+        opts["sep"] = (
+            delim.encode("utf-8").decode("unicode_escape") if delim else "\x01"
+        )
+        # a header row would eat the first record; Hive text tables
+        # never have one
+        opts["header"] = "false"
+    if m.group("props"):
+        from flink_release_1_16_0_spark.table_env import _split_top_level
+
+        for pair in _split_top_level(m.group("props")):
+            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            if not km:
+                raise ValueError(
+                    f"hive dialect: cannot parse TBLPROPERTIES entry {pair!r}"
+                )
+            opts[km.group(1)] = km.group(2)
+    with_clause = ", ".join(f"'{k}'='{v}'" for k, v in opts.items())
+    comment = f" COMMENT '{m.group('comment')}'" if m.group("comment") else ""
+    ine = "IF NOT EXISTS " if m.group("ine") else ""
+    parts = f" PARTITIONED BY ({', '.join(part_names)})" if part_names else ""
+    return (
+        f"CREATE TABLE {ine}{m.group('name')} ({', '.join(cols)})"
+        f"{comment}{parts} WITH ({with_clause})"
+    )
+
+
+def translate_hive(env, stmt: str) -> str:
+    """Translate one Hive-dialect statement onto the default-dialect
+    surface. Statements whose spelling already coincides (SELECT, USE,
+    SHOW, DROP, SET, ...) pass through with backticks stripped."""
+    stmt = _strip_backticks(env, stmt).strip()
+    up = stmt.upper()
+    if re.match(r"CREATE\s+(?:EXTERNAL\s+)?TABLE\b", up) and " LIKE " not in up:
+        return _translate_create_table(env, stmt)
+    m = _INSERT_TABLE_RE.match(stmt)
+    if m:
+        # INSERT INTO|OVERWRITE TABLE t ... -> drop the TABLE keyword
+        # (RichSqlInsert accepts both; the default dialect omits it)
+        return m.group(1) + " " + stmt[m.end():]
+    if re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\b", up):
+        # SCHEMA is Hive's synonym; a LOCATION clause has no counterpart
+        # on the in-memory database namespace — drop it
+        stmt = re.sub(r"^CREATE\s+SCHEMA\b", "CREATE DATABASE", stmt, flags=re.IGNORECASE)
+        return _DB_LOCATION_RE.sub("", stmt)
+    return stmt

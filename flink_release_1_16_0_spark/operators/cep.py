@@ -616,6 +616,73 @@ def nfa_all_matches(
     yield from step(start, 0, {})
 
 
+def nfa_longest_partial(
+    rows: list,
+    start: int,
+    steps: Sequence[tuple[str, str]],
+    defines: dict,
+    within_ms: int | None,
+):
+    """The greedy principal PARTIAL match anchored at ``start`` — what
+    the reference's TimedOutPartialMatchHandler receives when a
+    computation's WITHIN horizon expires before the pattern completes
+    (CepOperator.java's timeout path; PatternStream.select timeout
+    variant). Returns ``var -> [row indices]`` for the longest greedy
+    prefix of ``steps`` that binds, or None when no row binds (no
+    computation ever started at this anchor, so there is nothing to
+    time out). One branch only — the NFA's principal (greedy) branch —
+    which is the deterministic single-partial approximation of the
+    reference's per-branch timeout emission."""
+    deadline = (
+        None
+        if within_ms is None
+        else pd.Timestamp(rows[start]["__ts"])
+        + pd.Timedelta(milliseconds=within_ms)
+    )
+    pos = start
+    bound: dict = {}
+
+    def accepts(var, pred, i, cur_taken):
+        if i >= len(rows):
+            return False
+        if deadline is not None and pd.Timestamp(rows[i]["__ts"]) >= deadline:
+            return False
+        if pred is None:
+            return True
+        ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
+        ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
+        return bool(pred(rows[i], ctx))
+
+    for var, quant in steps:
+        pred = defines.get(var)
+        loop = _parse_loop_quant(quant)
+        if loop is None:
+            if accepts(var, pred, pos, []):
+                bound[var] = bound.get(var, []) + [pos]
+                pos += 1
+            elif quant in ("?", "??"):
+                continue
+            else:
+                break
+        else:
+            min_n, max_n, _reluctant, relaxed = loop
+            taken: list[int] = []
+            i = pos
+            while i < len(rows) and (max_n is None or len(taken) < max_n):
+                if accepts(var, pred, i, taken):
+                    taken.append(i)
+                elif not relaxed or not taken:
+                    break
+                i += 1
+            if len(taken) < min_n:
+                break
+            if taken:
+                bound[var] = bound.get(var, []) + taken
+                pos = taken[-1] + 1
+    named = {v: idxs for v, idxs in bound.items() if not v.startswith("__")}
+    return named if any(named.values()) else None
+
+
 def match_nfa(
     df: DataFrame,
     keys: Sequence[str],

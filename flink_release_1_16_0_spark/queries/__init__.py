@@ -89,71 +89,67 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-6 window: the repaired func_collections first (array columns
-    # now serialized to comma-joined strings on both engines — the r5 red
-    # cell was the driver's canonicalizer crashing on raw list cells, not
-    # wrong values), then the 47 queries the driver's 50-entry window has
-    # NEVER sampled across r1-r5 (this completes the sweep: after r6,
-    # every registry entry has been driver-graded at least once), then
-    # the two round-6 additions (multi-catalog DDL, compiled-plan
-    # persistence). All are green in the local full-registry run of the
-    # strengthened gate (which now fails list-valued graded columns the
-    # way the driver does).
-    "func_collections",
-    # the 47 never-graded (whole remaining families: batch remainder,
-    # llm dedup/similarity/text remainder, streaming remainder, cep,
-    # formats, udf, api facade)
-    "join_skew_salted",
-    "agg_filter_clause",
-    "dedup_keep_last",
-    "rank_topn_rank_mode",
-    "correlate_unnest_map",
-    "correlate_unnest_multiset",
-    "window_tumble_offset",
-    "window_count_slide",
-    "dedup_exact",
-    "dedup_minhash_lsh_join",
-    "dedup_embedding_cosine",
-    "similarity_brute_force_topk",
-    "similarity_ivf_kmeans_topk",
-    "similarity_cell_stats",
-    "text_unigram_logprob",
-    "text_bpe_token_count",
-    "dedup_winnowing_pairs",
-    "text_bigram_pmi",
-    "stream_calc",
-    "stream_hop_agg",
-    "stream_dedup_pairs",
-    "stream_dedup_keep_last",
-    "stream_temporal_join",
-    "stream_interval_join_left",
-    "stream_dedup_first_rowtime",
-    "stream_sort_limit",
-    "stream_distinct_agg",
-    "stream_window_join_left",
-    "stream_count_tumble",
-    "stream_cep_all_rows",
-    "stream_cep_skip_next",
-    "format_debezium_cdc",
+    # round-7 window, part 1 — the 16 never-driver-graded entries: the
+    # 13 dsapi_* DataStream-facade queries added in r6 (all local-green
+    # since; grading them closes the last gap so 100% of the registry
+    # has been driver-graded) plus the three r7 additions (Hive SQL
+    # dialect, CEP timed-out-partial side output, unbounded DataStream
+    # window AggregateFunction).
+    "dsapi_keyed_reduce",
+    "dsapi_process_timers",
+    "dsapi_window_process",
+    "dsapi_connect_enrich",
+    "dsapi_side_outputs",
+    "dsapi_broadcast_state",
+    "dsapi_window_cogroup",
+    "dsapi_cep_pattern",
+    "dsapi_interval_join",
+    "dsapi_window_join",
+    "dsapi_async_lookup",
+    "dsapi_stream_process_timers",
+    "dsapi_stream_interval_join",
+    "dsapi_cep_timeout",
+    "dsapi_stream_window_aggregate",
+    "api_sql_hive_dialect",
+    # part 2 — 34 re-grades: first the families whose code r7 touched
+    # (CEP tiers gained relaxed-loop quantifiers + timeout emission;
+    # table_env filesystem writes gained staged-manifest partition
+    # commit, dynamic partition overwrite, and writer-option
+    # forwarding), then one representative per SURVEY section-2 family.
     "cep_fixed_pattern",
     "cep_regex_pattern",
-    "stream_over_agg",
-    "cep_all_rows_per_match",
-    "multimodal_frame_sample",
-    "cep_skip_to_next",
+    "cep_nfa_define",
     "api_sql_match_within",
-    "values_inline",
-    "sort_limit_offset",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
+    "stream_cep_all_rows",
+    "stream_cep_skip_next",
+    "stream_cep_nfa_define",
     "api_sql_ddl_scan",
-    "api_sql_window_tvf",
-    "api_sql_cumulate_tvf",
-    "api_sql_temporal_join",
-    # round-6 additions (multi-catalog DDL resolution; COMPILE PLAN /
-    # EXECUTE PLAN persistence — both return driver-gradable rows)
-    "api_sql_catalog_ddl",
     "api_sql_compiled_plan",
+    "api_sql_catalog_ddl",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "q3_shipping_priority",
+    "join_asof",
+    "join_skew_salted",
+    "lookup_join_dim",
+    "jdbc_lookup_join",
+    "agg_grouping_sets",
+    "agg_approx_count_distinct",
+    "over_ignore_nulls",
+    "rank_topn_per_group",
+    "dedup_keep_first",
+    "setop_except_all",
+    "func_collections",
+    "func_json_query_exists",
+    "window_session",
+    "window_topn",
+    "stream_tumble_agg",
+    "stream_stateful_topn",
+    "stream_window_allowed_lateness",
+    "changelog_normalize",
+    "format_debezium_cdc",
+    "dedup_minhash_lsh",
+    "similarity_brute_force_topk",
 )
 
 

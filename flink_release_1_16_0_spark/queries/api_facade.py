@@ -456,3 +456,55 @@ def api_sql_compiled_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = TableEnvironment.create(spark)
     fresh.execute_sql(f"EXECUTE PLAN '{work}/plan.json'")
     return spark.read.parquet(f"{work}/sink")
+
+
+_HIVE_DIALECT_ORACLE = """
+SELECT n_regionkey AS rk,
+       COUNT(*) AS n_nations,
+       MIN(n_name) AS first_name
+FROM nation
+WHERE n_regionkey IN (0, 1)
+GROUP BY n_regionkey
+"""
+
+
+@register("api_sql_hive_dialect", _HIVE_DIALECT_ORACLE, tags=("api", "ddl", "hive"))
+def api_sql_hive_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hive SQL dialect end to end (SET 'table.sql-dialect'='hive';
+    flink-sql-parser-hive's SqlCreateHiveTable + RichSqlInsert): a
+    Hive-spelled external parquet table over the source, a partitioned
+    TEXTFILE table with a custom delimiter as the intermediate, static
+    INSERT OVERWRITE TABLE ... PARTITION per region, then the aggregate
+    reads back through the partition-pruned csv scan."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="hive_dialect_")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE EXTERNAL TABLE `hd_nation` (
+          `n_nationkey` BIGINT,
+          `n_name` STRING COMMENT 'nation name',
+          `n_regionkey` BIGINT,
+          `n_comment` STRING
+        )
+        COMMENT 'tpch nation via the hive dialect'
+        STORED AS PARQUET
+        LOCATION '{sf_dir}/nation.parquet'"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE hd_by_region (n_nationkey BIGINT, n_name STRING)
+        PARTITIONED BY (`rk` BIGINT)
+        ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+        STORED AS TEXTFILE
+        LOCATION '{work}/by_region'"""
+    )
+    for rk in (0, 1):
+        tenv.execute_sql(
+            f"INSERT OVERWRITE TABLE hd_by_region PARTITION (rk={rk}) "
+            f"SELECT n_nationkey, n_name FROM hd_nation WHERE n_regionkey = {rk}"
+        )
+    return tenv.sql_query(
+        "SELECT rk, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
+        "FROM hd_by_region GROUP BY rk"
+    ).to_data_frame()

@@ -623,3 +623,163 @@ def dsapi_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .process(Pair(), "user_id BIGINT, a_id BIGINT, b_id BIGINT")
     )
     return run_to_table(out.to_data_frame(), output_mode="append")
+
+
+# ---------------------------------------------------------------------------
+# CEP timed-out partial matches (PatternStream.select timeout variant /
+# TimedOutPartialMatchHandler; flatSelect PatternStream.java:352)
+
+_CEP_TIMEOUT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+pairs AS (
+  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, p.ts AS pts
+  FROM ev c JOIN ev p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+   AND p.ts < c.ts + INTERVAL 30 MINUTE
+),
+best AS (
+  SELECT user_id, click_id, purchase_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, click_id ORDER BY pts, purchase_id
+         ) AS rn
+  FROM pairs
+)
+SELECT user_id, click_id, purchase_id, FALSE AS timed_out
+FROM best WHERE rn = 1
+UNION ALL
+SELECT c.user_id, c.event_id AS click_id,
+       CAST(NULL AS BIGINT) AS purchase_id, TRUE AS timed_out
+FROM ev c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM pairs
+    WHERE pairs.user_id = c.user_id AND pairs.click_id = c.event_id
+  )
+"""
+
+
+@register("dsapi_cep_timeout", _CEP_TIMEOUT_ORACLE, tags=("dsapi", "cep"))
+def dsapi_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern click ->(relaxed) purchase WITHIN 30 minutes, with the
+    timed-out-partial-match side output: every anchored click either
+    pairs with its FIRST in-horizon purchase (main output) or routes to
+    the timeout OutputTag when the horizon expires unmatched — nothing
+    vanishes. Main and side outputs union under a ``timed_out`` flag;
+    the oracle reconstructs both sets with a first-purchase window and a
+    NOT EXISTS."""
+    from flink_release_1_16_0_spark.datastream import CEP, Pattern
+
+    stream = _events(spark, sf_dir).filter("event_type IN ('click', 'purchase')")
+    pat = (
+        Pattern.begin("c")
+        .where(lambda r: r["event_type"] == "click")
+        .followed_by("p")
+        .where(lambda r: r["event_type"] == "purchase")
+        .within("30 minutes")
+    )
+    tag = OutputTag(
+        "cep-timeouts",
+        "user_id BIGINT, click_id BIGINT, purchase_id BIGINT, timed_out BOOLEAN",
+    )
+    out = CEP.pattern(stream.key_by("user_id"), pat).select(
+        lambda m: {
+            "user_id": m["c"][0]["user_id"],
+            "click_id": m["c"][0]["event_id"],
+            "purchase_id": m["p"][0]["event_id"],
+            "timed_out": False,
+        },
+        "user_id BIGINT, click_id BIGINT, purchase_id BIGINT, timed_out BOOLEAN",
+        tiebreaker="event_id",
+        timeout_tag=tag,
+        timeout_fn=lambda m, _t: {
+            "user_id": m["c"][0]["user_id"],
+            "click_id": m["c"][0]["event_id"],
+            "purchase_id": None,
+            "timed_out": True,
+        },
+    )
+    return out.to_data_frame().unionByName(out.get_side_output(tag).to_data_frame())
+
+
+# ---------------------------------------------------------------------------
+# unbounded window AggregateFunction (WindowedStream.java:285 +
+# AggregatingStateDescriptor — incremental window aggregation on streams)
+
+_STREAM_WINDOW_AGG_ORACLE = """
+WITH w AS (
+  SELECT user_id,
+         CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS win_start,
+         value
+  FROM events
+), m AS (
+  SELECT CAST(epoch_ms(MAX(ts)) - 600000 AS BIGINT) AS wm FROM events
+)
+SELECT user_id, win_start,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS total
+FROM w
+WHERE win_start + 3600000 < (SELECT wm FROM m)
+GROUP BY user_id, win_start
+"""
+
+
+class _HourlyValueAgg:
+    """AggregateFunction: per-element fold into (user, hour-bucket,
+    count, exact-decimal sum). The window identity is re-derived from
+    the element timestamp (same floor arithmetic as the assigner), so
+    the result row is self-describing without a ProcessWindowFunction."""
+
+    def create_accumulator(self):
+        return {"user_id": None, "win_start": None, "n": 0, "total": Decimal(0)}
+
+    def add(self, row, acc):
+        ts_ms = int(row["ts"].value // 1_000_000) if hasattr(row["ts"], "value") else int(
+            row["ts"].timestamp() * 1000
+        )
+        acc["user_id"] = row["user_id"]
+        acc["win_start"] = (ts_ms // 3_600_000) * 3_600_000
+        acc["n"] += 1
+        acc["total"] += Decimal(str(row["value"]))
+        return acc
+
+    def get_result(self, acc):
+        return {
+            "user_id": acc["user_id"],
+            "win_start": acc["win_start"],
+            "n": acc["n"],
+            "total": float(acc["total"]),
+        }
+
+
+@register(
+    "dsapi_stream_window_aggregate",
+    _STREAM_WINDOW_AGG_ORACLE,
+    tags=("dsapi", "streaming", "window"),
+)
+def dsapi_stream_window_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour AggregateFunction on the UNBOUNDED replayed event
+    log: windows assign natively, one accumulator per (user, window)
+    lives in keyed state, and each window fires exactly once when the
+    watermark (max ts - 10 min bounded delay) passes its end — the
+    oracle keeps exactly the windows whose end is strictly under the
+    final watermark."""
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    s = env.from_data_frame(
+        replay_stream(spark, sf_dir, "events")
+    ).assign_timestamps_and_watermarks(_EVENT_TIME)
+    out = (
+        s.key_by("user_id")
+        .window(TumblingEventTimeWindows.of("1 hour"))
+        .aggregate(
+            _HourlyValueAgg(),
+            "user_id BIGINT, win_start BIGINT, n BIGINT, total DOUBLE",
+        )
+    )
+    return run_to_table(out.to_data_frame(), output_mode="append")

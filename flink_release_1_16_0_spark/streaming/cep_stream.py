@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -338,6 +339,7 @@ def streaming_cep_nfa_within(
     within_ms: int,
     value_cols: Sequence[str] = (),
     grid_scale: int | None = None,
+    emit_timeouts: bool = False,
 ) -> DataFrame:
     """Streaming NFA-tier CEP: cross-variable DEFINE predicates over a
     watermarked stream with a WITHIN finalization bound — the
@@ -356,10 +358,20 @@ def streaming_cep_nfa_within(
     ``measures`` are exactly the batch ``operators.cep.match_nfa``
     surface; the bounded-replay result equals match_nfa restricted to
     finalizable starts.
+
+    ``emit_timeouts`` is the TimedOutPartialMatchHandler surface
+    (CepOperator.java's timeout path; PatternStream.select's timeout
+    variant): the output gains a ``timed_out BOOLEAN`` column, and an
+    anchor whose WITHIN horizon expires with a started-but-incomplete
+    partial match emits its measures over the partially-bound rows with
+    ``timed_out = true`` (``match_no`` shared with the main sequence) —
+    instead of the partial silently vanishing. Exactly-once per anchor:
+    the expired anchor row retires from state in the same batch.
     """
     from flink_release_1_16_0_spark.operators.cep import (
         _AGGS,
         _measure_value,
+        nfa_longest_partial,
         nfa_try_match,
     )
 
@@ -379,8 +391,11 @@ def streaming_cep_nfa_within(
     ]
     out_schema = StructType(
         [*key_fields, StructField("match_no", IntegerType()), *m_fields]
+        + ([StructField("timed_out", BooleanType())] if emit_timeouts else [])
     )
-    out_cols = [*keys, "match_no", *measures]
+    out_cols = [*keys, "match_no", *measures] + (
+        ["timed_out"] if emit_timeouts else []
+    )
     val_fields = [tagged.schema[c] for c in value_cols]
     row_schema = StructType(
         [
@@ -446,21 +461,27 @@ def streaming_cep_nfa_within(
         rows = [dict(zip(slice_cols, p)) for p in settled]
         pdf_all = pd.DataFrame(settled, columns=slice_cols)
         out: list[tuple] = []
+
+        def measure_row(bound: dict, timed_out: bool) -> tuple:
+            vals = []
+            for _alias, (var, agg, col, _t) in measures.items():
+                idxs = bound.get(var, [])
+                vals.append(
+                    _measure_value(
+                        pdf_all.iloc[idxs], agg, col_name(col), grid_scale
+                    )
+                )
+            if emit_timeouts:
+                return (*key, int(match_no), *vals, timed_out)
+            return (*key, int(match_no), *vals)
+
         s = consumed = 0
         while s < len(rows):
             res = nfa_try_match(rows, s, steps, defines, within_ms)
             if res is not None and res[0] > s:
                 if ms(rows[s]["__ts"]) + within_ms <= wm:
                     end, bound = res
-                    vals = []
-                    for _alias, (var, agg, col, _t) in measures.items():
-                        idxs = bound.get(var, [])
-                        vals.append(
-                            _measure_value(
-                                pdf_all.iloc[idxs], agg, col_name(col), grid_scale
-                            )
-                        )
-                    out.append((*key, int(match_no), *vals))
+                    out.append(measure_row(bound, False))
                     match_no += 1
                     consumed = s = end
                 else:
@@ -468,6 +489,16 @@ def streaming_cep_nfa_within(
                     # finalizable, no later start is either
                     break
             else:
+                if emit_timeouts and ms(rows[s]["__ts"]) + within_ms <= wm:
+                    # expired unmatched anchor: its greedy principal
+                    # partial times out NOW (the row retires from state
+                    # this batch, so this fires exactly once per anchor)
+                    partial = nfa_longest_partial(
+                        rows, s, steps, defines, within_ms
+                    )
+                    if partial is not None:
+                        out.append(measure_row(partial, True))
+                        match_no += 1
                 s += 1
         retained = [
             p for p in settled[consumed:] if ms(p[0]) + within_ms > wm

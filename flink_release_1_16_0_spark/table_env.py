@@ -483,15 +483,40 @@ class CatalogTable:
                         out, self.options["path"], partition_cols=pcols
                     )
                 return
-            writer = out.write.format(fmt).mode(
+            # forward pass-through format options (e.g. csv 'sep') so
+            # reads and writes agree — the scan side already forwards
+            # everything beyond the engine-reserved keys
+            extra_opts = {
+                k: v
+                for k, v in self.options.items()
+                if k
+                not in ("connector", "path", "format", "changelog-mode", "upsert.order-column")
+                and not k.startswith("sink.")
+            }
+            if self._has_commit_policy():
+                # partition-commit tables write through a per-job staging
+                # dir and rename (PartitionTempFileManager /
+                # FileSystemCommitter): the commit set is exactly the
+                # files THIS job produced — a concurrent writer into the
+                # same path can never be co-committed
+                self._commit_partitions(
+                    self._stage_and_move(out, fmt, extra_opts, overwrite)
+                )
+                return
+            writer = out.write.format(fmt).options(**extra_opts).mode(
                 "overwrite" if overwrite else "append"
             )
             if self.partitioned_by:
                 writer = writer.partitionBy(*self.partitioned_by)
-            t0 = time.time()
+                if overwrite:
+                    # INSERT OVERWRITE on a partitioned table replaces
+                    # only the partitions receiving data (the reference's
+                    # FileSystemTableSink overwrite groups by partition —
+                    # a static PARTITION (p='v') spec or dynamic values
+                    # never wipe sibling partitions); Spark's default
+                    # "static" mode would truncate the whole path
+                    writer = writer.option("partitionOverwriteMode", "dynamic")
             writer.save(self.options["path"])
-            if self._has_commit_policy():
-                self._commit_partitions(self._written_partitions(t0))
             return
         if connector == "jdbc":
             from flink_release_1_16_0_spark.sources.jdbc import jdbc_write
@@ -509,6 +534,9 @@ class CatalogTable:
             writer = out.write.mode("overwrite" if overwrite else "append")
             if self.partitioned_by:
                 writer = writer.partitionBy(*self.partitioned_by)
+                if overwrite:
+                    # per-partition overwrite, as on the filesystem sink
+                    writer = writer.option("partitionOverwriteMode", "dynamic")
             writer.saveAsTable(tbl)
             return
         raise ValueError(
@@ -521,43 +549,111 @@ class CatalogTable:
             self.options.get("sink.partition-commit.policy.kind", "").strip()
         )
 
-    def _written_partitions(self, since: float) -> list[str]:
-        """Relative partition paths (``a=1/b=x``) the CURRENT write
-        produced, derived from the data files the writer laid down
-        (mtime >= ``since``) — the reference's FileSystemCommitter
-        derives the commit set from the writer's produced files
-        (PartitionTempFileManager / FileSystemCommitter.java), never by
-        re-executing the insert query: a second execution is a full
-        re-scan of the source at scale AND can commit a different
-        partition set for a nondeterministic query. Unpartitioned sinks
-        commit the root."""
-        if not self.partitioned_by:
-            return [""]
+    def _stage_and_move(
+        self,
+        batch_df: DataFrame,
+        fmt: str,
+        extra_opts: dict[str, str],
+        overwrite: bool,
+    ) -> list[str]:
+        """Write through a per-job staging directory under the sink path
+        and rename the produced files into place — the reference's
+        PartitionTempFileManager (task files land in a job-scoped temp
+        dir) + FileSystemCommitter.java (commit moves them and derives
+        the partition set from the MOVED files). Returns the relative
+        partition paths this job produced (``[""]`` for an unpartitioned
+        sink); files from any concurrent writer are never in the staging
+        dir, so they can never be co-committed. ``overwrite`` replaces
+        only the produced partitions (dynamic-overwrite semantics, the
+        reference's grouped overwrite)."""
+        import shutil as _sh
+
         base = self.options["path"]
-        depth = len(self.partitioned_by)
-        found: set[str] = set()
-        # epsilon guards sub-ms mtime truncation on coarse filesystems
-        cutoff = since - 0.002
+        staging = os.path.join(base, f".staging-{uuid.uuid4().hex}")
+        pcols = list(self.partitioned_by)
+        w = batch_df.write.format(fmt).options(**extra_opts).mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.save(staging)
+        rels: list[str] = []
+        if pcols:
 
-        def walk(d: str, level: int, rel: tuple[str, ...]) -> None:
-            try:
-                entries = list(os.scandir(d))
-            except FileNotFoundError:
-                return
-            for e in entries:
-                if level < depth:
-                    if e.is_dir() and "=" in e.name:
-                        walk(e.path, level + 1, rel + (e.name,))
-                elif (
-                    e.is_file()
-                    and not e.name.startswith((".", "_"))
-                    and e.stat().st_mtime >= cutoff
-                ):
-                    found.add("/".join(rel))
+            def collect(d: str, level: int, rel: tuple[str, ...]) -> None:
+                if level == len(pcols):
+                    if any(
+                        e.is_file() and not e.name.startswith((".", "_"))
+                        for e in os.scandir(d)
+                    ):
+                        rels.append("/".join(rel))
                     return
+                for e in os.scandir(d):
+                    if e.is_dir() and "=" in e.name:
+                        collect(e.path, level + 1, rel + (e.name,))
 
-        walk(base, 0, ())
-        return sorted(found)
+            collect(staging, 0, ())
+        else:
+            rels = [""]
+        for rel in rels:
+            src = os.path.join(staging, rel) if rel else staging
+            dst = os.path.join(base, rel) if rel else base
+            if overwrite:
+                if rel:
+                    _sh.rmtree(dst, ignore_errors=True)
+                else:
+                    for e in os.scandir(base):
+                        if e.name.startswith((".", "_")):
+                            continue  # staging dirs, markers, metadata
+                        if e.is_file():
+                            os.remove(e.path)
+                        elif e.is_dir() and "=" in e.name:
+                            _sh.rmtree(e.path)
+            os.makedirs(dst, exist_ok=True)
+            for f in os.listdir(src):
+                full = os.path.join(src, f)
+                if f.startswith((".", "_")) or not os.path.isfile(full):
+                    continue  # Spark's own _SUCCESS marker stays behind
+                os.replace(full, os.path.join(dst, f))
+        _sh.rmtree(staging, ignore_errors=True)
+        return sorted(rels)
+
+    def _commit_log_partitions(self, before: set[str]) -> list[str]:
+        """Partition set from the entries the native file sink's
+        ``_spark_metadata`` commit log gained during THIS execution
+        (``before`` = the log's filenames at start) — the sink's own
+        exact manifest of committed data files, the streaming analogue
+        of the staging-dir protocol."""
+        import json as _json
+
+        base = self.options["path"].rstrip("/")
+        meta = os.path.join(base, "_spark_metadata")
+        depth = len(self.partitioned_by)
+        rels: set[str] = set()
+        if not os.path.isdir(meta):
+            return []
+        for fn in os.listdir(meta):
+            if fn in before or fn.startswith("."):
+                continue
+            with open(os.path.join(meta, fn)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    try:
+                        p = _json.loads(line).get("path", "")
+                    except ValueError:
+                        continue
+                    if "://" in p:  # file:///x/y -> /x/y
+                        p = "/" + p.split("://", 1)[1].lstrip("/")
+                    idx = p.find(base)
+                    if idx < 0:
+                        continue
+                    rel_dir = os.path.dirname(p[idx + len(base):]).strip("/")
+                    segs = [s for s in rel_dir.split("/") if "=" in s]
+                    if depth == 0:
+                        rels.add("")
+                    elif len(segs) >= depth:
+                        rels.add("/".join(segs[:depth]))
+        return sorted(rels)
 
     def _commit_partitions(self, rel_paths: list[str]) -> None:
         """Apply ``sink.partition-commit.policy.kind`` policies
@@ -612,6 +708,11 @@ class CatalogTable:
         which selects the native file sink + commit log.
         """
         connector = self.connector
+        # partition-commit bookkeeping for the filesystem paths:
+        # foreachBatch accumulates the staged-move manifests per batch;
+        # the native sink's _spark_metadata log is diffed after the run
+        committed: set[str] = set()
+        meta_before: set[str] = set()
         if connector == "blackhole":
             writer = out.writeStream.format("noop")
         elif connector == "filesystem":
@@ -632,6 +733,9 @@ class CatalogTable:
                     )
                 # explicit opt-in: resumable exactly-once via the native
                 # file sink's _spark_metadata commit log
+                meta = os.path.join(path.rstrip("/"), "_spark_metadata")
+                if os.path.isdir(meta):
+                    meta_before = set(os.listdir(meta))
                 writer = (
                     out.writeStream.format(fmt)
                     .option("path", path)
@@ -640,7 +744,17 @@ class CatalogTable:
                 if partitions:
                     writer = writer.partitionBy(*partitions)
             else:
+                stage = self._has_commit_policy()
+
                 def _append(batch_df: DataFrame, _batch_id: int) -> None:
+                    if stage:
+                        # per-batch staged move: the manifest is exactly
+                        # this batch's files (foreachBatch runs on the
+                        # driver, so the accumulation is single-threaded)
+                        committed.update(
+                            self._stage_and_move(batch_df, fmt, {}, overwrite=False)
+                        )
+                        return
                     w = batch_df.write.format(fmt).mode("append")
                     if partitions:
                         w = w.partitionBy(*partitions)
@@ -677,7 +791,6 @@ class CatalogTable:
                 f"unsupported streaming sink connector {connector!r} "
                 "(supported: filesystem, blackhole, hive)"
             )
-        t0 = time.time()
         q = writer.outputMode(output_mode).trigger(availableNow=True).start()
         try:
             q.awaitTermination(300)
@@ -689,10 +802,14 @@ class CatalogTable:
                 raise exc
             # partition-commit at end-of-input (PartitionCommitter's
             # finite-stream endInput path), derived from the files this
-            # execution wrote — covers BOTH the foreachBatch sink and
-            # the native commit-log sink, with no per-batch re-execution
+            # execution wrote: the foreachBatch sink's accumulated
+            # staged-move manifests, or the native sink's own
+            # _spark_metadata commit-log delta — never an mtime scan, so
+            # a concurrent writer is never co-committed
             if connector == "filesystem" and self._has_commit_policy():
-                self._commit_partitions(self._written_partitions(t0))
+                if "checkpoint" in self.options:
+                    committed.update(self._commit_log_partitions(meta_before))
+                self._commit_partitions(sorted(committed))
         finally:
             if q.isActive:
                 q.stop()
@@ -1572,6 +1689,13 @@ class TableEnvironment:
     # -- statements ----------------------------------------------------------
     def execute_sql(self, stmt: str) -> TableResult:
         stmt = stmt.strip().rstrip(";").strip()
+        if self._config.get("table.sql-dialect", "default").strip().lower() == "hive":
+            # SqlDialect.HIVE (TableConfig.setSqlDialect; parsed by
+            # flink-sql-parser-hive in the reference): translate the
+            # Hive spelling onto the default-dialect surface
+            from flink_release_1_16_0_spark.hive_dialect import translate_hive
+
+            stmt = translate_hive(self, stmt)
         up = stmt.upper()
         # interactive statement set (SqlBeginStatementSet/
         # SqlEndStatementSet, Parser.tdd:526-527 — the SQL-client form):

@@ -605,7 +605,39 @@ def test_async_data_stream(env, clicks):
     assert got == {("a", "alpha"), ("b", "beta"), ("c", "TIMEOUT")}
 
 
-def test_streaming_builtin_aggs(spark, env, clicks_parquet):
+class WindowSumAgg:
+    def create_accumulator(self):
+        return {"user": None, "n": 0}
+
+    def add(self, row, acc):
+        acc["user"] = row["user"]
+        acc["n"] += row["n"]
+        return acc
+
+    def get_result(self, acc):
+        return acc
+
+
+def test_streaming_window_aggregate(spark, env, clicks_parquet):
+    """Unbounded tumbling-window AggregateFunction: one accumulator per
+    (key, window) in keyed state; a window fires exactly once when the
+    watermark passes its end; windows the final watermark never settles
+    stay silent."""
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    s = _stream_clicks(spark, env, clicks_parquet)
+    out = (
+        s.key_by("user")
+        .window(TumblingEventTimeWindows.of("10 minutes"))
+        .aggregate(WindowSumAgg(), "user STRING, n INT")
+    )
+    assert out.df.isStreaming
+    got = run_to_table(out.to_data_frame(), output_mode="append")
+    rows = sorted((r.user, r.n) for r in got.collect())
+    # final watermark = max ts (10:30) - 0s delay: a's [10:00,10:10) = 4
+    # and [10:10,10:20) = 5 fire, b's [10:00,10:10) = 30 fires; c's
+    # [10:30,10:40) window end is past the watermark -> silent
+    assert rows == [("a", 4), ("a", 5), ("b", 30)]
     from flink_release_1_16_0_spark.streaming.core import run_to_table
 
     s = _stream_clicks(spark, env, clicks_parquet)

@@ -233,6 +233,79 @@ def test_or_condition_and_optional(quotes):
     assert got == [(9, 2), (12, 3)]
 
 
+def test_flat_select_multi_rows(quotes):
+    """PatternStream.flatSelect: fn returns an iterable — one output
+    row per bound event of the match."""
+    pat = (
+        Pattern.begin("low")
+        .where(lambda r: r["v"] < 5)
+        .next("high")
+        .where(lambda r: r["v"] > 7)
+    )
+
+    def explode(m):
+        for var in ("low", "high"):
+            for row in m[var]:
+                yield {"k": row["k"], "var": var, "v": row["v"]}
+
+    out = CEP.pattern(quotes.key_by("k"), pat).flat_select(
+        explode, "k STRING, var STRING, v INT"
+    )
+    got = sorted((r.var, r.v) for r in out.to_data_frame().collect())
+    assert got == [("high", 8), ("high", 9), ("high", 12), ("low", 1), ("low", 2), ("low", 3)]
+
+
+def test_timeout_partial_matches_side_output(env):
+    """PatternStream.select's timeout variant / TimedOutPartialMatchHandler:
+    an anchor whose WITHIN horizon expires before the pattern completes
+    routes its partially-bound rows to the OutputTag."""
+    from flink_release_1_16_0_spark.datastream import OutputTag
+
+    rows = [
+        # lo at 10:00 -> hi at 10:01: completes inside 2 minutes
+        {"k": "k1", "ts": _ts(0), "v": 1},
+        {"k": "k1", "ts": _ts(1), "v": 9},
+        # lo at 10:10: the next hi is at 10:20, far past the horizon
+        {"k": "k1", "ts": _ts(10), "v": 2},
+        {"k": "k1", "ts": _ts(20), "v": 8},
+    ]
+    s = env.from_collection(rows, "k STRING, ts TIMESTAMP, v INT").assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    pat = (
+        Pattern.begin("lo")
+        .where(lambda r: r["v"] < 5)
+        .next("hi")
+        .where(lambda r: r["v"] > 7)
+        .within("2 minutes")
+    )
+    late = OutputTag("cep-timeout", "k STRING, lo INT, t_out BIGINT")
+    out = CEP.pattern(s.key_by("k"), pat).select(
+        lambda m: {"k": m["lo"][0]["k"], "lo": m["lo"][0]["v"], "hi": m["hi"][0]["v"]},
+        "k STRING, lo INT, hi INT",
+        timeout_tag=late,
+        timeout_fn=lambda m, t: {"k": m["lo"][0]["k"], "lo": m["lo"][0]["v"], "t_out": t},
+    )
+    main = sorted((r.lo, r.hi) for r in out.to_data_frame().collect())
+    assert main == [(1, 9)]
+    timed = out.get_side_output(late).to_data_frame().collect()
+    assert [(r.k, r.lo) for r in timed] == [("k1", 2)]
+    # timeout timestamp = anchor + within
+    assert timed[0].t_out == _ts(12).replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
+
+
+def test_timeout_side_output_requires_within(quotes):
+    from flink_release_1_16_0_spark.datastream import OutputTag
+
+    pat = Pattern.begin("lo").where(lambda r: r["v"] < 5).next("hi").where(lambda r: r["v"] > 7)
+    tag = OutputTag("t", "k STRING")
+    with pytest.raises(ValueError, match="within"):
+        CEP.pattern(quotes.key_by("k"), pat).select(
+            lambda m: {"k": "x"}, "k STRING",
+            timeout_tag=tag, timeout_fn=lambda m, t: {"k": "x"},
+        )
+
+
 def test_non_keyed_single_sequence(env):
     rows = [{"ts": _ts(i), "v": v} for i, v in enumerate([1, 2, 1, 2])]
     s = env.from_collection(rows, "ts TIMESTAMP, v INT").assign_timestamps_and_watermarks(
@@ -287,4 +360,54 @@ def test_streaming_pattern_within(spark, env, tmp_path):
     # (1,9) anchored 10:00 finalizes (wm 10:50 >= 10:10); (2,8) anchored
     # 10:40 needs wm > 10:49:59.999 -> 10:50 settles it too
     assert pairs == [(1, 9), (2, 8)]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_timeout_partial_side_output(spark, env, tmp_path):
+    """Unbounded Pattern matching with the timeout side output: an
+    anchor decided unmatched (watermark past anchor + within) routes its
+    partial to the OutputTag exactly once."""
+    import shutil
+
+    from flink_release_1_16_0_spark.datastream import OutputTag
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    d = str(tmp_path / "cep_stream_timeout")
+    rows = [
+        ("k1", _ts(0), 0, 1),   # lo -> completes with 9
+        ("k1", _ts(1), 1, 9),
+        ("k1", _ts(10), 2, 2),  # lo whose horizon (10:20) expires unmatched
+        ("k1", _ts(30), 3, 8),  # hi far outside; also advances the watermark
+        ("k1", _ts(50), 4, 4),  # lo at the final watermark: never decided
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, eid INT, v INT")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    s = env.from_data_frame(sdf).assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_bounded_out_of_orderness("0 seconds").with_timestamp_assigner("ts")
+    )
+    pat = (
+        Pattern.begin("lo")
+        .where(lambda r: r["v"] < 5)
+        .next("hi")
+        .where(lambda r: r["v"] > 7)
+        .within("10 minutes")
+    )
+    late = OutputTag("cep-timeout-s", "k STRING, lo INT")
+    out = CEP.pattern(s.key_by("k"), pat).select(
+        lambda m: {"k": m["lo"][0]["k"], "lo": m["lo"][0]["v"], "hi": m["hi"][0]["v"]},
+        "k STRING, lo INT, hi INT",
+        tiebreaker="eid",
+        timeout_tag=late,
+        timeout_fn=lambda m, t: {"k": m["lo"][0]["k"], "lo": m["lo"][0]["v"]},
+    )
+    main = run_to_table(out.to_data_frame(), output_mode="append")
+    assert sorted((r.lo, r.hi) for r in main.collect()) == [(1, 9)]
+    timed = run_to_table(
+        out.get_side_output(late).to_data_frame(), output_mode="append"
+    )
+    # v=2's horizon expired unmatched; the v=4 anchor at 10:50 is never
+    # DECIDED (watermark stops at 10:50 < its 11:00 horizon), so it
+    # neither matches nor times out — exactly the CepOperator cutoff
+    assert sorted(r.lo for r in timed.collect()) == [2]
     shutil.rmtree(d, ignore_errors=True)

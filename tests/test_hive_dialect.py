@@ -1,0 +1,124 @@
+"""Hive SQL dialect subset (SET 'table.sql-dialect'='hive').
+
+Mirrors the reference's flink-sql-parser-hive surface: a Hive
+warehouse's scripts (CREATE [EXTERNAL] TABLE ... STORED AS, INSERT
+OVERWRITE TABLE ... PARTITION, backtick identifiers, per-column
+COMMENTs) run unchanged after the dialect switch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+
+@pytest.fixture()
+def tenv(spark):
+    return TableEnvironment.create(spark)
+
+
+def test_hive_script_end_to_end(tenv, spark, tmp_path):
+    """A multi-statement Hive-dialect script: partitioned parquet table,
+    static-partition INSERT OVERWRITE, text table with a custom field
+    delimiter, backticks and column comments throughout."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    script = [
+        f"""
+        CREATE TABLE IF NOT EXISTS `hv_sales` (
+          `id` INT COMMENT 'row id',
+          `amount` DOUBLE
+        )
+        COMMENT 'sales fact'
+        PARTITIONED BY (`region` STRING COMMENT 'partition col')
+        STORED AS PARQUET
+        LOCATION '{tmp_path}/hv_sales'
+        """,
+        "INSERT OVERWRITE TABLE hv_sales PARTITION (region='eu') "
+        "SELECT 1, 10.0 UNION ALL SELECT 2, 20.0",
+        "INSERT OVERWRITE TABLE hv_sales PARTITION (region='us') SELECT 3, 30.0",
+        f"""
+        CREATE EXTERNAL TABLE `hv_text` (`name` STRING, `qty` INT)
+        ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'
+        STORED AS TEXTFILE
+        LOCATION '{tmp_path}/hv_text'
+        """,
+        "INSERT INTO TABLE hv_text SELECT 'widget', 4",
+    ]
+    for stmt in script:
+        tenv.execute_sql(stmt)
+    got = sorted(
+        (r.region, r.id, r.amount)
+        for r in tenv.sql_query("SELECT * FROM hv_sales").to_data_frame().collect()
+    )
+    assert got == [("eu", 1, 10.0), ("eu", 2, 20.0), ("us", 3, 30.0)]
+    # the text table wrote with the declared delimiter
+    files = list((tmp_path / "hv_text").rglob("*.csv")) or list(
+        (tmp_path / "hv_text").rglob("part-*")
+    )
+    assert any("|" in f.read_text() for f in files if f.is_file())
+    row = tenv.sql_query("SELECT * FROM hv_text").to_data_frame().collect()[0]
+    assert (row.name, row.qty) == ("widget", 4)
+    # overwrite of one static partition leaves the other intact
+    tenv.execute_sql(
+        "INSERT OVERWRITE TABLE hv_sales PARTITION (region='eu') SELECT 9, 90.0"
+    )
+    got2 = sorted(
+        (r.region, r.id) for r in tenv.sql_query("SELECT * FROM hv_sales").to_data_frame().collect()
+    )
+    assert got2 == [("eu", 9), ("us", 3)]
+
+
+def test_hive_dialect_default_location_and_switch_back(tenv, spark):
+    import shutil
+
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql("CREATE TABLE hv_managed (x INT) STORED AS PARQUET")
+    t = tenv._tables["hv_managed"]
+    assert "hive_dialect/hv_managed" in t.options["path"]
+    tenv.execute_sql("INSERT INTO TABLE hv_managed SELECT 5")
+    assert tenv.sql_query("SELECT * FROM hv_managed").to_data_frame().collect()[0].x == 5
+    # switch back: default-dialect DDL parses again
+    tenv.execute_sql("SET 'table.sql-dialect'='default'")
+    tenv.execute_sql(
+        "CREATE TABLE hv_plain (y INT) WITH ('connector'='blackhole')"
+    )
+    assert "hv_plain" in tenv._tables
+    shutil.rmtree(t.options["path"], ignore_errors=True)
+
+
+def test_hive_dialect_textfile_default_delimiter(tenv, tmp_path):
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    # STORED AS omitted -> Hive's TEXTFILE default with the ^A delimiter
+    tenv.execute_sql(
+        f"CREATE TABLE hv_plain_text (a STRING, b STRING) LOCATION '{tmp_path}/pt'"
+    )
+    t = tenv._tables["hv_plain_text"]
+    assert t.options["format"] == "csv" and t.options["sep"] == "\x01"
+    tenv.execute_sql("INSERT INTO TABLE hv_plain_text SELECT 'x', 'y'")
+    row = tenv.sql_query("SELECT * FROM hv_plain_text").to_data_frame().collect()[0]
+    assert (row.a, row.b) == ("x", "y")
+
+
+def test_hive_dialect_tblproperties_and_schema_synonym(tenv, tmp_path):
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql("CREATE SCHEMA IF NOT EXISTS hvdb LOCATION '/ignored'")
+    assert "hvdb" in tenv.execute_sql("SHOW DATABASES").collect()
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_props (x INT) STORED AS ORC
+            LOCATION '{tmp_path}/props' TBLPROPERTIES ('auto.purge'='true')"""
+    )
+    t = tenv._tables["hv_props"]
+    assert t.options["format"] == "orc" and t.options["auto.purge"] == "true"
+
+
+def test_hive_dialect_rejects_untranslatable(tenv):
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    with pytest.raises(ValueError, match="SERDE"):
+        tenv.execute_sql(
+            "CREATE TABLE hv_serde (x INT) ROW FORMAT SERDE 'org.acme.SerDe'"
+        )
+    with pytest.raises(ValueError, match="STRUCT"):
+        tenv.execute_sql("CREATE TABLE hv_struct (s STRUCT<a:INT>) STORED AS PARQUET")
+    with pytest.raises(ValueError, match="STORED AS"):
+        tenv.execute_sql("CREATE TABLE hv_rc (x INT) STORED AS RCFILE")

@@ -322,6 +322,126 @@ def test_partition_commit_derived_from_written_files(spark, tmp_path):
     assert not os.path.exists(f"{out}/p=0/_SUCCESS")
 
 
+def test_partition_commit_ignores_concurrent_writer(spark, tmp_path):
+    """A concurrent writer dropping files into the same sink path while
+    the job runs must NOT be co-committed: the commit set comes from the
+    job's own staging-dir manifest (PartitionTempFileManager /
+    FileSystemCommitter), not from scanning the sink path by mtime."""
+    import os
+
+    from flink_release_1_16_0_spark import table_env as TE
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "pcc_src")
+    spark.range(0, 10).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+    out = str(tmp_path / "pcc_out")
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE pcc_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE pcc_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.partition-commit.policy.kind'='success-file')"""
+    )
+
+    # the "concurrent writer": lands a fresh foreign partition while the
+    # job's commit runs — patched into _commit_partitions' entry so its
+    # mtime falls squarely inside the write window
+    orig = TE.CatalogTable._commit_partitions
+
+    def racing_commit(self, rel_paths):
+        foreign = os.path.join(out, "p=99")
+        os.makedirs(foreign, exist_ok=True)
+        with open(os.path.join(foreign, "part-foreign.parquet"), "w") as fh:
+            fh.write("x")
+        return orig(self, rel_paths)
+
+    TE.CatalogTable._commit_partitions = racing_commit
+    try:
+        tenv.execute_sql("INSERT INTO pcc_snk SELECT k, p FROM pcc_src")
+    finally:
+        TE.CatalogTable._commit_partitions = orig
+    assert os.path.exists(f"{out}/p=0/_SUCCESS")
+    assert os.path.exists(f"{out}/p=1/_SUCCESS")
+    # the foreign partition written during the job is NOT committed
+    assert os.path.isdir(f"{out}/p=99")
+    assert not os.path.exists(f"{out}/p=99/_SUCCESS")
+
+
+def test_partition_commit_overwrite_replaces_only_written_partitions(spark, tmp_path):
+    """INSERT OVERWRITE through the staging path keeps dynamic-overwrite
+    semantics: only partitions receiving data are replaced."""
+    import os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "pco_src")
+    spark.range(0, 10).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+    out = str(tmp_path / "pco_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE pco_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE pco_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    tenv.execute_sql("INSERT INTO pco_snk SELECT k, p FROM pco_src")
+    tenv.execute_sql(
+        "INSERT OVERWRITE pco_snk SELECT k + 100, p FROM pco_src WHERE p = 1"
+    )
+    rows = {
+        (r.p, r.k)
+        for r in spark.read.parquet(out).collect()
+    }
+    # p=0 intact (5 original rows), p=1 replaced by the +100 rows
+    assert {k for p, k in rows if p == 0} == {0, 2, 4, 6, 8}
+    assert {k for p, k in rows if p == 1} == {101, 103, 105, 107, 109}
+    assert os.path.exists(f"{out}/p=1/_SUCCESS")
+
+
+def test_partition_commit_native_checkpoint_sink_uses_commit_log(spark, tmp_path):
+    """With the native file sink (explicit 'checkpoint' option), the
+    partition-commit set comes from the _spark_metadata commit-log
+    entries THIS execution added — pre-existing partitions from earlier
+    executions are not re-committed."""
+    import os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "pcl_src")
+    spark.range(0, 10).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+    out = str(tmp_path / "pcl_out")
+    ckpt = str(tmp_path / "pcl_ckpt")
+
+    stenv = TableEnvironment.create(spark, streaming=True)
+    stenv.execute_sql(
+        f"""CREATE TABLE pcl_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    stenv.execute_sql(
+        f"""CREATE TABLE pcl_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'checkpoint'='{ckpt}',
+              'sink.partition-commit.policy.kind'='success-file')"""
+    )
+    # a "concurrent writer" lands a foreign partition just before the
+    # run: fresh mtimes, but absent from this execution's commit log
+    os.makedirs(f"{out}/p=99", exist_ok=True)
+    with open(f"{out}/p=99/part-foreign.parquet", "w") as fh:
+        fh.write("x")
+    stenv.execute_sql("INSERT INTO pcl_snk SELECT k, p FROM pcl_src WHERE p = 1")
+    assert os.path.exists(f"{out}/p=1/_SUCCESS")
+    assert not os.path.exists(f"{out}/p=0/_SUCCESS")
+    # the foreign partition is not in the sink's commit log -> no marker
+    assert not os.path.exists(f"{out}/p=99/_SUCCESS")
+
+
 def test_update_mode_native_checkpoint_sink_rejected(spark, tmp_path):
     """output_mode='update' (early-fire / allowed-lateness emit) with
     the native commit-log file sink (explicit 'checkpoint' option) must

@@ -947,6 +947,67 @@ def test_streaming_cep_nfa_reluctant_matches_batch(spark, sf_smoke, tmp_path_fac
     assert got == want
 
 
+def test_streaming_cep_nfa_emit_timeouts(spark, tmp_path_factory):
+    """emit_timeouts (TimedOutPartialMatchHandler / CepOperator's
+    timeout path): an anchor whose WITHIN horizon expires with a
+    started-but-incomplete partial emits its measures over the bound
+    rows with timed_out = true, exactly once."""
+    import datetime as dt
+
+    from flink_release_1_16_0_spark.streaming.cep_stream import (
+        streaming_cep_nfa_within,
+    )
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    rows = [
+        # u1: click(1.0) then purchase inside 5 min -> full match
+        (1, t(0), 10, "click", 1.0),
+        (1, t(2), 11, "purchase", 9.0),
+        # u2: click(2.0) with no purchase inside 5 min -> times out
+        (2, t(0), 20, "click", 2.0),
+        (2, t(20), 21, "click", 3.0),  # advances u2's watermark; its own
+        # horizon (10:25) is NOT under the final watermark -> undecided
+    ]
+    path = str(tmp_path_factory.mktemp("cep_timeouts"))
+    df = spark.createDataFrame(
+        rows, "user_id INT, ts TIMESTAMP, event_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(df.schema).parquet(path).withWatermark("ts", "0 seconds")
+    )
+    defines = {
+        "A": lambda r, c: r["event_type"] == "click",
+        "B": lambda r, c: r["event_type"] == "purchase",
+    }
+    out = run_to_table(
+        streaming_cep_nfa_within(
+            stream,
+            keys=["user_id"],
+            ts_col="ts",
+            id_col="event_id",
+            steps=[("A", "1"), ("B", "1")],
+            defines=defines,
+            measures={
+                "a_id": ("A", "first", "event_id", "bigint"),
+                "b_id": ("B", "first", "event_id", "bigint"),
+            },
+            within_ms=5 * 60 * 1000,
+            value_cols=["event_type", "value"],
+            emit_timeouts=True,
+        ),
+        "update",
+    )
+    got = sorted(
+        (r.user_id, r.a_id, r.b_id, r.timed_out) for r in out.collect()
+    )
+    # u1 full match; u2's first click timed out (b_id NULL); u2's second
+    # click is undecided at the final watermark -> absent
+    assert got == [(1, 10, 11, False), (2, 20, None, True)]
+
+
 def test_window_agg_allowed_lateness(spark, tmp_path_factory):
     """Allowed lateness + late firing (WindowOperator.java:380-409):
     a late-but-allowed row re-fires the already-emitted window as a
