@@ -131,7 +131,31 @@ class Pattern:
         return self._set_quant("*")
 
     def optional(self) -> "Pattern":
+        """Pattern.optional:318. On a looping pattern it RELAXES the
+        lower bound (oneOrMore().optional() == the reference's
+        zero-or-more), it does not replace the loop."""
+        s = self._steps[-1]
+        if s["quant"] in ("+", "+?"):
+            s["quant"] = "*?" if s["quant"] == "+?" else "*"
+            return self
+        if s["quant"] in ("*", "*?"):
+            return self
         return self._set_quant("?")
+
+    def allow_combinations(self) -> "Pattern":
+        """Pattern.allowCombinations:452 — NON-DETERMINISTIC relaxed
+        internal contiguity: the loop may also skip MATCHING events, so
+        every in-order combination of the run that keeps its first
+        element emits (the reference docs' {C A1 B}, {C A1 A3 B}, ...
+        example). Exponential in the run length, exactly as in the
+        reference — bound the run with ``within``."""
+        s = self._steps[-1]
+        if s["quant"] not in ("+", "*", "+?", "*?") and "times" not in s:
+            raise ValueError("allow_combinations() applies to looping patterns only")
+        if s["consecutive"]:
+            raise ValueError("allow_combinations() conflicts with consecutive()")
+        s["combinations"] = True
+        return self
 
     def times(self, n: int, m: int | None = None) -> "Pattern":
         """``times(n)`` — exactly-n repetition (Pattern.times:404);
@@ -203,12 +227,21 @@ class Pattern:
 
                 defines[s["name"]] = pred
             # relaxed internal contiguity is the reference's looping
-            # default (Pattern.java:437); consecutive() keeps strict
+            # default (Pattern.java:437); consecutive() keeps strict;
+            # allowCombinations adds the non-deterministic c tier; a
+            # FOLLOWED_BY-connected loop carries the relaxed-ENTRY
+            # marker so its first repetition is found by the loop
+            # itself (the skip step alone would commit on a successful
+            # zero-repetition branch)
             relax = "" if s["consecutive"] else "~"
+            if s.get("combinations") and not s["greedy"]:
+                relax = "~c"
+            if i > 0 and not s["strict"]:
+                relax += "e"
             if "times" in s:
                 a, b = s["times"]
                 steps.append((s["name"], f"{{{a},{b}}}{relax}"))
-                if a != b and not s["greedy"]:
+                if (a != b or "c" in relax) and not s["greedy"]:
                     multi.add(s["name"])
             else:
                 q = s["quant"]

@@ -469,8 +469,8 @@ def nfa_try_match(
 
 def _parse_loop_quant(q: str):
     """Parse a loop quantifier into ``(min_n, max_n, reluctant,
-    relaxed)`` or None when ``q`` is not a loop. Grammar (superset of
-    :func:`nfa_try_match`'s, for the Pattern-API facade):
+    relaxed, combinations)`` or None when ``q`` is not a loop. Grammar
+    (superset of :func:`nfa_try_match`'s, for the Pattern-API facade):
 
     - ``+`` / ``*`` and reluctant ``+?`` / ``*?`` — strict-contiguous
       runs (the MATCH_RECOGNIZE semantics);
@@ -478,18 +478,38 @@ def _parse_loop_quant(q: str):
       default for looping patterns, Pattern.java:437 — events not
       matching the loop condition may sit between repetitions; strict
       only via ``consecutive()``);
+    - a trailing ``c`` (after ``~``) marks NON-DETERMINISTIC relaxed
+      contiguity (Pattern.allowCombinations:452 — matching events may
+      be skipped between repetitions too);
+    - a trailing ``e`` marks a RELAXED-ENTRY loop (the loop follows a
+      FOLLOWED_BY connection): the loop's first repetition may sit past
+      non-matching rows, so a zero-repetition branch cannot starve the
+      positive branches by short-circuiting the preceding skip step;
     - ``{a,b}`` bounded repetition (Pattern.times(from, to)).
+
+    Returns ``(min_n, max_n, reluctant, relaxed, combinations,
+    relaxed_entry)``.
     """
+    entry = q.endswith("e")
+    if entry:
+        q = q[:-1]
+    combos = q.endswith("c")
+    if combos:
+        q = q[:-1]
     relaxed = q.endswith("~")
     if relaxed:
         q = q[:-1]
+    relaxed = relaxed or combos
     if q in ("+", "+?"):
-        return 1, None, q == "+?", relaxed
+        return 1, None, q == "+?", relaxed, combos, entry
     if q in ("*", "*?"):
-        return 0, None, q == "*?", relaxed
+        return 0, None, q == "*?", relaxed, combos, entry
     m = re.fullmatch(r"\{(\d+),(\d+)\}(\?)?", q)
     if m:
-        return int(m.group(1)), int(m.group(2)), bool(m.group(3)), relaxed
+        return (
+            int(m.group(1)), int(m.group(2)), bool(m.group(3)), relaxed,
+            combos, entry,
+        )
     return None
 
 
@@ -581,13 +601,50 @@ def nfa_all_matches(
                 raise ValueError(f"unknown quantifier {quant!r}")
             yield from first_success(choices)
             return
-        min_n, max_n, reluctant, relaxed = loop
+        min_n, max_n, reluctant, relaxed, combos, entry = loop
+        # relaxed-entry loops (FOLLOWED_BY connection) find their own
+        # first repetition past non-matching rows — the preceding skip
+        # step alone cannot, because a zero-repetition success would
+        # commit it before the positive branches are reachable
+        first = pos
+        if entry:
+            while in_window(first) and not accepts(first, []):
+                first += 1
+        if combos and var in multi_vars:
+            # allowCombinations: the loop's FIRST repetition is fixed
+            # (entering the loop is plain relaxed contiguity — every
+            # combination in the reference docs starts with A1), then
+            # any in-order subset of later accepting rows may follow;
+            # predicates re-evaluate against the actual chosen prefix,
+            # so iterative conditions stay correct per branch
+            choices = []
+            if min_n == 0:
+                choices.append((pos, bound))
+            if in_window(first) and accepts(first, []):
+
+                def rec(chosen: list) -> None:
+                    if len(chosen) >= max(min_n, 1):
+                        nb = {**bound, var: bound.get(var, []) + chosen}
+                        choices.append((chosen[-1] + 1, nb))
+                    if max_n is not None and len(chosen) >= max_n:
+                        return
+                    for j in range(chosen[-1] + 1, len(rows)):
+                        if not in_window(j):
+                            break
+                        if accepts(j, chosen):
+                            rec(chosen + [j])
+
+                rec([first])
+            for np, nb in choices:
+                yield from step(np, si + 1, nb)
+            return
         # scan the candidate run once: strict ends at the first
         # non-accepting row; relaxed steps over it (but never skips a
-        # matching row, and the first repetition must sit at ``pos`` —
-        # contiguity TO the loop is the preceding connection's business)
+        # matching row; without the entry marker the first repetition
+        # must sit at ``pos`` — contiguity TO the loop is the preceding
+        # connection's business)
         taken: list[int] = []
-        i = pos
+        i = first
         while in_window(i) and (max_n is None or len(taken) < max_n):
             if accepts(i, taken):
                 taken.append(i)
@@ -665,9 +722,12 @@ def nfa_longest_partial(
             else:
                 break
         else:
-            min_n, max_n, _reluctant, relaxed = loop
+            min_n, max_n, _reluctant, relaxed, _combos, entry = loop
             taken: list[int] = []
             i = pos
+            if entry:
+                while i < len(rows) and not accepts(var, pred, i, []):
+                    i += 1
             while i < len(rows) and (max_n is None or len(taken) < max_n):
                 if accepts(var, pred, i, taken):
                     taken.append(i)

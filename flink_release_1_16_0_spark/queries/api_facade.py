@@ -459,7 +459,7 @@ def api_sql_compiled_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HIVE_DIALECT_ORACLE = """
-SELECT n_regionkey AS rk,
+SELECT CAST(n_regionkey AS BIGINT) AS rk,
        COUNT(*) AS n_nations,
        MIN(n_name) AS first_name
 FROM nation

@@ -193,6 +193,49 @@ def test_times_range(docs_sequence):
     assert _middle_lens(docs_sequence, build(True)) == [3]
 
 
+def test_allow_combinations(docs_sequence):
+    # Flink docs: allowCombinations emits every in-order combination
+    # keeping the run's first element — 8 subsets of {A2,A3,A4} behind A1
+    def build():
+        return (
+            Pattern.begin("start")
+            .where(lambda r: r["s"] == "c")
+            .followed_by("middle")
+            .where(lambda r: r["s"] == "a")
+            .one_or_more()
+            .allow_combinations()
+            .followed_by("end")
+            .where(lambda r: r["s"] == "b")
+        )
+
+    out = CEP.pattern(docs_sequence.key_by("k"), build()).select(
+        lambda m: {"ids": ",".join(str(r["v"]) for r in m["middle"])}, "ids STRING"
+    )
+    got = sorted(r.ids for r in out.to_data_frame().collect())
+    assert got == sorted(
+        ["2", "2,3", "2,4", "2,6", "2,3,4", "2,3,6", "2,4,6", "2,3,4,6"]
+    )
+
+
+def test_one_or_more_optional_is_zero_or_more(docs_sequence):
+    # oneOrMore().optional() relaxes the lower bound (Pattern.optional):
+    # the no-middle match {C B} joins the four relaxed prefixes
+    pat = (
+        Pattern.begin("start")
+        .where(lambda r: r["s"] == "c")
+        .followed_by("middle")
+        .where(lambda r: r["s"] == "a")
+        .one_or_more()
+        .optional()
+        .followed_by("end")
+        .where(lambda r: r["s"] == "b")
+    )
+    out = CEP.pattern(docs_sequence.key_by("k"), pat).select(
+        lambda m: {"n": len(m["middle"])}, "n INT"
+    )
+    assert sorted(r.n for r in out.to_data_frame().collect()) == [0, 1, 2, 3, 4]
+
+
 def test_consecutive_on_non_loop_rejected():
     with pytest.raises(ValueError, match="looping"):
         Pattern.begin("a").consecutive()
