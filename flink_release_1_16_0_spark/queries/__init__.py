@@ -89,12 +89,12 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-7 window, part 1 — the 16 never-driver-graded entries: the
+    # round-7 window, part 1 — the 17 never-driver-graded entries: the
     # 13 dsapi_* DataStream-facade queries added in r6 (all local-green
     # since; grading them closes the last gap so 100% of the registry
-    # has been driver-graded) plus the three r7 additions (Hive SQL
+    # has been driver-graded) plus the four r7 additions (Hive SQL
     # dialect, CEP timed-out-partial side output, unbounded DataStream
-    # window AggregateFunction).
+    # window AggregateFunction, SQL Gateway session service).
     "dsapi_keyed_reduce",
     "dsapi_process_timers",
     "dsapi_window_process",
@@ -111,7 +111,8 @@ _PRIORITY = (
     "dsapi_cep_timeout",
     "dsapi_stream_window_aggregate",
     "api_sql_hive_dialect",
-    # part 2 — 34 re-grades: first the families whose code r7 touched
+    "api_sql_gateway",
+    # part 2 — 33 re-grades: first the families whose code r7 touched
     # (CEP tiers gained relaxed-loop quantifiers + timeout emission;
     # table_env filesystem writes gained staged-manifest partition
     # commit, dynamic partition overwrite, and writer-option
@@ -128,7 +129,6 @@ _PRIORITY = (
     "api_sql_catalog_ddl",
     "q1_pricing_summary",
     "q9_product_profit",
-    "q3_shipping_priority",
     "join_asof",
     "join_skew_salted",
     "lookup_join_dim",

@@ -508,3 +508,67 @@ def api_sql_hive_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT rk, COUNT(*) AS n_nations, MIN(n_name) AS first_name "
         "FROM hd_by_region GROUP BY rk"
     ).to_data_frame()
+
+
+_GATEWAY_ORACLE = """
+SELECT r_name,
+       COUNT(*) AS n_nations,
+       MIN(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("api_sql_gateway", _GATEWAY_ORACLE, tags=("api", "gateway", "sql"))
+def api_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL Gateway session service end to end
+    (flink-sql-gateway's SqlGatewayServiceImpl / OperationManager /
+    ResultFetcher): open a session, run DDL + a join-aggregate through
+    executeStatement, poll the operation to FINISHED, then reassemble
+    the token-paged ResultSet into a DataFrame — the exact
+    open/execute/fetch lifecycle a gateway client drives."""
+    import time
+
+    from flink_release_1_16_0_spark.sql_gateway import FINISHED, SqlGatewayService
+
+    service = SqlGatewayService(spark)
+    sh = service.open_session({}, "oracle-session")
+
+    def run(stmt: str):
+        oh = service.execute_statement(sh, stmt)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            st = service.get_operation_status(sh, oh)
+            if st == FINISHED:
+                return oh
+            if st in ("ERROR", "CANCELED"):
+                raise RuntimeError(f"gateway operation {st}")
+            time.sleep(0.05)
+        raise TimeoutError(stmt)
+
+    for name, cols in (
+        ("gw_nation", "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING"),
+        ("gw_region", "r_regionkey BIGINT, r_name STRING, r_comment STRING"),
+    ):
+        run(
+            f"""CREATE TABLE {name} ({cols}) WITH (
+                'connector'='filesystem',
+                'path'='{sf_dir}/{name[3:]}.parquet',
+                'format'='parquet')"""
+        )
+    oh = run(
+        "SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation "
+        "FROM gw_nation JOIN gw_region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name"
+    )
+    rows, token = [], 0
+    while True:
+        page = service.fetch_results(sh, oh, token, max_rows=2)
+        rows.extend(tuple(d["fields"]) for d in page["results"]["data"])
+        if page["resultType"] == "EOS":
+            break
+        token += 1
+    service.close_session(sh)
+    return spark.createDataFrame(
+        rows, "r_name STRING, n_nations BIGINT, first_nation STRING"
+    )
