@@ -154,19 +154,78 @@ def _translate_create_table(env, stmt: str) -> str:
     )
 
 
+def _translate_alter_table(stmt: str, up: str) -> str:
+    """The high-frequency SqlAlterHiveTable* forms
+    (flink-sql-parser-hive/.../ddl/SqlAlterHiveTableProps.java,
+    SqlAlterHiveTableLocation.java, SqlAlterHiveTableFileFormat.java):
+    SET TBLPROPERTIES / SET LOCATION / SET FILEFORMAT lower onto the
+    default dialect's ALTER TABLE ... SET (options); RENAME TO passes
+    through. Column/partition surgery raises with pointers."""
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        return f"ALTER TABLE {m.group('name')} SET ({m.group('props')})"
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+LOCATION\s+'(?P<loc>[^']*)'",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        return f"ALTER TABLE {m.group('name')} SET ('path'='{m.group('loc')}')"
+    m = re.fullmatch(
+        r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+FILEFORMAT\s+(?P<fmt>\w+)",
+        stmt,
+        re.IGNORECASE,
+    )
+    if m:
+        fmt = _STORED_FORMATS.get(m.group("fmt").lower())
+        if fmt is None:
+            raise ValueError(
+                f"hive dialect: SET FILEFORMAT {m.group('fmt').upper()} is not "
+                f"translated (supported: {', '.join(s.upper() for s in _STORED_FORMATS)})"
+            )
+        return f"ALTER TABLE {m.group('name')} SET ('format'='{fmt}')"
+    if re.search(r"\b(ADD|REPLACE|CHANGE)\s+COLUMNS?\b", up):
+        raise ValueError(
+            "hive dialect: ALTER TABLE column surgery is not translated — "
+            "recreate the table (CREATE TABLE ... LIKE keeps options)"
+        )
+    if re.search(r"\bADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\b", up):
+        raise ValueError(
+            "hive dialect: ALTER TABLE ADD PARTITION is unnecessary here — "
+            "the filesystem scan discovers hive-style partition directories "
+            "dynamically (write data under p=v/ and query)"
+        )
+    return stmt  # RENAME TO and friends share the default spelling
+
+
 def translate_hive(env, stmt: str) -> str:
     """Translate one Hive-dialect statement onto the default-dialect
     surface. Statements whose spelling already coincides (SELECT, USE,
     SHOW, DROP, SET, ...) pass through with backticks stripped."""
+    from flink_release_1_16_0_spark.table_env import _split_sql_literals
+
     stmt = _strip_backticks(env, stmt).strip()
     up = stmt.upper()
-    if re.match(r"CREATE\s+(?:EXTERNAL\s+)?TABLE\b", up) and " LIKE " not in up:
+    # the LIKE check must ignore string literals (a column COMMENT
+    # containing the word would otherwise skip translation)
+    bare = "".join(
+        seg for is_lit, seg in _split_sql_literals(stmt) if not is_lit
+    ).upper()
+    if re.match(r"CREATE\s+(?:EXTERNAL\s+)?TABLE\b", up) and not re.search(
+        r"\bLIKE\b", bare
+    ):
         return _translate_create_table(env, stmt)
     m = _INSERT_TABLE_RE.match(stmt)
     if m:
         # INSERT INTO|OVERWRITE TABLE t ... -> drop the TABLE keyword
         # (RichSqlInsert accepts both; the default dialect omits it)
         return m.group(1) + " " + stmt[m.end():]
+    if re.match(r"ALTER\s+TABLE\b", up):
+        return _translate_alter_table(stmt, up)
     if re.match(r"CREATE\s+(?:DATABASE|SCHEMA)\b", up):
         # SCHEMA is Hive's synonym; a LOCATION clause has no counterpart
         # on the in-memory database namespace — drop it

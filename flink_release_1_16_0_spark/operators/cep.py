@@ -710,22 +710,36 @@ def nfa_longest_partial(
         ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
         return bool(pred(rows[i], ctx))
 
+    pending_entry = False
     for var, quant in steps:
         pred = defines.get(var)
         loop = _parse_loop_quant(quant)
+        if var.startswith("__skip") and pred is None and loop is not None:
+            # the unnamed relaxed-contiguity skip edge: in this greedy
+            # partial walk it must NOT consume rows the next variable
+            # would bind (an unconditioned star accepts everything) —
+            # defer it as entry relaxation for the following step
+            pending_entry = True
+            continue
+        entry_scan = pending_entry or bool(loop and loop[5])
+        pending_entry = False
         if loop is None:
-            if accepts(var, pred, pos, []):
-                bound[var] = bound.get(var, []) + [pos]
-                pos += 1
+            i = pos
+            if entry_scan:
+                while i < len(rows) and not accepts(var, pred, i, []):
+                    i += 1
+            if accepts(var, pred, i, []):
+                bound[var] = bound.get(var, []) + [i]
+                pos = i + 1
             elif quant in ("?", "??"):
                 continue
             else:
                 break
         else:
-            min_n, max_n, _reluctant, relaxed, _combos, entry = loop
+            min_n, max_n, _reluctant, relaxed, _combos, _entry = loop
             taken: list[int] = []
             i = pos
-            if entry:
+            if entry_scan:
                 while i < len(rows) and not accepts(var, pred, i, []):
                     i += 1
             while i < len(rows) and (max_n is None or len(taken) < max_n):

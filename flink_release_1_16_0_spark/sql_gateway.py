@@ -86,6 +86,7 @@ class _Operation:
         self.rows: list[list] = []
         self.is_query = False
         self.next_token = 0
+        self.offset = 0  # rows consumed by pages 0..next_token-1
         self.last_page: tuple[int, dict] | None = None
         self.lock = threading.Lock()
         self.done = threading.Event()
@@ -104,6 +105,10 @@ class Session:
         for k, v in properties.items():
             self.tenv._config[k] = v
         self.operations: dict[str, _Operation] = {}
+        # OperationManager serializes execution per session — two
+        # in-flight statements must not race on the session's
+        # TableEnvironment state (catalog maps, dialect/config)
+        self.exec_lock = threading.Lock()
 
 
 class SqlGatewayService:
@@ -146,52 +151,56 @@ class SqlGatewayService:
         s.operations[op.handle] = op
 
         def run() -> None:
-            with op.lock:
-                if op.status != PENDING:  # canceled before start
-                    return
-                op.status = RUNNING
-            try:
-                result = s.tenv.execute_sql(statement)
-                df = result.to_data_frame()
-                if df is not None:
-                    op.is_query = True
-                    op.columns = [
-                        {
-                            "name": f.name,
-                            "logicalType": {
-                                "type": _flink_type(f.dataType.simpleString()),
-                                "nullable": f.nullable,
-                            },
-                            "comment": None,
-                        }
-                        for f in df.schema.fields
-                    ]
-                    op.rows = [
-                        [_json_value(v) for v in row] for row in df.collect()
-                    ]
-                else:
-                    rows = result.collect()
-                    op.columns = [
-                        {
-                            "name": "result",
-                            "logicalType": {"type": "VARCHAR", "nullable": True},
-                            "comment": None,
-                        }
-                    ]
-                    op.rows = [[_json_value(r)] for r in rows]
-                with op.lock:
-                    if op.status == RUNNING:
-                        op.status = FINISHED
-            except Exception as exc:  # surfaced through getOperationStatus/fetch
-                op.error = f"{type(exc).__name__}: {exc}"
-                with op.lock:
-                    if op.status == RUNNING:
-                        op.status = ERROR
-            finally:
-                op.done.set()
+            with s.exec_lock:  # one operation at a time per session
+                self._run_operation(s, op, statement)
 
         threading.Thread(target=run, daemon=True).start()
         return op.handle
+
+    def _run_operation(self, s: Session, op: _Operation, statement: str) -> None:
+        with op.lock:
+            if op.status != PENDING:  # canceled before start
+                return
+            op.status = RUNNING
+        try:
+            result = s.tenv.execute_sql(statement)
+            df = result.to_data_frame()
+            if df is not None:
+                op.is_query = True
+                op.columns = [
+                    {
+                        "name": f.name,
+                        "logicalType": {
+                            "type": _flink_type(f.dataType.simpleString()),
+                            "nullable": f.nullable,
+                        },
+                        "comment": None,
+                    }
+                    for f in df.schema.fields
+                ]
+                op.rows = [
+                    [_json_value(v) for v in row] for row in df.collect()
+                ]
+            else:
+                rows = result.collect()
+                op.columns = [
+                    {
+                        "name": "result",
+                        "logicalType": {"type": "VARCHAR", "nullable": True},
+                        "comment": None,
+                    }
+                ]
+                op.rows = [[_json_value(r)] for r in rows]
+            with op.lock:
+                if op.status == RUNNING:
+                    op.status = FINISHED
+        except Exception as exc:  # surfaced through getOperationStatus/fetch
+            op.error = f"{type(exc).__name__}: {exc}"
+            with op.lock:
+                if op.status == RUNNING:
+                    op.status = ERROR
+        finally:
+            op.done.set()
 
     def _operation(self, session_handle: str, op_handle: str) -> _Operation:
         s = self._session(session_handle)
@@ -253,7 +262,10 @@ class SqlGatewayService:
                     f"expected token {op.next_token}, got {token} "
                     "(tokens are fetched in order; only the current page may be retried)"
                 )
-            start = token * max_rows
+            # each page continues where the previous ended, whatever
+            # maxRows the previous request used (ResultFetcher pages are
+            # independent of any single request's size)
+            start = op.offset
             page_rows = op.rows[start : start + max_rows]
             eos = start >= len(op.rows)
             body = {
@@ -267,6 +279,7 @@ class SqlGatewayService:
             }
             if not eos:
                 op.next_token = token + 1
+                op.offset = start + len(page_rows)
             op.last_page = (token, body)
             return body
 

@@ -483,27 +483,15 @@ class CatalogTable:
                         out, self.options["path"], partition_cols=pcols
                     )
                 return
-            # forward pass-through format options (e.g. csv 'sep') so
-            # reads and writes agree — the scan side already forwards
-            # everything beyond the engine-reserved keys
-            extra_opts = {
-                k: v
-                for k, v in self.options.items()
-                if k
-                not in ("connector", "path", "format", "changelog-mode", "upsert.order-column")
-                and not k.startswith("sink.")
-            }
             if self._has_commit_policy():
                 # partition-commit tables write through a per-job staging
                 # dir and rename (PartitionTempFileManager /
                 # FileSystemCommitter): the commit set is exactly the
                 # files THIS job produced — a concurrent writer into the
                 # same path can never be co-committed
-                self._commit_partitions(
-                    self._stage_and_move(out, fmt, extra_opts, overwrite)
-                )
+                self._commit_partitions(self._stage_and_move(out, fmt, overwrite))
                 return
-            writer = out.write.format(fmt).options(**extra_opts).mode(
+            writer = out.write.format(fmt).options(**self._format_extra_opts()).mode(
                 "overwrite" if overwrite else "append"
             )
             if self.partitioned_by:
@@ -549,11 +537,25 @@ class CatalogTable:
             self.options.get("sink.partition-commit.policy.kind", "").strip()
         )
 
+    def _format_extra_opts(self) -> dict[str, str]:
+        """Pass-through format options (e.g. csv 'sep') so reads and
+        writes agree — the scan side forwards everything beyond the
+        engine-reserved keys, and every write path must match."""
+        return {
+            k: v
+            for k, v in self.options.items()
+            if k
+            not in (
+                "connector", "path", "format", "changelog-mode",
+                "upsert.order-column", "checkpoint",
+            )
+            and not k.startswith("sink.")
+        }
+
     def _stage_and_move(
         self,
         batch_df: DataFrame,
         fmt: str,
-        extra_opts: dict[str, str],
         overwrite: bool,
     ) -> list[str]:
         """Write through a per-job staging directory under the sink path
@@ -571,7 +573,7 @@ class CatalogTable:
         base = self.options["path"]
         staging = os.path.join(base, f".staging-{uuid.uuid4().hex}")
         pcols = list(self.partitioned_by)
-        w = batch_df.write.format(fmt).options(**extra_opts).mode("overwrite")
+        w = batch_df.write.format(fmt).options(**self._format_extra_opts()).mode("overwrite")
         if pcols:
             w = w.partitionBy(*pcols)
         w.save(staging)
@@ -616,24 +618,26 @@ class CatalogTable:
         _sh.rmtree(staging, ignore_errors=True)
         return sorted(rels)
 
-    def _commit_log_partitions(self, before: set[str]) -> list[str]:
-        """Partition set from the entries the native file sink's
-        ``_spark_metadata`` commit log gained during THIS execution
-        (``before`` = the log's filenames at start) — the sink's own
-        exact manifest of committed data files, the streaming analogue
-        of the staging-dir protocol."""
+    def _commit_log_paths(self) -> set[str]:
+        """Every committed data-file path currently recorded in the
+        native file sink's ``_spark_metadata`` commit log. Read in full
+        (including ``.compact`` files, which fold all history) so a
+        before/after DIFF of this set is exactly the files THIS
+        execution committed — diffing log FILENAMES would over-commit
+        whenever a compaction rewrites history into one new file."""
         import json as _json
 
-        base = self.options["path"].rstrip("/")
-        meta = os.path.join(base, "_spark_metadata")
-        depth = len(self.partitioned_by)
-        rels: set[str] = set()
+        meta = os.path.join(self.options["path"].rstrip("/"), "_spark_metadata")
+        paths: set[str] = set()
         if not os.path.isdir(meta):
-            return []
+            return paths
         for fn in os.listdir(meta):
-            if fn in before or fn.startswith("."):
+            if fn.startswith("."):
                 continue
-            with open(os.path.join(meta, fn)) as fh:
+            full = os.path.join(meta, fn)
+            if not os.path.isfile(full):
+                continue
+            with open(full) as fh:
                 for line in fh:
                     line = line.strip()
                     if not line.startswith("{"):
@@ -642,17 +646,30 @@ class CatalogTable:
                         p = _json.loads(line).get("path", "")
                     except ValueError:
                         continue
-                    if "://" in p:  # file:///x/y -> /x/y
-                        p = "/" + p.split("://", 1)[1].lstrip("/")
-                    idx = p.find(base)
-                    if idx < 0:
-                        continue
-                    rel_dir = os.path.dirname(p[idx + len(base):]).strip("/")
-                    segs = [s for s in rel_dir.split("/") if "=" in s]
-                    if depth == 0:
-                        rels.add("")
-                    elif len(segs) >= depth:
-                        rels.add("/".join(segs[:depth]))
+                    if p:
+                        paths.add(p)
+        return paths
+
+    def _commit_log_partitions(self, before: set[str]) -> list[str]:
+        """Partition set of the files the commit log gained during THIS
+        execution (``before`` = the committed-path snapshot at start) —
+        the sink's own exact manifest, the streaming analogue of the
+        staging-dir protocol."""
+        base = self.options["path"].rstrip("/")
+        depth = len(self.partitioned_by)
+        rels: set[str] = set()
+        for p in self._commit_log_paths() - before:
+            if "://" in p:  # file:///x/y -> /x/y
+                p = "/" + p.split("://", 1)[1].lstrip("/")
+            idx = p.find(base)
+            if idx < 0:
+                continue
+            rel_dir = os.path.dirname(p[idx + len(base):]).strip("/")
+            segs = [s for s in rel_dir.split("/") if "=" in s]
+            if depth == 0:
+                rels.add("")
+            elif len(segs) >= depth:
+                rels.add("/".join(segs[:depth]))
         return sorted(rels)
 
     def _commit_partitions(self, rel_paths: list[str]) -> None:
@@ -733,11 +750,11 @@ class CatalogTable:
                     )
                 # explicit opt-in: resumable exactly-once via the native
                 # file sink's _spark_metadata commit log
-                meta = os.path.join(path.rstrip("/"), "_spark_metadata")
-                if os.path.isdir(meta):
-                    meta_before = set(os.listdir(meta))
+                if self._has_commit_policy():
+                    meta_before = self._commit_log_paths()
                 writer = (
                     out.writeStream.format(fmt)
+                    .options(**self._format_extra_opts())
                     .option("path", path)
                     .option("checkpointLocation", self.options["checkpoint"])
                 )
@@ -752,10 +769,14 @@ class CatalogTable:
                         # this batch's files (foreachBatch runs on the
                         # driver, so the accumulation is single-threaded)
                         committed.update(
-                            self._stage_and_move(batch_df, fmt, {}, overwrite=False)
+                            self._stage_and_move(batch_df, fmt, overwrite=False)
                         )
                         return
-                    w = batch_df.write.format(fmt).mode("append")
+                    w = (
+                        batch_df.write.format(fmt)
+                        .options(**self._format_extra_opts())
+                        .mode("append")
+                    )
                     if partitions:
                         w = w.partitionBy(*partitions)
                     w.save(path)

@@ -638,6 +638,9 @@ def test_streaming_window_aggregate(spark, env, clicks_parquet):
     # and [10:10,10:20) = 5 fire, b's [10:00,10:10) = 30 fires; c's
     # [10:30,10:40) window end is past the watermark -> silent
     assert rows == [("a", 4), ("a", 5), ("b", 30)]
+
+
+def test_streaming_builtin_aggs(spark, env, clicks_parquet):
     from flink_release_1_16_0_spark.streaming.core import run_to_table
 
     s = _stream_clicks(spark, env, clicks_parquet)

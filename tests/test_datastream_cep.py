@@ -337,6 +337,48 @@ def test_timeout_partial_matches_side_output(env):
     assert timed[0].t_out == _ts(12).replace(tzinfo=datetime.timezone.utc).timestamp() * 1000
 
 
+def test_timeout_partial_binds_intermediate_variables(env):
+    """A 3-step pattern timing out after binding a AND b must deliver
+    BOTH in the partial (review finding: the relaxed-contiguity skip
+    edges used to swallow the whole window in the greedy partial walk,
+    leaving every variable after the first followed_by unbound)."""
+    from flink_release_1_16_0_spark.datastream import OutputTag
+
+    rows = [
+        {"k": "k1", "ts": _ts(0), "s": "a", "v": 1},
+        {"k": "k1", "ts": _ts(1), "s": "x", "v": 2},  # skipped by relaxed
+        {"k": "k1", "ts": _ts(2), "s": "b", "v": 3},
+        # no 'c' ever arrives inside the 10-minute horizon
+        {"k": "k1", "ts": _ts(30), "s": "x", "v": 4},
+    ]
+    s = env.from_collection(rows, "k STRING, ts TIMESTAMP, s STRING, v INT").assign_timestamps_and_watermarks(
+        WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+    )
+    pat = (
+        Pattern.begin("a")
+        .where(lambda r: r["s"] == "a")
+        .followed_by("b")
+        .where(lambda r: r["s"] == "b")
+        .followed_by("c")
+        .where(lambda r: r["s"] == "c")
+        .within("10 minutes")
+    )
+    tag = OutputTag("t3", "av INT, bv INT, n_c INT")
+    out = CEP.pattern(s.key_by("k"), pat).select(
+        lambda m: {"av": None, "bv": None, "n_c": 1},
+        "av INT, bv INT, n_c INT",
+        timeout_tag=tag,
+        timeout_fn=lambda m, t: {
+            "av": m["a"][0]["v"],
+            "bv": m["b"][0]["v"] if m["b"] else None,
+            "n_c": len(m["c"]),
+        },
+    )
+    assert out.to_data_frame().count() == 0  # no full match
+    timed = out.get_side_output(tag).to_data_frame().collect()
+    assert [(r.av, r.bv, r.n_c) for r in timed] == [(1, 3, 0)]
+
+
 def test_timeout_side_output_requires_within(quotes):
     from flink_release_1_16_0_spark.datastream import OutputTag
 

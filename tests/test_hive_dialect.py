@@ -112,6 +112,28 @@ def test_hive_dialect_tblproperties_and_schema_synonym(tenv, tmp_path):
     assert t.options["format"] == "orc" and t.options["auto.purge"] == "true"
 
 
+def test_hive_dialect_alter_table(tenv, tmp_path):
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"CREATE TABLE hv_alter (x INT) STORED AS PARQUET LOCATION '{tmp_path}/a1'"
+    )
+    tenv.execute_sql(
+        "ALTER TABLE `hv_alter` SET TBLPROPERTIES ('owner'='etl', 'retention'='30d')"
+    )
+    t = tenv._tables["hv_alter"]
+    assert t.options["owner"] == "etl" and t.options["retention"] == "30d"
+    tenv.execute_sql(f"ALTER TABLE hv_alter SET LOCATION '{tmp_path}/a2'")
+    assert tenv._tables["hv_alter"].options["path"] == f"{tmp_path}/a2"
+    tenv.execute_sql("ALTER TABLE hv_alter SET FILEFORMAT ORC")
+    assert tenv._tables["hv_alter"].options["format"] == "orc"
+    tenv.execute_sql("ALTER TABLE hv_alter RENAME TO hv_alter2")
+    assert "hv_alter2" in tenv._tables and "hv_alter" not in tenv._tables
+    with pytest.raises(ValueError, match="column surgery"):
+        tenv.execute_sql("ALTER TABLE hv_alter2 ADD COLUMNS (y INT)")
+    with pytest.raises(ValueError, match="discovers"):
+        tenv.execute_sql("ALTER TABLE hv_alter2 ADD PARTITION (p='x')")
+
+
 def test_hive_dialect_rejects_untranslatable(tenv):
     tenv.execute_sql("SET 'table.sql-dialect'='hive'")
     with pytest.raises(ValueError, match="SERDE"):
