@@ -1031,8 +1031,9 @@ class WindowedStream:
         drop_key = self.drop_key
         nk = len(keys)
         gap_ms = _to_ms(self.assigner.gap) if kind == "session" else 0
+        gcols = [*keys, *wcols]
 
-        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        def group_rows(key: tuple, pdf: pd.DataFrame) -> list[dict]:
             if tcol:
                 pdf = pdf.sort_values(tcol, kind="stable")
             if kind == "count":
@@ -1049,10 +1050,47 @@ class WindowedStream:
                 # the synthetic constant key of windowAll is plumbing,
                 # not data — user functions never see it
                 helper += [k for k in keys if k in pdf.columns]
-            rows = per_window(kval, window, pdf.drop(columns=helper))
+            return per_window(kval, window, pdf.drop(columns=helper))
+
+        # Lowering: ONE shuffle on (key, window) then mapInPandas with
+        # group iteration inside each Arrow batch — per-group Python
+        # invocation cost (Spark's applyInPandas calls the worker once
+        # PER GROUP) amortizes across the thousands-of-tiny-windows
+        # shape this operator produces. A group can span two Arrow
+        # batches inside a partition, so the last (possibly incomplete)
+        # group of every batch carries over to the next.
+        def _split_last_group(pdf: pd.DataFrame):
+            last = pdf[gcols].iloc[-1]
+            m = pd.Series(True, index=pdf.index)
+            for c in gcols:
+                v = last[c]
+                m &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
+            return pdf[~m], pdf[m]
+
+        def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows: list[dict] = []
+            for key, g in pdf.groupby(gcols, sort=False, dropna=False):
+                if not isinstance(key, tuple):
+                    key = (key,)
+                rows.extend(group_rows(key, g))
             return _to_pdf(rows, names)
 
-        out = df.groupBy(*keys, *wcols).applyInPandas(lambda k, p: harness(k, p), schema)
+        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            carry: pd.DataFrame | None = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+                if len(pdf) == 0:
+                    continue
+                body, carry = _split_last_group(pdf)
+                if len(body):
+                    yield _emit(body)
+            if carry is not None and len(carry):
+                yield _emit(carry)
+
+        parts = df.repartition(*gcols).sortWithinPartitions(*gcols)
+        out = parts.mapInPandas(gen, schema)
         return DataStream(
             self.env, out, None, empty_tags=getattr(self, "_late_tags", ())
         )
@@ -1626,8 +1664,9 @@ class CoGroupedStreams(_WindowPair):
         unioned = lu.unionByName(ru)
         schema = _parse_ddl(env.spark, output_type)
         names = [fld.name for fld in schema.fields]
+        gcols = ["__k", "__win_start"]
 
-        def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        def group_rows(pdf: pd.DataFrame) -> list[dict]:
             firsts = [
                 {c: row[f"__l_{c}"] for c in lcols}
                 for row in _row_iter(pdf[pdf["__side"] == 0])
@@ -1638,9 +1677,33 @@ class CoGroupedStreams(_WindowPair):
             ]
             col = Collector()
             fn.co_group(firsts, seconds, col)
-            return _to_pdf(col.rows, names)
+            return col.rows
 
-        out = unioned.groupBy("__k", "__win_start").applyInPandas(
-            lambda k, p: harness(k, p), schema
-        )
+        # same group-amortized mapInPandas lowering as WindowedStream:
+        # one shuffle on (key, window), groups iterated inside each
+        # Arrow batch, the last (possibly split) group carried over
+        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+            carry: pd.DataFrame | None = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+                if len(pdf) == 0:
+                    continue
+                last = pdf[gcols].iloc[-1]
+                m = pd.Series(True, index=pdf.index)
+                for c in gcols:
+                    v = last[c]
+                    m &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
+                body, carry = pdf[~m], pdf[m]
+                if len(body):
+                    rows: list[dict] = []
+                    for _key, g in body.groupby(gcols, sort=False, dropna=False):
+                        rows.extend(group_rows(g))
+                    yield _to_pdf(rows, names)
+            if carry is not None and len(carry):
+                yield _to_pdf(group_rows(carry), names)
+
+        parts = unioned.repartition(*gcols).sortWithinPartitions(*gcols)
+        out = parts.mapInPandas(gen, schema)
         return DataStream(env, out)

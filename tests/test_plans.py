@@ -451,3 +451,34 @@ def test_streaming_cep_shuffle_layout(spark, sf_smoke):
         value_cols=["event_type"],
     )
     _assert_single_keyed_exchange(_streaming_plan(spark, nfa_tier), "user_id")
+
+
+def test_hive_dialect_parquet_scan_pushdown(spark, sf_smoke, tmp_path):
+    """A table created through the Hive dialect is a first-class DSv2
+    parquet scan: filters push down and columns prune exactly like a
+    default-dialect table (the dialect translates DDL, it does not
+    introduce a slower scan path)."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE EXTERNAL TABLE hvp_orders (
+          `o_orderkey` BIGINT, `o_custkey` BIGINT, `o_orderstatus` STRING,
+          `o_totalprice` DOUBLE, `o_orderdate` TIMESTAMP,
+          `o_orderpriority` STRING, `o_clerk` STRING, `o_shippriority` INT,
+          `o_comment` STRING
+        ) STORED AS PARQUET LOCATION '{sf_smoke}/orders.parquet'"""
+    )
+    df = tenv.sql_query(
+        "SELECT o_orderkey, o_totalprice FROM hvp_orders WHERE o_totalprice > 1000"
+    ).to_data_frame()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "GreaterThan(o_totalprice" in plan  # pushdown reached the scan
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_comment" not in read_schema  # pruning
+    assert "o_totalprice" in read_schema
