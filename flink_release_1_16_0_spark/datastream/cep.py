@@ -438,9 +438,10 @@ class PatternStream:
                     start += 1
             return _to_pdf(out, names)
 
-        out = keyed.stream.df.groupBy(*keyed.keys).applyInPandas(
-            lambda k, p: harness(k, p), schema
-        )
+        from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
+
+        # group-amortized per-key matching (see _grouped_apply)
+        out = _grouped_apply(keyed.stream.df, list(keyed.keys), harness, schema)
         side = (timeout_tag,) if use_side else ()
         return DataStream(keyed.env, out, None, side)
 

@@ -171,6 +171,66 @@ def _assign_session_ids(df: DataFrame, tcol: str, keys: list[str], gap_ms: int) 
     return df.withColumn("__sess", F.sum(F.coalesce(brk, F.lit(0))).over(w))
 
 
+def _grouped_apply(
+    df: DataFrame,
+    gcols: list[str],
+    harness: Callable[[tuple, pd.DataFrame], pd.DataFrame],
+    schema: StructType,
+) -> DataFrame:
+    """Keyed-group apply with PER-BATCH group iteration: one shuffle on
+    ``gcols`` + ``mapInPandas`` walking the groups inside each Arrow
+    batch. ``applyInPandas`` invokes the Python worker once PER GROUP,
+    which dominates wall time on many-small-groups shapes (thousands of
+    users/windows with a handful of rows each) — iterating groups inside
+    a batch amortizes that cost to one invocation per ~10k rows. The
+    reference pays one operator call per record either way; this keeps
+    the facade's per-group overhead from exceeding it.
+
+    Groups are made contiguous by sortWithinPartitions; a group can
+    still be SPLIT across two Arrow batches, so each batch's last group
+    carries over (null-safe key comparison) and flushes at end of
+    partition. ``harness(key_tuple, group_pdf) -> result_pdf`` keeps the
+    exact applyInPandas contract (group columns included in the pdf)."""
+    names = [f.name for f in schema.fields]
+
+    def split_last(pdf: pd.DataFrame):
+        last = pdf[gcols].iloc[-1]
+        m = pd.Series(True, index=pdf.index)
+        for c in gcols:
+            v = last[c]
+            m &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
+        return pdf[~m], pdf[m]
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for key, g in pdf.groupby(gcols, sort=False, dropna=False):
+            if not isinstance(key, tuple):
+                key = (key,)
+            out = harness(key, g)
+            if len(out):
+                frames.append(out)
+        if not frames:
+            return _to_pdf([], names)
+        return pd.concat(frames, ignore_index=True)
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+            if len(pdf) == 0:
+                continue
+            body, carry = split_last(pdf)
+            if len(body):
+                yield emit(body)
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    parts = df.repartition(*gcols).sortWithinPartitions(*gcols)
+    return parts.mapInPandas(gen, schema)
+
+
 # ---------------------------------------------------------------------------
 # window assigners (flink-streaming-java/.../windowing/assigners/*.java)
 
@@ -646,7 +706,7 @@ class KeyedStream:
         if self.stream.df.isStreaming:
             return self._streaming_rolling_reduce(f, schema, names, tcol)
 
-        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        def fold(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             if tcol:
                 pdf = pdf.sort_values(tcol, kind="stable")
             acc = None
@@ -654,7 +714,7 @@ class KeyedStream:
                 acc = row if acc is None else f(acc, row)
             return _to_pdf([acc] if acc is not None else [], names)
 
-        out = self.stream.df.groupBy(*self.keys).applyInPandas(fold, schema)
+        out = _grouped_apply(self.stream.df, list(self.keys), fold, schema)
         return DataStream(self.env, out, None)
 
     def _streaming_rolling_reduce(
@@ -740,9 +800,7 @@ class KeyedStream:
                 out.append({_SIDE_TAG: tag_id, _SIDE_JSON: json.dumps(r, default=str)})
             return _to_pdf(out, names)
 
-        out = self.stream.df.groupBy(*keys).applyInPandas(
-            lambda key, pdf: harness(key, pdf), schema
-        )
+        out = _grouped_apply(self.stream.df, list(keys), harness, schema)
         return DataStream(self.env, out, None, tuple(side_outputs))
 
     def _process_streaming(
@@ -1052,45 +1110,13 @@ class WindowedStream:
                 helper += [k for k in keys if k in pdf.columns]
             return per_window(kval, window, pdf.drop(columns=helper))
 
-        # Lowering: ONE shuffle on (key, window) then mapInPandas with
-        # group iteration inside each Arrow batch — per-group Python
-        # invocation cost (Spark's applyInPandas calls the worker once
-        # PER GROUP) amortizes across the thousands-of-tiny-windows
-        # shape this operator produces. A group can span two Arrow
-        # batches inside a partition, so the last (possibly incomplete)
-        # group of every batch carries over to the next.
-        def _split_last_group(pdf: pd.DataFrame):
-            last = pdf[gcols].iloc[-1]
-            m = pd.Series(True, index=pdf.index)
-            for c in gcols:
-                v = last[c]
-                m &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
-            return pdf[~m], pdf[m]
-
-        def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
-            rows: list[dict] = []
-            for key, g in pdf.groupby(gcols, sort=False, dropna=False):
-                if not isinstance(key, tuple):
-                    key = (key,)
-                rows.extend(group_rows(key, g))
-            return _to_pdf(rows, names)
-
-        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-            carry: pd.DataFrame | None = None
-            for pdf in batches:
-                if carry is not None and len(carry):
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-                if len(pdf) == 0:
-                    continue
-                body, carry = _split_last_group(pdf)
-                if len(body):
-                    yield _emit(body)
-            if carry is not None and len(carry):
-                yield _emit(carry)
-
-        parts = df.repartition(*gcols).sortWithinPartitions(*gcols)
-        out = parts.mapInPandas(gen, schema)
+        # group-amortized lowering: one shuffle on (key, window), groups
+        # iterated inside each Arrow batch (see _grouped_apply) — the
+        # thousands-of-tiny-windows shape would otherwise pay a Python
+        # worker invocation per window
+        out = _grouped_apply(
+            df, gcols, lambda key, g: _to_pdf(group_rows(key, g), names), schema
+        )
         return DataStream(
             self.env, out, None, empty_tags=getattr(self, "_late_tags", ())
         )
@@ -1318,7 +1344,7 @@ class ConnectedStreams:
             fn.close()
             return _to_pdf(col.rows, names)
 
-        out = unioned.groupBy(*kcols).applyInPandas(lambda k, p: harness(k, p), schema)
+        out = _grouped_apply(unioned, kcols, harness, schema)
         return DataStream(env, out)
 
     def _process_streaming(
@@ -1666,7 +1692,7 @@ class CoGroupedStreams(_WindowPair):
         names = [fld.name for fld in schema.fields]
         gcols = ["__k", "__win_start"]
 
-        def group_rows(pdf: pd.DataFrame) -> list[dict]:
+        def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             firsts = [
                 {c: row[f"__l_{c}"] for c in lcols}
                 for row in _row_iter(pdf[pdf["__side"] == 0])
@@ -1677,33 +1703,8 @@ class CoGroupedStreams(_WindowPair):
             ]
             col = Collector()
             fn.co_group(firsts, seconds, col)
-            return col.rows
+            return _to_pdf(col.rows, names)
 
-        # same group-amortized mapInPandas lowering as WindowedStream:
-        # one shuffle on (key, window), groups iterated inside each
-        # Arrow batch, the last (possibly split) group carried over
-        def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-            carry: pd.DataFrame | None = None
-            for pdf in batches:
-                if carry is not None and len(carry):
-                    pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-                if len(pdf) == 0:
-                    continue
-                last = pdf[gcols].iloc[-1]
-                m = pd.Series(True, index=pdf.index)
-                for c in gcols:
-                    v = last[c]
-                    m &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
-                body, carry = pdf[~m], pdf[m]
-                if len(body):
-                    rows: list[dict] = []
-                    for _key, g in body.groupby(gcols, sort=False, dropna=False):
-                        rows.extend(group_rows(g))
-                    yield _to_pdf(rows, names)
-            if carry is not None and len(carry):
-                yield _to_pdf(group_rows(carry), names)
-
-        parts = unioned.repartition(*gcols).sortWithinPartitions(*gcols)
-        out = parts.mapInPandas(gen, schema)
+        # group-amortized lowering on (key, window) — see _grouped_apply
+        out = _grouped_apply(unioned, gcols, harness, schema)
         return DataStream(env, out)
