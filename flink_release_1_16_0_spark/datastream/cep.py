@@ -23,8 +23,11 @@ time-sorted), with the reference's default AfterMatchSkipStrategy.noSkip
 ``skip_past_last_row`` (non-overlapping; emits the greedy-longest match
 per anchor).
 
-Bounded (BATCH-mode) inputs only — the unbounded NFA with the WITHIN
-finalization horizon is the Table layer's ``streaming/cep_stream.py``.
+Bounded (BATCH-mode) inputs run per key in one group-amortized pass;
+UNBOUNDED inputs run the same NFA in keyed state with the WITHIN
+finalization horizon (``_select_streaming`` — the CepOperator pattern,
+same argument as the Table layer's ``streaming/cep_stream.py``), with
+timed-out partials routable to an OutputTag on both paths.
 """
 
 from __future__ import annotations

@@ -718,6 +718,47 @@ def test_facade_plan_topology(env, clicks):
     assert "MapInPandas" in plan2
 
 
+def test_grouped_apply_groups_split_across_arrow_batches(spark, env):
+    """The group-amortized lowering must reassemble groups that Arrow
+    splits across batches: with maxRecordsPerBatch=7 and 40-row groups,
+    every group spans several batches and only the carry-over logic
+    keeps the per-key fold exact."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    try:
+        rows = [
+            {"k": f"k{i % 5}", "ts": _ts(j % 50, i), "n": 1}
+            for i in range(5)
+            for j in range(40)
+        ]
+        s = env.from_collection(rows, "k STRING, ts TIMESTAMP, n INT").assign_timestamps_and_watermarks(
+            WatermarkStrategy.for_monotonous_timestamps().with_timestamp_assigner("ts")
+        )
+        out = s.key_by("k").reduce(
+            lambda a, b: {"k": a["k"], "ts": b["ts"], "n": a["n"] + b["n"]}
+        )
+        got = sorted((r.k, r.n) for r in out.to_data_frame().collect())
+        assert got == [(f"k{i}", 40) for i in range(5)]
+        # windowed process under the same batch-splitting pressure
+        class CountWin(ProcessWindowFunction):
+            def process(self, key, ctx, elements, out):
+                out.collect({"k": key, "cnt": len(list(elements))})
+
+        win = (
+            s.key_by("k")
+            .window(TumblingEventTimeWindows.of("1 hour"))
+            .process(CountWin(), "k STRING, cnt INT")
+        )
+        got2 = sorted((r.k, r.cnt) for r in win.to_data_frame().collect())
+        assert got2 == [(f"k{i}", 40) for i in range(5)]
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 # -- review-finding regressions ----------------------------------------------
 
 
