@@ -176,6 +176,7 @@ def _grouped_apply(
     gcols: list[str],
     harness: Callable[[tuple, pd.DataFrame], pd.DataFrame],
     schema: StructType,
+    shuffle: bool = True,
 ) -> DataFrame:
     """Keyed-group apply with PER-BATCH group iteration: one shuffle on
     ``gcols`` + ``mapInPandas`` walking the groups inside each Arrow
@@ -186,20 +187,33 @@ def _grouped_apply(
     reference pays one operator call per record either way; this keeps
     the facade's per-group overhead from exceeding it.
 
-    Groups are made contiguous by sortWithinPartitions; a group can
-    still be SPLIT across two Arrow batches, so each batch's last group
-    carries over (null-safe key comparison) and flushes at end of
-    partition. ``harness(key_tuple, group_pdf) -> result_pdf`` keeps the
-    exact applyInPandas contract (group columns included in the pdf)."""
+    ``shuffle=False`` skips the repartition when the caller's plan
+    already co-locates each group inside one partition (e.g. a window
+    function partitioned by a PREFIX of ``gcols`` — session ids / count
+    fires derive from the key, so hash(key) partitioning covers
+    (key, window) groups); only the partition-local sort runs, keeping
+    the upstream exchange the plan's only one.
+
+    Groups are contiguous after the in-partition sort; a group can
+    still be SPLIT across Arrow batches, so each batch's trailing group
+    carries over as a LIST of pieces (null-safe key comparison,
+    concatenated exactly once when the group completes — a group
+    spanning many batches costs linear assembly, not quadratic).
+    ``harness(key_tuple, group_pdf) -> result_pdf`` keeps the exact
+    applyInPandas contract (group columns included in the pdf)."""
     names = [f.name for f in schema.fields]
 
-    def split_last(pdf: pd.DataFrame):
-        last = pdf[gcols].iloc[-1]
+    def key_mask(pdf: pd.DataFrame, key_row) -> pd.Series:
         m = pd.Series(True, index=pdf.index)
         for c in gcols:
-            v = last[c]
+            v = key_row[c]
             m &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
-        return pdf[~m], pdf[m]
+        return m
+
+    def same_key(a, b) -> bool:
+        return all(
+            (pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b)
+        )
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         frames = []
@@ -214,20 +228,41 @@ def _grouped_apply(
         return pd.concat(frames, ignore_index=True)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        carry: pd.DataFrame | None = None
+        carry: list[pd.DataFrame] = []
+
+        def flush() -> pd.DataFrame | None:
+            nonlocal carry
+            if not carry:
+                return None
+            grp = carry[0] if len(carry) == 1 else pd.concat(carry, ignore_index=True)
+            carry = []
+            return emit(grp)
+
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            carry = None
             if len(pdf) == 0:
                 continue
-            body, carry = split_last(pdf)
+            if carry:
+                ck = tuple(carry[-1][gcols].iloc[-1])
+                fk = tuple(pdf[gcols].iloc[0])
+                if same_key(ck, fk):
+                    head_m = key_mask(pdf, pdf[gcols].iloc[0])
+                    carry.append(pdf[head_m])
+                    pdf = pdf[~head_m]
+                    if len(pdf) == 0:
+                        continue  # batch fully absorbed by the carried group
+                out = flush()  # a different key follows: the group is complete
+                if out is not None and len(out):
+                    yield out
+            tail_m = key_mask(pdf, pdf[gcols].iloc[-1])
+            body = pdf[~tail_m]
+            carry = [pdf[tail_m]]
             if len(body):
                 yield emit(body)
-        if carry is not None and len(carry):
-            yield emit(carry)
+        out = flush()
+        if out is not None and len(out):
+            yield out
 
-    parts = df.repartition(*gcols).sortWithinPartitions(*gcols)
+    parts = (df.repartition(*gcols) if shuffle else df).sortWithinPartitions(*gcols)
     return parts.mapInPandas(gen, schema)
 
 
@@ -1113,9 +1148,16 @@ class WindowedStream:
         # group-amortized lowering: one shuffle on (key, window), groups
         # iterated inside each Arrow batch (see _grouped_apply) — the
         # thousands-of-tiny-windows shape would otherwise pay a Python
-        # worker invocation per window
+        # worker invocation per window. Session/count windows derive
+        # their window ids from a window function already partitioned by
+        # the key, so hash(key) co-location holds and the lowering skips
+        # its own shuffle — the plan keeps ONE exchange
         out = _grouped_apply(
-            df, gcols, lambda key, g: _to_pdf(group_rows(key, g), names), schema
+            df,
+            gcols,
+            lambda key, g: _to_pdf(group_rows(key, g), names),
+            schema,
+            shuffle=kind not in ("session", "count"),
         )
         return DataStream(
             self.env, out, None, empty_tags=getattr(self, "_late_tags", ())

@@ -210,14 +210,27 @@ def translate_hive(env, stmt: str) -> str:
 
     stmt = _strip_backticks(env, stmt).strip()
     up = stmt.upper()
-    # the LIKE check must ignore string literals (a column COMMENT
-    # containing the word would otherwise skip translation)
+    # CREATE TABLE ... LIKE detection: the LIKE keyword must sit at
+    # paren depth 0 and outside string literals — a column named `like`
+    # (inside the column parens) or a COMMENT containing the word must
+    # not skip translation
     bare = "".join(
         seg for is_lit, seg in _split_sql_literals(stmt) if not is_lit
     ).upper()
-    if re.match(r"CREATE\s+(?:EXTERNAL\s+)?TABLE\b", up) and not re.search(
-        r"\bLIKE\b", bare
-    ):
+
+    def top_level_like(text: str) -> bool:
+        depth = 0
+        for m in re.finditer(r"[()]|\bLIKE\b", text):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth = max(0, depth - 1)
+            elif depth == 0:
+                return True
+        return False
+
+    if re.match(r"CREATE\s+(?:EXTERNAL\s+)?TABLE\b", up) and not top_level_like(bare):
         return _translate_create_table(env, stmt)
     m = _INSERT_TABLE_RE.match(stmt)
     if m:

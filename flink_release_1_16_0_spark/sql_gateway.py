@@ -27,6 +27,7 @@ columns+data ResultSet with Flink logical-type names).
 from __future__ import annotations
 
 import json
+import queue
 import re
 import threading
 import uuid
@@ -105,10 +106,26 @@ class Session:
         for k, v in properties.items():
             self.tenv._config[k] = v
         self.operations: dict[str, _Operation] = {}
-        # OperationManager serializes execution per session — two
-        # in-flight statements must not race on the session's
-        # TableEnvironment state (catalog maps, dialect/config)
-        self.exec_lock = threading.Lock()
+        # OperationManager runs a session's operations IN SUBMISSION
+        # ORDER on one executor — a plain lock would serialize but not
+        # order (two pipelined statements could swap), so each session
+        # drains a FIFO work queue on a single daemon worker
+        self._work: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+
+    def _drain(self) -> None:
+        while True:
+            task = self._work.get()
+            if task is None:
+                return
+            task()
+
+    def submit(self, task) -> None:
+        self._work.put(task)
+
+    def close(self) -> None:
+        self._work.put(None)
 
 
 class SqlGatewayService:
@@ -134,7 +151,8 @@ class SqlGatewayService:
         return s
 
     def close_session(self, handle: str) -> None:
-        self._session(handle)
+        s = self._session(handle)
+        s.close()
         with self._lock:
             del self._sessions[handle]
 
@@ -149,12 +167,9 @@ class SqlGatewayService:
         s = self._session(session_handle)
         op = _Operation()
         s.operations[op.handle] = op
-
-        def run() -> None:
-            with s.exec_lock:  # one operation at a time per session
-                self._run_operation(s, op, statement)
-
-        threading.Thread(target=run, daemon=True).start()
+        # enqueue on the session's FIFO worker: pipelined statements
+        # execute in submission order, like OperationManager
+        s.submit(lambda: self._run_operation(s, op, statement))
         return op.handle
 
     def _run_operation(self, s: Session, op: _Operation, statement: str) -> None:

@@ -752,6 +752,18 @@ def test_grouped_apply_groups_split_across_arrow_batches(spark, env):
         )
         got2 = sorted((r.k, r.cnt) for r in win.to_data_frame().collect())
         assert got2 == [(f"k{i}", 40) for i in range(5)]
+        # session windows ride the shuffle-free path (the session-id
+        # window function already co-locates the key) — same splitting
+        # pressure, and the plan must still carry exactly ONE exchange
+        sess = (
+            s.key_by("k")
+            .window(EventTimeSessionWindows.with_gap("5 minutes"))
+            .process(CountWin(), "k STRING, cnt INT")
+        )
+        plan = sess.to_data_frame()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+        got3 = {(r.k, r.cnt) for r in sess.to_data_frame().collect()}
+        assert sum(c for _, c in got3) == 200  # every row in some session
     finally:
         if old is None:
             spark.conf.unset(key)

@@ -134,6 +134,23 @@ def test_hive_dialect_alter_table(tenv, tmp_path):
         tenv.execute_sql("ALTER TABLE hv_alter2 ADD PARTITION (p='x')")
 
 
+def test_hive_dialect_like_word_does_not_skip_translation(tenv, tmp_path):
+    """Only a TOP-LEVEL LIKE clause selects the CREATE TABLE LIKE path:
+    a column named `like` or a COMMENT containing the word must still
+    translate (review finding: the substring check skipped them)."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_likeish (
+              x INT COMMENT 'works like a charm',
+              y STRING
+            ) STORED AS PARQUET LOCATION '{tmp_path}/likeish'"""
+    )
+    t = tenv._tables["hv_likeish"]
+    assert t.options["format"] == "parquet"
+    tenv.execute_sql("INSERT INTO TABLE hv_likeish SELECT 1, 'a'")
+    assert tenv.sql_query("SELECT * FROM hv_likeish").to_data_frame().count() == 1
+
+
 def test_hive_dialect_rejects_untranslatable(tenv):
     tenv.execute_sql("SET 'table.sql-dialect'='hive'")
     with pytest.raises(ValueError, match="SERDE"):

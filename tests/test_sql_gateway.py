@@ -120,6 +120,31 @@ def test_ddl_then_query_same_session_and_isolation(service, spark, tmp_path):
     service.close_session(sh2)
 
 
+def test_pipelined_statements_run_in_submission_order(service, spark, tmp_path):
+    """Two statements submitted back-to-back WITHOUT polling must run in
+    submission order (review finding: a bare lock serialized but did not
+    order) — the dependent INSERT sees the table its predecessor
+    creates."""
+    spark.range(0, 3).selectExpr("id AS x").write.parquet(str(tmp_path / "src"))
+    sh = service.open_session()
+    handles = [
+        service.execute_statement(
+            sh,
+            f"""CREATE TABLE gw_fifo (x BIGINT) WITH (
+                'connector'='filesystem','path'='{tmp_path}/fifo','format'='parquet')""",
+        ),
+        service.execute_statement(
+            sh, f"INSERT INTO gw_fifo SELECT x FROM parquet.`{tmp_path}/src`"
+        ),
+        service.execute_statement(sh, "SELECT COUNT(*) AS n FROM gw_fifo"),
+    ]
+    for oh in handles:
+        assert _wait_finished(service, sh, oh) == FINISHED
+    rows, _ = _fetch_all(service, sh, handles[-1])
+    assert rows == [(3,)]
+    service.close_session(sh)
+
+
 def test_error_and_cancel_lifecycle(service):
     sh = service.open_session()
     oh = service.execute_statement(sh, "SELECT FROM nowhere !!")
