@@ -1760,6 +1760,11 @@ class TableEnvironment:
             from flink_release_1_16_0_spark.plans.compiled_plan import execute_plan
 
             return execute_plan(self, m.group(1))
+        if re.match(r"EXECUTE\s", up):
+            # SqlExecute (parserImpls.ftl:1997): EXECUTE wraps a query
+            # or an INSERT (statement sets / plans matched above) —
+            # unwrap and re-dispatch
+            return self.execute_sql(stmt[len("EXECUTE"):])
         if re.match(r"SET\s*$", up):
             rows = sorted(self._config.items())
             return TableResult(rows=rows)

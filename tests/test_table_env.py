@@ -457,6 +457,27 @@ def test_execute_statement_set_sql_syntax(tenv, spark):
     assert res.collect() == ["OK", "OK"]
 
 
+def test_execute_wraps_query_and_insert(tenv, spark):
+    """SqlExecute (parserImpls.ftl:1997): EXECUTE wraps a query or an
+    INSERT and behaves exactly like the unwrapped statement."""
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE exw_src (
+          r_regionkey BIGINT, r_name STRING, r_comment STRING
+        ) WITH ('connector'='filesystem', 'path'='{SF}/region.parquet',
+                'format'='parquet')
+        """
+    )
+    rows = tenv.execute_sql(
+        "EXECUTE SELECT COUNT(*) AS n FROM exw_src"
+    ).to_data_frame().collect()
+    assert rows[0].n == 5
+    tenv.execute_sql("CREATE TABLE exw_bh (k BIGINT) WITH ('connector'='blackhole')")
+    assert tenv.execute_sql(
+        "EXECUTE INSERT INTO exw_bh SELECT r_regionkey FROM exw_src"
+    ).collect() == ["OK"]
+
+
 # -- SET / RESET / CTAS / ANALYZE -------------------------------------------
 
 
