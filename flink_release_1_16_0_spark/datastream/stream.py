@@ -1735,14 +1735,20 @@ class CoGroupedStreams(_WindowPair):
         gcols = ["__k", "__win_start"]
 
         def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            firsts = [
-                {c: row[f"__l_{c}"] for c in lcols}
-                for row in _row_iter(pdf[pdf["__side"] == 0])
-            ]
-            seconds = [
-                {c: row[f"__r_{c}"] for c in rcols}
-                for row in _row_iter(pdf[pdf["__side"] == 1])
-            ]
+            # one itertuples pass instead of two boolean-mask subframes +
+            # to_dict per group: the per-group pandas overhead dominated
+            # this operator's wall time on tiny (key, window) groups
+            cols = list(pdf.columns)
+            si = cols.index("__side")
+            lpos = [(c, cols.index(f"__l_{c}")) for c in lcols]
+            rpos = [(c, cols.index(f"__r_{c}")) for c in rcols]
+            firsts: list[dict] = []
+            seconds: list[dict] = []
+            for row in pdf.itertuples(index=False, name=None):
+                if row[si] == 0:
+                    firsts.append({c: row[i] for c, i in lpos})
+                else:
+                    seconds.append({c: row[i] for c, i in rpos})
             col = Collector()
             fn.co_group(firsts, seconds, col)
             return _to_pdf(col.rows, names)
