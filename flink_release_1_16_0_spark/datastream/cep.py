@@ -254,6 +254,10 @@ class Pattern:
                         multi.add(s["name"])
                 else:
                     steps.append((s["name"], q))
+                    if q == "?" and not s["greedy"]:
+                        # non-greedy optional branches under noSkip
+                        # (both take and skip continuations emit)
+                        multi.add(s["name"])
         return steps, defines, frozenset(multi)
 
 

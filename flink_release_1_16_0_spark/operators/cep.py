@@ -599,7 +599,14 @@ def nfa_all_matches(
                 choices = [skip] + ([take] if take else [])
             else:
                 raise ValueError(f"unknown quantifier {quant!r}")
-            yield from first_success(choices)
+            if var in multi_vars and quant in ("?", "??"):
+                # a non-greedy OPTIONAL branches like a {0,1} loop under
+                # noSkip: both the taken and the skipped continuation
+                # emit (the reference docs' {C B} alongside {C A1 B})
+                for np, nb in choices:
+                    yield from step(np, si + 1, nb)
+            else:
+                yield from first_success(choices)
             return
         min_n, max_n, reluctant, relaxed, combos, entry = loop
         # relaxed-entry loops (FOLLOWED_BY connection) find their own

@@ -259,21 +259,36 @@ def test_times_and_within(quotes):
 
 
 def test_or_condition_and_optional(quotes):
-    pat = (
-        Pattern.begin("x")
-        .where(lambda r: r["v"] == 9)
-        .or_(lambda r: r["v"] == 12)
-        .next("y")
-        .where(lambda r: r["v"] < 5)
-        .optional()
-    )
-    out = CEP.pattern(quotes.key_by("k"), pat).select(
+    def build():
+        return (
+            Pattern.begin("x")
+            .where(lambda r: r["v"] == 9)
+            .or_(lambda r: r["v"] == 12)
+            .next("y")
+            .where(lambda r: r["v"] < 5)
+            .optional()
+        )
+
+    out = CEP.pattern(quotes.key_by("k"), build()).select(
         lambda m: {"xv": m["x"][0]["v"], "yv": m["y"][0]["v"] if m["y"] else None},
         "xv INT, yv INT",
     )
-    got = sorted((r.xv, r.yv) for r in out.to_data_frame().collect())
-    # 9 -> 2 (greedy binds the optional), 12 -> 3
-    assert got == [(9, 2), (12, 3)]
+    got = sorted(
+        ((r.xv, r.yv) for r in out.to_data_frame().collect()),
+        # None sorts poorly; normalize
+        key=lambda t: (t[0], -1 if t[1] is None else t[1]),
+    )
+    # under noSkip an optional BRANCHES: both the taken and the skipped
+    # continuation emit from the same anchor (the reference's {C B}
+    # alongside {C A1 B})
+    assert got == [(9, None), (9, 2), (12, None), (12, 3)]
+    # greedy(): only the longest (taken) branch
+    out_g = CEP.pattern(quotes.key_by("k"), build().greedy()).select(
+        lambda m: {"xv": m["x"][0]["v"], "yv": m["y"][0]["v"] if m["y"] else None},
+        "xv INT, yv INT",
+    )
+    got_g = sorted((r.xv, r.yv) for r in out_g.to_data_frame().collect())
+    assert got_g == [(9, 2), (12, 3)]
 
 
 def test_flat_select_multi_rows(quotes):
