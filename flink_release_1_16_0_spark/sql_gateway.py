@@ -320,6 +320,18 @@ class SqlGatewayService:
             if t.catalog == catalog and t.database == database
         )
 
+    def list_system_functions(self, session_handle: str) -> list[str]:
+        """SqlGatewayService.listSystemFunctions:271 — the built-in
+        function namespace (the engine's Flink-spelled SQL UDFs ride the
+        session catalog alongside Spark's own built-ins)."""
+        s = self._session(session_handle)
+        return sorted(f.name for f in s.tenv.spark.catalog.listFunctions())
+
+    def list_user_defined_functions(self, session_handle: str) -> list[str]:
+        """SqlGatewayService.listUserDefinedFunctions:261 — functions the
+        session created via CREATE [TEMPORARY] FUNCTION DDL."""
+        return sorted(self._session(session_handle).tenv._created_functions)
+
     def get_gateway_info(self) -> dict:
         return {"productName": "Apache Flink", "version": VERSION}
 

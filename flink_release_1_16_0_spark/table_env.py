@@ -1687,6 +1687,9 @@ class TableEnvironment:
         self._db_props: dict[tuple[str, str], dict[str, str]] = {}
         # CREATE VIEW text, for SHOW CREATE VIEW / ALTER VIEW
         self._views: dict[str, str] = {}
+        # CREATE FUNCTION names (FunctionCatalog's user-defined set,
+        # served by the gateway's listUserDefinedFunctions)
+        self._created_functions: set[str] = set()
         # ADD/REMOVE/SHOW JARS registry (SqlAddJar & co.; jars also go
         # to the live session via Spark's own ADD JAR)
         self._jars: list[str] = []
@@ -2128,6 +2131,7 @@ class TableEnvironment:
                 f"DROP TEMPORARY FUNCTION {'IF EXISTS ' if if_exists else ''}"
                 f"{m.group(1)}"
             )
+            self._created_functions.discard(m.group(1))
             return TableResult(rows=["OK"])
         if up.startswith("DROP"):
             m = _DROP_RE.fullmatch(stmt)
@@ -3122,6 +3126,8 @@ class TableEnvironment:
             self.spark.udf.register(name, target)
         else:
             self.spark.udf.register(name, target, m.group("rtype") or "string")
+        # FunctionCatalog bookkeeping (listUserDefinedFunctions surface)
+        self._created_functions.add(name)
         return TableResult(rows=["OK"])
 
     def _register_scan(self, table: CatalogTable) -> None:

@@ -162,6 +162,24 @@ def test_error_and_cancel_lifecycle(service):
     service.close_session(sh)
 
 
+def test_function_introspection(service):
+    sh = service.open_session()
+    assert service.list_user_defined_functions(sh) == []
+    oh = service.execute_statement(
+        sh,
+        "CREATE TEMPORARY FUNCTION gw_shout AS "
+        "'flink_release_1_16_0_spark.functions.examples.shout' RETURNS string",
+    )
+    _wait_finished(service, sh, oh)
+    assert service.list_user_defined_functions(sh) == ["gw_shout"]
+    sysfns = service.list_system_functions(sh)
+    assert "split_index" in sysfns  # a Flink-spelled built-in rides along
+    oh = service.execute_statement(sh, "DROP TEMPORARY FUNCTION gw_shout")
+    _wait_finished(service, sh, oh)
+    assert service.list_user_defined_functions(sh) == []
+    service.close_session(sh)
+
+
 def _rest(url, method="GET", body=None):
     data = json.dumps(body).encode() if body is not None else None
     req = urllib.request.Request(url, data=data, method=method)
