@@ -430,7 +430,12 @@ class PatternStream:
                     start += 1
                     continue
                 m = next(nfa_all_matches(rows, start, steps, defines, within_ms), None)
-                if m is not None:
+                # m[0] > start rejects empty matches: an all-optional
+                # pattern (begin('a').optional()) must not emit one
+                # empty-bindings row per input row (mirrors the
+                # streaming path's guard; the reference never emits
+                # empty matches)
+                if m is not None and m[0] > start:
                     end, bound = m
                     bindings = {
                         v: [rows[j] for j in bound.get(v, [])] for v in var_names

@@ -309,6 +309,18 @@ class StreamExecutionEnvironment:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self._parallelism: int | None = None
+        # the facade's Python harnesses read DATE event time as midnight
+        # UTC (_ts_ms) while the JVM lowerings cast via the session
+        # timezone — they agree only under UTC, so require it loudly
+        # instead of silently disagreeing on window/join bounds
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "+00:00", "Z", "GMT"):
+            raise ValueError(
+                "the DataStream facade requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}): DATE/naive-timestamp event time is interpreted "
+                "as UTC by the Python harnesses and by the native lowerings "
+                "only under a UTC session timezone"
+            )
 
     @staticmethod
     def get_execution_environment(spark: SparkSession) -> "StreamExecutionEnvironment":

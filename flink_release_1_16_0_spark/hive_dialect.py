@@ -20,15 +20,27 @@ managed Hive table, and TBLPROPERTIES pass through as table options.
 Query syntax needs no translation: Spark SQL accepts backtick
 identifiers and Hive type spellings natively.
 
+Also translated: ``STRUCT<a:INT,b:STRING>`` column types (-> Flink
+``ROW<a INT, b STRING>``, recursively — Hive's ``:`` separator appears
+in no other type spelling), ``ALTER TABLE ADD/DROP PARTITION``
+(SqlAddPartitions.java / SqlDropPartitions.java — location-less adds are
+served by directory discovery, ``LOCATION`` adds register an external
+partition path on the scan), and Hive CTAS (``CREATE TABLE t [STORED AS
+fmt] [LOCATION ...] AS SELECT ...`` -> the default dialect's CTAS).
+
 Scope (documented, like the reference's own dialect gaps): SERDE row
-formats, SKEWED BY / CLUSTERED BY bucket specs, and STRUCT<a:b> column
-types are not translated and raise; ALTER TABLE ADD PARTITION is served
-by the engine's dynamic partition discovery instead.
+formats and SKEWED BY / CLUSTERED BY bucket specs are not translated and
+raise with pointers.
 """
 
 from __future__ import annotations
 
 import re
+
+
+def _q(v: str) -> str:
+    """Escape a value for single-quoted SQL option/comment assembly."""
+    return v.replace("'", "''")
 
 
 def _strip_backticks(env, stmt: str) -> str:
@@ -43,11 +55,11 @@ def _strip_backticks(env, stmt: str) -> str:
 _CREATE_TABLE_RE = re.compile(
     r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s*\((?P<body>.*?)\)\s*"
-    r"(?:COMMENT\s+'(?P<comment>[^']*)'\s*)?"
+    r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
     r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'[^']*')\s*)?"
     r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
-    r"(?:LOCATION\s+'(?P<loc>[^']*)'\s*)?"
+    r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
     r"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?",
     re.IGNORECASE | re.DOTALL,
 )
@@ -73,14 +85,16 @@ def _split_cols(body: str) -> list[str]:
 
 
 def _clean_col(col: str) -> str:
-    """Strip a trailing per-column COMMENT; reject untranslatable Hive
-    constructs instead of mis-creating the table."""
+    """Strip a trailing per-column COMMENT; translate Hive STRUCT to
+    Flink ROW (SqlCreateHiveTable accepts the full Hive type grammar;
+    the engine's DDL path speaks Flink types)."""
     col = re.sub(r"\s+COMMENT\s+'[^']*'\s*$", "", col, flags=re.IGNORECASE)
     if re.search(r"\bSTRUCT\s*<", col, re.IGNORECASE):
-        raise ValueError(
-            "hive dialect: STRUCT<name:type> columns are not translated "
-            "— spell the table in the default dialect with ROW<name type>"
-        )
+        # STRUCT<a:INT,b:STRUCT<c:STRING>> -> ROW<a INT,b ROW<c STRING>>
+        # ':' appears in no other Hive type spelling (and never in a
+        # column name), so the blanket swap is exact, nesting included
+        col = re.sub(r"\bSTRUCT\s*<", "ROW<", col, flags=re.IGNORECASE)
+        col = col.replace(":", " ")
     return col.strip()
 
 
@@ -121,7 +135,7 @@ def _translate_create_table(env, stmt: str) -> str:
         )
     opts = {
         "connector": "filesystem",
-        "path": m.group("loc") or _default_location(env, m.group("name")),
+        "path": (m.group("loc") or "").replace("''", "'") or _default_location(env, m.group("name")),
         "format": fmt,
     }
     if fmt == "csv":
@@ -135,22 +149,89 @@ def _translate_create_table(env, stmt: str) -> str:
         # never have one
         opts["header"] = "false"
     if m.group("props"):
-        from flink_release_1_16_0_spark.table_env import _split_top_level
+        from flink_release_1_16_0_spark.table_env import (
+            _parse_option_pair,
+            _split_top_level,
+        )
 
         for pair in _split_top_level(m.group("props")):
-            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            km = _parse_option_pair(pair)
             if not km:
                 raise ValueError(
                     f"hive dialect: cannot parse TBLPROPERTIES entry {pair!r}"
                 )
-            opts[km.group(1)] = km.group(2)
-    with_clause = ", ".join(f"'{k}'='{v}'" for k, v in opts.items())
+            opts[km[0]] = km[1]
+    with_clause = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in opts.items())
     comment = f" COMMENT '{m.group('comment')}'" if m.group("comment") else ""
     ine = "IF NOT EXISTS " if m.group("ine") else ""
     parts = f" PARTITIONED BY ({', '.join(part_names)})" if part_names else ""
     return (
         f"CREATE TABLE {ine}{m.group('name')} ({', '.join(cols)})"
         f"{comment}{parts} WITH ({with_clause})"
+    )
+
+
+# Hive CTAS (parserImpls.ftl TableCreationWithQuery): no column list —
+# the schema comes from the query; PARTITIONED BY is not allowed (Hive's
+# own CTAS restriction)
+_CTAS_HIVE_RE = re.compile(
+    r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>[\w.]+)\s*"
+    r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
+    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'[^']*')\s*)?"
+    r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
+    r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
+    r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
+    r"AS\s+(?P<query>(?:SELECT|WITH|VALUES|TABLE)\b.*)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _translate_ctas(env, stmt: str, m: "re.Match") -> str:
+    """Hive CTAS -> default-dialect CTAS (CREATE TABLE ... WITH (...) AS
+    query)."""
+    rowformat = m.group("rowformat")
+    if rowformat and rowformat.upper().startswith("SERDE"):
+        raise ValueError(
+            "hive dialect: ROW FORMAT SERDE is not translated (supported: "
+            "ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>')"
+        )
+    stored = (m.group("stored") or "textfile").lower()
+    fmt = _STORED_FORMATS.get(stored)
+    if fmt is None:
+        raise ValueError(
+            f"hive dialect: STORED AS {stored.upper()} is not translated "
+            f"(supported: {', '.join(s.upper() for s in _STORED_FORMATS)})"
+        )
+    opts = {
+        "connector": "filesystem",
+        "path": (m.group("loc") or "").replace("''", "'") or _default_location(env, m.group("name")),
+        "format": fmt,
+    }
+    if fmt == "csv":
+        delim = m.group("delim")
+        opts["sep"] = (
+            delim.encode("utf-8").decode("unicode_escape") if delim else "\x01"
+        )
+        opts["header"] = "false"
+    if m.group("props"):
+        from flink_release_1_16_0_spark.table_env import (
+            _parse_option_pair,
+            _split_top_level,
+        )
+
+        for pair in _split_top_level(m.group("props")):
+            km = _parse_option_pair(pair)
+            if not km:
+                raise ValueError(
+                    f"hive dialect: cannot parse TBLPROPERTIES entry {pair!r}"
+                )
+            opts[km[0]] = km[1]
+    with_clause = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in opts.items())
+    ine = "IF NOT EXISTS " if m.group("ine") else ""
+    return (
+        f"CREATE TABLE {ine}{m.group('name')} WITH ({with_clause}) "
+        f"AS {m.group('query')}"
     )
 
 
@@ -169,12 +250,12 @@ def _translate_alter_table(stmt: str, up: str) -> str:
     if m:
         return f"ALTER TABLE {m.group('name')} SET ({m.group('props')})"
     m = re.fullmatch(
-        r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+LOCATION\s+'(?P<loc>[^']*)'",
+        r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+LOCATION\s+'(?P<loc>(?:[^']|'')*)'",
         stmt,
         re.IGNORECASE,
     )
     if m:
-        return f"ALTER TABLE {m.group('name')} SET ('path'='{m.group('loc')}')"
+        return f"ALTER TABLE {m.group('name')} SET ('path'='{_q(m.group('loc'))}')"
     m = re.fullmatch(
         r"ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+SET\s+FILEFORMAT\s+(?P<fmt>\w+)",
         stmt,
@@ -193,13 +274,10 @@ def _translate_alter_table(stmt: str, up: str) -> str:
             "hive dialect: ALTER TABLE column surgery is not translated — "
             "recreate the table (CREATE TABLE ... LIKE keeps options)"
         )
-    if re.search(r"\bADD\s+(?:IF\s+NOT\s+EXISTS\s+)?PARTITION\b", up):
-        raise ValueError(
-            "hive dialect: ALTER TABLE ADD PARTITION is unnecessary here — "
-            "the filesystem scan discovers hive-style partition directories "
-            "dynamically (write data under p=v/ and query)"
-        )
-    return stmt  # RENAME TO and friends share the default spelling
+    # ADD/DROP PARTITION share the default-dialect spelling — the
+    # engine's _alter_table parses them (SqlAddPartitions /
+    # SqlDropPartitions); RENAME TO and friends pass through likewise
+    return stmt
 
 
 def translate_hive(env, stmt: str) -> str:
@@ -231,6 +309,12 @@ def translate_hive(env, stmt: str) -> str:
         return False
 
     if re.match(r"CREATE\s+(?:EXTERNAL\s+)?TABLE\b", up) and not top_level_like(bare):
+        # a column-list CREATE cannot fullmatch the CTAS shape (nothing
+        # between the table name and AS admits a paren group), so the
+        # two forms are disjoint
+        ctas = _CTAS_HIVE_RE.fullmatch(stmt)
+        if ctas:
+            return _translate_ctas(env, stmt, ctas)
         return _translate_create_table(env, stmt)
     m = _INSERT_TABLE_RE.match(stmt)
     if m:

@@ -13,9 +13,15 @@ GET /api_versions). Operation lifecycle per
 FINISHED | ERROR | CANCELED | CLOSED).
 
 Spark-first shape: each session owns its own
-:class:`~flink_release_1_16_0_spark.table_env.TableEnvironment` over the
-shared SparkSession (the reference's SessionContext holding per-session
-catalog/config state over one cluster); statements run on a worker
+:class:`~flink_release_1_16_0_spark.table_env.TableEnvironment` over a
+``spark.newSession()`` child of the gateway's SparkSession — Spark's
+per-session isolation of temp views, registered functions, and SQLConf
+over one shared SparkContext/cache is exactly the reference's
+SessionContext holding per-session catalog/config state over one
+cluster (``SessionContext.java``); two sessions creating a table with
+the same name no longer clobber each other. Persistent-catalog objects
+(``spark_catalog`` / Hive metastore tables) remain shared, as they are
+in the reference. Statements run on a worker
 thread (OperationManager's async submission) and results materialize
 into a token-paged ResultSet exactly like ResultFetcher — each token is
 re-fetchable once for retry, ``resultType`` walks NOT_READY -> PAYLOAD*
@@ -102,7 +108,12 @@ class Session:
         self.name = name
         self.properties = dict(properties)
         streaming = properties.get("execution.runtime-mode", "batch").lower() == "streaming"
-        self.tenv = TableEnvironment.create(spark, streaming=streaming)
+        # catalog isolation (SessionContext.java): a newSession() child
+        # shares the SparkContext + cached data but owns its temp views,
+        # function registry, and SQLConf — CREATE TABLE in session A is
+        # invisible to session B
+        self.spark = spark.newSession()
+        self.tenv = TableEnvironment.create(self.spark, streaming=streaming)
         for k, v in properties.items():
             self.tenv._config[k] = v
         self.operations: dict[str, _Operation] = {}
@@ -125,6 +136,14 @@ class Session:
         self._work.put(task)
 
     def close(self) -> None:
+        # cancel not-yet-started statements before the stop sentinel so
+        # work submitted before close() does not run against a closed
+        # session (_run_operation returns immediately on non-PENDING)
+        for op in list(self.operations.values()):
+            with op.lock:
+                if op.status == PENDING:
+                    op.status = CANCELED
+                    op.done.set()
         self._work.put(None)
 
 
@@ -480,7 +499,10 @@ class SqlGatewayRestEndpoint:
                     return {"status": service.get_operation_status(g["s"], g["o"])}
                 if name == "op_cancel":
                     service.cancel_operation(g["s"], g["o"])
-                    return {"status": CANCELED}
+                    # echo the actual post-cancel status: cancel of an
+                    # already-terminal op is a no-op (FINISHED stays
+                    # FINISHED on the wire, like OperationManager)
+                    return {"status": service.get_operation_status(g["s"], g["o"])}
                 if name == "op_close":
                     service.close_operation(g["s"], g["o"])
                     return {"status": CLOSED}

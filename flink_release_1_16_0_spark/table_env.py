@@ -204,10 +204,51 @@ class CatalogTable:
     # ANALYZE TABLE results (row_count, per-column ndv/null_count);
     # informational — Spark's AQE re-derives runtime stats itself
     stats: dict[str, object] = field(default_factory=dict)
+    # ALTER TABLE ... ADD PARTITION (spec) LOCATION 'uri' — partitions
+    # whose data lives OUTSIDE the table path (SqlAddPartitions.java in
+    # flink-sql-parser-hive; Hive external partitions). Each entry is
+    # (spec dict, location). Partitions under the table path need no
+    # registration: the scan's hive-style directory discovery finds them.
+    extra_partitions: list = field(default_factory=list)
+    # ALTER TABLE ... DROP PARTITION (spec) — excluded from the scan via
+    # a partition-column predicate (Catalyst prunes the directories)
+    dropped_partitions: list = field(default_factory=list)
 
     @property
     def connector(self) -> str:
         return self.options.get("connector", "filesystem")
+
+    def _apply_partition_ddl(self, spark, df, fmt, streaming, opts):
+        """Fold ADD PARTITION ... LOCATION / DROP PARTITION registry
+        entries into the scan: external-location partitions union in
+        (data columns read from the location, partition values injected
+        as typed literals — Hive's external-partition read), dropped
+        partitions are excluded by a partition-column predicate that
+        Catalyst turns into directory pruning."""
+        types = {c.name: c.spark_type for c in self.columns}
+        if self.extra_partitions:
+            data_ddl = ", ".join(
+                f"{c.name} {c.spark_type}"
+                for c in self.columns
+                if c.name not in self.partitioned_by
+            )
+            for spec, loc in self.extra_partitions:
+                part = file_source(
+                    spark, loc, fmt=fmt, schema=data_ddl, streaming=streaming, **opts
+                )
+                for pcol in self.partitioned_by:
+                    part = part.withColumn(
+                        pcol, F.lit(spec.get(pcol)).cast(types[pcol])
+                    )
+                df = df.unionByName(part.select(*df.columns))
+        for spec in self.dropped_partitions:
+            cond = None
+            for c, v in spec.items():
+                eq = F.col(c).eqNullSafe(F.lit(v).cast(types[c]))
+                cond = eq if cond is None else cond & eq
+            if cond is not None:
+                df = df.filter(~cond)
+        return df
 
     def schema_ddl(self) -> str:
         return ", ".join(f"{c.name} {c.spark_type}" for c in self.columns)
@@ -276,6 +317,8 @@ class CatalogTable:
                     partition_cols=list(self.partitioned_by),
                     **opts,
                 )
+            if self.extra_partitions or self.dropped_partitions:
+                df = self._apply_partition_ddl(spark, df, fmt, streaming, opts)
         elif connector in ("kafka", "upsert-kafka"):
             # full DDL option translation (KafkaConnectorOptions.java)
             # lives in kafka_options_from_ddl — unit-tested jar-free
@@ -1592,7 +1635,7 @@ _CREATE_TABLE_RE = re.compile(
     # schema and WITH is not swallowed into the column list
     r"CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s*\((?P<body>.*?)\)\s*"
-    r"(?:COMMENT\s+'[^']*'\s*)?"
+    r"(?:COMMENT\s+'(?:[^']|'')*'\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
     r"WITH\s*\((?P<opts>.*)\)\s*",
     re.IGNORECASE | re.DOTALL,
@@ -1637,6 +1680,34 @@ _ANALYZE_RE = re.compile(
     r"(?:\s+FOR\s+(?:ALL\s+COLUMNS|COLUMNS\s+(?P<cols>[\w\s,]+)))?",
     re.IGNORECASE,
 )
+
+
+_OPTION_PAIR_RE = re.compile(r"\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*")
+
+
+def _parse_option_pair(pair: str) -> tuple[str, str] | None:
+    """Parse one ``'key'='value'`` WITH-clause / TBLPROPERTIES entry.
+    Doubled single quotes are SQL escapes (``'don''t'`` -> ``don't``,
+    the reference's SqlLiteral unparsing)."""
+    m = _OPTION_PAIR_RE.fullmatch(pair)
+    if m is None:
+        return None
+    return m.group(1).replace("''", "'"), m.group(2).replace("''", "'")
+
+
+def _parse_partition_spec(spec: str) -> dict[str, str]:
+    """``p1='v1', p2=3`` -> {'p1': 'v1', 'p2': '3'} (string values are
+    unquoted; the scan casts to the declared partition-column type)."""
+    out: dict[str, str] = {}
+    for pair in _split_top_level(spec):
+        km = re.fullmatch(r"\s*(\w+)\s*=\s*(.+?)\s*", pair)
+        if not km:
+            raise ValueError(f"cannot parse PARTITION item {pair!r}")
+        v = km.group(2)
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+            v = v[1:-1]
+        out[km.group(1)] = v
+    return out
 
 
 class TableEnvironment:
@@ -1817,10 +1888,10 @@ class TableEnvironment:
                 raise ValueError(f"unknown database {db!r} in catalog {cat!r}")
             props = self._db_props.setdefault((cat, db), {})
             for pair in _split_top_level(m.group(2)):
-                km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                km = _parse_option_pair(pair)
                 if not km:
                     raise ValueError(f"cannot parse SET option {pair!r}")
-                props[km.group(1)] = km.group(2)
+                props[km[0]] = km[1]
             return TableResult(rows=["OK"])
         if re.match(r"DESC(?:RIBE)?\s+DATABASE", up):
             # SqlDescribeDatabase: name + comment, EXTENDED adds props
@@ -2032,10 +2103,10 @@ class TableEnvironment:
             props: dict[str, str] = {"type": "generic_in_memory"}
             if m.group("opts"):
                 for pair in _split_top_level(m.group("opts")):
-                    km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                    km = _parse_option_pair(pair)
                     if not km:
                         raise ValueError(f"cannot parse WITH option {pair!r}")
-                    props[km.group(1)] = km.group(2)
+                    props[km[0]] = km[1]
             if m.group("comment") is not None:
                 props["comment"] = m.group("comment")
             self._catalogs[name] = props
@@ -2257,10 +2328,10 @@ class TableEnvironment:
                 props["comment"] = m.group("comment")
             if m.group("opts"):
                 for pair in _split_top_level(m.group("opts")):
-                    km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                    km = _parse_option_pair(pair)
                     if not km:
                         raise ValueError(f"cannot parse WITH option {pair!r}")
-                    props[km.group(1)] = km.group(2)
+                    props[km[0]] = km[1]
             if props:
                 self._db_props[(cat, name)] = props
             return TableResult(rows=["OK"])
@@ -3047,10 +3118,10 @@ class TableEnvironment:
         cat, db, name = self._qualify_table_path(m.group("name"))
         options: dict[str, str] = {}
         for pair in _split_top_level(m.group("opts")):
-            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            km = _parse_option_pair(pair)
             if not km:
                 raise ValueError(f"cannot parse WITH option {pair!r}")
-            options[km.group(1)] = km.group(2)
+            options[km[0]] = km[1]
         df = self.spark.sql(rewrite_window_tvfs(self._resolve_qualified_refs(m.group("query"))))
         table = CatalogTable(
             name=name,
@@ -3171,10 +3242,10 @@ class TableEnvironment:
         for pair in _split_top_level(m.group("opts") or ""):
             if not pair.strip():
                 continue
-            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            km = _parse_option_pair(pair)
             if not km:
                 raise ValueError(f"cannot parse WITH option {pair!r}")
-            options[km.group(1)] = km.group(2)
+            options[km[0]] = km[1]
         table = CatalogTable(
             name=m.group("name"),
             columns=columns,
@@ -3213,10 +3284,64 @@ class TableEnvironment:
                 raise ValueError(f"unknown table {name!r}")
             table = self._tables[name]
             for pair in _split_top_level(m.group(2)):
-                km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+                km = _parse_option_pair(pair)
                 if not km:
                     raise ValueError(f"cannot parse option {pair!r}")
-                table.options[km.group(1)] = km.group(2)
+                table.options[km[0]] = km[1]
+            self._register_scan(table)
+            return TableResult(rows=["OK"])
+        # SqlAddPartitions / SqlDropPartitions (flink-sql-parser-hive
+        # .../ddl/SqlAddPartitions.java, SqlDropPartitions.java):
+        # ADD [IF NOT EXISTS] PARTITION (p=v[, ...]) [LOCATION 'uri'],
+        # DROP [IF EXISTS] PARTITION (p=v[, ...])
+        m = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<specs>PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'[^']*')?"
+            r"(?:\s+PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'[^']*')?)*)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table = self._tables.get(m.group(1))
+            if table is None:
+                raise ValueError(f"unknown table {m.group(1)!r}")
+            for pm in re.finditer(
+                r"PARTITION\s*\((?P<spec>[^)]*)\)(?:\s+LOCATION\s+'(?P<loc>[^']*)')?",
+                m.group("specs"),
+                re.IGNORECASE,
+            ):
+                spec = _parse_partition_spec(pm.group("spec"))
+                if pm.group("loc"):
+                    if spec not in [s for s, _ in table.extra_partitions]:
+                        table.extra_partitions.append((spec, pm.group("loc")))
+                # a location-less partition lives under the table path:
+                # directory discovery already serves it — registering is
+                # a metadata no-op (matches HiveCatalog's createPartition
+                # for in-place locations)
+                table.dropped_partitions = [
+                    d for d in table.dropped_partitions if d != spec
+                ]
+            self._register_scan(table)
+            return TableResult(rows=["OK"])
+        m = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+DROP\s+(?:IF\s+EXISTS\s+)?"
+            r"(?P<specs>PARTITION\s*\([^)]*\)(?:\s*,\s*PARTITION\s*\([^)]*\))*)",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            table = self._tables.get(m.group(1))
+            if table is None:
+                raise ValueError(f"unknown table {m.group(1)!r}")
+            for pm in re.finditer(
+                r"PARTITION\s*\((?P<spec>[^)]*)\)", m.group("specs"), re.IGNORECASE
+            ):
+                spec = _parse_partition_spec(pm.group("spec"))
+                table.extra_partitions = [
+                    (s, l) for s, l in table.extra_partitions if s != spec
+                ]
+                if spec not in table.dropped_partitions:
+                    table.dropped_partitions.append(spec)
             self._register_scan(table)
             return TableResult(rows=["OK"])
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
@@ -3255,10 +3380,10 @@ class TableEnvironment:
                     c.spark_type = "timestamp"
         options: dict[str, str] = {}
         for pair in _split_top_level(m.group("opts")):
-            km = re.fullmatch(r"\s*'([^']*)'\s*=\s*'([^']*)'\s*", pair)
+            km = _parse_option_pair(pair)
             if not km:
                 raise ValueError(f"cannot parse WITH option {pair!r}")
-            options[km.group(1)] = km.group(2)
+            options[km[0]] = km[1]
         table = CatalogTable(
             name=name,
             columns=columns,

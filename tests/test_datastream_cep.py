@@ -511,3 +511,16 @@ def test_streaming_timeout_partial_side_output(spark, env, tmp_path):
     # neither matches nor times out — exactly the CepOperator cutoff
     assert sorted(r.lo for r in timed.collect()) == [2]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_all_optional_pattern_emits_no_empty_matches(quotes):
+    """An all-optional pattern whose condition never fires must emit
+    NOTHING — not one empty-bindings row per input row (the reference
+    never emits empty matches). Review finding: the bounded
+    non-enumerating path lacked the streaming path's m[0] > start guard."""
+    pat = Pattern.begin("a").where(lambda r: r["v"] > 100).optional()
+    out = CEP.pattern(quotes.key_by("k"), pat).select(
+        lambda m: {"av": m["a"][0]["v"] if m["a"] else None},
+        "av INT",
+    )
+    assert out.to_data_frame().count() == 0

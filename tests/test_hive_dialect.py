@@ -130,8 +130,94 @@ def test_hive_dialect_alter_table(tenv, tmp_path):
     assert "hv_alter2" in tenv._tables and "hv_alter" not in tenv._tables
     with pytest.raises(ValueError, match="column surgery"):
         tenv.execute_sql("ALTER TABLE hv_alter2 ADD COLUMNS (y INT)")
-    with pytest.raises(ValueError, match="discovers"):
-        tenv.execute_sql("ALTER TABLE hv_alter2 ADD PARTITION (p='x')")
+
+
+def test_hive_dialect_add_drop_partition(tenv, tmp_path):
+    """SqlAddPartitions/SqlDropPartitions: a LOCATION'd partition unions
+    into the scan with its partition value injected; DROP PARTITION
+    excludes it (and excludes in-place discovered partitions too)."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_part (x INT) PARTITIONED BY (p STRING)
+            STORED AS PARQUET LOCATION '{tmp_path}/main'"""
+    )
+    tenv.execute_sql("INSERT INTO TABLE hv_part PARTITION (p='a') SELECT 1")
+    tenv.execute_sql("INSERT INTO TABLE hv_part PARTITION (p='b') SELECT 2")
+    # external partition data living OUTSIDE the table path
+    spark = tenv.spark
+    spark.range(1).selectExpr("CAST(3 AS INT) AS x").write.parquet(
+        f"{tmp_path}/elsewhere"
+    )
+    tenv.execute_sql(
+        f"ALTER TABLE hv_part ADD IF NOT EXISTS PARTITION (p='c') "
+        f"LOCATION '{tmp_path}/elsewhere'"
+    )
+    rows = {
+        (r.x, r.p)
+        for r in tenv.sql_query("SELECT x, p FROM hv_part").to_data_frame().collect()
+    }
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    tenv.execute_sql("ALTER TABLE hv_part DROP IF EXISTS PARTITION (p='b')")
+    rows = {
+        (r.x, r.p)
+        for r in tenv.sql_query("SELECT x, p FROM hv_part").to_data_frame().collect()
+    }
+    assert rows == {(1, "a"), (3, "c")}
+    # re-adding a dropped in-place partition restores it
+    tenv.execute_sql("ALTER TABLE hv_part ADD PARTITION (p='b')")
+    assert (
+        tenv.sql_query("SELECT COUNT(*) AS c FROM hv_part").to_data_frame().first().c
+        == 3
+    )
+
+
+def test_hive_dialect_struct_and_ctas(tenv, tmp_path):
+    """STRUCT<a:b> translates to ROW (nested too); Hive CTAS lowers onto
+    the default-dialect CTAS."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_struct (
+              id INT,
+              s STRUCT<a:INT, b:STRING>,
+              n STRUCT<inner:STRUCT<c:DOUBLE>, tags:ARRAY<STRING>>
+            ) STORED AS PARQUET LOCATION '{tmp_path}/struct'"""
+    )
+    tenv.execute_sql(
+        "INSERT INTO TABLE hv_struct "
+        "SELECT 1, named_struct('a', 7, 'b', 'x'), "
+        "named_struct('inner', named_struct('c', 1.5), 'tags', array('t'))"
+    )
+    row = tenv.sql_query(
+        "SELECT id, s.a AS sa, s.b AS sb, n.inner.c AS nc, n.tags[0] AS t0 "
+        "FROM hv_struct"
+    ).to_data_frame().first()
+    assert (row.id, row.sa, row.sb, row.nc, row.t0) == (1, 7, "x", 1.5, "t")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_ctas STORED AS PARQUET LOCATION '{tmp_path}/ctas'
+            TBLPROPERTIES ('made.by'='ct''as')
+            AS SELECT id, s.a AS a FROM hv_struct"""
+    )
+    t = tenv._tables["hv_ctas"]
+    assert t.options["format"] == "parquet" and t.options["made.by"] == "ct'as"
+    row = tenv.sql_query("SELECT * FROM hv_ctas").to_data_frame().first()
+    assert (row.id, row.a) == (1, 7)
+
+
+def test_hive_dialect_quote_escaping(tenv, tmp_path):
+    """A single quote inside LOCATION/TBLPROPERTIES/COMMENT must not
+    break (or inject into) the assembled default-dialect DDL."""
+    loc = f"{tmp_path}/o'brien"
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_quote (x INT) COMMENT 'it''s fine'
+            STORED AS PARQUET LOCATION '{loc.replace("'", "''")}'
+            TBLPROPERTIES ('note'='don''t')"""
+    )
+    t = tenv._tables["hv_quote"]
+    assert t.options["path"] == loc
+    assert t.options["note"] == "don't"
+    tenv.execute_sql("INSERT INTO TABLE hv_quote SELECT 42")
+    assert tenv.sql_query("SELECT x FROM hv_quote").to_data_frame().first().x == 42
 
 
 def test_hive_dialect_like_word_does_not_skip_translation(tenv, tmp_path):
@@ -157,7 +243,5 @@ def test_hive_dialect_rejects_untranslatable(tenv):
         tenv.execute_sql(
             "CREATE TABLE hv_serde (x INT) ROW FORMAT SERDE 'org.acme.SerDe'"
         )
-    with pytest.raises(ValueError, match="STRUCT"):
-        tenv.execute_sql("CREATE TABLE hv_struct (s STRUCT<a:INT>) STORED AS PARQUET")
     with pytest.raises(ValueError, match="STORED AS"):
         tenv.execute_sql("CREATE TABLE hv_rc (x INT) STORED AS RCFILE")

@@ -229,3 +229,73 @@ def test_rest_endpoint_end_to_end(spark):
         assert ei.value.code == 404
     finally:
         gw.stop()
+
+
+def test_session_catalog_isolation(service):
+    """Two sessions creating the same table name must not clobber each
+    other (SessionContext holds per-session catalog state): each session
+    rides its own spark.newSession() child."""
+    a = service.open_session({}, "iso-a")
+    b = service.open_session({}, "iso-b")
+    try:
+        oh = service.execute_statement(
+            a, "CREATE VIEW iso_t AS SELECT 1 AS v"
+        )
+        _wait_finished(service, a, oh)
+        oh = service.execute_statement(
+            b, "CREATE VIEW iso_t AS SELECT 2 AS v"
+        )
+        _wait_finished(service, b, oh)
+        oh_a = service.execute_statement(a, "SELECT v FROM iso_t")
+        oh_b = service.execute_statement(b, "SELECT v FROM iso_t")
+        assert _wait_finished(service, a, oh_a) == FINISHED
+        assert _wait_finished(service, b, oh_b) == FINISHED
+        ra = service.fetch_results(a, oh_a, 0)["results"]["data"]
+        rb = service.fetch_results(b, oh_b, 0)["results"]["data"]
+        assert ra[0]["fields"] == [1]
+        assert rb[0]["fields"] == [2]
+    finally:
+        service.close_session(a)
+        service.close_session(b)
+
+
+def test_close_session_cancels_pending(service):
+    """Statements still queued when the session closes are CANCELED, not
+    executed against the closed session."""
+    sh = service.open_session({}, "close-pending")
+    # a slow statement occupies the worker; the next one stays PENDING
+    slow = service.execute_statement(
+        sh,
+        "SELECT COUNT(*) AS c FROM range(20000000) a CROSS JOIN range(40) b",
+    )
+    pending = service.execute_statement(sh, "SELECT 1 AS one")
+    session = service._session(sh)
+    service.close_session(sh)
+    op = session.operations[pending]
+    assert op.status in (CANCELED,) or op.done.is_set()
+    # the pending op must never have produced rows
+    assert op.rows == [] or op.status == CANCELED
+
+
+def test_cancel_echoes_actual_status(spark):
+    """POST .../cancel on a FINISHED operation reports FINISHED (the
+    reference's cancel of a terminal op is a no-op)."""
+    gw = SqlGateway(spark).start()
+    try:
+        base = gw.url
+        sh = _rest(f"{base}/v1/sessions", "POST", {})["sessionHandle"]
+        oh = _rest(
+            f"{base}/v1/sessions/{sh}/statements", "POST",
+            {"statement": "SELECT 1 AS one"},
+        )["operationHandle"]
+        for _ in range(200):
+            st = _rest(f"{base}/v1/sessions/{sh}/operations/{oh}/status")["status"]
+            if st == "FINISHED":
+                break
+            time.sleep(0.05)
+        assert st == "FINISHED"
+        out = _rest(f"{base}/v1/sessions/{sh}/operations/{oh}/cancel", "POST", {})
+        assert out["status"] == "FINISHED"
+        _rest(f"{base}/v1/sessions/{sh}", "DELETE")
+    finally:
+        gw.stop()
