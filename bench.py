@@ -13,8 +13,12 @@ VM whose wall-clock noise spans 2-20x on identical plans (observed same
 code: 5.9s and 30s totals minutes apart), and the min is the standard
 noise-floor estimator. The ``spread`` field carries per-query
 min/median so a reader can separate host noise (median >> min) from a
-real plan change (min moved) without rerunning. The bench set is the
-``bench=True`` subset of the registry.
+real plan change (min moved) without rerunning, and the ``load`` field
+records os.getloadavg() + wall-clock timestamps around each query's
+timed runs so noise adjudications are data, not narrative (a 1-minute
+loadavg far above the 32 worker threads says the host was contended
+during that query). The bench set is the ``bench=True`` subset of the
+registry.
 """
 
 from __future__ import annotations
@@ -42,8 +46,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
+    load: dict[str, dict] = {}
     for name, spec in bench_specs.items():
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        load_before = os.getloadavg()
+        t_start = time.time()
         runs = []
         for _ in range(5):
             t0 = time.time()
@@ -51,10 +58,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         runs.sort()
+        load_after = os.getloadavg()
         timings[name] = round(runs[0], 3)
         spread[name] = {
             "min": round(runs[0], 3),
             "median": round(runs[len(runs) // 2], 3),
+        }
+        load[name] = {
+            "load1_before": round(load_before[0], 2),
+            "load1_after": round(load_after[0], 2),
+            "t_start": round(t_start, 1),
         }
 
     total = round(sum(timings.values()), 3)
@@ -66,6 +79,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "load": load,
+                "ncpu": os.cpu_count(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -572,3 +572,65 @@ def api_sql_gateway(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "r_name STRING, n_nations BIGINT, first_nation STRING"
     )
+
+
+_ROW_OPS_ORACLE = """
+SELECT word,
+       COUNT(*) AS cnt,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       MAX(cents) AS max_cents
+FROM (
+  SELECT unnest(string_split(o_orderpriority, '-')) AS word,
+         CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+) t
+GROUP BY word
+"""
+
+
+@register("api_table_row_ops", _ROW_OPS_ORACLE, tags=("api", "fluent", "udf"))
+def api_table_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table API row-based ops end to end (TableImpl.java:403-418):
+    ``Table.map`` (vectorized 1:1 pandas tier) -> ``Table.flatMap``
+    (0..n rows per input) -> ``GroupedTable.aggregate`` + mandatory
+    ``.select`` (implicit group keys). Money goes through exact integer
+    cents so the pandas-side aggregation hash-matches DuckDB's DECIMAL
+    arithmetic. 100 TB shape: two shuffle-free Arrow-batched mapInPandas
+    stages + ONE keyed exchange (the group-amortized aggregate lowering)
+    — linear in input, no driver funnel."""
+    import pandas as pd
+
+    tenv = TableEnvironment.create(spark)
+    t = tenv.from_data_frame(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderpriority", "o_totalprice"
+        )
+    )
+
+    def to_cents(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pri": pdf["o_orderpriority"],
+                "cents": (pdf["o_totalprice"] * 100).round().astype("int64"),
+            }
+        )
+
+    def split_words(row: dict):
+        for w in row["pri"].split("-"):
+            yield {"word": w, "cents": row["cents"]}
+
+    def money_stats(pdf: pd.DataFrame) -> dict:
+        return {
+            "cnt": len(pdf),
+            "total_cents": int(pdf["cents"].sum()),
+            "max_cents": int(pdf["cents"].max()),
+        }
+
+    return (
+        t.map(to_cents, "pri string, cents bigint", vectorized=True)
+        .flat_map(split_words, "word string, cents bigint")
+        .group_by("word")
+        .aggregate(money_stats, "cnt bigint, total_cents bigint, max_cents bigint")
+        .select("word, cnt, total_cents, max_cents")
+        .to_data_frame()
+    )

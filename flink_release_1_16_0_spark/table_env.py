@@ -46,6 +46,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from flink_release_1_16_0_spark.functions.sql_udfs import register_sql_functions
 from flink_release_1_16_0_spark.operators.sink import enforce_constraints
@@ -1361,6 +1362,55 @@ class Table:
             clause += f" AS {parts[1]}"
         return self._sql(f"SELECT * FROM {{t}} {clause}")
 
+    # -- row-based operations (TableImpl.java:403-418) -------------------------
+    def map(self, fn, schema: str, vectorized: bool = False) -> "Table":
+        """Row-based map (TableImpl.map:403): every input row produces
+        exactly ONE output row of ``schema`` — the reference's
+        ``table.map(call(ScalarFunction))`` with a composite return
+        type. ``fn``: row dict -> row dict; with ``vectorized=True`` a
+        pandas ``DataFrame -> same-length DataFrame`` batch function
+        (the PyFlink pandas-UDF tier — prefer it on hot paths). Lowered
+        to ``mapInPandas``: Arrow-batched, shuffle-free, streaming-safe.
+        """
+        import pandas as pd
+
+        names = [f.name for f in StructType.fromDDL(schema).fields]
+
+        if vectorized:
+            def run(batches):
+                for pdf in batches:
+                    out = fn(pdf)
+                    if len(out) != len(pdf):
+                        raise ValueError(
+                            "Table.map is 1:1 — the batch fn returned "
+                            f"{len(out)} rows for {len(pdf)} inputs "
+                            "(use flat_map for 0..n emission)"
+                        )
+                    yield out[names]
+        else:
+            def run(batches):
+                for pdf in batches:
+                    rows = [fn(r) for r in pdf.to_dict("records")]
+                    yield pd.DataFrame(rows, columns=names)
+
+        return Table(self._df.mapInPandas(run, schema=schema))
+
+    def flat_map(self, fn, schema: str) -> "Table":
+        """Row-based flatMap (TableImpl.flatMap:408): ``fn`` is a table
+        function — row dict -> iterable of row dicts, emitting 0..n
+        output rows per input row. Lowered to ``mapInPandas`` (same
+        Arrow-batched, shuffle-free shape as :meth:`map`)."""
+        import pandas as pd
+
+        names = [f.name for f in StructType.fromDDL(schema).fields]
+
+        def run(batches):
+            for pdf in batches:
+                rows = [o for r in pdf.to_dict("records") for o in fn(r)]
+                yield pd.DataFrame(rows, columns=names)
+
+        return Table(self._df.mapInPandas(run, schema=schema))
+
     def union_all(self, other: "Table") -> "Table":
         return Table(self._df.unionAll(other._df))
 
@@ -1425,7 +1475,64 @@ class GroupedTable:
         keys = [k.strip() for k in self._keys.split(",")]
         return Table(self._df.groupBy(*keys).applyInPandas(fn, schema=schema))
 
-    aggregate = flat_aggregate  # UDAG: same mechanism, 1-row-per-group fn
+    def aggregate(self, fn, schema: str) -> "AggregatedTable":
+        """GroupedTable.aggregate (TableImpl.java:413,
+        AggregatedTableImpl): a UDAF emitting ONE row per group. Unlike
+        :meth:`flat_aggregate`, the group keys are IMPLICIT — they are
+        prepended to the aggregate's output columns, and the result must
+        be projected with ``.select(...)`` (the reference's
+        ``groupBy(..).aggregate(call(f)).select(..)`` chain). ``fn``:
+        one group's pandas DataFrame -> dict of aggregate fields (or a
+        1-row DataFrame); ``schema`` declares ONLY the aggregate fields.
+        Lowered via the group-amortized exchange (one shuffle on the
+        keys + in-batch group iteration, not one Python call per group).
+        """
+        import pandas as pd
+
+        from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
+
+        keys = [k.strip() for k in self._keys.split(",")]
+        in_types = {f.name: f for f in self._df.schema.fields}
+        missing = [k for k in keys if k not in in_types]
+        if missing:
+            raise ValueError(
+                f"aggregate requires plain column-name keys, got {missing} "
+                "(compute expressions with add_columns first)"
+            )
+        agg_fields = StructType.fromDDL(schema).fields
+        full = StructType([in_types[k] for k in keys] + list(agg_fields))
+        agg_names = [f.name for f in agg_fields]
+
+        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            res = fn(pdf)
+            if isinstance(res, pd.DataFrame):
+                if len(res) != 1:
+                    raise ValueError(
+                        "aggregate fn must produce exactly one row per "
+                        f"group, got {len(res)} (use flat_aggregate for "
+                        "multi-row emission)"
+                    )
+                res = res.iloc[0].to_dict()
+            row = dict(zip(keys, key))
+            row.update({n: res.get(n) for n in agg_names})
+            return pd.DataFrame([row], columns=[f.name for f in full.fields])
+
+        return AggregatedTable(_grouped_apply(self._df, keys, harness, full))
+
+
+class AggregatedTable:
+    """The intermediate of ``group_by(..).aggregate(..)`` — only a
+    projection is legal next (AggregatedTableImpl.select)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def select(self, *exprs) -> Table:
+        return Table(
+            self._df.sparkSession.sql(
+                f"SELECT {_frag(exprs)} FROM {{t}}", t=self._df
+            )
+        )
 
 
 # ---------------------------------------------------------------------------

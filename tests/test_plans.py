@@ -482,3 +482,17 @@ def test_hive_dialect_parquet_scan_pushdown(spark, sf_smoke, tmp_path):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_comment" not in read_schema  # pruning
     assert "o_totalprice" in read_schema
+
+
+def test_table_row_ops_single_exchange(spark, sf_smoke):
+    """Table.map/flatMap must lower shuffle-free (MapInPandas on the
+    scan); GroupedTable.aggregate contributes the plan's ONLY exchange
+    (the group-amortized lowering), with the scan pruned to the two
+    consumed columns."""
+    df = REGISTRY["api_table_row_ops"].fn(spark, sf_smoke)
+    # executedPlan string lists each node once (formatted mode would
+    # double-count: tree line + detail section)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert plan.count("MapInPandas") == 3
+    assert "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>" in plan

@@ -2060,3 +2060,95 @@ def test_environment_settings_create(spark):
         spark, EnvironmentSettings.new_instance().in_batch_mode().build()
     )
     assert t2.streaming is False
+
+
+def test_fluent_table_map(tenv, spark):
+    """Table.map (TableImpl.map:403): 1:1 row-based map, both the
+    row-dict and the vectorized pandas tiers."""
+    t = tenv.from_data_frame(
+        spark.createDataFrame([(1, "ab"), (2, None)], "id int, s string")
+    )
+
+    def f(row):
+        return {"id2": row["id"] * 2, "n": len(row["s"] or "")}
+
+    rows = t.map(f, "id2 int, n int").to_data_frame().collect()
+    assert {(r["id2"], r["n"]) for r in rows} == {(2, 2), (4, 0)}
+
+    def fv(pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"id2": pdf["id"] * 2, "n": pdf["s"].fillna("").str.len()}
+        )
+
+    rows = t.map(fv, "id2 int, n int", vectorized=True).to_data_frame().collect()
+    assert {(r["id2"], r["n"]) for r in rows} == {(2, 2), (4, 0)}
+
+
+def test_fluent_table_map_rejects_fanout(tenv, spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    t = tenv.from_data_frame(spark.createDataFrame([(1,)], "id int"))
+    bad = t.map(
+        lambda pdf: pd.DataFrame({"id2": [1, 2]}), "id2 int", vectorized=True
+    )
+    with _pytest.raises(Exception, match="1:1"):
+        bad.to_data_frame().collect()
+
+
+def test_fluent_table_flat_map(tenv, spark):
+    """Table.flatMap (TableImpl.flatMap:408): 0..n rows per input."""
+    t = tenv.from_data_frame(
+        spark.createDataFrame([(1, "a,b"), (2, ""), (3, "c")], "id int, s string")
+    )
+
+    def split_rows(row):
+        for w in row["s"].split(","):
+            if w:
+                yield {"id": row["id"], "word": w}
+
+    rows = t.flat_map(split_rows, "id int, word string").to_data_frame().collect()
+    assert {(r["id"], r["word"]) for r in rows} == {(1, "a"), (1, "b"), (3, "c")}
+
+
+def test_fluent_grouped_aggregate_select(tenv, spark):
+    """GroupedTable.aggregate (TableImpl.java:413): one row per group,
+    implicit keys, projected via the mandatory .select — checked
+    against the SQL dual."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 7.0), ("b", 1.0), ("b", 4.0)],
+        "k string, v double",
+    )
+    t = tenv.from_data_frame(df)
+
+    def stats(pdf: pd.DataFrame) -> dict:
+        return {"vsum": float(pdf["v"].sum()), "vmax": float(pdf["v"].max())}
+
+    rows = (
+        t.group_by("k")
+        .aggregate(stats, "vsum double, vmax double")
+        .select("k, vsum, vmax")
+        .to_data_frame()
+        .collect()
+    )
+    got = {(r["k"], r["vsum"], r["vmax"]) for r in rows}
+    dual = {
+        (r["k"], r["vsum"], r["vmax"])
+        for r in spark.sql(
+            "SELECT k, SUM(v) AS vsum, MAX(v) AS vmax FROM {d} GROUP BY k", d=df
+        ).collect()
+    }
+    assert got == dual
+    # post-select can compute over the aggregate fields too
+    rows = (
+        t.group_by("k")
+        .aggregate(stats, "vsum double, vmax double")
+        .select("k, vmax - vsum AS spread")
+        .to_data_frame()
+        .collect()
+    )
+    assert {(r["k"], r["spread"]) for r in rows} == {("a", -1.0), ("b", -5.0)}
