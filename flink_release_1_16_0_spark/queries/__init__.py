@@ -89,12 +89,31 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-7 window, part 1 — the 17 never-driver-graded entries: the
-    # 13 dsapi_* DataStream-facade queries added in r6 (all local-green
-    # since; grading them closes the last gap so 100% of the registry
-    # has been driver-graded) plus the four r7 additions (Hive SQL
-    # dialect, CEP timed-out-partial side output, unbounded DataStream
-    # window AggregateFunction, SQL Gateway session service).
+    # round-8 window — part 1: the three NEW surfaces (Table API
+    # row-based ops; manifest commit protocol; Hive STRUCT + CTAS).
+    "api_table_row_ops",
+    "api_sql_manifest_commit",
+    "api_sql_hive_struct_ctas",
+    # part 2: re-grades of code round 8 touched — the Hive dialect
+    # translator (quoting/partition DDL), the SQL gateway (session
+    # isolation via newSession), the bounded CEP facade (empty-match
+    # guard), and the table_env DDL/option-parsing centralization that
+    # every SQL-path query rides.
+    "api_sql_hive_dialect",
+    "api_sql_gateway",
+    "dsapi_cep_pattern",
+    "dsapi_cep_timeout",
+    "api_sql_ddl_scan",
+    "api_sql_catalog_ddl",
+    "api_sql_compiled_plan",
+    "api_table_fluent",
+    "api_sql_window_tvf",
+    "api_sql_cumulate_tvf",
+    "format_debezium_cdc",
+    "jdbc_lookup_join",
+    "values_inline",
+    # part 3: the full DataStream facade (its environment gained the
+    # UTC guard; keep all 13 remaining dsapi gates green in-window).
     "dsapi_keyed_reduce",
     "dsapi_process_timers",
     "dsapi_window_process",
@@ -102,37 +121,18 @@ _PRIORITY = (
     "dsapi_side_outputs",
     "dsapi_broadcast_state",
     "dsapi_window_cogroup",
-    "dsapi_cep_pattern",
     "dsapi_interval_join",
     "dsapi_window_join",
     "dsapi_async_lookup",
     "dsapi_stream_process_timers",
     "dsapi_stream_interval_join",
-    "dsapi_cep_timeout",
     "dsapi_stream_window_aggregate",
-    "api_sql_hive_dialect",
-    "api_sql_gateway",
-    # part 2 — 33 re-grades: first the families whose code r7 touched
-    # (CEP tiers gained relaxed-loop quantifiers + timeout emission;
-    # table_env filesystem writes gained staged-manifest partition
-    # commit, dynamic partition overwrite, and writer-option
-    # forwarding), then one representative per SURVEY section-2 family.
-    "cep_fixed_pattern",
-    "cep_regex_pattern",
-    "cep_nfa_define",
-    "api_sql_match_within",
-    "stream_cep_all_rows",
-    "stream_cep_skip_next",
-    "stream_cep_nfa_define",
-    "api_sql_ddl_scan",
-    "api_sql_compiled_plan",
-    "api_sql_catalog_ddl",
+    # part 4: one representative per SURVEY section-2 family (rotation).
     "q1_pricing_summary",
     "q9_product_profit",
     "join_asof",
     "join_skew_salted",
     "lookup_join_dim",
-    "jdbc_lookup_join",
     "agg_grouping_sets",
     "agg_approx_count_distinct",
     "over_ignore_nulls",
@@ -140,14 +140,13 @@ _PRIORITY = (
     "dedup_keep_first",
     "setop_except_all",
     "func_collections",
-    "func_json_query_exists",
     "window_session",
     "window_topn",
     "stream_tumble_agg",
     "stream_stateful_topn",
     "stream_window_allowed_lateness",
     "changelog_normalize",
-    "format_debezium_cdc",
+    "udtag_table_agg_top2",
     "dedup_minhash_lsh",
     "similarity_brute_force_topk",
 )

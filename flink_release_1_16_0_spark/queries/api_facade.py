@@ -634,3 +634,113 @@ def api_table_row_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word, cnt, total_cents, max_cents")
         .to_data_frame()
     )
+
+
+_HIVE_STRUCT_CTAS_ORACLE = """
+SELECT CAST(n_regionkey AS BIGINT) AS rk,
+       COUNT(*) AS n,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY n_regionkey
+"""
+
+
+@register("api_sql_hive_struct_ctas", _HIVE_STRUCT_CTAS_ORACLE, tags=("api", "ddl", "hive"))
+def api_sql_hive_struct_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive dialect round 2 (parserImpls.ftl): STRUCT<name:type> columns
+    (-> engine ROW type) written and read through a Hive-spelled table,
+    then Hive CTAS (TableCreationWithQuery) aggregating the struct
+    fields into a second managed table. Ends with a plain-scalar read so
+    the DuckDB twin hashes exactly."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="hive_struct_")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE EXTERNAL TABLE hs_nation (
+          n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING
+        ) STORED AS PARQUET LOCATION '{sf_dir}/nation.parquet'"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE hs_packed (
+          id BIGINT,
+          info STRUCT<name:STRING, region:BIGINT>
+        ) STORED AS PARQUET LOCATION '{work}/packed'"""
+    )
+    tenv.execute_sql(
+        "INSERT INTO TABLE hs_packed "
+        "SELECT n_nationkey, named_struct('name', n_name, 'region', n_regionkey) "
+        "FROM hs_nation"
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE hs_agg STORED AS PARQUET LOCATION '{work}/agg'
+            AS SELECT info.region AS rk, COUNT(*) AS n, MIN(info.name) AS first_name
+               FROM hs_packed GROUP BY info.region"""
+    )
+    return tenv.sql_query("SELECT rk, n, first_name FROM hs_agg").to_data_frame()
+
+
+_MANIFEST_COMMIT_ORACLE = """
+SELECT o_orderpriority AS pri,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                + CASE WHEN o_orderpriority = '1-URGENT' THEN 100 ELSE 0 END)
+            AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey % 3 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@register("api_sql_manifest_commit", _MANIFEST_COMMIT_ORACLE, tags=("api", "sink", "commit"))
+def api_sql_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The object-store commit profile end to end
+    ('sink.commit-protocol'='manifest', sources/commit_protocol.py):
+    INSERT publishes uniquely-named files via an atomic manifest, a
+    crashed writer's orphan junk file lands in a live partition dir and
+    must stay INVISIBLE (it would crash a directory-listing parquet
+    read), and INSERT OVERWRITE of one partition is logical — replaced
+    files remain on disk but leave the live set. The read-back aggregate
+    hash-matches a DuckDB twin computing the post-overwrite state
+    directly from the source."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="manifest_commit_")
+    out = f"{work}/mc_part"
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mc_src (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet',
+                'format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE mc_part (
+          o_orderkey BIGINT, o_totalprice DOUBLE, pri STRING
+        ) PARTITIONED BY (pri)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    tenv.execute_sql(
+        "INSERT INTO mc_part SELECT o_orderkey, o_totalprice, o_orderpriority "
+        "FROM mc_src WHERE o_orderkey % 3 = 0"
+    )
+    # a crashed/concurrent writer's orphan: junk bytes in a live
+    # partition — a directory-listing read would die on it
+    orphan_dir = os.path.join(out, "pri=1-URGENT")
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(os.path.join(orphan_dir, "part-orphan.parquet"), "w") as fh:
+        fh.write("not parquet")
+    # logical overwrite of ONE partition (+1.00 on every price)
+    tenv.execute_sql(
+        "INSERT OVERWRITE mc_part "
+        "SELECT o_orderkey, o_totalprice + 1, o_orderpriority FROM mc_src "
+        "WHERE o_orderkey % 3 = 0 AND o_orderpriority = '1-URGENT'"
+    )
+    return tenv.sql_query(
+        "SELECT pri, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+        "FROM mc_part GROUP BY pri"
+    ).to_data_frame()

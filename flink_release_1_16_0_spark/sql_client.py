@@ -1,12 +1,15 @@
 """SQL script runner — the reference's SQL Client surface.
 
-Reference: ``flink-table/flink-sql-client`` (SqlClient.java:61,
-``-f <script>`` mode; the interactive CLI's statement splitter in
+Reference: ``flink-table/flink-sql-client`` (SqlClient.java:61 with
+CliOptionsParser's ``-f <script>`` / ``-e <statement>`` /
+``-i <init file>`` modes; the interactive CLI's statement splitter in
 cli/parser/SqlMultiLineParser.java). A user porting a Flink deployment
 typically carries ``.sql`` scripts executed by ``sql-client.sh -f`` —
-this module gives them the same entry point:
+this module gives them the same entry points:
 
     python -m flink_release_1_16_0_spark.sql_client script.sql
+    python -m flink_release_1_16_0_spark.sql_client -i init.sql -f job.sql
+    python -m flink_release_1_16_0_spark.sql_client -e "SELECT ..."
 
 Semantics: statements split on ``;`` outside string literals (the
 client's rule), ``--`` line comments and ``/* ... */`` block comments
@@ -103,12 +106,10 @@ def split_statements(script: str) -> list[str]:
     return [s.strip() for s in stmts if s.strip()]
 
 
-def run_script(spark: SparkSession, script: str, echo: bool = True) -> list:
-    """Execute every statement; return the per-statement results
-    (TableResult or None). Queries print tableau-style when ``echo``."""
-    from flink_release_1_16_0_spark.table_env import TableEnvironment
-
-    tenv = TableEnvironment.create(spark)
+def run_statements(tenv, script: str, echo: bool = True) -> list:
+    """Execute every statement of ``script`` in an EXISTING session;
+    return the per-statement results (TableResult or None). Queries
+    print tableau-style when ``echo``."""
     results = []
     for stmt in split_statements(script):
         if echo:
@@ -125,15 +126,73 @@ def run_script(spark: SparkSession, script: str, echo: bool = True) -> list:
     return results
 
 
+def run_script(
+    spark: SparkSession,
+    script: str,
+    echo: bool = True,
+    init_script: str | None = None,
+) -> list:
+    """One client session: optional init script first (CliOptions'
+    ``-i`` — catalogs/tables/config set up before the main input), then
+    the main script. Returns the MAIN script's per-statement results."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    if init_script:
+        run_statements(tenv, init_script, echo=echo)
+    return run_statements(tenv, script, echo=echo)
+
+
+_USAGE = (
+    "usage: python -m flink_release_1_16_0_spark.sql_client "
+    "[-i <init.sql>] (-f <script.sql> | -e '<statement>' | <script.sql>)"
+)
+
+
 def main(argv: list[str]) -> int:
-    if len(argv) != 1:
-        print("usage: python -m flink_release_1_16_0_spark.sql_client <script.sql>")
+    """CLI parity with SqlClient.java:61 / CliOptionsParser: ``-f``
+    script file, ``-e`` inline statement (mutually exclusive), ``-i``
+    init file executed first in the same session. A bare positional
+    script is accepted as ``-f`` shorthand."""
+    script: str | None = None
+    init_script: str | None = None
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in ("-f", "--file", "-e", "--execute", "-i", "--init"):
+            if i + 1 >= len(argv):
+                print(_USAGE)
+                return 2
+            val = argv[i + 1]
+            if a in ("-i", "--init"):
+                if init_script is not None:
+                    print(_USAGE)
+                    return 2
+                with open(val, encoding="utf-8") as f:
+                    init_script = f.read()
+            else:
+                if script is not None:  # -f/-e twice or mixed
+                    print(_USAGE)
+                    return 2
+                if a in ("-e", "--execute"):
+                    script = val
+                else:
+                    with open(val, encoding="utf-8") as f:
+                        script = f.read()
+            i += 2
+            continue
+        if a.startswith("-") or script is not None:
+            print(_USAGE)
+            return 2
+        with open(a, encoding="utf-8") as f:
+            script = f.read()
+        i += 1
+    if script is None:
+        print(_USAGE)
         return 2
     from flink_release_1_16_0_spark import get_spark
 
-    with open(argv[0], encoding="utf-8") as f:
-        script = f.read()
-    run_script(get_spark("sql-client"), script)
+    run_script(get_spark("sql-client"), script, init_script=init_script)
     return 0
 
 

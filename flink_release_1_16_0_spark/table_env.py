@@ -308,6 +308,8 @@ class CatalogTable:
                     df = raw.select(
                         F.col("value").cast(col.spark_type).alias(col.name)
                     )
+            elif self._commit_protocol() == "manifest":
+                df = self._manifest_scan(spark, path, fmt, streaming, opts)
             else:
                 df = file_source(
                     spark,
@@ -527,12 +529,13 @@ class CatalogTable:
                         out, self.options["path"], partition_cols=pcols
                     )
                 return
-            if self._has_commit_policy():
-                # partition-commit tables write through a per-job staging
-                # dir and rename (PartitionTempFileManager /
-                # FileSystemCommitter): the commit set is exactly the
-                # files THIS job produced — a concurrent writer into the
-                # same path can never be co-committed
+            if self._has_commit_policy() or self._commit_protocol() == "manifest":
+                # partition-commit / manifest tables write through a
+                # per-job staging dir and a commit protocol
+                # (PartitionTempFileManager / FileSystemCommitter): the
+                # commit set is exactly the files THIS job produced — a
+                # concurrent writer into the same path can never be
+                # co-committed
                 self._commit_partitions(self._stage_and_move(out, fmt, overwrite))
                 return
             writer = out.write.format(fmt).options(**self._format_extra_opts()).mode(
@@ -596,6 +599,38 @@ class CatalogTable:
             and not k.startswith("sink.")
         }
 
+    def _commit_protocol(self) -> str:
+        return self.options.get("sink.commit-protocol", "rename").strip().lower()
+
+    def _manifest_scan(self, spark, base, fmt, streaming, opts) -> DataFrame:
+        """Scan a manifest-committed table: exactly the manifest-listed
+        files are visible — orphan data files from crashed or in-flight
+        writers are not (the table-format read contract). ``basePath``
+        keeps hive-style partition columns resolvable from the explicit
+        file list."""
+        from flink_release_1_16_0_spark.sources.commit_protocol import (
+            manifest_live_files,
+        )
+
+        if streaming:
+            raise ValueError(
+                "manifest-committed tables are batch scans here: a "
+                "streaming tail would race the manifest log (tail the "
+                "log itself, not the directory)"
+            )
+        live = manifest_live_files(base)
+        schema = self.schema_ddl()
+        if not live:
+            return spark.createDataFrame([], schema)
+        ropts = {k: v for k, v in opts.items() if not k.startswith("sink.")}
+        return (
+            spark.read.schema(schema)
+            .format(fmt)
+            .options(**ropts)
+            .option("basePath", base)
+            .load(live)
+        )
+
     def _stage_and_move(
         self,
         batch_df: DataFrame,
@@ -603,16 +638,27 @@ class CatalogTable:
         overwrite: bool,
     ) -> list[str]:
         """Write through a per-job staging directory under the sink path
-        and rename the produced files into place — the reference's
+        and commit the produced files — the reference's
         PartitionTempFileManager (task files land in a job-scoped temp
-        dir) + FileSystemCommitter.java (commit moves them and derives
-        the partition set from the MOVED files). Returns the relative
-        partition paths this job produced (``[""]`` for an unpartitioned
-        sink); files from any concurrent writer are never in the staging
-        dir, so they can never be co-committed. ``overwrite`` replaces
-        only the produced partitions (dynamic-overwrite semantics, the
-        reference's grouped overwrite)."""
-        import shutil as _sh
+        dir) + FileSystemCommitter.java (commit derives the partition
+        set from the job's OWN files). Returns the relative partition
+        paths this job produced (``[""]`` for an unpartitioned sink);
+        files from any concurrent writer are never in the staging dir,
+        so they can never be co-committed. ``overwrite`` replaces only
+        the produced partitions (dynamic-overwrite semantics, the
+        reference's grouped overwrite).
+
+        The commit step is a protocol seam
+        (:mod:`~flink_release_1_16_0_spark.sources.commit_protocol`):
+        ``'sink.commit-protocol'='rename'`` (default) moves files into
+        place — atomic on POSIX/HDFS, WEAK on object stores where rename
+        is copy+delete; ``'manifest'`` publishes an atomic manifest over
+        uniquely-named final files (the table-format pattern) and the
+        scan resolves the manifest log instead of listing directories."""
+        from flink_release_1_16_0_spark.sources.commit_protocol import (
+            manifest_commit,
+            rename_commit,
+        )
 
         base = self.options["path"]
         staging = os.path.join(base, f".staging-{uuid.uuid4().hex}")
@@ -639,27 +685,16 @@ class CatalogTable:
             collect(staging, 0, ())
         else:
             rels = [""]
-        for rel in rels:
-            src = os.path.join(staging, rel) if rel else staging
-            dst = os.path.join(base, rel) if rel else base
-            if overwrite:
-                if rel:
-                    _sh.rmtree(dst, ignore_errors=True)
-                else:
-                    for e in os.scandir(base):
-                        if e.name.startswith((".", "_")):
-                            continue  # staging dirs, markers, metadata
-                        if e.is_file():
-                            os.remove(e.path)
-                        elif e.is_dir() and "=" in e.name:
-                            _sh.rmtree(e.path)
-            os.makedirs(dst, exist_ok=True)
-            for f in os.listdir(src):
-                full = os.path.join(src, f)
-                if f.startswith((".", "_")) or not os.path.isfile(full):
-                    continue  # Spark's own _SUCCESS marker stays behind
-                os.replace(full, os.path.join(dst, f))
-        _sh.rmtree(staging, ignore_errors=True)
+        proto = self._commit_protocol()
+        if proto == "manifest":
+            manifest_commit(base, staging, rels, overwrite)
+        elif proto == "rename":
+            rename_commit(base, staging, rels, overwrite)
+        else:
+            raise ValueError(
+                f"unknown 'sink.commit-protocol' {proto!r} "
+                "(supported: rename, manifest)"
+            )
         return sorted(rels)
 
     def _commit_log_paths(self) -> set[str]:

@@ -515,3 +515,103 @@ def test_upsert_kafka_source_pipeline_materializes(spark):
         (1, "a2"),
         (3, "c"),
     ]
+
+
+def test_manifest_commit_protocol_end_to_end(spark, tmp_path):
+    """'sink.commit-protocol'='manifest' (the object-store profile):
+    data files publish via an atomic manifest; orphan files from a
+    crashed/concurrent writer are INVISIBLE to the scan (the rename
+    protocol can only keep the marker away), and OVERWRITE is logical —
+    replaced files stay on disk but leave the live set."""
+    import os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "mf_src")
+    spark.range(0, 10).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+    out = str(tmp_path / "mf_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mf_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE mf_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    tenv.execute_sql("INSERT INTO mf_snk SELECT k, p FROM mf_src")
+    # a crashed writer's orphan: junk bytes in a live partition AND a
+    # foreign partition — the manifest scan must list neither
+    with open(os.path.join(out, "p=0", "part-orphan.parquet"), "w") as fh:
+        fh.write("not parquet")
+    os.makedirs(os.path.join(out, "p=99"), exist_ok=True)
+    with open(os.path.join(out, "p=99", "part-foreign.parquet"), "w") as fh:
+        fh.write("not parquet")
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM mf_snk").to_data_frame().collect()
+    }
+    assert rows == {(i, i % 2) for i in range(10)}
+    # logical overwrite of p=1 only
+    tenv.execute_sql(
+        "INSERT OVERWRITE mf_snk SELECT k + 100, p FROM mf_src WHERE p = 1"
+    )
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM mf_snk").to_data_frame().collect()
+    }
+    assert rows == {(i, 0) for i in range(0, 10, 2)} | {
+        (i + 100, 1) for i in range(1, 10, 2)
+    }
+    # the overwrite deleted nothing: the old p=1 files are still on disk
+    old_files = [
+        f
+        for f in os.listdir(os.path.join(out, "p=1"))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    assert len(old_files) > 1  # replaced + replacement generations coexist
+
+
+def test_manifest_commit_racing_writer_invisible(spark, tmp_path):
+    """The racing-writer scenario against the manifest protocol: files
+    landing in the sink path during the commit are not published (same
+    guarantee as the rename protocol's staging-set commit, but enforced
+    at READ time too — the stronger object-store contract)."""
+    import os
+
+    from flink_release_1_16_0_spark import table_env as TE
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "mrw_src")
+    spark.range(0, 6).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+    out = str(tmp_path / "mrw_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mrw_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE mrw_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    orig = TE.CatalogTable._commit_partitions
+
+    def racing_commit(self, rel_paths):
+        foreign = os.path.join(out, "p=0")
+        os.makedirs(foreign, exist_ok=True)
+        with open(os.path.join(foreign, "part-racer.parquet"), "w") as fh:
+            fh.write("x")
+        return orig(self, rel_paths)
+
+    TE.CatalogTable._commit_partitions = racing_commit
+    try:
+        tenv.execute_sql("INSERT INTO mrw_snk SELECT k, p FROM mrw_src")
+    finally:
+        TE.CatalogTable._commit_partitions = orig
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM mrw_snk").to_data_frame().collect()
+    }
+    assert rows == {(i, i % 2) for i in range(6)}

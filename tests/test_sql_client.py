@@ -117,3 +117,40 @@ def test_interactive_begin_statement_set_via_script(spark, tmp_path):
     run_script(spark, script, echo=False)
     assert [r.x for r in spark.read.parquet(f"{tmp_path}/iba").collect()] == [1]
     assert sorted(r.x for r in spark.read.parquet(f"{tmp_path}/ibb").collect()) == [10, 20]
+
+
+def test_init_script_then_main(spark, tmp_path):
+    """-i init file runs FIRST in the SAME session (CliOptionsParser):
+    tables/config it creates are visible to the main script."""
+    src = str(tmp_path / "cli_src")
+    spark.range(0, 4).selectExpr("id AS k").write.parquet(src)
+    out = str(tmp_path / "cli_out")
+    init = f"""
+      CREATE TABLE cli_in (k BIGINT)
+      WITH ('connector'='filesystem','path'='{src}','format'='parquet');
+      CREATE TABLE cli_out (k BIGINT)
+      WITH ('connector'='filesystem','path'='{out}','format'='parquet');
+    """
+    main = "INSERT INTO cli_out SELECT k + 10 FROM cli_in;"
+    run_script(spark, main, echo=False, init_script=init)
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == [10, 11, 12, 13]
+
+
+def test_cli_flags_e_and_i(spark, tmp_path, capsys, monkeypatch):
+    """main() argument surface: -i + -e end to end; -f/-e are mutually
+    exclusive."""
+    import flink_release_1_16_0_spark.sql_client as C
+
+    init_path = tmp_path / "init.sql"
+    init_path.write_text("CREATE VIEW cli_v AS SELECT 41 + 1 AS answer;")
+    # main() builds its own SparkSession via get_spark — reuse the test one
+    monkeypatch.setattr(
+        "flink_release_1_16_0_spark.get_spark", lambda *a, **k: spark
+    )
+    rc = C.main(["-i", str(init_path), "-e", "SELECT answer FROM cli_v"])
+    assert rc == 0
+    assert "42" in capsys.readouterr().out
+    assert C.main(["-e", "SELECT 1", "-f", "x.sql"]) == 2
+    assert C.main(["-i", str(init_path)]) == 2
+    assert C.main([]) == 2

@@ -299,3 +299,28 @@ def test_cancel_echoes_actual_status(spark):
         _rest(f"{base}/v1/sessions/{sh}", "DELETE")
     finally:
         gw.stop()
+
+
+def test_hiveserver2_endpoint_dependency_probe():
+    """1.16's SECOND gateway wire protocol — the HiveServer2 endpoint
+    (flink-connectors/flink-connector-hive/.../endpoint/hive/
+    HiveServer2Endpoint.java:153) — speaks the Hive Thrift RPC
+    (TCLIService). Like the Kafka transport, it is environment-blocked
+    here: no thrift runtime or hive-service bindings ship in this
+    container, and pip installs are off-limits, so an implementation
+    could never be driven end to end. This probe documents that honestly
+    (the same pattern as the Kafka jar probe): it SKIPS while the
+    dependency is absent, and FAILS LOUDLY if a thrift runtime ever
+    appears — at which point the gap becomes actionable and this test
+    must be replaced by a real endpoint + test."""
+    try:
+        import thrift  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "thrift runtime not available: HiveServer2 endpoint is "
+            "environment-blocked (documented in COVERAGE.md)"
+        )
+    raise AssertionError(
+        "a thrift runtime is now available — implement the HiveServer2 "
+        "endpoint (HiveServer2Endpoint.java:153) instead of skipping"
+    )
