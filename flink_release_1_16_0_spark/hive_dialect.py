@@ -57,7 +57,7 @@ _CREATE_TABLE_RE = re.compile(
     r"(?P<name>[\w.]+)\s*\((?P<body>.*?)\)\s*"
     r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
-    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'[^']*')\s*)?"
+    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
     r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
     r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
     r"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?",
@@ -107,25 +107,68 @@ def _default_location(env, name: str) -> str:
     return f"{wh}/hive_dialect/{name.split('.')[-1]}"
 
 
-def _translate_create_table(env, stmt: str) -> str:
-    m = _CREATE_TABLE_RE.fullmatch(stmt)
-    if not m:
-        raise ValueError(f"hive dialect: cannot parse CREATE TABLE: {stmt!r}")
-    rowformat = m.group("rowformat")
-    if rowformat and rowformat.upper().startswith("SERDE"):
-        raise ValueError(
-            "hive dialect: ROW FORMAT SERDE is not translated (supported: "
-            "ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>')"
+# SerDes with a faithful csv-reader translation: LazySimpleSerDe is
+# Hive's DEFAULT text SerDe (what ROW FORMAT DELIMITED compiles to), and
+# OpenCSVSerde is the quoted-csv one. Anything else (Avro/ORC/JSON
+# SerDes have STORED AS spellings; binary SerDes have no Spark reader
+# knob) still raises with a pointer.
+_LAZY_SERDE = "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe"
+_OPENCSV_SERDE = "org.apache.hadoop.hive.serde2.OpenCSVSerde"
+
+
+def _unescape(v: str) -> str:
+    # '\t'-style escapes in DDL decode to the real character; a value
+    # that is not a valid escape sequence (e.g. a lone '\') is literal
+    try:
+        return v.encode("utf-8").decode("unicode_escape")
+    except UnicodeDecodeError:
+        return v
+
+
+def _serde_csv_opts(serde: str, props_src: str | None) -> dict:
+    props: dict[str, str] = {}
+    if props_src:
+        from flink_release_1_16_0_spark.table_env import (
+            _parse_option_pair,
+            _split_top_level,
         )
-    cols = [_clean_col(c) for c in _split_cols(m.group("body"))]
-    part_names: list[str] = []
-    if m.group("parts"):
-        # Hive declares partition columns OUTSIDE the schema with their
-        # own types; Flink DDL references schema columns — append them
-        for p in _split_cols(m.group("parts")):
-            p = _clean_col(p)
-            part_names.append(p.split()[0])
-            cols.append(p)
+
+        for pair in _split_top_level(props_src):
+            km = _parse_option_pair(pair)
+            if not km:
+                raise ValueError(
+                    f"hive dialect: cannot parse SERDEPROPERTIES entry {pair!r}"
+                )
+            props[km[0]] = km[1]
+    if serde == _LAZY_SERDE:
+        delim = props.get("field.delim") or props.get("serialization.format")
+        return {"sep": _unescape(delim) if delim else "\x01", "header": "false"}
+    if serde == _OPENCSV_SERDE:
+        # divergence note: Hive's OpenCSVSerde yields all-string columns;
+        # the csv reader casts to the DECLARED types instead (strictly
+        # more faithful to the table schema)
+        return {
+            "sep": _unescape(props.get("separatorChar", ",")),
+            "quote": _unescape(props.get("quoteChar", '"')),
+            "escape": _unescape(props.get("escapeChar", "\\")),
+            "header": "false",
+        }
+    raise ValueError(
+        f"hive dialect: ROW FORMAT SERDE {serde!r} is not translated "
+        f"(supported: {_LAZY_SERDE}, {_OPENCSV_SERDE}, or ROW FORMAT "
+        "DELIMITED FIELDS TERMINATED BY '<d>')"
+    )
+
+
+def _storage_opts(env, m: "re.Match") -> dict:
+    """Shared CREATE/CTAS storage translation: STORED AS -> format,
+    ROW FORMAT (DELIMITED or a csv-translatable SERDE) -> csv reader
+    options, LOCATION -> path (warehouse default), TBLPROPERTIES ->
+    passthrough options."""
+    rowformat = m.group("rowformat")
+    serde_opts = None
+    if rowformat and rowformat.upper().startswith("SERDE"):
+        serde_opts = _serde_csv_opts(m.group("serde"), m.group("serdeprops"))
     stored = (m.group("stored") or "textfile").lower()
     fmt = _STORED_FORMATS.get(stored)
     if fmt is None:
@@ -133,21 +176,27 @@ def _translate_create_table(env, stmt: str) -> str:
             f"hive dialect: STORED AS {stored.upper()} is not translated "
             f"(supported: {', '.join(s.upper() for s in _STORED_FORMATS)})"
         )
+    if serde_opts is not None and fmt != "csv":
+        raise ValueError(
+            "hive dialect: a row-format SERDE only applies to TEXTFILE "
+            f"storage (table is STORED AS {stored.upper()})"
+        )
     opts = {
         "connector": "filesystem",
-        "path": (m.group("loc") or "").replace("''", "'") or _default_location(env, m.group("name")),
+        "path": (m.group("loc") or "").replace("''", "'")
+        or _default_location(env, m.group("name")),
         "format": fmt,
     }
     if fmt == "csv":
-        delim = m.group("delim")
-        # Hive's default field delimiter is ^A (\001); '\t'-style escapes
-        # in the DDL decode to the real character for Spark's csv reader
-        opts["sep"] = (
-            delim.encode("utf-8").decode("unicode_escape") if delim else "\x01"
-        )
-        # a header row would eat the first record; Hive text tables
-        # never have one
-        opts["header"] = "false"
+        if serde_opts is not None:
+            opts.update(serde_opts)
+        else:
+            delim = m.group("delim")
+            # Hive's default field delimiter is ^A (\001)
+            opts["sep"] = _unescape(delim) if delim else "\x01"
+            # a header row would eat the first record; Hive text tables
+            # never have one
+            opts["header"] = "false"
     if m.group("props"):
         from flink_release_1_16_0_spark.table_env import (
             _parse_option_pair,
@@ -161,6 +210,23 @@ def _translate_create_table(env, stmt: str) -> str:
                     f"hive dialect: cannot parse TBLPROPERTIES entry {pair!r}"
                 )
             opts[km[0]] = km[1]
+    return opts
+
+
+def _translate_create_table(env, stmt: str) -> str:
+    m = _CREATE_TABLE_RE.fullmatch(stmt)
+    if not m:
+        raise ValueError(f"hive dialect: cannot parse CREATE TABLE: {stmt!r}")
+    cols = [_clean_col(c) for c in _split_cols(m.group("body"))]
+    part_names: list[str] = []
+    if m.group("parts"):
+        # Hive declares partition columns OUTSIDE the schema with their
+        # own types; Flink DDL references schema columns — append them
+        for p in _split_cols(m.group("parts")):
+            p = _clean_col(p)
+            part_names.append(p.split()[0])
+            cols.append(p)
+    opts = _storage_opts(env, m)
     with_clause = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in opts.items())
     comment = f" COMMENT '{m.group('comment')}'" if m.group("comment") else ""
     ine = "IF NOT EXISTS " if m.group("ine") else ""
@@ -178,7 +244,7 @@ _CTAS_HIVE_RE = re.compile(
     r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s*"
     r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
-    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'[^']*')\s*)?"
+    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
     r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
     r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
     r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
@@ -190,43 +256,7 @@ _CTAS_HIVE_RE = re.compile(
 def _translate_ctas(env, stmt: str, m: "re.Match") -> str:
     """Hive CTAS -> default-dialect CTAS (CREATE TABLE ... WITH (...) AS
     query)."""
-    rowformat = m.group("rowformat")
-    if rowformat and rowformat.upper().startswith("SERDE"):
-        raise ValueError(
-            "hive dialect: ROW FORMAT SERDE is not translated (supported: "
-            "ROW FORMAT DELIMITED FIELDS TERMINATED BY '<d>')"
-        )
-    stored = (m.group("stored") or "textfile").lower()
-    fmt = _STORED_FORMATS.get(stored)
-    if fmt is None:
-        raise ValueError(
-            f"hive dialect: STORED AS {stored.upper()} is not translated "
-            f"(supported: {', '.join(s.upper() for s in _STORED_FORMATS)})"
-        )
-    opts = {
-        "connector": "filesystem",
-        "path": (m.group("loc") or "").replace("''", "'") or _default_location(env, m.group("name")),
-        "format": fmt,
-    }
-    if fmt == "csv":
-        delim = m.group("delim")
-        opts["sep"] = (
-            delim.encode("utf-8").decode("unicode_escape") if delim else "\x01"
-        )
-        opts["header"] = "false"
-    if m.group("props"):
-        from flink_release_1_16_0_spark.table_env import (
-            _parse_option_pair,
-            _split_top_level,
-        )
-
-        for pair in _split_top_level(m.group("props")):
-            km = _parse_option_pair(pair)
-            if not km:
-                raise ValueError(
-                    f"hive dialect: cannot parse TBLPROPERTIES entry {pair!r}"
-                )
-            opts[km[0]] = km[1]
+    opts = _storage_opts(env, m)
     with_clause = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in opts.items())
     ine = "IF NOT EXISTS " if m.group("ine") else ""
     return (

@@ -1337,6 +1337,37 @@ class Table:
     def add_columns(self, *exprs) -> "Table":
         return self._sql(f"SELECT *, {_frag(exprs)} FROM {{t}}")
 
+    def add_or_replace_columns(self, *exprs) -> "Table":
+        """TableImpl.addOrReplaceColumns: each item must be ``expr AS
+        name``; a same-named existing column is replaced IN PLACE, new
+        names append."""
+        items = _split_top_level(_frag(exprs))
+        new: dict[str, str] = {}
+        for it in items:
+            m = re.search(r"\s+AS\s+(\w+)\s*$", it, re.IGNORECASE)
+            if not m:
+                raise ValueError(
+                    f"add_or_replace_columns items must be aliased ('expr AS "
+                    f"name'), got {it.strip()!r}"
+                )
+            new[m.group(1).lower()] = it.strip()
+        select = [new.pop(c.lower(), c) for c in self._df.columns]
+        select += list(new.values())
+        return self._sql(f"SELECT {', '.join(select)} FROM {{t}}")
+
+    def as_(self, *names) -> "Table":
+        """TableImpl.as: rename ALL columns positionally (the fluent
+        ``table.as("a, b, c")`` / ``alias`` spelling)."""
+        if len(names) == 1 and isinstance(names[0], str):
+            names = tuple(n.strip() for n in names[0].split(","))
+        if len(names) != len(self._df.columns):
+            raise ValueError(
+                f"as_ needs exactly {len(self._df.columns)} names, got {len(names)}"
+            )
+        return Table(self._df.toDF(*names))
+
+    alias = as_
+
     def drop_columns(self, cols: str) -> "Table":
         names = [c.strip() for c in cols.split(",")]
         return Table(self._df.drop(*names))
@@ -1387,15 +1418,21 @@ class Table:
     def full_outer_join(self, right: "Table", on: str) -> "Table":
         return self.join(right, on, "FULL OUTER")
 
-    def join_lateral(self, udtf_expr: str, alias: str = "t") -> "Table":
+    def join_lateral(self, udtf_expr: str, alias: str = "t", outer: bool = False) -> "Table":
         """Fluent lateral UDTF apply (OperationTreeBuilder.joinLateral):
         ``t.join_lateral("explode(split(s, ',')) AS word")`` — each left
         row joined to the rows its table-function call produces."""
         parts = re.split(r"\s+AS\s+", udtf_expr, maxsplit=1, flags=re.IGNORECASE)
-        clause = f"LATERAL VIEW {parts[0]} {alias}"
+        clause = f"LATERAL VIEW {'OUTER ' if outer else ''}{parts[0]} {alias}"
         if len(parts) == 2:
             clause += f" AS {parts[1]}"
         return self._sql(f"SELECT * FROM {{t}} {clause}")
+
+    def left_outer_join_lateral(self, udtf_expr: str, alias: str = "t") -> "Table":
+        """TableImpl.leftOuterJoinLateral: a left row with an EMPTY
+        table-function result survives with NULL function columns
+        (LATERAL VIEW OUTER)."""
+        return self.join_lateral(udtf_expr, alias, outer=True)
 
     # -- row-based operations (TableImpl.java:403-418) -------------------------
     def map(self, fn, schema: str, vectorized: bool = False) -> "Table":
@@ -1455,8 +1492,14 @@ class Table:
     def intersect(self, other: "Table") -> "Table":
         return Table(self._df.intersect(other._df))
 
+    def intersect_all(self, other: "Table") -> "Table":
+        return Table(self._df.intersectAll(other._df))
+
     def minus(self, other: "Table") -> "Table":
         return Table(self._df.exceptAll(other._df).distinct())
+
+    def minus_all(self, other: "Table") -> "Table":
+        return Table(self._df.exceptAll(other._df))
 
     # -- ordering / limits ---------------------------------------------------
     def order_by(self, exprs: str) -> "Table":

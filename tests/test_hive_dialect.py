@@ -245,3 +245,43 @@ def test_hive_dialect_rejects_untranslatable(tenv):
         )
     with pytest.raises(ValueError, match="STORED AS"):
         tenv.execute_sql("CREATE TABLE hv_rc (x INT) STORED AS RCFILE")
+
+
+def test_hive_dialect_serde_translations(tenv, tmp_path):
+    """LazySimpleSerDe (Hive's default text SerDe) and OpenCSVSerde
+    translate to the csv reader; other SerDes still raise."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_lazy (a INT, b STRING)
+            ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+            WITH SERDEPROPERTIES ('field.delim'='\\t')
+            STORED AS TEXTFILE LOCATION '{tmp_path}/lazy'"""
+    )
+    t = tenv._tables["hv_lazy"]
+    assert t.options["sep"] == "\t" and t.options["format"] == "csv"
+    tenv.execute_sql("INSERT INTO TABLE hv_lazy SELECT 1, 'x'")
+    row = tenv.sql_query("SELECT a, b FROM hv_lazy").to_data_frame().first()
+    assert (row.a, row.b) == (1, "x")
+
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_ocsv (a INT, b STRING)
+            ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.OpenCSVSerde'
+            WITH SERDEPROPERTIES ('separatorChar'=';', 'quoteChar'='"')
+            STORED AS TEXTFILE LOCATION '{tmp_path}/ocsv'"""
+    )
+    t = tenv._tables["hv_ocsv"]
+    assert t.options["sep"] == ";" and t.options["quote"] == '"'
+    tenv.execute_sql("INSERT INTO TABLE hv_ocsv SELECT 2, 'semi;colon'")
+    row = tenv.sql_query("SELECT a, b FROM hv_ocsv").to_data_frame().first()
+    assert (row.a, row.b) == (2, "semi;colon")
+
+    with pytest.raises(ValueError, match="SERDE"):
+        tenv.execute_sql(
+            "CREATE TABLE hv_bad (x INT) ROW FORMAT SERDE 'org.acme.BinarySerDe'"
+        )
+    with pytest.raises(ValueError, match="TEXTFILE"):
+        tenv.execute_sql(
+            """CREATE TABLE hv_mix (x INT)
+               ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.OpenCSVSerde'
+               STORED AS PARQUET"""
+        )

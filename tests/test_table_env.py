@@ -2152,3 +2152,38 @@ def test_fluent_grouped_aggregate_select(tenv, spark):
         .collect()
     )
     assert {(r["k"], r["spread"]) for r in rows} == {("a", -1.0), ("b", -5.0)}
+
+
+def test_fluent_breadth_completions(tenv, spark):
+    """The remaining TableImpl method family: as_/alias,
+    add_or_replace_columns (in-place replacement), minus_all /
+    intersect_all (bag semantics), left_outer_join_lateral (empty UDTF
+    result keeps the row)."""
+    t = tenv.from_data_frame(
+        spark.createDataFrame([(1, "a,b"), (2, "")], "id int, s string")
+    )
+    # as_ renames positionally
+    assert t.as_("k, txt").to_data_frame().columns == ["k", "txt"]
+    assert t.alias("k", "txt").to_data_frame().columns == ["k", "txt"]
+    # add_or_replace_columns: replacement stays in place, new appends
+    out = t.add_or_replace_columns("id * 10 AS id", "length(s) AS n")
+    assert out.to_data_frame().columns == ["id", "s", "n"]
+    assert {(r.id, r.n) for r in out.to_data_frame().collect()} == {(10, 3), (20, 0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="aliased"):
+        t.add_or_replace_columns("id * 10")
+    # bag set ops vs the SQL duals
+    a = tenv.from_data_frame(spark.createDataFrame([(1,), (1,), (2,)], "x int"))
+    b = tenv.from_data_frame(spark.createDataFrame([(1,), (3,)], "x int"))
+    assert sorted(r.x for r in a.minus_all(b).to_data_frame().collect()) == [1, 2]
+    assert sorted(r.x for r in a.intersect_all(b).to_data_frame().collect()) == [1]
+    # left outer lateral: id=2 has no words but survives with NULL
+    rows = {
+        (r.id, r.word)
+        for r in t.left_outer_join_lateral(
+            "explode(split(s, ',')) AS word"
+        ).to_data_frame().collect()
+    }
+    assert (2, "") in rows or (2, None) in rows
+    assert {(1, "a"), (1, "b")} <= rows
