@@ -57,7 +57,7 @@ _CREATE_TABLE_RE = re.compile(
     r"(?P<name>[\w.]+)\s*\((?P<body>.*?)\)\s*"
     r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
-    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
+    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?(?:\s+(?P<subdelims>(?:(?:COLLECTION\s+ITEMS|MAP\s+KEYS)\s+TERMINATED\s+BY\s+'[^']*'\s*)+))?(?:\s+LINES\s+TERMINATED\s+BY\s+'(?P<lines>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
     r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
     r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
     r"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?",
@@ -191,12 +191,25 @@ def _storage_opts(env, m: "re.Match") -> dict:
         if serde_opts is not None:
             opts.update(serde_opts)
         else:
+            if m.group("subdelims"):
+                # COLLECTION ITEMS / MAP KEYS delimiters exist only to
+                # encode complex types in Hive's text layout; the csv
+                # reader has no nested-text decoder
+                raise ValueError(
+                    "hive dialect: COLLECTION ITEMS / MAP KEYS TERMINATED "
+                    "BY is not translated (complex types in TEXTFILE — "
+                    "use STORED AS PARQUET/ORC for nested columns)"
+                )
             delim = m.group("delim")
             # Hive's default field delimiter is ^A (\001)
             opts["sep"] = _unescape(delim) if delim else "\x01"
             # a header row would eat the first record; Hive text tables
             # never have one
             opts["header"] = "false"
+            lines = m.group("lines")
+            if lines and _unescape(lines) != "\n":
+                # Spark csv takes a custom record separator via lineSep
+                opts["lineSep"] = _unescape(lines)
     if m.group("props"):
         from flink_release_1_16_0_spark.table_env import (
             _parse_option_pair,
@@ -218,6 +231,22 @@ def _translate_create_table(env, stmt: str) -> str:
     if not m:
         raise ValueError(f"hive dialect: cannot parse CREATE TABLE: {stmt!r}")
     cols = [_clean_col(c) for c in _split_cols(m.group("body"))]
+    # the regex's trailing clauses are all optional, so an
+    # unrecognizable clause makes the lazy body group swallow the rest
+    # of the statement instead of failing — catch that mis-parse loudly
+    # rather than creating a mangled table
+    for c in cols:
+        if re.search(
+            r"\b(STORED\s+AS|LOCATION|TBLPROPERTIES|ROW\s+FORMAT|"
+            r"PARTITIONED\s+BY|TERMINATED\s+BY|SKEWED\s+BY|CLUSTERED\s+BY|"
+            r"SORTED\s+BY|\d+\s+BUCKETS)\b",
+            c,
+            re.IGNORECASE,
+        ):
+            raise ValueError(
+                f"hive dialect: cannot parse CREATE TABLE near {c[:80]!r} "
+                "(unsupported clause between the column list and WITH?)"
+            )
     part_names: list[str] = []
     if m.group("parts"):
         # Hive declares partition columns OUTSIDE the schema with their
@@ -244,7 +273,7 @@ _CTAS_HIVE_RE = re.compile(
     r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s*"
     r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
-    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
+    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?(?:\s+(?P<subdelims>(?:(?:COLLECTION\s+ITEMS|MAP\s+KEYS)\s+TERMINATED\s+BY\s+'[^']*'\s*)+))?(?:\s+LINES\s+TERMINATED\s+BY\s+'(?P<lines>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
     r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
     r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
     r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"

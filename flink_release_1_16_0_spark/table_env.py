@@ -816,6 +816,16 @@ class CatalogTable:
             fmt = self.options.get("format", "parquet")
             partitions = list(self.partitioned_by)
             if "checkpoint" in self.options:
+                if self._commit_protocol() == "manifest":
+                    # the native file sink tracks its files in
+                    # _spark_metadata, not the manifest log — a manifest
+                    # reader would see nothing this sink writes
+                    raise ValueError(
+                        "'sink.commit-protocol'='manifest' requires the "
+                        "foreachBatch streaming sink (remove the "
+                        "'checkpoint' option): each micro-batch publishes "
+                        "its own manifest"
+                    )
                 if output_mode != "append":
                     # the native file sink is append-only in Spark; an
                     # early-fire / allowed-lateness emit (update mode)
@@ -840,7 +850,14 @@ class CatalogTable:
                 if partitions:
                     writer = writer.partitionBy(*partitions)
             else:
-                stage = self._has_commit_policy()
+                # manifest tables ALWAYS stage: each micro-batch
+                # publishes its own manifest, so readers only ever see
+                # committed batches (a direct append would write files
+                # the manifest scan can never resolve)
+                stage = (
+                    self._has_commit_policy()
+                    or self._commit_protocol() == "manifest"
+                )
 
                 def _append(batch_df: DataFrame, _batch_id: int) -> None:
                     if stage:
@@ -3794,7 +3811,13 @@ class TableEnvironment:
         # otherwise go stale after the write)
         if table.connector in ("filesystem", "jdbc", "hive"):
             streaming_scan = self.streaming and table.connector != "hive"
-            table.scan(self.spark, streaming_scan).createOrReplaceTempView(name)
+            if streaming_scan and table._commit_protocol() == "manifest":
+                # manifest tables have no streaming scan (the log, not
+                # the directory, is the source of truth): write-only in
+                # a streaming env; batch envs read the manifest
+                pass
+            else:
+                table.scan(self.spark, streaming_scan).createOrReplaceTempView(name)
         return TableResult(rows=["OK"])
 
 

@@ -285,3 +285,72 @@ def test_hive_dialect_serde_translations(tenv, tmp_path):
                ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.OpenCSVSerde'
                STORED AS PARQUET"""
         )
+
+
+def test_hive_dialect_lines_and_misparse_guard(tenv, tmp_path):
+    """LINES TERMINATED BY '\\n' is accepted (and a custom separator maps
+    to lineSep); COLLECTION ITEMS delimiters and any unrecognizable
+    trailing clause fail LOUDLY instead of silently mangling the table."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_lines (a INT, b STRING)
+            ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+            LINES TERMINATED BY '\\n'
+            STORED AS TEXTFILE LOCATION '{tmp_path}/lines'"""
+    )
+    t = tenv._tables["hv_lines"]
+    assert t.options["sep"] == "," and "lineSep" not in t.options
+    tenv.execute_sql("INSERT INTO TABLE hv_lines SELECT 1, 'x'")
+    row = tenv.sql_query("SELECT a, b FROM hv_lines").to_data_frame().first()
+    assert (row.a, row.b) == (1, "x")
+    with pytest.raises(ValueError, match="COLLECTION ITEMS"):
+        tenv.execute_sql(
+            """CREATE TABLE hv_coll (a INT)
+               ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+               COLLECTION ITEMS TERMINATED BY '|'
+               STORED AS TEXTFILE"""
+        )
+    with pytest.raises(ValueError, match="cannot parse CREATE TABLE"):
+        tenv.execute_sql(
+            "CREATE TABLE hv_skew (x INT) SKEWED BY (x) ON (1) STORED AS PARQUET"
+        )
+
+
+def test_manifest_streaming_insert_publishes_per_batch(spark, tmp_path):
+    """A streaming INSERT INTO a manifest table stages + publishes each
+    micro-batch (a direct append would write files the manifest scan can
+    never resolve); the native-checkpoint sink combination raises."""
+    import pytest as _pytest
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "ms_src")
+    spark.range(0, 6).selectExpr("id AS k").write.parquet(src)
+    out = str(tmp_path / "ms_out")
+    tenv = TableEnvironment.create(spark, streaming=True)
+    tenv.execute_sql(
+        f"""CREATE TABLE ms_src (k BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE ms_snk (k BIGINT)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    tenv.execute_sql("INSERT INTO ms_snk SELECT k FROM ms_src")
+    # batch read-back resolves ONLY manifest-listed files
+    bt = TableEnvironment.create(spark)
+    bt.execute_sql(
+        f"""CREATE TABLE ms_read (k BIGINT)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    got = sorted(r.k for r in bt.sql_query("SELECT k FROM ms_read").to_data_frame().collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    tenv.execute_sql(
+        f"""CREATE TABLE ms_bad (k BIGINT)
+        WITH ('connector'='filesystem','path'='{tmp_path}/bad','format'='parquet',
+              'sink.commit-protocol'='manifest','checkpoint'='{tmp_path}/ckpt')"""
+    )
+    with _pytest.raises(ValueError, match="foreachBatch"):
+        tenv.execute_sql("INSERT INTO ms_bad SELECT k FROM ms_src")
