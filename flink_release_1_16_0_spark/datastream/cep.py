@@ -429,13 +429,12 @@ class PatternStream:
                             out.append(tr)
                     start += 1
                     continue
+                # nfa_all_matches never yields EMPTY matches (suppressed
+                # at the NFA terminal — see operators/cep.py step()), so
+                # an all-optional pattern emits nothing per row while a
+                # reluctant optional still reaches its taken branch
                 m = next(nfa_all_matches(rows, start, steps, defines, within_ms), None)
-                # m[0] > start rejects empty matches: an all-optional
-                # pattern (begin('a').optional()) must not emit one
-                # empty-bindings row per input row (mirrors the
-                # streaming path's guard; the reference never emits
-                # empty matches)
-                if m is not None and m[0] > start:
+                if m is not None:
                     end, bound = m
                     bindings = {
                         v: [rows[j] for j in bound.get(v, [])] for v in var_names
@@ -533,8 +532,10 @@ class PatternStream:
                     s += 1
                     decided = s
                     continue
+                # empty matches are suppressed at the NFA terminal (see
+                # the bounded path's note), so plain next() is exact
                 m = next(nfa_all_matches(rows, s, steps, defines, within_ms), None)
-                if m is not None and m[0] > s:
+                if m is not None:
                     end, bound = m
                     bindings = {
                         v: [rows[j] for j in bound.get(v, [])] for v in var_names

@@ -52,15 +52,28 @@ def _strip_backticks(env, stmt: str) -> str:
     return "".join(out)
 
 
+# One storage-clause grammar shared by CREATE TABLE and CTAS — a
+# sub-clause added here (as SERDEPROPERTIES and LINES were) stays in
+# sync for BOTH statement shapes.
+_STORAGE_CLAUSES = (
+    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED"
+    r"(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?"
+    r"(?:\s+(?P<subdelims>(?:(?:COLLECTION\s+ITEMS|MAP\s+KEYS)\s+TERMINATED\s+BY\s+'[^']*'\s*)+))?"
+    r"(?:\s+LINES\s+TERMINATED\s+BY\s+'(?P<lines>[^']*)')?"
+    r"|SERDE\s+'(?P<serde>[^']*)'"
+    r"(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
+    r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
+    r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
+)
+
+
 _CREATE_TABLE_RE = re.compile(
     r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s*\((?P<body>.*?)\)\s*"
     r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
     r"(?:PARTITIONED\s+BY\s*\((?P<parts>[^)]*)\)\s*)?"
-    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?(?:\s+(?P<subdelims>(?:(?:COLLECTION\s+ITEMS|MAP\s+KEYS)\s+TERMINATED\s+BY\s+'[^']*'\s*)+))?(?:\s+LINES\s+TERMINATED\s+BY\s+'(?P<lines>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
-    r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
-    r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
-    r"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?",
+    + _STORAGE_CLAUSES
+    + r"(?:TBLPROPERTIES\s*\((?P<props>.*)\)\s*)?",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -76,6 +89,7 @@ _STORED_FORMATS = {
     "textfile": "csv",
     "jsonfile": "json",
 }
+
 
 
 def _split_cols(body: str) -> list[str]:
@@ -141,7 +155,14 @@ def _serde_csv_opts(serde: str, props_src: str | None) -> dict:
                 )
             props[km[0]] = km[1]
     if serde == _LAZY_SERDE:
-        delim = props.get("field.delim") or props.get("serialization.format")
+        delim = props.get("field.delim")
+        if delim is None:
+            # SHOW CREATE TABLE emits serialization.format, which Hive
+            # parses as a BYTE CODE when numeric ('1' means \x01,
+            # LazySerDeParameters.collectSeparators) — not the digit
+            sf = props.get("serialization.format")
+            if sf is not None:
+                delim = chr(int(sf)) if sf.isdigit() else sf
         return {"sep": _unescape(delim) if delim else "\x01", "header": "false"}
     if serde == _OPENCSV_SERDE:
         # divergence note: Hive's OpenCSVSerde yields all-string columns;
@@ -273,10 +294,8 @@ _CTAS_HIVE_RE = re.compile(
     r"CREATE\s+(?:EXTERNAL\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>[\w.]+)\s*"
     r"(?:COMMENT\s+'(?P<comment>(?:[^']|'')*)'\s*)?"
-    r"(?:ROW\s+FORMAT\s+(?P<rowformat>DELIMITED(?:\s+FIELDS\s+TERMINATED\s+BY\s+'(?P<delim>[^']*)')?(?:\s+(?P<subdelims>(?:(?:COLLECTION\s+ITEMS|MAP\s+KEYS)\s+TERMINATED\s+BY\s+'[^']*'\s*)+))?(?:\s+LINES\s+TERMINATED\s+BY\s+'(?P<lines>[^']*)')?|SERDE\s+'(?P<serde>[^']*)'(?:\s+WITH\s+SERDEPROPERTIES\s*\((?P<serdeprops>.*?)\))?)\s*)?"
-    r"(?:STORED\s+AS\s+(?P<stored>\w+)\s*)?"
-    r"(?:LOCATION\s+'(?P<loc>(?:[^']|'')*)'\s*)?"
-    r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
+    + _STORAGE_CLAUSES
+    + r"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
     r"AS\s+(?P<query>(?:SELECT|WITH|VALUES|TABLE)\b.*)",
     re.IGNORECASE | re.DOTALL,
 )
@@ -284,7 +303,9 @@ _CTAS_HIVE_RE = re.compile(
 
 def _translate_ctas(env, stmt: str, m: "re.Match") -> str:
     """Hive CTAS -> default-dialect CTAS (CREATE TABLE ... WITH (...) AS
-    query)."""
+    query). A COMMENT clause is accepted and dropped — the default
+    dialect's own CTAS carries no comment slot and table comments are
+    informational throughout this engine."""
     opts = _storage_opts(env, m)
     with_clause = ", ".join(f"'{_q(k)}'='{_q(v)}'" for k, v in opts.items())
     ine = "IF NOT EXISTS " if m.group("ine") else ""

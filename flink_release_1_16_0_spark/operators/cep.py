@@ -560,7 +560,13 @@ def nfa_all_matches(
 
     def step(pos: int, si: int, bound: dict):
         if si == len(steps):
-            yield pos, bound
+            # suppress EMPTY matches (no event bound anywhere): the
+            # reference never emits them, and — critically — an empty
+            # branch must not count as a hit inside first_success, or a
+            # reluctant optional's skip branch would commit and shadow
+            # its taken (non-empty) branch
+            if any(bound.values()):
+                yield pos, bound
             return
         var, quant = steps[si]
         pred = defines.get(var)

@@ -112,17 +112,36 @@ def manifest_commit(base: str, staging: str, rels: list[str], overwrite: bool) -
     os.replace(tmp, os.path.join(commits, name))  # the atomic publish
 
 
-def manifest_live_files(base: str) -> list[str]:
-    """Replay the manifest log into the live file set. An ``overwrite``
-    manifest logically truncates the partitions it covers before adding
-    its own files; data files no manifest claims (crashed or in-flight
-    writers) are invisible. Returns absolute paths."""
+def manifest_truncate_partitions(base: str, rel_prefix: str) -> None:
+    """Logical DROP PARTITION on a manifest table: publish an overwrite
+    manifest with zero files for every live partition under
+    ``rel_prefix`` (data files stay on disk — only the live set
+    changes, the same no-delete rule as manifest OVERWRITE)."""
+    live = _live_map(base)
+    victims = sorted(
+        rel
+        for rel in live
+        if rel == rel_prefix or rel.startswith(rel_prefix + "/")
+    )
+    if not victims:
+        return
     commits = os.path.join(base, _COMMITS_DIR)
-    if not os.path.isdir(commits):
-        return []
-    manifests = sorted(fn for fn in os.listdir(commits) if _MANIFEST_RE.match(fn))
+    os.makedirs(commits, exist_ok=True)
+    body = {"overwrite": True, "partitions": victims, "files": {}}
+    name = f"manifest-{_next_seq(commits):020d}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(commits, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+    os.replace(tmp, os.path.join(commits, name))
+
+
+def _live_map(base: str) -> dict[str, set[str]]:
+    """Replay the manifest log into {rel: live file names}."""
+    commits = os.path.join(base, _COMMITS_DIR)
     live: dict[str, set[str]] = {}
-    for fn in manifests:
+    if not os.path.isdir(commits):
+        return live
+    for fn in sorted(fn for fn in os.listdir(commits) if _MANIFEST_RE.match(fn)):
         with open(os.path.join(commits, fn)) as fh:
             body = json.load(fh)
         if body.get("overwrite"):
@@ -130,6 +149,15 @@ def manifest_live_files(base: str) -> list[str]:
                 live[rel] = set()
         for rel, names in body.get("files", {}).items():
             live.setdefault(rel, set()).update(names)
+    return live
+
+
+def manifest_live_files(base: str) -> list[str]:
+    """Replay the manifest log into the live file set. An ``overwrite``
+    manifest logically truncates the partitions it covers before adding
+    its own files; data files no manifest claims (crashed or in-flight
+    writers) are invisible. Returns absolute paths."""
+    live = _live_map(base)
     out: list[str] = []
     for rel, names in live.items():
         d = os.path.join(base, rel) if rel else base

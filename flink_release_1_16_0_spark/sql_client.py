@@ -143,6 +143,17 @@ def run_script(
     return run_statements(tenv, script, echo=echo)
 
 
+def _read_file(path: str) -> str | None:
+    """Read a script file; print a clean CLI error (no traceback) on
+    failure, the reference client's behavior."""
+    try:
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    except OSError as exc:
+        print(f"sql-client: cannot read {path!r}: {exc.strerror or exc}")
+        return None
+
+
 _USAGE = (
     "usage: python -m flink_release_1_16_0_spark.sql_client "
     "[-i <init.sql>] (-f <script.sql> | -e '<statement>' | <script.sql>)"
@@ -168,8 +179,9 @@ def main(argv: list[str]) -> int:
                 if init_script is not None:
                     print(_USAGE)
                     return 2
-                with open(val, encoding="utf-8") as f:
-                    init_script = f.read()
+                init_script = _read_file(val)
+                if init_script is None:
+                    return 1
             else:
                 if script is not None:  # -f/-e twice or mixed
                     print(_USAGE)
@@ -177,15 +189,17 @@ def main(argv: list[str]) -> int:
                 if a in ("-e", "--execute"):
                     script = val
                 else:
-                    with open(val, encoding="utf-8") as f:
-                        script = f.read()
+                    script = _read_file(val)
+                    if script is None:
+                        return 1
             i += 2
             continue
         if a.startswith("-") or script is not None:
             print(_USAGE)
             return 2
-        with open(a, encoding="utf-8") as f:
-            script = f.read()
+        script = _read_file(a)
+        if script is None:
+            return 1
         i += 1
     if script is None:
         print(_USAGE)

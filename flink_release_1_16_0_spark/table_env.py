@@ -209,11 +209,13 @@ class CatalogTable:
     # whose data lives OUTSIDE the table path (SqlAddPartitions.java in
     # flink-sql-parser-hive; Hive external partitions). Each entry is
     # (spec dict, location). Partitions under the table path need no
-    # registration: the scan's hive-style directory discovery finds them.
+    # registration: the scan's hive-style directory discovery finds
+    # them. DROP PARTITION removes the entry (external: data kept, like
+    # Hive) or physically deletes the in-place partition directory
+    # (managed-table semantics) / logically truncates it via an
+    # overwrite manifest on manifest-committed tables — so a later
+    # INSERT recreates the partition naturally, exactly like Hive.
     extra_partitions: list = field(default_factory=list)
-    # ALTER TABLE ... DROP PARTITION (spec) — excluded from the scan via
-    # a partition-column predicate (Catalyst prunes the directories)
-    dropped_partitions: list = field(default_factory=list)
 
     @property
     def connector(self) -> str:
@@ -223,32 +225,22 @@ class CatalogTable:
         """Fold ADD PARTITION ... LOCATION / DROP PARTITION registry
         entries into the scan: external-location partitions union in
         (data columns read from the location, partition values injected
-        as typed literals — Hive's external-partition read), dropped
-        partitions are excluded by a partition-column predicate that
-        Catalyst turns into directory pruning."""
+        as typed literals — Hive's external-partition read)."""
         types = {c.name: c.spark_type for c in self.columns}
-        if self.extra_partitions:
-            data_ddl = ", ".join(
-                f"{c.name} {c.spark_type}"
-                for c in self.columns
-                if c.name not in self.partitioned_by
+        data_ddl = ", ".join(
+            f"{c.name} {c.spark_type}"
+            for c in self.columns
+            if c.name not in self.partitioned_by
+        )
+        for spec, loc in self.extra_partitions:
+            part = file_source(
+                spark, loc, fmt=fmt, schema=data_ddl, streaming=streaming, **opts
             )
-            for spec, loc in self.extra_partitions:
-                part = file_source(
-                    spark, loc, fmt=fmt, schema=data_ddl, streaming=streaming, **opts
+            for pcol in self.partitioned_by:
+                part = part.withColumn(
+                    pcol, F.lit(spec.get(pcol)).cast(types[pcol])
                 )
-                for pcol in self.partitioned_by:
-                    part = part.withColumn(
-                        pcol, F.lit(spec.get(pcol)).cast(types[pcol])
-                    )
-                df = df.unionByName(part.select(*df.columns))
-        for spec in self.dropped_partitions:
-            cond = None
-            for c, v in spec.items():
-                eq = F.col(c).eqNullSafe(F.lit(v).cast(types[c]))
-                cond = eq if cond is None else cond & eq
-            if cond is not None:
-                df = df.filter(~cond)
+            df = df.unionByName(part.select(*df.columns))
         return df
 
     def schema_ddl(self) -> str:
@@ -320,7 +312,7 @@ class CatalogTable:
                     partition_cols=list(self.partitioned_by),
                     **opts,
                 )
-            if self.extra_partitions or self.dropped_partitions:
+            if self.extra_partitions:
                 df = self._apply_partition_ddl(spark, df, fmt, streaming, opts)
         elif connector in ("kafka", "upsert-kafka"):
             # full DDL option translation (KafkaConnectorOptions.java)
@@ -1907,7 +1899,9 @@ def _parse_partition_spec(spec: str) -> dict[str, str]:
             raise ValueError(f"cannot parse PARTITION item {pair!r}")
         v = km.group(2)
         if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
-            v = v[1:-1]
+            # unquote, decoding doubled-quote escapes ('don''t' -> don't)
+            q, v = v[0], v[1:-1]
+            v = v.replace(q + q, q)
         out[km.group(1)] = v
     return out
 
@@ -3520,9 +3514,6 @@ class TableEnvironment:
                 # directory discovery already serves it — registering is
                 # a metadata no-op (matches HiveCatalog's createPartition
                 # for in-place locations)
-                table.dropped_partitions = [
-                    d for d in table.dropped_partitions if d != spec
-                ]
             self._register_scan(table)
             return TableResult(rows=["OK"])
         m = re.fullmatch(
@@ -3539,14 +3530,53 @@ class TableEnvironment:
                 r"PARTITION\s*\((?P<spec>[^)]*)\)", m.group("specs"), re.IGNORECASE
             ):
                 spec = _parse_partition_spec(pm.group("spec"))
-                table.extra_partitions = [
-                    (s, l) for s, l in table.extra_partitions if s != spec
-                ]
-                if spec not in table.dropped_partitions:
-                    table.dropped_partitions.append(spec)
+                if spec in [s for s, _ in table.extra_partitions]:
+                    # external partition: unregister, keep the data
+                    # (Hive's external-table drop semantics)
+                    table.extra_partitions = [
+                        (s, l) for s, l in table.extra_partitions if s != spec
+                    ]
+                else:
+                    self._drop_partition_data(table, spec)
             self._register_scan(table)
             return TableResult(rows=["OK"])
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
+
+    def _drop_partition_data(self, table: CatalogTable, spec: dict) -> None:
+        """Managed-table DROP PARTITION (Hive deletes the partition's
+        data; a later INSERT recreates it naturally): physically remove
+        the in-place partition directory, or — on manifest-committed
+        tables, where data files must never be deleted out from under
+        the log — publish an overwrite manifest with zero files (a
+        logical truncate). The spec must cover a PREFIX of the partition
+        columns (Hive's partial-spec drop)."""
+        import shutil as _sh
+
+        unknown = set(spec) - set(table.partitioned_by)
+        if unknown:
+            raise ValueError(
+                f"PARTITION spec names non-partition columns: {sorted(unknown)}"
+            )
+        rel_parts: list[str] = []
+        for pcol in table.partitioned_by:
+            if pcol not in spec:
+                break
+            rel_parts.append(f"{pcol}={spec[pcol]}")
+        if len(rel_parts) != len(spec):
+            raise ValueError(
+                "PARTITION spec must cover a prefix of the partition "
+                f"columns {table.partitioned_by} (got {sorted(spec)})"
+            )
+        rel = "/".join(rel_parts)
+        base = table.options["path"]
+        if table._commit_protocol() == "manifest":
+            from flink_release_1_16_0_spark.sources.commit_protocol import (
+                manifest_truncate_partitions,
+            )
+
+            manifest_truncate_partitions(base, rel)
+        else:
+            _sh.rmtree(os.path.join(base, rel), ignore_errors=True)
 
     def _create_table(self, stmt: str) -> TableResult:
         like = _CREATE_TABLE_LIKE_RE.fullmatch(stmt)

@@ -524,3 +524,17 @@ def test_all_optional_pattern_emits_no_empty_matches(quotes):
         "av INT",
     )
     assert out.to_data_frame().count() == 0
+
+
+def test_reluctant_optional_still_emits_taken_branch(quotes):
+    """The empty-match guard must suppress only EMPTY matches, not the
+    whole anchor: a reluctant optional yields the skip branch first, and
+    the matcher must advance to the taken (non-empty) branch instead of
+    dropping the row (review finding on the m[0] > start guard)."""
+    pat = Pattern.begin("a").where(lambda r: r["v"] == 9).optional().reluctant()
+    out = CEP.pattern(quotes.key_by("k"), pat).select(
+        lambda m: {"av": m["a"][0]["v"] if m["a"] else None},
+        "av INT",
+    )
+    got = [r.av for r in out.to_data_frame().collect()]
+    assert got == [9]

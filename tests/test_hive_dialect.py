@@ -134,8 +134,12 @@ def test_hive_dialect_alter_table(tenv, tmp_path):
 
 def test_hive_dialect_add_drop_partition(tenv, tmp_path):
     """SqlAddPartitions/SqlDropPartitions: a LOCATION'd partition unions
-    into the scan with its partition value injected; DROP PARTITION
-    excludes it (and excludes in-place discovered partitions too)."""
+    into the scan with its partition value injected; DROP PARTITION on
+    an in-place (managed) partition DELETES its data — so a later INSERT
+    recreates the partition fresh, exactly like Hive — while dropping an
+    external partition only unregisters it (data kept)."""
+    import os
+
     tenv.execute_sql("SET 'table.sql-dialect'='hive'")
     tenv.execute_sql(
         f"""CREATE TABLE hv_part (x INT) PARTITIONED BY (p STRING)
@@ -157,18 +161,30 @@ def test_hive_dialect_add_drop_partition(tenv, tmp_path):
         for r in tenv.sql_query("SELECT x, p FROM hv_part").to_data_frame().collect()
     }
     assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    # managed drop: data physically removed
     tenv.execute_sql("ALTER TABLE hv_part DROP IF EXISTS PARTITION (p='b')")
+    assert not os.path.isdir(f"{tmp_path}/main/p=b")
     rows = {
         (r.x, r.p)
         for r in tenv.sql_query("SELECT x, p FROM hv_part").to_data_frame().collect()
     }
     assert rows == {(1, "a"), (3, "c")}
-    # re-adding a dropped in-place partition restores it
-    tenv.execute_sql("ALTER TABLE hv_part ADD PARTITION (p='b')")
-    assert (
-        tenv.sql_query("SELECT COUNT(*) AS c FROM hv_part").to_data_frame().first().c
-        == 3
-    )
+    # INSERT recreates the dropped partition with ONLY the new rows
+    # (the review scenario: rows written after a drop must be visible)
+    tenv.execute_sql("INSERT INTO TABLE hv_part PARTITION (p='b') SELECT 9")
+    rows = {
+        (r.x, r.p)
+        for r in tenv.sql_query("SELECT x, p FROM hv_part").to_data_frame().collect()
+    }
+    assert rows == {(1, "a"), (9, "b"), (3, "c")}
+    # external drop: unregistered but data kept on disk
+    tenv.execute_sql("ALTER TABLE hv_part DROP PARTITION (p='c')")
+    rows = {
+        (r.x, r.p)
+        for r in tenv.sql_query("SELECT x, p FROM hv_part").to_data_frame().collect()
+    }
+    assert rows == {(1, "a"), (9, "b")}
+    assert os.path.isdir(f"{tmp_path}/elsewhere")
 
 
 def test_hive_dialect_struct_and_ctas(tenv, tmp_path):
@@ -354,3 +370,16 @@ def test_manifest_streaming_insert_publishes_per_batch(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="foreachBatch"):
         tenv.execute_sql("INSERT INTO ms_bad SELECT k FROM ms_src")
+
+
+def test_lazy_serde_serialization_format_is_byte_code(tenv, tmp_path):
+    """SHOW CREATE TABLE emits serialization.format, which Hive parses
+    as a BYTE CODE when numeric ('1' -> \\x01), not the literal digit."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_sf (a INT, b STRING)
+            ROW FORMAT SERDE 'org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe'
+            WITH SERDEPROPERTIES ('serialization.format'='1')
+            STORED AS TEXTFILE LOCATION '{tmp_path}/sf'"""
+    )
+    assert tenv._tables["hv_sf"].options["sep"] == "\x01"

@@ -615,3 +615,46 @@ def test_manifest_commit_racing_writer_invisible(spark, tmp_path):
         for r in tenv.sql_query("SELECT k, p FROM mrw_snk").to_data_frame().collect()
     }
     assert rows == {(i, i % 2) for i in range(6)}
+
+
+def test_manifest_drop_partition_is_logical(spark, tmp_path):
+    """DROP PARTITION on a manifest table publishes an overwrite
+    manifest with zero files — data files stay on disk (never deleted
+    out from under the log), but the partition leaves the live set; a
+    later INSERT recreates it."""
+    import os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "mdp_src")
+    spark.range(0, 6).selectExpr("id AS k", "id % 2 AS p").write.parquet(src)
+    out = str(tmp_path / "mdp_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mdp_src (k BIGINT, p BIGINT)
+        WITH ('connector'='filesystem','path'='{src}','format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE mdp_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    tenv.execute_sql("INSERT INTO mdp_snk SELECT k, p FROM mdp_src")
+    tenv.execute_sql("ALTER TABLE mdp_snk DROP PARTITION (p=1)")
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM mdp_snk").to_data_frame().collect()
+    }
+    assert rows == {(0, 0), (2, 0), (4, 0)}
+    # logical: the dropped partition's files are still on disk
+    assert any(
+        f.endswith(".parquet")
+        for f in os.listdir(os.path.join(out, "p=1"))
+        if not f.startswith((".", "_"))
+    )
+    tenv.execute_sql("INSERT INTO mdp_snk SELECT 99, 1 FROM range(1)")
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM mdp_snk").to_data_frame().collect()
+    }
+    assert rows == {(0, 0), (2, 0), (4, 0), (99, 1)}

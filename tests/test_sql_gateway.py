@@ -261,20 +261,23 @@ def test_session_catalog_isolation(service):
 
 def test_close_session_cancels_pending(service):
     """Statements still queued when the session closes are CANCELED, not
-    executed against the closed session."""
+    executed against the closed session. Deterministic: a blocker task
+    occupies the single session worker until we release it, so the
+    statement submitted behind it is provably PENDING at close time."""
+    import threading
+
     sh = service.open_session({}, "close-pending")
-    # a slow statement occupies the worker; the next one stays PENDING
-    slow = service.execute_statement(
-        sh,
-        "SELECT COUNT(*) AS c FROM range(20000000) a CROSS JOIN range(40) b",
-    )
-    pending = service.execute_statement(sh, "SELECT 1 AS one")
     session = service._session(sh)
-    service.close_session(sh)
+    gate = threading.Event()
+    session.submit(gate.wait)  # occupies the FIFO worker
+    pending = service.execute_statement(sh, "SELECT 1 AS one")
     op = session.operations[pending]
-    assert op.status in (CANCELED,) or op.done.is_set()
-    # the pending op must never have produced rows
-    assert op.rows == [] or op.status == CANCELED
+    assert op.status == "PENDING"
+    service.close_session(sh)
+    assert op.status == CANCELED  # canceled BEFORE the worker reaches it
+    gate.set()  # release the worker; _run_operation must no-op
+    assert op.done.wait(5)
+    assert op.status == CANCELED and op.rows == []
 
 
 def test_cancel_echoes_actual_status(spark):
