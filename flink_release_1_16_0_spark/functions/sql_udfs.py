@@ -36,6 +36,17 @@ FLINK_SQL_UDFS: dict[str, tuple[str, str]] = {
         "try_cast(s AS DOUBLE) IS NOT NULL",
     ),
     "HASH_CODE": ("(s STRING) RETURNS INT", "hash(s)"),
+    # BuiltInFunctionDefinitions.CURRENT_WATERMARK: the operator's
+    # current watermark for the given rowtime, NULL when no watermark
+    # has been generated yet. In the micro-batch model the per-operator
+    # watermark is not an expression-level quantity, so the conservative
+    # LEGAL value is returned: NULL (Flink's own pre-first-watermark
+    # answer; predicates like `ts > CURRENT_WATERMARK(ts)` then keep all
+    # rows, never wrongly dropping one). SURVEY section-2.8 scoping.
+    "CURRENT_WATERMARK": (
+        "(ts TIMESTAMP) RETURNS TIMESTAMP",
+        "CAST(NULL AS TIMESTAMP)",
+    ),
     # numeric truncation toward zero at n decimals
     "TRUNCATE": (
         "(x DOUBLE, n INT) RETURNS DOUBLE",

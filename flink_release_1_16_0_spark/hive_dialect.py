@@ -81,7 +81,7 @@ _INSERT_TABLE_RE = re.compile(
     r"^(INSERT\s+(?:INTO|OVERWRITE))\s+TABLE\s+", re.IGNORECASE
 )
 
-_DB_LOCATION_RE = re.compile(r"\s+LOCATION\s+'[^']*'", re.IGNORECASE)
+_DB_LOCATION_RE = re.compile(r"\s+LOCATION\s+'(?:[^']|'')*'", re.IGNORECASE)
 
 _STORED_FORMATS = {
     "parquet": "parquet",
