@@ -383,3 +383,53 @@ def test_lazy_serde_serialization_format_is_byte_code(tenv, tmp_path):
             STORED AS TEXTFILE LOCATION '{tmp_path}/sf'"""
     )
     assert tenv._tables["hv_sf"].options["sep"] == "\x01"
+
+
+def test_hive_dialect_quoting_roundtrip_fuzz():
+    """Property: any printable TBLPROPERTIES/LOCATION value survives the
+    Hive->default-dialect translation exactly (SQL ''-escaping applied
+    on input, re-escaped on assembly, decoded by the option parser)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_release_1_16_0_spark.hive_dialect import _translate_create_table
+    from flink_release_1_16_0_spark.table_env import (
+        _parse_option_pair,
+        _split_top_level,
+    )
+
+    value = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=24,
+    )
+
+    def esc(v: str) -> str:
+        return v.replace("'", "''")
+
+    @settings(max_examples=150, deadline=None)
+    @given(loc=value.filter(bool), pk=value.filter(bool), pv=value)
+    def check(loc, pk, pv):
+        stmt = (
+            "CREATE TABLE fuzz_t (x INT) STORED AS PARQUET "
+            f"LOCATION '{esc(loc)}' TBLPROPERTIES ('{esc(pk)}'='{esc(pv)}')"
+        )
+        out = _translate_create_table(None, stmt)
+        # parse the WITH clause back and check exact value round-trip
+        import re as _re
+
+        m = _re.search(r"WITH \((.*)\)$", out, _re.DOTALL)
+        assert m, out
+        opts = {}
+        for pair in _split_top_level(m.group(1)):
+            km = _parse_option_pair(pair)
+            assert km is not None, pair
+            opts[km[0]] = km[1]
+        assert opts["path"] == loc
+        assert opts["connector"] == "filesystem"
+        # the user property survives unless it collides with an
+        # engine-reserved key the translator itself sets
+        if pk not in ("connector", "path", "format"):
+            assert opts[pk] == pv
+
+    check()
