@@ -37,12 +37,17 @@ FLINK_SQL_UDFS: dict[str, tuple[str, str]] = {
     ),
     "HASH_CODE": ("(s STRING) RETURNS INT", "hash(s)"),
     # BuiltInFunctionDefinitions.CURRENT_WATERMARK: the operator's
-    # current watermark for the given rowtime, NULL when no watermark
-    # has been generated yet. In the micro-batch model the per-operator
-    # watermark is not an expression-level quantity, so the conservative
-    # LEGAL value is returned: NULL (Flink's own pre-first-watermark
-    # answer; predicates like `ts > CURRENT_WATERMARK(ts)` then keep all
-    # rows, never wrongly dropping one). SURVEY section-2.8 scoping.
+    # current watermark for the given rowtime. In the micro-batch model
+    # the per-operator watermark is not an expression-level quantity, so
+    # this permanently returns NULL — Flink's own legal value before the
+    # first watermark is generated (SURVEY section-2.8 scoping).
+    # DOCUMENTED DIVERGENCE: a bare comparison like
+    # `ts > CURRENT_WATERMARK(ts)` evaluates UNKNOWN against NULL and a
+    # WHERE drops every row, exactly as it would in Flink before the
+    # first watermark — but here that state never ends. Spell the guard
+    # `CURRENT_WATERMARK(ts) IS NULL OR ts > CURRENT_WATERMARK(ts)`
+    # (the pattern Flink's own docs recommend for the pre-watermark
+    # window) and the query behaves identically on both engines.
     "CURRENT_WATERMARK": (
         "(ts TIMESTAMP) RETURNS TIMESTAMP",
         "CAST(NULL AS TIMESTAMP)",

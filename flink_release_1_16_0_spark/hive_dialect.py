@@ -229,8 +229,14 @@ def _storage_opts(env, m: "re.Match") -> dict:
             opts["header"] = "false"
             lines = m.group("lines")
             if lines and _unescape(lines) != "\n":
-                # Spark csv takes a custom record separator via lineSep
-                opts["lineSep"] = _unescape(lines)
+                # Hive itself only accepts '\n' here (SemanticAnalyzer
+                # rejects anything else), and Spark csv's lineSep is
+                # single-character — fail at translation time with the
+                # dialect's own message, not deep inside the reader
+                raise ValueError(
+                    "hive dialect: LINES TERMINATED BY only supports "
+                    r"'\n' (Hive's own restriction)"
+                )
     if m.group("props"):
         from flink_release_1_16_0_spark.table_env import (
             _parse_option_pair,
@@ -257,10 +263,15 @@ def _translate_create_table(env, stmt: str) -> str:
     # of the statement instead of failing — catch that mis-parse loudly
     # rather than creating a mangled table
     for c in cols:
+        # contextful shapes only: a COLUMN legally named `location` /
+        # `tblproperties` must not trip the guard, so each keyword is
+        # matched together with the syntax that can only follow it in
+        # the clause position (quote, paren, AS <word>, ...)
         if re.search(
-            r"\b(STORED\s+AS|LOCATION|TBLPROPERTIES|ROW\s+FORMAT|"
-            r"PARTITIONED\s+BY|TERMINATED\s+BY|SKEWED\s+BY|CLUSTERED\s+BY|"
-            r"SORTED\s+BY|\d+\s+BUCKETS)\b",
+            r"\b(STORED\s+AS\s+\w|LOCATION\s+'|TBLPROPERTIES\s*\(|"
+            r"ROW\s+FORMAT\s+(?:DELIMITED|SERDE)|PARTITIONED\s+BY\s*\(|"
+            r"TERMINATED\s+BY\s+'|SKEWED\s+BY\s*\(|CLUSTERED\s+BY\s*\(|"
+            r"SORTED\s+BY\s*\(|\d+\s+BUCKETS\b)",
             c,
             re.IGNORECASE,
         ):

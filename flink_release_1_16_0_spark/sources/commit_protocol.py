@@ -81,6 +81,19 @@ def _next_seq(commits: str) -> int:
     return seq + 1
 
 
+def _publish_manifest(base: str, body: dict) -> None:
+    """The single atomic-publish step every manifest writer shares
+    (write temp + rename of one small file; a conditional PUT on a real
+    object store)."""
+    commits = os.path.join(base, _COMMITS_DIR)
+    os.makedirs(commits, exist_ok=True)
+    name = f"manifest-{_next_seq(commits):020d}-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(commits, f".{name}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(body, fh)
+    os.replace(tmp, os.path.join(commits, name))
+
+
 def manifest_commit(base: str, staging: str, rels: list[str], overwrite: bool) -> None:
     """Move data files (already uniquely named by Spark's task-uuid part
     naming) into their final directories WITHOUT deleting anything, then
@@ -97,19 +110,10 @@ def manifest_commit(base: str, staging: str, rels: list[str], overwrite: bool) -
             os.replace(os.path.join(src, f), os.path.join(dst, f))
         files[rel] = sorted(names)
     shutil.rmtree(staging, ignore_errors=True)
-
-    commits = os.path.join(base, _COMMITS_DIR)
-    os.makedirs(commits, exist_ok=True)
-    body = {
-        "overwrite": bool(overwrite),
-        "partitions": sorted(rels),
-        "files": files,
-    }
-    name = f"manifest-{_next_seq(commits):020d}-{uuid.uuid4().hex}.json"
-    tmp = os.path.join(commits, f".{name}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(body, fh)
-    os.replace(tmp, os.path.join(commits, name))  # the atomic publish
+    _publish_manifest(
+        base,
+        {"overwrite": bool(overwrite), "partitions": sorted(rels), "files": files},
+    )
 
 
 def manifest_truncate_partitions(base: str, rel_prefix: str) -> None:
@@ -125,14 +129,7 @@ def manifest_truncate_partitions(base: str, rel_prefix: str) -> None:
     )
     if not victims:
         return
-    commits = os.path.join(base, _COMMITS_DIR)
-    os.makedirs(commits, exist_ok=True)
-    body = {"overwrite": True, "partitions": victims, "files": {}}
-    name = f"manifest-{_next_seq(commits):020d}-{uuid.uuid4().hex}.json"
-    tmp = os.path.join(commits, f".{name}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(body, fh)
-    os.replace(tmp, os.path.join(commits, name))
+    _publish_manifest(base, {"overwrite": True, "partitions": victims, "files": {}})
 
 
 def _live_map(base: str) -> dict[str, set[str]]:

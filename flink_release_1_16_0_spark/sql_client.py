@@ -150,7 +150,10 @@ def _read_file(path: str) -> str | None:
         with open(path, encoding="utf-8") as f:
             return f.read()
     except OSError as exc:
-        print(f"sql-client: cannot read {path!r}: {exc.strerror or exc}")
+        print(
+            f"sql-client: cannot read {path!r}: {exc.strerror or exc}",
+            file=sys.stderr,
+        )
         return None
 
 

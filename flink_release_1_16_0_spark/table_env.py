@@ -1889,6 +1889,22 @@ def _parse_option_pair(pair: str) -> tuple[str, str] | None:
     return m.group(1).replace("''", "'"), m.group(2).replace("''", "'")
 
 
+# the character set Hive/Spark escape in partition directory names
+# (Hive FileUtils.escapePathName, copied by Spark's
+# ExternalCatalogUtils): control chars plus these printables
+_PART_ESCAPE_CHARS = set('"#%\'*/:=?\\\x7f{[]^')
+
+
+def _escape_partition_value(v: str) -> str:
+    """Escape a partition VALUE the way Spark writes hive-style
+    directories ('a:b' -> 'a%3Ab'), so catalog operations address the
+    real on-disk layout."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _PART_ESCAPE_CHARS or ord(c) < 0x20 else c
+        for c in str(v)
+    )
+
+
 def _parse_partition_spec(spec: str) -> dict[str, str]:
     """``p1='v1', p2=3`` -> {'p1': 'v1', 'p2': '3'} (string values are
     unquoted; the scan casts to the declared partition-column type)."""
@@ -3492,8 +3508,8 @@ class TableEnvironment:
         # DROP [IF EXISTS] PARTITION (p=v[, ...])
         m = re.fullmatch(
             r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-            r"(?P<specs>PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'[^']*')?"
-            r"(?:\s+PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'[^']*')?)*)",
+            r"(?P<specs>PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'(?:[^']|'')*')?"
+            r"(?:\s+PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'(?:[^']|'')*')?)*)",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
@@ -3502,14 +3518,15 @@ class TableEnvironment:
             if table is None:
                 raise ValueError(f"unknown table {m.group(1)!r}")
             for pm in re.finditer(
-                r"PARTITION\s*\((?P<spec>[^)]*)\)(?:\s+LOCATION\s+'(?P<loc>[^']*)')?",
+                r"PARTITION\s*\((?P<spec>[^)]*)\)(?:\s+LOCATION\s+'(?P<loc>(?:[^']|'')*)')?",
                 m.group("specs"),
                 re.IGNORECASE,
             ):
                 spec = _parse_partition_spec(pm.group("spec"))
                 if pm.group("loc"):
+                    loc = pm.group("loc").replace("''", "'")
                     if spec not in [s for s, _ in table.extra_partitions]:
-                        table.extra_partitions.append((spec, pm.group("loc")))
+                        table.extra_partitions.append((spec, loc))
                 # a location-less partition lives under the table path:
                 # directory discovery already serves it — registering is
                 # a metadata no-op (matches HiveCatalog's createPartition
@@ -3530,14 +3547,25 @@ class TableEnvironment:
                 r"PARTITION\s*\((?P<spec>[^)]*)\)", m.group("specs"), re.IGNORECASE
             ):
                 spec = _parse_partition_spec(pm.group("spec"))
-                if spec in [s for s, _ in table.extra_partitions]:
-                    # external partition: unregister, keep the data
-                    # (Hive's external-table drop semantics)
+                # Hive's partial-spec drop covers EVERY matching
+                # partition: unregister all external partitions whose
+                # values agree with the spec (data kept — external
+                # semantics), and delete the in-place prefix directory
+                # if the spec addresses one
+                matched_ext = [
+                    e
+                    for e in table.extra_partitions
+                    if all(e[0].get(k) == v for k, v in spec.items())
+                ]
+                if matched_ext:
                     table.extra_partitions = [
-                        (s, l) for s, l in table.extra_partitions if s != spec
+                        e for e in table.extra_partitions if e not in matched_ext
                     ]
-                else:
+                try:
                     self._drop_partition_data(table, spec)
+                except ValueError:
+                    if not matched_ext:
+                        raise  # non-prefix spec matching nothing at all
             self._register_scan(table)
             return TableResult(rows=["OK"])
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
@@ -3549,7 +3577,11 @@ class TableEnvironment:
         tables, where data files must never be deleted out from under
         the log — publish an overwrite manifest with zero files (a
         logical truncate). The spec must cover a PREFIX of the partition
-        columns (Hive's partial-spec drop)."""
+        columns (Hive's partial-spec drop). Directory names use the SAME
+        escaping Spark applies when writing hive-style partitions
+        (ExternalCatalogUtils.escapePathName), so values with special
+        characters match the real on-disk (and manifest) layout and a
+        crafted value can never traverse outside the table path."""
         import shutil as _sh
 
         unknown = set(spec) - set(table.partitioned_by)
@@ -3561,7 +3593,7 @@ class TableEnvironment:
         for pcol in table.partitioned_by:
             if pcol not in spec:
                 break
-            rel_parts.append(f"{pcol}={spec[pcol]}")
+            rel_parts.append(f"{pcol}={_escape_partition_value(spec[pcol])}")
         if len(rel_parts) != len(spec):
             raise ValueError(
                 "PARTITION spec must cover a prefix of the partition "
@@ -3569,6 +3601,9 @@ class TableEnvironment:
             )
         rel = "/".join(rel_parts)
         base = table.options["path"]
+        target = os.path.realpath(os.path.join(base, rel))
+        if not target.startswith(os.path.realpath(base) + os.sep):
+            raise ValueError(f"partition path escapes the table directory: {rel!r}")
         if table._commit_protocol() == "manifest":
             from flink_release_1_16_0_spark.sources.commit_protocol import (
                 manifest_truncate_partitions,
@@ -3576,7 +3611,7 @@ class TableEnvironment:
 
             manifest_truncate_partitions(base, rel)
         else:
-            _sh.rmtree(os.path.join(base, rel), ignore_errors=True)
+            _sh.rmtree(target, ignore_errors=True)
 
     def _create_table(self, stmt: str) -> TableResult:
         like = _CREATE_TABLE_LIKE_RE.fullmatch(stmt)

@@ -433,3 +433,79 @@ def test_hive_dialect_quoting_roundtrip_fuzz():
             assert opts[pk] == pv
 
     check()
+
+
+def test_keyword_named_columns_parse(tenv, tmp_path):
+    """`location` / `tblproperties` are legal Hive column names — the
+    mis-parse guard must only trip on clause-shaped text (second
+    self-review round)."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_kwcols (
+              location STRING,
+              tblproperties INT,
+              stored STRING
+            ) STORED AS PARQUET LOCATION '{tmp_path}/kw'"""
+    )
+    tenv.execute_sql("INSERT INTO TABLE hv_kwcols SELECT 'x', 1, 'y'")
+    row = tenv.sql_query(
+        "SELECT location, tblproperties, stored FROM hv_kwcols"
+    ).to_data_frame().first()
+    assert (row.location, row.tblproperties, row.stored) == ("x", 1, "y")
+    with pytest.raises(ValueError, match="LINES TERMINATED BY"):
+        tenv.execute_sql(
+            r"""CREATE TABLE hv_crlf (a INT)
+                ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+                LINES TERMINATED BY '\r\n' STORED AS TEXTFILE"""
+        )
+
+
+def test_drop_partition_escaped_values_and_traversal(tenv, tmp_path):
+    """DROP PARTITION addresses the ESCAPED on-disk dir Spark writes
+    ('a:b' -> 'p=a%3Ab'), and a crafted traversal value cannot delete
+    outside the table path (second self-review round)."""
+    import os
+
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_esc (x INT) PARTITIONED BY (p STRING)
+            STORED AS PARQUET LOCATION '{tmp_path}/esc'"""
+    )
+    tenv.execute_sql("INSERT INTO TABLE hv_esc PARTITION (p='a:b') SELECT 1")
+    tenv.execute_sql("INSERT INTO TABLE hv_esc PARTITION (p='plain') SELECT 2")
+    assert os.path.isdir(f"{tmp_path}/esc/p=a%3Ab")  # Spark's escaping
+    tenv.execute_sql("ALTER TABLE hv_esc DROP PARTITION (p='a:b')")
+    assert not os.path.isdir(f"{tmp_path}/esc/p=a%3Ab")
+    rows = {r.x for r in tenv.sql_query("SELECT x FROM hv_esc").to_data_frame().collect()}
+    assert rows == {2}
+    # traversal: the sibling dir must survive ('/' is escaped, plus the
+    # realpath containment check)
+    sibling = tmp_path / "sibling"
+    sibling.mkdir()
+    (sibling / "keep.txt").write_text("keep")
+    tenv.execute_sql("ALTER TABLE hv_esc DROP IF EXISTS PARTITION (p='a/../../sibling')")
+    assert (sibling / "keep.txt").exists()
+
+
+def test_drop_partition_prefix_covers_external(tenv, tmp_path):
+    """A partial-spec DROP covers every matching partition, including
+    externally-located ones (Hive's partial-spec semantics)."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_pfx (x INT) PARTITIONED BY (p1 STRING, p2 STRING)
+            STORED AS PARQUET LOCATION '{tmp_path}/pfx'"""
+    )
+    tenv.execute_sql("INSERT INTO TABLE hv_pfx PARTITION (p1='a', p2='x') SELECT 1")
+    tenv.spark.range(1).selectExpr("CAST(9 AS INT) AS x").write.parquet(
+        f"{tmp_path}/ext"
+    )
+    tenv.execute_sql(
+        f"ALTER TABLE hv_pfx ADD PARTITION (p1='a', p2='y') LOCATION '{tmp_path}/ext'"
+    )
+    rows = {
+        (r.x, r.p1, r.p2)
+        for r in tenv.sql_query("SELECT x, p1, p2 FROM hv_pfx").to_data_frame().collect()
+    }
+    assert rows == {(1, "a", "x"), (9, "a", "y")}
+    tenv.execute_sql("ALTER TABLE hv_pfx DROP PARTITION (p1='a')")
+    assert tenv.sql_query("SELECT x FROM hv_pfx").to_data_frame().count() == 0
