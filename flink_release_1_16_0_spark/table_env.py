@@ -1334,8 +1334,9 @@ class Table:
     one RelNode IR.
     """
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, tenv: "TableEnvironment | None" = None):
         self._df = df
+        self._tenv = tenv
 
     # -- projection / filter -------------------------------------------------
     def select(self, *exprs) -> "Table":
@@ -1373,20 +1374,20 @@ class Table:
             raise ValueError(
                 f"as_ needs exactly {len(self._df.columns)} names, got {len(names)}"
             )
-        return Table(self._df.toDF(*names))
+        return Table(self._df.toDF(*names), self._tenv)
 
     alias = as_
 
     def drop_columns(self, cols: str) -> "Table":
         names = [c.strip() for c in cols.split(",")]
-        return Table(self._df.drop(*names))
+        return Table(self._df.drop(*names), self._tenv)
 
     def rename_columns(self, mapping: str) -> "Table":
         out = self._df
         for part in _split_top_level(mapping):
             old, new = re.split(r"\s+AS\s+", part, flags=re.IGNORECASE)
             out = out.withColumnRenamed(old.strip(), new.strip())
-        return Table(out)
+        return Table(out, self._tenv)
 
     def where(self, predicate: str) -> "Table":
         return self._sql(f"SELECT * FROM {{t}} WHERE {predicate}")
@@ -1395,18 +1396,18 @@ class Table:
 
     # -- aggregation ---------------------------------------------------------
     def group_by(self, *keys) -> "GroupedTable":
-        return GroupedTable(self._df, _frag(keys))
+        return GroupedTable(self._df, _frag(keys), self._tenv)
 
     def window(self, window: "GroupWindow") -> "WindowedTable":
         """Group-window surface (Tumble/Slide/Session classes)."""
-        return WindowedTable(self._df, window)
+        return WindowedTable(self._df, window, self._tenv)
 
     def over_window(self, *windows: "OverWindow") -> "OverWindowedTable":
         """Over-window surface (Over.partition_by(...).order_by(...))."""
-        return OverWindowedTable(self._df, windows)
+        return OverWindowedTable(self._df, windows, self._tenv)
 
     def distinct(self) -> "Table":
-        return Table(self._df.distinct())
+        return Table(self._df.distinct(), self._tenv)
 
     # -- joins / set ops -----------------------------------------------------
     def join(self, right: "Table", on: str, how: str = "INNER") -> "Table":
@@ -1415,7 +1416,8 @@ class Table:
                 f"SELECT * FROM {{l}} {how} JOIN {{r}} ON {on}",
                 l=self._df,
                 r=right._df,
-            )
+            ),
+            self._tenv,
         )
 
     def left_outer_join(self, right: "Table", on: str) -> "Table":
@@ -1474,7 +1476,7 @@ class Table:
                     rows = [fn(r) for r in pdf.to_dict("records")]
                     yield pd.DataFrame(rows, columns=names)
 
-        return Table(self._df.mapInPandas(run, schema=schema))
+        return Table(self._df.mapInPandas(run, schema=schema), self._tenv)
 
     def flat_map(self, fn, schema: str) -> "Table":
         """Row-based flatMap (TableImpl.flatMap:408): ``fn`` is a table
@@ -1490,32 +1492,32 @@ class Table:
                 rows = [o for r in pdf.to_dict("records") for o in fn(r)]
                 yield pd.DataFrame(rows, columns=names)
 
-        return Table(self._df.mapInPandas(run, schema=schema))
+        return Table(self._df.mapInPandas(run, schema=schema), self._tenv)
 
     def union_all(self, other: "Table") -> "Table":
-        return Table(self._df.unionAll(other._df))
+        return Table(self._df.unionAll(other._df), self._tenv)
 
     def union(self, other: "Table") -> "Table":
-        return Table(self._df.union(other._df).distinct())
+        return Table(self._df.union(other._df).distinct(), self._tenv)
 
     def intersect(self, other: "Table") -> "Table":
-        return Table(self._df.intersect(other._df))
+        return Table(self._df.intersect(other._df), self._tenv)
 
     def intersect_all(self, other: "Table") -> "Table":
-        return Table(self._df.intersectAll(other._df))
+        return Table(self._df.intersectAll(other._df), self._tenv)
 
     def minus(self, other: "Table") -> "Table":
-        return Table(self._df.exceptAll(other._df).distinct())
+        return Table(self._df.exceptAll(other._df).distinct(), self._tenv)
 
     def minus_all(self, other: "Table") -> "Table":
-        return Table(self._df.exceptAll(other._df))
+        return Table(self._df.exceptAll(other._df), self._tenv)
 
     # -- ordering / limits ---------------------------------------------------
     def order_by(self, exprs: str) -> "Table":
         return self._sql(f"SELECT * FROM {{t}} ORDER BY {exprs}")
 
     def fetch(self, n: int) -> "Table":
-        return Table(self._df.limit(n))
+        return Table(self._df.limit(n), self._tenv)
 
     limit = fetch
 
@@ -1527,6 +1529,26 @@ class Table:
     def execute(self) -> TableResult:
         return TableResult(df=self._df)
 
+    def execute_insert(self, table_path: str, overwrite: bool = False) -> TableResult:
+        """TableImpl.insertInto(path[, overwrite]).execute()
+        (TablePipeline.java): write this table into a catalog sink table
+        through the same connector path as ``INSERT INTO`` SQL
+        (positional alignment, ConstraintEnforcer, partition layout,
+        commit protocol)."""
+        if self._tenv is None:
+            raise ValueError(
+                "this Table is not bound to a TableEnvironment "
+                "(create it via tenv.from_path/from_data_frame/sql_query)"
+            )
+        view = f"__pipeline_{uuid.uuid4().hex}"
+        self._df.createOrReplaceTempView(view)
+        try:
+            return self._tenv._insert(
+                table_path, f"SELECT * FROM {view}", overwrite
+            )
+        finally:
+            self._tenv.spark.catalog.dropTempView(view)
+
     def to_data_frame(self) -> DataFrame:
         return self._df
 
@@ -1537,20 +1559,22 @@ class Table:
         self._df.explain(mode=mode)
 
     def _sql(self, template: str) -> "Table":
-        return Table(self._df.sparkSession.sql(template, t=self._df))
+        return Table(self._df.sparkSession.sql(template, t=self._df), self._tenv)
 
 
 class GroupedTable:
-    def __init__(self, df: DataFrame, keys: str):
+    def __init__(self, df: DataFrame, keys: str, tenv=None):
         self._df = df
         self._keys = keys
+        self._tenv = tenv
 
     def select(self, *exprs) -> Table:
         exprs = _frag(exprs)
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT {exprs} FROM {{t}} GROUP BY {self._keys}", t=self._df
-            )
+            ),
+            self._tenv,
         )
 
     def flat_aggregate(self, fn, schema: str) -> Table:
@@ -1560,7 +1584,7 @@ class GroupedTable:
         DataFrame -> DataFrame per group; ``schema`` its output schema
         (group keys are NOT implicit — include them in the output)."""
         keys = [k.strip() for k in self._keys.split(",")]
-        return Table(self._df.groupBy(*keys).applyInPandas(fn, schema=schema))
+        return Table(self._df.groupBy(*keys).applyInPandas(fn, schema=schema), self._tenv)
 
     def aggregate(self, fn, schema: str) -> "AggregatedTable":
         """GroupedTable.aggregate (TableImpl.java:413,
@@ -1604,21 +1628,23 @@ class GroupedTable:
             row.update({n: res.get(n) for n in agg_names})
             return pd.DataFrame([row], columns=[f.name for f in full.fields])
 
-        return AggregatedTable(_grouped_apply(self._df, keys, harness, full))
+        return AggregatedTable(_grouped_apply(self._df, keys, harness, full), self._tenv)
 
 
 class AggregatedTable:
     """The intermediate of ``group_by(..).aggregate(..)`` — only a
     projection is legal next (AggregatedTableImpl.select)."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, tenv=None):
         self._df = df
+        self._tenv = tenv
 
     def select(self, *exprs) -> Table:
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT {_frag(exprs)} FROM {{t}}", t=self._df
-            )
+            ),
+            self._tenv,
         )
 
 
@@ -1767,32 +1793,36 @@ class Session:
 
 
 class OverWindowedTable:
-    def __init__(self, df: DataFrame, windows: tuple["OverWindow", ...]):
+    def __init__(self, df: DataFrame, windows: tuple["OverWindow", ...], tenv=None):
         self._df = df
         self._windows = windows
+        self._tenv = tenv
 
     def select(self, exprs: str) -> Table:
         clause = ", ".join(w.sql_clause() for w in self._windows)
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT {exprs} FROM {{t}} WINDOW {clause}", t=self._df
-            )
+            ),
+            self._tenv,
         )
 
 
 class WindowedTable:
-    def __init__(self, df: DataFrame, window: GroupWindow):
+    def __init__(self, df: DataFrame, window: GroupWindow, tenv=None):
         self._df = df
         self._window = window
+        self._tenv = tenv
 
     def group_by(self, keys: str) -> "WindowGroupedTable":
-        return WindowGroupedTable(self._df, self._window, keys)
+        return WindowGroupedTable(self._df, self._window, keys, self._tenv)
 
 
 class WindowGroupedTable:
-    def __init__(self, df: DataFrame, window: GroupWindow, keys: str):
+    def __init__(self, df: DataFrame, window: GroupWindow, keys: str, tenv=None):
         self._df = df
         self._window = window
+        self._tenv = tenv
         self._keys = [k.strip() for k in keys.split(",")]
         if window.name not in self._keys:
             raise ValueError(f"group_by must include the window alias {window.name!r}")
@@ -1816,7 +1846,8 @@ class WindowGroupedTable:
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT {exprs} FROM {{t}} GROUP BY {group}", t=self._df
-            )
+            ),
+            self._tenv,
         )
 
 
@@ -2664,7 +2695,7 @@ class TableEnvironment:
         return TableResult(df=self.spark.sql(self._rewrite_query(stmt)))
 
     def sql_query(self, sql: str) -> Table:
-        return Table(self.spark.sql(self._rewrite_query(sql)))
+        return Table(self.spark.sql(self._rewrite_query(sql)), self)
 
     # -- catalog path resolution (CatalogManager.qualifyIdentifier) ---------
     def _split_db_path(self, path: str) -> tuple[str, str]:
@@ -3231,7 +3262,7 @@ class TableEnvironment:
     # OutputConversionOperator, SURVEY.md section 2.1) ----------------------
     def from_data_frame(self, df: DataFrame) -> Table:
         """fromDataStream: wrap an (insert-only) DataFrame as a Table."""
-        return Table(df)
+        return Table(df, self)
 
     def from_data_stream(self, ds) -> Table:
         """fromDataStream over the DataStream API facade
@@ -3243,7 +3274,7 @@ class TableEnvironment:
 
         if not isinstance(ds, DataStream):
             raise TypeError("from_data_stream expects a datastream.DataStream")
-        return Table(ds.to_data_frame())
+        return Table(ds.to_data_frame(), self)
 
     def to_data_stream(self, table: Table, env=None):
         """toDataStream: an insert-only Table becomes a DataStream on
@@ -3267,7 +3298,7 @@ class TableEnvironment:
             raise ValueError(f"changelog stream needs a {col!r} column")
         if col != ROWKIND:
             df = df.withColumnRenamed(col, ROWKIND)
-        return Table(df)
+        return Table(df, self)
 
     def to_changelog_stream(self, table: Table) -> DataFrame:
         """toChangelogStream: tag insert-only tables +I; changelog
@@ -3308,7 +3339,7 @@ class TableEnvironment:
 
     # -- catalog -------------------------------------------------------------
     def from_path(self, name: str) -> Table:
-        return Table(self.spark.table(self._resolve_table_name(name)))
+        return Table(self.spark.table(self._resolve_table_name(name)), self)
 
     def create_temporary_view(self, name: str, table: "Table | DataFrame") -> None:
         df = table.to_data_frame() if isinstance(table, Table) else table

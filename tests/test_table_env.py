@@ -2187,3 +2187,33 @@ def test_fluent_breadth_completions(tenv, spark):
     }
     assert (2, "") in rows or (2, None) in rows
     assert {(1, "a"), (1, "b")} <= rows
+
+
+def test_table_execute_insert_pipeline(tenv, spark, tmp_path):
+    """Table.execute_insert (TableImpl.insertInto + TablePipeline): the
+    fluent write path shares INSERT INTO's connector machinery —
+    positional alignment, partition layout, overwrite semantics."""
+    out = str(tmp_path / "pipe_out")
+    tenv.execute_sql(
+        f"""CREATE TABLE pipe_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet')"""
+    )
+    src = tenv.from_data_frame(
+        spark.range(0, 6).selectExpr("id AS k", "id % 2 AS p")
+    )
+    src.where("k < 4").execute_insert("pipe_snk")
+    got = sorted(
+        (r.k, r.p) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(0, 0), (1, 1), (2, 0), (3, 1)]
+    # overwrite replaces only the partitions receiving data
+    src.where("k = 5").execute_insert("pipe_snk", overwrite=True)
+    got = sorted((r.k, r.p) for r in spark.read.parquet(out).collect())
+    assert got == [(0, 0), (2, 0), (5, 1)]
+    # an unbound Table fails loudly
+    from flink_release_1_16_0_spark.table_env import Table
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not bound"):
+        Table(spark.range(1)).execute_insert("pipe_snk")
