@@ -94,6 +94,7 @@ _PRIORITY = (
     "api_table_row_ops",
     "api_sql_manifest_commit",
     "api_sql_hive_struct_ctas",
+    "api_table_window_udaf",
     # part 2: re-grades of code round 8 touched — the Hive dialect
     # translator (quoting/partition DDL), the SQL gateway (session
     # isolation via newSession), the bounded CEP facade (empty-match
@@ -111,7 +112,6 @@ _PRIORITY = (
     "api_sql_cumulate_tvf",
     "format_debezium_cdc",
     "jdbc_lookup_join",
-    "values_inline",
     # part 3: the full DataStream facade (its environment gained the
     # UTC guard; keep all 13 remaining dsapi gates green in-window).
     "dsapi_keyed_reduce",

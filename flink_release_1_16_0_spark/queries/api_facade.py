@@ -744,3 +744,49 @@ def api_sql_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
         "FROM mc_part GROUP BY pri"
     ).to_data_frame()
+
+
+_WINDOW_UDAF_ORACLE = """
+SELECT
+  make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,
+  event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT)) AS BIGINT)
+    AS total_micros
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("api_table_window_udaf", _WINDOW_UDAF_ORACLE, tags=("api", "fluent", "window"))
+def api_table_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fluent windowed UDAF (WindowGroupedTableImpl.aggregate,
+    TableImpl.java:651): Tumble.over(...).on(ts) -> group_by(key, w) ->
+    pandas aggregate -> select with w.start. Window bounds assign as
+    native epoch arithmetic BEFORE the single keyed exchange; the UDAF
+    runs group-amortized. Money-style values go through exact integer
+    micros so pandas and DuckDB DECIMAL arithmetic hash-match."""
+    import pandas as pd
+
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.table_env import TableEnvironment, Tumble
+
+    tenv = TableEnvironment.create(spark)
+    ev = tenv.from_data_frame(
+        load_table(spark, sf_dir, "events").selectExpr(
+            "ts",
+            "event_type",
+            "CAST(ROUND(value * 1000000) AS BIGINT) AS micros",
+        )
+    )
+
+    def stats(pdf: pd.DataFrame) -> dict:
+        return {"n": len(pdf), "total_micros": int(pdf["micros"].sum())}
+
+    return (
+        ev.window(Tumble.over("10 minutes").on("ts").alias("w"))
+        .group_by("event_type, w")
+        .aggregate(stats, "n bigint, total_micros bigint")
+        .select("w.start AS win_start, event_type, n, total_micros")
+        .to_data_frame()
+    )

@@ -1850,6 +1850,129 @@ class WindowGroupedTable:
             self._tenv,
         )
 
+    def aggregate(self, fn, schema: str) -> "WindowAggregatedTable":
+        """Windowed UDAF (TableImpl's WindowGroupedTableImpl.aggregate):
+        ``fn`` sees one (keys, window) group's pandas DataFrame and
+        returns a dict of aggregate fields; the result is projected with
+        ``.select(...)`` where ``<alias>.start`` / ``<alias>.end`` refer
+        to the window bounds. Lowered like GroupedTable.aggregate (one
+        keyed exchange, group-amortized) with the window assigned as
+        native epoch arithmetic before the shuffle. Session windows need
+        gap-merging AT aggregation time, which only Spark's native agg
+        path performs — use ``.select`` with SQL aggregates there
+        (raises with that pointer)."""
+        import pandas as pd
+
+        from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
+
+        w = self._window
+        if w.kind == "session":
+            raise ValueError(
+                "session windows merge at aggregation time (Spark's "
+                "native session_window agg); the fluent windowed UDAF "
+                "supports Tumble/Slide — use .select with SQL aggregates "
+                "for sessions"
+            )
+        plain = [k for k in self._keys if k != w.name]
+        ws, we = f"{w.name}_start", f"{w.name}_end"
+        # assign window bounds natively (epoch arithmetic in Catalyst);
+        # hop rows explode into every containing window
+        assigned = self._df.sparkSession.sql(
+            f"SELECT t.*, w.start AS {ws}, w.end AS {we} "
+            f"FROM (SELECT *, {w.sql_expr()} AS w FROM {{t}}) t",
+            t=self._df,
+        )
+        in_types = {f.name: f for f in assigned.schema.fields}
+        agg_fields = StructType.fromDDL(schema).fields
+        gcols = plain + [ws, we]
+        full = StructType([in_types[k] for k in gcols] + list(agg_fields))
+        agg_names = [f.name for f in agg_fields]
+
+        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            res = fn(pdf)
+            if isinstance(res, pd.DataFrame):
+                if len(res) != 1:
+                    raise ValueError(
+                        "aggregate fn must produce exactly one row per "
+                        "(key, window) group"
+                    )
+                res = res.iloc[0].to_dict()
+            row = dict(zip(gcols, key))
+            row.update({n: res.get(n) for n in agg_names})
+            return pd.DataFrame([row], columns=[f.name for f in full.fields])
+
+        return WindowAggregatedTable(
+            _grouped_apply(assigned, gcols, harness, full), w, self._tenv
+        )
+
+    def flat_aggregate(self, fn, schema: str) -> "WindowAggregatedTable":
+        """Windowed table aggregate (multi-row per (key, window) group —
+        WindowGroupedTableImpl.flatAggregate). ``fn``: group DataFrame ->
+        DataFrame of 0..n rows carrying ONLY the declared ``schema``
+        columns; the group keys and window bounds are prepended to every
+        emitted row."""
+        import pandas as pd
+
+        from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
+
+        w = self._window
+        if w.kind == "session":
+            raise ValueError(
+                "session windows merge at aggregation time — use .select "
+                "with SQL aggregates for sessions"
+            )
+        plain = [k for k in self._keys if k != w.name]
+        ws, we = f"{w.name}_start", f"{w.name}_end"
+        assigned = self._df.sparkSession.sql(
+            f"SELECT t.*, w.start AS {ws}, w.end AS {we} "
+            f"FROM (SELECT *, {w.sql_expr()} AS w FROM {{t}}) t",
+            t=self._df,
+        )
+        in_types = {f.name: f for f in assigned.schema.fields}
+        out_fields = StructType.fromDDL(schema).fields
+        gcols = plain + [ws, we]
+        full = StructType([in_types[k] for k in gcols] + list(out_fields))
+        names = [f.name for f in out_fields]
+
+        def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            res = fn(pdf)
+            if res is None or len(res) == 0:
+                return pd.DataFrame(columns=[f.name for f in full.fields])
+            out = pd.DataFrame(res)[names]
+            for c, v in reversed(list(zip(gcols, key))):
+                out.insert(0, c, v)
+            return out
+
+        return WindowAggregatedTable(
+            _grouped_apply(assigned, gcols, harness, full), w, self._tenv
+        )
+
+
+class WindowAggregatedTable:
+    """Intermediate of a fluent windowed UDAF: only ``select`` is legal
+    next; ``<alias>.start`` / ``<alias>.end`` / ``<alias>.rowtime``
+    resolve to the window-bound columns."""
+
+    def __init__(self, df: DataFrame, window: GroupWindow, tenv=None):
+        self._df = df
+        self._window = window
+        self._tenv = tenv
+
+    def select(self, *exprs) -> Table:
+        w = self._window
+        s = _frag(exprs)
+        s = re.sub(rf"\b{w.name}\.start\b", f"{w.name}_start", s)
+        s = re.sub(rf"\b{w.name}\.end\b", f"{w.name}_end", s)
+        s = re.sub(
+            rf"\b{w.name}\.rowtime\b",
+            f"{w.name}_end - INTERVAL 1 MILLISECOND",
+            s,
+        )
+        return Table(
+            self._df.sparkSession.sql(f"SELECT {s} FROM {{t}}", t=self._df),
+            self._tenv,
+        )
+
 
 # ---------------------------------------------------------------------------
 # TableEnvironment

@@ -2217,3 +2217,67 @@ def test_table_execute_insert_pipeline(tenv, spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not bound"):
         Table(spark.range(1)).execute_insert("pipe_snk")
+
+
+def test_fluent_windowed_udaf(tenv, spark):
+    """WindowGroupedTable.aggregate / flat_aggregate
+    (WindowGroupedTableImpl:537/651): a UDAF per (key, window) with
+    w.start/w.end in the post-select, checked against the SQL dual."""
+    import datetime
+
+    import pandas as pd
+
+    from flink_release_1_16_0_spark.table_env import Tumble
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 10, 1), 1.0),
+        ("a", datetime.datetime(2024, 1, 1, 10, 2), 5.0),
+        ("a", datetime.datetime(2024, 1, 1, 10, 31), 2.0),
+        ("b", datetime.datetime(2024, 1, 1, 10, 3), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    t = tenv.from_data_frame(df)
+
+    def vsum(pdf: pd.DataFrame) -> dict:
+        return {"vsum": float(pdf["v"].sum()), "n": len(pdf)}
+
+    got = {
+        (r.k, str(r.ws), r.vsum, r.n)
+        for r in t.window(Tumble.over("30 minutes").on("ts").alias("w"))
+        .group_by("k, w")
+        .aggregate(vsum, "vsum double, n bigint")
+        .select("k, w.start AS ws, vsum, n")
+        .to_data_frame()
+        .collect()
+    }
+    dual = {
+        (r.k, str(r.ws), r.vsum, r.n)
+        for r in spark.sql(
+            "SELECT k, window.start AS ws, SUM(v) AS vsum, COUNT(*) AS n "
+            "FROM {d} GROUP BY k, window(ts, '30 minutes')",
+            d=df,
+        ).collect()
+    }
+    assert got == dual
+
+    def top1(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.nlargest(1, "v")[["v"]].rename(columns={"v": "vmax"})
+
+    got = {
+        (r.k, str(r.we), r.vmax)
+        for r in t.window(Tumble.over("30 minutes").on("ts").alias("w"))
+        .group_by("k, w")
+        .flat_aggregate(top1, "vmax double")
+        .select("k, w.end AS we, vmax")
+        .to_data_frame()
+        .collect()
+    }
+    dual = {
+        (r.k, str(r.we), r.vmax)
+        for r in spark.sql(
+            "SELECT k, window.end AS we, MAX(v) AS vmax "
+            "FROM {d} GROUP BY k, window(ts, '30 minutes')",
+            d=df,
+        ).collect()
+    }
+    assert got == dual
