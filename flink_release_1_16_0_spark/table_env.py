@@ -1410,7 +1410,12 @@ class Table:
         return Table(self._df.distinct(), self._tenv)
 
     # -- joins / set ops -----------------------------------------------------
-    def join(self, right: "Table", on: str, how: str = "INNER") -> "Table":
+    def join(self, right: "Table", on: str | None = None, how: str = "INNER") -> "Table":
+        """TableImpl.join: with ``on`` an equi/theta join; without it
+        the reference's predicate-less ``join(right)`` (a cross join the
+        caller filters afterwards)."""
+        if on is None:
+            return Table(self._df.crossJoin(right._df), self._tenv)
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT * FROM {{l}} {how} JOIN {{r}} ON {on}",
@@ -1429,15 +1434,24 @@ class Table:
     def full_outer_join(self, right: "Table", on: str) -> "Table":
         return self.join(right, on, "FULL OUTER")
 
-    def join_lateral(self, udtf_expr: str, alias: str = "t", outer: bool = False) -> "Table":
+    def join_lateral(
+        self,
+        udtf_expr: str,
+        alias: str = "t",
+        outer: bool = False,
+        predicate: str | None = None,
+    ) -> "Table":
         """Fluent lateral UDTF apply (OperationTreeBuilder.joinLateral):
         ``t.join_lateral("explode(split(s, ',')) AS word")`` — each left
-        row joined to the rows its table-function call produces."""
+        row joined to the rows its table-function call produces.
+        ``predicate`` is the reference's 2-arg joinLateral(call, cond):
+        a filter over left+function columns applied to the joined rows."""
         parts = re.split(r"\s+AS\s+", udtf_expr, maxsplit=1, flags=re.IGNORECASE)
         clause = f"LATERAL VIEW {'OUTER ' if outer else ''}{parts[0]} {alias}"
         if len(parts) == 2:
             clause += f" AS {parts[1]}"
-        return self._sql(f"SELECT * FROM {{t}} {clause}")
+        where = f" WHERE {predicate}" if predicate else ""
+        return self._sql(f"SELECT * FROM {{t}} {clause}{where}")
 
     def left_outer_join_lateral(self, udtf_expr: str, alias: str = "t") -> "Table":
         """TableImpl.leftOuterJoinLateral: a left row with an EMPTY

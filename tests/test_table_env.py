@@ -2281,3 +2281,23 @@ def test_fluent_windowed_udaf(tenv, spark):
         ).collect()
     }
     assert got == dual
+
+
+def test_fluent_cross_join_and_lateral_predicate(tenv, spark):
+    """join(right) without a predicate is the reference's cross join;
+    join_lateral's optional predicate filters the joined rows
+    (TableImpl.join:195 / joinLateral:252)."""
+    a = tenv.from_data_frame(spark.createDataFrame([(1,), (2,)], "x int"))
+    b = tenv.from_data_frame(spark.createDataFrame([(10,), (20,)], "y int"))
+    rows = {(r.x, r.y) for r in a.join(b).where("x * 10 = y").to_data_frame().collect()}
+    assert rows == {(1, 10), (2, 20)}
+    t = tenv.from_data_frame(
+        spark.createDataFrame([(1, "a,bb"), (2, "ccc")], "id int, s string")
+    )
+    rows = {
+        (r.id, r.word)
+        for r in t.join_lateral(
+            "explode(split(s, ',')) AS word", predicate="length(word) >= 2"
+        ).to_data_frame().collect()
+    }
+    assert rows == {(1, "bb"), (2, "ccc")}
