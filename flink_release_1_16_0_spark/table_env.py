@@ -1425,7 +1425,9 @@ class Table:
             self._tenv,
         )
 
-    def left_outer_join(self, right: "Table", on: str) -> "Table":
+    def left_outer_join(self, right: "Table", on: str = "TRUE") -> "Table":
+        # the no-predicate overload (TableImpl.leftOuterJoin:205) joins
+        # on literal TRUE, like the reference
         return self.join(right, on, "LEFT OUTER")
 
     def right_outer_join(self, right: "Table", on: str) -> "Table":
