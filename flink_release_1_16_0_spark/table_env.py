@@ -1415,7 +1415,12 @@ class Table:
         the reference's predicate-less ``join(right)`` (a cross join the
         caller filters afterwards)."""
         if on is None:
-            return Table(self._df.crossJoin(right._df), self._tenv)
+            if how.strip().upper() not in ("INNER", ""):
+                # an outer join needs a condition to null-pad against;
+                # the reference's no-predicate outer overloads use TRUE
+                on = "TRUE"
+            else:
+                return Table(self._df.crossJoin(right._df), self._tenv)
         return Table(
             self._df.sparkSession.sql(
                 f"SELECT * FROM {{l}} {how} JOIN {{r}} ON {on}",
@@ -1523,7 +1528,10 @@ class Table:
         return Table(self._df.intersectAll(other._df), self._tenv)
 
     def minus(self, other: "Table") -> "Table":
-        return Table(self._df.exceptAll(other._df).distinct(), self._tenv)
+        # SQL EXCEPT (TableImpl.minus:282): left rows NOT IN right,
+        # duplicates removed — exceptAll().distinct() would keep a left
+        # row whose duplicates outnumber its right occurrences
+        return Table(self._df.subtract(other._df), self._tenv)
 
     def minus_all(self, other: "Table") -> "Table":
         return Table(self._df.exceptAll(other._df), self._tenv)
@@ -1555,6 +1563,16 @@ class Table:
             raise ValueError(
                 "this Table is not bound to a TableEnvironment "
                 "(create it via tenv.from_path/from_data_frame/sql_query)"
+            )
+        if self._df.sparkSession is not self._tenv.spark:
+            # temp views are per-SparkSession (the gateway isolates
+            # sessions via newSession): a view registered on the
+            # DataFrame's session would be invisible to the
+            # environment's SQL — fail loudly instead
+            raise ValueError(
+                "execute_insert: this Table's DataFrame belongs to a "
+                "different SparkSession than its TableEnvironment — "
+                "recreate it via tenv.from_data_frame on the right session"
             )
         view = f"__pipeline_{uuid.uuid4().hex}"
         self._df.createOrReplaceTempView(view)
@@ -1866,21 +1884,14 @@ class WindowGroupedTable:
             self._tenv,
         )
 
-    def aggregate(self, fn, schema: str) -> "WindowAggregatedTable":
-        """Windowed UDAF (TableImpl's WindowGroupedTableImpl.aggregate):
-        ``fn`` sees one (keys, window) group's pandas DataFrame and
-        returns a dict of aggregate fields; the result is projected with
-        ``.select(...)`` where ``<alias>.start`` / ``<alias>.end`` refer
-        to the window bounds. Lowered like GroupedTable.aggregate (one
-        keyed exchange, group-amortized) with the window assigned as
-        native epoch arithmetic before the shuffle. Session windows need
-        gap-merging AT aggregation time, which only Spark's native agg
-        path performs — use ``.select`` with SQL aggregates there
-        (raises with that pointer)."""
-        import pandas as pd
-
-        from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
-
+    def _assign_window(self, schema: str):
+        """Shared lowering for the fluent windowed UDAFs: assign the
+        window bounds as native epoch arithmetic (hop rows explode into
+        every containing window), project the intermediate struct AWAY
+        (the UDAF sees only source columns + ``<alias>_start/_end``, and
+        the struct never rides the exchange), and build the output
+        schema. The intermediate name is uuid-suffixed so no source
+        column can collide with it."""
         w = self._window
         if w.kind == "session":
             raise ValueError(
@@ -1890,19 +1901,40 @@ class WindowGroupedTable:
                 "for sessions"
             )
         plain = [k for k in self._keys if k != w.name]
+        src_cols = set(self._df.columns)
+        bad = [k for k in plain if k not in src_cols]
+        if bad:
+            raise ValueError(
+                f"aggregate requires plain column-name keys, got {bad} "
+                "(compute expressions with add_columns first)"
+            )
         ws, we = f"{w.name}_start", f"{w.name}_end"
-        # assign window bounds natively (epoch arithmetic in Catalyst);
-        # hop rows explode into every containing window
+        tmp = f"__gw_{uuid.uuid4().hex[:12]}"
+        cols = ", ".join(f"t.`{c}`" for c in self._df.columns)
         assigned = self._df.sparkSession.sql(
-            f"SELECT t.*, w.start AS {ws}, w.end AS {we} "
-            f"FROM (SELECT *, {w.sql_expr()} AS w FROM {{t}}) t",
+            f"SELECT {cols}, {tmp}.start AS {ws}, {tmp}.end AS {we} "
+            f"FROM (SELECT *, {w.sql_expr()} AS {tmp} FROM {{t}}) t",
             t=self._df,
         )
         in_types = {f.name: f for f in assigned.schema.fields}
-        agg_fields = StructType.fromDDL(schema).fields
+        out_fields = StructType.fromDDL(schema).fields
         gcols = plain + [ws, we]
-        full = StructType([in_types[k] for k in gcols] + list(agg_fields))
-        agg_names = [f.name for f in agg_fields]
+        full = StructType([in_types[k] for k in gcols] + list(out_fields))
+        return assigned, gcols, full, [f.name for f in out_fields]
+
+    def aggregate(self, fn, schema: str) -> "WindowAggregatedTable":
+        """Windowed UDAF (TableImpl's WindowGroupedTableImpl.aggregate):
+        ``fn`` sees one (keys, window) group's pandas DataFrame and
+        returns a dict of aggregate fields; the result is projected with
+        ``.select(...)`` where ``<alias>.start`` / ``<alias>.end`` refer
+        to the window bounds. Lowered like GroupedTable.aggregate (one
+        keyed exchange, group-amortized) with the window assigned as
+        native epoch arithmetic before the shuffle."""
+        import pandas as pd
+
+        from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
+
+        assigned, gcols, full, agg_names = self._assign_window(schema)
 
         def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             res = fn(pdf)
@@ -1918,7 +1950,7 @@ class WindowGroupedTable:
             return pd.DataFrame([row], columns=[f.name for f in full.fields])
 
         return WindowAggregatedTable(
-            _grouped_apply(assigned, gcols, harness, full), w, self._tenv
+            _grouped_apply(assigned, gcols, harness, full), self._window, self._tenv
         )
 
     def flat_aggregate(self, fn, schema: str) -> "WindowAggregatedTable":
@@ -1931,24 +1963,7 @@ class WindowGroupedTable:
 
         from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
 
-        w = self._window
-        if w.kind == "session":
-            raise ValueError(
-                "session windows merge at aggregation time — use .select "
-                "with SQL aggregates for sessions"
-            )
-        plain = [k for k in self._keys if k != w.name]
-        ws, we = f"{w.name}_start", f"{w.name}_end"
-        assigned = self._df.sparkSession.sql(
-            f"SELECT t.*, w.start AS {ws}, w.end AS {we} "
-            f"FROM (SELECT *, {w.sql_expr()} AS w FROM {{t}}) t",
-            t=self._df,
-        )
-        in_types = {f.name: f for f in assigned.schema.fields}
-        out_fields = StructType.fromDDL(schema).fields
-        gcols = plain + [ws, we]
-        full = StructType([in_types[k] for k in gcols] + list(out_fields))
-        names = [f.name for f in out_fields]
+        assigned, gcols, full, names = self._assign_window(schema)
 
         def harness(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             res = fn(pdf)
@@ -1960,7 +1975,7 @@ class WindowGroupedTable:
             return out
 
         return WindowAggregatedTable(
-            _grouped_apply(assigned, gcols, harness, full), w, self._tenv
+            _grouped_apply(assigned, gcols, harness, full), self._window, self._tenv
         )
 
 
