@@ -95,6 +95,7 @@ _PRIORITY = (
     "api_sql_manifest_commit",
     "api_sql_hive_struct_ctas",
     "api_table_window_udaf",
+    "api_table_pipeline_insert",
     # part 2: re-grades of code round 8 touched — the Hive dialect
     # translator (quoting/partition DDL), the SQL gateway (session
     # isolation via newSession), the bounded CEP facade (empty-match
@@ -122,7 +123,6 @@ _PRIORITY = (
     "dsapi_broadcast_state",
     "dsapi_window_cogroup",
     "dsapi_interval_join",
-    "dsapi_window_join",
     "dsapi_async_lookup",
     "dsapi_stream_process_timers",
     "dsapi_stream_interval_join",

@@ -790,3 +790,55 @@ def api_table_window_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w.start AS win_start, event_type, n, total_micros")
         .to_data_frame()
     )
+
+
+_PIPELINE_ORACLE = """
+SELECT r_name,
+       COUNT(*) AS n,
+       MIN(n_name) AS first_nation
+FROM nation JOIN region ON n_regionkey = r_regionkey
+WHERE n_nationkey % 2 = 0
+GROUP BY r_name
+"""
+
+
+@register("api_table_pipeline_insert", _PIPELINE_ORACLE, tags=("api", "fluent", "sink"))
+def api_table_pipeline_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.execute_insert end to end (TableImpl.insertInto +
+    TablePipeline.execute): a fluent join+filter pipeline writes into a
+    partitioned catalog sink through the same connector machinery as
+    INSERT INTO SQL, and the aggregate reads back through the
+    partition-discovering scan."""
+    import tempfile
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    work = tempfile.mkdtemp(prefix="pipeline_insert_")
+    tenv = TableEnvironment.create(spark)
+    for name, cols in (
+        ("pl_nation", "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT, n_comment STRING"),
+        ("pl_region", "r_regionkey BIGINT, r_name STRING, r_comment STRING"),
+    ):
+        tenv.execute_sql(
+            f"""CREATE TABLE {name} ({cols}) WITH (
+                'connector'='filesystem',
+                'path'='{sf_dir}/{name[3:]}.parquet',
+                'format'='parquet')"""
+        )
+    tenv.execute_sql(
+        f"""CREATE TABLE pl_sink (n_nationkey BIGINT, n_name STRING, r_name STRING)
+            PARTITIONED BY (r_name)
+            WITH ('connector'='filesystem','path'='{work}/sink',
+                  'format'='parquet')"""
+    )
+    (
+        tenv.from_path("pl_nation")
+        .join(tenv.from_path("pl_region"), "n_regionkey = r_regionkey")
+        .where("n_nationkey % 2 = 0")
+        .select("n_nationkey, n_name, r_name")
+        .execute_insert("pl_sink")
+    )
+    return tenv.sql_query(
+        "SELECT r_name, COUNT(*) AS n, MIN(n_name) AS first_nation "
+        "FROM pl_sink GROUP BY r_name"
+    ).to_data_frame()
