@@ -496,3 +496,14 @@ def test_table_row_ops_single_exchange(spark, sf_smoke):
     assert plan.count("Exchange") == 1
     assert plan.count("MapInPandas") == 3
     assert "ReadSchema: struct<o_totalprice:double,o_orderpriority:string>" in plan
+
+
+def test_window_udaf_single_exchange(spark, sf_smoke):
+    """The fluent windowed UDAF assigns window bounds natively BEFORE
+    its single keyed exchange, and the intermediate window struct never
+    rides the shuffle (projected away in the assignment select)."""
+    df = REGISTRY["api_table_window_udaf"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    assert "__gw_" not in plan.split("Exchange")[0]  # struct not above the exchange
