@@ -3495,9 +3495,61 @@ class TableEnvironment:
     def from_path(self, name: str) -> Table:
         return Table(self.spark.table(self._resolve_table_name(name)), self)
 
+    def scan(self, *path: str) -> Table:
+        """TableEnvironment.scan(String...) — the pre-``from`` spelling;
+        path segments join with '.'."""
+        return self.from_path(".".join(path))
+
+    def from_values(self, values, row_type: str | None = None) -> Table:
+        """TableEnvironment.fromValues(:321,:367): inline literal rows.
+        ``values`` is an iterable of tuples/lists/dicts (or scalars for
+        a 1-column table); ``row_type`` an optional DDL like
+        ``'id BIGINT, name STRING'`` (column names default to the
+        reference's f0..fn)."""
+        rows = [
+            v if isinstance(v, (tuple, list, dict)) else (v,) for v in values
+        ]
+        if row_type is not None:
+            return Table(self.spark.createDataFrame(rows, row_type), self)
+        df = self.spark.createDataFrame(rows)
+        # the reference names positional columns f0..fn
+        if rows and not isinstance(rows[0], dict):
+            df = df.toDF(*[f"f{i}" for i in range(len(df.columns))])
+        return Table(df, self)
+
     def create_temporary_view(self, name: str, table: "Table | DataFrame") -> None:
         df = table.to_data_frame() if isinstance(table, Table) else table
         df.createOrReplaceTempView(name)
+
+    def register_table(self, name: str, table: "Table | DataFrame") -> None:
+        """TableEnvironment.registerTable:646 — the pre-FLIP-64 spelling
+        of createTemporaryView."""
+        self.create_temporary_view(name, table)
+
+    def use_catalog(self, name: str) -> None:
+        self.execute_sql(f"USE CATALOG {name}")
+
+    def use_database(self, name: str) -> None:
+        self.execute_sql(f"USE {name}")
+
+    def list_catalogs(self) -> list[str]:
+        return sorted(self._catalogs)
+
+    def list_databases(self) -> list[str]:
+        return sorted(self._databases.get(self._current_catalog, set()))
+
+    def list_views(self) -> list[str]:
+        return sorted(self._views)
+
+    def list_functions(self) -> list[str]:
+        return sorted(f.name for f in self.spark.catalog.listFunctions())
+
+    def explain_sql(self, stmt: str) -> str:
+        """TableEnvironment.explainSql — the plan description for a
+        query (the engine's EXPLAIN surface; Spark's formatted physical
+        plan stands in for the reference's AST/logical/physical trio)."""
+        res = self.execute_sql(f"EXPLAIN {stmt}")
+        return "\n".join(str(r) for r in res.collect())
 
     def list_tables(self) -> list[str]:
         return sorted(

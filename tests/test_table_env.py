@@ -2369,3 +2369,24 @@ def test_fluent_minus_is_sql_except(tenv, spark):
     c = tenv.from_data_frame(spark.createDataFrame([], "y int"))
     rows = a.left_outer_join(c).to_data_frame().collect()
     assert len(rows) == 3 and all(r.y is None for r in rows)
+
+
+def test_tenv_api_completions(tenv, spark):
+    """The remaining TableEnvironment method family (fromValues:321,
+    registerTable:646, scan:691, useCatalog/useDatabase, list*,
+    explainSql)."""
+    t = tenv.from_values([(1, "a"), (2, "b")], "id BIGINT, name STRING")
+    assert {(r.id, r.name) for r in t.to_data_frame().collect()} == {(1, "a"), (2, "b")}
+    # untyped values get the reference's f0..fn names
+    assert tenv.from_values([(1, "x")]).to_data_frame().columns == ["f0", "f1"]
+    assert [r.f0 for r in tenv.from_values([7]).to_data_frame().collect()] == [7]
+    tenv.register_table("api_rt", t)
+    assert tenv.scan("api_rt").to_data_frame().count() == 2
+    tenv.execute_sql("CREATE DATABASE IF NOT EXISTS api_db")
+    tenv.use_database("api_db")
+    assert "api_db" in tenv.list_databases()
+    tenv.use_database("default_database")
+    assert tenv.list_catalogs() == ["default_catalog"]
+    assert "split_index" in tenv.list_functions()
+    plan = tenv.explain_sql("SELECT id FROM api_rt WHERE id > 1")
+    assert "Physical Plan" in plan or "Filter" in plan
