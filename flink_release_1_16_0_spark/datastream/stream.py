@@ -344,6 +344,38 @@ class StreamExecutionEnvironment:
         rows = [tuple(d.get(f.name) for f in schema.fields) for d in data]
         return DataStream(self, self.spark.createDataFrame(rows, schema))
 
+    def from_elements(self, *elements, type_ddl: str | None = None) -> "DataStream":
+        """StreamExecutionEnvironment.fromElements: varargs literals.
+        Scalars become a single ``value`` column; tuples map positionally
+        onto ``type_ddl`` (required for tuples — the reference derives
+        the type from the first element, which Python cannot do safely).
+        """
+        if elements and isinstance(elements[0], (tuple, list)):
+            if type_ddl is None:
+                raise ValueError("from_elements with tuples requires type_ddl")
+            schema = _parse_ddl(self.spark, type_ddl)
+            return DataStream(
+                self, self.spark.createDataFrame([tuple(e) for e in elements], schema)
+            )
+        ddl = type_ddl or "value string"
+        schema = _parse_ddl(self.spark, ddl)
+        return DataStream(
+            self, self.spark.createDataFrame([(e,) for e in elements], schema)
+        )
+
+    def from_sequence(self, start: int, end: int) -> "DataStream":
+        """StreamExecutionEnvironment.fromSequence: the inclusive long
+        range [start, end] — lowered to the native parallel range scan
+        (NumberSequenceSource's splittable range, for free)."""
+        return DataStream(
+            self, self.spark.range(start, end + 1).withColumnRenamed("id", "value")
+        )
+
+    def read_text_file(self, path: str) -> "DataStream":
+        """StreamExecutionEnvironment.readTextFile: one row per line,
+        column ``value`` (the TextInputFormat contract)."""
+        return DataStream(self, self.spark.read.text(path))
+
     def from_data_frame(self, df: DataFrame) -> "DataStream":
         return DataStream(self, df)
 

@@ -998,3 +998,22 @@ def test_side_tagged_stream_two_input_ops_see_main_only(env, clicks):
     )
     # main rows: a:1(n=5), b:2, c:1 — none of the 2 side rows appear
     assert sum(r.nl for r in cg.collect()) == 4
+
+
+def test_env_source_creation_parity(env, tmp_path):
+    """StreamExecutionEnvironment.fromElements / fromSequence /
+    readTextFile (the remaining source-creation family)."""
+    s = env.from_elements(1, 2, 3, type_ddl="value int")
+    assert sorted(r.value for r in s.to_data_frame().collect()) == [1, 2, 3]
+    s = env.from_elements(("a", 1), ("b", 2), type_ddl="k string, v int")
+    assert {(r.k, r.v) for r in s.to_data_frame().collect()} == {("a", 1), ("b", 2)}
+    s = env.from_sequence(5, 8)
+    assert sorted(r.value for r in s.to_data_frame().collect()) == [5, 6, 7, 8]
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\n")
+    s = env.read_text_file(str(p))
+    assert sorted(r.value for r in s.to_data_frame().collect()) == ["alpha", "beta"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="type_ddl"):
+        env.from_elements((1, 2))
