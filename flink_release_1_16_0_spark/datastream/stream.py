@@ -346,10 +346,12 @@ class StreamExecutionEnvironment:
 
     def from_elements(self, *elements, type_ddl: str | None = None) -> "DataStream":
         """StreamExecutionEnvironment.fromElements: varargs literals.
-        Scalars become a single ``value`` column; tuples map positionally
-        onto ``type_ddl`` (required for tuples — the reference derives
-        the type from the first element, which Python cannot do safely).
-        """
+        Scalars become a single ``value`` column whose type is DERIVED
+        from the elements (the reference derives it from the first
+        element); tuples map positionally onto ``type_ddl`` (required
+        for tuples — Python cannot name tuple fields safely)."""
+        import datetime as _dt
+
         if elements and isinstance(elements[0], (tuple, list)):
             if type_ddl is None:
                 raise ValueError("from_elements with tuples requires type_ddl")
@@ -357,8 +359,24 @@ class StreamExecutionEnvironment:
             return DataStream(
                 self, self.spark.createDataFrame([tuple(e) for e in elements], schema)
             )
-        ddl = type_ddl or "value string"
-        schema = _parse_ddl(self.spark, ddl)
+        if type_ddl is None:
+            first = next((e for e in elements if e is not None), None)
+            spark_type = {
+                bool: "boolean",  # before int (bool is an int subclass)
+                int: "bigint",
+                float: "double",
+                str: "string",
+                bytes: "binary",
+                _dt.datetime: "timestamp",
+                _dt.date: "date",
+            }.get(type(first))
+            if spark_type is None:
+                raise ValueError(
+                    f"cannot derive an element type from {type(first).__name__}; "
+                    "pass type_ddl"
+                )
+            type_ddl = f"value {spark_type}"
+        schema = _parse_ddl(self.spark, type_ddl)
         return DataStream(
             self, self.spark.createDataFrame([(e,) for e in elements], schema)
         )
@@ -367,6 +385,13 @@ class StreamExecutionEnvironment:
         """StreamExecutionEnvironment.fromSequence: the inclusive long
         range [start, end] — lowered to the native parallel range scan
         (NumberSequenceSource's splittable range, for free)."""
+        if end >= 2**63 - 1:
+            # spark.range's end is an EXCLUSIVE signed long; end+1 would
+            # overflow — fail loudly instead of wrapping
+            raise ValueError(
+                "from_sequence end must be < 2**63 - 1 (Spark's range "
+                "end is an exclusive 64-bit long)"
+            )
         return DataStream(
             self, self.spark.range(start, end + 1).withColumnRenamed("id", "value")
         )

@@ -113,8 +113,10 @@ _PRIORITY = (
     "api_sql_cumulate_tvf",
     "format_debezium_cdc",
     "jdbc_lookup_join",
-    # part 3: the full DataStream facade (its environment gained the
-    # UTC guard; keep all 13 remaining dsapi gates green in-window).
+    # part 3: the DataStream facade (its environment gained the UTC
+    # guard) — 12 of the 13 remaining dsapi gates; dsapi_window_join
+    # (r7-green, window-join path untouched this round) yielded its
+    # slot to the new api_table_pipeline_insert gate.
     "dsapi_keyed_reduce",
     "dsapi_process_timers",
     "dsapi_window_process",

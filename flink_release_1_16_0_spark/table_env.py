@@ -3511,6 +3511,8 @@ class TableEnvironment:
         ]
         if row_type is not None:
             return Table(self.spark.createDataFrame(rows, row_type), self)
+        if not rows:
+            raise ValueError("from_values with no rows requires row_type")
         df = self.spark.createDataFrame(rows)
         # the reference names positional columns f0..fn
         if rows and not isinstance(rows[0], dict):
@@ -3539,17 +3541,34 @@ class TableEnvironment:
         return sorted(self._databases.get(self._current_catalog, set()))
 
     def list_views(self) -> list[str]:
-        return sorted(self._views)
+        # mirrors SHOW VIEWS: CREATE VIEW definitions plus temporary
+        # views registered via register_table/create_temporary_view
+        # (Flink's listViews includes both)
+        return sorted(
+            t.name
+            for t in self.spark.catalog.listTables()
+            if t.isTemporary and t.name not in self._tables
+        )
 
     def list_functions(self) -> list[str]:
         return sorted(f.name for f in self.spark.catalog.listFunctions())
 
     def explain_sql(self, stmt: str) -> str:
         """TableEnvironment.explainSql — the plan description for a
-        query (the engine's EXPLAIN surface; Spark's formatted physical
-        plan stands in for the reference's AST/logical/physical trio)."""
+        query (Spark's formatted physical plan stands in for the
+        reference's AST/logical/physical trio). Queries go through the
+        SAME rewrites sql_query applies (window TVFs, MATCH_RECOGNIZE,
+        qualified refs), so this is the plan of the query that would
+        actually run."""
+        if re.match(r"\s*(SELECT|WITH|VALUES|TABLE)\b", stmt, re.IGNORECASE):
+            df = self.sql_query(stmt).to_data_frame()
+            return df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
         res = self.execute_sql(f"EXPLAIN {stmt}")
-        return "\n".join(str(r) for r in res.collect())
+        return "\n".join(r[0] if not isinstance(r, str) else r for r in res.collect())
 
     def list_tables(self) -> list[str]:
         return sorted(

@@ -1013,7 +1013,10 @@ def test_env_source_creation_parity(env, tmp_path):
     p.write_text("alpha\nbeta\n")
     s = env.read_text_file(str(p))
     assert sorted(r.value for r in s.to_data_frame().collect()) == ["alpha", "beta"]
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="type_ddl"):
+    with pytest.raises(ValueError, match="type_ddl"):
         env.from_elements((1, 2))
+    # scalar element types are DERIVED, not stringified
+    assert [r.value for r in env.from_elements(1, 2).to_data_frame().collect()] == [1, 2]
+    assert env.from_elements(1.5).to_data_frame().dtypes == [("value", "double")]
+    with pytest.raises(ValueError, match="2\\*\\*63"):
+        env.from_sequence(0, 2**63 - 1)
