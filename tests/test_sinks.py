@@ -658,3 +658,73 @@ def test_manifest_drop_partition_is_logical(spark, tmp_path):
         for r in tenv.sql_query("SELECT k, p FROM mdp_snk").to_data_frame().collect()
     }
     assert rows == {(0, 0), (2, 0), (4, 0), (99, 1)}
+
+
+def test_manifest_seq_claim_is_exclusive(tmp_path, monkeypatch):
+    """Two committers that computed the SAME next sequence number (one
+    listed the log before the other's publish landed) can no longer
+    collide: the O_CREAT|O_EXCL claim makes the loser retry with seq+1,
+    so replay order between them is total — the round-8 uuid-suffix
+    ambiguity window is closed."""
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    cp._publish_manifest(base, {"files": {"": ["a.parquet"]}})
+    # simulate the stale racer: it listed the log when it was empty
+    monkeypatch.setattr(cp, "_max_seq", lambda commits: 0)
+    seq = cp._publish_manifest(base, {"files": {"": ["b.parquet"]}})
+    assert seq == 2  # claimed 1, lost, retried to 2
+    import os
+
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    names = sorted(f for f in os.listdir(commits) if f.startswith("manifest-"))
+    assert names == ["manifest-" + "0" * 19 + "1.json", "manifest-" + "0" * 19 + "2.json"]
+    # neither commit's content was lost
+    live = cp._live_map(base)
+    assert live[""] == {"a.parquet", "b.parquet"}
+
+
+def test_manifest_checkpoint_bounds_read_cost(tmp_path, monkeypatch):
+    """200 commits: the reader must load the newest checkpoint + at most
+    CHECKPOINT_EVERY tail manifests — NOT replay all 200 (the unbounded
+    log growth flagged in round 8). The checkpointed live map must equal
+    the full naive replay."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    for i in range(200):
+        if i % 37 == 0:
+            cp._publish_manifest(
+                base, {"overwrite": True, "partitions": ["p=0"], "files": {"p=0": [f"ow{i}.parquet"]}}
+            )
+        else:
+            cp._publish_manifest(base, {"files": {f"p={i % 3}": [f"f{i}.parquet"]}})
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    assert any(f.startswith("checkpoint-") for f in os.listdir(commits))
+
+    # ground truth: naive full replay of every manifest in order
+    naive: dict[str, set[str]] = {}
+    for fn in sorted(os.listdir(commits)):
+        m = cp._MANIFEST_RE.match(fn)
+        if m:
+            with open(os.path.join(commits, fn)) as fh:
+                import json
+
+                cp._replay(naive, json.load(fh))
+
+    reads = []
+    orig = cp._read_json
+    monkeypatch.setattr(cp, "_read_json", lambda p: reads.append(p) or orig(p))
+    live = cp._live_map(base)
+    assert live == naive
+    assert len(reads) <= cp.CHECKPOINT_EVERY + 2  # 1 checkpoint + tail
+
+    # explicit compaction folds the tail: next read parses ~1 file
+    monkeypatch.setattr(cp, "_read_json", orig)
+    cp.manifest_compact(base)
+    reads2 = []
+    monkeypatch.setattr(cp, "_read_json", lambda p: reads2.append(p) or orig(p))
+    assert cp._live_map(base) == naive
+    assert len(reads2) <= 2
