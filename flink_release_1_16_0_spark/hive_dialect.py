@@ -102,7 +102,9 @@ def _clean_col(col: str) -> str:
     """Strip a trailing per-column COMMENT; translate Hive STRUCT to
     Flink ROW (SqlCreateHiveTable accepts the full Hive type grammar;
     the engine's DDL path speaks Flink types)."""
-    col = re.sub(r"\s+COMMENT\s+'[^']*'\s*$", "", col, flags=re.IGNORECASE)
+    # '' is Hive's in-literal quote escape — the comment pattern must
+    # swallow it, or COMMENT 'it''s fine' leaves residue in the DDL
+    col = re.sub(r"\s+COMMENT\s+'(?:[^']|'')*'\s*$", "", col, flags=re.IGNORECASE)
     if re.search(r"\bSTRUCT\s*<", col, re.IGNORECASE):
         # STRUCT<a:INT,b:STRUCT<c:STRING>> -> ROW<a INT,b ROW<c STRING>>
         # ':' appears in no other Hive type spelling (and never in a

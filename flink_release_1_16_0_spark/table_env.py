@@ -1317,6 +1317,24 @@ class EnvironmentSettingsBuilder:
         return EnvironmentSettings(self._streaming)
 
 
+def _sub_window_attrs(s: str, alias: str, repl: dict) -> str:
+    """Rewrite ``<alias>.start/.end/.rowtime`` window-attribute
+    references to their target expressions — alias regex-escaped and
+    string literals left untouched (a literal ``'w.start'`` is data,
+    not a window reference)."""
+    pats = [
+        (re.compile(rf"\b{re.escape(alias)}\.{attr}\b"), target)
+        for attr, target in repl.items()
+    ]
+    out = []
+    for is_lit, seg in _split_sql_literals(s):
+        if not is_lit:
+            for pat, target in pats:
+                seg = pat.sub(target, seg)
+        out.append(seg)
+    return "".join(out)
+
+
 def _frag(parts) -> str:
     """Coerce Table-API arguments — one SQL fragment string, one
     expression-DSL object, or several of either — to a SQL fragment."""
@@ -1658,8 +1676,16 @@ class GroupedTable:
                         "multi-row emission)"
                     )
                 res = res.iloc[0].to_dict()
+            missing = [n for n in agg_names if n not in res]
+            if missing:
+                # a typo'd result key silently becoming NULL would mask
+                # bugs the declared output schema exists to catch
+                raise ValueError(
+                    f"aggregate fn result is missing declared output "
+                    f"fields {missing} (got keys {sorted(res)})"
+                )
             row = dict(zip(keys, key))
-            row.update({n: res.get(n) for n in agg_names})
+            row.update({n: res[n] for n in agg_names})
             return pd.DataFrame([row], columns=[f.name for f in full.fields])
 
         return AggregatedTable(_grouped_apply(self._df, keys, harness, full), self._tenv)
@@ -1867,12 +1893,14 @@ class WindowGroupedTable:
         # (rowtime = end - 1ms, GroupWindowAggregate's rowtime attr);
         # Spark names the struct after the generating function
         col = "session_window" if w.kind == "session" else "window"
-        exprs = re.sub(rf"\b{w.name}\.start\b", f"{col}.start", exprs)
-        exprs = re.sub(rf"\b{w.name}\.end\b", f"{col}.end", exprs)
-        exprs = re.sub(
-            rf"\b{w.name}\.rowtime\b",
-            f"{col}.end - INTERVAL 1 MILLISECOND",
+        exprs = _sub_window_attrs(
             exprs,
+            w.name,
+            {
+                "start": f"{col}.start",
+                "end": f"{col}.end",
+                "rowtime": f"{col}.end - INTERVAL 1 MILLISECOND",
+            },
         )
         group = ", ".join(
             w.sql_expr() if k == w.name else k for k in self._keys
@@ -1945,8 +1973,14 @@ class WindowGroupedTable:
                         "(key, window) group"
                     )
                 res = res.iloc[0].to_dict()
+            missing = [n for n in agg_names if n not in res]
+            if missing:
+                raise ValueError(
+                    f"aggregate fn result is missing declared output "
+                    f"fields {missing} (got keys {sorted(res)})"
+                )
             row = dict(zip(gcols, key))
-            row.update({n: res.get(n) for n in agg_names})
+            row.update({n: res[n] for n in agg_names})
             return pd.DataFrame([row], columns=[f.name for f in full.fields])
 
         return WindowAggregatedTable(
@@ -1992,12 +2026,14 @@ class WindowAggregatedTable:
     def select(self, *exprs) -> Table:
         w = self._window
         s = _frag(exprs)
-        s = re.sub(rf"\b{w.name}\.start\b", f"{w.name}_start", s)
-        s = re.sub(rf"\b{w.name}\.end\b", f"{w.name}_end", s)
-        s = re.sub(
-            rf"\b{w.name}\.rowtime\b",
-            f"{w.name}_end - INTERVAL 1 MILLISECOND",
+        s = _sub_window_attrs(
             s,
+            w.name,
+            {
+                "start": f"{w.name}_start",
+                "end": f"{w.name}_end",
+                "rowtime": f"{w.name}_end - INTERVAL 1 MILLISECOND",
+            },
         )
         return Table(
             self._df.sparkSession.sql(f"SELECT {s} FROM {{t}}", t=self._df),
@@ -3763,7 +3799,7 @@ class TableEnvironment:
         # ADD [IF NOT EXISTS] PARTITION (p=v[, ...]) [LOCATION 'uri'],
         # DROP [IF EXISTS] PARTITION (p=v[, ...])
         m = re.fullmatch(
-            r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"ALTER\s+TABLE\s+([\w.]+)\s+ADD\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<specs>PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'(?:[^']|'')*')?"
             r"(?:\s+PARTITION\s*\([^)]*\)(?:\s+LOCATION\s+'(?:[^']|'')*')?)*)",
             stmt,
@@ -3773,6 +3809,8 @@ class TableEnvironment:
             table = self._tables.get(m.group(1))
             if table is None:
                 raise ValueError(f"unknown table {m.group(1)!r}")
+            self._check_partition_ddl_connector(table, m.group(1))
+            if_not_exists = bool(m.group("ine"))
             for pm in re.finditer(
                 r"PARTITION\s*\((?P<spec>[^)]*)\)(?:\s+LOCATION\s+'(?P<loc>(?:[^']|'')*)')?",
                 m.group("specs"),
@@ -3781,8 +3819,21 @@ class TableEnvironment:
                 spec = _parse_partition_spec(pm.group("spec"))
                 if pm.group("loc"):
                     loc = pm.group("loc").replace("''", "'")
-                    if spec not in [s for s, _ in table.extra_partitions]:
+                    existing = next(
+                        (e for e in table.extra_partitions if e[0] == spec), None
+                    )
+                    if existing is None:
                         table.extra_partitions.append((spec, loc))
+                    elif existing[1] != loc and not if_not_exists:
+                        # same spec, different location: silently keeping
+                        # the stale location would make the scan read the
+                        # wrong data — Hive raises AlreadyExistsException
+                        # here too (HiveCatalog.createPartition)
+                        raise ValueError(
+                            f"partition {spec} already exists at "
+                            f"{existing[1]!r}; DROP it first or use "
+                            "ADD IF NOT EXISTS to keep the existing one"
+                        )
                 # a location-less partition lives under the table path:
                 # directory discovery already serves it — registering is
                 # a metadata no-op (matches HiveCatalog's createPartition
@@ -3799,6 +3850,7 @@ class TableEnvironment:
             table = self._tables.get(m.group(1))
             if table is None:
                 raise ValueError(f"unknown table {m.group(1)!r}")
+            self._check_partition_ddl_connector(table, m.group(1))
             for pm in re.finditer(
                 r"PARTITION\s*\((?P<spec>[^)]*)\)", m.group("specs"), re.IGNORECASE
             ):
@@ -3825,6 +3877,19 @@ class TableEnvironment:
             self._register_scan(table)
             return TableResult(rows=["OK"])
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
+
+    @staticmethod
+    def _check_partition_ddl_connector(table: CatalogTable, name: str) -> None:
+        """ADD/DROP PARTITION is a filesystem/hive-layout operation; on
+        a pathless connector (kafka, jdbc, ...) fail with a clear error
+        instead of a KeyError from ``options['path']``."""
+        if table.connector != "filesystem" or "path" not in table.options:
+            raise ValueError(
+                f"ALTER TABLE ... ADD/DROP PARTITION is not supported for "
+                f"table {name!r} with connector "
+                f"{table.connector!r}: partition DDL needs a filesystem "
+                "table with a 'path' option"
+            )
 
     def _drop_partition_data(self, table: CatalogTable, spec: dict) -> None:
         """Managed-table DROP PARTITION (Hive deletes the partition's

@@ -509,3 +509,79 @@ def test_drop_partition_prefix_covers_external(tenv, tmp_path):
     assert rows == {(1, "a", "x"), (9, "a", "y")}
     tenv.execute_sql("ALTER TABLE hv_pfx DROP PARTITION (p1='a')")
     assert tenv.sql_query("SELECT x FROM hv_pfx").to_data_frame().count() == 0
+
+
+def test_add_partition_conflicting_location_raises(tenv, tmp_path):
+    """Re-adding an existing partition spec with a DIFFERENT location
+    must not be silently ignored (the scan would keep reading the stale
+    location): plain ADD raises like Hive's AlreadyExistsException; ADD
+    IF NOT EXISTS keeps the existing entry; same-location re-add is a
+    no-op."""
+    import pytest
+
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_conf (x INT) PARTITIONED BY (p STRING)
+            STORED AS PARQUET LOCATION '{tmp_path}/conf'"""
+    )
+    tenv.execute_sql("INSERT INTO TABLE hv_conf PARTITION (p='z') SELECT 0")
+    tenv.spark.range(1).selectExpr("CAST(1 AS INT) AS x").write.parquet(
+        f"{tmp_path}/loc1"
+    )
+    tenv.spark.range(1).selectExpr("CAST(2 AS INT) AS x").write.parquet(
+        f"{tmp_path}/loc2"
+    )
+    tenv.execute_sql(
+        f"ALTER TABLE hv_conf ADD PARTITION (p='a') LOCATION '{tmp_path}/loc1'"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        tenv.execute_sql(
+            f"ALTER TABLE hv_conf ADD PARTITION (p='a') LOCATION '{tmp_path}/loc2'"
+        )
+    # IF NOT EXISTS: keep the existing entry, no error
+    tenv.execute_sql(
+        f"ALTER TABLE hv_conf ADD IF NOT EXISTS PARTITION (p='a') LOCATION '{tmp_path}/loc2'"
+    )
+    # same-location re-add: no-op
+    tenv.execute_sql(
+        f"ALTER TABLE hv_conf ADD PARTITION (p='a') LOCATION '{tmp_path}/loc1'"
+    )
+    rows = {r.x for r in tenv.sql_query("SELECT x FROM hv_conf").to_data_frame().collect()}
+    assert rows == {0, 1}  # in-place p='z' plus loc1 (never loc2)
+
+
+def test_partition_ddl_pathless_connector_raises(tenv):
+    """ADD/DROP PARTITION on a connector without a filesystem path must
+    raise a descriptive unsupported-connector error, not a KeyError."""
+    import pytest
+
+    tenv.execute_sql(
+        "CREATE TABLE v_nopath (x INT, p STRING) WITH ('connector'='values')"
+    )
+    with pytest.raises(ValueError, match="not supported.*connector"):
+        tenv.execute_sql("ALTER TABLE v_nopath ADD PARTITION (p='a') LOCATION '/tmp/x'")
+    with pytest.raises(ValueError, match="not supported.*connector"):
+        tenv.execute_sql("ALTER TABLE v_nopath DROP PARTITION (p='a')")
+
+
+def test_hive_comment_doubled_quote_and_colon(tenv, tmp_path):
+    """Per-column COMMENT with a doubled-quote escape ('it''s fine') and
+    a colon inside the comment must strip cleanly — previously the
+    residue leaked into the DDL and the STRUCT ':'-swap mangled it."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE TABLE hv_cmt (
+              a INT COMMENT 'it''s fine',
+              s STRUCT<x:INT, y:STRING> COMMENT 'ratio: a/b'
+            ) STORED AS PARQUET LOCATION '{tmp_path}/cmt'"""
+    )
+    tenv.execute_sql(
+        "INSERT INTO TABLE hv_cmt SELECT 1, NAMED_STRUCT('x', 2, 'y', 'z')"
+    )
+    rows = [
+        (r.a, r.sx, r.sy)
+        for r in tenv.sql_query(
+            "SELECT a, s.x AS sx, s.y AS sy FROM hv_cmt"
+        ).to_data_frame().collect()
+    ]
+    assert rows == [(1, 2, "z")]

@@ -2390,3 +2390,47 @@ def test_tenv_api_completions(tenv, spark):
     assert "split_index" in tenv.list_functions()
     plan = tenv.explain_sql("SELECT id FROM api_rt WHERE id > 1")
     assert "Physical Plan" in plan or "Filter" in plan
+
+
+def test_window_attr_rewrite_spares_literals_and_escapes_alias(tenv, spark):
+    """<alias>.start rewriting must leave string literals alone (a
+    literal 'w.start' is data) and survive an alias that contains regex
+    metacharacters — previously both broke the re.sub-based rewrite."""
+    import datetime
+
+    from flink_release_1_16_0_spark.table_env import Tumble
+
+    rows = [
+        ("a", datetime.datetime(2024, 1, 1, 10, 1), 1.0),
+        ("a", datetime.datetime(2024, 1, 1, 10, 29), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    t = tenv.from_data_frame(df)
+    out = (
+        t.window(Tumble.over("30 minutes").on("ts").alias("w"))
+        .group_by("k, w")
+        .select("k, w.start AS ws, 'w.start' AS lit, SUM(v) AS vsum")
+        .to_data_frame()
+        .collect()
+    )
+    assert len(out) == 1
+    assert out[0].lit == "w.start"  # literal untouched
+    assert str(out[0].ws).startswith("2024-01-01 10:00")
+    assert out[0].vsum == 3.0
+
+
+def test_grouped_aggregate_missing_output_field_raises(tenv, spark):
+    """A typo'd key in the aggregate fn's result dict must raise, not
+    silently become NULL in the declared output column."""
+    import pandas as pd
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k string, v double")
+    t = tenv.from_data_frame(df)
+
+    def bad(pdf: pd.DataFrame) -> dict:
+        return {"vsun": float(pdf["v"].sum())}  # typo: vsun != vsum
+
+    agg = t.group_by("k").aggregate(bad, "vsum double")
+    with pytest.raises(Exception, match="missing declared output"):
+        agg.select("k, vsum").to_data_frame().collect()
