@@ -42,6 +42,7 @@ _MODULES = (
     "tpch_more",
     "tpch_full",
     "tpcds_shapes",
+    "tpcds_deep",
     "joins",
     "aggregates",
     "windows_over",
