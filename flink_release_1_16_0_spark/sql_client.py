@@ -10,6 +10,14 @@ this module gives them the same entry points:
     python -m flink_release_1_16_0_spark.sql_client script.sql
     python -m flink_release_1_16_0_spark.sql_client -i init.sql -f job.sql
     python -m flink_release_1_16_0_spark.sql_client -e "SELECT ..."
+    python -m flink_release_1_16_0_spark.sql_client            # interactive
+
+With no ``-f``/``-e``/positional script the client enters the
+reference's default INTERACTIVE embedded mode (CliClient's stdin loop):
+multi-line statements assemble until their terminating ``;`` (the
+shared scanner handles literals/comments/STATEMENT SET blocks), QUIT/
+EXIT/CLEAR/HELP are client commands, and a failed statement prints its
+error without ending the session.
 
 Semantics: statements split on ``;`` outside string literals (the
 client's rule), ``--`` line comments and ``/* ... */`` block comments
@@ -49,6 +57,16 @@ def _in_statement_set_context(buf: list[str]) -> bool:
     return bool(re.search(r"STATEMENT\s+SET\s*$", prefix, re.IGNORECASE))
 
 
+def split_statements_with_tail(script: str) -> tuple[list[str], str]:
+    """Like :func:`split_statements`, but also return the trailing
+    fragment that no ``;`` has terminated yet — the interactive CLI's
+    multi-line assembly primitive (SqlMultiLineParser.java keeps
+    reading continuation lines until the statement completes)."""
+    stmts = _scan(script)
+    tail = stmts.pop()  # _scan always appends the unterminated tail
+    return [s.strip() for s in stmts if s.strip()], tail
+
+
 def split_statements(script: str) -> list[str]:
     """Split a SQL script into statements with one scanner pass: ``;``
     terminates a statement only outside single-quoted literals; ``--``
@@ -57,6 +75,13 @@ def split_statements(script: str) -> list[str]:
     literal opener, and vice versa). Statement-set blocks
     (EXECUTE STATEMENT SET BEGIN ... END;) keep their inner semicolons;
     CASE ... END inside a block does not close it."""
+    stmts = _scan(script)
+    return [s.strip() for s in stmts if s.strip()]
+
+
+def _scan(script: str) -> list[str]:
+    """One scanner pass; the LAST list element is always the
+    unterminated tail (possibly empty/whitespace)."""
     stmts: list[str] = []
     buf: list[str] = []
     i, n = 0, len(script)
@@ -103,7 +128,7 @@ def split_statements(script: str) -> list[str]:
         buf.append(c)
         i += 1
     stmts.append("".join(buf))
-    return [s.strip() for s in stmts if s.strip()]
+    return stmts
 
 
 def run_statements(tenv, script: str, echo: bool = True) -> list:
@@ -141,6 +166,75 @@ def run_script(
     if init_script:
         run_statements(tenv, init_script, echo=echo)
     return run_statements(tenv, script, echo=echo)
+
+
+_BANNER = "Welcome to the SQL client. Statements end with ';'. Type QUIT; to leave."
+_HELP = (
+    "Available client commands:\n"
+    "  HELP;   print this help\n"
+    "  CLEAR;  clear the screen\n"
+    "  QUIT; / EXIT;  leave the client\n"
+    "Everything else is SQL, executed when the trailing ';' arrives."
+)
+
+
+def run_interactive(tenv, instream=None, outstream=None) -> int:
+    """Interactive REPL — the reference client's default embedded mode
+    (SqlClient.java:61; CliClient's stdin loop with SqlMultiLineParser's
+    multi-line statement assembly). Lines accumulate until a ``;``
+    completes the statement (literals, comments and STATEMENT SET
+    blocks respected via the shared scanner); client commands QUIT/
+    EXIT/CLEAR/HELP are handled locally (CliClient's command parser);
+    a failed statement prints its error and the session CONTINUES —
+    errors never kill the client. Returns the number of failed
+    statements."""
+    instream = instream if instream is not None else sys.stdin
+    outstream = outstream if outstream is not None else sys.stdout
+
+    def emit(text: str) -> None:
+        print(text, file=outstream)
+
+    emit(_BANNER)
+    pending = ""
+    failures = 0
+    while True:
+        prompt = "Flink SQL> " if not pending.strip() else "         > "
+        outstream.write(prompt)
+        outstream.flush()
+        line = instream.readline()
+        if not line:  # EOF ends the session like QUIT
+            break
+        pending += line
+        stmts, pending = split_statements_with_tail(pending)
+        quit_seen = False
+        for stmt in stmts:
+            word = stmt.strip().rstrip(";").strip().upper()
+            if word in ("QUIT", "EXIT"):
+                quit_seen = True
+                break
+            if word == "CLEAR":
+                outstream.write("\x1b[2J\x1b[H")
+                continue
+            if word == "HELP":
+                emit(_HELP)
+                continue
+            try:
+                res = tenv.execute_sql(stmt)
+                if res is not None and hasattr(res, "to_data_frame"):
+                    df = res.to_data_frame()
+                    if df is not None:
+                        emit(df._jdf.showString(20, 0, False))
+                    else:
+                        emit("[INFO] Execute statement succeeded.")
+                else:
+                    emit("[INFO] Execute statement succeeded.")
+            except Exception as exc:  # noqa: BLE001 — REPL survives any statement error
+                failures += 1
+                emit(f"[ERROR] {type(exc).__name__}: {exc}")
+        if quit_seen:
+            break
+    emit("Bye.")
+    return failures
 
 
 def _read_file(path: str) -> str | None:
@@ -204,11 +298,18 @@ def main(argv: list[str]) -> int:
         if script is None:
             return 1
         i += 1
-    if script is None:
-        print(_USAGE)
-        return 2
     from flink_release_1_16_0_spark import get_spark
 
+    if script is None:
+        # no -f/-e/positional: the reference client's default is the
+        # interactive embedded mode (optionally after the -i script)
+        from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+        tenv = TableEnvironment.create(get_spark("sql-client"))
+        if init_script:
+            run_statements(tenv, init_script, echo=True)
+        run_interactive(tenv)
+        return 0
     run_script(get_spark("sql-client"), script, init_script=init_script)
     return 0
 

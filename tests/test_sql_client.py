@@ -152,5 +152,79 @@ def test_cli_flags_e_and_i(spark, tmp_path, capsys, monkeypatch):
     assert rc == 0
     assert "42" in capsys.readouterr().out
     assert C.main(["-e", "SELECT 1", "-f", "x.sql"]) == 2
-    assert C.main(["-i", str(init_path)]) == 2
-    assert C.main([]) == 2
+    # no -f/-e: the client enters interactive mode (after -i), the
+    # reference's default embedded mode
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("SELECT answer FROM cli_v;\nQUIT;\n"))
+    assert C.main(["-i", str(init_path)]) == 0
+    out = capsys.readouterr().out
+    assert "Flink SQL>" in out and "42" in out and "Bye." in out
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert C.main([]) == 0
+
+
+def test_split_statements_with_tail():
+    from flink_release_1_16_0_spark.sql_client import split_statements_with_tail
+
+    stmts, tail = split_statements_with_tail("SELECT 1; SELECT 'a;")
+    assert stmts == ["SELECT 1"]
+    assert tail == " SELECT 'a;"  # unterminated literal keeps assembling
+    stmts, tail = split_statements_with_tail("SELECT\n  2")
+    assert stmts == [] and tail.strip() == "SELECT\n  2".strip()
+    stmts, tail = split_statements_with_tail("SELECT 3;")
+    assert stmts == ["SELECT 3"] and tail == ""
+
+
+def test_interactive_repl_session(spark, tmp_path):
+    """Scripted stdin session through the interactive mode (CliClient's
+    stdin loop, SqlClient.java:61): DDL, a multi-line query assembled
+    across continuation lines, a failing statement that does NOT kill
+    the session, recovery, HELP/CLEAR, QUIT."""
+    import io
+
+    from flink_release_1_16_0_spark.sql_client import run_interactive
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "repl_src")
+    spark.range(0, 3).selectExpr("id AS k").write.parquet(src)
+    tenv = TableEnvironment.create(spark)
+    stdin = io.StringIO(
+        f"CREATE TABLE r_t (k BIGINT)\n"
+        f"WITH ('connector'='filesystem','path'='{src}',\n"
+        f"      'format'='parquet');\n"
+        "SELECT COUNT(*) AS n\n"
+        "FROM r_t;\n"
+        "SELECT * FROM no_such_table;\n"  # error: session must survive
+        "HELP;\n"
+        "CLEAR;\n"
+        "SELECT MAX(k) AS mx FROM r_t;\n"  # recovery proof
+        "QUIT;\n"
+        "SELECT 1;\n"  # after QUIT: never executed
+    )
+    out = io.StringIO()
+    failures = run_interactive(tenv, instream=stdin, outstream=out)
+    text = out.getvalue()
+    assert failures == 1
+    assert "Flink SQL>" in text and "         >" in text  # continuation prompt
+    assert "| 3  |" in text or "|3  " in text or "|  3|" in text or "|3|" in text.replace(" ", "")
+    assert "[ERROR]" in text and "no_such_table" in text.lower()
+    assert "Available client commands" in text  # HELP
+    assert "\x1b[2J" in text  # CLEAR
+    assert "mx" in text and "Bye." in text
+    # nothing after QUIT ran: the final SELECT 1 output (a column named
+    # "1") must not appear after Bye.
+    assert text.strip().endswith("Bye.")
+
+
+def test_interactive_repl_eof_ends_session(spark):
+    import io
+
+    from flink_release_1_16_0_spark.sql_client import run_interactive
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    out = io.StringIO()
+    failures = run_interactive(tenv, instream=io.StringIO("SELECT 41+1 AS a;\n"), outstream=out)
+    assert failures == 0
+    assert "42" in out.getvalue() and out.getvalue().strip().endswith("Bye.")
