@@ -842,3 +842,66 @@ def api_table_pipeline_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT r_name, COUNT(*) AS n, MIN(n_name) AS first_nation "
         "FROM pl_sink GROUP BY r_name"
     ).to_data_frame()
+
+
+_HIVE_BUCKETS_ORACLE = """
+SELECT n.n_name AS n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(CAST(c.c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("api_sql_hive_buckets", _HIVE_BUCKETS_ORACLE, tags=("api", "ddl", "hive"))
+def api_sql_hive_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive bucketed tables (parserImpls.ftl TableCreationPart's
+    CLUSTERED BY ... INTO n BUCKETS): two tables bucketed on the join
+    key lower onto Spark-NATIVE catalog bucketing (hive_dialect.py
+    _translate_bucketed_create), so this fact-dim join scans
+    exchange-free; the aggregate is hash-checked against DuckDB over
+    the raw parquet."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="hive_bkt_")
+    tenv = TableEnvironment.create(spark)
+    # repeated runs in one session: the catalog table would otherwise
+    # keep pointing at the previous run's location
+    for t in ("hb_cust_q", "hb_nat_q"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        f"""CREATE EXTERNAL TABLE hbq_src_cust (
+          c_custkey BIGINT, c_name STRING, c_nationkey INT,
+          c_acctbal DOUBLE, c_mktsegment STRING
+        ) STORED AS PARQUET LOCATION '{sf_dir}/customer.parquet'"""
+    )
+    tenv.execute_sql(
+        f"""CREATE EXTERNAL TABLE hbq_src_nat (
+          n_nationkey INT, n_name STRING, n_regionkey INT
+        ) STORED AS PARQUET LOCATION '{sf_dir}/nation.parquet'"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE hb_cust_q (ck BIGINT, nk INT, bal DOUBLE)
+            CLUSTERED BY (nk) SORTED BY (nk) INTO 4 BUCKETS
+            STORED AS PARQUET LOCATION '{work}/cust'"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE hb_nat_q (nk INT, name STRING)
+            CLUSTERED BY (nk) INTO 4 BUCKETS
+            STORED AS PARQUET LOCATION '{work}/nat'"""
+    )
+    tenv.execute_sql(
+        "INSERT INTO TABLE hb_cust_q "
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM hbq_src_cust"
+    )
+    tenv.execute_sql(
+        "INSERT INTO TABLE hb_nat_q SELECT n_nationkey, n_name FROM hbq_src_nat"
+    )
+    return tenv.sql_query(
+        """SELECT n.name AS n_name,
+                  CAST(COUNT(*) AS BIGINT) AS n_cust,
+                  CAST(SUM(CAST(CAST(c.bal AS DECIMAL(38,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_cents
+           FROM hb_cust_q c JOIN hb_nat_q n ON n.nk = c.nk
+           GROUP BY n.name"""
+    ).to_data_frame()

@@ -558,11 +558,33 @@ class CatalogTable:
             return
         if connector == "hive":
             tbl = self.options.get("table-name", self.name)
+            if out.sparkSession.catalog.tableExists(tbl):
+                # positional insert into the EXISTING catalog table:
+                # honors its partition AND bucket spec (saveAsTable in
+                # append mode rejects bucketed targets, and in overwrite
+                # mode would REPLACE the table, dropping the spec).
+                # insertInto matches by POSITION and Spark stores
+                # partition columns last — reorder to the catalog order
+                w = out.select(*out.sparkSession.table(tbl).columns).write
+                if overwrite and self.partitioned_by:
+                    # per-partition overwrite, as on the filesystem sink
+                    # (session conf — the writer option is not honored
+                    # on the insertInto path)
+                    conf = out.sparkSession.conf
+                    key = "spark.sql.sources.partitionOverwriteMode"
+                    prev = conf.get(key)
+                    conf.set(key, "dynamic")
+                    try:
+                        w.insertInto(tbl, overwrite=True)
+                    finally:
+                        conf.set(key, prev)
+                else:
+                    w.insertInto(tbl, overwrite=overwrite)
+                return
             writer = out.write.mode("overwrite" if overwrite else "append")
             if self.partitioned_by:
                 writer = writer.partitionBy(*self.partitioned_by)
                 if overwrite:
-                    # per-partition overwrite, as on the filesystem sink
                     writer = writer.option("partitionOverwriteMode", "dynamic")
             writer.saveAsTable(tbl)
             return
@@ -4005,8 +4027,25 @@ class TableEnvironment:
                     if table.partitioned_by
                     else ""
                 )
+                using = options.get("using-format", "parquet").upper()
+                # Hive CLUSTERED BY ... INTO n BUCKETS (hive_dialect's
+                # bucketed lowering) becomes Spark-native bucketing, so
+                # joins between tables bucketed on the key scan
+                # exchange-free
+                buckets = ""
+                if options.get("bucket-columns"):
+                    buckets = f" CLUSTERED BY ({options['bucket-columns']})"
+                    if options.get("bucket-sort-columns"):
+                        buckets += f" SORTED BY ({options['bucket-sort-columns']})"
+                    buckets += f" INTO {int(options['bucket-count'])} BUCKETS"
+                loc = (
+                    " LOCATION '{}'".format(options["location"].replace("'", "''"))
+                    if options.get("location")
+                    else ""
+                )
                 self.spark.sql(
-                    f"CREATE TABLE {tbl} ({table.schema_ddl()}) USING PARQUET{parts}"
+                    f"CREATE TABLE {tbl} ({table.schema_ddl()}) USING {using}"
+                    f"{parts}{buckets}{loc}"
                 )
         # register the scan as a temp view so SQL can reference it; sinks
         # (print/blackhole, write-only filesystem dirs) stay catalog-only

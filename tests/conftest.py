@@ -32,3 +32,28 @@ def sf_smoke() -> str:
 @pytest.fixture(scope="session")
 def sf_correct() -> str:
     return SF_CORRECT
+
+
+def retry_on_py4j_flake(fn):
+    """Bounded single retry for Spark-session-heavy tests that assert a
+    RAISED error: when a second Spark application shares the host (e.g.
+    an oracle sweep running beside pytest), the expected Python-side
+    error can surface as a py4j connection hiccup instead. Retry once
+    on a py4j-shaped failure only; real assertion failures re-raise
+    immediately. (Round-8 verification flagged exactly this flake on
+    test_null_payload_strict_raises.)"""
+    import functools
+    import time
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — classify, retry once, re-raise
+            text = f"{type(exc).__module__}.{type(exc).__name__}: {exc}"
+            if "py4j" in text.lower() and "Py4JJavaError" not in text:
+                time.sleep(2.0)
+                return fn(*args, **kwargs)
+            raise
+
+    return wrapper

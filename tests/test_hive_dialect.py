@@ -585,3 +585,86 @@ def test_hive_comment_doubled_quote_and_colon(tenv, tmp_path):
         ).to_data_frame().collect()
     ]
     assert rows == [(1, 2, "z")]
+
+
+def test_hive_clustered_by_buckets_native(tenv, tmp_path):
+    """CLUSTERED BY (k) SORTED BY (k) INTO n BUCKETS (parserImpls.ftl
+    TableCreationPart) lowers onto Spark-native bucketing through the
+    catalog-managed path: data round-trips, the catalog records the
+    bucket spec, and a join of two tables bucketed on the key runs
+    EXCHANGE-FREE — the co-location contract bucketing exists for."""
+    import shutil
+
+    spark = tenv.spark
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+    for t in ("hb_left", "hb_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the session catalog is in-memory, so a dir orphaned by a
+        # previous crashed run would trip LOCATION_ALREADY_EXISTS
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    tenv.execute_sql(
+        "CREATE TABLE hb_left (k INT, v STRING) "
+        "CLUSTERED BY (k) SORTED BY (k) INTO 4 BUCKETS STORED AS PARQUET"
+    )
+    tenv.execute_sql(
+        "CREATE TABLE hb_right (k INT, w STRING) "
+        "CLUSTERED BY (k) INTO 4 BUCKETS STORED AS PARQUET"
+    )
+    tenv.execute_sql(
+        "INSERT INTO TABLE hb_left SELECT CAST(id AS INT), CAST(id AS STRING) FROM range(100)"
+    )
+    tenv.execute_sql(
+        "INSERT INTO TABLE hb_right SELECT CAST(id AS INT), 'x' FROM range(50)"
+    )
+    # catalog carries the bucket spec
+    # the engine registers a same-named temp view over the scan, so
+    # DESCRIBE must address the catalog table explicitly
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(
+            "DESCRIBE EXTENDED spark_catalog.default.hb_left"
+        ).collect()
+    }
+    assert desc.get("Num Buckets") == "4"
+    assert "k" in desc.get("Bucket Columns", "")
+    # read-back through the engine
+    n = tenv.sql_query("SELECT COUNT(*) AS n FROM hb_left").to_data_frame().collect()[0].n
+    assert n == 100
+    # bucketed join: zero Exchange operators without broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            spark.table("spark_catalog.default.hb_left")
+            .join(spark.table("spark_catalog.default.hb_right"), "k")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in plan
+    spark.sql("DROP TABLE IF EXISTS hb_left")
+    spark.sql("DROP TABLE IF EXISTS hb_right")
+
+
+def test_hive_clustered_by_unsupported_combos_raise(tenv):
+    """The documented scope edges stay loud: text SerDes + buckets and
+    non-columnar STORED AS + buckets raise with pointers (never silently
+    accepted)."""
+    tenv.execute_sql("SET 'table.sql-dialect'='hive'")
+    with pytest.raises(ValueError, match="CLUSTERED BY"):
+        tenv.execute_sql(
+            "CREATE TABLE hb_bad1 (k INT) "
+            "CLUSTERED BY (k) INTO 4 BUCKETS "
+            "ROW FORMAT DELIMITED FIELDS TERMINATED BY ','"
+        )
+    with pytest.raises(ValueError, match="TEXTFILE"):
+        tenv.execute_sql(
+            "CREATE TABLE hb_bad2 (k INT) "
+            "CLUSTERED BY (k) INTO 4 BUCKETS STORED AS TEXTFILE"
+        )

@@ -11,6 +11,8 @@ import os
 import tempfile
 
 import pytest
+
+from tests.conftest import retry_on_py4j_flake
 from pyspark.sql.types import StructType
 
 from flink_release_1_16_0_spark.sources.protobuf_format import (
@@ -202,6 +204,7 @@ def test_column_codec_roundtrip(spark):
     )
 
 
+@retry_on_py4j_flake
 def test_column_codec_ignore_parse_errors(spark):
     from pyspark.sql import functions as F
 
@@ -336,6 +339,7 @@ def test_nan_double_roundtrips():
     assert len(wire2) < len(wire)
 
 
+@retry_on_py4j_flake
 def test_null_payload_strict_raises(spark):
     """Strict mode (ignore_parse_errors=False) must surface a null
     payload (e.g. a kafka tombstone reaching a plain value decoder),

@@ -1596,9 +1596,23 @@ def test_hive_connector_catalog_table_roundtrip(spark, tmp_path):
             "SELECT COUNT(*) AS n FROM hive_sales WHERE region = 'eu'"
         ).to_data_frame().collect()[0]["n"]
         assert n == 2
+        # dynamic-partition INSERT OVERWRITE replaces ONLY the written
+        # partitions (Hive/Flink semantics, same as the filesystem
+        # sink) — the pre-bucketing saveAsTable path wrongly replaced
+        # the whole table here
         tenv.execute_sql("INSERT OVERWRITE hive_sales SELECT 9, 'ap', 1.0")
-        rows = tenv.sql_query("SELECT k FROM hive_sales").to_data_frame().collect()
-        assert [r["k"] for r in rows] == [9]
+        got = {
+            (r["k"], r["region"])
+            for r in tenv.sql_query("SELECT k, region FROM hive_sales").to_data_frame().collect()
+        }
+        assert got == {(1, "eu"), (3, "eu"), (2, "us"), (9, "ap")}
+        # overwriting an EXISTING partition replaces just that partition
+        tenv.execute_sql("INSERT OVERWRITE hive_sales SELECT 7, 'eu', 70.0")
+        got = {
+            (r["k"], r["region"])
+            for r in tenv.sql_query("SELECT k, region FROM hive_sales").to_data_frame().collect()
+        }
+        assert got == {(7, "eu"), (2, "us"), (9, "ap")}
     finally:
         spark.sql("DROP TABLE IF EXISTS hive_sales")
 
