@@ -90,52 +90,50 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-8 window — part 1: the three NEW surfaces (Table API
-    # row-based ops; manifest commit protocol; Hive STRUCT + CTAS).
-    "api_table_row_ops",
+    # round-9 window — part 1: the NEW surfaces — Hive CLUSTERED BY ->
+    # native bucketing, the rewritten manifest commit protocol (O_EXCL
+    # seq claims + checkpoint compaction), and the 17 deep TPC-DS
+    # shapes (tpcds_deep.py).
+    "api_sql_hive_buckets",
     "api_sql_manifest_commit",
+    "ds_year_total_ratio",
+    "ds_except_chain_count",
+    "ds_intersect_multicol_count",
+    "ds_lochierarchy_rank",
+    "ds_cumulative_crossover",
+    "ds_moving_avg_deviation",
+    "ds_basket_size_joinback",
+    "ds_channel_parity",
+    "ds_net_after_returns",
+    "ds_multi_count_row",
+    "ds_three_channel_union_sum",
+    "ds_quantity_variance",
+    "ds_unreturned_share",
+    "ds_in_nested_agg",
+    "ds_exists_disjunction",
+    "ds_promo_share",
+    "ds_share_growth",
+    # part 2: re-grades of code round 9 touched — the Hive dialect
+    # (COMMENT ''-escape fix, bucketed-create branch, hive-connector
+    # insertInto sink), the window-attribute rewrite (_sub_window_attrs)
+    # every fluent window select rides, the grouped/windowed UDAF
+    # missing-key guard, and partition DDL.
+    "api_sql_hive_dialect",
     "api_sql_hive_struct_ctas",
     "api_table_window_udaf",
-    "api_table_pipeline_insert",
-    # part 2: re-grades of code round 8 touched — the Hive dialect
-    # translator (quoting/partition DDL), the SQL gateway (session
-    # isolation via newSession), the bounded CEP facade (empty-match
-    # guard), and the table_env DDL/option-parsing centralization that
-    # every SQL-path query rides.
-    "api_sql_hive_dialect",
-    "api_sql_gateway",
-    "dsapi_cep_pattern",
-    "dsapi_cep_timeout",
-    "api_sql_ddl_scan",
-    "api_sql_catalog_ddl",
-    "api_sql_compiled_plan",
-    "api_table_fluent",
-    "api_sql_window_tvf",
-    "api_sql_cumulate_tvf",
-    "format_debezium_cdc",
-    "jdbc_lookup_join",
-    # part 3: the DataStream facade (its environment gained the UTC
-    # guard) — 12 of the 13 remaining dsapi gates; dsapi_window_join
-    # (r7-green, window-join path untouched this round) yielded its
-    # slot to the new api_table_pipeline_insert gate.
-    "dsapi_keyed_reduce",
-    "dsapi_process_timers",
-    "dsapi_window_process",
-    "dsapi_connect_enrich",
-    "dsapi_side_outputs",
-    "dsapi_broadcast_state",
-    "dsapi_window_cogroup",
-    "dsapi_interval_join",
-    "dsapi_async_lookup",
-    "dsapi_stream_process_timers",
-    "dsapi_stream_interval_join",
-    "dsapi_stream_window_aggregate",
-    # part 4: one representative per SURVEY section-2 family (rotation).
+    "api_sql_legacy_group_window",
+    "api_table_row_ops",
+    "window_session",
+    # part 3: one representative per SURVEY section-2 family (rotation —
+    # families green in earlier windows keep one seat each; the dsapi
+    # block from round 8, re-graded green there and untouched this
+    # round, yields most slots to the new TPC-DS band).
     "q1_pricing_summary",
     "q9_product_profit",
     "join_asof",
     "join_skew_salted",
     "lookup_join_dim",
+    "jdbc_lookup_join",
     "agg_grouping_sets",
     "agg_approx_count_distinct",
     "over_ignore_nulls",
@@ -143,15 +141,18 @@ _PRIORITY = (
     "dedup_keep_first",
     "setop_except_all",
     "func_collections",
-    "window_session",
     "window_topn",
+    "format_debezium_cdc",
     "stream_tumble_agg",
     "stream_stateful_topn",
     "stream_window_allowed_lateness",
+    "stream_cep_within",
     "changelog_normalize",
     "udtag_table_agg_top2",
     "dedup_minhash_lsh",
     "similarity_brute_force_topk",
+    "dsapi_window_cogroup",
+    "dsapi_interval_join",
 )
 
 
