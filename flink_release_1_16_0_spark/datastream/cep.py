@@ -447,7 +447,7 @@ class PatternStream:
                         if tr is not None:
                             out.append(tr)
                     start += 1
-            return _to_pdf(out, names)
+            return out
 
         from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
 

@@ -177,6 +177,7 @@ def _grouped_apply(
     harness: Callable[[tuple, pd.DataFrame], pd.DataFrame],
     schema: StructType,
     shuffle: bool = True,
+    rows_mode: bool = False,
 ) -> DataFrame:
     """Keyed-group apply with PER-BATCH group iteration: one shuffle on
     ``gcols`` + ``mapInPandas`` walking the groups inside each Arrow
@@ -200,8 +201,19 @@ def _grouped_apply(
     concatenated exactly once when the group completes — a group
     spanning many batches costs linear assembly, not quadratic).
     ``harness(key_tuple, group_pdf) -> result_pdf`` keeps the exact
-    applyInPandas contract (group columns included in the pdf)."""
+    applyInPandas contract (group columns included in the pdf).
+
+    ``rows_mode=True`` switches to the many-tiny-groups fast path:
+    ``harness(key_tuple, rows: list[dict]) -> list[dict]`` — one
+    ``itertuples`` pass per Arrow batch with sorted-boundary group
+    detection, ONE output DataFrame per batch. The pdf-mode path builds
+    a groupby sub-frame and a result DataFrame PER GROUP (~1 ms of
+    pandas overhead each), which dominated wall time on shapes like the
+    windowed coGroup (40k one-row groups → 35 s of pure overhead);
+    rows_mode removes both per-group materializations."""
     names = [f.name for f in schema.fields]
+    if rows_mode:
+        return _grouped_apply_rows(df, gcols, harness, schema, names, shuffle)
 
     def key_mask(pdf: pd.DataFrame, key_row) -> pd.Series:
         m = pd.Series(True, index=pdf.index)
@@ -216,16 +228,29 @@ def _grouped_apply(
         )
 
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # harness may return a DataFrame OR a list of row dicts; list
+        # returns batch into ONE frame per run so a many-tiny-groups
+        # shape never pays a per-group DataFrame construction
         frames = []
+        rows: list[dict] = []
         for key, g in pdf.groupby(gcols, sort=False, dropna=False):
             if not isinstance(key, tuple):
                 key = (key,)
             out = harness(key, g)
-            if len(out):
+            if out is None:
+                continue
+            if isinstance(out, list):
+                rows.extend(out)
+            elif len(out):
+                if rows:  # preserve inter-group emission order
+                    frames.append(_to_pdf(rows, names))
+                    rows = []
                 frames.append(out)
+        if rows:
+            frames.append(_to_pdf(rows, names))
         if not frames:
             return _to_pdf([], names)
-        return pd.concat(frames, ignore_index=True)
+        return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         carry: list[pd.DataFrame] = []
@@ -261,6 +286,54 @@ def _grouped_apply(
         out = flush()
         if out is not None and len(out):
             yield out
+
+    parts = (df.repartition(*gcols) if shuffle else df).sortWithinPartitions(*gcols)
+    return parts.mapInPandas(gen, schema)
+
+
+def _grouped_apply_rows(
+    df: DataFrame,
+    gcols: list[str],
+    harness,
+    schema: StructType,
+    names: list[str],
+    shuffle: bool,
+) -> DataFrame:
+    """rows_mode body of :func:`_grouped_apply` (see its docstring):
+    sorted-contiguous group walk over row dicts, one output frame per
+    Arrow batch. The cross-batch carry is a plain list of row dicts —
+    a group spanning batches costs linear assembly."""
+
+    def _key_of(row: dict) -> tuple:
+        return tuple(row[c] for c in gcols)
+
+    def _same(a: tuple, b: tuple) -> bool:
+        return all((pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b))
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        carry_rows: list[dict] = []
+        carry_key: tuple | None = None
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cols = list(pdf.columns)
+            out_rows: list[dict] = []
+            for tup in pdf.itertuples(index=False, name=None):
+                row = dict(zip(cols, tup))
+                k = _key_of(row)
+                if carry_key is not None and _same(k, carry_key):
+                    carry_rows.append(row)
+                    continue
+                if carry_key is not None:
+                    out_rows.extend(harness(carry_key, carry_rows) or [])
+                carry_key, carry_rows = k, [row]
+            if out_rows:
+                yield _to_pdf(out_rows, names)
+        if carry_key is not None:
+            final = harness(carry_key, carry_rows) or []
+            if final:
+                yield _to_pdf(final, names)
 
     parts = (df.repartition(*gcols) if shuffle else df).sortWithinPartitions(*gcols)
     return parts.mapInPandas(gen, schema)
@@ -816,7 +889,7 @@ class KeyedStream:
             acc = None
             for row in _row_iter(pdf):
                 acc = row if acc is None else f(acc, row)
-            return _to_pdf([acc] if acc is not None else [], names)
+            return [acc] if acc is not None else []
 
         out = _grouped_apply(self.stream.df, list(self.keys), fold, schema)
         return DataStream(self.env, out, None)
@@ -902,7 +975,7 @@ class KeyedStream:
                 out.append({**r, _SIDE_TAG: None, _SIDE_JSON: None} if use_side else r)
             for tag_id, r in ctx.side_rows:
                 out.append({_SIDE_TAG: tag_id, _SIDE_JSON: json.dumps(r, default=str)})
-            return _to_pdf(out, names)
+            return out
 
         out = _grouped_apply(self.stream.df, list(keys), harness, schema)
         return DataStream(self.env, out, None, tuple(side_outputs))
@@ -1224,7 +1297,7 @@ class WindowedStream:
         out = _grouped_apply(
             df,
             gcols,
-            lambda key, g: _to_pdf(group_rows(key, g), names),
+            lambda key, g: group_rows(key, g),
             schema,
             shuffle=kind not in ("session", "count"),
         )
@@ -1453,7 +1526,7 @@ class ConnectedStreams:
                 ctx.current_timestamp = t
                 fn.on_timer(t, ctx, col)
             fn.close()
-            return _to_pdf(col.rows, names)
+            return col.rows
 
         out = _grouped_apply(unioned, kcols, harness, schema)
         return DataStream(env, out)
@@ -1803,25 +1876,20 @@ class CoGroupedStreams(_WindowPair):
         names = [fld.name for fld in schema.fields]
         gcols = ["__k", "__win_start"]
 
-        def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            # one itertuples pass instead of two boolean-mask subframes +
-            # to_dict per group: the per-group pandas overhead dominated
-            # this operator's wall time on tiny (key, window) groups
-            cols = list(pdf.columns)
-            si = cols.index("__side")
-            lpos = [(c, cols.index(f"__l_{c}")) for c in lcols]
-            rpos = [(c, cols.index(f"__r_{c}")) for c in rcols]
-            firsts: list[dict] = []
-            seconds: list[dict] = []
-            for row in pdf.itertuples(index=False, name=None):
-                if row[si] == 0:
-                    firsts.append({c: row[i] for c, i in lpos})
-                else:
-                    seconds.append({c: row[i] for c, i in rpos})
+        def harness(_key: tuple, rows: list) -> list:
+            # rows_mode: no per-group DataFrame is ever built — with
+            # one-row (key, window) groups the per-group pandas
+            # overhead used to dominate this operator's wall time
+            firsts = [
+                {c: r[f"__l_{c}"] for c in lcols} for r in rows if r["__side"] == 0
+            ]
+            seconds = [
+                {c: r[f"__r_{c}"] for c in rcols} for r in rows if r["__side"] != 0
+            ]
             col = Collector()
             fn.co_group(firsts, seconds, col)
-            return _to_pdf(col.rows, names)
+            return col.rows
 
         # group-amortized lowering on (key, window) — see _grouped_apply
-        out = _grouped_apply(unioned, gcols, harness, schema)
+        out = _grouped_apply(unioned, gcols, harness, schema, rows_mode=True)
         return DataStream(env, out)

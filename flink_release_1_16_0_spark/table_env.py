@@ -1708,7 +1708,7 @@ class GroupedTable:
                 )
             row = dict(zip(keys, key))
             row.update({n: res[n] for n in agg_names})
-            return pd.DataFrame([row], columns=[f.name for f in full.fields])
+            return [row]  # list return: one output frame per Arrow batch
 
         return AggregatedTable(_grouped_apply(self._df, keys, harness, full), self._tenv)
 
@@ -2003,7 +2003,7 @@ class WindowGroupedTable:
                 )
             row = dict(zip(gcols, key))
             row.update({n: res[n] for n in agg_names})
-            return pd.DataFrame([row], columns=[f.name for f in full.fields])
+            return [row]  # list return: one output frame per Arrow batch
 
         return WindowAggregatedTable(
             _grouped_apply(assigned, gcols, harness, full), self._window, self._tenv
