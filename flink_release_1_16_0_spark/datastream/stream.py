@@ -171,6 +171,11 @@ def _assign_session_ids(df: DataFrame, tcol: str, keys: list[str], gap_ms: int) 
     return df.withColumn("__sess", F.sum(F.coalesce(brk, F.lit(0))).over(w))
 
 
+def _same_group_key(a: tuple, b: tuple) -> bool:
+    """Null-safe group-key equality shared by both group-walk paths."""
+    return all((pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b))
+
+
 def _grouped_apply(
     df: DataFrame,
     gcols: list[str],
@@ -222,11 +227,6 @@ def _grouped_apply(
             m &= pdf[c].isna() if pd.isna(v) else (pdf[c] == v)
         return m
 
-    def same_key(a, b) -> bool:
-        return all(
-            (pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b)
-        )
-
     def emit(pdf: pd.DataFrame) -> pd.DataFrame:
         # harness may return a DataFrame OR a list of row dicts; list
         # returns batch into ONE frame per run so a many-tiny-groups
@@ -269,7 +269,7 @@ def _grouped_apply(
             if carry:
                 ck = tuple(carry[-1][gcols].iloc[-1])
                 fk = tuple(pdf[gcols].iloc[0])
-                if same_key(ck, fk):
+                if _same_group_key(ck, fk):
                     head_m = key_mask(pdf, pdf[gcols].iloc[0])
                     carry.append(pdf[head_m])
                     pdf = pdf[~head_m]
@@ -307,9 +307,6 @@ def _grouped_apply_rows(
     def _key_of(row: dict) -> tuple:
         return tuple(row[c] for c in gcols)
 
-    def _same(a: tuple, b: tuple) -> bool:
-        return all((pd.isna(x) and pd.isna(y)) or x == y for x, y in zip(a, b))
-
     def gen(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         carry_rows: list[dict] = []
         carry_key: tuple | None = None
@@ -322,7 +319,7 @@ def _grouped_apply_rows(
             for tup in pdf.itertuples(index=False, name=None):
                 row = dict(zip(cols, tup))
                 k = _key_of(row)
-                if carry_key is not None and _same(k, carry_key):
+                if carry_key is not None and _same_group_key(k, carry_key):
                     carry_rows.append(row)
                     continue
                 if carry_key is not None:

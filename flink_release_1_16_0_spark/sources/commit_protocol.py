@@ -25,10 +25,15 @@ store's conditional PUT / put-if-absent). A racing committer that loses
 the claim retries with seq+1, so two committers can never publish the
 same sequence number and replay order is total — the window the round-8
 uuid-suffix scheme left open is closed. The full JSON body is written
-into the claimed fd and fsynced; a reader that races the few-µs gap
-between claim and content durability retries briefly and then treats
-the manifest as in-flight (not yet committed), which is exactly the
-pre-commit snapshot it would have seen a moment earlier.
+into the claimed fd and fsynced. A reader that races the gap between
+claim and content durability adjudicates per manifest: unreadable and
+younger than ``DEAD_CLAIM_GRACE_S`` = in-flight (replay STOPS there, so
+the served snapshot is a consistent prefix of the history); unreadable
+past the grace = a dead claim whose writer crashed before durability
+and — because a stalled writer withdraws its own claim rather than
+acknowledge past half the grace — can never have reported success, so
+it skips through as a non-commit. Checkpoints apply the same
+adjudication and never fold past an in-flight manifest.
 
 Log growth: replaying every manifest since table creation is
 O(#commits) per scan — unbounded on a frequently-committed table. Every
@@ -60,6 +65,15 @@ _CHECKPOINT_RE = re.compile(r"checkpoint-(\d{20})\.json$")
 #: Publish a checkpoint manifest every N commits (readers then replay at
 #: most N tail manifests + 1 checkpoint).
 CHECKPOINT_EVERY = 20
+
+#: A claimed manifest whose body is still unreadable after this many
+#: seconds is adjudicated DEAD (its writer crashed between claim and
+#: fsync — it never acknowledged success, so no committed data is
+#: lost by skipping it). Writers enforce the other side of the bargain:
+#: a publish whose claim-to-durable gap exceeds half this grace
+#: withdraws itself and retries under a fresh sequence number, so a
+#: stalled-but-alive committer can never be half-adjudicated.
+DEAD_CLAIM_GRACE_S = 60.0
 
 
 def _data_files(d: str) -> list[str]:
@@ -103,10 +117,16 @@ def _max_seq(commits: str) -> int:
     return seq
 
 
-def _write_claimed(path: str, body: dict) -> bool:
+def _write_claimed(path: str, body: dict, enforce_grace: bool = False) -> bool:
     """Atomically claim ``path`` with O_CREAT|O_EXCL (conditional-PUT
     semantics) and write ``body`` into the claimed fd. Returns False if
-    another writer already owns the name."""
+    another writer already owns the name. With ``enforce_grace`` (data
+    manifests), a publish whose claim-to-durable gap ran past half the
+    dead-claim grace WITHDRAWS (unlink + False): a reader or
+    checkpointer may already have adjudicated the stalled claim dead,
+    and acknowledging it anyway is the data-loss race — the caller
+    retries under a fresh sequence number instead."""
+    t0 = time.time()
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
     except FileExistsError:
@@ -116,18 +136,25 @@ def _write_claimed(path: str, body: dict) -> bool:
         os.fsync(fd)
     finally:
         os.close(fd)
+    if enforce_grace and time.time() - t0 > DEAD_CLAIM_GRACE_S / 2:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return False
     return True
 
 
 def _publish_manifest(base: str, body: dict) -> int:
     """Publish one manifest under an exclusively-claimed sequence
     number; racing committers retry with seq+1 until the claim
-    succeeds. Returns the sequence number published."""
+    succeeds (a stalled claim withdraws itself — see _write_claimed).
+    Returns the sequence number published."""
     commits = os.path.join(base, _COMMITS_DIR)
     os.makedirs(commits, exist_ok=True)
     seq = _max_seq(commits) + 1
     while not _write_claimed(
-        os.path.join(commits, f"manifest-{seq:020d}.json"), body
+        os.path.join(commits, f"manifest-{seq:020d}.json"), body, enforce_grace=True
     ):
         seq += 1
     if seq % CHECKPOINT_EVERY == 0:
@@ -135,17 +162,38 @@ def _publish_manifest(base: str, body: dict) -> int:
     return seq
 
 
-def _read_json(path: str) -> dict | None:
-    """Read one manifest/checkpoint body. A file that stays unparseable
-    after brief retries is an in-flight commit (name claimed, content
-    not yet durable) — treated as not-yet-committed, i.e. skipped."""
-    for _ in range(5):
+def _read_manifest(path: str) -> tuple[str, dict | None]:
+    """Read one manifest body and adjudicate: ``("ok", body)``;
+    ``("inflight", None)`` — unreadable but younger than the dead-claim
+    grace, its writer may still be fsyncing; ``("dead", None)`` —
+    unreadable past the grace (or vanished): the claim's writer died
+    before durability and, by the _write_claimed grace contract, can
+    never have acknowledged success, so skipping it loses nothing."""
+    for attempt in range(5):
         try:
             with open(path) as fh:
-                return json.load(fh)
+                return "ok", json.load(fh)
+        except FileNotFoundError:
+            return "dead", None  # withdrawn or never landed
         except (json.JSONDecodeError, ValueError, OSError):
-            time.sleep(0.01)
-    return None
+            # adjudicate age BEFORE burning retries: a week-old orphan
+            # claim must not tax every scan with the retry loop
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                return "dead", None
+            if age > DEAD_CLAIM_GRACE_S:
+                return "dead", None
+            if attempt < 4:
+                time.sleep(0.01)
+    return "inflight", None
+
+
+def _read_json(path: str) -> dict | None:
+    """Checkpoint-body reader (derived data: an unreadable checkpoint is
+    simply not used; the next-older one or a longer tail replay covers)."""
+    status, body = _read_manifest(path)
+    return body if status == "ok" else None
 
 
 def _latest_checkpoint(commits: str) -> tuple[int, dict[str, set[str]]]:
@@ -171,21 +219,44 @@ def _replay(live: dict[str, set[str]], body: dict) -> None:
         live.setdefault(rel, set()).update(names)
 
 
+def _tail_entries(commits: str, start: int, upto: int | None = None) -> list:
+    """Sorted (seq, filename) of manifests with start < seq [<= upto]."""
+    out = []
+    for fn in os.listdir(commits):
+        m = _MANIFEST_RE.match(fn)
+        if m:
+            q = int(m.group(1))
+            if q > start and (upto is None or q <= upto):
+                out.append((q, fn))
+    return sorted(out)
+
+
 def _publish_checkpoint(base: str, upto: int) -> None:
-    """Snapshot the live map with every manifest ≤ ``upto`` folded in.
-    Derived data: an O_EXCL loser skips (the winner wrote the same fold)."""
+    """Snapshot the live map, folding manifests in sequence order and
+    STOPPING at the first in-flight one: a checkpoint must never fold
+    out a claim whose writer might still acknowledge success (the
+    data-loss race a review pass reproduced) — the checkpoint is
+    published at the last cleanly-adjudicated sequence instead, and the
+    next publisher extends it. Dead claims (past the grace; writer can
+    never have acknowledged) fold through as non-commits. Derived data:
+    an O_EXCL loser skips (the winner wrote the same fold)."""
     commits = os.path.join(base, _COMMITS_DIR)
     start, live = _latest_checkpoint(commits)
-    for fn in sorted(os.listdir(commits)):
-        m = _MANIFEST_RE.match(fn)
-        if m and start < int(m.group(1)) <= upto:
-            body = _read_json(os.path.join(commits, fn))
-            if body is not None:
-                _replay(live, body)
-    _write_claimed(
-        os.path.join(commits, f"checkpoint-{upto:020d}.json"),
-        {"live": {rel: sorted(names) for rel, names in live.items()}},
-    )
+    folded = start
+    for seq, fn in _tail_entries(commits, start, upto):
+        status, body = _read_manifest(os.path.join(commits, fn))
+        if status == "ok":
+            _replay(live, body)
+            folded = seq
+        elif status == "dead":
+            folded = seq  # withdrawn/never-durable claim: fold past it
+        else:
+            break  # in-flight: cannot adjudicate — checkpoint up to here
+    if folded > start:
+        _write_claimed(
+            os.path.join(commits, f"checkpoint-{folded:020d}.json"),
+            {"live": {rel: sorted(names) for rel, names in live.items()}},
+        )
 
 
 def manifest_compact(base: str) -> None:
@@ -236,19 +307,24 @@ def manifest_truncate_partitions(base: str, rel_prefix: str) -> None:
 
 
 def _live_map(base: str) -> dict[str, set[str]]:
-    """Resolve {rel: live file names}: newest checkpoint + tail replay.
-    Read cost is bounded by ``CHECKPOINT_EVERY`` tail manifests + one
-    checkpoint regardless of the table's total commit count."""
+    """Resolve {rel: live file names}: newest checkpoint + tail replay
+    in sequence order, STOPPING at the first in-flight manifest so the
+    served snapshot is always a consistent PREFIX of the commit history
+    (replaying seq N+1 while skipping an unreadable N would serve a
+    state that never existed). Dead claims (see _read_manifest) skip
+    through — they never committed. Read cost stays bounded by
+    ``CHECKPOINT_EVERY`` tail manifests + one checkpoint regardless of
+    the table's total commit count."""
     commits = os.path.join(base, _COMMITS_DIR)
     if not os.path.isdir(commits):
         return {}
     start, live = _latest_checkpoint(commits)
-    for fn in sorted(os.listdir(commits)):
-        m = _MANIFEST_RE.match(fn)
-        if m and int(m.group(1)) > start:
-            body = _read_json(os.path.join(commits, fn))
-            if body is not None:
-                _replay(live, body)
+    for seq, fn in _tail_entries(commits, start):
+        status, body = _read_manifest(os.path.join(commits, fn))
+        if status == "ok":
+            _replay(live, body)
+        elif status == "inflight":
+            break  # consistent prefix: everything after is not-yet-committed
     return live
 
 

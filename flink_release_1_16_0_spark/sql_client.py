@@ -224,6 +224,11 @@ def run_interactive(tenv, instream=None, outstream=None) -> int:
                     df = res.to_data_frame()
                     if df is not None:
                         emit(df._jdf.showString(20, 0, False))
+                    elif getattr(res, "_rows", None):
+                        # rows-based results (SHOW TABLES, DESCRIBE,
+                        # DDL acks): render the rows, don't swallow them
+                        for r in res.collect():
+                            emit(str(r))
                     else:
                         emit("[INFO] Execute statement succeeded.")
                 else:

@@ -1357,6 +1357,18 @@ def _sub_window_attrs(s: str, alias: str, repl: dict) -> str:
     return "".join(out)
 
 
+def _require_agg_fields(res: dict, agg_names: list) -> None:
+    """A typo'd key in an aggregate fn's result dict must raise, not
+    silently become NULL in the declared output column (shared by the
+    grouped and windowed UDAF harnesses)."""
+    missing = [n for n in agg_names if n not in res]
+    if missing:
+        raise ValueError(
+            f"aggregate fn result is missing declared output "
+            f"fields {missing} (got keys {sorted(res)})"
+        )
+
+
 def _frag(parts) -> str:
     """Coerce Table-API arguments — one SQL fragment string, one
     expression-DSL object, or several of either — to a SQL fragment."""
@@ -1698,14 +1710,7 @@ class GroupedTable:
                         "multi-row emission)"
                     )
                 res = res.iloc[0].to_dict()
-            missing = [n for n in agg_names if n not in res]
-            if missing:
-                # a typo'd result key silently becoming NULL would mask
-                # bugs the declared output schema exists to catch
-                raise ValueError(
-                    f"aggregate fn result is missing declared output "
-                    f"fields {missing} (got keys {sorted(res)})"
-                )
+            _require_agg_fields(res, agg_names)
             row = dict(zip(keys, key))
             row.update({n: res[n] for n in agg_names})
             return [row]  # list return: one output frame per Arrow batch
@@ -1995,12 +2000,7 @@ class WindowGroupedTable:
                         "(key, window) group"
                     )
                 res = res.iloc[0].to_dict()
-            missing = [n for n in agg_names if n not in res]
-            if missing:
-                raise ValueError(
-                    f"aggregate fn result is missing declared output "
-                    f"fields {missing} (got keys {sorted(res)})"
-                )
+            _require_agg_fields(res, agg_names)
             row = dict(zip(gcols, key))
             row.update({n: res[n] for n in agg_names})
             return [row]  # list return: one output frame per Arrow batch
@@ -4034,6 +4034,12 @@ class TableEnvironment:
                 # exchange-free
                 buckets = ""
                 if options.get("bucket-columns"):
+                    if not str(options.get("bucket-count", "")).isdigit():
+                        raise ValueError(
+                            f"table {name!r}: 'bucket-columns' needs a "
+                            "positive integer 'bucket-count' option "
+                            f"(got {options.get('bucket-count')!r})"
+                        )
                     buckets = f" CLUSTERED BY ({options['bucket-columns']})"
                     if options.get("bucket-sort-columns"):
                         buckets += f" SORTED BY ({options['bucket-sort-columns']})"

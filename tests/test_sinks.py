@@ -728,3 +728,67 @@ def test_manifest_checkpoint_bounds_read_cost(tmp_path, monkeypatch):
     monkeypatch.setattr(cp, "_read_json", lambda p: reads2.append(p) or orig(p))
     assert cp._live_map(base) == naive
     assert len(reads2) <= 2
+
+
+def test_manifest_checkpoint_never_folds_out_inflight_commit(tmp_path, monkeypatch):
+    """The review-reproduced data-loss race: committer A claims seq N
+    but its body is not yet durable when committer B's publish triggers
+    a checkpoint covering N. The checkpoint must STOP before N (not
+    silently exclude it), so when A's write lands, readers still replay
+    it."""
+    import json
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    # 19 clean commits
+    for i in range(cp.CHECKPOINT_EVERY - 1):
+        cp._publish_manifest(base, {"files": {"": [f"f{i}.parquet"]}})
+    # committer A claims seq 20 (the checkpoint trigger) but stalls
+    # before its body write (empty fd, not durable)
+    slow = os.path.join(commits, f"manifest-{cp.CHECKPOINT_EVERY:020d}.json")
+    fd = os.open(slow, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)  # claimed, zero bytes — in-flight
+    # committer B publishes; its seq lands at 21; no checkpoint trigger,
+    # so force one via compact() covering the in-flight seq 20
+    cp._publish_manifest(base, {"files": {"": ["b.parquet"]}})
+    cp.manifest_compact(base)
+    # any checkpoint written must fold only seqs < 20
+    cps = [f for f in os.listdir(commits) if f.startswith("checkpoint-")]
+    assert all(int(f.split("-")[1].split(".")[0]) < cp.CHECKPOINT_EVERY for f in cps)
+    # A's write finally lands
+    with open(slow + ".tmp", "w") as fh:
+        json.dump({"files": {"": ["SLOW.parquet"]}}, fh)
+    os.replace(slow + ".tmp", slow)
+    live = cp._live_map(base)
+    assert "SLOW.parquet" in live[""]  # the committed file is visible
+    assert "b.parquet" in live[""]
+
+
+def test_manifest_reader_serves_consistent_prefix(tmp_path):
+    """An in-flight manifest N must stop replay: manifests after N are
+    NOT applied (serving N+1 without N would be a state that never
+    existed). A DEAD claim (old empty file) skips through instead."""
+    import os
+    import time
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    cp._publish_manifest(base, {"files": {"": ["a.parquet"]}})
+    # seq 2: in-flight (fresh empty claim)
+    claim = os.path.join(commits, f"manifest-{2:020d}.json")
+    fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    # seq 3: committed overwrite that would clobber seq-2's partition
+    cp._publish_manifest(base, {"overwrite": True, "partitions": [""], "files": {"": ["c.parquet"]}})
+    live = cp._live_map(base)
+    assert live[""] == {"a.parquet"}  # prefix before the in-flight claim
+    # age the claim past the grace: now adjudicated dead, replay resumes
+    old = time.time() - cp.DEAD_CLAIM_GRACE_S - 5
+    os.utime(claim, (old, old))
+    live = cp._live_map(base)
+    assert live[""] == {"c.parquet"}  # overwrite applied, dead claim skipped

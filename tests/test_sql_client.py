@@ -228,3 +228,26 @@ def test_interactive_repl_eof_ends_session(spark):
     failures = run_interactive(tenv, instream=io.StringIO("SELECT 41+1 AS a;\n"), outstream=out)
     assert failures == 0
     assert "42" in out.getvalue() and out.getvalue().strip().endswith("Bye.")
+
+
+def test_interactive_repl_shows_introspection_rows(spark, tmp_path):
+    """SHOW TABLES / DESCRIBE return rows-based TableResults (no
+    DataFrame); the REPL must render the rows, not swallow them behind
+    the INFO line."""
+    import io
+
+    from flink_release_1_16_0_spark.sql_client import run_interactive
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "it_src")
+    spark.range(0, 2).selectExpr("id AS k").write.parquet(src)
+    tenv = TableEnvironment.create(spark)
+    stdin = io.StringIO(
+        f"CREATE TABLE repl_shown (k BIGINT) WITH "
+        f"('connector'='filesystem','path'='{src}','format'='parquet');\n"
+        "SHOW TABLES;\n"
+        "QUIT;\n"
+    )
+    out = io.StringIO()
+    assert run_interactive(tenv, instream=stdin, outstream=out) == 0
+    assert "repl_shown" in out.getvalue()
