@@ -55,6 +55,7 @@ import os
 import re
 import shutil
 import time
+import uuid
 
 _COMMITS_DIR = "_commits"
 # Current naming is seq-only; the round-8 scheme suffixed a uuid. Accept
@@ -117,45 +118,72 @@ def _max_seq(commits: str) -> int:
     return seq
 
 
-def _write_claimed(path: str, body: dict, enforce_grace: bool = False) -> bool:
+def _write_claimed(path: str, body: dict, enforce_grace: bool = False) -> str:
     """Atomically claim ``path`` with O_CREAT|O_EXCL (conditional-PUT
-    semantics) and write ``body`` into the claimed fd. Returns False if
-    another writer already owns the name. With ``enforce_grace`` (data
-    manifests), a publish whose claim-to-durable gap ran past half the
-    dead-claim grace WITHDRAWS (unlink + False): a reader or
-    checkpointer may already have adjudicated the stalled claim dead,
-    and acknowledging it anyway is the data-loss race — the caller
-    retries under a fresh sequence number instead."""
+    semantics), stage the body in a sibling temp file, then publish it
+    into the claim with one atomic rename. Returns ``"ok"``,
+    ``"lost"`` (another writer owns the name), or ``"withdrawn"``.
+
+    With ``enforce_grace`` (data manifests), the claim-to-staged gap is
+    checked BEFORE the body ever becomes readable under the claimed
+    name: a publish that stalled past half the dead-claim grace
+    withdraws (unlink claim + temp) so no adjudicator can have read it
+    as committed — checking after durability would leave a window where
+    a checkpoint folds in a commit whose writer then withdraws (the
+    phantom-commit race a second review pass caught). The remaining
+    assumption is lease-shaped and explicit: the final rename itself
+    completes within the other half of the grace."""
     t0 = time.time()
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
     except FileExistsError:
-        return False
+        return "lost"
+    os.close(fd)  # claim holds the name; content stays empty until publish
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    fd = os.open(tmp, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
         os.write(fd, json.dumps(body).encode("utf-8"))
         os.fsync(fd)
     finally:
         os.close(fd)
     if enforce_grace and time.time() - t0 > DEAD_CLAIM_GRACE_S / 2:
-        try:
-            os.unlink(path)
-        except OSError:
-            pass
-        return False
-    return True
+        for p in (tmp, path):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        return "withdrawn"
+    os.replace(tmp, path)
+    return "ok"
 
 
 def _publish_manifest(base: str, body: dict) -> int:
     """Publish one manifest under an exclusively-claimed sequence
-    number; racing committers retry with seq+1 until the claim
-    succeeds (a stalled claim withdraws itself — see _write_claimed).
+    number. A lost claim retries with seq+1 (another committer
+    progressed — always terminates). A WITHDRAWN publish (the host
+    stalled past the lease margin, _write_claimed) is retried a bounded
+    number of times and then raised: spinning forever on a host that
+    cannot fsync within the grace would hang the sink silently.
     Returns the sequence number published."""
     commits = os.path.join(base, _COMMITS_DIR)
     os.makedirs(commits, exist_ok=True)
     seq = _max_seq(commits) + 1
-    while not _write_claimed(
-        os.path.join(commits, f"manifest-{seq:020d}.json"), body, enforce_grace=True
-    ):
+    withdrawals = 0
+    while True:
+        status = _write_claimed(
+            os.path.join(commits, f"manifest-{seq:020d}.json"), body, enforce_grace=True
+        )
+        if status == "ok":
+            break
+        if status == "withdrawn":
+            withdrawals += 1
+            if withdrawals >= 3:
+                raise RuntimeError(
+                    "manifest publish withdrew 3 times: the claim-to-"
+                    f"durable gap keeps exceeding {DEAD_CLAIM_GRACE_S / 2:.0f}s "
+                    "— this host/filesystem is too slow for the manifest "
+                    "protocol's lease assumption"
+                )
         seq += 1
     if seq % CHECKPOINT_EVERY == 0:
         _publish_checkpoint(base, seq)
@@ -163,29 +191,44 @@ def _publish_manifest(base: str, body: dict) -> int:
 
 
 def _read_manifest(path: str) -> tuple[str, dict | None]:
-    """Read one manifest body and adjudicate: ``("ok", body)``;
-    ``("inflight", None)`` — unreadable but younger than the dead-claim
-    grace, its writer may still be fsyncing; ``("dead", None)`` —
-    unreadable past the grace (or vanished): the claim's writer died
-    before durability and, by the _write_claimed grace contract, can
-    never have acknowledged success, so skipping it loses nothing."""
+    """Read one manifest body and adjudicate three ways:
+
+    - ``("ok", body)`` — parsed.
+    - ``("dead", None)`` — vanished (withdrawn claim), or EMPTY past
+      the dead-claim grace: with the stage-then-rename publish, a claim
+      is either empty (writer never reached its atomic publish, so it
+      provably never acknowledged) or complete JSON; an old empty claim
+      is a crashed writer and skipping it loses nothing.
+    - ``("inflight", None)`` — anything we cannot POSITIVELY clear:
+      a fresh empty claim (publish may land any moment), a transient
+      read OSError (an EIO on a long-committed manifest must NEVER fold
+      as dead — that would bake real data loss into a checkpoint), or
+      non-empty-but-unparseable content (corruption; replay stops there
+      conservatively rather than serve a hole in history)."""
     for attempt in range(5):
         try:
-            with open(path) as fh:
-                return "ok", json.load(fh)
+            with open(path, "rb") as fh:
+                data = fh.read()
         except FileNotFoundError:
             return "dead", None  # withdrawn or never landed
-        except (json.JSONDecodeError, ValueError, OSError):
-            # adjudicate age BEFORE burning retries: a week-old orphan
-            # claim must not tax every scan with the retry loop
+        except OSError:
+            data = None  # transient IO: retry, then inflight (stop)
+        if data:
+            try:
+                return "ok", json.loads(data.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError):
+                pass  # torn/corrupt content: retry, then inflight
+        elif data is not None:
+            # empty claim: adjudicate age BEFORE burning retries so a
+            # dead orphan never taxes every scan with the retry loop
             try:
                 age = time.time() - os.path.getmtime(path)
             except OSError:
-                return "dead", None
+                return "inflight", None
             if age > DEAD_CLAIM_GRACE_S:
                 return "dead", None
-            if attempt < 4:
-                time.sleep(0.01)
+        if attempt < 4:
+            time.sleep(0.01)
     return "inflight", None
 
 

@@ -4034,7 +4034,11 @@ class TableEnvironment:
                 # exchange-free
                 buckets = ""
                 if options.get("bucket-columns"):
-                    if not str(options.get("bucket-count", "")).isdigit():
+                    try:
+                        n_buckets = int(options.get("bucket-count", ""))
+                    except (TypeError, ValueError):
+                        n_buckets = 0
+                    if n_buckets <= 0:
                         raise ValueError(
                             f"table {name!r}: 'bucket-columns' needs a "
                             "positive integer 'bucket-count' option "
@@ -4043,7 +4047,7 @@ class TableEnvironment:
                     buckets = f" CLUSTERED BY ({options['bucket-columns']})"
                     if options.get("bucket-sort-columns"):
                         buckets += f" SORTED BY ({options['bucket-sort-columns']})"
-                    buckets += f" INTO {int(options['bucket-count'])} BUCKETS"
+                    buckets += f" INTO {n_buckets} BUCKETS"
                 loc = (
                     " LOCATION '{}'".format(options["location"].replace("'", "''"))
                     if options.get("location")

@@ -714,18 +714,23 @@ def test_manifest_checkpoint_bounds_read_cost(tmp_path, monkeypatch):
 
                 cp._replay(naive, json.load(fh))
 
+    # instrument BOTH body readers: tail manifests go through
+    # _read_manifest, checkpoints through _read_json
     reads = []
-    orig = cp._read_json
-    monkeypatch.setattr(cp, "_read_json", lambda p: reads.append(p) or orig(p))
+    orig_m, orig_j = cp._read_manifest, cp._read_json
+    monkeypatch.setattr(cp, "_read_manifest", lambda p: reads.append(p) or orig_m(p))
+    monkeypatch.setattr(cp, "_read_json", lambda p: reads.append(p) or orig_j(p))
     live = cp._live_map(base)
     assert live == naive
     assert len(reads) <= cp.CHECKPOINT_EVERY + 2  # 1 checkpoint + tail
 
     # explicit compaction folds the tail: next read parses ~1 file
-    monkeypatch.setattr(cp, "_read_json", orig)
+    monkeypatch.setattr(cp, "_read_manifest", orig_m)
+    monkeypatch.setattr(cp, "_read_json", orig_j)
     cp.manifest_compact(base)
     reads2 = []
-    monkeypatch.setattr(cp, "_read_json", lambda p: reads2.append(p) or orig(p))
+    monkeypatch.setattr(cp, "_read_manifest", lambda p: reads2.append(p) or orig_m(p))
+    monkeypatch.setattr(cp, "_read_json", lambda p: reads2.append(p) or orig_j(p))
     assert cp._live_map(base) == naive
     assert len(reads2) <= 2
 

@@ -78,6 +78,9 @@ def main() -> None:
     names = args.queries or (
         [n for n, s in registry.items() if s.bench] + STATEFUL_GATES
     )
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}; valid names: {sorted(registry)}")
     spark = get_spark("scaling")
     spark.read.parquet(f"{args.small}/region.parquet").count()  # JVM warm
 
