@@ -1598,6 +1598,10 @@ class Table:
     limit = fetch
 
     def offset(self, n: int) -> "Table":
+        """Skip the first ``n`` rows. NOTE: offset is a GLOBAL operation
+        — the plan funnels through a single-partition limit (Flink's
+        batch offset is equally global); on a large table prefer a
+        key-range predicate for pagination."""
         # limit + offset must fit in int32 (Spark constraint)
         return self._sql(f"SELECT * FROM {{t}} LIMIT {2**31 - 1 - n} OFFSET {n}")
 
