@@ -109,10 +109,14 @@ def rename_commit(base: str, staging: str, rels: list[str], overwrite: bool) -> 
 
 
 def _max_seq(commits: str) -> int:
+    """Highest sequence number in use. Checkpoints count too: after a
+    vacuum removes folded manifests, the newest checkpoint may be the
+    only witness of the high-water mark — minting below it would
+    publish commits the checkpointed replay window never reads."""
     seq = 0
     if os.path.isdir(commits):
         for fn in os.listdir(commits):
-            m = _MANIFEST_RE.match(fn)
+            m = _MANIFEST_RE.match(fn) or _CHECKPOINT_RE.match(fn)
             if m:
                 seq = max(seq, int(m.group(1)))
     return seq
@@ -309,6 +313,48 @@ def manifest_compact(base: str) -> None:
     head = _max_seq(commits)
     if head:
         _publish_checkpoint(base, head)
+
+
+def manifest_vacuum(base: str, keep_checkpoints: int = 2) -> int:
+    """Delete log files no reader can need: manifests folded into the
+    OLDEST RETAINED checkpoint (readers replay from the newest; older
+    retained ones are crash insurance) and checkpoints beyond the
+    newest ``keep_checkpoints``. Bounds the log's STORAGE the way
+    checkpoints bound its read cost (Delta's log-retention /
+    Iceberg's expire-snapshots role). Returns the number of files
+    removed. Safe with concurrent readers of the retained checkpoints:
+    only sequences ≤ an already-durable checkpoint are touched, and
+    _max_seq counts checkpoints so sequence minting never regresses."""
+    commits = os.path.join(base, _COMMITS_DIR)
+    if not os.path.isdir(commits):
+        return 0
+    cps = sorted(
+        int(m.group(1))
+        for fn in os.listdir(commits)
+        if (m := _CHECKPOINT_RE.match(fn))
+    )
+    if not cps:
+        return 0
+    retained = cps[-max(keep_checkpoints, 1):]
+    cutoff = retained[0]
+    removed = 0
+    for fn in os.listdir(commits):
+        m = _MANIFEST_RE.match(fn)
+        if m and int(m.group(1)) <= cutoff:
+            try:
+                os.unlink(os.path.join(commits, fn))
+                removed += 1
+            except OSError:
+                pass
+            continue
+        m = _CHECKPOINT_RE.match(fn)
+        if m and int(m.group(1)) not in retained:
+            try:
+                os.unlink(os.path.join(commits, fn))
+                removed += 1
+            except OSError:
+                pass
+    return removed
 
 
 def manifest_commit(base: str, staging: str, rels: list[str], overwrite: bool) -> None:

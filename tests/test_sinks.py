@@ -797,3 +797,36 @@ def test_manifest_reader_serves_consistent_prefix(tmp_path):
     os.utime(claim, (old, old))
     live = cp._live_map(base)
     assert live[""] == {"c.parquet"}  # overwrite applied, dead claim skipped
+
+
+def test_manifest_vacuum_bounds_storage(tmp_path):
+    """manifest_vacuum removes manifests folded into the oldest
+    RETAINED checkpoint and over-retained checkpoints; the live set is
+    unchanged, new commits keep working, and sequence minting never
+    regresses below the checkpointed high-water mark."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    for i in range(3 * cp.CHECKPOINT_EVERY):  # 60 commits -> 3 checkpoints
+        cp._publish_manifest(base, {"files": {f"p={i % 2}": [f"f{i}.parquet"]}})
+    before = cp._live_map(base)
+    n_manifests = lambda: sum(  # noqa: E731
+        1 for f in os.listdir(commits) if f.startswith("manifest-")
+    )
+    assert n_manifests() == 3 * cp.CHECKPOINT_EVERY
+    removed = cp.manifest_vacuum(base, keep_checkpoints=2)
+    assert removed > 0
+    # only the tail after the oldest retained checkpoint remains
+    assert n_manifests() == cp.CHECKPOINT_EVERY
+    assert cp._live_map(base) == before
+    # checkpoints: exactly the newest 2 retained
+    cps = [f for f in os.listdir(commits) if f.startswith("checkpoint-")]
+    assert len(cps) == 2
+    # a new commit mints ABOVE the vacuumed history and stays visible
+    cp._publish_manifest(base, {"files": {"p=0": ["new.parquet"]}})
+    live = cp._live_map(base)
+    assert "new.parquet" in live["p=0"]
+    assert live["p=0"] >= before["p=0"]
