@@ -35,25 +35,41 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
 
     ``scale`` must be the decimal grid the expression's true values live
     on (2 for raw money columns, 2k for a product of k of them).
-    """
-    return F.sum(_c(col).cast(_dec(scale))).cast("double")
+
+    The exact decimal sum is rounded to the CENTS grid before the final
+    double cast: once a sum's grid-integer exceeds 2^53 (a scale-6 sum
+    over millions of rows — first observed in the sf1 scaling study),
+    the decimal→double conversions of the two engines can differ by one
+    ulp (Spark rounds the exact BigDecimal, DuckDB divides the int128
+    mantissa by 10^scale in floats). A cents-rounded sum stays exactly
+    double-representable up to ~9e13 monetary units, and rounding half
+    away from zero matches between the engines — this is also exactly
+    the 0.01 tolerance TPC-H's own answer comparator grants."""
+    return F.sum(_c(col).cast(_dec(scale))).cast(_dec(2)).cast("double")
 
 
 def davg(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent AVG: exact decimal sum / count, as double."""
+    """Order-independent AVG: exact decimal sum (cents-rounded, see
+    :func:`dsum` — an unrounded >2^53 sum would smuggle its 1-ulp
+    divergence into the quotient) / count, as double."""
     c = _c(col)
-    return (F.sum(c.cast(_dec(scale))).cast("double") / F.count(c)).cast("double")
+    return (
+        F.sum(c.cast(_dec(scale))).cast(_dec(2)).cast("double") / F.count(c)
+    ).cast("double")
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB-side twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS {_dec(scale)})) AS DOUBLE)"
+    """DuckDB-side twin of :func:`dsum`. NOTE: the cents rescale must be
+    ROUND(), not a decimal CAST — DuckDB's decimal downscale TRUNCATES
+    while Spark's rounds HALF_UP; ROUND(decimal, 2) rounds half away
+    from zero, matching Spark's cast."""
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS {_dec(scale)})), 2) AS DOUBLE)"
 
 
 def sql_davg(expr: str, scale: int = 2) -> str:
     """DuckDB-side twin of :func:`davg`."""
     return (
-        f"CAST(CAST(SUM(CAST(({expr}) AS {_dec(scale)})) AS DOUBLE)"
+        f"CAST(CAST(ROUND(SUM(CAST(({expr}) AS {_dec(scale)})), 2) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
     )
 

@@ -65,16 +65,16 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
 
-    def davg6(c):
-        return (
-            F.sum(c.cast("DECIMAL(38,6)")).cast("double") / F.count(c)
-        ).cast("double")
+    # shared davg: MUST mirror sql_davg's cents-rounded sum exactly (a
+    # local unrounded variant silently diverged when the helper gained
+    # the >2^53 guard)
+    from flink_release_1_16_0_spark.queries._util import davg
 
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        davg6(F.round(T.quality_score(t), 6)).alias("avg_quality"),
-        davg6(F.round(T.stopword_ratio(t), 6)).alias("avg_stopword_ratio"),
-        davg6(F.round(T.punct_ratio(t), 6)).alias("avg_punct_ratio"),
+        davg(F.round(T.quality_score(t), 6), 6).alias("avg_quality"),
+        davg(F.round(T.stopword_ratio(t), 6), 6).alias("avg_stopword_ratio"),
+        davg(F.round(T.punct_ratio(t), 6), 6).alias("avg_punct_ratio"),
     )
 
 
