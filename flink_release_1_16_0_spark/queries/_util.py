@@ -30,7 +30,7 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dsum(col: Column | str, scale: int = 2) -> Column:
+def dsum(col: Column | str, scale: int = 2, out_scale: int = 2) -> Column:
     """Order-independent SUM over a double column, returned as double.
 
     ``scale`` must be the decimal grid the expression's true values live
@@ -44,32 +44,37 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
     mantissa by 10^scale in floats). A cents-rounded sum stays exactly
     double-representable up to ~9e13 monetary units, and rounding half
     away from zero matches between the engines — this is also exactly
-    the 0.01 tolerance TPC-H's own answer comparator grants."""
-    return F.sum(_c(col).cast(_dec(scale))).cast(_dec(2)).cast("double")
+    the 0.01 tolerance TPC-H's own answer comparator grants.
+
+    ``out_scale`` overrides the cents grid for NON-monetary expressions
+    (ratio averages pass out_scale=scale to keep their full precision);
+    the caller then owns the guarantee that max|sum| * 10^out_scale
+    stays below 2^53."""
+    return F.sum(_c(col).cast(_dec(scale))).cast(_dec(out_scale)).cast("double")
 
 
-def davg(col: Column | str, scale: int = 2) -> Column:
+def davg(col: Column | str, scale: int = 2, out_scale: int = 2) -> Column:
     """Order-independent AVG: exact decimal sum (cents-rounded, see
     :func:`dsum` — an unrounded >2^53 sum would smuggle its 1-ulp
     divergence into the quotient) / count, as double."""
     c = _c(col)
     return (
-        F.sum(c.cast(_dec(scale))).cast(_dec(2)).cast("double") / F.count(c)
+        F.sum(c.cast(_dec(scale))).cast(_dec(out_scale)).cast("double") / F.count(c)
     ).cast("double")
 
 
-def sql_dsum(expr: str, scale: int = 2) -> str:
+def sql_dsum(expr: str, scale: int = 2, out_scale: int = 2) -> str:
     """DuckDB-side twin of :func:`dsum`. NOTE: the cents rescale must be
     ROUND(), not a decimal CAST — DuckDB's decimal downscale TRUNCATES
     while Spark's rounds HALF_UP; ROUND(decimal, 2) rounds half away
     from zero, matching Spark's cast."""
-    return f"CAST(ROUND(SUM(CAST(({expr}) AS {_dec(scale)})), 2) AS DOUBLE)"
+    return f"CAST(ROUND(SUM(CAST(({expr}) AS {_dec(scale)})), {out_scale}) AS DOUBLE)"
 
 
-def sql_davg(expr: str, scale: int = 2) -> str:
+def sql_davg(expr: str, scale: int = 2, out_scale: int = 2) -> str:
     """DuckDB-side twin of :func:`davg`."""
     return (
-        f"CAST(CAST(ROUND(SUM(CAST(({expr}) AS {_dec(scale)})), 2) AS DOUBLE)"
+        f"CAST(CAST(ROUND(SUM(CAST(({expr}) AS {_dec(scale)})), {out_scale}) AS DOUBLE)"
         f" / COUNT({expr}) AS DOUBLE)"
     )
 

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from flink_release_1_16_0_spark.catalog import load_table
 from flink_release_1_16_0_spark.operators import text as T
 from flink_release_1_16_0_spark.queries import register
-from flink_release_1_16_0_spark.queries._util import sql_davg
+from flink_release_1_16_0_spark.queries._util import davg, sql_davg
 
 # --------------------------------------------------------------------------
 # token counting + length stats
@@ -52,9 +52,9 @@ _QUALITY_ORACLE = f"""
 SELECT
   source,
   COUNT(*) AS n_docs,
-  {sql_davg(T.sql_quality_score('text'), 6)} AS avg_quality,
-  {sql_davg(T.sql_stopword_ratio('text'), 6)} AS avg_stopword_ratio,
-  {sql_davg(T.sql_punct_ratio('text'), 6)} AS avg_punct_ratio
+  {sql_davg(T.sql_quality_score('text'), 6, 6)} AS avg_quality,
+  {sql_davg(T.sql_stopword_ratio('text'), 6, 6)} AS avg_stopword_ratio,
+  {sql_davg(T.sql_punct_ratio('text'), 6, 6)} AS avg_punct_ratio
 FROM documents
 GROUP BY source
 """
@@ -65,16 +65,13 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
 
-    # shared davg: MUST mirror sql_davg's cents-rounded sum exactly (a
-    # local unrounded variant silently diverged when the helper gained
-    # the >2^53 guard)
-    from flink_release_1_16_0_spark.queries._util import davg
-
+    # shared davg, full 6-decimal output grid (out_scale=6: these are
+    # ratio averages, not money — sums stay far below the 2^53 guard)
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        davg(F.round(T.quality_score(t), 6), 6).alias("avg_quality"),
-        davg(F.round(T.stopword_ratio(t), 6), 6).alias("avg_stopword_ratio"),
-        davg(F.round(T.punct_ratio(t), 6), 6).alias("avg_punct_ratio"),
+        davg(F.round(T.quality_score(t), 6), 6, 6).alias("avg_quality"),
+        davg(F.round(T.stopword_ratio(t), 6), 6, 6).alias("avg_stopword_ratio"),
+        davg(F.round(T.punct_ratio(t), 6), 6, 6).alias("avg_punct_ratio"),
     )
 
 

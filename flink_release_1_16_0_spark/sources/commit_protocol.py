@@ -158,7 +158,25 @@ def _write_claimed(path: str, body: dict, enforce_grace: bool = False) -> str:
                 pass
         return "withdrawn"
     os.replace(tmp, path)
+    # make the rename itself durable BEFORE the caller acknowledges:
+    # without the directory fsync a power loss can revert an
+    # acknowledged commit to an empty claim, which the grace rule would
+    # then adjudicate dead (third review pass)
+    _fsync_dir(os.path.dirname(path))
     return "ok"
+
+
+def _fsync_dir(d: str) -> None:
+    try:
+        fd = os.open(d, os.O_RDONLY)
+    except OSError:
+        return  # platform without directory fds: best effort
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def _publish_manifest(base: str, body: dict) -> int:
@@ -194,40 +212,56 @@ def _publish_manifest(base: str, body: dict) -> int:
     return seq
 
 
+_OLD_STYLE_RE = re.compile(r"manifest-\d{20}-[0-9a-f]{32}\.json$")
+
+
+def _age(path: str) -> float:
+    try:
+        return time.time() - os.path.getmtime(path)
+    except OSError:
+        return -1.0
+
+
 def _read_manifest(path: str) -> tuple[str, dict | None]:
-    """Read one manifest body and adjudicate three ways:
+    """Read one manifest body and adjudicate four ways:
 
     - ``("ok", body)`` — parsed.
-    - ``("dead", None)`` — vanished (withdrawn claim), or EMPTY past
-      the dead-claim grace: with the stage-then-rename publish, a claim
-      is either empty (writer never reached its atomic publish, so it
-      provably never acknowledged) or complete JSON; an old empty claim
-      is a crashed writer and skipping it loses nothing.
-    - ``("inflight", None)`` — anything we cannot POSITIVELY clear:
-      a fresh empty claim (publish may land any moment), a transient
-      read OSError (an EIO on a long-committed manifest must NEVER fold
-      as dead — that would bake real data loss into a checkpoint), or
-      non-empty-but-unparseable content (corruption; replay stops there
-      conservatively rather than serve a hole in history)."""
+    - ``("vanished", None)`` — ENOENT: a withdrawn claim, or a manifest
+      a concurrent vacuum just removed. The caller must RESTART its
+      resolution from the newest checkpoint (which covers anything a
+      vacuum may delete) rather than skip-and-continue — skipping a
+      vacuumed COMMITTED manifest while replaying later ones would
+      serve a hole in history (third review pass).
+    - ``("dead", None)`` — provably never acknowledged: an EMPTY claim
+      past the dead-claim grace (with stage-then-rename, a claim is
+      either empty or complete JSON), or — back-compat — a TORN body
+      under an old-build uuid-suffixed name past the grace (that build
+      wrote bodies in place, so torn = crashed mid-write; without this
+      a pre-upgrade crash would wedge replay forever).
+    - ``("inflight", None)`` — anything we cannot positively clear: a
+      fresh empty claim, a transient read OSError (an EIO on a
+      long-committed manifest must NEVER fold as dead), or torn content
+      under a new-style name (bit rot; replay stops conservatively)."""
     for attempt in range(5):
         try:
             with open(path, "rb") as fh:
                 data = fh.read()
         except FileNotFoundError:
-            return "dead", None  # withdrawn or never landed
+            return "vanished", None
         except OSError:
             data = None  # transient IO: retry, then inflight (stop)
         if data:
             try:
                 return "ok", json.loads(data.decode("utf-8"))
             except (ValueError, UnicodeDecodeError):
-                pass  # torn/corrupt content: retry, then inflight
+                # torn content: old-build in-place writes age to dead
+                if _OLD_STYLE_RE.search(path) and _age(path) > DEAD_CLAIM_GRACE_S:
+                    return "dead", None
         elif data is not None:
             # empty claim: adjudicate age BEFORE burning retries so a
             # dead orphan never taxes every scan with the retry loop
-            try:
-                age = time.time() - os.path.getmtime(path)
-            except OSError:
+            age = _age(path)
+            if age < 0:
                 return "inflight", None
             if age > DEAD_CLAIM_GRACE_S:
                 return "dead", None
@@ -278,6 +312,35 @@ def _tail_entries(commits: str, start: int, upto: int | None = None) -> list:
     return sorted(out)
 
 
+def _resolve(commits: str, upto: int | None = None) -> tuple[dict, int, int]:
+    """Fold newest checkpoint + tail into (live, folded_seq, start_seq),
+    restarting from a fresh checkpoint listing when a listed manifest
+    VANISHES mid-scan (a concurrent vacuum — the newer checkpoint the
+    vacuum required covers everything it deleted). On the final attempt
+    a still-vanishing manifest is a withdrawn claim and skips through."""
+    for attempt in range(3):
+        start, live = _latest_checkpoint(commits)
+        folded = start
+        restart = False
+        for seq, fn in _tail_entries(commits, start, upto):
+            status, body = _read_manifest(os.path.join(commits, fn))
+            if status == "ok":
+                _replay(live, body)
+                folded = seq
+            elif status == "dead":
+                folded = seq  # never-acknowledged claim: fold past it
+            elif status == "vanished":
+                if attempt < 2:
+                    restart = True
+                    break
+                folded = seq  # stable across restarts: a withdrawn claim
+            else:
+                break  # in-flight: cannot adjudicate — stop here
+        if not restart:
+            return live, folded, start
+    return live, folded, start  # unreachable; keeps the type checker honest
+
+
 def _publish_checkpoint(base: str, upto: int) -> None:
     """Snapshot the live map, folding manifests in sequence order and
     STOPPING at the first in-flight one: a checkpoint must never fold
@@ -286,24 +349,28 @@ def _publish_checkpoint(base: str, upto: int) -> None:
     published at the last cleanly-adjudicated sequence instead, and the
     next publisher extends it. Dead claims (past the grace; writer can
     never have acknowledged) fold through as non-commits. Derived data:
-    an O_EXCL loser skips (the winner wrote the same fold)."""
+    an O_EXCL loser normally skips (the winner wrote the same fold),
+    but a loser that finds the existing file UNREADABLE past the grace
+    replaces the corpse in place — a checkpoint writer that crashed
+    between claim and rename must not block compaction at that fold
+    point forever."""
     commits = os.path.join(base, _COMMITS_DIR)
-    start, live = _latest_checkpoint(commits)
-    folded = start
-    for seq, fn in _tail_entries(commits, start, upto):
-        status, body = _read_manifest(os.path.join(commits, fn))
-        if status == "ok":
-            _replay(live, body)
-            folded = seq
-        elif status == "dead":
-            folded = seq  # withdrawn/never-durable claim: fold past it
-        else:
-            break  # in-flight: cannot adjudicate — checkpoint up to here
-    if folded > start:
-        _write_claimed(
-            os.path.join(commits, f"checkpoint-{folded:020d}.json"),
-            {"live": {rel: sorted(names) for rel, names in live.items()}},
-        )
+    live, folded, start = _resolve(commits, upto)
+    if folded <= start:
+        return
+    path = os.path.join(commits, f"checkpoint-{folded:020d}.json")
+    body = {"live": {rel: sorted(names) for rel, names in live.items()}}
+    if _write_claimed(path, body) == "lost":
+        if _read_json(path) is None and _age(path) > DEAD_CLAIM_GRACE_S:
+            tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+            fd = os.open(tmp, os.O_CREAT | os.O_WRONLY, 0o644)
+            try:
+                os.write(fd, json.dumps(body).encode("utf-8"))
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+            os.replace(tmp, path)
+            _fsync_dir(commits)
 
 
 def manifest_compact(base: str) -> None:
@@ -328,32 +395,47 @@ def manifest_vacuum(base: str, keep_checkpoints: int = 2) -> int:
     commits = os.path.join(base, _COMMITS_DIR)
     if not os.path.isdir(commits):
         return 0
-    cps = sorted(
+
+    def _rm(fn: str) -> int:
+        try:
+            os.unlink(os.path.join(commits, fn))
+            return 1
+        except OSError:
+            return 0
+
+    # retention decisions use only checkpoints whose bodies READ BACK:
+    # an empty corpse (writer crashed between claim and rename) must
+    # never become the deletion cutoff — manifests it "covers" were
+    # never folded anywhere, and deleting them would destroy committed
+    # history (third review pass, reproduced)
+    readable = sorted(
         int(m.group(1))
         for fn in os.listdir(commits)
         if (m := _CHECKPOINT_RE.match(fn))
+        and _read_json(os.path.join(commits, fn)) is not None
     )
-    if not cps:
+    if not readable:
         return 0
-    retained = cps[-max(keep_checkpoints, 1):]
-    cutoff = retained[0]
+    retained = set(readable[-max(keep_checkpoints, 1):])
+    cutoff = min(retained)
     removed = 0
-    for fn in os.listdir(commits):
+    for fn in list(os.listdir(commits)):
+        full = os.path.join(commits, fn)
         m = _MANIFEST_RE.match(fn)
         if m and int(m.group(1)) <= cutoff:
-            try:
-                os.unlink(os.path.join(commits, fn))
-                removed += 1
-            except OSError:
-                pass
+            removed += _rm(fn)
             continue
         m = _CHECKPOINT_RE.match(fn)
         if m and int(m.group(1)) not in retained:
-            try:
-                os.unlink(os.path.join(commits, fn))
-                removed += 1
-            except OSError:
-                pass
+            # readable-but-over-retention, or an aged unreadable corpse;
+            # a FRESH unreadable checkpoint may still be mid-publish
+            if _read_json(full) is not None or _age(full) > DEAD_CLAIM_GRACE_S:
+                removed += _rm(fn)
+            continue
+        # staging leftovers from crashed writers (manifest/checkpoint
+        # .tmp files) age out too — vacuum exists to bound storage
+        if fn.endswith(".tmp") and _age(full) > DEAD_CLAIM_GRACE_S:
+            removed += _rm(fn)
     return removed
 
 
@@ -407,13 +489,7 @@ def _live_map(base: str) -> dict[str, set[str]]:
     commits = os.path.join(base, _COMMITS_DIR)
     if not os.path.isdir(commits):
         return {}
-    start, live = _latest_checkpoint(commits)
-    for seq, fn in _tail_entries(commits, start):
-        status, body = _read_manifest(os.path.join(commits, fn))
-        if status == "ok":
-            _replay(live, body)
-        elif status == "inflight":
-            break  # consistent prefix: everything after is not-yet-committed
+    live, _folded, _start = _resolve(commits)
     return live
 
 

@@ -830,3 +830,44 @@ def test_manifest_vacuum_bounds_storage(tmp_path):
     live = cp._live_map(base)
     assert "new.parquet" in live["p=0"]
     assert live["p=0"] >= before["p=0"]
+
+
+def test_manifest_vacuum_ignores_checkpoint_corpse(tmp_path):
+    """An EMPTY checkpoint (writer crashed between claim and rename)
+    must never become the vacuum cutoff — manifests it never folded
+    stay until a READABLE checkpoint covers them; the aged corpse
+    itself is removed, and compaction can replace a corpse in place."""
+    import os
+    import time
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    for i in range(25):  # auto-checkpoint lands at seq 20
+        cp._publish_manifest(base, {"files": {"": [f"f{i}.parquet"]}})
+    before = cp._live_map(base)
+    # corpse: claimed-but-never-published checkpoint at the head seq
+    corpse = os.path.join(commits, f"checkpoint-{25:020d}.json")
+    fd = os.open(corpse, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    # vacuum: cutoff must come from the READABLE checkpoint (20), and
+    # the FRESH corpse must be kept (its writer may still publish)
+    cp.manifest_vacuum(base, keep_checkpoints=1)
+    manifests = sorted(
+        int(f.split("-")[1].split(".")[0])
+        for f in os.listdir(commits)
+        if f.startswith("manifest-")
+    )
+    assert manifests == [21, 22, 23, 24, 25]
+    assert os.path.exists(corpse)
+    assert cp._live_map(base) == before
+    # age the corpse past the grace: compaction replaces it in place...
+    old = time.time() - cp.DEAD_CLAIM_GRACE_S - 5
+    os.utime(corpse, (old, old))
+    cp.manifest_compact(base)
+    body = cp._read_json(corpse)
+    assert body is not None and "live" in body  # corpse healed
+    # ...and a later vacuum can now fold the tail behind it
+    cp.manifest_vacuum(base, keep_checkpoints=1)
+    assert cp._live_map(base) == before
