@@ -122,11 +122,14 @@ def _max_seq(commits: str) -> int:
     return seq
 
 
-def _write_claimed(path: str, body: dict, enforce_grace: bool = False) -> str:
+def _write_claimed(
+    path: str, body: dict, enforce_grace: bool = False, post_claim_guard=None
+) -> str:
     """Atomically claim ``path`` with O_CREAT|O_EXCL (conditional-PUT
     semantics), stage the body in a sibling temp file, then publish it
     into the claim with one atomic rename. Returns ``"ok"``,
-    ``"lost"`` (another writer owns the name), or ``"withdrawn"``.
+    ``"lost"`` (another writer owns the name), ``"stale"`` (the
+    post-claim guard rejected the name), or ``"withdrawn"``.
 
     With ``enforce_grace`` (data manifests), the claim-to-staged gap is
     checked BEFORE the body ever becomes readable under the claimed
@@ -136,13 +139,27 @@ def _write_claimed(path: str, body: dict, enforce_grace: bool = False) -> str:
     a checkpoint folds in a commit whose writer then withdraws (the
     phantom-commit race a second review pass caught). The remaining
     assumption is lease-shaped and explicit: the final rename itself
-    completes within the other half of the grace."""
+    completes within the other half of the grace.
+
+    ``post_claim_guard`` runs AFTER the claim succeeds but BEFORE any
+    body becomes readable; a False return withdraws the claim (unlink)
+    and reports ``"stale"``. Because the guard observes the world while
+    the (empty, fresh) claim already exists — and a fresh empty claim
+    adjudicates in-flight, which stops every checkpoint fold before it
+    — whatever invariant the guard establishes cannot be invalidated by
+    a later checkpoint until the lease expires."""
     t0 = time.time()
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
     except FileExistsError:
         return "lost"
     os.close(fd)  # claim holds the name; content stays empty until publish
+    if post_claim_guard is not None and not post_claim_guard():
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return "stale"
     tmp = f"{path}.{uuid.uuid4().hex}.tmp"
     fd = os.open(tmp, os.O_CREAT | os.O_WRONLY, 0o644)
     try:
@@ -179,6 +196,18 @@ def _fsync_dir(d: str) -> None:
         os.close(fd)
 
 
+def _newest_checkpoint_name_seq(commits: str) -> int:
+    """Highest checkpoint sequence BY NAME (readability irrelevant —
+    for the stale-claim guard, an unreadable corpse with a high name
+    still proves a vacuum cutoff may sit at or above it)."""
+    seqs = [
+        int(m.group(1))
+        for fn in os.listdir(commits)
+        if (m := _CHECKPOINT_RE.match(fn))
+    ]
+    return max(seqs, default=0)
+
+
 def _publish_manifest(base: str, body: dict) -> int:
     """Publish one manifest under an exclusively-claimed sequence
     number. A lost claim retries with seq+1 (another committer
@@ -186,17 +215,41 @@ def _publish_manifest(base: str, body: dict) -> int:
     stalled past the lease margin, _write_claimed) is retried a bounded
     number of times and then raised: spinning forever on a host that
     cannot fsync within the grace would hang the sink silently.
-    Returns the sequence number published."""
+    Returns the sequence number published.
+
+    Stale-claim guard: a committer that read ``_max_seq`` and then
+    stalled while >= CHECKPOINT_EVERY commits, a checkpoint, AND a
+    vacuum all landed can O_CREAT|O_EXCL-claim a VACUUMED sequence
+    number (the name is free again) at or below the deletion cutoff —
+    its acknowledged commit would sit below every reader's checkpoint
+    replay window, silently invisible forever. So after every
+    successful claim and before the body becomes readable, re-check
+    that the claimed seq is above the newest checkpoint name; a claim
+    at/below it withdraws and retries at the current _max_seq + 1.
+    Guard timing is sound because the guard runs while our fresh EMPTY
+    claim exists: checkpoints adjudicate it in-flight and stop folding
+    before it, so no checkpoint can pass our seq between the guard
+    passing and the body publish (within the lease)."""
     commits = os.path.join(base, _COMMITS_DIR)
     os.makedirs(commits, exist_ok=True)
     seq = _max_seq(commits) + 1
     withdrawals = 0
     while True:
+        claimed = seq
         status = _write_claimed(
-            os.path.join(commits, f"manifest-{seq:020d}.json"), body, enforce_grace=True
+            os.path.join(commits, f"manifest-{seq:020d}.json"),
+            body,
+            enforce_grace=True,
+            post_claim_guard=lambda: claimed > _newest_checkpoint_name_seq(commits),
         )
         if status == "ok":
             break
+        if status == "stale":
+            # the name was recycled by a vacuum below a newer checkpoint:
+            # any seq we derived before stalling is untrustworthy — remint
+            # from the current high-water mark (checkpoints count in it)
+            seq = max(_max_seq(commits), seq) + 1
+            continue
         if status == "withdrawn":
             withdrawals += 1
             if withdrawals >= 3:
@@ -208,7 +261,23 @@ def _publish_manifest(base: str, body: dict) -> int:
                 )
         seq += 1
     if seq % CHECKPOINT_EVERY == 0:
-        _publish_checkpoint(base, seq)
+        # The manifest above is already durable and visible — the commit
+        # HAS happened. The checkpoint is derived data (the next
+        # CHECKPOINT_EVERY boundary or manifest_compact re-covers it), so
+        # an IO failure here must not make an acknowledged commit look
+        # failed: a caller retry would duplicate data.
+        try:
+            _publish_checkpoint(base, seq)
+        except OSError as exc:
+            import warnings
+
+            warnings.warn(
+                f"manifest commit {seq} succeeded but its derived "
+                f"checkpoint publish failed ({exc}); readers replay a "
+                "longer tail until the next checkpoint boundary",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return seq
 
 

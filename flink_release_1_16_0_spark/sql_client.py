@@ -61,8 +61,12 @@ def split_statements_with_tail(script: str) -> tuple[list[str], str]:
     """Like :func:`split_statements`, but also return the trailing
     fragment that no ``;`` has terminated yet — the interactive CLI's
     multi-line assembly primitive (SqlMultiLineParser.java keeps
-    reading continuation lines until the statement completes)."""
-    stmts = _scan(script)
+    reading continuation lines until the statement completes). An
+    UNTERMINATED ``/* ...`` block comment is carried VERBATIM in the
+    tail (like an unterminated string literal) so a comment spanning
+    input lines keeps assembling until its ``*/`` arrives — collapsing
+    it to whitespace would make the continuation line execute as SQL."""
+    stmts = _scan(script, keep_open_comment=True)
     tail = stmts.pop()  # _scan always appends the unterminated tail
     return [s.strip() for s in stmts if s.strip()], tail
 
@@ -72,14 +76,15 @@ def split_statements(script: str) -> list[str]:
     terminates a statement only outside single-quoted literals; ``--``
     and ``/* */`` comments are treated as whitespace (only OUTSIDE
     literals — an apostrophe inside a comment is comment text, not a
-    literal opener, and vice versa). Statement-set blocks
-    (EXECUTE STATEMENT SET BEGIN ... END;) keep their inner semicolons;
-    CASE ... END inside a block does not close it."""
+    literal opener, and vice versa; a block comment left open at EOF
+    swallows the rest of the script, the file-mode reading). Statement-
+    set blocks (EXECUTE STATEMENT SET BEGIN ... END;) keep their inner
+    semicolons; CASE ... END inside a block does not close it."""
     stmts = _scan(script)
     return [s.strip() for s in stmts if s.strip()]
 
 
-def _scan(script: str) -> list[str]:
+def _scan(script: str, keep_open_comment: bool = False) -> list[str]:
     """One scanner pass; the LAST list element is always the
     unterminated tail (possibly empty/whitespace)."""
     stmts: list[str] = []
@@ -108,6 +113,13 @@ def _scan(script: str) -> list[str]:
             continue
         if script.startswith("/*", i):
             end = script.find("*/", i + 2)
+            if end < 0 and keep_open_comment:
+                # interactive mode: the comment is still open — keep it
+                # verbatim so the assembled tail re-scans once the
+                # closing */ arrives on a later line
+                buf.append(script[i:])
+                i = n
+                continue
             buf.append(" ")
             i = n if end < 0 else end + 2
             continue

@@ -3835,6 +3835,8 @@ class TableEnvironment:
             table = self._tables.get(m.group(1))
             if table is None:
                 raise ValueError(f"unknown table {m.group(1)!r}")
+            if table.connector == "hive":
+                return self._hive_partition_ddl(table, stmt)
             self._check_partition_ddl_connector(table, m.group(1))
             if_not_exists = bool(m.group("ine"))
             for pm in re.finditer(
@@ -3876,6 +3878,8 @@ class TableEnvironment:
             table = self._tables.get(m.group(1))
             if table is None:
                 raise ValueError(f"unknown table {m.group(1)!r}")
+            if table.connector == "hive":
+                return self._hive_partition_ddl(table, stmt)
             self._check_partition_ddl_connector(table, m.group(1))
             for pm in re.finditer(
                 r"PARTITION\s*\((?P<spec>[^)]*)\)", m.group("specs"), re.IGNORECASE
@@ -3904,11 +3908,32 @@ class TableEnvironment:
             return TableResult(rows=["OK"])
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
 
+    def _hive_partition_ddl(self, table: CatalogTable, stmt: str) -> TableResult:
+        """ADD/DROP PARTITION on a hive-connector table lowers onto
+        Spark's NATIVE ``ALTER TABLE ... ADD/DROP PARTITION`` against
+        the catalog table — the metastore owns partition metadata there
+        (the reference's HiveCatalog.createPartition/dropPartition via
+        the Hive dialect, HiveParserDDLSemanticAnalyzer), not the
+        engine's filesystem-table bookkeeping. The statement passes
+        through with only the table name requalified, so IF [NOT]
+        EXISTS, multi-spec lists and LOCATION clauses keep Spark's
+        native semantics."""
+        tbl = table.options.get("table-name", table.name)
+        qualified = f"spark_catalog.{self.spark.catalog.currentDatabase()}.{tbl}"
+        rest = re.sub(
+            r"^\s*ALTER\s+TABLE\s+[\w.]+", "", stmt, count=1, flags=re.IGNORECASE
+        )
+        self.spark.sql(f"ALTER TABLE {qualified}{rest}")
+        self._register_scan(table)
+        return TableResult(rows=["OK"])
+
     @staticmethod
     def _check_partition_ddl_connector(table: CatalogTable, name: str) -> None:
-        """ADD/DROP PARTITION is a filesystem/hive-layout operation; on
-        a pathless connector (kafka, jdbc, ...) fail with a clear error
-        instead of a KeyError from ``options['path']``."""
+        """ADD/DROP PARTITION is a filesystem/hive-layout operation
+        (hive-connector tables took the native-catalog branch before
+        this check); on a pathless connector (kafka, jdbc, ...) fail
+        with a clear error instead of a KeyError from
+        ``options['path']``."""
         if table.connector != "filesystem" or "path" not in table.options:
             raise ValueError(
                 f"ALTER TABLE ... ADD/DROP PARTITION is not supported for "

@@ -668,3 +668,40 @@ def test_hive_clustered_by_unsupported_combos_raise(tenv):
             "CREATE TABLE hb_bad2 (k INT) "
             "CLUSTERED BY (k) INTO 4 BUCKETS STORED AS TEXTFILE"
         )
+
+
+def test_partition_ddl_on_hive_connector_lowers_native(spark):
+    """ADD/DROP PARTITION on a 'hive'-connector table lowers onto
+    Spark's native catalog partition DDL (the reference's
+    HiveCatalog.createPartition/dropPartition) instead of the
+    filesystem-table bookkeeping — review found the blanket
+    filesystem-only check rejected hive tables entirely."""
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    spark.sql("DROP TABLE IF EXISTS hv_natp")
+    import shutil
+
+    shutil.rmtree("spark-warehouse/hv_natp", ignore_errors=True)
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        "CREATE TABLE hv_natp (k BIGINT, p STRING) PARTITIONED BY (p) "
+        "WITH ('connector'='hive')"
+    )
+    try:
+        tenv.execute_sql("INSERT INTO hv_natp SELECT 1, 'a' UNION ALL SELECT 2, 'b'")
+        tenv.execute_sql("ALTER TABLE hv_natp ADD IF NOT EXISTS PARTITION (p='c')")
+        parts = {
+            r[0] for r in spark.sql("SHOW PARTITIONS spark_catalog.default.hv_natp").collect()
+        }
+        assert "p=c" in parts
+        tenv.execute_sql("ALTER TABLE hv_natp DROP IF EXISTS PARTITION (p='b')")
+        parts = {r[0] for r in spark.sql("SHOW PARTITIONS spark_catalog.default.hv_natp").collect()}
+        assert "p=b" not in parts and "p=a" in parts
+        got = {
+            (r["k"], r["p"])
+            for r in tenv.sql_query("SELECT * FROM hv_natp").to_data_frame().collect()
+        }
+        assert got == {(1, "a")}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hv_natp")
+        shutil.rmtree("spark-warehouse/hv_natp", ignore_errors=True)

@@ -871,3 +871,86 @@ def test_manifest_vacuum_ignores_checkpoint_corpse(tmp_path):
     # ...and a later vacuum can now fold the tail behind it
     cp.manifest_vacuum(base, keep_checkpoints=1)
     assert cp._live_map(base) == before
+
+
+def test_manifest_checkpoint_publish_failure_is_not_commit_failure(tmp_path, monkeypatch):
+    """A checkpoint is DERIVED data: once the manifest is durable and
+    visible the commit has happened, so an IO error while publishing
+    the derived checkpoint must surface as a warning — never propagate
+    as a commit failure (a caller retry would duplicate data)."""
+    import os
+    import warnings
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    for i in range(cp.CHECKPOINT_EVERY - 1):
+        cp._publish_manifest(base, {"files": {"": [f"f{i}.parquet"]}})
+
+    def boom(_base, _upto):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(cp, "_publish_checkpoint", boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        seq = cp._publish_manifest(base, {"files": {"": ["last.parquet"]}})
+    assert seq == cp.CHECKPOINT_EVERY
+    assert any("checkpoint publish failed" in str(w.message) for w in caught)
+    # the commit itself IS durable and visible
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    assert f"manifest-{seq:020d}.json" in os.listdir(commits)
+    assert any("last.parquet" in f for f in cp._live_map(base)[""])
+
+
+def test_manifest_vacuumed_seq_never_reclaimed(tmp_path, monkeypatch):
+    """The vacuum sequence-reuse hole: a committer that read _max_seq
+    and then stalled while >= CHECKPOINT_EVERY commits, a checkpoint
+    and a vacuum all landed could O_EXCL-claim a VACUUMED sequence
+    number (the name is free again) below the deletion cutoff — its
+    acknowledged commit would sit below every reader's checkpoint
+    replay window, invisible forever. The post-claim guard must detect
+    the recycled name and remint above the high-water mark."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    for i in range(2 * cp.CHECKPOINT_EVERY):  # checkpoints at 20 and 40
+        cp._publish_manifest(base, {"files": {"": [f"f{i}.parquet"]}})
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    assert cp.manifest_vacuum(base) > 0
+    # names 1..CHECKPOINT_EVERY are free again
+    assert f"manifest-{5:020d}.json" not in os.listdir(commits)
+
+    # the stalled committer: its pre-stall _max_seq read said 4
+    real_max_seq = cp._max_seq
+    calls = {"n": 0}
+
+    def stale_then_real(commits_dir):
+        calls["n"] += 1
+        return 4 if calls["n"] == 1 else real_max_seq(commits_dir)
+
+    monkeypatch.setattr(cp, "_max_seq", stale_then_real)
+    seq = cp._publish_manifest(base, {"files": {"": ["late.parquet"]}})
+    monkeypatch.undo()
+    # NOT republished at the recycled name 5 — reminted above the head
+    assert seq > 2 * cp.CHECKPOINT_EVERY
+    assert f"manifest-{5:020d}.json" not in os.listdir(commits)
+    # and the commit is visible to a fresh reader's replay window
+    assert "late.parquet" in cp._live_map(base)[""]
+
+
+def test_write_claimed_post_claim_guard_withdraws(tmp_path):
+    """A failing post-claim guard unlinks the claim and reports stale —
+    no body ever becomes readable under the rejected name."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    path = str(tmp_path / "manifest-00000000000000000005.json")
+    status = cp._write_claimed(path, {"files": {}}, post_claim_guard=lambda: False)
+    assert status == "stale"
+    assert not os.path.exists(path)
+    status = cp._write_claimed(path, {"files": {}}, post_claim_guard=lambda: True)
+    assert status == "ok"
+    assert os.path.exists(path)

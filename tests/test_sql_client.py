@@ -251,3 +251,49 @@ def test_interactive_repl_shows_introspection_rows(spark, tmp_path):
     out = io.StringIO()
     assert run_interactive(tenv, instream=stdin, outstream=out) == 0
     assert "repl_shown" in out.getvalue()
+
+
+def test_tail_carries_open_block_comment():
+    """An unterminated /* block comment is carried VERBATIM in the
+    interactive tail (like an unterminated literal) so its continuation
+    line is comment text, not SQL; file-mode split_statements keeps the
+    comments-are-whitespace reading."""
+    from flink_release_1_16_0_spark.sql_client import (
+        split_statements,
+        split_statements_with_tail,
+    )
+
+    stmts, tail = split_statements_with_tail("SELECT 1; /* note\n")
+    assert stmts == ["SELECT 1"]
+    assert "/* note" in tail  # the opener survives for reassembly
+    # reassembled with the closing line: the comment collapses away
+    stmts, tail = split_statements_with_tail(tail + "still a comment */ SELECT 2;\n")
+    assert stmts == ["SELECT 2"] and tail.strip() == ""
+    # an apostrophe inside the open comment must NOT open a literal
+    stmts, tail = split_statements_with_tail("/* don't\n")
+    assert stmts == [] and "/* don't" in tail
+    stmts, _ = split_statements_with_tail(tail + "*/ SELECT 3;\n")
+    assert stmts == ["SELECT 3"]
+    # file mode unchanged: an open comment at EOF swallows the rest
+    assert split_statements("SELECT 1; /* trailing junk") == ["SELECT 1"]
+
+
+def test_interactive_block_comment_spans_lines(spark):
+    """The REPL regression from review: a /* comment opened on one line
+    and closed on a later one must not execute the continuation line as
+    SQL."""
+    import io
+
+    from flink_release_1_16_0_spark.sql_client import run_interactive
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    stdin = io.StringIO(
+        "/* this comment\n"
+        "still a comment */ SELECT 6*7 AS a;\n"
+        "QUIT;\n"
+    )
+    out = io.StringIO()
+    failures = run_interactive(tenv, instream=stdin, outstream=out)
+    assert failures == 0
+    assert "42" in out.getvalue()

@@ -133,6 +133,19 @@ def main() -> int:
         help="run only queries carrying ANY of these registry tags "
         "(e.g. --tag streaming); combines with positional names",
     )
+    ap.add_argument(
+        "--skip",
+        action="append",
+        default=[],
+        help="exclude these query names (e.g. known-slow DuckDB twins at sf1)",
+    )
+    ap.add_argument(
+        "--jsonl",
+        default=None,
+        help="append one JSON line per graded query to this file; on "
+        "startup, names already recorded there (any status) are skipped — "
+        "a crashed/restarted sweep resumes where it left off",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -147,6 +160,42 @@ def main() -> int:
         ]
     if not names:
         names = list(registry)
+    names = [n for n in names if n not in set(args.skip)]
+
+    done: set[str] = set()
+    if args.jsonl:
+        import json as _json
+        import os as _os
+
+        if _os.path.exists(args.jsonl):
+            with open(args.jsonl) as fh:
+                for line in fh:
+                    try:
+                        done.add(_json.loads(line)["name"])
+                    except (ValueError, KeyError):
+                        pass
+        if done:
+            print(f"resuming: {len(done)} already recorded in {args.jsonl}")
+        names = [n for n in names if n not in done]
+
+    def record(name: str, status: str, detail: str, secs: float, rows: int) -> None:
+        if not args.jsonl:
+            return
+        import json as _json
+
+        with open(args.jsonl, "a") as fh:
+            fh.write(
+                _json.dumps(
+                    {
+                        "name": name,
+                        "status": status,
+                        "detail": detail[:500],
+                        "secs": round(secs, 2),
+                        "rows": rows,
+                    }
+                )
+                + "\n"
+            )
 
     spark = get_spark("oracle-check")
     register_tables(spark, args.sf)
@@ -162,19 +211,23 @@ def main() -> int:
             spark_pdf = spec.fn(spark, args.sf).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            record(name, "SPARK_ERROR", str(e), time.time() - t0, -1)
             n_bad += 1
             continue
         if spec.oracle is None:
             print(f"NOORACLE {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
+            record(name, "NOORACLE", "", time.time() - t0, len(spark_pdf))
             n_noracle += 1
             continue
         try:
             oracle_pdf = con.execute(spec.oracle).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            record(name, "DUCKDB_ERROR", str(e), time.time() - t0, len(spark_pdf))
             n_bad += 1
             continue
         status, detail = compare(spark_pdf, oracle_pdf)
+        record(name, status, detail, time.time() - t0, len(spark_pdf))
         if status == "OK":
             print(f"OK    {name}: rows={len(spark_pdf)} ({time.time()-t0:.1f}s)")
             n_ok += 1
