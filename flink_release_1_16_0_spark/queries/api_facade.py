@@ -746,6 +746,61 @@ def api_sql_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).to_data_frame()
 
 
+_MANIFEST_MAINT_ORACLE = """
+SELECT o_orderpriority AS pri,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "api_sql_manifest_maintenance",
+    _MANIFEST_MAINT_ORACLE,
+    tags=("api", "sink", "commit"),
+)
+def api_sql_manifest_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The commit log's maintenance surface (round-10): a multi-commit
+    manifest table is compacted (``ALTER TABLE ... COMPACT`` — the log
+    folds into a head checkpoint, SqlAlterTableCompact's role under the
+    manifest protocol) and vacuumed (``ALTER TABLE ... VACUUM RETAIN 1
+    CHECKPOINTS`` — folded manifests and over-retention checkpoints
+    deleted), and the post-maintenance read-back must still hash-match
+    a DuckDB twin over the full source: maintenance bounds storage, it
+    must never change what a reader sees."""
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="manifest_maint_")
+    out = f"{work}/mm_tbl"
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mm_src (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet',
+                'format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE mm_tbl (
+          o_orderkey BIGINT, o_totalprice DOUBLE, pri STRING
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    for i in range(6):  # six separate commits -> six manifests
+        tenv.execute_sql(
+            "INSERT INTO mm_tbl SELECT o_orderkey, o_totalprice, "
+            f"o_orderpriority FROM mm_src WHERE o_orderkey % 6 = {i}"
+        )
+    tenv.execute_sql("ALTER TABLE mm_tbl COMPACT")
+    tenv.execute_sql("ALTER TABLE mm_tbl VACUUM RETAIN 1 CHECKPOINTS")
+    return tenv.sql_query(
+        "SELECT pri, COUNT(*) AS cnt, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+        "FROM mm_tbl GROUP BY pri"
+    ).to_data_frame()
+
+
 _WINDOW_UDAF_ORACLE = """
 SELECT
   make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS win_start,

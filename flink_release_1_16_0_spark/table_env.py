@@ -702,6 +702,26 @@ class CatalogTable:
         proto = self._commit_protocol()
         if proto == "manifest":
             manifest_commit(base, staging, rels, overwrite)
+            if self.options.get("sink.log.auto-vacuum", "false").strip().lower() in (
+                "true",
+                "1",
+            ):
+                # storage bound applied post-commit: best-effort derived
+                # maintenance, never a commit failure (the commit above
+                # is already durable and acknowledged-able)
+                from flink_release_1_16_0_spark.sources.commit_protocol import (
+                    manifest_vacuum,
+                )
+
+                try:
+                    manifest_vacuum(
+                        base,
+                        keep_checkpoints=int(
+                            self.options.get("sink.log.keep-checkpoints", "2")
+                        ),
+                    )
+                except OSError:
+                    pass
         elif proto == "rename":
             rename_commit(base, staging, rels, overwrite)
         else:
@@ -2167,6 +2187,24 @@ def _parse_partition_spec(spec: str) -> dict[str, str]:
             v = v.replace(q + q, q)
         out[km.group(1)] = v
     return out
+
+
+def _parse_byte_size(s: str) -> int:
+    """Flink MemorySize spellings ('128MB', '1 gb', '64 kb', plain
+    bytes) -> bytes (MemorySize.parse in the reference's config)."""
+    m = re.fullmatch(
+        r"\s*(\d+)\s*(b|kb|k|mb|m|gb|g|tb|t)?\s*", s, re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"cannot parse memory size {s!r}")
+    mult = {
+        None: 1, "b": 1,
+        "k": 1024, "kb": 1024,
+        "m": 1024**2, "mb": 1024**2,
+        "g": 1024**3, "gb": 1024**3,
+        "t": 1024**4, "tb": 1024**4,
+    }[m.group(2).lower() if m.group(2) else None]
+    return int(m.group(1)) * mult
 
 
 class TableEnvironment:
@@ -3906,7 +3944,94 @@ class TableEnvironment:
                         raise  # non-prefix spec matching nothing at all
             self._register_scan(table)
             return TableResult(rows=["OK"])
+        # SqlAlterTableCompact (Parser.tdd "ALTER TABLE ... COMPACT",
+        # lowered by the filesystem connector's compaction in the
+        # reference); VACUUM is the manifest log's storage bound
+        # (Delta's VACUUM / Iceberg's expire_snapshots role)
+        m = re.fullmatch(r"ALTER\s+TABLE\s+([\w.]+)\s+COMPACT", stmt, re.IGNORECASE)
+        if m:
+            return self.compact_table(m.group(1))
+        m = re.fullmatch(
+            r"ALTER\s+TABLE\s+([\w.]+)\s+VACUUM"
+            r"(?:\s+RETAIN\s+(\d+)\s+CHECKPOINTS)?",
+            stmt,
+            re.IGNORECASE,
+        )
+        if m:
+            return self.vacuum_table(m.group(1), keep_checkpoints=int(m.group(2) or 2))
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
+
+    def compact_table(self, name: str) -> TableResult:
+        """``ALTER TABLE ... COMPACT`` (SqlAlterTableCompact in the
+        reference's Parser.tdd, executed by the filesystem connector's
+        compact coordinator). Protocol-aware:
+
+        - rename protocol: REWRITE small data files toward
+          ``'compaction.file-size'`` (default 128 MB) — the reference's
+          data-file compaction (CompactOperator).
+        - manifest protocol: data files are immutable under the log, so
+          compaction folds the commit LOG into a fresh checkpoint
+          (``manifest_compact`` — the next reader replays zero tail
+          manifests; Delta checkpoint / Iceberg rewrite_manifests)."""
+        table = self._tables.get(name)
+        if table is None:
+            raise ValueError(f"unknown table {name!r}")
+        if table.connector != "filesystem" or "path" not in table.options:
+            raise ValueError(
+                f"ALTER TABLE ... COMPACT is not supported for table "
+                f"{name!r} with connector {table.connector!r}: compaction "
+                "needs a filesystem table with a 'path' option"
+            )
+        if table._commit_protocol() == "manifest":
+            from flink_release_1_16_0_spark.sources.commit_protocol import (
+                manifest_compact,
+            )
+
+            manifest_compact(table.options["path"])
+        else:
+            from flink_release_1_16_0_spark.sources import compact_files
+
+            compact_files(
+                self.spark,
+                table.options["path"],
+                fmt=table.options.get("format", "parquet"),
+                target_file_bytes=_parse_byte_size(
+                    table.options.get("compaction.file-size", "128MB")
+                ),
+                partition_cols=list(table.partitioned_by) or None,
+            )
+        self._register_scan(table)
+        return TableResult(rows=["OK"])
+
+    def vacuum_table(self, name: str, keep_checkpoints: int = 2) -> TableResult:
+        """``ALTER TABLE ... VACUUM [RETAIN n CHECKPOINTS]``: bound the
+        manifest commit log's storage by deleting manifests already
+        folded into the oldest retained checkpoint and checkpoints past
+        the retention count (``manifest_vacuum``). Only meaningful under
+        ``'sink.commit-protocol'='manifest'`` — the rename protocol has
+        no log to vacuum. Returns the number of log files removed."""
+        table = self._tables.get(name)
+        if table is None:
+            raise ValueError(f"unknown table {name!r}")
+        if (
+            table.connector != "filesystem"
+            or "path" not in table.options
+            or table._commit_protocol() != "manifest"
+        ):
+            raise ValueError(
+                f"ALTER TABLE ... VACUUM is only supported for filesystem "
+                f"tables with 'sink.commit-protocol'='manifest' (table "
+                f"{name!r} has connector {table.connector!r}, protocol "
+                f"{table.options.get('sink.commit-protocol', 'rename')!r})"
+            )
+        from flink_release_1_16_0_spark.sources.commit_protocol import (
+            manifest_vacuum,
+        )
+
+        removed = manifest_vacuum(
+            table.options["path"], keep_checkpoints=keep_checkpoints
+        )
+        return TableResult(rows=[f"removed {removed} log files"])
 
     def _hive_partition_ddl(self, table: CatalogTable, stmt: str) -> TableResult:
         """ADD/DROP PARTITION on a hive-connector table lowers onto

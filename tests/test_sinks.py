@@ -954,3 +954,162 @@ def test_write_claimed_post_claim_guard_withdraws(tmp_path):
     status = cp._write_claimed(path, {"files": {}}, post_claim_guard=lambda: True)
     assert status == "ok"
     assert os.path.exists(path)
+
+
+def test_alter_table_compact_and_vacuum_sql_surface(spark, tmp_path):
+    """The commit log's maintenance operations are reachable from SQL:
+    ALTER TABLE ... COMPACT folds the manifest log into a fresh
+    checkpoint (SqlAlterTableCompact's role, re-expressed for the
+    manifest protocol where data files are immutable) and ALTER TABLE
+    ... VACUUM [RETAIN n CHECKPOINTS] deletes log files no reader can
+    need — a 50-commit table's log shrinks while every committed row
+    stays visible."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "cv_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE cv_snk (k BIGINT) WITH (
+            'connector'='filesystem','path'='{out}','format'='parquet',
+            'sink.commit-protocol'='manifest')"""
+    )
+    # 5 real engine commits carry the data...
+    for i in range(5):
+        tenv.execute_sql(f"INSERT INTO cv_snk SELECT CAST({i} AS BIGINT)")
+    # ...and 45 more log entries simulate a long-lived table (the files
+    # they reference are this job's own already-live files, so replay
+    # stays consistent)
+    live = cp._live_map(out)[""]
+    for _ in range(45):
+        cp._publish_manifest(out, {"files": {"": sorted(live)}})
+    commits = os.path.join(out, cp._COMMITS_DIR)
+    n_before = len(os.listdir(commits))
+    assert n_before >= 50
+
+    tenv.execute_sql("ALTER TABLE cv_snk COMPACT")
+    # head checkpoint exists: the next reader replays zero tail manifests
+    head = cp._max_seq(commits)
+    assert f"checkpoint-{head:020d}.json" in os.listdir(commits)
+
+    res = tenv.execute_sql("ALTER TABLE cv_snk VACUUM RETAIN 1 CHECKPOINTS")
+    assert "removed" in res.collect()[0]
+    n_after = len(os.listdir(commits))
+    assert n_after < n_before
+    # only the head checkpoint + nothing below it remains readable-needed
+    assert sum(1 for f in os.listdir(commits) if f.startswith("checkpoint-")) == 1
+    # every committed row is still served
+    rows = {r.k for r in tenv.sql_query("SELECT k FROM cv_snk").to_data_frame().collect()}
+    assert rows == {0, 1, 2, 3, 4}
+    # COMPACT on a rename-protocol table is DATA compaction and still works
+    out2 = str(tmp_path / "cv_ren")
+    tenv.execute_sql(
+        f"""CREATE TABLE cv_ren (k BIGINT) WITH (
+            'connector'='filesystem','path'='{out2}','format'='parquet')"""
+    )
+    for i in range(3):
+        tenv.execute_sql(f"INSERT INTO cv_ren SELECT CAST({i} AS BIGINT)")
+    n_files = len([f for f in os.listdir(out2) if f.endswith(".parquet")])
+    tenv.execute_sql("ALTER TABLE cv_ren COMPACT")
+    n_files2 = len([f for f in os.listdir(out2) if f.endswith(".parquet")])
+    assert n_files2 < n_files
+    rows = {r.k for r in tenv.sql_query("SELECT k FROM cv_ren").to_data_frame().collect()}
+    assert rows == {0, 1, 2}
+    # VACUUM rejects the rename protocol (no log to vacuum)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="manifest"):
+        tenv.execute_sql("ALTER TABLE cv_ren VACUUM")
+
+
+def test_manifest_auto_vacuum_option(spark, tmp_path):
+    """'sink.log.auto-vacuum'='true' applies the storage bound after
+    every manifest commit — a table committed past CHECKPOINT_EVERY
+    keeps a bounded log without any operator intervention."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "av_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE av_snk (k BIGINT) WITH (
+            'connector'='filesystem','path'='{out}','format'='parquet',
+            'sink.commit-protocol'='manifest',
+            'sink.log.auto-vacuum'='true',
+            'sink.log.keep-checkpoints'='1')"""
+    )
+    tenv.execute_sql("INSERT INTO av_snk SELECT CAST(0 AS BIGINT)")
+    live = cp._live_map(out)[""]
+    # push the log across two checkpoint boundaries via the engine's
+    # committer entry (the option hook lives in _stage_and_move; these
+    # direct publishes stand in for its commits between the SQL ones)
+    for _ in range(2 * cp.CHECKPOINT_EVERY):
+        cp._publish_manifest(out, {"files": {"": sorted(live)}})
+    tenv.execute_sql("INSERT INTO av_snk SELECT CAST(1 AS BIGINT)")
+    commits = os.path.join(out, cp._COMMITS_DIR)
+    # the post-commit vacuum pruned manifests folded below the retained
+    # checkpoint: far fewer than the ~43 published
+    n_manifests = sum(1 for f in os.listdir(commits) if f.startswith("manifest-"))
+    assert n_manifests <= cp.CHECKPOINT_EVERY + 3
+    rows = {r.k for r in tenv.sql_query("SELECT k FROM av_snk").to_data_frame().collect()}
+    assert rows == {0, 1}
+
+
+def test_manifest_log_concurrent_stress(tmp_path):
+    """The combinatorial gap between the targeted adjudication tests:
+    N committer PROCESSES, M reader loops and a compact+vacuum daemon
+    hammer one table concurrently (real processes — the claims are
+    O_EXCL at the filesystem level). Invariants asserted: every reader
+    observes a consistent, monotonically-growing prefix of history
+    (no committed file ever vanishes from a live set), every
+    acknowledged commit is visible in the final resolution, and the
+    vacuum keeps the log's storage bounded while all of that holds."""
+    import multiprocessing as mp
+    import os
+    import time
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+    from tests import manifest_stress as ms
+
+    base = str(tmp_path / "stress")
+    os.makedirs(base)
+    duration = float(os.environ.get("MANIFEST_STRESS_SECS", "8"))
+    stop = time.time() + duration
+    ctx = mp.get_context("spawn")  # no inherited JVM/pytest state
+
+    acks = [str(tmp_path / f"ack{i}.txt") for i in range(4)]
+    errs = [str(tmp_path / f"err{i}.txt") for i in range(2)]
+    procs = (
+        [ctx.Process(target=ms.committer, args=(base, i, stop, acks[i])) for i in range(4)]
+        + [ctx.Process(target=ms.reader, args=(base, stop, errs[i])) for i in range(2)]
+        + [ctx.Process(target=ms.vacuumer, args=(base, stop))]
+    )
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=duration + 60)
+        assert not p.is_alive(), "stress worker hung"
+        assert p.exitcode == 0, f"stress worker crashed with {p.exitcode}"
+
+    for err in errs:
+        text = open(err).read()
+        assert text.startswith("ok "), f"reader violation: {text}"
+        assert int(text.split()[1]) > 10  # the reader actually read
+
+    acked = set()
+    for ack in acks:
+        acked |= {line.strip() for line in open(ack) if line.strip()}
+    assert len(acked) > 100, "committers made too little progress to prove anything"
+    final = cp._live_map(base).get("", set())
+    lost = acked - final
+    assert not lost, f"{len(lost)} acknowledged commits invisible, e.g. {sorted(lost)[:5]}"
+
+    # the log's storage stayed bounded: far fewer log files remain than
+    # commits were made (the vacuum daemon actually deleted history)
+    commits_dir = os.path.join(base, cp._COMMITS_DIR)
+    n_log = len(os.listdir(commits_dir))
+    assert n_log < len(acked) / 2, f"{n_log} log files for {len(acked)} commits"
