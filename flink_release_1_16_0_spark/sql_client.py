@@ -186,8 +186,81 @@ _HELP = (
     "  HELP;   print this help\n"
     "  CLEAR;  clear the screen\n"
     "  QUIT; / EXIT;  leave the client\n"
-    "Everything else is SQL, executed when the trailing ';' arrives."
+    "Everything else is SQL, executed when the trailing ';' arrives.\n"
+    "SET 'sql-client.execution.result-mode' = 'tableau'|'table'|'changelog';"
 )
+
+#: CliClient's result-display modes (SET 'sql-client.execution.result-mode',
+#: SqlClientOptions / CliTableauResultView in the reference). In this
+#: non-curses terminal, 'table' renders like 'tableau' (the reference's
+#: table mode is an interactive curses view); 'changelog' prepends the
+#: row-kind op column.
+_RESULT_MODE_KEY = "sql-client.execution.result-mode"
+_MAX_DISPLAY_ROWS = 20
+
+
+def _fmt_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
+def format_rows_tableau(columns: list[str], rows: list[list[str]]) -> str:
+    """Ascii-bordered tableau rendering (CliTableauResultView's batch
+    print) built from already-collected rows — PUBLIC API only, no
+    py4j ``_jdf`` handles."""
+    widths = [
+        max(len(c), *(len(r[i]) for r in rows)) if rows else len(c)
+        for i, c in enumerate(columns)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    head = "|" + "|".join(f" {c:<{w}} " for c, w in zip(columns, widths)) + "|"
+    lines = [sep, head, sep]
+    for r in rows:
+        lines.append("|" + "|".join(f" {v:<{w}} " for v, w in zip(r, widths)) + "|")
+    lines.append(sep)
+    return "\n".join(lines)
+
+
+def _render_df(tenv, df, emit) -> None:
+    """Render a query result per the session's result mode, with an
+    EXPLICIT truncation footer — the previous ``_jdf.showString`` call
+    capped at 20 rows silently through a private py4j handle."""
+    mode = "tableau"
+    cfg = getattr(tenv, "_config", None)
+    if cfg is not None:
+        mode = cfg.get(_RESULT_MODE_KEY, "tableau").strip().lower()
+    if mode not in ("tableau", "table", "changelog"):
+        raise ValueError(
+            f"unknown {_RESULT_MODE_KEY} {mode!r} "
+            "(supported: tableau, table, changelog)"
+        )
+    columns = list(df.columns)
+    taken = df.take(_MAX_DISPLAY_ROWS + 1)
+    truncated = len(taken) > _MAX_DISPLAY_ROWS
+    taken = taken[:_MAX_DISPLAY_ROWS]
+    if mode == "changelog":
+        # the op column: a changelog-bridged table carries __rowkind;
+        # plain (insert-only) results are all +I
+        if "__rowkind" in columns:
+            ki = columns.index("__rowkind")
+            out_cols = ["op"] + [c for j, c in enumerate(columns) if j != ki]
+            rows = [
+                [_fmt_cell(r[ki])] + [_fmt_cell(v) for j, v in enumerate(r) if j != ki]
+                for r in taken
+            ]
+        else:
+            out_cols = ["op"] + columns
+            rows = [["+I"] + [_fmt_cell(v) for v in r] for r in taken]
+    else:
+        out_cols = columns
+        rows = [[_fmt_cell(v) for v in r] for r in taken]
+    emit(format_rows_tableau(out_cols, rows))
+    if truncated:
+        emit(f"-- only showing first {_MAX_DISPLAY_ROWS} rows")
+    emit(f"{len(rows)} row(s) in set")
 
 
 def run_interactive(tenv, instream=None, outstream=None) -> int:
@@ -199,9 +272,33 @@ def run_interactive(tenv, instream=None, outstream=None) -> int:
     EXIT/CLEAR/HELP are handled locally (CliClient's command parser);
     a failed statement prints its error and the session CONTINUES —
     errors never kill the client. Returns the number of failed
-    statements."""
+    statements.
+
+    On a real terminal, lines are read through ``input()`` with the
+    stdlib ``readline`` imported, giving line editing plus persistent
+    statement history in ``~/.flink-sql-history`` (the reference
+    client's history file, CliClient's LineReader); scripted/piped
+    stdin keeps the plain readline() path."""
+    import os
+
     instream = instream if instream is not None else sys.stdin
     outstream = outstream if outstream is not None else sys.stdout
+    tty = (
+        instream is sys.stdin
+        and getattr(sys.stdin, "isatty", lambda: False)()
+    )
+    histfile = None
+    if tty:
+        try:
+            import readline
+
+            histfile = os.path.expanduser("~/.flink-sql-history")
+            try:
+                readline.read_history_file(histfile)
+            except OSError:
+                pass
+        except ImportError:
+            histfile = None
 
     def emit(text: str) -> None:
         print(text, file=outstream)
@@ -211,11 +308,17 @@ def run_interactive(tenv, instream=None, outstream=None) -> int:
     failures = 0
     while True:
         prompt = "Flink SQL> " if not pending.strip() else "         > "
-        outstream.write(prompt)
-        outstream.flush()
-        line = instream.readline()
-        if not line:  # EOF ends the session like QUIT
-            break
+        if tty:
+            try:
+                line = input(prompt) + "\n"
+            except EOFError:
+                break
+        else:
+            outstream.write(prompt)
+            outstream.flush()
+            line = instream.readline()
+            if not line:  # EOF ends the session like QUIT
+                break
         pending += line
         stmts, pending = split_statements_with_tail(pending)
         quit_seen = False
@@ -235,7 +338,7 @@ def run_interactive(tenv, instream=None, outstream=None) -> int:
                 if res is not None and hasattr(res, "to_data_frame"):
                     df = res.to_data_frame()
                     if df is not None:
-                        emit(df._jdf.showString(20, 0, False))
+                        _render_df(tenv, df, emit)
                     elif getattr(res, "_rows", None):
                         # rows-based results (SHOW TABLES, DESCRIBE,
                         # DDL acks): render the rows, don't swallow them
@@ -250,6 +353,13 @@ def run_interactive(tenv, instream=None, outstream=None) -> int:
                 emit(f"[ERROR] {type(exc).__name__}: {exc}")
         if quit_seen:
             break
+    if histfile:
+        try:
+            import readline
+
+            readline.write_history_file(histfile)
+        except OSError:
+            pass
     emit("Bye.")
     return failures
 

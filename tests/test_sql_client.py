@@ -297,3 +297,58 @@ def test_interactive_block_comment_spans_lines(spark):
     failures = run_interactive(tenv, instream=stdin, outstream=out)
     assert failures == 0
     assert "42" in out.getvalue()
+
+
+def test_repl_rendering_truncation_and_result_modes(spark, tmp_path):
+    """Round-10 REPL polish: results render through PUBLIC DataFrame
+    APIs (no _jdf handle) as an ascii tableau with an EXPLICIT
+    truncation footer when >20 rows, and
+    SET 'sql-client.execution.result-mode'='changelog' prepends the op
+    column (CliClient result modes)."""
+    import io
+
+    from flink_release_1_16_0_spark.sql_client import run_interactive
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    src = str(tmp_path / "rm_src")
+    spark.range(0, 25).selectExpr("id AS k").write.parquet(src)
+    tenv = TableEnvironment.create(spark)
+    stdin = io.StringIO(
+        f"CREATE TABLE rm_t (k BIGINT) WITH ('connector'='filesystem',"
+        f"'path'='{src}','format'='parquet');\n"
+        "SELECT k FROM rm_t ORDER BY k;\n"          # 25 rows -> truncated
+        "SELECT COUNT(*) AS n FROM rm_t;\n"          # 1 row -> no footer
+        "SET 'sql-client.execution.result-mode' = 'changelog';\n"
+        "SELECT MAX(k) AS mx FROM rm_t;\n"           # op column appears
+        "SET 'sql-client.execution.result-mode' = 'bogus';\n"
+        "SELECT 1 AS one;\n"                         # bad mode -> [ERROR], survives
+        "SET 'sql-client.execution.result-mode' = 'tableau';\n"
+        "SELECT 2 AS two;\n"                         # recovery
+        "QUIT;\n"
+    )
+    out = io.StringIO()
+    failures = run_interactive(tenv, instream=stdin, outstream=out)
+    text = out.getvalue()
+    assert failures == 1  # only the bogus-mode SELECT failed
+    assert "-- only showing first 20 rows" in text
+    assert "20 row(s) in set" in text and "1 row(s) in set" in text
+    assert "| op |" in text and "+I" in text  # changelog mode
+    assert "[ERROR]" in text and "bogus" in text
+    assert "| two |" in text or "| two" in text  # recovered in tableau mode
+    # NULL renders as the reference's NULL, not Python's None
+    stdin = io.StringIO("SELECT CAST(NULL AS INT) AS v;\nQUIT;\n")
+    out = io.StringIO()
+    assert run_interactive(tenv, instream=stdin, outstream=out) == 0
+    assert "NULL" in out.getvalue() and "None" not in out.getvalue()
+
+
+def test_format_rows_tableau_alignment():
+    from flink_release_1_16_0_spark.sql_client import format_rows_tableau
+
+    text = format_rows_tableau(["a", "long_col"], [["1", "x"], ["22", "yyy"]])
+    lines = text.splitlines()
+    assert lines[0] == "+----+----------+"
+    assert lines[1] == "| a  | long_col |"
+    assert lines[3] == "| 1  | x        |"
+    assert lines[4] == "| 22 | yyy      |"
+    assert len({len(ln) for ln in lines}) == 1  # perfectly rectangular
