@@ -43,6 +43,7 @@ _MODULES = (
     "tpch_full",
     "tpcds_shapes",
     "tpcds_deep",
+    "tpcds_deep2",
     "joins",
     "aggregates",
     "windows_over",
