@@ -174,7 +174,17 @@ SELECT id_a, id_b, jaccard FROM (
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     sh = docs.select("doc_id", shingles(F.col("text"), 2).alias("s"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    # The theta join (id_a < id_b) plans as a broadcast nested-loop whose
+    # parallelism is the STREAMED side's partition count — a small
+    # single-file slice arrives as 1-2 input splits, serializing the
+    # entire O(n^2/2) jaccard work in one task (the round-10 sf1 sweep
+    # found it: >1 h on one core at sf1). Repartitioning the streamed
+    # side spreads the pair space across every executor; the broadcast
+    # side stays a single copy per executor either way.
+    par = spark.sparkContext.defaultParallelism
+    a = sh.repartition(par, F.col("doc_id")).select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("s_a")
+    )
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -201,7 +211,12 @@ WHERE ROUND({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {_COS_THRESHOLD}
 @register("dedup_embedding_cosine", _COSDUP_ORACLE, tags=("llm", "dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a"))
+    # same streamed-side repartition as dedup_ngram_jaccard: the theta
+    # join's nested-loop parallelism is the left side's split count
+    par = spark.sparkContext.defaultParallelism
+    a = emb.repartition(par, F.col("vec_id")).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("e_a")
+    )
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("e_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
