@@ -91,46 +91,40 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-9 window — part 1: the NEW surfaces — Hive CLUSTERED BY ->
-    # native bucketing, the rewritten manifest commit protocol (O_EXCL
-    # seq claims + checkpoint compaction), and the 17 deep TPC-DS
-    # shapes (tpcds_deep.py).
-    "api_sql_hive_buckets",
+    # round-10 window — part 1: the NEW surfaces — the commit-log
+    # maintenance SQL (ALTER TABLE COMPACT/VACUUM + auto-vacuum option)
+    # and the 13 archetype-tail TPC-DS shapes (tpcds_deep2.py).
+    "api_sql_manifest_maintenance",
+    "ds_best_customer_pyramid",
+    "ds_sale_return_chain",
+    "ds_week_span_ratio",
+    "ds_exists_supply_chain",
+    "ds_return_ratio_rank_union",
+    "ds_monthly_deviation_filter",
+    "ds_quarter_growth_compare",
+    "ds_three_way_chain",
+    "ds_channel_within_band",
+    "ds_revenue_band_counts",
+    "ds_null_channel_left_join",
+    "ds_cross_channel_items",
+    "ds_return_share_triple",
+    # part 2: re-grades of code round 10 touched — the commit protocol
+    # (stale-claim guard, checkpoint-failure isolation), hive partition
+    # DDL lowering, and the all-pairs dedup plans that gained the
+    # streamed-side repartition.
     "api_sql_manifest_commit",
-    "ds_year_total_ratio",
-    "ds_except_chain_count",
-    "ds_intersect_multicol_count",
-    "ds_lochierarchy_rank",
-    "ds_cumulative_crossover",
-    "ds_moving_avg_deviation",
-    "ds_basket_size_joinback",
-    "ds_channel_parity",
-    "ds_net_after_returns",
-    "ds_multi_count_row",
-    "ds_three_channel_union_sum",
-    "ds_quantity_variance",
-    "ds_unreturned_share",
-    "ds_in_nested_agg",
-    "ds_exists_disjunction",
-    "ds_promo_share",
-    "ds_share_growth",
-    # part 2: re-grades of code round 9 touched — the Hive dialect
-    # (COMMENT ''-escape fix, bucketed-create branch, hive-connector
-    # insertInto sink), the window-attribute rewrite (_sub_window_attrs)
-    # every fluent window select rides, the grouped/windowed UDAF
-    # missing-key guard, and partition DDL.
+    "api_sql_hive_buckets",
     "api_sql_hive_dialect",
-    "api_sql_hive_struct_ctas",
-    "api_table_window_udaf",
-    "api_sql_legacy_group_window",
-    "api_table_row_ops",
-    "window_session",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     # part 3: one representative per SURVEY section-2 family (rotation —
-    # families green in earlier windows keep one seat each; the dsapi
-    # block from round 8, re-graded green there and untouched this
-    # round, yields most slots to the new TPC-DS band).
+    # families green in earlier windows keep one seat each; last round's
+    # tpcds_deep band, re-graded green in r9, yields slots to the new
+    # tail).
     "q1_pricing_summary",
     "q9_product_profit",
+    "ds_year_total_ratio",
+    "ds_cumulative_crossover",
     "join_asof",
     "join_skew_salted",
     "lookup_join_dim",
@@ -143,13 +137,18 @@ _PRIORITY = (
     "setop_except_all",
     "func_collections",
     "window_topn",
+    "window_session",
     "format_debezium_cdc",
+    "format_protobuf_roundtrip",
     "stream_tumble_agg",
     "stream_stateful_topn",
     "stream_window_allowed_lateness",
     "stream_cep_within",
     "changelog_normalize",
     "udtag_table_agg_top2",
+    "api_table_window_udaf",
+    "api_table_row_ops",
+    "correlate_unnest",
     "dedup_minhash_lsh",
     "similarity_brute_force_topk",
     "dsapi_window_cogroup",
