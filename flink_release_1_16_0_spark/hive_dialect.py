@@ -267,6 +267,21 @@ def _translate_create_table(env, stmt: str) -> str:
     m = _CREATE_TABLE_RE.fullmatch(stmt)
     if not m:
         raise ValueError(f"hive dialect: cannot parse CREATE TABLE: {stmt!r}")
+    if re.search(r"SKEWED\s+BY\s*\(", stmt, re.IGNORECASE):
+        # documented permanent gap: Spark has no skewed-table DDL — the
+        # metadata Hive uses to split skewed keys into separate
+        # directories (list bucketing) has no catalog slot. The INTENT
+        # (skew-resilient scans/joins) is covered at runtime by AQE's
+        # skew-join splitting (spark.sql.adaptive.skewJoin.enabled, on
+        # by default here) and the explicit salted-join operator
+        # (operators/skew.py), so the DDL raises rather than silently
+        # dropping the clause.
+        raise ValueError(
+            "hive dialect: SKEWED BY is not supported — Spark has no "
+            "skewed-table metadata; skew handling is runtime-adaptive "
+            "(AQE skew-join) or explicit (operators/skew.py salted "
+            "join). Remove the clause; the data lays out identically."
+        )
     cols = [_clean_col(c) for c in _split_cols(m.group("body"))]
     # the regex's trailing clauses are all optional, so an
     # unrecognizable clause makes the lazy body group swallow the rest

@@ -705,3 +705,19 @@ def test_partition_ddl_on_hive_connector_lowers_native(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS hv_natp")
         shutil.rmtree("spark-warehouse/hv_natp", ignore_errors=True)
+
+
+def test_hive_skewed_by_raises_documented_gap(tenv):
+    """SKEWED BY is a documented permanent divergence: Spark has no
+    skewed-table DDL slot; the intent is covered by AQE skew-join
+    splitting and the explicit salted-join operator. The dialect must
+    say exactly that, not emit a generic parse error."""
+    tenv.execute_sql("SET 'table.sql-dialect' = 'hive'")
+    try:
+        with pytest.raises(ValueError, match="SKEWED BY.*AQE"):
+            tenv.execute_sql(
+                "CREATE TABLE hv_skew (k INT, v STRING) "
+                "SKEWED BY (k) ON (1, 5) STORED AS PARQUET"
+            )
+    finally:
+        tenv.execute_sql("SET 'table.sql-dialect' = 'default'")
