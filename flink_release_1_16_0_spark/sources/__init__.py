@@ -298,6 +298,83 @@ def compact_files(
     return n_files
 
 
+def manifest_rewrite_files(
+    spark: SparkSession,
+    base: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    schema: str | None = None,
+    format_opts: dict | None = None,
+) -> dict[str, int]:
+    """DATA-file compaction under the manifest commit log — the
+    table-format rewrite operation (Iceberg rewrite_data_files / Delta
+    OPTIMIZE; the reference's CompactOperator role for its streaming
+    sink). The rename-protocol path compacts by directory swap
+    (:func:`compact_files`), which would rip files out from under a
+    manifest reader — here the rewrite is a LOGICAL swap instead:
+
+    1. per partition, read the LIVE files (manifest-resolved, so orphan
+       and replaced generations are never re-compacted in);
+    2. rewrite them into ~target-size files with globally-unique names
+       landing directly in the final directory;
+    3. publish ONE overwrite manifest declaring the new files live.
+
+    Readers switch atomically at the manifest; the old generation stays
+    on disk (invisible) until :func:`~flink_release_1_16_0_spark.sources
+    .commit_protocol.manifest_vacuum_data` reclaims it past the grace.
+    At 100 TB this is the operation that keeps a frequently-committed
+    table's scan split count bounded: each micro-commit adds small
+    files, the rewrite folds each partition back to
+    ceil(bytes/target) files, and only partitions with >1 live file pay
+    anything. Returns {partition_rel: new_file_count} for the rewritten
+    partitions."""
+    import math
+    import shutil as _sh
+    import uuid as _uuid
+
+    from flink_release_1_16_0_spark.sources.commit_protocol import (
+        _data_files,
+        _live_map,
+        _publish_manifest,
+    )
+
+    live = _live_map(base)
+    rewritten: dict[str, list[str]] = {}
+    for rel, names in live.items():
+        if len(names) < 2:
+            continue  # nothing to merge
+        d = os.path.join(base, rel) if rel else base
+        paths = [os.path.join(d, n) for n in sorted(names)]
+        total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_out >= len(names):
+            continue  # already at or under target width
+        reader = spark.read.format(fmt).options(**(format_opts or {}))
+        if schema:
+            reader = reader.schema(schema)
+        df = reader.load(paths)
+        staging = os.path.join(d, f".compact-{_uuid.uuid4().hex}")
+        df.repartition(n_out).write.format(fmt).options(
+            **(format_opts or {})
+        ).mode("overwrite").save(staging)
+        new_names = sorted(_data_files(staging))
+        for f in new_names:
+            # Spark part-file names embed a task uuid: unique in d
+            os.replace(os.path.join(staging, f), os.path.join(d, f))
+        _sh.rmtree(staging, ignore_errors=True)
+        rewritten[rel] = new_names
+    if rewritten:
+        _publish_manifest(
+            base,
+            {
+                "overwrite": True,
+                "partitions": sorted(rewritten),
+                "files": rewritten,
+            },
+        )
+    return {rel: len(v) for rel, v in rewritten.items()}
+
+
 def sequence_file_source(
     spark: SparkSession, path: str, key_col: str = "key", value_col: str = "value"
 ) -> DataFrame:

@@ -508,6 +508,39 @@ def manifest_vacuum(base: str, keep_checkpoints: int = 2) -> int:
     return removed
 
 
+def manifest_vacuum_data(base: str, older_than_s: float = 86400.0) -> int:
+    """Reclaim UNREFERENCED data files: anything on the data path that
+    the current live resolution does not claim and whose mtime is older
+    than ``older_than_s`` (Delta ``VACUUM ... RETAIN n HOURS`` /
+    Iceberg remove_orphan_files). Two populations qualify: generations
+    replaced by logical OVERWRITEs / rewrites, and crashed writers'
+    orphans. The grace protects (a) files a healthy committer has moved
+    into place but whose manifest has not published yet (that gap is
+    lease-bounded far below any sane grace) and (b) readers still
+    scanning a snapshot that was live when their query planned —
+    retention must exceed the longest query, the same operational rule
+    Delta documents. Returns the number of files removed. The log
+    itself is bounded separately by :func:`manifest_vacuum`."""
+    live = set(manifest_live_files(base))
+    now = time.time()
+    removed = 0
+    for root, dirs, files in os.walk(base):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            p = os.path.join(root, f)
+            if p in live:
+                continue
+            try:
+                if now - os.path.getmtime(p) > older_than_s:
+                    os.unlink(p)
+                    removed += 1
+            except OSError:
+                continue  # concurrently removed / transient: next pass
+    return removed
+
+
 def manifest_commit(base: str, staging: str, rels: list[str], overwrite: bool) -> None:
     """Move data files (already uniquely named by Spark's task-uuid part
     naming) into their final directories WITHOUT deleting anything, then

@@ -3953,11 +3953,14 @@ class TableEnvironment:
             return self.compact_table(m.group(1))
         m = re.fullmatch(
             r"ALTER\s+TABLE\s+([\w.]+)\s+VACUUM"
-            r"(?:\s+RETAIN\s+(\d+)\s+CHECKPOINTS)?",
+            r"(?:\s+RETAIN\s+(\d+)\s+(CHECKPOINTS|HOURS))?",
             stmt,
             re.IGNORECASE,
         )
         if m:
+            unit = (m.group(3) or "").upper()
+            if unit == "HOURS":
+                return self.vacuum_table(m.group(1), retain_hours=int(m.group(2)))
             return self.vacuum_table(m.group(1), keep_checkpoints=int(m.group(2) or 2))
         raise ValueError(f"cannot parse ALTER TABLE: {stmt!r}")
 
@@ -3969,10 +3972,13 @@ class TableEnvironment:
         - rename protocol: REWRITE small data files toward
           ``'compaction.file-size'`` (default 128 MB) — the reference's
           data-file compaction (CompactOperator).
-        - manifest protocol: data files are immutable under the log, so
-          compaction folds the commit LOG into a fresh checkpoint
-          (``manifest_compact`` — the next reader replays zero tail
-          manifests; Delta checkpoint / Iceberg rewrite_manifests)."""
+        - manifest protocol: a LOGICAL rewrite — each partition's live
+          files merge into ~target-size replacements published through
+          one overwrite manifest (``manifest_rewrite_files``, the
+          Iceberg rewrite_data_files / Delta OPTIMIZE shape; readers
+          switch atomically, the old generation stays until a data
+          vacuum) — followed by folding the commit LOG into a fresh
+          checkpoint (``manifest_compact``)."""
         table = self._tables.get(name)
         if table is None:
             raise ValueError(f"unknown table {name!r}")
@@ -3983,10 +3989,29 @@ class TableEnvironment:
                 "needs a filesystem table with a 'path' option"
             )
         if table._commit_protocol() == "manifest":
+            from flink_release_1_16_0_spark.sources import manifest_rewrite_files
             from flink_release_1_16_0_spark.sources.commit_protocol import (
                 manifest_compact,
             )
 
+            # data files on a hive-layout table do not carry the
+            # partition columns (they live in the directory names)
+            pcols = set(table.partitioned_by)
+            data_schema = ", ".join(
+                f"{c.name} {c.spark_type}"
+                for c in table.columns
+                if c.name not in pcols
+            )
+            manifest_rewrite_files(
+                self.spark,
+                table.options["path"],
+                fmt=table.options.get("format", "parquet"),
+                target_file_bytes=_parse_byte_size(
+                    table.options.get("compaction.file-size", "128MB")
+                ),
+                schema=data_schema,
+                format_opts=table._format_extra_opts(),
+            )
             manifest_compact(table.options["path"])
         else:
             from flink_release_1_16_0_spark.sources import compact_files
@@ -4003,13 +4028,25 @@ class TableEnvironment:
         self._register_scan(table)
         return TableResult(rows=["OK"])
 
-    def vacuum_table(self, name: str, keep_checkpoints: int = 2) -> TableResult:
-        """``ALTER TABLE ... VACUUM [RETAIN n CHECKPOINTS]``: bound the
-        manifest commit log's storage by deleting manifests already
-        folded into the oldest retained checkpoint and checkpoints past
-        the retention count (``manifest_vacuum``). Only meaningful under
-        ``'sink.commit-protocol'='manifest'`` — the rename protocol has
-        no log to vacuum. Returns the number of log files removed."""
+    def vacuum_table(
+        self,
+        name: str,
+        keep_checkpoints: int = 2,
+        retain_hours: float = 24.0,
+    ) -> TableResult:
+        """``ALTER TABLE ... VACUUM [RETAIN n CHECKPOINTS | RETAIN n
+        HOURS]``: bound the table's storage on BOTH axes — the commit
+        log (manifests folded into the oldest retained checkpoint and
+        checkpoints past the retention count, ``manifest_vacuum``) and
+        the data path (files no live resolution references, older than
+        the retention window, ``manifest_vacuum_data`` — replaced
+        OVERWRITE/rewrite generations and crashed writers' orphans; the
+        Delta VACUUM / Iceberg remove_orphan_files role). RETAIN n
+        HOURS sets the data retention; retention must exceed the
+        longest-running reader, Delta's documented rule. Only
+        meaningful under ``'sink.commit-protocol'='manifest'`` — the
+        rename protocol has no log and deletes eagerly. Returns both
+        removal counts."""
         table = self._tables.get(name)
         if table is None:
             raise ValueError(f"unknown table {name!r}")
@@ -4026,12 +4063,18 @@ class TableEnvironment:
             )
         from flink_release_1_16_0_spark.sources.commit_protocol import (
             manifest_vacuum,
+            manifest_vacuum_data,
         )
 
         removed = manifest_vacuum(
             table.options["path"], keep_checkpoints=keep_checkpoints
         )
-        return TableResult(rows=[f"removed {removed} log files"])
+        removed_data = manifest_vacuum_data(
+            table.options["path"], older_than_s=retain_hours * 3600.0
+        )
+        return TableResult(
+            rows=[f"removed {removed} log files, {removed_data} data files"]
+        )
 
     def _hive_partition_ddl(self, table: CatalogTable, stmt: str) -> TableResult:
         """ADD/DROP PARTITION on a hive-connector table lowers onto

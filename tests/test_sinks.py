@@ -1113,3 +1113,97 @@ def test_manifest_log_concurrent_stress(tmp_path):
     commits_dir = os.path.join(base, cp._COMMITS_DIR)
     n_log = len(os.listdir(commits_dir))
     assert n_log < len(acked) / 2, f"{n_log} log files for {len(acked)} commits"
+
+
+def test_manifest_data_rewrite_and_data_vacuum(spark, tmp_path):
+    """Round-10 storage story, data axis: ALTER TABLE ... COMPACT on a
+    manifest table REWRITES each partition's small live files into
+    ~target-size replacements behind one atomic overwrite manifest
+    (Iceberg rewrite_data_files / Delta OPTIMIZE shape), and ALTER
+    TABLE ... VACUUM RETAIN n HOURS reclaims the replaced generations
+    and orphans the live resolution no longer references — while every
+    live row and the full read-back stay identical throughout."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "dr_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE dr_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    # six commits -> >= 6 small live files spread over 2 partitions
+    for i in range(6):
+        tenv.execute_sql(f"INSERT INTO dr_snk SELECT CAST({i} AS BIGINT), CAST({i % 2} AS BIGINT)")
+    # one logical overwrite: p=0 gets a replaced generation on disk
+    tenv.execute_sql(
+        "INSERT OVERWRITE dr_snk SELECT CAST(100 AS BIGINT), CAST(0 AS BIGINT)"
+    )
+    expected = {(100, 0), (1, 1), (3, 1), (5, 1)}
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM dr_snk").to_data_frame().collect()
+    }
+    assert rows == expected
+
+    def files_on_disk(rel):
+        d = os.path.join(out, rel)
+        return {f for f in os.listdir(d) if f.endswith(".parquet")}
+
+    live_before = cp._live_map(out)
+    assert len(live_before["p=1"]) == 3  # three small commits
+    n_disk_before = len(files_on_disk("p=0")) + len(files_on_disk("p=1"))
+
+    tenv.execute_sql("ALTER TABLE dr_snk COMPACT")
+    live_after = cp._live_map(out)
+    assert len(live_after["p=1"]) == 1  # merged
+    # p=0 had exactly one live file after the overwrite: not rewritten
+    assert live_after["p=0"] == live_before["p=0"]
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM dr_snk").to_data_frame().collect()
+    }
+    assert rows == expected  # the rewrite changed nothing a reader sees
+    # old generations still on disk (invisible) until the data vacuum
+    assert len(files_on_disk("p=1")) > 1
+
+    res = tenv.execute_sql("ALTER TABLE dr_snk VACUUM RETAIN 0 HOURS")
+    assert "data files" in res.collect()[0]
+    # every on-disk file is now live; nothing a reader needs was removed
+    assert files_on_disk("p=1") == live_after["p=1"]
+    assert files_on_disk("p=0") == live_after["p=0"]
+    assert len(files_on_disk("p=0")) + len(files_on_disk("p=1")) < n_disk_before
+    rows = {
+        (r.k, r.p)
+        for r in tenv.sql_query("SELECT k, p FROM dr_snk").to_data_frame().collect()
+    }
+    assert rows == expected
+
+
+def test_manifest_data_vacuum_respects_retention(tmp_path):
+    """A fresh unreferenced file inside the retention window survives
+    the data vacuum (it may belong to a commit whose manifest has not
+    published yet); only aged unreferenced files are reclaimed."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    os.makedirs(base)
+    with open(os.path.join(base, "live.parquet"), "wb"):
+        pass
+    cp._publish_manifest(base, {"files": {"": ["live.parquet"]}})
+    with open(os.path.join(base, "inflight.parquet"), "wb"):
+        pass
+    old = os.path.join(base, "orphan.parquet")
+    with open(old, "wb"):
+        pass
+    os.utime(old, (1, 1))  # ancient orphan
+    removed = cp.manifest_vacuum_data(base, older_than_s=3600)
+    assert removed == 1
+    assert sorted(
+        f for f in os.listdir(base) if f.endswith(".parquet")
+    ) == ["inflight.parquet", "live.parquet"]
