@@ -304,6 +304,7 @@ def manifest_rewrite_files(
     fmt: str = "parquet",
     target_file_bytes: int = 128 * 1024 * 1024,
     schema: str | None = None,
+    partition_cols: list[str] | None = None,
     format_opts: dict | None = None,
 ) -> dict[str, int]:
     """DATA-file compaction under the manifest commit log — the
@@ -313,24 +314,31 @@ def manifest_rewrite_files(
     (:func:`compact_files`), which would rip files out from under a
     manifest reader — here the rewrite is a LOGICAL swap instead:
 
-    1. per partition, read the LIVE files (manifest-resolved, so orphan
-       and replaced generations are never re-compacted in);
+    1. read the LIVE files (manifest-resolved, so orphan and replaced
+       generations are never re-compacted in) of every partition whose
+       live file count exceeds its byte-derived target width;
     2. rewrite them into ~target-size files with globally-unique names
-       landing directly in the final directory;
+       landing in the final directories;
     3. publish ONE overwrite manifest declaring the new files live.
 
     Readers switch atomically at the manifest; the old generation stays
     on disk (invisible) until :func:`~flink_release_1_16_0_spark.sources
     .commit_protocol.manifest_vacuum_data` reclaims it past the grace.
-    At 100 TB this is the operation that keeps a frequently-committed
-    table's scan split count bounded: each micro-commit adds small
-    files, the rewrite folds each partition back to
-    ceil(bytes/target) files, and only partitions with >1 live file pay
-    anything. Returns {partition_rel: new_file_count} for the rewritten
-    partitions."""
+
+    100 TB shape: ALL under-target partitions rewrite in ONE Spark job —
+    hash-repartitioned on the partition columns so each partition's rows
+    land in exactly one task and emerge as exactly one file (a
+    per-partition job loop would serialize 10k driver-side jobs on a
+    10k-partition table). Partitions whose live bytes exceed the target
+    keep multiple files and rewrite in the rare per-partition fallback,
+    sized ceil(bytes/target). Only partitions with more live files than
+    their target width pay anything. Returns {partition_rel:
+    new_file_count} for the rewritten partitions."""
     import math
     import shutil as _sh
     import uuid as _uuid
+
+    from pyspark.sql import functions as F
 
     from flink_release_1_16_0_spark.sources.commit_protocol import (
         _data_files,
@@ -338,8 +346,10 @@ def manifest_rewrite_files(
         _publish_manifest,
     )
 
+    pcols = list(partition_cols or [])
     live = _live_map(base)
-    rewritten: dict[str, list[str]] = {}
+    small: dict[str, list[str]] = {}  # merge-to-one-file candidates
+    big: dict[str, tuple[list[str], int]] = {}  # oversized: n_out > 1
     for rel, names in live.items():
         if len(names) < 2:
             continue  # nothing to merge
@@ -349,20 +359,81 @@ def manifest_rewrite_files(
         n_out = max(1, math.ceil(total / target_file_bytes))
         if n_out >= len(names):
             continue  # already at or under target width
+        if n_out == 1:
+            small[rel] = paths
+        else:
+            big[rel] = (paths, n_out)
+
+    rewritten: dict[str, list[str]] = {}
+
+    def _reader():
+        r = spark.read.format(fmt).options(**(format_opts or {}))
+        return r.schema(schema) if schema else r
+
+    def _adopt(staging: str, rel: str) -> None:
+        d = os.path.join(base, rel) if rel else base
+        os.makedirs(d, exist_ok=True)
+        names = sorted(_data_files(staging))
+        for f in names:
+            # Spark part-file names embed a task uuid: unique in d
+            os.replace(os.path.join(staging, f), os.path.join(d, f))
+        rewritten[rel] = names
+
+    if small:
+        staging = os.path.join(base, f".compact-{_uuid.uuid4().hex}")
+        df = _reader().option("basePath", base).load(
+            [p for paths in small.values() for p in paths]
+        )
+        if pcols:
+            # one task per partition value -> one file per partition
+            w = (
+                df.repartition(*[F.col(c) for c in pcols])
+                .write.format(fmt)
+                .options(**(format_opts or {}))
+                .partitionBy(*pcols)
+            )
+        else:
+            w = (
+                df.repartition(1)
+                .write.format(fmt)
+                .options(**(format_opts or {}))
+            )
+        w.mode("overwrite").save(staging)
+        if pcols:
+            # adopt exactly the victim partitions (hash-partitioned
+            # write produced one leaf dir per value)
+            for rel in small:
+                leaf = os.path.join(staging, rel)
+                if os.path.isdir(leaf):
+                    _adopt(leaf, rel)
+        else:
+            _adopt(staging, "")
+        _sh.rmtree(staging, ignore_errors=True)
+
+    for rel, (paths, n_out) in big.items():
+        d = os.path.join(base, rel) if rel else base
+        staging = os.path.join(d, f".compact-{_uuid.uuid4().hex}")
+        # oversized partitions read WITHOUT basePath (no partition
+        # columns in the data files, none needed: one rel at a time)
         reader = spark.read.format(fmt).options(**(format_opts or {}))
         if schema:
-            reader = reader.schema(schema)
+            data_schema = schema
+            if pcols:
+                # strip partition columns from the declared schema
+                keep = [
+                    c
+                    for c in [s.strip() for s in schema.split(",")]
+                    if c.split()[0] not in set(pcols)
+                ]
+                data_schema = ", ".join(keep)
+            reader = reader.schema(data_schema)
         df = reader.load(paths)
-        staging = os.path.join(d, f".compact-{_uuid.uuid4().hex}")
         df.repartition(n_out).write.format(fmt).options(
             **(format_opts or {})
         ).mode("overwrite").save(staging)
-        new_names = sorted(_data_files(staging))
-        for f in new_names:
-            # Spark part-file names embed a task uuid: unique in d
-            os.replace(os.path.join(staging, f), os.path.join(d, f))
+        _adopt(staging, rel)
         _sh.rmtree(staging, ignore_errors=True)
-        rewritten[rel] = new_names
+
     if rewritten:
         _publish_manifest(
             base,

@@ -3994,14 +3994,6 @@ class TableEnvironment:
                 manifest_compact,
             )
 
-            # data files on a hive-layout table do not carry the
-            # partition columns (they live in the directory names)
-            pcols = set(table.partitioned_by)
-            data_schema = ", ".join(
-                f"{c.name} {c.spark_type}"
-                for c in table.columns
-                if c.name not in pcols
-            )
             manifest_rewrite_files(
                 self.spark,
                 table.options["path"],
@@ -4009,7 +4001,8 @@ class TableEnvironment:
                 target_file_bytes=_parse_byte_size(
                     table.options.get("compaction.file-size", "128MB")
                 ),
-                schema=data_schema,
+                schema=table.schema_ddl(),
+                partition_cols=list(table.partitioned_by),
                 format_opts=table._format_extra_opts(),
             )
             manifest_compact(table.options["path"])
