@@ -313,6 +313,10 @@ def run_interactive(tenv, instream=None, outstream=None) -> int:
                 line = input(prompt) + "\n"
             except EOFError:
                 break
+            except KeyboardInterrupt:
+                emit("")  # newline after ^C; drop the partial statement
+                pending = ""
+                continue
         else:
             outstream.write(prompt)
             outstream.flush()
@@ -348,6 +352,10 @@ def run_interactive(tenv, instream=None, outstream=None) -> int:
                         emit("[INFO] Execute statement succeeded.")
                 else:
                     emit("[INFO] Execute statement succeeded.")
+            except KeyboardInterrupt:
+                # CliClient's Ctrl-C contract: cancel the RUNNING query,
+                # keep the session (only EOF/QUIT end it)
+                emit("[INFO] Query cancelled.")
             except Exception as exc:  # noqa: BLE001 — REPL survives any statement error
                 failures += 1
                 emit(f"[ERROR] {type(exc).__name__}: {exc}")

@@ -352,3 +352,26 @@ def test_format_rows_tableau_alignment():
     assert lines[3] == "| 1  | x        |"
     assert lines[4] == "| 22 | yyy      |"
     assert len({len(ln) for ln in lines}) == 1  # perfectly rectangular
+
+
+def test_interactive_ctrl_c_cancels_query_not_session():
+    """CliClient's Ctrl-C contract: a KeyboardInterrupt raised while a
+    statement executes cancels THAT query and the session continues."""
+    import io
+
+    from flink_release_1_16_0_spark.sql_client import run_interactive
+
+    class FakeTenv:
+        def execute_sql(self, stmt):
+            if "boom" in stmt:
+                raise KeyboardInterrupt
+            return None
+
+    stdin = io.StringIO("SELECT boom;\nSELECT fine;\nQUIT;\n")
+    out = io.StringIO()
+    failures = run_interactive(FakeTenv(), instream=stdin, outstream=out)
+    text = out.getvalue()
+    assert failures == 0  # a cancel is not an error
+    assert "[INFO] Query cancelled." in text
+    assert text.count("[INFO] Execute statement succeeded.") == 1  # the fine one
+    assert text.strip().endswith("Bye.")

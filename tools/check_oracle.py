@@ -200,6 +200,17 @@ def main() -> int:
     spark = get_spark("oracle-check")
     register_tables(spark, args.sf)
     con = duckdb.connect()
+    # Bound DuckDB's native memory and let it SPILL instead of OOMing:
+    # the sf1 sweep's recursive-CTE / all-pairs oracles can balloon past
+    # the host's RAM next to the Spark JVM (a 10x fixture OOM-killed the
+    # whole sweep once). Slower oracle > dead sweep.
+    import os as _os
+
+    mem = _os.environ.get("ORACLE_DUCKDB_MEM", "32GB")
+    spill = _os.environ.get("ORACLE_DUCKDB_TMP", "/tmp/duckdb_spill")
+    _os.makedirs(spill, exist_ok=True)
+    con.execute(f"PRAGMA memory_limit='{mem}'")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
 
