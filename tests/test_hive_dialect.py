@@ -326,7 +326,9 @@ def test_hive_dialect_lines_and_misparse_guard(tenv, tmp_path):
                COLLECTION ITEMS TERMINATED BY '|'
                STORED AS TEXTFILE"""
         )
-    with pytest.raises(ValueError, match="cannot parse CREATE TABLE"):
+    # SKEWED BY graduated from the generic misparse guard to its own
+    # documented-gap message (round 10)
+    with pytest.raises(ValueError, match="SKEWED BY is not supported"):
         tenv.execute_sql(
             "CREATE TABLE hv_skew (x INT) SKEWED BY (x) ON (1) STORED AS PARQUET"
         )

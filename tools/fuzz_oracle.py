@@ -174,7 +174,73 @@ def _agg_exprs(rng: random.Random, tables: list[tuple[str, str]]) -> list[str]:
 def gen_query(seed: int) -> str:
     """One deterministic random query for ``seed``."""
     rng = random.Random(seed)
-    shape = rng.choice(["agg", "agg_join", "setop", "window"])
+    shape = rng.choice(
+        ["agg", "agg_join", "setop", "window", "left_join", "exists", "rollup"]
+    )
+
+    if shape == "left_join":
+        # null-extension semantics: unmatched left rows must aggregate
+        # identically (COUNT skips nulls, SUM of no rows is NULL, the
+        # IS NULL branch) — a classic cross-engine divergence source
+        lt, rt, lc, rc = JOINS[rng.randrange(len(JOINS))]
+        rf = _filters(rng, rt, "r")
+        on = f"r.{rc} = l.{lc}" + ("" if not rf else " AND " + " AND ".join(rf))
+        lf = _filters(rng, lt, "l")
+        g, graw = _group_expr(rng, lt, "l")
+        money = T[rt]["money"][0]
+        sql = (
+            f"SELECT {g} AS g,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n_left,\n"
+            f"       CAST(COUNT(r.{rc}) AS BIGINT) AS n_matched,\n"
+            f"       CAST(SUM(CASE WHEN r.{rc} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_null,\n"
+            f"       CAST(SUM(CAST(CAST(r.{money} AS DECIMAL(38,2)) * 100 AS BIGINT))"
+            f" AS BIGINT) AS cents\n"
+            f"FROM {lt} l\nLEFT JOIN {rt} r ON {on}"
+        )
+        if lf:
+            sql += "\nWHERE " + " AND ".join(lf)
+        sql += f"\nGROUP BY {graw}"
+        return sql
+
+    if shape == "exists":
+        # correlated [NOT] EXISTS decorrelation
+        lt, rt, lc, rc = JOINS[rng.randrange(len(JOINS))]
+        neg = rng.choice(["", "NOT "])
+        rf = _filters(rng, rt, "r")
+        cond = f"r.{rc} = o.{lc}" + ("" if not rf else " AND " + " AND ".join(rf))
+        lf = _filters(rng, lt, "o")
+        g, graw = _group_expr(rng, lt, "o")
+        sql = (
+            f"SELECT {g} AS g, CAST(COUNT(*) AS BIGINT) AS n\n"
+            f"FROM {lt} o\n"
+            f"WHERE {neg}EXISTS (SELECT 1 FROM {rt} r WHERE {cond})"
+        )
+        if lf:
+            sql += " AND " + " AND ".join(lf)
+        sql += f"\nGROUP BY {graw}"
+        return sql
+
+    if shape == "rollup":
+        # grouping-sets null rows must canonicalize identically
+        t = rng.choice(["orders", "lineitem", "customer"])
+        g1, r1 = _group_expr(rng, t, t)
+        g2, r2 = _group_expr(rng, t, t)
+        if r1 == r2:
+            g2, r2 = f"{t}.{T[t]['keys'][0]} % 2", f"{t}.{T[t]['keys'][0]} % 2"
+        f = _filters(rng, t, t)
+        money = T[t]["money"][0]
+        sql = (
+            f"SELECT {g1} AS g1, {g2} AS g2,\n"
+            f"       CAST(COUNT(*) AS BIGINT) AS n,\n"
+            f"       CAST(SUM(CAST(CAST({t}.{money} AS DECIMAL(38,2)) * 100 AS BIGINT))"
+            f" AS BIGINT) AS cents\n"
+            f"FROM {t}"
+        )
+        if f:
+            sql += "\nWHERE " + " AND ".join(f)
+        sql += f"\nGROUP BY ROLLUP({r1}, {r2})"
+        return sql
 
     if shape == "setop":
         # two key-sets over the same table under different filters
@@ -279,7 +345,28 @@ def main() -> int:
         d = con.execute(sql).fetchdf()
         return compare(s, d)
 
+    def known_divergence(sql: str) -> str | None:
+        """Classify documented substrate divergences so the fuzzer keeps
+        hunting for NEW ones without re-reporting the known set:
+
+        - empty-input grouping sets: Spark expands ROLLUP/CUBE/GROUPING
+          SETS over input rows, so zero input rows produce zero output
+          rows; the standard (and DuckDB/PostgreSQL/Flink-Calcite) emit
+          the () grouping set's grand-total row. Found by this fuzzer
+          (round 10), pinned in tests/test_fuzz_oracle.py and documented
+          in COVERAGE.md."""
+        if "ROLLUP(" in sql or "CUBE(" in sql or "GROUPING SETS" in sql:
+            s = spark.sql(sql).toPandas()
+            d = con.execute(sql).fetchdf()
+            grand_total_only = len(d) == 1 and all(
+                (d[c].isna().all() or (d[c] == 0).all()) for c in d.columns
+            )
+            if len(s) == 0 and grand_total_only:
+                return "spark-empty-grouping-sets"
+        return None
+
     failures = 0
+    known = 0
     t_start = time.time()
     for seed in range(args.start, args.start + args.seeds):
         sql = gen_query(seed)
@@ -289,6 +376,12 @@ def main() -> int:
             print(f"\nseed {seed}: ENGINE ERROR {e}\n--- sql ---\n{sql}\n")
             failures += 1
             continue
+        if status != "OK":
+            tag = known_divergence(sql)
+            if tag:
+                known += 1
+                print(f"seed {seed}: known divergence ({tag}) — documented")
+                continue
         if status == "OK":
             if args.verbose:
                 print(f"seed {seed}: ok")
@@ -309,7 +402,8 @@ def main() -> int:
         )
     el = time.time() - t_start
     print(
-        f"\nfuzz: {args.seeds} seeds, {failures} divergences "
+        f"\nfuzz: {args.seeds} seeds, {failures} divergences, "
+        f"{known} known-documented "
         f"({el:.0f}s, {el / max(args.seeds, 1):.2f}s/seed)"
     )
     return 1 if failures else 0
