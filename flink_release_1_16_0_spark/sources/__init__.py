@@ -348,6 +348,7 @@ def manifest_rewrite_files(
 
     pcols = list(partition_cols or [])
     live = _live_map(base)
+    replaced: dict[str, list[str]] = {}  # exactly the files we read
     small: dict[str, list[str]] = {}  # merge-to-one-file candidates
     big: dict[str, tuple[list[str], int]] = {}  # oversized: n_out > 1
     for rel, names in live.items():
@@ -359,6 +360,7 @@ def manifest_rewrite_files(
         n_out = max(1, math.ceil(total / target_file_bytes))
         if n_out >= len(names):
             continue  # already at or under target width
+        replaced[rel] = sorted(names)
         if n_out == 1:
             small[rel] = paths
         else:
@@ -435,10 +437,16 @@ def manifest_rewrite_files(
         _sh.rmtree(staging, ignore_errors=True)
 
     if rewritten:
+        # delete+add, NOT a partition overwrite: the manifest removes
+        # exactly the files this rewrite READ and adds their merged
+        # replacements, so a commit that landed between our live-map
+        # read and this publish keeps its files (the lost-update race a
+        # partition-truncating overwrite manifest would open — the same
+        # conflict rule as Iceberg's rewrite-files snapshots)
         _publish_manifest(
             base,
             {
-                "overwrite": True,
+                "replace": {rel: replaced[rel] for rel in rewritten},
                 "partitions": sorted(rewritten),
                 "files": rewritten,
             },

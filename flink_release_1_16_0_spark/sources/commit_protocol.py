@@ -362,9 +362,20 @@ def _latest_checkpoint(commits: str) -> tuple[int, dict[str, set[str]]]:
 
 
 def _replay(live: dict[str, set[str]], body: dict) -> None:
+    """Apply one manifest to the live map. Three ops compose:
+
+    - ``overwrite`` + ``partitions``: logical TRUNCATE of whole
+      partitions (INSERT OVERWRITE's intent — last writer wins);
+    - ``replace``: remove exactly the NAMED files (the compaction
+      rewrite's delete+add, Iceberg's rewrite-files snapshot shape —
+      a concurrent commit's files in the same partition SURVIVE,
+      which a partition-level overwrite would silently wipe);
+    - ``files``: add files."""
     if body.get("overwrite"):
         for rel in body.get("partitions", []):
             live[rel] = set()
+    for rel, names in body.get("replace", {}).items():
+        live.setdefault(rel, set()).difference_update(names)
     for rel, names in body.get("files", {}).items():
         live.setdefault(rel, set()).update(names)
 

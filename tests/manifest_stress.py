@@ -70,3 +70,77 @@ def vacuumer(base: str, stop_time: float) -> None:
         cp.manifest_compact(base)
         cp.manifest_vacuum(base, keep_checkpoints=2)
         time.sleep(0.02)
+
+
+def rewriter(base: str, stop_time: float) -> None:
+    """Loop: merge the current live set into one placeholder file via a
+    delete+add 'replace' manifest — the compaction rewrite's shape. The
+    merged file's CONTENT records the member names (transitively), so a
+    verifier can prove no acknowledged commit's contribution was lost
+    even though the file set shrinks."""
+    import json
+    import uuid
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    while time.time() < stop_time:
+        live = sorted(cp._live_map(base).get("", set()))
+        if len(live) >= 4:
+            members = []
+            for n in live:
+                p = os.path.join(base, n)
+                try:
+                    with open(p, "rb") as fh:
+                        data = fh.read()
+                except OSError:
+                    members = None  # a member vanished mid-read: skip round
+                    break
+                if data:
+                    members.extend(json.loads(data))
+                else:
+                    members.append(n)  # original committer file = itself
+            if members is None:
+                time.sleep(0.02)
+                continue
+            merged = f"merged-{uuid.uuid4().hex}.json"
+            with open(os.path.join(base, merged), "w") as fh:
+                json.dump(sorted(members), fh)
+            cp._publish_manifest(
+                base,
+                {"replace": {"": live}, "partitions": [""], "files": {"": [merged]}},
+            )
+        time.sleep(0.03)
+
+
+def data_vacuumer(base: str, stop_time: float) -> None:
+    """Loop: reclaim unreferenced data files past a short retention —
+    replaced generations from the rewriter. Retention (2s) must exceed
+    the longest reader resolve-to-open gap (milliseconds here), the
+    documented operational rule."""
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    while time.time() < stop_time:
+        cp.manifest_vacuum_data(base, older_than_s=2.0)
+        time.sleep(0.1)
+
+
+def maintenance_reader(base: str, stop_time: float, err_path: str) -> None:
+    """Loop: resolve the live set and immediately open every live file —
+    the data vacuum must never delete a file a fresh resolution still
+    references (within retention)."""
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    reads = 0
+    while time.time() < stop_time:
+        live = cp._live_map(base).get("", set())
+        for n in live:
+            try:
+                with open(os.path.join(base, n), "rb"):
+                    pass
+            except FileNotFoundError:
+                with open(err_path, "w") as fh:
+                    fh.write(f"live file {n} missing after {reads} reads\n")
+                return
+        reads += 1
+    with open(err_path, "w") as fh:
+        fh.write(f"ok {reads} reads\n")

@@ -1207,3 +1207,104 @@ def test_manifest_data_vacuum_respects_retention(tmp_path):
     assert sorted(
         f for f in os.listdir(base) if f.endswith(".parquet")
     ) == ["inflight.parquet", "live.parquet"]
+
+
+def test_manifest_replace_op_survives_concurrent_commit(tmp_path):
+    """The compaction rewrite publishes delete+add ('replace') — NOT a
+    partition overwrite — so a commit that lands between the rewrite's
+    live-map read and its publish keeps its files. With overwrite
+    semantics the interleaving below silently loses f2 (the lost-update
+    race found reviewing round-10's own rewrite code)."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    os.makedirs(base)
+    cp._publish_manifest(base, {"files": {"": ["f1.parquet"]}})
+    snapshot = sorted(cp._live_map(base)[""])  # the rewriter's read: [f1]
+    # concurrent commit lands AFTER the read, BEFORE the rewrite publish
+    cp._publish_manifest(base, {"files": {"": ["f2.parquet"]}})
+    cp._publish_manifest(
+        base,
+        {"replace": {"": snapshot}, "partitions": [""], "files": {"": ["m1.parquet"]}},
+    )
+    assert cp._live_map(base)[""] == {"m1.parquet", "f2.parquet"}
+    # replace is idempotent against unknown names (a racing second
+    # rewriter replacing an already-replaced set removes nothing extra)
+    cp._publish_manifest(
+        base,
+        {"replace": {"": ["ghost.parquet"]}, "partitions": [""], "files": {}},
+    )
+    assert cp._live_map(base)[""] == {"m1.parquet", "f2.parquet"}
+    # checkpoint folding replays the replace op identically
+    cp.manifest_compact(base)
+    assert cp._live_map(base)[""] == {"m1.parquet", "f2.parquet"}
+
+
+def test_manifest_maintenance_concurrent_stress(tmp_path):
+    """Full-maintenance concurrency: committers + a delete+add REWRITER
+    + a data-file VACUUM daemon + readers that OPEN every live file.
+    Invariants: a fresh resolution never references a deleted file, no
+    acknowledged commit's contribution is lost through any number of
+    rewrites (merged placeholder files carry their member lists, so the
+    final transitive expansion must equal the acked set), and the disk
+    file count stays bounded (the vacuum actually reclaims replaced
+    generations)."""
+    import json
+    import multiprocessing as mp
+    import os
+    import time
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+    from tests import manifest_stress as ms
+
+    base = str(tmp_path / "maint")
+    os.makedirs(base)
+    duration = float(os.environ.get("MANIFEST_STRESS_SECS", "8"))
+    stop = time.time() + duration
+    ctx = mp.get_context("spawn")
+
+    acks = [str(tmp_path / f"ack{i}.txt") for i in range(3)]
+    errs = [str(tmp_path / f"err{i}.txt") for i in range(2)]
+    procs = (
+        [ctx.Process(target=ms.committer, args=(base, i, stop, acks[i])) for i in range(3)]
+        + [ctx.Process(target=ms.maintenance_reader, args=(base, stop, errs[i])) for i in range(2)]
+        + [
+            ctx.Process(target=ms.rewriter, args=(base, stop)),
+            ctx.Process(target=ms.data_vacuumer, args=(base, stop)),
+        ]
+    )
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=duration + 60)
+        assert not p.is_alive(), "maintenance stress worker hung"
+        assert p.exitcode == 0, f"worker crashed with {p.exitcode}"
+
+    for err in errs:
+        text = open(err).read()
+        assert text.startswith("ok "), f"reader violation: {text}"
+
+    acked = set()
+    for ack in acks:
+        acked |= {line.strip() for line in open(ack) if line.strip()}
+    assert len(acked) > 50
+
+    # transitive expansion of the final live set == every acked commit
+    def expand(name: str) -> set[str]:
+        with open(os.path.join(base, name), "rb") as fh:
+            data = fh.read()
+        return set(json.loads(data)) if data else {name}
+
+    final = cp._live_map(base).get("", set())
+    covered = set()
+    for n in final:
+        covered |= expand(n)
+    lost = acked - covered
+    assert not lost, f"{len(lost)} acked commits lost through rewrites, e.g. {sorted(lost)[:5]}"
+
+    # vacuum reclaimed replaced generations: on-disk data files stay
+    # far below the total ever created (acked + merged generations)
+    n_disk = sum(1 for f in os.listdir(base) if not f.startswith((".", "_")))
+    assert n_disk < len(acked) / 2, f"{n_disk} files on disk for {len(acked)} commits"
