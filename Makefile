@@ -4,8 +4,9 @@
 
 SF001 := /root/testdata/sf0.01
 SF01  := /root/testdata/sf0.1
+SF1   := testdata_sf1
 
-.PHONY: test oracle scale-sweep oracle-sf01 bench verify
+.PHONY: test oracle scale-sweep oracle-sf01 oracle-sf1 fuzz bench verify
 
 test:
 	python -m pytest tests/ -q
@@ -18,6 +19,14 @@ scale-sweep:       ## streaming + changelog + cep queries at sf0.1
 
 oracle-sf01:       ## full registry at sf0.1 (run before round end)
 	python tools/check_oracle.py --sf $(SF01)
+
+oracle-sf1:        ## full registry at sf1 (crash-resumable; build fixture first)
+	test -d $(SF1) || python tools/make_sf1.py --dst $(SF1)
+	python tools/check_oracle.py --sf $(SF1) --jsonl .sf1_sweep.jsonl
+	python tools/verify_cluster_sf1.py --sf $(SF1)
+
+fuzz:              ## 1000-seed property-based cross-engine fuzz
+	python tools/fuzz_oracle.py --seeds 1000
 
 bench:
 	python bench.py
