@@ -1362,35 +1362,54 @@ class WindowedStream:
         schema = _parse_ddl(self.env.spark, output_type)
         names = [fld.name for fld in schema.fields]
         df = _assign_time_windows(s.df, tcol, self.assigner)
-        gcols = [*self.keyed.keys, "__win_start", "__win_end"]
-        nk = len(self.keyed.keys)
+        # State keys on the USER key only; every open window of that key
+        # lives in ONE dict-valued state entry {(win_start, win_end):
+        # acc}. Grouping on (key, window) instead — the first cut — paid
+        # applyInPandasWithState's per-group constant (Arrow slice,
+        # Python call, 1-row pandas output, state round-trip) once PER
+        # WINDOW: ~1M (user, hour) windows at sf1 cost 235 s of pure
+        # harness overhead, the same per-group constant class the
+        # round-9 cogroup fix removed, and the thing a 1000-executor run
+        # multiplies by billions of windows. Per-key grouping pays it
+        # once per key per micro-batch and fires every due window of a
+        # key in one output batch.
+        gcols = [*self.keyed.keys]
 
         def func(key: tuple, pdfs: Iterable[pd.DataFrame], state) -> Iterable[pd.DataFrame]:
-            win_end = int(key[nk + 1])
             wm = state.getCurrentWatermarkMs()
-            acc = pickle.loads(state.get[0]) if state.exists else None
-            if not state.hasTimedOut and wm < win_end:
-                for pdf in pdfs:
-                    if len(pdf) == 0:
+            accs: dict = pickle.loads(state.get[0]) if state.exists else {}
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values(tcol, kind="stable")
+                ws_arr = pdf["__win_start"].to_numpy()
+                we_arr = pdf["__win_end"].to_numpy()
+                rows = _row_iter(pdf.drop(columns=["__win_start", "__win_end"]))
+                for row, ws, we in zip(rows, ws_arr, we_arr):
+                    we = int(we)
+                    if we <= wm:
+                        # the watermark already passed this window's end:
+                        # the window fired (or would have fired empty) —
+                        # zero allowed lateness drops the element, and a
+                        # fired window can never re-fire
                         continue
-                    pdf = pdf.sort_values(tcol, kind="stable")
-                    for row in _row_iter(
-                        pdf.drop(columns=["__win_start", "__win_end"])
-                    ):
-                        if acc is None:
-                            acc = fn.create_accumulator()
-                        acc = fn.add(row, acc)
-            if acc is None:
-                return
-            if wm >= win_end:
-                # the watermark passed the window end: fire exactly once
-                # and retire the accumulator (state removal means a late
-                # straggler can never re-fire the window)
+                    k = (int(ws), we)
+                    acc = accs.get(k)
+                    if acc is None:
+                        acc = fn.create_accumulator()
+                    accs[k] = fn.add(row, acc)
+            # fire every window whose end the watermark passed, in
+            # window order, exactly once (the acc leaves the dict)
+            due = sorted(k for k in accs if k[1] <= wm)
+            out = [fn.get_result(accs.pop(k)) for k in due]
+            if accs:
+                state.update((pickle.dumps(accs),))
+                # wake when the earliest open window can fire
+                state.setTimeoutTimestamp(max(min(k[1] for k in accs), wm + 1))
+            elif state.exists:
                 state.remove()
-                yield _to_pdf([fn.get_result(acc)], names)
-            else:
-                state.update((pickle.dumps(acc),))
-                state.setTimeoutTimestamp(max(win_end, wm + 1))
+            if out:
+                yield _to_pdf(out, names)
 
         out = df.groupBy(*gcols).applyInPandasWithState(
             func,

@@ -809,7 +809,7 @@ WHERE rn = 1
 
 @register("stream_window_dedup", _SWDEDUP_ORACLE, tags=("streaming", "window", "dedup"))
 def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_release_1_16_0_spark.streaming.stateful import streaming_dedup_keep_last
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_window_dedup
 
     ev = replay_stream(spark, sf_dir, "events").select(
         F.window("ts", "1 hour").getField("start").alias("win_start"),
@@ -818,8 +818,12 @@ def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     out = run_to_table(
-        streaming_dedup_keep_last(
-            ev, keys=["win_start", "user_id"], order_col=["ts", "event_id"], keep="first"
+        streaming_window_dedup(
+            ev,
+            window_col="win_start",
+            keys=["user_id"],
+            order_col=["ts", "event_id"],
+            keep="first",
         ),
         "update",
     )

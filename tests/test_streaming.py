@@ -1128,3 +1128,51 @@ def test_hop_window_agg_allowed_lateness(spark, tmp_path_factory):
             (ws, "+U", 2, 3.0),
             (ws, "-U", 1, 1.0),
         ], got
+
+
+def test_streaming_window_dedup_converges(spark, sf_smoke, chunked_events, events_schema):
+    """The per-key windowed dedup (windows nested in ONE state entry per
+    key — the round-10 per-group-constant fix) must converge to the
+    batch keep-first winner per (window, user) across out-of-order
+    micro-batches, exactly like routing the window into the group key
+    would."""
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_window_dedup
+
+    stream = _stream(spark, chunked_events, events_schema).select(
+        F.window("ts", "1 hour").getField("start").alias("win_start"),
+        "user_id",
+        "event_id",
+        "ts",
+    )
+    out = run_to_table(
+        streaming_window_dedup(
+            stream,
+            window_col="win_start",
+            keys=["user_id"],
+            order_col=["ts", "event_id"],
+            keep="first",
+        ),
+        "update",
+    )
+    # update emissions refine toward the final winner: keep the min
+    # (ts, event_id) emission per (win, user) and compare to batch
+    w = {
+        (r["win_start"], r["user_id"]): r["e"]
+        for r in out.groupBy("win_start", "user_id")
+        .agg(F.min(F.struct("ts", "event_id")).getField("event_id").alias("e"))
+        .collect()
+    }
+    want = {
+        (r["win_start"], r["user_id"]): r["e"]
+        for r in _batch_events(spark, sf_smoke)
+        .select(
+            F.window("ts", "1 hour").getField("start").alias("win_start"),
+            "user_id",
+            "event_id",
+            "ts",
+        )
+        .groupBy("win_start", "user_id")
+        .agg(F.min(F.struct("ts", "event_id")).getField("event_id").alias("e"))
+        .collect()
+    }
+    assert w == want
