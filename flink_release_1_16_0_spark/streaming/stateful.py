@@ -852,70 +852,61 @@ def streaming_temporal_sort(
     before the watermark on arrival are dropped; rows the final
     watermark never passes stay buffered (oracle: max(ts)-delay cut).
     """
+    import pickle
+
+    import numpy as np
     from pyspark.sql import functions as F
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType as ST
+    from pyspark.sql.types import LongType, StructField, StructType as ST
 
     ts_col = order_cols[0]
     group_keys = list(keys) if keys else []
     cols = stream.columns
     out_schema = ST([*stream.schema.fields, StructField(seq_col, LongType())])
-    state_schema = ST(
-        [
-            StructField("pending", ArrayType(stream.schema)),
-            StructField("seq", LongType()),
-        ]
-    )
-    order_idx = [cols.index(c) for c in order_cols]
-    ts_idx = cols.index(ts_col)
+    # the pending buffer rides a pickled pandas frame in BINARY state:
+    # the array-of-struct layout the first cut used forced a per-row
+    # Python tuple conversion on EVERY buffered row (1M rows at sf1 =
+    # 44.6 s of pure conversion); the frame form keeps arrival, the
+    # ready/pending split, the sort and the emit all vectorized
+    state_schema = "pending BINARY, seq BIGINT"
 
-    def make_conv(dt):
-        name = dt.typeName()
-        if name in ("long", "integer", "short", "byte"):
-            return lambda v: None if pd.isna(v) else int(v)
-        if name in ("double", "float"):
-            return lambda v: None if pd.isna(v) else float(v)
-        if name.startswith("timestamp"):
-            return lambda v: None if pd.isna(v) else pd.Timestamp(v)
-        return lambda v: None if (v is None or (isinstance(v, float) and pd.isna(v))) else v
-
-    convs = [make_conv(f.dataType) for f in stream.schema.fields]
+    def _ms(series: pd.Series) -> pd.Series:
+        return series.astype("int64") // 1_000_000
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        def ms(t):
-            return pd.Timestamp(t).value // 1_000_000
-
         wm = state.getCurrentWatermarkMs()
         if state.exists:
             raw, seq = state.get
-            pending = [tuple(p) for p in (raw or [])]
+            parts = [pickle.loads(raw)] if raw else []
         else:
-            pending, seq = [], 0
+            parts, seq = [], 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            for tup in pdf[cols].itertuples(index=False, name=None):
-                if ms(tup[ts_idx]) <= wm:
-                    continue  # late beyond the watermark: dropped
-                pending.append(tuple(c(v) for c, v in zip(convs, tup)))
-        ready = sorted(
-            (p for p in pending if ms(p[ts_idx]) <= wm),
-            key=lambda p: tuple(
-                p[i].value if isinstance(p[i], pd.Timestamp) else p[i]
-                for i in order_idx
-            ),
+            pdf = pdf[cols]
+            # rows at or before the watermark ON ARRIVAL are late: drop
+            parts.append(pdf[_ms(pdf[ts_col]) > wm])
+        if not parts:
+            return
+        allp = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        mask = (_ms(allp[ts_col]) <= wm).to_numpy()
+        ready = allp[mask]
+        pending = allp[~mask]
+        out = None
+        if len(ready):
+            out = ready.sort_values(order_cols, kind="mergesort").reset_index(
+                drop=True
+            )
+            out[seq_col] = np.arange(seq + 1, seq + len(out) + 1, dtype="int64")
+            seq += len(out)
+        state.update(
+            (pickle.dumps(pending.reset_index(drop=True)) if len(pending) else None, seq)
         )
-        pending = [p for p in pending if ms(p[ts_idx]) > wm]
-        out = []
-        for p in ready:
-            seq += 1
-            out.append((*p, seq))
-        state.update((pending, seq))
-        if pending:
-            state.setTimeoutTimestamp(min(ms(p[ts_idx]) for p in pending) + 1)
-        if out:
-            yield pd.DataFrame(out, columns=[*cols, seq_col])
+        if len(pending):
+            state.setTimeoutTimestamp(int(_ms(pending[ts_col]).min()) + 1)
+        if out is not None:
+            yield out
 
     if group_keys:
         grouped = stream.groupBy(*group_keys)
