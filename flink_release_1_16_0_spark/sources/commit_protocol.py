@@ -392,13 +392,34 @@ def _tail_entries(commits: str, start: int, upto: int | None = None) -> list:
     return sorted(out)
 
 
+_RESOLVE_ATTEMPTS = 25
+
+
 def _resolve(commits: str, upto: int | None = None) -> tuple[dict, int, int]:
-    """Fold newest checkpoint + tail into (live, folded_seq, start_seq),
-    restarting from a fresh checkpoint listing when a listed manifest
-    VANISHES mid-scan (a concurrent vacuum — the newer checkpoint the
-    vacuum required covers everything it deleted). On the final attempt
-    a still-vanishing manifest is a withdrawn claim and skips through."""
-    for attempt in range(3):
+    """Fold newest checkpoint + tail into (live, folded_seq, start_seq).
+
+    A listed manifest that VANISHES mid-scan has exactly two causes,
+    distinguished by a property the vacuum itself guarantees: vacuum
+    only ever deletes sequences at/below a DURABLE checkpoint, so
+
+    - a checkpoint name >= the vanished seq exists -> possibly a
+      concurrent vacuum: RESTART from a fresh checkpoint listing (the
+      newer checkpoint covers everything the vacuum deleted). Folding
+      past it instead would serve a hole in history — under a
+      fast-compacting maintenance daemon the old 3-attempt cap was hit
+      in practice (the round-10 concurrency stress caught a reader
+      observing a committed file vanish), so restarts now retry up to
+      _RESOLVE_ATTEMPTS; each needs a FRESH checkpoint+vacuum pair to
+      land inside the reader's millisecond tail scan, so the race
+      probability decays geometrically. At exhaustion the fold STOPS at
+      the gap (a stale-but-consistent prefix, never a hole).
+    - no checkpoint at/above it -> it cannot have been vacuumed: a
+      WITHDRAWN claim (its writer never acknowledged), folds through
+      deterministically as a non-commit."""
+    start = 0
+    live: dict[str, set[str]] = {}
+    folded = 0
+    for _attempt in range(_RESOLVE_ATTEMPTS):
         start, live = _latest_checkpoint(commits)
         folded = start
         restart = False
@@ -410,15 +431,15 @@ def _resolve(commits: str, upto: int | None = None) -> tuple[dict, int, int]:
             elif status == "dead":
                 folded = seq  # never-acknowledged claim: fold past it
             elif status == "vanished":
-                if attempt < 2:
-                    restart = True
+                if _newest_checkpoint_name_seq(commits) >= seq:
+                    restart = True  # vacuum suspect: newer checkpoint covers
                     break
-                folded = seq  # stable across restarts: a withdrawn claim
+                folded = seq  # provably not vacuumed: a withdrawn claim
             else:
                 break  # in-flight: cannot adjudicate — stop here
         if not restart:
             return live, folded, start
-    return live, folded, start  # unreachable; keeps the type checker honest
+    return live, folded, start  # exhausted: consistent prefix up to the gap
 
 
 def _publish_checkpoint(base: str, upto: int) -> None:

@@ -1308,3 +1308,34 @@ def test_manifest_maintenance_concurrent_stress(tmp_path):
     # far below the total ever created (acked + merged generations)
     n_disk = sum(1 for f in os.listdir(base) if not f.startswith((".", "_")))
     assert n_disk < len(acked) / 2, f"{n_disk} files on disk for {len(acked)} commits"
+
+
+def test_resolve_distinguishes_withdrawn_from_vacuumed(tmp_path):
+    """A vanished tail manifest folds through ONLY when it provably was
+    never vacuumed (no checkpoint name at/above it — the vacuum's own
+    deletion precondition); with a checkpoint at/above, the resolver
+    must restart/stop rather than skip, or a vacuumed COMMITTED
+    manifest would read as a hole (the round-10 stress caught this
+    under a fast compact+vacuum daemon)."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    # manifests 1,2,4 — 3 was a withdrawn claim (name free, NO
+    # checkpoint anywhere): replay must fold 1,2 and skip to 4
+    for f in ("a", "b"):
+        cp._publish_manifest(base, {"files": {"": [f + ".parquet"]}})
+    commits = os.path.join(base, cp._COMMITS_DIR)
+    # mint 3 then withdraw it (simulate by just never creating it), put 4
+    path4 = os.path.join(commits, f"manifest-{4:020d}.json")
+    assert cp._write_claimed(path4, {"files": {"": ["d.parquet"]}}) == "ok"
+    live = cp._live_map(base)
+    assert live[""] == {"a.parquet", "b.parquet", "d.parquet"}
+
+    # now the vacuum-suspect shape: checkpoint AT the gap's height —
+    # resolution must come from the checkpoint, never by skipping the
+    # vanished manifest while replaying later ones
+    cp.manifest_compact(base)  # checkpoint at 4 covering everything
+    cp.manifest_vacuum(base, keep_checkpoints=1)  # deletes manifests <= 4
+    assert cp._live_map(base)[""] == {"a.parquet", "b.parquet", "d.parquet"}
