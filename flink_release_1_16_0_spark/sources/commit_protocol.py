@@ -415,7 +415,18 @@ def _resolve(commits: str, upto: int | None = None) -> tuple[dict, int, int]:
       the gap (a stale-but-consistent prefix, never a hole).
     - no checkpoint at/above it -> it cannot have been vacuumed: a
       WITHDRAWN claim (its writer never acknowledged), folds through
-      deterministically as a non-commit."""
+      deterministically as a non-commit.
+
+    The same adjudication applies to sequence numbers MISSING from the
+    tail listing outright (not just vanishing mid-read): sequences are
+    minted densely (every claim outcome — ok, lost, withdrawn — steps
+    by one), so a gap between the checkpoint and the highest listed
+    manifest is either a withdrawn claim or an already-vacuumed commit.
+    This closes the silent-hole window the stress caught SECOND: a
+    reader preempted between its checkpoint listing and its tail
+    listing, while a fast maintenance daemon lands two checkpoint+vacuum
+    cycles, simply never LISTS the vacuumed manifests — no read error
+    fires, and without the density check the fold would skip them."""
     start = 0
     live: dict[str, set[str]] = {}
     folded = 0
@@ -423,7 +434,18 @@ def _resolve(commits: str, upto: int | None = None) -> tuple[dict, int, int]:
         start, live = _latest_checkpoint(commits)
         folded = start
         restart = False
-        for seq, fn in _tail_entries(commits, start, upto):
+        entries = dict(_tail_entries(commits, start, upto))
+        top = max(entries, default=start)
+        for seq in range(start + 1, top + 1):
+            fn = entries.get(seq)
+            if fn is None:
+                # absent from the listing: withdrawn or vacuumed —
+                # the same two-way adjudication as a mid-scan vanish
+                if _newest_checkpoint_name_seq(commits) >= seq:
+                    restart = True
+                    break
+                folded = seq  # provably never vacuumed: withdrawn claim
+                continue
             status, body = _read_manifest(os.path.join(commits, fn))
             if status == "ok":
                 _replay(live, body)
