@@ -579,7 +579,24 @@ def manifest_vacuum_data(base: str, older_than_s: float = 86400.0) -> int:
     now = time.time()
     removed = 0
     for root, dirs, files in os.walk(base):
-        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        keep_dirs = []
+        for d in dirs:
+            if d.startswith((".staging-", ".compact-")):
+                # a crashed writer's staging dir: invisible to every
+                # reader and never referenced — reclaim past the same
+                # retention (a LIVE writer's staging is younger than any
+                # sane retention; its files move out within the lease)
+                p = os.path.join(root, d)
+                try:
+                    if now - os.path.getmtime(p) > older_than_s:
+                        shutil.rmtree(p, ignore_errors=True)
+                        removed += 1
+                except OSError:
+                    pass
+                continue  # never descend into staging
+            if not d.startswith((".", "_")):
+                keep_dirs.append(d)
+        dirs[:] = keep_dirs
         for f in files:
             if f.startswith((".", "_")):
                 continue

@@ -1339,3 +1339,31 @@ def test_resolve_distinguishes_withdrawn_from_vacuumed(tmp_path):
     cp.manifest_compact(base)  # checkpoint at 4 covering everything
     cp.manifest_vacuum(base, keep_checkpoints=1)  # deletes manifests <= 4
     assert cp._live_map(base)[""] == {"a.parquet", "b.parquet", "d.parquet"}
+
+
+def test_data_vacuum_reclaims_crashed_staging_dirs(tmp_path):
+    """A writer that crashed mid-stage leaves a hidden .staging-*/
+    .compact-* directory invisible to every reader; the data vacuum
+    reclaims it past the retention while a FRESH staging dir (a live
+    writer mid-commit) survives."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    os.makedirs(base)
+    with open(os.path.join(base, "live.parquet"), "wb"):
+        pass
+    cp._publish_manifest(base, {"files": {"": ["live.parquet"]}})
+    old_stage = os.path.join(base, ".staging-deadbeef")
+    os.makedirs(old_stage)
+    with open(os.path.join(old_stage, "part-0.parquet"), "wb"):
+        pass
+    os.utime(old_stage, (1, 1))
+    fresh_stage = os.path.join(base, ".compact-cafebabe")
+    os.makedirs(fresh_stage)
+    removed = cp.manifest_vacuum_data(base, older_than_s=3600)
+    assert removed == 1
+    assert not os.path.exists(old_stage)
+    assert os.path.exists(fresh_stage)  # inside retention: a live writer
+    assert os.path.exists(os.path.join(base, "live.parquet"))
