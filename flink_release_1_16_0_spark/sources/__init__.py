@@ -334,6 +334,48 @@ def manifest_rewrite_files(
     sized ceil(bytes/target). Only partitions with more live files than
     their target width pay anything. Returns {partition_rel:
     new_file_count} for the rewritten partitions."""
+    import warnings
+
+    from flink_release_1_16_0_spark.sources.commit_protocol import (
+        _COMMITS_DIR,
+        _resolve,
+    )
+
+    pcols = list(partition_cols or [])
+    commits = os.path.join(base, _COMMITS_DIR)
+    if not os.path.isdir(commits):
+        return {}
+    # optimistic concurrency (Iceberg's rewrite-files validation): the
+    # snapshot records the sequence it folded through; the publish
+    # validates nothing conflicting (overwrite/replace/unknown) landed
+    # in between and retries from a FRESH snapshot otherwise — without
+    # it a user INSERT OVERWRITE inside the rewrite window would be
+    # silently undone (the replaced generation resurrected). Merged
+    # files adopted by an aborted attempt are unpublished orphans; the
+    # data vacuum reclaims them past retention.
+    for _attempt in range(3):
+        live, snapshot_seq, _start = _resolve(commits)
+        result = _rewrite_once(
+            spark, base, fmt, target_file_bytes, schema, pcols,
+            format_opts, live, snapshot_seq,
+        )
+        if result is not None:
+            return result
+    warnings.warn(
+        "manifest rewrite kept conflicting with concurrent commits after "
+        "3 attempts; skipped this round (the next COMPACT retries)",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return {}
+
+
+def _rewrite_once(
+    spark, base, fmt, target_file_bytes, pcols_schema, pcols, format_opts,
+    live, snapshot_seq,
+) -> dict[str, int] | None:
+    """One optimistic rewrite attempt against a resolved snapshot;
+    None = publish conflicted (caller re-snapshots)."""
     import math
     import shutil as _sh
     import uuid as _uuid
@@ -341,13 +383,12 @@ def manifest_rewrite_files(
     from pyspark.sql import functions as F
 
     from flink_release_1_16_0_spark.sources.commit_protocol import (
+        RewriteConflict,
         _data_files,
-        _live_map,
         _publish_manifest,
     )
 
-    pcols = list(partition_cols or [])
-    live = _live_map(base)
+    schema = pcols_schema
     replaced: dict[str, list[str]] = {}  # exactly the files we read
     small: dict[str, list[str]] = {}  # merge-to-one-file candidates
     big: dict[str, tuple[list[str], int]] = {}  # oversized: n_out > 1
@@ -439,18 +480,21 @@ def manifest_rewrite_files(
     if rewritten:
         # delete+add, NOT a partition overwrite: the manifest removes
         # exactly the files this rewrite READ and adds their merged
-        # replacements, so a commit that landed between our live-map
-        # read and this publish keeps its files (the lost-update race a
-        # partition-truncating overwrite manifest would open — the same
-        # conflict rule as Iceberg's rewrite-files snapshots)
-        _publish_manifest(
-            base,
-            {
-                "replace": {rel: replaced[rel] for rel in rewritten},
-                "partitions": sorted(rewritten),
-                "files": rewritten,
-            },
-        )
+        # replacements, so a concurrent APPEND keeps its files; ordering
+        # against concurrent overwrites/replaces is handled by the
+        # snapshot-conflict validation in _publish_manifest
+        try:
+            _publish_manifest(
+                base,
+                {
+                    "replace": {rel: replaced[rel] for rel in rewritten},
+                    "partitions": sorted(rewritten),
+                    "files": rewritten,
+                },
+                snapshot_seq=snapshot_seq,
+            )
+        except RewriteConflict:
+            return None
     return {rel: len(v) for rel, v in rewritten.items()}
 
 

@@ -208,7 +208,41 @@ def _newest_checkpoint_name_seq(commits: str) -> int:
     return max(seqs, default=0)
 
 
-def _publish_manifest(base: str, body: dict) -> int:
+class RewriteConflict(Exception):
+    """A conflicting operation (overwrite/replace/unknown content)
+    committed between a rewrite's snapshot and its publish; the caller
+    must retry from a fresh snapshot (optimistic concurrency — the
+    Iceberg rewrite-files validation rule)."""
+
+
+def _conflict_in_range(commits: str, after_seq: int, before_seq: int) -> bool:
+    """True if any manifest in (after_seq, before_seq) could invalidate
+    a rewrite snapshotted at ``after_seq``: a published overwrite or
+    replace reorders against the rewrite's delete+add (replaying the
+    rewrite AFTER a truncation would resurrect the replaced
+    generation), and an in-flight/vanished entry has UNKNOWN content —
+    only provably pure-append manifests (and dead claims) are
+    harmless."""
+    for seq in range(after_seq + 1, before_seq):
+        path = os.path.join(commits, f"manifest-{seq:020d}.json")
+        status, body = _read_manifest(path)
+        if status == "ok":
+            if body.get("overwrite") or body.get("replace"):
+                return True
+        elif status == "dead":
+            continue
+        elif status == "vanished":
+            # withdrawn claims are harmless; a VACUUMED commit's content
+            # is unknowable — conservative conflict (rare: needs a full
+            # checkpoint+vacuum cycle inside the rewrite's window)
+            if _newest_checkpoint_name_seq(commits) >= seq:
+                return True
+        else:
+            return True  # in-flight: content unknown
+    return False
+
+
+def _publish_manifest(base: str, body: dict, snapshot_seq: int | None = None) -> int:
     """Publish one manifest under an exclusively-claimed sequence
     number. A lost claim retries with seq+1 (another committer
     progressed — always terminates). A WITHDRAWN publish (the host
@@ -229,19 +263,46 @@ def _publish_manifest(base: str, body: dict) -> int:
     Guard timing is sound because the guard runs while our fresh EMPTY
     claim exists: checkpoints adjudicate it in-flight and stop folding
     before it, so no checkpoint can pass our seq between the guard
-    passing and the body publish (within the lease)."""
+    passing and the body publish (within the lease).
+
+    ``snapshot_seq`` (rewrite publishes): the sequence the caller's
+    live-map snapshot folded through. The post-claim guard then ALSO
+    validates that no conflicting operation committed in
+    (snapshot_seq, claimed) — raising :class:`RewriteConflict` so the
+    caller retries from a fresh snapshot. Without this, a user
+    INSERT OVERWRITE landing inside the rewrite's window would be
+    silently undone: replay order puts the truncation BEFORE the
+    rewrite's delete+add, resurrecting the replaced generation."""
     commits = os.path.join(base, _COMMITS_DIR)
     os.makedirs(commits, exist_ok=True)
     seq = _max_seq(commits) + 1
     withdrawals = 0
+    conflict = False
+
+    def _guard(claimed: int) -> bool:
+        nonlocal conflict
+        if claimed <= _newest_checkpoint_name_seq(commits):
+            return False  # vacuum-recycled name: remint
+        if snapshot_seq is not None and _conflict_in_range(
+            commits, snapshot_seq, claimed
+        ):
+            conflict = True
+            return False  # withdraw; surfaced as RewriteConflict below
+        return True
+
     while True:
         claimed = seq
         status = _write_claimed(
             os.path.join(commits, f"manifest-{seq:020d}.json"),
             body,
             enforce_grace=True,
-            post_claim_guard=lambda: claimed > _newest_checkpoint_name_seq(commits),
+            post_claim_guard=lambda: _guard(claimed),
         )
+        if conflict:
+            raise RewriteConflict(
+                f"conflicting commit in ({snapshot_seq}, {claimed}); "
+                "retry the rewrite from a fresh snapshot"
+            )
         if status == "ok":
             break
         if status == "stale":

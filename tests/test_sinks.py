@@ -1367,3 +1367,54 @@ def test_data_vacuum_reclaims_crashed_staging_dirs(tmp_path):
     assert not os.path.exists(old_stage)
     assert os.path.exists(fresh_stage)  # inside retention: a live writer
     assert os.path.exists(os.path.join(base, "live.parquet"))
+
+
+def test_manifest_rewrite_conflict_validation(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency for the compaction rewrite: an INSERT
+    OVERWRITE landing between the rewrite's snapshot and its publish
+    must NOT be undone (replay order puts the truncation before the
+    rewrite's delete+add, which would resurrect the replaced
+    generation). The publish validates the (snapshot, claim) window and
+    the rewrite retries from a fresh snapshot."""
+    import os
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+    from flink_release_1_16_0_spark.sources import manifest_rewrite_files
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "cf_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE cf_snk (k BIGINT) WITH (
+            'connector'='filesystem','path'='{out}','format'='parquet',
+            'sink.commit-protocol'='manifest')"""
+    )
+    for i in range(4):
+        tenv.execute_sql(f"INSERT INTO cf_snk SELECT CAST({i} AS BIGINT)")
+
+    # interleave: the overwrite lands AFTER the rewrite snapshots but
+    # BEFORE its publish — injected via the resolver seam
+    real_resolve = cp._resolve
+    fired = {"done": False}
+
+    def resolve_then_overwrite(commits, upto=None):
+        res = real_resolve(commits, upto)
+        if not fired["done"]:
+            fired["done"] = True
+            tenv.execute_sql("INSERT OVERWRITE cf_snk SELECT CAST(99 AS BIGINT)")
+        return res
+
+    import flink_release_1_16_0_spark.sources as S
+
+    monkeypatch.setattr(
+        "flink_release_1_16_0_spark.sources.commit_protocol._resolve",
+        resolve_then_overwrite,
+    )
+    # also patch the name the sources module resolved at call time
+    result = manifest_rewrite_files(
+        spark, out, fmt="parquet", schema="k BIGINT"
+    )
+    monkeypatch.undo()
+    rows = {r.k for r in tenv.sql_query("SELECT k FROM cf_snk").to_data_frame().collect()}
+    # the overwrite's truncation SURVIVES: only row 99 is live
+    assert rows == {99}, f"resurrected generation: {rows}"
