@@ -175,8 +175,51 @@ def gen_query(seed: int) -> str:
     """One deterministic random query for ``seed``."""
     rng = random.Random(seed)
     shape = rng.choice(
-        ["agg", "agg_join", "setop", "window", "left_join", "exists", "rollup"]
+        [
+            "agg", "agg_join", "setop", "window", "left_join", "exists",
+            "rollup", "in_subquery", "corr_scalar",
+        ]
     )
+
+    if shape == "in_subquery":
+        # [NOT] IN (subquery) — NOT IN's three-valued-logic corner is a
+        # classic divergence source (keys here are non-null, so a hit
+        # would be a real planner bug, not NULL-semantics noise)
+        lt, rt, lc, rc = JOINS[rng.randrange(len(JOINS))]
+        neg = rng.choice(["", "NOT "])
+        rf = _filters(rng, rt, "r")
+        lf = _filters(rng, lt, "o")
+        g, graw = _group_expr(rng, lt, "o")
+        sub = f"SELECT r.{rc} FROM {rt} r"
+        if rf:
+            sub += " WHERE " + " AND ".join(rf)
+        sql = (
+            f"SELECT {g} AS g, CAST(COUNT(*) AS BIGINT) AS n\n"
+            f"FROM {lt} o\nWHERE o.{lc} {neg}IN ({sub})"
+        )
+        if lf:
+            sql += " AND " + " AND ".join(lf)
+        return sql + f"\nGROUP BY {graw}"
+
+    if shape == "corr_scalar":
+        # correlated scalar subquery (decorrelation): rows beating a
+        # per-correlation-key MAX/MIN — comparisons on raw doubles are
+        # exact (no arithmetic), *2 is exact in binary floating point
+        lt, rt, lc, rc = JOINS[rng.randrange(len(JOINS))]
+        money = T[lt]["money"][0]
+        agg = rng.choice(["MAX", "MIN"])
+        op = ">" if agg == "MIN" else "<"
+        lf = _filters(rng, lt, "o")
+        sql = (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n,\n"
+            f"       MIN(o.{lc}) AS min_k, MAX(o.{lc}) AS max_k\n"
+            f"FROM {lt} o\n"
+            f"WHERE o.{money} * 2 {op} (SELECT {agg}(i.{money}) "
+            f"FROM {lt} i WHERE i.{lc} = o.{lc})"
+        )
+        if lf:
+            sql += " AND " + " AND ".join(lf)
+        return sql
 
     if shape == "left_join":
         # null-extension semantics: unmatched left rows must aggregate
