@@ -507,3 +507,77 @@ def test_window_udaf_single_exchange(spark, sf_smoke):
     assert plan.count("Exchange") == 1
     assert "MapInPandas" in plan
     assert "__gw_" not in plan.split("Exchange")[0]  # struct not above the exchange
+
+
+def test_all_pairs_streamed_side_is_repartitioned(spark, sf_smoke):
+    """Regression pin for the round-10 sf1 finding: the all-pairs theta
+    joins plan as broadcast nested-loops whose parallelism is the
+    STREAMED side's partition count — without an exchange on that side
+    a single-file slice serializes the whole O(n^2/2) pair space in one
+    task (>1 h at sf1). The executed plan must carry a hash repartition
+    feeding the nested loop (the AQE-formatted summary elides it)."""
+    for name in ("dedup_ngram_jaccard", "dedup_embedding_cosine"):
+        df = REGISTRY[name].fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan, name
+        assert "Exchange hashpartitioning" in plan, name
+
+
+def test_streaming_window_state_keys_exclude_window(spark, sf_smoke):
+    """Regression pin for the per-(key, window) state-layout fix: the
+    streaming window aggregate and windowed dedup must group their
+    stateful operator by the USER key only (windows live inside the
+    per-key state value) — re-introducing the window bucket into the
+    grouping key restores the ~1M-tiny-groups per-group constant the
+    sf1 study measured at 235 s / 132 s. Pinned on the UNSTARTED
+    streaming plans (the registry entries execute to completion)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from flink_release_1_16_0_spark.datastream import (
+        StreamExecutionEnvironment,
+        TumblingEventTimeWindows,
+    )
+    from flink_release_1_16_0_spark.queries.datastream_api import (
+        _EVENT_TIME,
+        _HourlyValueAgg,
+    )
+    from flink_release_1_16_0_spark.streaming.core import replay_stream
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_window_dedup,
+    )
+
+    def state_keys(df):
+        plan = df._jdf.queryExecution().analyzed().toString()
+        m = re.search(r"FlatMapGroupsInPandasWithState [^\[]*\[([^\]]*)\]", plan)
+        assert m, f"no stateful operator in plan\n{plan[:1500]}"
+        return m.group(1)
+
+    env = StreamExecutionEnvironment.get_execution_environment(spark)
+    s = env.from_data_frame(
+        replay_stream(spark, sf_smoke, "events")
+    ).assign_timestamps_and_watermarks(_EVENT_TIME)
+    agg = (
+        s.key_by("user_id")
+        .window(TumblingEventTimeWindows.of("1 hour"))
+        .aggregate(
+            _HourlyValueAgg(),
+            "user_id BIGINT, win_start BIGINT, n BIGINT, total DOUBLE",
+        )
+    )
+    keys = state_keys(agg.to_data_frame())
+    assert "win" not in keys, f"window col in aggregate state key: {keys}"
+
+    ev = replay_stream(spark, sf_smoke, "events").select(
+        F.window("ts", "1 hour").getField("start").alias("win_start"),
+        "user_id",
+        "event_id",
+        "ts",
+    )
+    ded = streaming_window_dedup(
+        ev, window_col="win_start", keys=["user_id"],
+        order_col=["ts", "event_id"], keep="first",
+    )
+    keys = state_keys(ded)
+    assert "win" not in keys, f"window col in dedup state key: {keys}"
