@@ -547,3 +547,104 @@ JOIN r3 ON r3.partkey = r1.partkey
 def ds_return_share_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_DS_RETURN_SHARE_TRIPLE)
+
+
+# --------------------------------------------------------------------------
+# q90: time-band activity ratio — morning vs evening event counts per
+# type (the am_pm_ratio shape), emitted as integer counts with the
+# ratio filter cross-multiplied.
+# --------------------------------------------------------------------------
+
+_DS_TIME_BAND_RATIO = """
+SELECT event_type,
+       CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 8 AND 11
+                     THEN 1 ELSE 0 END) AS BIGINT) AS am_cnt,
+       CAST(SUM(CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 18 AND 21
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pm_cnt
+FROM events
+GROUP BY event_type
+HAVING SUM(CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 18 AND 21 THEN 1 ELSE 0 END) > 0
+   AND SUM(CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 8 AND 11 THEN 1 ELSE 0 END) * 100
+     > SUM(CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 18 AND 21 THEN 1 ELSE 0 END) * 95
+"""
+
+
+@register("ds_time_band_ratio", _DS_TIME_BAND_RATIO, tags=("tpcds", "agg", "calendar"))
+def ds_time_band_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "events")
+    return spark.sql(_DS_TIME_BAND_RATIO)
+
+
+# --------------------------------------------------------------------------
+# q66: the 12-column monthly pivot — per-nation monthly revenue spread
+# as one row of integer cents per month (CASE-summed pivot).
+# --------------------------------------------------------------------------
+
+_DS_MONTHLY_PIVOT = """
+SELECT n.n_name AS nation,
+       CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o.o_orderdate) = 1
+                THEN CAST(CAST(o.o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS jan_cents,
+       CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o.o_orderdate) = 4
+                THEN CAST(CAST(o.o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS apr_cents,
+       CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o.o_orderdate) = 7
+                THEN CAST(CAST(o.o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS jul_cents,
+       CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o.o_orderdate) = 10
+                THEN CAST(CAST(o.o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS oct_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE EXTRACT(YEAR FROM o.o_orderdate) = 1997
+GROUP BY n.n_name
+"""
+
+
+@register("ds_monthly_pivot", _DS_MONTHLY_PIVOT, tags=("tpcds", "agg", "pivot"))
+def ds_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_DS_MONTHLY_PIVOT)
+
+
+# --------------------------------------------------------------------------
+# q44: best/worst rank join — parts ranked ascending and descending by
+# revenue, the i-th best joined to the i-th worst on rank position.
+# Rank keys carry the partkey tiebreaker so positions are total.
+# --------------------------------------------------------------------------
+
+_DS_BEST_WORST_RANK_JOIN = """
+WITH perf AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS rev
+  FROM lineitem
+  GROUP BY l_partkey
+),
+best AS (
+  SELECT partkey, rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, partkey) AS pos
+  FROM perf
+),
+worst AS (
+  SELECT partkey, rev,
+         ROW_NUMBER() OVER (ORDER BY rev ASC, partkey) AS pos
+  FROM perf
+)
+SELECT CAST(b.pos AS BIGINT) AS pos,
+       b.partkey AS best_part,
+       CAST(CAST(b.rev * 100 AS BIGINT) AS BIGINT) AS best_cents,
+       w.partkey AS worst_part,
+       CAST(CAST(w.rev * 100 AS BIGINT) AS BIGINT) AS worst_cents
+FROM best b JOIN worst w ON w.pos = b.pos
+WHERE b.pos <= 10
+"""
+
+
+@register(
+    "ds_best_worst_rank_join", _DS_BEST_WORST_RANK_JOIN, tags=("tpcds", "window", "rank")
+)
+def ds_best_worst_rank_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_DS_BEST_WORST_RANK_JOIN)
