@@ -811,11 +811,15 @@ WHERE rn = 1
 def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_release_1_16_0_spark.streaming.stateful import streaming_window_dedup
 
-    ev = replay_stream(spark, sf_dir, "events").select(
-        F.window("ts", "1 hour").getField("start").alias("win_start"),
-        "user_id",
-        "event_id",
-        "ts",
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .select(
+            F.window("ts", "1 hour").getField("start").alias("win_start"),
+            "user_id",
+            "event_id",
+            "ts",
+        )
+        .withWatermark("ts", "10 minutes")
     )
     out = run_to_table(
         streaming_window_dedup(
@@ -824,6 +828,7 @@ def stream_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["user_id"],
             order_col=["ts", "event_id"],
             keep="first",
+            window_size_ms=3_600_000,
         ),
         "update",
     )

@@ -180,11 +180,12 @@ def ds_exists_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q49: per-channel return-ratio ranking, top ranks UNIONed across
-# channels. Channels = supplier-key residue classes (the fixture carries no shipmode column); the return ratio rank is decided by
-# cross-multiplied integer comparison inside the window's ORDER BY via
-# a pre-computed integer key (returned_units * 1e6 / units avoided:
-# ranks order by (returned*K, units) pairs which both engines sort
-# identically).
+# channels. Channels = supplier-key residue classes (the fixture
+# carries no shipmode column); the rank orders by the GENUINE return
+# ratio returned_units/units — a single IEEE-754 double division of
+# two bigints, which both engines round identically (round-to-nearest)
+# so the ordering is cross-engine deterministic — with units and
+# partkey as total-order tiebreakers.
 # --------------------------------------------------------------------------
 
 _DS_RETURN_RATIO_RANK_UNION = """
@@ -200,7 +201,8 @@ ranked AS (
   SELECT channel, partkey, units, returned_units,
          RANK() OVER (
            PARTITION BY channel
-           ORDER BY returned_units * 1000000 - units DESC, partkey
+           ORDER BY CAST(returned_units AS DOUBLE) / units DESC,
+                    units DESC, partkey
          ) AS rnk
   FROM by_mode
   WHERE units > 0

@@ -460,16 +460,20 @@ def _rewrite_once(
         # columns in the data files, none needed: one rel at a time)
         reader = spark.read.format(fmt).options(**(format_opts or {}))
         if schema:
-            data_schema = schema
             if pcols:
-                # strip partition columns from the declared schema
-                keep = [
-                    c
-                    for c in [s.strip() for s in schema.split(",")]
-                    if c.split()[0] not in set(pcols)
-                ]
-                data_schema = ", ".join(keep)
-            reader = reader.schema(data_schema)
+                # strip partition columns STRUCTURALLY: parse the DDL
+                # and drop fields by name — a textual split(",") would
+                # shred parameterized types (DECIMAL(10,2)) and nested
+                # STRUCT/MAP fields whose inner names collide with a
+                # partition column
+                from pyspark.sql.types import StructType as _ST
+
+                st = _ST.fromDDL(schema)
+                pset = set(pcols)
+                data_schema = _ST([f for f in st.fields if f.name not in pset])
+                reader = reader.schema(data_schema)
+            else:
+                reader = reader.schema(schema)
         df = reader.load(paths)
         df.repartition(n_out).write.format(fmt).options(
             **(format_opts or {})

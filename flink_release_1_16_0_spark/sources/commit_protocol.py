@@ -76,6 +76,14 @@ CHECKPOINT_EVERY = 20
 #: stalled-but-alive committer can never be half-adjudicated.
 DEAD_CLAIM_GRACE_S = 60.0
 
+#: minimum data-file retention :func:`manifest_vacuum_data` accepts
+#: without an explicit override (Delta's retentionDurationCheck role).
+#: Unreferenced-file reclamation is mtime-based, so retention must
+#: comfortably exceed the commit lease AND any in-flight write's
+#: staging-to-publish gap; one hour is far above both while still
+#: letting operational vacuums run same-day.
+MIN_DATA_RETENTION_S = 3600.0
+
 
 def _data_files(d: str) -> list[str]:
     return [
@@ -623,7 +631,11 @@ def manifest_vacuum(base: str, keep_checkpoints: int = 2) -> int:
     return removed
 
 
-def manifest_vacuum_data(base: str, older_than_s: float = 86400.0) -> int:
+def manifest_vacuum_data(
+    base: str,
+    older_than_s: float = 86400.0,
+    enforce_retention_floor: bool = True,
+) -> int:
     """Reclaim UNREFERENCED data files: anything on the data path that
     the current live resolution does not claim and whose mtime is older
     than ``older_than_s`` (Delta ``VACUUM ... RETAIN n HOURS`` /
@@ -631,11 +643,29 @@ def manifest_vacuum_data(base: str, older_than_s: float = 86400.0) -> int:
     replaced by logical OVERWRITEs / rewrites, and crashed writers'
     orphans. The grace protects (a) files a healthy committer has moved
     into place but whose manifest has not published yet (that gap is
-    lease-bounded far below any sane grace) and (b) readers still
-    scanning a snapshot that was live when their query planned —
-    retention must exceed the longest query, the same operational rule
-    Delta documents. Returns the number of files removed. The log
-    itself is bounded separately by :func:`manifest_vacuum`."""
+    lease-bounded: :func:`manifest_commit` renews the staging dir's
+    mtime immediately before the move-publish step, so mtime age really
+    does bound the publish gap even for a long-running writer) and
+    (b) readers still scanning a snapshot that was live when their
+    query planned — retention must exceed the longest query, the same
+    operational rule Delta documents. Because mtime is the only guard,
+    a retention below :data:`MIN_DATA_RETENTION_S` is REFUSED unless
+    ``enforce_retention_floor=False`` (Delta's
+    ``retentionDurationCheck`` role — a zero-retention run concurrent
+    with an in-flight writer is a data-loss hazard). Returns the number
+    of files removed. The log itself is bounded separately by
+    :func:`manifest_vacuum`."""
+    if enforce_retention_floor and older_than_s < MIN_DATA_RETENTION_S:
+        raise ValueError(
+            f"data-vacuum retention {older_than_s}s is below the safety "
+            f"floor {MIN_DATA_RETENTION_S}s: files committed but not yet "
+            "covered by a published manifest and live staging dirs are "
+            "only mtime-protected, so a short retention concurrent with "
+            "an in-flight writer can delete live data. Set table option "
+            "'sink.vacuum.retention-check'='false' (or pass "
+            "enforce_retention_floor=False) to override — safe only when "
+            "no writer or long-running reader is active."
+        )
     live = set(manifest_live_files(base))
     now = time.time()
     removed = 0
@@ -679,6 +709,14 @@ def manifest_commit(base: str, staging: str, rels: list[str], overwrite: bool) -
     atomically publish one manifest declaring them live. On an object
     store the move step disappears entirely — tasks write their final
     unique names directly and only the manifest publish remains."""
+    # lease renewal: refresh the staging dir's mtime at the move-publish
+    # boundary so a concurrent data vacuum's mtime-age check bounds the
+    # true publish gap (a long write leaves the dir's mtime at job
+    # start — files land in nested partition subdirs)
+    try:
+        os.utime(staging)
+    except OSError:
+        pass
     files: dict[str, list[str]] = {}
     for rel in rels:
         src = os.path.join(staging, rel) if rel else staging
@@ -686,7 +724,16 @@ def manifest_commit(base: str, staging: str, rels: list[str], overwrite: bool) -
         os.makedirs(dst, exist_ok=True)
         names = _data_files(src)
         for f in names:
-            os.replace(os.path.join(src, f), os.path.join(dst, f))
+            final = os.path.join(dst, f)
+            os.replace(os.path.join(src, f), final)
+            # rename preserves the WRITE-time mtime — a task file from
+            # hours ago would look vacuum-ably old while its manifest is
+            # still unpublished; stamp move time so the retention clock
+            # starts at commit, not at write
+            try:
+                os.utime(final)
+            except OSError:
+                pass
         files[rel] = sorted(names)
     shutil.rmtree(staging, ignore_errors=True)
     _publish_manifest(

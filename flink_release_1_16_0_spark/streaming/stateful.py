@@ -139,6 +139,7 @@ def streaming_window_dedup(
     keys: Sequence[str],
     order_col: str | Sequence[str],
     keep: str = "first",
+    window_size_ms: int | None = None,
 ) -> DataFrame:
     """Windowed dedup (StreamExecWindowDeduplicate /
     RowTimeWindowDeduplicateOperatorBuilder): the winning row per
@@ -152,7 +153,18 @@ def streaming_window_dedup(
     ~1M tiny groups at sf1 cost 132 s of harness overhead, the
     per-group-constant class the round-9/10 fixes target. Per-key
     grouping pays it once per key per micro-batch; emissions (the
-    changed winners, update mode) are identical."""
+    changed winners, update mode) are identical.
+
+    State bound: with ``window_size_ms`` set (and a watermark on the
+    input), rows for windows whose END is behind the current watermark
+    are DROPPED (the reference's zero-allowed-lateness window
+    semantics) and those windows' winners are evicted — so per-key
+    state is bounded by the number of OPEN windows (the reference's
+    cleanup timer in RowTimeWindowDeduplicateOperatorBuilder) and a
+    passed window can never re-emit. Without it (or without a
+    watermark) every window's winner is retained and late refinements
+    keep applying — fine for bounded replays, unbounded on a
+    long-running stream."""
     import pickle
 
     out_schema = stream.schema
@@ -162,14 +174,32 @@ def streaming_window_dedup(
         raise ValueError(f"keep must be first|last, got {keep!r}")
     sign = 1 if keep == "first" else -1
 
+    def _win_end_ms(w) -> float:
+        # window bucket start -> end in epoch ms (pd.Timestamp /
+        # datetime / already-numeric ms all appear depending on source)
+        if hasattr(w, "value"):  # pd.Timestamp (ns)
+            start = w.value / 1_000_000
+        elif hasattr(w, "timestamp"):  # datetime
+            start = w.timestamp() * 1000.0
+        else:
+            start = float(w)
+        return start + (window_size_ms or 0)
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         winners: dict = pickle.loads(state.get[0]) if state.exists else {}
         changed: set = set()
+        wm = state.getCurrentWatermarkMs() if window_size_ms is not None else 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
+            if wm > 0:
+                # zero allowed lateness: a row for a passed window is
+                # dropped, exactly like the reference's window operator
+                pdf = pdf[pdf[window_col].map(_win_end_ms) > wm]
+                if len(pdf) == 0:
+                    continue
             # candidate per window from THIS batch first (vectorized),
             # then one python-level compare against the held winner
             s = pdf.sort_values(order_cols, kind="mergesort")
@@ -185,11 +215,22 @@ def streaming_window_dedup(
                 if cur is None or sign * _cmp_tuples(rank, cur[0]) < 0:
                     winners[w] = (rank, row)
                     changed.add(w)
+        evicted = False
+        if wm > 0:
+            stale = [w for w in winners if _win_end_ms(w) <= wm]
+            for w in stale:
+                del winners[w]
+            evicted = bool(stale)
         if changed:
-            state.update((pickle.dumps(winners),))
             yield pd.DataFrame(
-                [winners[w][1] for w in sorted(changed)], columns=cols
+                [winners[w][1] for w in sorted(changed & winners.keys())],
+                columns=cols,
             )[cols]
+        if changed or evicted:
+            if winners:
+                state.update((pickle.dumps(winners),))
+            elif state.exists:
+                state.remove()
 
     return stream.groupBy(*keys).applyInPandasWithState(
         fn,

@@ -701,11 +701,17 @@ class CatalogTable:
             rels = [""]
         proto = self._commit_protocol()
         if proto == "manifest":
+            auto_vacuum = self.options.get(
+                "sink.log.auto-vacuum", "false"
+            ).strip().lower() in ("true", "1")
+            if auto_vacuum:
+                # parse BEFORE the commit: a malformed option must fail
+                # fast at write start, never after the manifest is
+                # durable (an acknowledged commit surfacing as a failure
+                # invites a duplicate-data retry)
+                keep = int(self.options.get("sink.log.keep-checkpoints", "2"))
             manifest_commit(base, staging, rels, overwrite)
-            if self.options.get("sink.log.auto-vacuum", "false").strip().lower() in (
-                "true",
-                "1",
-            ):
+            if auto_vacuum:
                 # storage bound applied post-commit: best-effort derived
                 # maintenance, never a commit failure (the commit above
                 # is already durable and acknowledged-able)
@@ -714,12 +720,7 @@ class CatalogTable:
                 )
 
                 try:
-                    manifest_vacuum(
-                        base,
-                        keep_checkpoints=int(
-                            self.options.get("sink.log.keep-checkpoints", "2")
-                        ),
-                    )
+                    manifest_vacuum(base, keep_checkpoints=keep)
                 except OSError:
                     pass
         elif proto == "rename":
@@ -4036,7 +4037,11 @@ class TableEnvironment:
         OVERWRITE/rewrite generations and crashed writers' orphans; the
         Delta VACUUM / Iceberg remove_orphan_files role). RETAIN n
         HOURS sets the data retention; retention must exceed the
-        longest-running reader, Delta's documented rule. Only
+        longest-running reader, Delta's documented rule, and a
+        retention under the one-hour safety floor is refused unless the
+        table sets ``'sink.vacuum.retention-check'='false'`` (Delta's
+        retentionDurationCheck role — mtime is the only guard for
+        committed-but-unpublished files and live staging dirs). Only
         meaningful under ``'sink.commit-protocol'='manifest'`` — the
         rename protocol has no log and deletes eagerly. Returns both
         removal counts."""
@@ -4063,7 +4068,12 @@ class TableEnvironment:
             table.options["path"], keep_checkpoints=keep_checkpoints
         )
         removed_data = manifest_vacuum_data(
-            table.options["path"], older_than_s=retain_hours * 3600.0
+            table.options["path"],
+            older_than_s=retain_hours * 3600.0,
+            enforce_retention_floor=table.options.get(
+                "sink.vacuum.retention-check", "true"
+            ).strip().lower()
+            not in ("false", "0"),
         )
         return TableResult(
             rows=[f"removed {removed} log files, {removed_data} data files"]

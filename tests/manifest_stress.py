@@ -120,7 +120,7 @@ def data_vacuumer(base: str, stop_time: float) -> None:
     from flink_release_1_16_0_spark.sources import commit_protocol as cp
 
     while time.time() < stop_time:
-        cp.manifest_vacuum_data(base, older_than_s=2.0)
+        cp.manifest_vacuum_data(base, older_than_s=2.0, enforce_retention_floor=False)
         time.sleep(0.1)
 
 

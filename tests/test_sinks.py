@@ -1133,7 +1133,8 @@ def test_manifest_data_rewrite_and_data_vacuum(spark, tmp_path):
     tenv.execute_sql(
         f"""CREATE TABLE dr_snk (k BIGINT, p BIGINT) PARTITIONED BY (p)
         WITH ('connector'='filesystem','path'='{out}','format'='parquet',
-              'sink.commit-protocol'='manifest')"""
+              'sink.commit-protocol'='manifest',
+              'sink.vacuum.retention-check'='false')"""
     )
     # six commits -> >= 6 small live files spread over 2 partitions
     for i in range(6):
@@ -1171,7 +1172,7 @@ def test_manifest_data_rewrite_and_data_vacuum(spark, tmp_path):
     assert len(files_on_disk("p=1")) > 1
 
     res = tenv.execute_sql("ALTER TABLE dr_snk VACUUM RETAIN 0 HOURS")
-    assert "data files" in res.collect()[0]
+    assert "data files" in res.collect()[0]  # retention-check disabled above
     # every on-disk file is now live; nothing a reader needs was removed
     assert files_on_disk("p=1") == live_after["p=1"]
     assert files_on_disk("p=0") == live_after["p=0"]
@@ -1418,3 +1419,118 @@ def test_manifest_rewrite_conflict_validation(spark, tmp_path, monkeypatch):
     rows = {r.k for r in tenv.sql_query("SELECT k FROM cf_snk").to_data_frame().collect()}
     # the overwrite's truncation SURVIVES: only row 99 is live
     assert rows == {99}, f"resurrected generation: {rows}"
+
+
+def test_manifest_data_vacuum_retention_floor(tmp_path):
+    """A retention below the one-hour safety floor is refused unless
+    explicitly overridden (Delta retentionDurationCheck role): files
+    committed but not yet covered by a published manifest are only
+    mtime-protected, so a zero-retention vacuum concurrent with an
+    in-flight writer is a data-loss hazard (round-10 review finding)."""
+    import os
+
+    import pytest as _pytest
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    os.makedirs(base)
+    with _pytest.raises(ValueError, match="retention-check"):
+        cp.manifest_vacuum_data(base, older_than_s=0.0)
+    # override path still works
+    assert cp.manifest_vacuum_data(base, older_than_s=0.0, enforce_retention_floor=False) == 0
+
+
+def test_sql_vacuum_retention_floor(spark, tmp_path):
+    """ALTER TABLE ... VACUUM RETAIN 0 HOURS without the table-level
+    override raises with remediation text naming the option."""
+    import pytest as _pytest
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "vf_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE vf_snk (k BIGINT)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    tenv.execute_sql("INSERT INTO vf_snk SELECT CAST(1 AS BIGINT)")
+    with _pytest.raises(ValueError, match="sink.vacuum.retention-check"):
+        tenv.execute_sql("ALTER TABLE vf_snk VACUUM RETAIN 0 HOURS")
+    # the default 24h retention passes the floor
+    res = tenv.execute_sql("ALTER TABLE vf_snk VACUUM")
+    assert "data files" in res.collect()[0]
+
+
+def test_manifest_commit_stamps_move_time(tmp_path):
+    """manifest_commit refreshes each moved file's mtime at publish:
+    rename preserves the WRITE-time mtime, so a long job's task files
+    would otherwise look vacuum-ably old the moment they land — the
+    retention clock must start at commit (round-10 review finding)."""
+    import os
+    import time
+
+    from flink_release_1_16_0_spark.sources import commit_protocol as cp
+
+    base = str(tmp_path / "t")
+    staging = os.path.join(base, ".staging-x")
+    os.makedirs(staging)
+    f = os.path.join(staging, "part-old.parquet")
+    with open(f, "wb"):
+        pass
+    os.utime(f, (1, 1))  # written "hours ago"
+    os.utime(staging, (1, 1))  # staging dir mtime stuck at job start
+    cp.manifest_commit(base, staging, [""], overwrite=False)
+    final = os.path.join(base, "part-old.parquet")
+    assert time.time() - os.path.getmtime(final) < 60
+    # and the file is live, so even an aggressive vacuum keeps it
+    assert cp.manifest_vacuum_data(base, older_than_s=0.0, enforce_retention_floor=False) == 0
+    assert os.path.exists(final)
+
+
+def test_compact_strips_parameterized_partition_type(spark, tmp_path):
+    """The oversized-partition rewrite strips partition columns from the
+    declared schema STRUCTURALLY: a DECIMAL(10,2) partition column (or a
+    struct field named like a partition column) must survive the strip —
+    the old textual split(\",\") shredded parameterized types
+    (round-10 review finding)."""
+    import os
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "dec_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE dec_snk (k BIGINT, s ROW<p BIGINT, q DECIMAL(10,2)>,
+            p DECIMAL(10,2)) PARTITIONED BY (p)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest',
+              'compaction.file-size'='1GB')"""
+    )
+    for i in range(3):
+        tenv.execute_sql(
+            f"INSERT INTO dec_snk SELECT CAST({i} AS BIGINT), "
+            f"(CAST({i} AS BIGINT), CAST(1.25 AS DECIMAL(10,2))), "
+            "CAST(7.50 AS DECIMAL(10,2))"
+        )
+    before = {
+        (r.k, str(r.p))
+        for r in tenv.sql_query("SELECT k, p FROM dec_snk").to_data_frame().collect()
+    }
+    assert before == {(0, "7.50"), (1, "7.50"), (2, "7.50")}
+    # force the OVERSIZED path (read-back with stripped schema): tiny target
+    tenv.execute_sql("ALTER TABLE dec_snk SET ('compaction.file-size'='1')")
+    tenv.execute_sql("ALTER TABLE dec_snk COMPACT")
+    after = {
+        (r.k, str(r.p))
+        for r in tenv.sql_query("SELECT k, p FROM dec_snk").to_data_frame().collect()
+    }
+    assert after == before
+    inner = {
+        (r.pp, str(r.q))
+        for r in tenv.sql_query(
+            "SELECT s.p AS pp, s.q AS q FROM dec_snk"
+        ).to_data_frame().collect()
+    }
+    assert inner == {(0, "1.25"), (1, "1.25"), (2, "1.25")}

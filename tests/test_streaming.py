@@ -1176,3 +1176,81 @@ def test_streaming_window_dedup_converges(spark, sf_smoke, chunked_events, event
         .collect()
     }
     assert w == want
+
+
+def test_window_dedup_evicts_passed_windows(spark, tmp_path):
+    """With window_size_ms + a watermark, streaming_window_dedup drops
+    rows for windows whose end is behind the watermark (zero allowed
+    lateness, the reference's RowTimeWindowDeduplicate semantics) and
+    evicts those windows' winners from state — per-key state is bounded
+    by OPEN windows, not stream lifetime (round-10 review finding).
+
+    Three time-ordered micro-batches: batch 1 fills window W0, batch 2
+    advances the watermark past W0's end, batch 3 delivers a late row
+    for W0 that WOULD win keep-first — it must be dropped, never
+    emitted."""
+    import datetime as dt
+    import os
+    import time
+
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_window_dedup
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+
+    d = str(tmp_path / "chunks")
+    os.makedirs(d)
+
+    def ts(h, m):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+    batches = [
+        [(1, 10, ts(0, 5)), (1, 11, ts(0, 10))],      # W0 winner = 10
+        [(1, 20, ts(2, 0))],                           # wm -> 01:50 > W0 end
+        [(1, 5, ts(0, 1))],                            # late W0 row, would win
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i, rows in enumerate(batches):
+        p = os.path.join(d, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                    "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                }
+            ),
+            p,
+        )
+        t = time.time() - 100 + i * 10  # strictly increasing mtimes
+        os.utime(p, (t, t))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+        .select(
+            F.window("ts", "1 hour").getField("start").alias("win_start"),
+            "user_id",
+            "event_id",
+            "ts",
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    out = run_to_table(
+        streaming_window_dedup(
+            stream,
+            window_col="win_start",
+            keys=["user_id"],
+            order_col=["ts", "event_id"],
+            keep="first",
+            window_size_ms=3_600_000,
+        ),
+        "update",
+    )
+    emitted = {(r["win_start"], r["event_id"]) for r in out.collect()}
+    assert (ts(0, 0), 10) in emitted  # W0's on-time winner
+    assert (ts(2, 0), 20) in emitted  # W2's winner
+    # the late refinement for the PASSED window never emits
+    assert all(eid != 5 for _, eid in emitted), emitted
