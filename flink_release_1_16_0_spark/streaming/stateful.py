@@ -394,8 +394,14 @@ def streaming_retracting_agg(
 
     Mirrors GroupAggFunction.java:125-172: first batch for a key emits
     +I; later changes emit the UPDATE_BEFORE (prior accumulator) and
-    UPDATE_AFTER (new accumulator); a key whose count returns to zero
-    would emit -D (reachable only with changelog inputs).
+    UPDATE_AFTER (new accumulator). When the input carries a
+    ``__rowkind`` column, -U/-D rows RETRACT their contribution
+    (accumulate/retract branch), and a key whose live count returns to
+    zero emits -D of the previous accumulator and clears its state —
+    the reference's recordCounter emptiness path. Inserts and retracts
+    that fully cancel before a key's first emission produce nothing
+    (the firstRow short-circuit). Without the column, the input is
+    append-only and every row accumulates.
     """
     from pyspark.sql.types import (
         DoubleType,
@@ -418,32 +424,51 @@ def streaming_retracting_agg(
         [StructField("n", LongType()), StructField("total", DoubleType())]
     )
 
+    has_kind = ROWKIND in stream.columns
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        add_n, add_total = 0, 0.0
+        import numpy as np
+
+        add_n, add_total, touched = 0, 0.0, False
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            add_n += len(pdf)
-            add_total += float(pdf[value_col].sum())
-        if add_n == 0:
+            touched = True
+            if has_kind:
+                sgn = np.where(
+                    pdf[ROWKIND].isin([INSERT, UPDATE_AFTER]), 1, -1
+                )
+                add_n += int(sgn.sum())
+                add_total += float((sgn * pdf[value_col].to_numpy()).sum())
+            else:
+                add_n += len(pdf)
+                add_total += float(pdf[value_col].sum())
+        if not touched:
             return
         rows = []
         if state.exists:
             n0, t0 = state.get
-            rows.append((UPDATE_BEFORE, *key, n0, t0))
             n1, t1 = n0 + add_n, t0 + add_total
-            rows.append((UPDATE_AFTER, *key, n1, t1))
+            if n1 == 0:
+                # live count hit zero: retract the previous agg row and
+                # clear state (GroupAggFunction recordCounter path)
+                rows.append((DELETE, *key, n0, t0))
+                state.remove()
+            else:
+                rows.append((UPDATE_BEFORE, *key, n0, t0))
+                rows.append((UPDATE_AFTER, *key, n1, t1))
+                state.update((n1, t1))
         else:
             n1, t1 = add_n, add_total
-            rows.append((INSERT, *key, n1, t1))
-        if n1 == 0:
-            rows.append((DELETE, *key, 0, 0.0))
-            state.remove()
-        else:
-            state.update((n1, t1))
-        yield pd.DataFrame(rows, columns=[ROWKIND, *keys, "n", "total"])
+            if n1 != 0:
+                rows.append((INSERT, *key, n1, t1))
+                state.update((n1, t1))
+            # n1 == 0 with no prior state: inserts and retracts fully
+            # cancelled before the first emission -> emit nothing
+        if rows:
+            yield pd.DataFrame(rows, columns=[ROWKIND, *keys, "n", "total"])
 
     return stream.groupBy(*keys).applyInPandasWithState(
         fn,

