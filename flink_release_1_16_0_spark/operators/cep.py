@@ -149,6 +149,7 @@ def _scan_matches(rx, sym, ts_series, within_ms, skip="past_last_row"):
         # normalize to int64 ns regardless of pandas unit/tz flavor
         ts_ns = ts_series.to_numpy(dtype="datetime64[ns]").astype("int64")
         bound_ns = within_ms * 1_000_000
+
     s = 0
     while s < len(sym):
         if ts_ns is None:
@@ -187,25 +188,58 @@ def _scan_matches(rx, sym, ts_series, within_ms, skip="past_last_row"):
 # MEASURES (per pattern variable) and DEFINE (cross-variable predicates)
 # ---------------------------------------------------------------------------
 
-_AGGS = ("first", "last", "sum", "count", "min", "max")
+_AGGS = ("first", "last", "sum", "count", "min", "max", "avg")
+
+
+def _sort_spec(order_spec):
+    """(columns, ascending-flags) for the per-key sort; order_spec is
+    the ORDER BY tail as (internal col, asc) pairs, default
+    (__ts, __id) ascending."""
+    spec = list(order_spec) if order_spec else [("__ts", True), ("__id", True)]
+    return [c for c, _ in spec], [a for _, a in spec]
+
+
+def _check_agg(alias: str, agg: str) -> None:
+    base = agg.split(":", 1)[0]
+    if base not in _AGGS:
+        raise ValueError(f"{alias}: unsupported agg {agg}")
+    if ":" in agg and base not in ("first", "last"):
+        raise ValueError(f"{alias}: logical offset only on FIRST/LAST, got {agg}")
 
 
 def _measure_value(slice_df: pd.DataFrame, agg: str, col: str, grid_scale):
+    """One MEASURES value over a variable's matched rows. ``agg`` may
+    carry a logical offset as ``first:N`` / ``last:N`` (SQL
+    ``FIRST(V.col, N)`` navigation — MatchCodeGenerator's
+    LogicalNavigation); out-of-range offsets are NULL, the reference's
+    behavior. ``col == "*"`` with count is ``COUNT(*)`` (all rows);
+    otherwise COUNT skips NULLs per SQL."""
+    agg, _, off = agg.partition(":")
+    offset = int(off) if off else 0
     if agg == "count":
-        return len(slice_df)  # COUNT over an unbound variable is 0, not NULL
+        # COUNT over an unbound variable is 0, not NULL
+        if col == "*":
+            return len(slice_df)
+        return int(slice_df[col].notna().sum()) if len(slice_df) else 0
     if len(slice_df) == 0:
         return None
     if agg == "first":
-        return slice_df.iloc[0][col]
+        return slice_df.iloc[offset][col] if offset < len(slice_df) else None
     if agg == "last":
-        return slice_df.iloc[-1][col]
+        return (
+            slice_df.iloc[-1 - offset][col] if offset < len(slice_df) else None
+        )
     if agg == "sum":
+        if slice_df[col].isna().all():
+            return None  # SQL SUM over all-NULL is NULL
         if grid_scale is not None:
             # exact grid arithmetic (same device as the streaming
             # over-agg): sum integer grid units, never accumulate floats
             q = 10 ** grid_scale
             return float((slice_df[col] * q).round().astype("int64").sum()) / q
         return slice_df[col].sum()
+    if agg == "avg":
+        return None if slice_df[col].isna().all() else slice_df[col].mean()
     if agg == "min":
         return slice_df[col].min()
     if agg == "max":
@@ -225,10 +259,13 @@ def match_regex_measures(
     grid_scale: int | None = None,
     within_ms: int | None = None,
     skip: str = "past_last_row",
+    order_spec: Sequence[tuple[str, bool]] | None = None,
 ) -> DataFrame:
     """Regex-tier pattern matching with per-variable MEASURES
     (StreamExecMatch.java MEASURES clause; MATCH_RECOGNIZE
-    FIRST/LAST/SUM/COUNT/MIN/MAX over a pattern variable's rows).
+    FIRST/LAST/SUM/COUNT/MIN/MAX/AVG over a pattern variable's rows,
+    with logical offsets ``first:N``/``last:N`` and the universal
+    variable ``"*"`` = the whole match).
 
     Pattern variables are regex *named groups* — quantifiers go inside
     the group (``(?P<C>c+)(?P<P>p)``), so each group's span covers the
@@ -236,14 +273,16 @@ def match_regex_measures(
     (group, agg, column, spark_type); ``column`` must be ``ts_col``,
     ``id_col`` or listed in ``value_cols``. ``grid_scale`` makes SUM
     exact on a fixed decimal grid (events.value is scale 2) so results
-    are engine-portable. Matches are leftmost, non-overlapping (AFTER
-    MATCH SKIP PAST LAST ROW). One shuffle on the key; per-key work is
-    linear in rows, the CepOperator cost model.
+    are engine-portable. ``order_spec`` generalizes the sort to the SQL
+    ORDER BY list as (internal column, ascending) pairs (the
+    reference's RowtimeComparator + secondary orders); default
+    (__ts, __id) ascending. Matches are leftmost, non-overlapping
+    (AFTER MATCH SKIP PAST LAST ROW). One shuffle on the key; per-key
+    work is linear in rows, the CepOperator cost model.
     """
     _check_skip(skip)
     for alias, (var, agg, col, _t) in measures.items():
-        if agg not in _AGGS:
-            raise ValueError(f"{alias}: unsupported agg {agg}")
+        _check_agg(alias, agg)
     tagged = df.select(
         *keys,
         F.col(ts_col).alias("__ts"),
@@ -255,12 +294,15 @@ def match_regex_measures(
     out_fields = ", ".join(f"{k} {key_types[k]}" for k in keys)
     m_fields = ", ".join(f"{a} {t}" for a, (_v, _g, _c, t) in measures.items())
     schema = f"{out_fields}, match_no int, {m_fields}"
+    sort_cols, sort_asc = _sort_spec(order_spec)
 
     def col_name(c: str) -> str:
         return "__ts" if c == ts_col else "__id" if c == id_col else c
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(
+            sort_cols, ascending=sort_asc, kind="mergesort"
+        ).reset_index(drop=True)
         sym = "".join(pdf["__sym"].tolist())
         rows = []
         keyvals = [pdf.iloc[0][k] for k in keys]
@@ -270,9 +312,14 @@ def match_regex_measures(
         ):
             vals = []
             for _alias, (var, agg, col, _t) in measures.items():
-                s, e = m.span(var)
+                s, e = m.span(0) if var == "*" else m.span(var)
                 vals.append(
-                    _measure_value(pdf.iloc[s:e], agg, col_name(col), grid_scale)
+                    _measure_value(
+                        pdf.iloc[s:e],
+                        agg,
+                        col if col == "*" else col_name(col),
+                        grid_scale,
+                    )
                 )
             rows.append((*keyvals, m_no, *vals))
         return pd.DataFrame(rows, columns=[*keys, "match_no", *measures])
@@ -292,6 +339,7 @@ def match_regex_all_rows(
     grid_scale: int | None = None,
     within_ms: int | None = None,
     skip: str = "past_last_row",
+    order_spec: Sequence[tuple[str, bool]] | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH tier: one output row per matched EVENT with
     RUNNING measure semantics (CepOperator.java:82 emitting per-row,
@@ -310,8 +358,7 @@ def match_regex_all_rows(
     """
     _check_skip(skip)
     for alias, (_var, agg, _col, _t) in measures.items():
-        if agg not in _AGGS:
-            raise ValueError(f"{alias}: unsupported agg {agg}")
+        _check_agg(alias, agg)
     tagged = df.select(
         *keys,
         F.col(ts_col).alias("__ts"),
@@ -329,11 +376,15 @@ def match_regex_all_rows(
         f"{out_fields}, {row_fields}, match_no int, classifier string, {m_fields}"
     )
 
+    sort_cols, sort_asc = _sort_spec(order_spec)
+
     def col_name(c: str) -> str:
         return "__ts" if c == ts_col else "__id" if c == id_col else c
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(
+            sort_cols, ascending=sort_asc, kind="mergesort"
+        ).reset_index(drop=True)
         sym = "".join(pdf["__sym"].tolist())
         out = []
         keyvals = [pdf.iloc[0][k] for k in keys]
@@ -348,10 +399,17 @@ def match_regex_all_rows(
                 )
                 vals = []
                 for _alias, (var, agg, col, _t) in measures.items():
-                    s, e = m.span(var)
+                    s, e = m.span(0) if var == "*" else m.span(var)
                     hi = min(r + 1, e)
                     sl = pdf.iloc[s:hi] if 0 <= s < hi else pdf.iloc[0:0]
-                    vals.append(_measure_value(sl, agg, col_name(col), grid_scale))
+                    vals.append(
+                        _measure_value(
+                            sl,
+                            agg,
+                            col if col == "*" else col_name(col),
+                            grid_scale,
+                        )
+                    )
                 out.append(
                     (
                         *keyvals,
@@ -398,6 +456,17 @@ def nfa_try_match(
     ``defines[var]`` is ``fn(row, ctx) -> bool``. Shared by the batch
     tier (match_nfa) and the streaming tier
     (streaming/cep_stream.streaming_cep_nfa_within).
+
+    Quantifier ``?e`` is the FLINK-SQL optional: the reference drops
+    the greedy property for optionals (CommonExecMatch.applyQuantifier
+    — ``greedy && isOptional`` is a no-op), so the optional branches
+    both ways and the run reaching the final state EARLIEST emits
+    (NFA.java's completed-match handling). A trailing ``D?e`` before
+    the last variable therefore binds empty when the match can complete
+    without it — pinned by the ported
+    MatchRecognizeITCase.testAggregates (countD = 0). Plain ``?`` keeps
+    the regex-style greedy-optional binding (this operator's
+    Pattern-API facade semantics).
     """
     deadline = (
         None
@@ -428,7 +497,7 @@ def nfa_try_match(
             ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
             return bool(pred(rows[i], ctx))
 
-        if quant in ("1", "?", "??"):
+        if quant in ("1", "?", "??", "?e", "?g"):
             if quant == "??":
                 # reluctant optional: prefer skipping (Quantifier
                 # GREEDY property absent -> NFACompiler builds the
@@ -436,27 +505,52 @@ def nfa_try_match(
                 r = step(pos, si + 1, bound)
                 if r is not None:
                     return r
+            if quant == "?g":
+                # possessive optional ({n,m} greedy tail: the reference
+                # commits greedy consumption and never backtracks)
+                if accepts(pos, []):
+                    b2 = {**bound, var: bound.get(var, []) + [pos]}
+                    return step(pos + 1, si + 1, b2)
+                return step(pos, si + 1, bound)
+            take = None
             if accepts(pos, []):
                 b2 = {**bound, var: bound.get(var, []) + [pos]}
-                r = step(pos + 1, si + 1, b2)
-                if r is not None:
-                    return r
+                take = step(pos + 1, si + 1, b2)
+                if take is not None and quant != "?e":
+                    return take
             if quant == "?":
                 return step(pos, si + 1, bound)
+            if quant == "?e":
+                # Flink-SQL optional: both branches live; the earlier
+                # completion emits (tie prefers taking)
+                skip = step(pos, si + 1, bound)
+                if take is None or (
+                    skip is not None and skip[0] < take[0]
+                ):
+                    return skip
+                return take
             return None
         # + / * and their reluctant twins: the maximal run is scanned
         # once (prefix validity is history-consistent), then candidate
         # lengths are tried longest-first (greedy) or shortest-first
-        # (reluctant +? / *?)
+        # (reluctant +? / *?). The POSSESSIVE +g / *g forms commit to
+        # the maximal run with no shorter retries — the reference's
+        # greedy loop (Pattern.greedy(): a run whose continuation fails
+        # DIES rather than yielding rows back; pinned by the ported
+        # MatchRecognizeITCase.testLogicalOffsets, where rows 1-3 form
+        # a valid V-shape only a backtracker would report).
         taken: list[int] = []
         while accepts(pos + len(taken), taken):
             taken.append(pos + len(taken))
-        min_n = 1 if quant in ("+", "+?") else 0
-        order = (
-            range(min_n, len(taken) + 1)
-            if quant.endswith("?")
-            else range(len(taken), min_n - 1, -1)
-        )
+        min_n = 1 if quant in ("+", "+?", "+g") else 0
+        if quant in ("+g", "*g"):
+            if len(taken) < min_n:
+                return None
+            order = [len(taken)]
+        elif quant.endswith("?"):
+            order = range(min_n, len(taken) + 1)
+        else:
+            order = range(len(taken), min_n - 1, -1)
         for n in order:
             bn = {**bound, var: bound.get(var, []) + taken[:n]} if n else bound
             r = step(pos + n, si + 1, bn)
@@ -783,6 +877,7 @@ def match_nfa(
     within_ms: int | None = None,
     skip: str = "past_last_row",
     all_rows: bool = False,
+    order_spec: Sequence[tuple[str, bool]] | None = None,
 ) -> DataFrame:
     """Linear-pattern NFA with cross-variable DEFINE predicates — the
     full MATCH_RECOGNIZE DEFINE semantics the regex tier cannot
@@ -819,6 +914,8 @@ def match_nfa(
     the same keyed-NFA state profile as the reference's CepOperator.
     """
     _check_skip(skip)
+    for alias, (_var, agg, _col, _t) in measures.items():
+        _check_agg(alias, agg)
     tagged = df.select(
         *keys,
         F.col(ts_col).alias("__ts"),
@@ -843,14 +940,23 @@ def match_nfa(
     else:
         schema = f"{out_fields}, match_no int, {m_fields}"
 
+    sort_cols, sort_asc = _sort_spec(order_spec)
+
     def col_name(c: str) -> str:
         return "__ts" if c == ts_col else "__id" if c == id_col else c
 
     def try_match(rows: list[dict], start: int):
         return nfa_try_match(rows, start, steps, defines, within_ms)
 
+    def _var_idxs(bound: dict, var: str) -> list:
+        if var == "*":  # universal variable: every bound row, in order
+            return sorted({i for idxs in bound.values() for i in idxs})
+        return bound.get(var, [])
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ts", "__id"], kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(
+            sort_cols, ascending=sort_asc, kind="mergesort"
+        ).reset_index(drop=True)
         rows = pdf.to_dict("records")
         out = []
         keyvals = [pdf.iloc[0][k] for k in keys]
@@ -870,10 +976,13 @@ def match_nfa(
                     row = rows[r]
                     vals = []
                     for _alias, (var, agg, col, _t) in measures.items():
-                        run = [i for i in bound.get(var, []) if i <= r]
+                        run = [i for i in _var_idxs(bound, var) if i <= r]
                         vals.append(
                             _measure_value(
-                                pdf.iloc[run], agg, col_name(col), grid_scale
+                                pdf.iloc[run],
+                                agg,
+                                col if col == "*" else col_name(col),
+                                grid_scale,
                             )
                         )
                     out.append(
@@ -890,9 +999,14 @@ def match_nfa(
             else:
                 vals = []
                 for _alias, (var, agg, col, _t) in measures.items():
-                    idxs = bound.get(var, [])
+                    idxs = _var_idxs(bound, var)
                     vals.append(
-                        _measure_value(pdf.iloc[idxs], agg, col_name(col), grid_scale)
+                        _measure_value(
+                            pdf.iloc[idxs],
+                            agg,
+                            col if col == "*" else col_name(col),
+                            grid_scale,
+                        )
                     )
                 out.append((*keyvals, m_no, *vals))
             m_no += 1

@@ -20,6 +20,43 @@ from flink_release_1_16_0_spark.operators.text import shingles, sql_shingles
 from flink_release_1_16_0_spark.queries import register
 
 # --------------------------------------------------------------------------
+# quadratic-baseline guard
+# --------------------------------------------------------------------------
+
+#: row bound above which the all-pairs exact-verify baselines refuse to
+#: run: n rows is n^2/2 comparisons — 200k rows is already 2e10 pairs,
+#: far past what an exact-verify slice should ever be
+QUADRATIC_ROW_BOUND = 200_000
+
+ALLOW_QUADRATIC_CONF = "spark.llm.dedup.allow-quadratic"
+
+
+def _guard_quadratic(spark: SparkSession, df: DataFrame, what: str) -> DataFrame:
+    """The all-pairs queries below are exact-verify BASELINES over keyed
+    slices — the adjudication twin of the banded/bucketed production
+    paths (MinHash-LSH, SimHash, IVF), never a 100 TB path themselves.
+    Pointing one at an unsliced corpus is the one quadratic anti-pattern
+    a user could still trip, so inputs beyond :data:`QUADRATIC_ROW_BOUND`
+    rows are refused unless the session sets
+    ``spark.llm.dedup.allow-quadratic=true`` (round-10 review item)."""
+    if (
+        spark.conf.get(ALLOW_QUADRATIC_CONF, "false").strip().lower()
+        in ("true", "1")
+    ):
+        return df
+    n = df.count()
+    if n > QUADRATIC_ROW_BOUND:
+        raise ValueError(
+            f"{what}: input has {n} rows > {QUADRATIC_ROW_BOUND}; this is "
+            "an O(n^2) exact-verify baseline meant for keyed slices — use "
+            "the banded/bucketed production twin (dedup_minhash_lsh / "
+            "similarity_*), or set "
+            f"'{ALLOW_QUADRATIC_CONF}'='true' to override"
+        )
+    return df
+
+
+# --------------------------------------------------------------------------
 # exact dedup: normalized-text hash groupBy, keep lowest doc_id
 # --------------------------------------------------------------------------
 
@@ -172,7 +209,11 @@ SELECT id_a, id_b, jaccard FROM (
 
 @register("dedup_ngram_jaccard", _NGRAM_ORACLE, tags=("llm", "dedup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    docs = _guard_quadratic(
+        spark,
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0),
+        "dedup_ngram_jaccard",
+    )
     sh = docs.select("doc_id", shingles(F.col("text"), 2).alias("s"))
     # The theta join (id_a < id_b) plans as a broadcast nested-loop whose
     # parallelism is the STREAMED side's partition count — a small
@@ -210,7 +251,11 @@ WHERE ROUND({S.sql_cosine('a.embedding', 'b.embedding')}, 6) >= {_COS_THRESHOLD}
 
 @register("dedup_embedding_cosine", _COSDUP_ORACLE, tags=("llm", "dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    emb = _guard_quadratic(
+        spark,
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0),
+        "dedup_embedding_cosine",
+    )
     # same streamed-side repartition as dedup_ngram_jaccard: the theta
     # join's nested-loop parallelism is the left side's split count
     par = spark.sparkContext.defaultParallelism

@@ -4589,6 +4589,40 @@ def _parse_skip_strategy(body: str):
 _MR_COUNTER = iter(range(1, 1 << 30))
 
 
+def _split_predicate_list(s: str) -> list[str]:
+    """Split a MEASURES/DEFINE clause body on top-level commas.
+
+    Unlike :func:`_split_top_level`, ``<`` and ``>`` are COMPARISON
+    operators here, not generic-type brackets — ``price < LAST(x, 1),
+    UP AS ...`` must split at the comma after the closing paren, which
+    a ``<``-counting splitter never sees as top-level."""
+    parts, depth, buf, in_str = [], 0, [], False
+    for ch in s:
+        if in_str:
+            buf.append(ch)
+            if ch == "'":
+                in_str = False
+            continue
+        if ch == "'":
+            in_str = True
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        parts.append(tail)
+    return [p for p in parts if p]
+
+
 class _UnboundVariable(Exception):
     """DEFINE referenced a pattern variable with no bound rows yet."""
 
@@ -4640,39 +4674,188 @@ def _split_sql_literals(src: str) -> list:
     return parts
 
 
+class _SqlNullType:
+    """SQL NULL for compiled DEFINE predicates: comparisons are UNKNOWN
+    (falsy) instead of Python TypeErrors — `price < LAST(p,1) OR
+    LAST(p,1) IS NULL` must reach the OR arm, which eager `None < x`
+    would kill with an exception. Arithmetic absorbs (NULL + 1 is
+    NULL), mirroring SQL's null propagation."""
+
+    #: duck-type marker — cloudpickle copies closures BY VALUE, so the
+    #: worker-side sentinel is a different INSTANCE than the one a
+    #: separately-captured `_sql_null` closed over; identity checks
+    #: break there, attribute checks don't
+    _is_sql_null = True
+
+    def _false(self, other):
+        return False
+
+    __lt__ = __gt__ = __le__ = __ge__ = __eq__ = __ne__ = _false
+
+    def __bool__(self):
+        return False
+
+    def _absorb(self, *a):
+        return self
+
+    __add__ = __radd__ = __sub__ = __rsub__ = _absorb
+    __mul__ = __rmul__ = __truediv__ = __rtruediv__ = _absorb
+    __neg__ = _absorb
+    __hash__ = object.__hash__
+
+    def __repr__(self):
+        return "SQL_NULL"
+
+
+_SQL_NULL = _SqlNullType()
+
+
+def _sql_null(x) -> bool:
+    """SQL NULL test over the NFA tier's row dicts: None, the NaN a
+    nullable numeric column becomes after pandas conversion, or the
+    predicate-layer NULL sentinel."""
+    return (
+        x is None
+        or getattr(x, "_is_sql_null", False)
+        or (isinstance(x, float) and x != x)
+    )
+
+
+def _sql_val(x):
+    """Normalize a row value for predicate arithmetic: NULL-ish values
+    become the absorbing sentinel so comparisons are UNKNOWN, not
+    TypeErrors."""
+    return _SQL_NULL if _sql_null(x) else x
+
+
 def _compile_define_predicate(
-    pred: str, cur_var: str, variables: list, rename: dict
+    pred: str, cur_var: str, variables: list, rename: dict, columns=()
 ):
     """SQL DEFINE predicate -> ``fn(row, ctx)`` for the NFA tier
     (operators/cep.py match_nfa; cross-variable semantics of
-    nfa/NFA.java evaluating predicates against the partial match).
+    nfa/NFA.java evaluating predicates against the partial match,
+    MatchCodeGenerator's RUNNING evaluation for navigation/aggregates).
 
-    ``X.col`` on the variable being defined reads the candidate row;
-    ``Y.col`` on another variable is LAST(Y.col) per the SQL standard;
-    ``FIRST/LAST(X.col)`` read the rows bound so far. A reference to a
-    variable with no bound rows (or a NULL comparison) makes the
-    predicate false — MATCH_RECOGNIZE's null-predicate semantics.
+    Semantics (the reference's, pinned by the MatchRecognizeITCase
+    conformance suite in tests/test_match_recognize_itcase.py):
+
+    - ``X.col`` on the variable being defined reads the CANDIDATE row;
+      a bare column name does too (SQL standard).
+    - ``Y.col`` on another variable is LAST(Y.col).
+    - ``FIRST/LAST(V.col [, off])`` navigate V's rows-so-far; for the
+      variable being defined the candidate row counts as the running
+      last row. Unqualified ``FIRST/LAST(col [, off])`` navigate the
+      UNIVERSAL variable (every row of the partial match, in order).
+      Out-of-range offsets and unbound variables yield SQL NULL.
+    - ``SUM/COUNT/AVG/MIN/MAX(V.expr)`` are RUNNING aggregates over
+      V's rows-so-far including the candidate (GroupAggFunction-style
+      null skipping; COUNT(*) counts rows).
+    - ``IS [NOT] NULL`` and ``LIKE`` are supported; NULL comparisons
+      are false (UNKNOWN), MATCH_RECOGNIZE's predicate semantics.
+
     ``rename`` maps source column names to the row-dict names the NFA
-    tier uses internally (ts/id are renamed to __ts/__id).
+    tier uses internally (ts/id are renamed to __ts/__id); ``columns``
+    lists the table's real columns so bare identifiers can be told
+    apart from SQL keywords.
     """
     vset = set(variables)
+    colset = set(columns)
+    _aggs_re = r"(?:SUM|COUNT|AVG|MIN|MAX)"
 
     def col(c: str) -> str:
         return rename.get(c, c)
+
+    # IS [NOT] NULL and LIKE run on the raw SQL first (their operands
+    # are still in SQL form there); the operand text is rewritten by
+    # the later passes inside the generated call
+    pred = re.sub(
+        rf"((?:FIRST|LAST|{_aggs_re})\s*\([^()]*\)|\w+(?:\s*\.\s*\w+)?)"
+        r"\s+IS\s+NOT\s+NULL",
+        r"(not _isnull(\1))",
+        pred,
+        flags=re.IGNORECASE,
+    )
+    pred = re.sub(
+        rf"((?:FIRST|LAST|{_aggs_re})\s*\([^()]*\)|\w+(?:\s*\.\s*\w+)?)"
+        r"\s+IS\s+NULL",
+        r"_isnull(\1)",
+        pred,
+        flags=re.IGNORECASE,
+    )
+    pred = re.sub(
+        r"(\w+(?:\s*\.\s*\w+)?)\s+LIKE\s+('(?:[^']|'')*')",
+        r"_like(\1, \2)",
+        pred,
+        flags=re.IGNORECASE,
+    )
+
+    def _inner_lambda(inner: str) -> str:
+        """Aggregate payload -> a lambda over one row dict; every
+        qualified prefix was already validated to be one variable."""
+        body = re.sub(
+            r"\b(\w+)\s*\.\s*(\w+)",
+            lambda m: f"_v(__r[{col(m.group(2))!r}])"
+            if m.group(1) in vset
+            else m.group(0),
+            inner,
+        )
+        body = re.sub(
+            r"(?<![.\w'\"])([A-Za-z_]\w*)(?!\s*[(.\w'\"])",
+            lambda m: f"_v(__r[{col(m.group(1))!r}])"
+            if m.group(1) in colset
+            else m.group(0),
+            body,
+        )
+        return f"lambda __r: ({body})"
 
     def rewrite(seg: str) -> str:
         # SQL -> Python rewrites for one NON-LITERAL segment only: a
         # string literal like 'x=y' or 'a AND b' must pass through
         # verbatim, so the caller splits literals out first.
+        def agg_sub(m: re.Match) -> str:
+            kind = m.group(1).lower()
+            inner = m.group(2).strip()
+            if inner == "*":
+                return f'_agg("count", "*", None)'
+            ref_vars = {
+                v for v in re.findall(r"\b(\w+)\s*\.", inner) if v in vset
+            }
+            if len(ref_vars) > 1:
+                raise ValueError(
+                    f"DEFINE aggregate {m.group(0)!r} mixes variables"
+                )
+            var = ref_vars.pop() if ref_vars else "*"
+            return f'_agg("{kind}", "{var}", {_inner_lambda(inner)})'
+
         seg = re.sub(
-            r"\bFIRST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
-            lambda m: f'_first("{m.group(1)}","{col(m.group(2))}")',
+            rf"\b({_aggs_re})\s*\(([^()]*)\)",
+            agg_sub,
             seg,
             flags=re.IGNORECASE,
         )
+
+        def nav_sub(m: re.Match) -> str:
+            kind = m.group(1).lower()
+            parts = [p.strip() for p in m.group(2).split(",")]
+            target = parts[0]
+            off = parts[1] if len(parts) > 1 else "0"
+            if not off.isdigit():
+                raise ValueError(f"bad logical offset in {m.group(0)!r}")
+            qm = re.fullmatch(r"(\w+)\s*\.\s*(\w+)", target)
+            if qm and qm.group(1) in vset:
+                v, c = qm.group(1), col(qm.group(2))
+            elif re.fullmatch(r"\w+", target):
+                v, c = "*", col(target)  # universal navigation
+            else:
+                raise ValueError(
+                    f"unsupported navigation target {target!r} "
+                    "(a column reference, optionally variable-qualified)"
+                )
+            return f'_nav("{kind}", "{v}", "{c}", {int(off)})'
+
         seg = re.sub(
-            r"\bLAST\s*\(\s*(\w+)\s*\.\s*(\w+)\s*\)",
-            lambda m: f'_last("{m.group(1)}","{col(m.group(2))}")',
+            r"\b(FIRST|LAST)\s*\(([^()]*)\)",
+            nav_sub,
             seg,
             flags=re.IGNORECASE,
         )
@@ -4682,10 +4865,19 @@ def _compile_define_predicate(
             if v not in vset:  # e.g. a numeric literal like 3.5
                 return m.group(0)
             if v == cur_var:
-                return f"row[{c!r}]"
-            return f'_last("{v}","{c}")'
+                return f"_v(row[{c!r}])"
+            return f'_nav("last", "{v}", "{c}", 0)'
 
         seg = re.sub(r"\b(\w+)\s*\.\s*(\w+)", ref, seg)
+        # bare identifiers naming real columns read the candidate row
+        # (guarded against the quoted names earlier rewrites emitted)
+        seg = re.sub(
+            r"(?<![.\w'\"])([A-Za-z_]\w*)(?!\s*[(.\w'\"])",
+            lambda m: f"_v(row[{col(m.group(1))!r}])"
+            if m.group(1) in colset
+            else m.group(0),
+            seg,
+        )
         seg = seg.replace("<>", "!=")
         seg = re.sub(r"(?<![<>=!])=(?!=)", "==", seg)
         seg = re.sub(r"\bAND\b", "and", seg, flags=re.IGNORECASE)
@@ -4697,22 +4889,65 @@ def _compile_define_predicate(
         repr(text[1:-1].replace("''", "'")) if is_lit else rewrite(text)
         for is_lit, text in _split_sql_literals(pred)
     )
-    code = compile(src, f"<define {cur_var}>", "eval")
+    # outer parens: a multi-line SQL predicate must stay one expression
+    code = compile(f"({src})", f"<define {cur_var}>", "eval")
 
     def predicate(row, ctx):
-        def _get(v, c, pos):
-            rows_v = ctx.get(v)
-            if not rows_v:
-                raise _UnboundVariable(v)
-            return rows_v[pos][c]
+        def _seq(v):
+            if v == "*":
+                rows_all = sorted(
+                    (r for rs in ctx.values() for r in rs),
+                    key=lambda r: (r.get("__ts"), r.get("__id")),
+                )
+                return [*rows_all, row]
+            bound = ctx.get(v) or []
+            return [*bound, row] if v == cur_var else list(bound)
+
+        def _nav(kind, v, c, off):
+            seq = _seq(v)
+            i = off if kind == "first" else len(seq) - 1 - off
+            if 0 <= i < len(seq):
+                return _sql_val(seq[i].get(c))
+            return _SQL_NULL
+
+        def _agg(kind, v, f):
+            seq = _seq(v)
+            if kind == "count" and f is None:
+                return len(seq)  # COUNT(*)
+            vals = [f(r) for r in seq]
+            vals = [x for x in vals if not _sql_null(x)]
+            if kind == "count":
+                return len(vals)
+            if not vals:
+                return _SQL_NULL
+            if kind == "sum":
+                return sum(vals)
+            if kind == "avg":
+                return sum(vals) / len(vals)
+            return min(vals) if kind == "min" else max(vals)
+
+        def _like(x, pat):
+            if _sql_null(x):
+                return False
+            rx = re.escape(str(pat)).replace("%", ".*").replace("_", ".")
+            return re.fullmatch(rx, str(x), re.DOTALL) is not None
 
         env = {
             "row": row,
-            "_first": lambda v, c: _get(v, c, 0),
-            "_last": lambda v, c: _get(v, c, -1),
+            "_nav": _nav,
+            "_agg": _agg,
+            "_like": _like,
+            "_isnull": _sql_null,
+            "_v": _sql_val,
+            "_first": lambda v, c: _nav("first", v, c, 0),
+            "_last": lambda v, c: _nav("last", v, c, 0),
         }
         try:
-            return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
+            # env rides in GLOBALS: a lambda emitted for a DEFINE
+            # aggregate resolves names through its __globals__, which
+            # eval takes from the globals mapping, not the locals one
+            result = eval(code, {"__builtins__": {}, **env})  # noqa: S307
+            return bool(result) if result is not None else False
         except (_UnboundVariable, TypeError):
             return False
 
@@ -4753,18 +4988,36 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     all_rows = bool(re.search(r"ALL\s+ROWS\s+PER\s+MATCH", body, re.IGNORECASE))
     sec = _parse_match_recognize_body(body)
     keys = [c.strip() for c in sec.get("partition_by", "").split(",") if c.strip()]
-    if not keys:
-        raise ValueError("MATCH_RECOGNIZE requires PARTITION BY")
-    order_cols = [
-        c.strip().split()[0]
-        for c in sec.get("order_by", "").split(",")
-        if c.strip()
-    ]
-    if not order_cols:
+    # no PARTITION BY = one global partition (the reference routes the
+    # whole stream to one NFA instance); a synthetic constant key keeps
+    # the keyed tiers unchanged and is dropped from the output
+    synthetic_key = not keys
+    if synthetic_key:
+        keys = ["__pk"]
+    order_items = [c.strip() for c in sec.get("order_by", "").split(",") if c.strip()]
+    if not order_items:
         raise ValueError("MATCH_RECOGNIZE requires ORDER BY")
+    order_cols, order_asc = [], []
+    for it in order_items:
+        parts = it.split()
+        order_cols.append(parts[0])
+        order_asc.append(
+            not (len(parts) > 1 and parts[-1].upper() == "DESC")
+        )
+    if not order_asc[0]:
+        raise ValueError(
+            "MATCH_RECOGNIZE primary ORDER BY column must be ascending "
+            "(the reference requires an ascending time attribute)"
+        )
     ts_col = order_cols[0]
     # second ORDER BY column (if any) is the deterministic tie-break id
     id_col = order_cols[1] if len(order_cols) > 1 else ts_col
+    # full ORDER BY as the tiers' (internal col, asc) sort spec;
+    # columns past the first two ride along as value columns
+    order_spec = [("__ts", True)]
+    if len(order_cols) > 1:
+        order_spec.append(("__id", order_asc[1]))
+        order_spec.extend(zip(order_cols[2:], order_asc[2:]))
 
     pat = sec["pattern"].strip()
     # PATTERN (...) WITHIN INTERVAL 'n' UNIT (Pattern.within / NFA
@@ -4794,7 +5047,7 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     variables = [v for v, _ in tokens]
 
     defines: dict[str, str] = {}
-    for item in _split_top_level(sec["define"]):
+    for item in _split_predicate_list(sec["define"]):
         var, pred = re.split(r"\s+AS\s+", item, maxsplit=1, flags=re.IGNORECASE)
         defines[var.strip()] = pred.strip()
 
@@ -4805,6 +5058,10 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     def _is_cross_var(var: str, p: str) -> bool:
         if re.search(r"\b(FIRST|LAST)\s*\(", p, re.IGNORECASE):
             return True
+        if re.search(r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(", p, re.IGNORECASE):
+            # running aggregates over the partial match's bound rows
+            # (GroupPatternProcessFunction semantics) need the NFA tier
+            return True
         return any(
             re.search(rf"\b{o}\s*\.", p) for o in set(variables) if o != var
         )
@@ -4812,41 +5069,136 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
     nfa_route = any(_is_cross_var(v, p) for v, p in defines.items())
 
     df = tenv.spark.table(tbl)
+    if synthetic_key:
+        df = df.withColumn("__pk", F.lit(0))
     dtypes = dict(df.dtypes)
     measures: dict[str, tuple[str, str, str, str]] = {}
-    value_cols: list[str] = []
+    value_cols: list[str] = [
+        c for c in order_cols[2:] if c in dtypes
+    ]  # extra ORDER BY columns ride along for the tiers' sort
+    hidden: dict[str, str] = {}  # hidden projected col -> SQL expr
     sum_scale = tenv._config.get("table.exec.match-recognize.sum-scale")
-    for item in _split_top_level(sec.get("measures", "")):
+    vset = set(variables)
+
+    def _out_type(agg: str, col: str, col_type: str | None) -> str:
+        base = agg.split(":", 1)[0]
+        if base == "count":
+            return "bigint"
+        if base == "avg":
+            # measured divergence: the reference's AVG(INT) is integer
+            # average; emitted as double here (documented in the
+            # conformance suite)
+            return "double"
+        if base == "sum" and col_type in ("int", "bigint", "smallint"):
+            return "bigint"
+        return col_type or "double"
+
+    def _use_col(col: str) -> None:
+        # partition keys are already in the tier's frame; re-selecting
+        # one as a value column would duplicate the pandas column
+        if col in keys:
+            return
+        if col not in (ts_col, id_col) and col not in value_cols and (
+            col in dtypes or col in hidden
+        ):
+            value_cols.append(col)
+
+    def _hidden_col(expr_sql: str) -> tuple[str, str]:
+        """Project a MEASURES/DEFINE expression as a hidden column so
+        the tiers see a plain column (MatchCodeGenerator evaluates the
+        expression inline; pre-projection is the Spark-idiomatic dual
+        and keeps the expression in Catalyst)."""
+        name = f"__mx{len(hidden)}"
+        hidden[name] = expr_sql
+        col_type = df.select(F.expr(expr_sql).alias(name)).dtypes[0][1]
+        dtypes[name] = col_type
+        return name, col_type
+
+    _agg_alt = "|".join((*_MR_AGGS, "AVG"))
+    for item in _split_predicate_list(sec.get("measures", "")):
         if not item:
             continue
+        # MATCH_ROWTIME([col]) = the match's last row's time attribute
         m = re.fullmatch(
-            rf"({'|'.join(_MR_AGGS)})\s*\(\s*(\w+)\.(\w+)\s*\)\s+AS\s+(\w+)",
+            r"MATCH_ROWTIME\s*\(\s*\w*\s*\)\s+AS\s+(\w+)", item, re.IGNORECASE
+        )
+        if m:
+            measures[m.group(1)] = ("*", "last", ts_col, dtypes.get(ts_col, "timestamp"))
+            continue
+        # COUNT(*)
+        m = re.fullmatch(r"COUNT\s*\(\s*\*\s*\)\s+AS\s+(\w+)", item, re.IGNORECASE)
+        if m:
+            measures[m.group(1)] = ("*", "count", "*", "bigint")
+            continue
+        # AGG(V.col [, offset]) / AGG(col [, offset]) — unqualified =
+        # the universal variable (all rows of the match)
+        m = re.fullmatch(
+            rf"({_agg_alt})\s*\(\s*(?:(\w+)\s*\.\s*)?(\w+)\s*"
+            r"(?:,\s*(\d+)\s*)?\)\s+AS\s+(\w+)",
             item,
             re.IGNORECASE,
         )
-        if m:
-            agg, var, col, out_alias = (
-                m.group(1).lower(),
-                m.group(2),
-                m.group(3),
-                m.group(4),
+        if m and (
+            m.group(2) in vset if m.group(2) else m.group(3) in dtypes
+        ):
+            agg = m.group(1).lower()
+            var = m.group(2) or "*"
+            col, off, out_alias = m.group(3), m.group(4), m.group(5)
+            if off:
+                if agg not in ("first", "last"):
+                    raise ValueError(
+                        f"logical offset only on FIRST/LAST: {item!r}"
+                    )
+                if int(off):
+                    agg = f"{agg}:{int(off)}"
+            measures[out_alias] = (var, agg, col, _out_type(agg, col, dtypes.get(col)))
+            _use_col(col)
+            continue
+        # bare V.col (= LAST(V.col))
+        m = re.fullmatch(r"(\w+)\s*\.\s*(\w+)\s+AS\s+(\w+)", item, re.IGNORECASE)
+        if m and m.group(1) in vset:
+            var, col, out_alias = m.group(1), m.group(2), m.group(3)
+            measures[out_alias] = (var, "last", col, dtypes.get(col, "double"))
+            _use_col(col)
+            continue
+        # general expression payloads: AGG(<expr>[, off]) AS a or
+        # <expr> AS a, where every qualified reference names ONE
+        # variable (or none = universal) — the expression becomes a
+        # hidden pre-projected column
+        m = re.fullmatch(r"(.*?)\s+AS\s+(\w+)", item, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError(f"cannot parse MEASURES item {item!r}")
+        payload, out_alias = m.group(1).strip(), m.group(2)
+        am = re.fullmatch(
+            rf"({_agg_alt})\s*\((.*)\)", payload, re.IGNORECASE | re.DOTALL
+        )
+        if am:
+            agg = am.group(1).lower()
+            inner_parts = _split_top_level(am.group(2))
+            inner = inner_parts[0].strip()
+            off = inner_parts[1].strip() if len(inner_parts) > 1 else ""
+            if off:
+                if agg not in ("first", "last") or not off.isdigit():
+                    raise ValueError(f"bad logical offset in {item!r}")
+                if int(off):
+                    agg = f"{agg}:{int(off)}"
+        else:
+            agg, inner = "last", payload
+        ref_vars = {
+            v for v in re.findall(r"\b(\w+)\s*\.", inner) if v in vset
+        }
+        if len(ref_vars) > 1:
+            raise ValueError(
+                f"MEASURES expression {item!r} mixes pattern variables "
+                f"{sorted(ref_vars)}: aggregate one variable at a time"
             )
-        else:
-            m = re.fullmatch(r"(\w+)\.(\w+)\s+AS\s+(\w+)", item, re.IGNORECASE)
-            if not m:
-                raise ValueError(f"cannot parse MEASURES item {item!r}")
-            agg, var, col, out_alias = "last", m.group(1), m.group(2), m.group(3)
-        if var not in set(variables):
-            raise ValueError(f"MEASURES references unknown variable {var!r}")
-        if agg == "count":
-            out_type = "bigint"
-        elif agg == "sum" and dtypes.get(col) in ("int", "bigint", "smallint"):
-            out_type = "bigint"
-        else:
-            out_type = dtypes.get(col, "double")
-        measures[out_alias] = (var, agg, col, out_type)
-        if col not in (ts_col, id_col) and col not in value_cols and col in dtypes:
-            value_cols.append(col)
+        var = ref_vars.pop() if ref_vars else "*"
+        stripped = re.sub(rf"\b(?:{'|'.join(vset)})\s*\.\s*", "", inner)
+        col, col_type = _hidden_col(stripped)
+        measures[out_alias] = (var, agg, col, _out_type(agg, col, col_type))
+        _use_col(col)
+    if hidden:
+        df = df.select("*", *[F.expr(e).alias(n) for n, e in hidden.items()])
 
     if nfa_route:
         steps = []
@@ -4860,14 +5212,26 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
                 # means {0,m} (applyQuantifier startNum=0).
                 lo = int(rng.group(1) or 0)
                 hi = rng.group(2)
-                tail = "?" if rng.group(3) is None else "??"
-                star = "*" if rng.group(3) is None else "*?"
+                # greedy tails are POSSESSIVE (?g / *g): the reference's
+                # greedy loop never yields consumed rows back
+                tail = "?g" if rng.group(3) is None else "??"
+                star = "*g" if rng.group(3) is None else "*?"
                 steps.extend([(v, "1")] * lo)
                 if hi == "":  # {n,} unbounded tail
                     steps.append((v, star))
                 elif hi is not None:
                     steps.extend([(v, tail)] * (int(hi) - lo))
-            elif q in ("", "?", "+", "*", "??", "+?", "*?"):
+            elif q == "?":
+                # SQL optional is NEVER greedy in the reference
+                # (CommonExecMatch.applyQuantifier drops greedy for
+                # isOptional): both branches live, earliest completion
+                # emits — the NFA tier's ?e quantifier
+                steps.append((v, "?e"))
+            elif q in ("+", "*"):
+                # SQL greedy loops are the reference's Pattern.greedy():
+                # possessive, no backtracking
+                steps.append((v, q + "g"))
+            elif q in ("", "??", "+?", "*?"):
                 steps.append((v, q or "1"))
             else:
                 raise NotImplementedError(
@@ -4877,19 +5241,33 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
                 )
         rename = {ts_col: "__ts", id_col: "__id"}
         compiled = {
-            v: _compile_define_predicate(p, v, variables, rename)
+            v: _compile_define_predicate(
+                p, v, variables, rename, columns=list(dtypes)
+            )
             for v, p in defines.items()
         }
         for p in defines.values():
+            # every column a predicate can touch must ride into the
+            # tier: qualified V.col refs AND bare identifiers that name
+            # real columns (candidate-row refs per the SQL standard)
             for mm in re.finditer(r"\b(\w+)\s*\.\s*(\w+)", p):
                 c = mm.group(2)
                 if (
                     mm.group(1) in set(variables)
                     and c in dtypes
                     and c not in (ts_col, id_col)
+                    and c not in keys
                     and c not in value_cols
                 ):
                     value_cols.append(c)
+            for tok in re.findall(r"(?<![.\w'\"])([A-Za-z_]\w*)(?!\s*\.)", p):
+                if (
+                    tok in dtypes
+                    and tok not in (ts_col, id_col)
+                    and tok not in keys
+                    and tok not in value_cols
+                ):
+                    value_cols.append(tok)
         out = match_nfa(
             df,
             keys=keys,
@@ -4903,6 +5281,7 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             within_ms=within_ms,
             skip=skip_strategy,
             all_rows=all_rows,
+            order_spec=order_spec,
         )
     else:
         undefined = [v for v in variables if v not in defines]
@@ -4926,8 +5305,24 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
         for var in defines:
             symbol_exprs[symbols[var]] = F.expr(norm[var])
         default_sym = symbols[undefined[0]] if undefined else "-"
+
+        def _rx_quant(q: str) -> str:
+            # SQL ? is never greedy (applyQuantifier drops greedy for
+            # optionals): lower to the reluctant regex optional so the
+            # earlier completion wins, matching the NFA emission rule.
+            # SQL greedy loops are the reference's Pattern.greedy() —
+            # possessive, no backtracking (python 3.11 ++ / *+ forms).
+            if q == "?":
+                return "??"
+            if q in ("+", "*"):
+                return q + "+"
+            if re.fullmatch(r"\{\d*(?:,\d*)?\}", q):
+                return q + "+"
+            return q
+
         regex = "".join(
-            f"(?P<{var}>{symbols[var]}{quant})" for var, quant in tokens
+            f"(?P<{var}>{symbols[var]}{_rx_quant(quant)})"
+            for var, quant in tokens
         )
         tier = match_regex_all_rows if all_rows else match_regex_measures
         out = tier(
@@ -4942,7 +5337,10 @@ def _translate_match_recognize(tenv: "TableEnvironment", sql: str) -> str:
             grid_scale=int(sum_scale) if sum_scale else None,
             within_ms=within_ms,
             skip=skip_strategy,
+            order_spec=order_spec,
         )
+    if synthetic_key:
+        out = out.drop("__pk")
     if not all_rows:
         out = out.drop("match_no")
     view = f"__match_recognize_{next(_MR_COUNTER)}"

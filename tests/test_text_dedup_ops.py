@@ -184,3 +184,24 @@ def test_bpe_merge_overlap_and_boundary(spark):
     assert got[1] == ("a", "a", 6)
     # round 2: after <aa><aa>, pair (aa,aa) has count 2; (b,a) has 1
     assert got[2] == ("aa", "aa", 2)
+
+
+def test_quadratic_baseline_guard(spark, monkeypatch):
+    """The all-pairs exact-verify baselines refuse inputs past the row
+    bound unless the session opts in — they are adjudication slices,
+    not production paths (round-10 review item)."""
+    import pytest as _pytest
+
+    from flink_release_1_16_0_spark.queries import llm_dedup as L
+
+    monkeypatch.setattr(L, "QUADRATIC_ROW_BOUND", 10)
+    with _pytest.raises(ValueError, match="allow-quadratic"):
+        L.dedup_ngram_jaccard(spark, "/root/testdata/sf0.01")
+    with _pytest.raises(ValueError, match="allow-quadratic"):
+        L.dedup_embedding_cosine(spark, "/root/testdata/sf0.01")
+    # the override lets the baseline run on an oversized slice
+    spark.conf.set(L.ALLOW_QUADRATIC_CONF, "true")
+    try:
+        assert L.dedup_ngram_jaccard(spark, "/root/testdata/sf0.001").count() >= 0
+    finally:
+        spark.conf.unset(L.ALLOW_QUADRATIC_CONF)
