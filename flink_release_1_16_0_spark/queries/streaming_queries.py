@@ -1860,3 +1860,71 @@ def stream_window_allowed_lateness(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("__rowkind").alias("op"),
         "n",
     )
+
+
+# --------------------------------------------------------------------------
+# manifest-log incremental tail (FileSystemTableSource.java:83 streaming
+# read / ContinuousFileMonitoringFunction): the commit log IS the
+# monitoring signal — each manifest seq is an offset, exactly-once by
+# the query checkpoint. Oracle = batch over the same source rows
+# (stream-table duality: the drained tail must equal the table).
+# --------------------------------------------------------------------------
+
+_MANIFEST_TAIL_ORACLE = """
+SELECT o_orderpriority AS pri,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders
+WHERE o_orderkey % 2 = 0
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "stream_manifest_tail",
+    _MANIFEST_TAIL_ORACLE,
+    tags=("streaming", "sink", "commit"),
+)
+def stream_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-by-commit tail of a manifest table: four separate INSERTs
+    publish four manifests; the Python-data-source stream reader
+    (sources/manifest_stream.py) replays them by sequence offset and
+    the drained tail must aggregate to exactly the batch table."""
+    import tempfile
+
+    from flink_release_1_16_0_spark.sources.manifest_stream import (
+        manifest_tail_stream,
+    )
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    work = tempfile.mkdtemp(prefix="manifest_tail_")
+    out = f"{work}/mt_tbl"
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mt_src (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING
+        ) WITH ('connector'='filesystem','path'='{sf_dir}/orders.parquet',
+                'format'='parquet')"""
+    )
+    tenv.execute_sql(
+        f"""CREATE TABLE mt_tail_tbl (
+          o_orderkey BIGINT, o_totalprice DOUBLE, pri STRING
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    for i in (0, 2, 4, 6):  # four commits -> four manifests
+        tenv.execute_sql(
+            "INSERT INTO mt_tail_tbl SELECT o_orderkey, o_totalprice, "
+            f"o_orderpriority FROM mt_src WHERE o_orderkey % 8 = {i}"
+        )
+    tail = manifest_tail_stream(
+        spark, out, "o_orderkey BIGINT, o_totalprice DOUBLE, pri STRING"
+    )
+    drained = run_to_table(tail, "append")
+    return drained.groupBy(F.col("pri")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(38,2)") * 100).cast("bigint")
+        ).cast("bigint").alias("total_cents"),
+    )

@@ -1534,3 +1534,91 @@ def test_compact_strips_parameterized_partition_type(spark, tmp_path):
         ).to_data_frame().collect()
     }
     assert inner == {(0, "1.25"), (1, "1.25"), (2, "1.25")}
+
+
+def test_manifest_tail_exactly_once_across_restart(spark, tmp_path):
+    """The manifest-log tail resumes from its checkpointed sequence
+    offset: commits consumed before a stop are not re-emitted after a
+    restart, commits published while the query was down are — the
+    exactly-once contract of the reference's continuous filesystem
+    source, carried by the commit log (sources/manifest_stream.py)."""
+    import os
+
+    from flink_release_1_16_0_spark.sources.manifest_stream import (
+        manifest_tail_stream,
+    )
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "mtail_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mtail_t (k BIGINT, v STRING)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    for i in range(3):
+        tenv.execute_sql(f"INSERT INTO mtail_t SELECT CAST({i} AS BIGINT), 'a{i}'")
+
+    def drain():
+        q = (
+            manifest_tail_stream(spark, out, "k BIGINT, v STRING")
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    first = sorted(tuple(r) for r in spark.read.parquet(sink_dir).collect())
+    assert first == [(0, "a0"), (1, "a1"), (2, "a2")]
+
+    # crash window: two more commits while the query is down
+    for i in (3, 4):
+        tenv.execute_sql(f"INSERT INTO mtail_t SELECT CAST({i} AS BIGINT), 'a{i}'")
+    drain()  # restart from the SAME checkpoint
+    second = sorted(tuple(r) for r in spark.read.parquet(sink_dir).collect())
+    # no duplicates of 0-2, and 3-4 delivered exactly once
+    assert second == [(i, f"a{i}") for i in range(5)]
+
+    # a third drain with nothing new emits nothing
+    drain()
+    third = sorted(tuple(r) for r in spark.read.parquet(sink_dir).collect())
+    assert third == second
+
+
+def test_manifest_tail_starts_after_checkpoint_fold(spark, tmp_path):
+    """History folded into a log checkpoint before the stream starts is
+    not tailable (its manifests may be vacuumed): initialOffset is the
+    newest checkpoint's folded sequence, so a fresh tail sees only the
+    unfolded tail — the documented start-from-now semantics."""
+    from flink_release_1_16_0_spark.sources.manifest_stream import (
+        manifest_tail_stream,
+    )
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "mfold_tbl")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mfold_t (k BIGINT)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest',
+              'sink.vacuum.retention-check'='false')"""
+    )
+    tenv.execute_sql("INSERT INTO mfold_t SELECT CAST(1 AS BIGINT)")
+    tenv.execute_sql("ALTER TABLE mfold_t COMPACT")  # folds seq 1
+    tenv.execute_sql("INSERT INTO mfold_t SELECT CAST(2 AS BIGINT)")
+    q = (
+        manifest_tail_stream(spark, out, "k BIGINT")
+        .writeStream.format("memory")
+        .queryName("mfold_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(r["k"] for r in spark.table("mfold_sink").collect())
+    assert got == [2]  # the folded commit (k=1) is pre-history
