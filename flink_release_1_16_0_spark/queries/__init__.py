@@ -44,6 +44,7 @@ _MODULES = (
     "tpcds_shapes",
     "tpcds_deep",
     "tpcds_deep2",
+    "tpcds_deep3",
     "joins",
     "aggregates",
     "windows_over",
