@@ -2487,6 +2487,35 @@ class TableEnvironment:
             return TableResult(rows=["OK"])
         if up.startswith("SHOW JARS"):
             return TableResult(rows=list(self._jars))
+        if up.startswith("SHOW JOBS"):
+            # SqlShowJobs (FLINK-28738, 1.16's sql-client job lifecycle
+            # statements): one row per ACTIVE streaming query on this
+            # session — id, name, status, and whether the latest batch
+            # made progress. Batch queries are jobs only while running,
+            # which a synchronous REPL never observes, matching the
+            # reference's empty list for finished batch work.
+            rows = []
+            for q in self.spark.streams.active:
+                status = (
+                    "RUNNING"
+                    if q.isActive and q.exception() is None
+                    else "FAILED"
+                )
+                rows.append(
+                    f"{q.id} | {q.name or '(unnamed)'} | {status}"
+                )
+            return TableResult(rows=rows)
+        m = re.fullmatch(r"STOP\s+JOB\s+'([^']+)'", stmt, re.IGNORECASE)
+        if m:
+            # SqlStopJob (FLINK-28738): graceful stop of one streaming
+            # query by id (the reference's stop-with-savepoint maps to
+            # Structured Streaming's checkpoint-on-stop)
+            target = m.group(1)
+            for q in self.spark.streams.active:
+                if str(q.id) == target or (q.name or "") == target:
+                    q.stop()
+                    return TableResult(rows=["OK"])
+            raise ValueError(f"no active job {target!r} (SHOW JOBS lists ids)")
         if up.startswith("ALTER TABLE"):
             return self._alter_table(stmt)
         if up.startswith("CREATE") and re.match(

@@ -375,3 +375,45 @@ def test_interactive_ctrl_c_cancels_query_not_session():
     assert "[INFO] Query cancelled." in text
     assert text.count("[INFO] Execute statement succeeded.") == 1  # the fine one
     assert text.strip().endswith("Bye.")
+
+
+def test_show_jobs_and_stop_job(spark, tmp_path):
+    """SHOW JOBS lists active streaming queries; STOP JOB '<id>' stops
+    one gracefully (SqlShowJobs/SqlStopJob, FLINK-28738 — the 1.16
+    sql-client job lifecycle statements)."""
+    import time
+
+    import pytest as _pytest
+
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    assert tenv.execute_sql("SHOW JOBS").collect() == []
+
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src)
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(f"{src}/f0")
+    q = (
+        spark.readStream.schema("id BIGINT")
+        .parquet(f"{src}/*")
+        .writeStream.format("memory")
+        .queryName("show_jobs_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        rows = tenv.execute_sql("SHOW JOBS").collect()
+        assert any("show_jobs_probe" in r and "RUNNING" in r for r in rows)
+        tenv.execute_sql(f"STOP JOB '{q.id}'")
+        deadline = time.time() + 30
+        while q.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        assert not q.isActive
+        assert tenv.execute_sql("SHOW JOBS").collect() == []
+        with _pytest.raises(ValueError, match="no active job"):
+            tenv.execute_sql("STOP JOB 'nonexistent'")
+    finally:
+        if q.isActive:
+            q.stop()

@@ -115,7 +115,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(os.path.dirname(__file__), "..", "testdata_sf1"))
+    ap.add_argument(
+        "--replicas",
+        type=int,
+        default=REPLICAS,
+        help="10 = sf1 from sf0.1; 30 = the sf3 stress fixture",
+    )
     args = ap.parse_args()
+    replicas = args.replicas
     dst = os.path.abspath(args.dst)
     os.makedirs(dst, exist_ok=True)
     for name in sorted(os.listdir(args.src)):
@@ -129,7 +136,7 @@ def main() -> None:
             print(f"{table_name}: copied ({src_tbl.num_rows} rows)")
             continue
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             t = src_tbl
             if i > 0:
                 t = _shift(t, SHIFTS.get(table_name, {}), i)
