@@ -529,3 +529,72 @@ def format_debezium_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         wire, "value", "event_id BIGINT, user_id BIGINT, value DOUBLE"
     )
     return decoded.withColumnRenamed("__rowkind", "rowkind")
+
+
+# --------------------------------------------------------------------------
+# OUTER changelog join (StreamingJoinOperator.java:60 with
+# OuterJoinRecordStateView): orders whose customer's changelog drained
+# to zero (-D at custkey % 7 = 0) surface null-padded; the converged
+# multiset is the netted LEFT join with m = ml when unmatched.
+# --------------------------------------------------------------------------
+
+_CHANGELOG_LEFT_JOIN_ORACLE = f"""
+WITH {_JOIN_LOGS_SQL},
+lnet AS (
+  SELECT custkey, o_orderkey, o_totalprice,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS ml
+  FROM llog GROUP BY 1, 2, 3
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) <> 0
+),
+rnet AS (
+  SELECT custkey, c_mktsegment,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS mr
+  FROM rlog GROUP BY 1, 2
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) <> 0
+)
+SELECT lnet.custkey, o_orderkey, o_totalprice, c_mktsegment,
+       CAST(CASE WHEN mr IS NULL THEN ml ELSE ml * mr END AS BIGINT) AS m
+FROM lnet LEFT JOIN rnet ON lnet.custkey = rnet.custkey
+"""
+
+
+@register(
+    "changelog_outer_join",
+    _CHANGELOG_LEFT_JOIN_ORACLE,
+    tags=("changelog", "join"),
+)
+def changelog_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    llog = _orders_join_log(load_table(spark, sf_dir, "orders")).drop("seq")
+    rlog = _customer_join_log(load_table(spark, sf_dir, "customer")).drop("seq")
+    return C.changelog_join(llog, rlog, on=["custkey"], m_col="m", how="left")
+
+
+@register(
+    "stream_changelog_outer_join",
+    _CHANGELOG_LEFT_JOIN_ORACLE,
+    tags=("changelog", "join", "streaming"),
+)
+def stream_changelog_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-input stateful OUTER join drained over the bounded
+    replay: null-padded emissions retract when a key's first match
+    arrives and re-emit when the match side drains to zero; the
+    multiset-materialized emissions equal the batch netted LEFT join —
+    independent of batch boundaries (the fuzzer's join arm pins the
+    same invariant for random interleavings)."""
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_changelog_join
+
+    llog = _orders_join_log(replay_stream(spark, sf_dir, "orders"))
+    rlog = _customer_join_log(replay_stream(spark, sf_dir, "customer"))
+    out = run_to_table(
+        streaming_changelog_join(llog, rlog, keys=["custkey"], join_type="left"),
+        "update",
+    )
+    emitted_sign = F.when(
+        F.col(C.ROWKIND).isin(C.INSERT, C.UPDATE_AFTER), F.col("__m")
+    ).otherwise(-F.col("__m"))
+    return (
+        out.groupBy("custkey", "o_orderkey", "o_totalprice", "c_mktsegment")
+        .agg(F.sum(emitted_sign).cast("bigint").alias("m"))
+        .filter(F.col("m") != 0)
+    )

@@ -214,24 +214,33 @@ def changelog_join(
     right: DataFrame,
     on: Sequence[str],
     m_col: str = "__m",
+    how: str = "inner",
 ) -> DataFrame:
-    """Materialized inner equi-join of two bounded changelogs.
+    """Materialized equi-join of two bounded changelogs
+    (``how`` = inner | left | right | full).
 
     The batch algebra of the reference's two-input streaming join
     (flink-table-runtime .../join/stream/StreamingJoinOperator.java:60):
     each side nets to (distinct row, multiplicity); the joined row's
     multiplicity is the product mL * mR — exactly the state a
     StreamingJoinOperator's downstream would converge to after draining
-    both changelogs, independent of arrival interleaving.
+    both changelogs, independent of arrival interleaving. Outer rows
+    (no live match on the other side) keep their own multiplicity with
+    null-padded opposite payloads — the converged view of the
+    OuterJoinRecordStateView null-padding protocol.
 
     Plan: two hash aggs (map-side combined) + one shuffled equi-join on
     the key — no row multiplication beyond true matches, so the 100 TB
     cost profile equals a plain join of the materialized tables.
     """
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how must be inner|left|right|full, got {how!r}")
     lnet = net_multiplicity(left, "__ml")
     rnet = net_multiplicity(right, "__mr")
-    return (
-        lnet.join(rnet, list(on))
-        .withColumn(m_col, (F.col("__ml") * F.col("__mr")).cast("bigint"))
-        .drop("__ml", "__mr")
+    joined = lnet.join(rnet, list(on), "outer" if how == "full" else how)
+    m = (
+        F.when(F.col("__ml").isNull(), F.col("__mr"))
+        .when(F.col("__mr").isNull(), F.col("__ml"))
+        .otherwise(F.col("__ml") * F.col("__mr"))
     )
+    return joined.withColumn(m_col, m.cast("bigint")).drop("__ml", "__mr")

@@ -484,10 +484,23 @@ def streaming_changelog_join(
     right: DataFrame,
     keys: Sequence[str],
     seq_col: str = "seq",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Two-input changelog inner equi-join with keyed join state
+    """Two-input changelog equi-join with keyed join state
     (flink-table-runtime .../join/stream/StreamingJoinOperator.java:60,
-    state layout per JoinRecordStateViews).
+    state layout per JoinRecordStateViews). ``join_type`` covers the
+    full matrix: ``inner`` | ``left`` | ``right`` | ``full``.
+
+    OUTER semantics follow the reference's OuterJoinRecordStateView
+    null-padding protocol: a row on an outer side with NO current
+    matches emits null-padded; when the key's FIRST opposite-side row
+    later arrives, the null-padded emissions RETRACT (-D) and the
+    joined rows emit — and when the opposite side drains back to zero,
+    the null-padded rows re-emit. Because the join is a pure equi-join,
+    the association count is per KEY (every left row of a key matches
+    every right row of that key), so the flip costs one pass over the
+    side's live rows, exactly the reference's numAssociations
+    bookkeeping collapsed to the key level.
 
     Spark's stream-stream join only accepts append inputs, so the
     two-input operator is rebuilt the Spark-idiomatic way: tag each
@@ -525,6 +538,12 @@ def streaming_changelog_join(
         StructType as ST,
     )
 
+    if join_type not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"join_type must be inner|left|right|full, got {join_type!r}"
+        )
+    outer_left = join_type in ("left", "full")
+    outer_right = join_type in ("right", "full")
     meta = (ROWKIND, seq_col, *keys)
     lpay = [c for c in left.columns if c not in meta]
     rpay = [c for c in right.columns if c not in meta]
@@ -583,8 +602,24 @@ def streaming_changelog_join(
             rmap = {tuple(r)[:-1]: tuple(r)[-1] for r in (r_rows or [])}
         else:
             lmap, rmap = {}, {}
+        tl, tr = sum(lmap.values()), sum(rmap.values())
         out: list[tuple] = []
         nl = len(lpay)
+        l_nulls = (None,) * len(lpay)
+        r_nulls = (None,) * len(rpay)
+
+        def emit(lvals, rvals, delta):
+            if delta:
+                out.append(
+                    (
+                        *key,
+                        *lvals,
+                        *rvals,
+                        INSERT if delta > 0 else DELETE,
+                        abs(delta),
+                    )
+                )
+
         # positional access: itertuples mangles leading-underscore names
         for tup in pdf[[ROWKIND, "__side", *lpay, *rpay]].itertuples(
             index=False, name=None
@@ -595,24 +630,51 @@ def streaming_changelog_join(
             if is_left:
                 own, other = lmap, rmap
                 pay = tup[2 : 2 + nl]
+                other_total = tr
             else:
                 own, other = rmap, lmap
                 pay = tup[2 + nl :]
-            for opay, m in other.items():
-                if m == 0:
-                    continue
-                delta = s * m
-                lvals, rvals = (pay, opay) if is_left else (opay, pay)
-                out.append(
-                    (
-                        *key,
-                        *lvals,
-                        *rvals,
-                        INSERT if delta > 0 else DELETE,
-                        abs(delta),
-                    )
-                )
+                other_total = tl
+            if other_total > 0:
+                for opay, m in other.items():
+                    if m == 0:
+                        continue
+                    lvals, rvals = (pay, opay) if is_left else (opay, pay)
+                    emit(lvals, rvals, s * m)
+            elif (outer_left if is_left else outer_right):
+                # no matches on the other side: this outer-side row
+                # emits null-padded (OuterJoinRecordStateView's
+                # numAssociations == 0 branch)
+                lvals, rvals = (pay, r_nulls) if is_left else (l_nulls, pay)
+                emit(lvals, rvals, s)
+            # association flip: this arrival moves the key's total on
+            # ITS side across zero, so the OPPOSITE side's null-padded
+            # emissions retract (0 -> >0) or come back (>0 -> 0)
+            own_total_old = tl if is_left else tr
+            own_total_new = own_total_old + s
+            flip_outer = outer_right if is_left else outer_left
+            if flip_outer:
+                if own_total_old == 0 and own_total_new > 0:
+                    for opay, m in other.items():
+                        if m == 0:
+                            continue
+                        lvals, rvals = (
+                            (l_nulls, opay) if is_left else (opay, r_nulls)
+                        )
+                        emit(lvals, rvals, -m)
+                elif own_total_old > 0 and own_total_new == 0:
+                    for opay, m in other.items():
+                        if m == 0:
+                            continue
+                        lvals, rvals = (
+                            (l_nulls, opay) if is_left else (opay, r_nulls)
+                        )
+                        emit(lvals, rvals, m)
             own[pay] = own.get(pay, 0) + s
+            if is_left:
+                tl += s
+            else:
+                tr += s
         state.update(
             (
                 [(*p, m) for p, m in lmap.items() if m != 0],
