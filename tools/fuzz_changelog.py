@@ -516,6 +516,82 @@ def check_wdedup(rng: random.Random) -> str | None:
     return None
 
 
+def check_antijoin(rng: random.Random) -> str | None:
+    """streaming_anti_join vs StreamingSemiAntiJoinOperator's anti
+    branch: a left row emits exactly once, when its interval window
+    closes under the watermark with no right match; late rows drop.
+    The reference interpreter replays the same per-batch watermark and
+    key-touch schedule (state finalizes only when the key sees data,
+    exactly like FlatMapGroupsInPandasWithState with NoTimeout)."""
+    from flink_release_1_16_0_spark.streaming.stateful import streaming_anti_join
+
+    lower, upper = 0, 50
+    n_keys = rng.randint(1, 3)
+    rows, t = [], 0
+    for _ in range(rng.randint(5, 40)):
+        t += rng.randrange(0, 30)
+        side = 0 if rng.random() < 0.6 else 1
+        # bounded disorder
+        ts = max(0, t - (rng.randrange(0, 25) if rng.random() < 0.3 else 0))
+        rows.append((rng.randrange(n_keys), pd.Timestamp(ts, unit="ms"), side))
+    batches = split_batches(rng, rows)
+    wm_seq, seen = [], 0
+    for b in batches:
+        wm_seq.append(seen)
+        for _, ts, _ in b:
+            seen = max(seen, ts.value // 1_000_000)
+
+    lcap = _Cap(_schema("k BIGINT, lts TIMESTAMP, lv BIGINT"))
+    rcap = _Cap(_schema("k BIGINT, rts TIMESTAMP"))
+    streaming_anti_join(
+        lcap, rcap, keys=["k"], l_ts_col="lts", r_ts_col="rts",
+        lower_ms=lower, upper_ms=upper,
+    )
+    fn = lcap.fn or rcap.fn
+    # the unioned layout the operator's fn expects
+    merged_batches = [
+        [(k, ts, side, None if side else 7) for k, ts, side in b]
+        for b in batches
+    ]
+    emissions = replay(
+        fn,
+        merged_batches,
+        ["k"],
+        ["k", "__t", "__side", "lv"],
+        wm_seq=wm_seq,
+    )
+    got = Counter(
+        (r["k"], pd.Timestamp(r["lts"]).value // 1_000_000) for r in emissions
+    )
+    # reference: same schedule, single-threaded
+    pending: dict = defaultdict(list)
+    rights: dict = defaultdict(list)
+    ref: Counter = Counter()
+    for b, wm in zip(batches, wm_seq):
+        touched = {}
+        for k, ts, side in b:
+            touched.setdefault(k, []).append((ts, side))
+        for k, evs in touched.items():
+            for ts, side in evs:
+                m = ts.value // 1_000_000
+                if m <= wm:
+                    continue  # late
+                (rights if side else pending)[k].append(m)
+            still = []
+            for lm in pending[k]:
+                if lm + upper <= wm:
+                    if not any(
+                        lm + lower <= rm < lm + upper for rm in rights[k]
+                    ):
+                        ref[(k, lm)] += 1
+                else:
+                    still.append(lm)
+            pending[k] = still
+    if got != ref:
+        return f"antijoin {dict(got)} != ref {dict(ref)}"
+    return None
+
+
 ARMS = {
     "agg": check_agg,
     "topn": check_topn,
@@ -523,6 +599,7 @@ ARMS = {
     "join": check_join,
     "dedup": check_dedup,
     "wdedup": check_wdedup,
+    "antijoin": check_antijoin,
 }
 
 
