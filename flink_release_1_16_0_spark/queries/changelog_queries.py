@@ -598,3 +598,89 @@ def stream_changelog_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(emitted_sign).cast("bigint").alias("m"))
         .filter(F.col("m") != 0)
     )
+
+
+# --------------------------------------------------------------------------
+# changelog SEMI / ANTI join (StreamingSemiAntiJoinOperator, the
+# non-windowed changelog form): left rows live in the output while the
+# key's right side has (semi) / lacks (anti) live rows; right arrivals
+# only flip membership. Oracles: netted EXISTS / NOT EXISTS.
+# --------------------------------------------------------------------------
+
+_CHANGELOG_SEMI_ORACLE = f"""
+WITH {_JOIN_LOGS_SQL},
+lnet AS (
+  SELECT custkey, o_orderkey, o_totalprice,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS ml
+  FROM llog GROUP BY 1, 2, 3
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) <> 0
+),
+rtot AS (
+  SELECT custkey,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS t
+  FROM rlog GROUP BY 1
+)
+SELECT l.custkey, l.o_orderkey, l.o_totalprice, CAST(l.ml AS BIGINT) AS m
+FROM lnet l
+WHERE EXISTS (SELECT 1 FROM rtot r WHERE r.custkey = l.custkey AND r.t > 0)
+"""
+
+_CHANGELOG_ANTI_ORACLE = f"""
+WITH {_JOIN_LOGS_SQL},
+lnet AS (
+  SELECT custkey, o_orderkey, o_totalprice,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS ml
+  FROM llog GROUP BY 1, 2, 3
+  HAVING SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) <> 0
+),
+rtot AS (
+  SELECT custkey,
+         SUM(CASE WHEN __rowkind IN ('+I','+U') THEN 1 ELSE -1 END) AS t
+  FROM rlog GROUP BY 1
+)
+SELECT l.custkey, l.o_orderkey, l.o_totalprice, CAST(l.ml AS BIGINT) AS m
+FROM lnet l
+WHERE NOT EXISTS (SELECT 1 FROM rtot r WHERE r.custkey = l.custkey AND r.t > 0)
+"""
+
+
+def _semi_anti(spark: SparkSession, sf_dir: str, anti: bool) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_changelog_semi_anti_join,
+    )
+
+    llog = _orders_join_log(replay_stream(spark, sf_dir, "orders"))
+    rlog = _customer_join_log(replay_stream(spark, sf_dir, "customer"))
+    out = run_to_table(
+        streaming_changelog_semi_anti_join(
+            llog, rlog, keys=["custkey"], anti=anti
+        ),
+        "update",
+    )
+    emitted_sign = F.when(
+        F.col(C.ROWKIND).isin(C.INSERT, C.UPDATE_AFTER), F.col("__m")
+    ).otherwise(-F.col("__m"))
+    return (
+        out.groupBy("custkey", "o_orderkey", "o_totalprice")
+        .agg(F.sum(emitted_sign).cast("bigint").alias("m"))
+        .filter(F.col("m") != 0)
+    )
+
+
+@register(
+    "stream_changelog_semi_join",
+    _CHANGELOG_SEMI_ORACLE,
+    tags=("changelog", "join", "streaming", "semijoin"),
+)
+def stream_changelog_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semi_anti(spark, sf_dir, anti=False)
+
+
+@register(
+    "stream_changelog_anti_join",
+    _CHANGELOG_ANTI_ORACLE,
+    tags=("changelog", "join", "streaming", "semijoin"),
+)
+def stream_changelog_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _semi_anti(spark, sf_dir, anti=True)

@@ -693,6 +693,143 @@ def streaming_changelog_join(
     )
 
 
+def streaming_changelog_semi_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    anti: bool = False,
+) -> DataFrame:
+    """Two-input changelog SEMI / ANTI equi-join
+    (flink-table-runtime .../join/stream/
+    StreamingSemiAntiJoinOperator.java — the non-windowed changelog
+    form, distinct from the time-bounded :func:`streaming_anti_join`).
+
+    A left row is live in the SEMI output while its key has AT LEAST
+    ONE live right row, and in the ANTI output while it has NONE. Right
+    arrivals never produce joined payloads — they only FLIP the left
+    side's membership when the key's live right total crosses zero
+    (the reference's associatedRecords emptiness test), so the emission
+    stream is exactly the membership changelog: +I/-D of left rows with
+    their multiplicity. Folding the emissions converges to the netted
+    EXISTS / NOT EXISTS semi-join, independent of batch boundaries
+    (pinned by the fuzzer's semi/anti arm).
+
+    State per key mirrors :func:`streaming_changelog_join`: each side's
+    live payload multiset — for the right side only the TOTAL matters,
+    but the multiset is kept so valid retractions stay O(1) and state
+    equals the reference's right-state view. One shuffle on the key.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType as ST,
+    )
+
+    meta = (ROWKIND, seq_col, *keys)
+    lpay = [c for c in left.columns if c not in meta]
+    rpay = [c for c in right.columns if c not in meta]
+
+    def pad(df: DataFrame, side: str, own, other, other_schema) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col(seq_col).cast("long").alias(seq_col),
+            ROWKIND,
+            F.lit(side).alias("__side"),
+            *own,
+            *[
+                F.lit(None).cast(other_schema[c].dataType).alias(c)
+                for c in other
+            ],
+        )
+
+    unioned = pad(left, "L", lpay, rpay, right.schema).unionByName(
+        pad(right, "R", rpay, lpay, left.schema)
+    )
+    key_fields = [left.schema[k] for k in keys]
+    l_fields = [left.schema[c] for c in lpay]
+    out_schema = ST(
+        [
+            *key_fields,
+            *l_fields,
+            StructField(ROWKIND, StringType()),
+            StructField("__m", LongType()),
+        ]
+    )
+    state_schema = ST(
+        [
+            StructField("l", ArrayType(ST([*l_fields, StructField("m", LongType())]))),
+            StructField("r", ArrayType(ST([*[right.schema[c] for c in rpay], StructField("m", LongType())]))),
+        ]
+    )
+    out_cols = [*keys, *lpay, ROWKIND, "__m"]
+    nl = len(lpay)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True).sort_values(
+            seq_col, kind="mergesort"
+        )
+        if state.exists:
+            l_rows, r_rows = state.get
+            lmap = {tuple(r)[:-1]: tuple(r)[-1] for r in (l_rows or [])}
+            rmap = {tuple(r)[:-1]: tuple(r)[-1] for r in (r_rows or [])}
+        else:
+            lmap, rmap = {}, {}
+        tr = sum(rmap.values())
+        out: list[tuple] = []
+
+        def member(has_match: bool) -> bool:
+            return has_match != anti
+
+        for tup in pdf[[ROWKIND, "__side", *lpay, *rpay]].itertuples(
+            index=False, name=None
+        ):
+            kind, side = tup[0], tup[1]
+            s = 1 if kind in (INSERT, UPDATE_AFTER) else -1
+            if side == "L":
+                pay = tup[2 : 2 + nl]
+                if member(tr > 0):
+                    out.append(
+                        (*key, *pay, INSERT if s > 0 else DELETE, abs(s))
+                    )
+                lmap[pay] = lmap.get(pay, 0) + s
+            else:
+                pay = tup[2 + nl :]
+                old_member, new_member = member(tr > 0), member(tr + s > 0)
+                if old_member != new_member:
+                    # membership flip for every live left row
+                    flip = INSERT if new_member else DELETE
+                    for lp, ml in lmap.items():
+                        if ml > 0:
+                            out.append((*key, *lp, flip, ml))
+                rmap[pay] = rmap.get(pay, 0) + s
+                tr += s
+        state.update(
+            (
+                [(*p, m) for p, m in lmap.items() if m != 0],
+                [(*p, m) for p, m in rmap.items() if m != 0],
+            )
+        )
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_temporal_join(
     left: DataFrame,
     right: DataFrame,

@@ -516,6 +516,65 @@ def check_wdedup(rng: random.Random) -> str | None:
     return None
 
 
+def check_semi(rng: random.Random) -> str | None:
+    """streaming_changelog_semi_anti_join vs the netted EXISTS /
+    NOT EXISTS semi-join (StreamingSemiAntiJoinOperator's
+    associatedRecords emptiness flips), under random batch slicings."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_changelog_semi_anti_join,
+    )
+
+    anti = rng.random() < 0.5
+    n_keys = rng.randint(1, 3)
+    lev = gen_program(rng, rng.randint(3, 25), n_keys, lambda r: r.randrange(50))
+    rev = gen_program(rng, rng.randint(3, 25), n_keys, lambda r: r.randrange(50, 100))
+    lcap = _Cap(_schema(f"{ROWKIND} STRING, seq BIGINT, k BIGINT, lv BIGINT"))
+    rcap = _Cap(_schema(f"{ROWKIND} STRING, seq BIGINT, k BIGINT, rv BIGINT"))
+    streaming_changelog_semi_anti_join(
+        lcap, rcap, keys=["k"], seq_col="seq", anti=anti
+    )
+    fn = lcap.fn or rcap.fn
+    merged = []
+    li = ri = 0
+    while li < len(lev) or ri < len(rev):
+        take_left = ri >= len(rev) or (li < len(lev) and rng.random() < 0.5)
+        if take_left:
+            kind, k, p = lev[li]
+            li += 1
+            merged.append((kind, len(merged), k, "L", p, None))
+        else:
+            kind, k, p = rev[ri]
+            ri += 1
+            merged.append((kind, len(merged), k, "R", None, p))
+    emissions = replay(
+        fn,
+        split_batches(rng, merged),
+        ["k"],
+        [ROWKIND, "seq", "k", "__side", "lv", "rv"],
+    )
+    folded: Counter = Counter()
+    for r in emissions:
+        s = r["__m"] if r[ROWKIND] == INSERT else -r["__m"]
+        folded[(r["k"], int(r["lv"]))] += s
+    folded = Counter({t: m for t, m in folded.items() if m != 0})
+    lbag: dict = defaultdict(Counter)
+    rtot: Counter = Counter()
+    for kind, k, p in lev:
+        lbag[k][p] += 1 if kind in ADD else -1
+    for kind, k, _p in rev:
+        rtot[k] += 1 if kind in ADD else -1
+    ref: Counter = Counter()
+    for k, bag in lbag.items():
+        has = rtot[k] > 0
+        if has != anti:
+            for lp, ml in bag.items():
+                if ml > 0:
+                    ref[(k, lp)] = ml
+    if folded != ref:
+        return f"semi[anti={anti}] folded {dict(folded)} != ref {dict(ref)}"
+    return None
+
+
 def check_antijoin(rng: random.Random) -> str | None:
     """streaming_anti_join vs StreamingSemiAntiJoinOperator's anti
     branch: a left row emits exactly once, when its interval window
@@ -600,6 +659,7 @@ ARMS = {
     "dedup": check_dedup,
     "wdedup": check_wdedup,
     "antijoin": check_antijoin,
+    "semi": check_semi,
 }
 
 
