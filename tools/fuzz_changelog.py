@@ -651,6 +651,128 @@ def check_antijoin(rng: random.Random) -> str | None:
     return None
 
 
+def _event_time_program(rng: random.Random, n_keys: int):
+    """(key, ts, id, v) events with bounded disorder + the per-batch
+    watermark sequence (delay 0 over the max seen event time)."""
+    rows, t = [], 0
+    for i in range(rng.randint(5, 40)):
+        t += rng.randrange(0, 30)
+        ts = max(0, t - (rng.randrange(0, 25) if rng.random() < 0.3 else 0))
+        rows.append(
+            (rng.randrange(n_keys), pd.Timestamp(ts, unit="ms"), i, qval(rng))
+        )
+    batches = split_batches(rng, rows)
+    wm_seq, seen = [], 0
+    for b in batches:
+        wm_seq.append(seen)
+        for _, ts, _, _ in b:
+            seen = max(seen, ts.value // 1_000_000)
+    return batches, wm_seq
+
+
+def check_over_rows(rng: random.Random) -> str | None:
+    """streaming_over_rows_event_time vs
+    RowTimeRowsUnboundedPrecedingFunction: rows buffer until the
+    watermark passes, finalize in (ts, id) order with the running
+    (count, exact-cents sum); late rows drop. Same per-batch
+    watermark/key-touch schedule on both sides."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_over_rows_event_time,
+    )
+
+    batches, wm_seq = _event_time_program(rng, rng.randint(1, 3))
+    cap = _Cap(_schema("k BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE"))
+    streaming_over_rows_event_time(
+        cap, keys=["k"], value_col="v", id_col="id", ts_col="ts"
+    )
+    emissions = replay(
+        cap.fn, batches, ["k"], ["k", "ts", "id", "v"], wm_seq=wm_seq
+    )
+    got = Counter(
+        (r["k"], r["id"], pd.Timestamp(r["ts"]).value // 1_000_000,
+         r["running_n"], round(r["running_sum"] * 100))
+        for r in emissions
+    )
+    pending: dict = defaultdict(list)
+    acc: dict = defaultdict(lambda: [0, 0])  # n, cents
+    ref: Counter = Counter()
+    for b, wm in zip(batches, wm_seq):
+        touched = defaultdict(list)
+        for k, ts, i, v in b:
+            touched[k].append((ts.value // 1_000_000, i, v))
+        for k, evs in touched.items():
+            for m, i, v in evs:
+                if m > wm:
+                    pending[k].append((m, i, v))
+            ready = sorted(p for p in pending[k] if p[0] <= wm)
+            pending[k] = [p for p in pending[k] if p[0] > wm]
+            for m, i, v in ready:
+                acc[k][0] += 1
+                acc[k][1] += int(round(v * 100))
+                ref[(k, i, m, acc[k][0], acc[k][1])] += 1
+    if got != ref:
+        return f"over_rows {dict(got)} != ref {dict(ref)}"
+    return None
+
+
+def check_over_range(rng: random.Random) -> str | None:
+    """streaming_over_range_event_time vs
+    RowTimeRangeBoundedPrecedingFunction, with the reference frame
+    computed from FULL history (no eviction) — so the operator's
+    state-retirement logic is checked against the semantic definition;
+    peers (equal ts) share one frame including all peers."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_over_range_event_time,
+    )
+
+    bound = 40
+    batches, wm_seq = _event_time_program(rng, rng.randint(1, 3))
+    cap = _Cap(_schema("k BIGINT, ts TIMESTAMP, id BIGINT, v DOUBLE"))
+    streaming_over_range_event_time(
+        cap, keys=["k"], value_col="v", id_col="id", ts_col="ts",
+        bound_ms=bound,
+    )
+    emissions = replay(
+        cap.fn, batches, ["k"], ["k", "ts", "id", "v"], wm_seq=wm_seq
+    )
+    got = Counter(
+        (r["k"], r["id"], pd.Timestamp(r["ts"]).value // 1_000_000,
+         r["win_n"], round(r["win_sum"] * 100))
+        for r in emissions
+    )
+    pending: dict = defaultdict(list)
+    finalized: dict = defaultdict(list)  # full history, never evicted
+    ref: Counter = Counter()
+    for b, wm in zip(batches, wm_seq):
+        touched = defaultdict(list)
+        for k, ts, i, v in b:
+            touched[k].append((ts.value // 1_000_000, i, v))
+        for k, evs in touched.items():
+            for m, i, v in evs:
+                if m > wm:
+                    pending[k].append((m, i, v))
+            ready = sorted(p for p in pending[k] if p[0] <= wm)
+            pending[k] = [p for p in pending[k] if p[0] > wm]
+            finalized[k].extend(ready)
+            # frames from the FULL finalized history
+            done_ts = set()
+            for m, i, v in ready:
+                if m in done_ts:
+                    continue
+                done_ts.add(m)
+                frame = [
+                    f for f in finalized[k] if m - bound <= f[0] <= m
+                ]
+                n = len(frame)
+                cents = sum(int(round(f[2] * 100)) for f in frame)
+                for fm, fi, _fv in ready:
+                    if fm == m:
+                        ref[(k, fi, m, n, cents)] += 1
+    if got != ref:
+        return f"over_range {dict(got)} != ref {dict(ref)}"
+    return None
+
+
 ARMS = {
     "agg": check_agg,
     "topn": check_topn,
@@ -660,6 +782,8 @@ ARMS = {
     "wdedup": check_wdedup,
     "antijoin": check_antijoin,
     "semi": check_semi,
+    "over_rows": check_over_rows,
+    "over_range": check_over_range,
 }
 
 
