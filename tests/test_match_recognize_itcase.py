@@ -567,3 +567,54 @@ def test_udf_in_match_raises(tenv, spark):
             ) AS T
             """
         ).to_data_frame().collect()
+
+
+# -- surface edge pins (beyond the ported cases) -----------------------------
+
+
+def test_measures_expression_mixing_variables_raises(tenv, spark):
+    _view(spark, "mr_mix", "id BIGINT, name STRING, proctime BIGINT",
+          [(1, "a", 1), (2, "b", 2)])
+    with pytest.raises(ValueError, match="mixes pattern variables"):
+        tenv.sql_query(
+            """
+            SELECT * FROM mr_mix MATCH_RECOGNIZE (
+              ORDER BY proctime
+              MEASURES SUM(A.id + B.id) AS x
+              PATTERN (A B)
+              DEFINE A AS name = 'a', B AS name = 'b'
+            ) AS T
+            """
+        )
+
+
+def test_measures_offset_on_sum_raises(tenv, spark):
+    _view(spark, "mr_offsum", "id BIGINT, name STRING, proctime BIGINT",
+          [(1, "a", 1), (2, "b", 2)])
+    with pytest.raises(ValueError, match="offset"):
+        tenv.sql_query(
+            """
+            SELECT * FROM mr_offsum MATCH_RECOGNIZE (
+              ORDER BY proctime
+              MEASURES SUM(A.id, 2) AS x
+              PATTERN (A B)
+              DEFINE A AS name = 'a', B AS name = 'b'
+            ) AS T
+            """
+        )
+
+
+def test_descending_primary_order_raises(tenv, spark):
+    _view(spark, "mr_desc", "id BIGINT, name STRING, proctime BIGINT",
+          [(1, "a", 1)])
+    with pytest.raises(ValueError, match="ascending"):
+        tenv.sql_query(
+            """
+            SELECT * FROM mr_desc MATCH_RECOGNIZE (
+              ORDER BY proctime DESC
+              MEASURES A.id AS aid
+              PATTERN (A)
+              DEFINE A AS name = 'a'
+            ) AS T
+            """
+        )
