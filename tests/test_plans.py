@@ -581,3 +581,31 @@ def test_streaming_window_state_keys_exclude_window(spark, sf_smoke):
     )
     keys = state_keys(ded)
     assert "win" not in keys, f"window col in dedup state key: {keys}"
+
+
+def test_streaming_changelog_outer_join_shuffle_layout(spark, sf_smoke):
+    """The outer changelog join keeps the single-keyed-exchange shape:
+    the union adds no shuffle beyond the one group-by exchange on the
+    join key (the reference's keyBy before StreamingJoinOperator)."""
+    from flink_release_1_16_0_spark.queries.changelog_queries import (
+        _customer_join_log,
+        _orders_join_log,
+    )
+    from flink_release_1_16_0_spark.streaming.core import replay_stream
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_changelog_join,
+        streaming_changelog_semi_anti_join,
+    )
+
+    llog = _orders_join_log(replay_stream(spark, sf_smoke, "orders"))
+    rlog = _customer_join_log(replay_stream(spark, sf_smoke, "customer"))
+    out = streaming_changelog_join(llog, rlog, keys=["custkey"], join_type="left")
+    plan = _streaming_plan(spark, out)
+    _assert_single_keyed_exchange(plan, "custkey")
+    assert "FlatMapGroupsInPandasWithState" in plan
+
+    semi = streaming_changelog_semi_anti_join(
+        llog, rlog, keys=["custkey"], anti=True
+    )
+    plan = _streaming_plan(spark, semi)
+    _assert_single_keyed_exchange(plan, "custkey")
