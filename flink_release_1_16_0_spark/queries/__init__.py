@@ -92,68 +92,71 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-10 window — part 1: the NEW surfaces — the commit-log
-    # maintenance SQL (ALTER TABLE COMPACT/VACUUM + auto-vacuum option)
-    # and the 13 archetype-tail TPC-DS shapes (tpcds_deep2.py).
-    "api_sql_manifest_maintenance",
-    "ds_best_customer_pyramid",
-    "ds_sale_return_chain",
-    "ds_week_span_ratio",
-    "ds_exists_supply_chain",
+    # round-11 window — part 1: the NEW surfaces — the manifest-log
+    # incremental tail (Python data source streaming offsets), the
+    # outer/semi/anti changelog joins (OuterJoinRecordStateView /
+    # StreamingSemiAntiJoinOperator protocols), and the 13
+    # archetype-tail TPC-DS shapes (tpcds_deep3.py).
+    "stream_manifest_tail",
+    "changelog_outer_join",
+    "stream_changelog_outer_join",
+    "stream_changelog_semi_join",
+    "stream_changelog_anti_join",
+    "ds_quantity_stdev_bands",
+    "ds_chain_mean_compare",
+    "ds_cumulative_full_outer",
+    "ds_anti_ratio_rank",
+    "ds_store_only_customers",
+    "ds_order_exists_chain",
+    "ds_net_qty_after_returns",
+    "ds_before_after_pivot",
+    "ds_date_offset_chain",
+    "ds_channel_profit_rollup",
+    "ds_returned_share_three_way",
+    "ds_yoy_net_decline",
+    "ds_best_worst_return_rate",
+    # part 2: re-grades of code round 11 touched — the MATCH_RECOGNIZE
+    # quantifier/navigation semantics (SQL ? never greedy, possessive
+    # loops, offsets), the retracting-agg rowkind upgrade, the
+    # window-dedup watermark eviction, the ratio re-ranking, the vacuum
+    # retention floor, and the quadratic-guarded all-pairs baselines.
+    "api_sql_match_recognize",
+    "api_sql_match_nfa_define",
+    "api_sql_match_reluctant",
+    "api_sql_match_skip_last",
+    "stream_cep_within",
+    "cep_reluctant",
+    "stream_group_agg",
+    "stream_retract_minmax",
+    "stream_window_dedup",
+    "window_dedup",
     "ds_return_ratio_rank_union",
-    "ds_monthly_deviation_filter",
-    "ds_quarter_growth_compare",
-    "ds_three_way_chain",
-    "ds_channel_within_band",
-    "ds_revenue_band_counts",
-    "ds_null_channel_left_join",
-    "ds_cross_channel_items",
-    "ds_return_share_triple",
-    # part 2: re-grades of code round 10 touched — the commit protocol
-    # (stale-claim guard, checkpoint-failure isolation), hive partition
-    # DDL lowering, and the all-pairs dedup plans that gained the
-    # streamed-side repartition.
+    "api_sql_manifest_maintenance",
     "api_sql_manifest_commit",
-    "api_sql_hive_buckets",
-    "api_sql_hive_dialect",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     # part 3: one representative per SURVEY section-2 family (rotation —
-    # families green in earlier windows keep one seat each; last round's
-    # tpcds_deep band, re-graded green in r9, yields slots to the new
-    # tail).
+    # families green in earlier windows keep one seat each).
     "q1_pricing_summary",
     "q9_product_profit",
-    "ds_year_total_ratio",
-    "ds_cumulative_crossover",
     "join_asof",
-    "join_skew_salted",
     "lookup_join_dim",
-    "jdbc_lookup_join",
     "agg_grouping_sets",
-    "agg_approx_count_distinct",
     "over_ignore_nulls",
     "rank_topn_per_group",
-    "dedup_keep_first",
     "setop_except_all",
     "func_collections",
-    "window_topn",
     "window_session",
     "format_debezium_cdc",
-    "format_protobuf_roundtrip",
     "stream_tumble_agg",
-    "stream_stateful_topn",
     "stream_window_allowed_lateness",
-    "stream_cep_within",
     "changelog_normalize",
     "udtag_table_agg_top2",
     "api_table_window_udaf",
-    "api_table_row_ops",
     "correlate_unnest",
     "dedup_minhash_lsh",
     "similarity_brute_force_topk",
     "dsapi_window_cogroup",
-    "dsapi_interval_join",
 )
 
 
