@@ -1254,3 +1254,89 @@ def test_window_dedup_evicts_passed_windows(spark, tmp_path):
     assert (ts(2, 0), 20) in emitted  # W2's winner
     # the late refinement for the PASSED window never emits
     assert all(eid != 5 for _, eid in emitted), emitted
+
+
+def test_changelog_outer_join_flip_across_batches(spark, tmp_path):
+    """End-to-end (real micro-batches) pin of the outer-join
+    null-padding protocol: a left row emitted null-padded in batch 1
+    RETRACTS when the key's first right row arrives in batch 2, and the
+    null-padded row RE-EMITS when the right side drains in batch 3
+    (OuterJoinRecordStateView's numAssociations flips). The fuzzer pins
+    the algebra at the closure level; this pins the Spark plumbing."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+    from flink_release_1_16_0_spark.streaming.core import run_to_table
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_changelog_join,
+    )
+
+    d = str(tmp_path / "oj_chunks")
+    os.makedirs(d)
+    # unioned-input layout is built by the operator from two streams;
+    # here each parquet file is one micro-batch of ONE side's changelog
+    batches = [
+        # batch 1: left row arrives, no right yet -> (l1, null) +I
+        [("+I", 0, 1, "L", 10, None)],
+        # batch 2: right row arrives -> -D (l1, null), +I (l1, 77)
+        [("+I", 1, 1, "R", None, 77)],
+        # batch 3: right retracts -> -D (l1, 77), +I (l1, null)
+        [("-D", 2, 1, "R", None, 77)],
+    ]
+    schema = pa.schema(
+        [
+            ("__rowkind", pa.string()),
+            ("seq", pa.int64()),
+            ("k", pa.int64()),
+            ("side", pa.string()),
+            ("lv", pa.int64()),
+            ("rv", pa.int64()),
+        ]
+    )
+    for i, rows in enumerate(batches):
+        p = os.path.join(d, f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    f.name: pa.array([r[j] for r in rows], f.type)
+                    for j, f in enumerate(schema)
+                }
+            ),
+            p,
+        )
+        t = time.time() - 100 + i * 10
+        os.utime(p, (t, t))
+
+    raw = (
+        spark.readStream.schema(
+            "__rowkind STRING, seq BIGINT, k BIGINT, side STRING, "
+            "lv BIGINT, rv BIGINT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    left = raw.filter("side = 'L'").select("__rowkind", "seq", "k", "lv")
+    right = raw.filter("side = 'R'").select("__rowkind", "seq", "k", "rv")
+    out = run_to_table(
+        streaming_changelog_join(left, right, keys=["k"], join_type="left"),
+        "update",
+    )
+    from collections import Counter
+
+    got = Counter(
+        (r["k"], r["lv"], r["rv"], r[ROWKIND], r["__m"])
+        for r in out.collect()
+    )
+    assert got == Counter(
+        [
+            (1, 10, None, "+I", 1),   # batch 1: null-padded
+            (1, 10, None, "-D", 1),   # batch 2: flip retract
+            (1, 10, 77, "+I", 1),     # batch 2: join
+            (1, 10, 77, "-D", 1),     # batch 3: retract join
+            (1, 10, None, "+I", 1),   # batch 3: null-pad returns
+        ]
+    ), got
