@@ -1340,3 +1340,54 @@ def test_changelog_outer_join_flip_across_batches(spark, tmp_path):
             (1, 10, None, "+I", 1),   # batch 3: null-pad returns
         ]
     ), got
+
+
+def test_interval_join_boundaries_itcase(spark, tmp_path):
+    """Ported from the reference's IntervalJoinITCase.testRowTimeInnerJoin
+    (stream/sql/IntervalJoinITCase.scala:175): BETWEEN is inclusive at
+    BOTH bounds (LEFT1 at exactly rowtime-5s joins; LEFT0.999 one ms
+    below does not) and NULL keys never join."""
+    import datetime as dt
+    import os
+
+    def write(side, rows):
+        p = str(tmp_path / side)
+        os.makedirs(p, exist_ok=True)
+        spark.createDataFrame(
+            [(k, i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(milliseconds=ms))
+             for k, i, ms in rows],
+            "key STRING, id STRING, rowtime TIMESTAMP",
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        return (
+            spark.readStream.schema("key STRING, id STRING, rowtime TIMESTAMP")
+            .parquet(p)
+        )
+
+    t1 = write("t1", [
+        ("A", "LEFT0.999", 999), ("A", "LEFT1", 1000), ("A", "LEFT2", 2000),
+        ("A", "LEFT3", 3000), ("B", "LEFT4", 4000), ("A", "LEFT5", 5000),
+        ("A", "LEFT6", 6000), (None, "LEFT8", 8000),
+    ])
+    t2 = write("t2", [
+        ("A", "RIGHT6", 6000), ("B", "RIGHT7", 7000), (None, "RIGHT10", 10000),
+    ]).select(
+        F.col("key").alias("key2"),
+        F.col("id").alias("id2"),
+        F.col("rowtime").alias("rowtime2"),
+    )
+    joined = t1.join(
+        t2,
+        (F.col("key") == F.col("key2"))
+        & (F.col("rowtime") >= F.col("rowtime2") - F.expr("INTERVAL 5 SECONDS"))
+        & (F.col("rowtime") <= F.col("rowtime2") + F.expr("INTERVAL 6 SECONDS")),
+    ).select("key2", "id2", "id")
+    out = run_to_table(joined, "append")
+    got = sorted(",".join([r["key2"], r["id2"], r["id"]]) for r in out.collect())
+    assert got == [
+        "A,RIGHT6,LEFT1",
+        "A,RIGHT6,LEFT2",
+        "A,RIGHT6,LEFT3",
+        "A,RIGHT6,LEFT5",
+        "A,RIGHT6,LEFT6",
+        "B,RIGHT7,LEFT4",
+    ]
