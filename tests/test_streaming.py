@@ -1391,3 +1391,74 @@ def test_interval_join_boundaries_itcase(spark, tmp_path):
         "A,RIGHT6,LEFT6",
         "B,RIGHT7,LEFT4",
     ]
+
+
+def test_interval_left_outer_join_itcase(spark, tmp_path):
+    """Ported from IntervalJoinITCase.testRowTimeLeftOuterJoin
+    (stream/sql/IntervalJoinITCase.scala:729): null padding for (a) a
+    row excluded by the NON-EQUI condition (L-5), (b) a key with no
+    right rows at all (C/L-7), and (c) a row whose window closes empty
+    (L-20). Adaptation: the reference's bounded run flushes outer state
+    at final-watermark +inf; Spark closes windows only when the
+    watermark passes, so a sentinel key-Z event advances it (excluded
+    from the assertion)."""
+    import datetime as dt
+    import os
+    import time
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(side, rows, sentinel_ms):
+        p = str(tmp_path / side)
+        os.makedirs(p, exist_ok=True)
+        df = spark.createDataFrame(
+            [(k, i, base + dt.timedelta(milliseconds=ms)) for k, i, ms in rows],
+            "key STRING, id STRING, rowtime TIMESTAMP",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(p + "/b0")
+        spark.createDataFrame(
+            [("Z", "SENTINEL", base + dt.timedelta(milliseconds=sentinel_ms))],
+            "key STRING, id STRING, rowtime TIMESTAMP",
+        ).coalesce(1).write.mode("overwrite").parquet(p + "/b1")
+        now = time.time()
+        os.utime(p + "/b0", (now - 60, now - 60))
+        os.utime(p + "/b1", (now - 30, now - 30))
+        return (
+            spark.readStream.schema("key STRING, id STRING, rowtime TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(p + "/b*")
+            .withWatermark("rowtime", "1 second")
+        )
+
+    t1 = write("lo_t1", [
+        ("A", "L-1", 1000), ("A", "L-2", 2000), ("B", "L-4", 4000),
+        ("B", "L-5", 5000), ("A", "L-6", 6000), ("C", "L-7", 7000),
+        ("A", "L-10", 10000), ("A", "L-12", 12000), ("A", "L-20", 20000),
+    ], 100_000)
+    t2 = write("lo_t2", [
+        ("A", "R-6", 6000), ("B", "R-7", 7000), ("D", "R-8", 8000),
+        ("A", "R-11", 11000),
+    ], 100_000).select(
+        F.col("key").alias("key2"),
+        F.col("id").alias("id2"),
+        F.col("rowtime").alias("rowtime2"),
+    )
+    joined = t1.join(
+        t2,
+        (F.col("key") == F.col("key2"))
+        & (F.col("rowtime") >= F.col("rowtime2") - F.expr("INTERVAL 5 SECONDS"))
+        & (F.col("rowtime") <= F.col("rowtime2") + F.expr("INTERVAL 6 SECONDS"))
+        & (F.col("id") != F.lit("L-5")),
+        "left_outer",
+    ).select("key", "id2", "id")
+    out = run_to_table(joined, "append")
+    got = sorted(
+        f"{r['key']},{r['id2']},{r['id']}"
+        for r in out.collect()
+        if r["key"] != "Z"
+    )
+    assert got == sorted([
+        "A,R-6,L-1", "A,R-6,L-2", "A,R-6,L-6", "A,R-6,L-10", "A,R-6,L-12",
+        "B,R-7,L-4", "A,R-11,L-6", "A,R-11,L-10", "A,R-11,L-12",
+        "B,None,L-5", "C,None,L-7", "A,None,L-20",
+    ])
