@@ -1531,3 +1531,60 @@ def test_interval_full_outer_join_itcase(spark, tmp_path):
         "D,R-8,None",
         "None,None,L-5", "None,None,L-7", "None,None,L-20",
     ])
+
+
+def test_interval_full_outer_join_negative_interval_itcase(spark, tmp_path):
+    """Ported from
+    IntervalJoinITCase.testRowTimeFullOuterJoinNegativeIntervalSize:
+    BETWEEN t2.rowtime + 5s AND t2.rowtime + 2s is an EMPTY interval —
+    nothing ever joins, every row on both sides null-pads."""
+    import datetime as dt
+    import os
+    import time
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(side, rows):
+        p = str(tmp_path / side)
+        os.makedirs(p, exist_ok=True)
+        spark.createDataFrame(
+            [(k, i, base + dt.timedelta(milliseconds=ms)) for k, i, ms in rows],
+            "key STRING, id STRING, rowtime TIMESTAMP",
+        ).coalesce(1).write.mode("overwrite").parquet(p + "/b0")
+        spark.createDataFrame(
+            [("Z", "SENTINEL", base + dt.timedelta(milliseconds=100_000))],
+            "key STRING, id STRING, rowtime TIMESTAMP",
+        ).coalesce(1).write.mode("overwrite").parquet(p + "/b1")
+        now = time.time()
+        os.utime(p + "/b0", (now - 60, now - 60))
+        os.utime(p + "/b1", (now - 30, now - 30))
+        return (
+            spark.readStream.schema("key STRING, id STRING, rowtime TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(p + "/b*")
+            .withWatermark("rowtime", "1 second")
+        )
+
+    t1 = write("ni_t1", [("A", "L-1", 1000), ("B", "L-4", 4000), ("C", "L-7", 7000)])
+    t2 = write("ni_t2", [("A", "R-6", 6000), ("B", "R-7", 7000), ("D", "R-8", 8000)]).select(
+        F.col("key").alias("key2"),
+        F.col("id").alias("id2"),
+        F.col("rowtime").alias("rowtime2"),
+    )
+    joined = t1.join(
+        t2,
+        (F.col("key") == F.col("key2"))
+        & (F.col("rowtime") >= F.col("rowtime2") + F.expr("INTERVAL 5 SECONDS"))
+        & (F.col("rowtime") <= F.col("rowtime2") + F.expr("INTERVAL 2 SECONDS")),
+        "full_outer",
+    ).select("key2", "id2", "id")
+    out = run_to_table(joined, "append")
+    got = sorted(
+        f"{r['key2']},{r['id2']},{r['id']}"
+        for r in out.collect()
+        if r["id"] != "SENTINEL" and r["id2"] != "SENTINEL"
+    )
+    assert got == sorted([
+        "None,None,L-1", "None,None,L-4", "None,None,L-7",
+        "A,R-6,None", "B,R-7,None", "D,R-8,None",
+    ])
