@@ -1588,3 +1588,71 @@ def test_interval_full_outer_join_negative_interval_itcase(spark, tmp_path):
         "None,None,L-1", "None,None,L-4", "None,None,L-7",
         "A,R-6,None", "B,R-7,None", "D,R-8,None",
     ])
+
+
+def test_interval_right_outer_join_itcase(spark, tmp_path):
+    """Ported from IntervalJoinITCase.testRowTimeRightOuterJoin
+    (stream/sql/IntervalJoinITCase.scala:878): the symmetric outer
+    side — R-5 null-pads via the non-equi exclusion, D/R-8 via the
+    missing key, R-20 via an empty window."""
+    import datetime as dt
+    import os
+    import time
+
+    base = dt.datetime(2024, 1, 1)
+
+    def write(side, rows):
+        p = str(tmp_path / side)
+        os.makedirs(p, exist_ok=True)
+        spark.createDataFrame(
+            [(k, i, base + dt.timedelta(milliseconds=ms)) for k, i, ms in rows],
+            "key STRING, id STRING, rowtime TIMESTAMP",
+        ).coalesce(1).write.mode("overwrite").parquet(p + "/b0")
+        spark.createDataFrame(
+            [("Z", "SENTINEL", base + dt.timedelta(milliseconds=100_000))],
+            "key STRING, id STRING, rowtime TIMESTAMP",
+        ).coalesce(1).write.mode("overwrite").parquet(p + "/b1")
+        now = time.time()
+        os.utime(p + "/b0", (now - 60, now - 60))
+        os.utime(p + "/b1", (now - 30, now - 30))
+        return (
+            spark.readStream.schema("key STRING, id STRING, rowtime TIMESTAMP")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(p + "/b*")
+            .withWatermark("rowtime", "1 second")
+        )
+
+    t1 = write("ro_t1", [
+        ("A", "L-1", 1000), ("A", "L-2", 2000), ("B", "L-4", 4000),
+        ("A", "L-6", 6000), ("C", "L-7", 7000), ("A", "L-10", 10000),
+        ("A", "L-12", 12000),
+    ])
+    t2 = write("ro_t2", [
+        ("A", "R-5", 5000), ("A", "R-6", 6000), ("B", "R-7", 7000),
+        ("D", "R-8", 8000), ("A", "R-20", 20000),
+    ]).select(
+        F.col("key").alias("key2"),
+        F.col("id").alias("id2"),
+        F.col("rowtime").alias("rowtime2"),
+    )
+    joined = t1.join(
+        t2,
+        (F.col("key") == F.col("key2"))
+        & (F.col("rowtime") >= F.col("rowtime2") - F.expr("INTERVAL 5 SECONDS"))
+        & (F.col("rowtime") <= F.col("rowtime2") + F.expr("INTERVAL 6 SECONDS"))
+        & (F.col("id2") != F.lit("R-5")),
+        "right_outer",
+    ).select("key2", "id2", "id")
+    out = run_to_table(joined, "append")
+    got = sorted(
+        f"{r['key2']},{r['id2']},{r['id']}"
+        for r in out.collect()
+        if r["id2"] != "SENTINEL" and r["id"] != "SENTINEL"
+    )
+    assert got == sorted([
+        "A,R-5,None",
+        "A,R-6,L-1", "A,R-6,L-2", "A,R-6,L-6", "A,R-6,L-10", "A,R-6,L-12",
+        "A,R-20,None",
+        "B,R-7,L-4",
+        "D,R-8,None",
+    ])
