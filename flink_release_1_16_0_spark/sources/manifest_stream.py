@@ -57,6 +57,10 @@ from flink_release_1_16_0_spark.sources.commit_protocol import (
     DEAD_CLAIM_GRACE_S,
 )
 
+# how long partitions() polls for a mid-publish manifest body before
+# giving up and failing the batch (see ManifestTailStreamReader)
+MID_PUBLISH_POLL_S = 2.0
+
 
 class _ManifestPartition(InputPartition):
     def __init__(self, paths: list[str]):
@@ -82,17 +86,29 @@ class ManifestTailStreamReader(DataSourceStreamReader):
             full = os.path.join(self._commits, fn)
             body = _read_json(full)
             if body is None:
+                # mid-publish claim: poll briefly for the body to land
+                # (publishes are a rename away, so this almost always
+                # resolves within a few hundred ms)
+                deadline = time.time() + MID_PUBLISH_POLL_S
+                while body is None and time.time() < deadline:
+                    time.sleep(0.05)
+                    body = _read_json(full)
+            if body is None:
                 try:
                     age = time.time() - os.path.getmtime(full)
                 except OSError:
                     continue  # vanished: folded+vacuumed under us
                 if age <= DEAD_CLAIM_GRACE_S:
-                    # mid-publish: fail the batch so the trigger retries
-                    # once the body lands (skipping would silently lose
-                    # this commit's files forever)
+                    # Still mid-publish after polling: fail the batch.
+                    # NOTE a planner exception TERMINATES the Structured
+                    # Streaming query (it is not an automatic micro-batch
+                    # retry) — the query must be restarted, and the offset
+                    # checkpoint makes that restart exactly-once. Skipping
+                    # instead would silently lose this commit's files.
                     raise RuntimeError(
                         f"manifest seq {seq} is claimed but unreadable "
-                        "(publish in flight); retrying this batch"
+                        "(publish in flight); restart the query — the "
+                        "offset checkpoint makes the restart exactly-once"
                     )
                 continue  # aged corpse: withdrawn claim, permanent gap
             paths = [

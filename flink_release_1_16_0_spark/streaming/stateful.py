@@ -196,8 +196,11 @@ def streaming_window_dedup(
                 continue
             if wm > 0:
                 # zero allowed lateness: a row for a passed window is
-                # dropped, exactly like the reference's window operator
-                pdf = pdf[pdf[window_col].map(_win_end_ms) > wm]
+                # dropped, exactly like the reference's window operator.
+                # The reference fires when watermark >= windowEnd - 1
+                # (TimeWindowUtil.isWindowFired), so "passed" means
+                # win_end - 1 <= wm, not win_end <= wm.
+                pdf = pdf[pdf[window_col].map(_win_end_ms) - 1 > wm]
                 if len(pdf) == 0:
                     continue
             # candidate per window from THIS batch first (vectorized),
@@ -217,7 +220,8 @@ def streaming_window_dedup(
                     changed.add(w)
         evicted = False
         if wm > 0:
-            stale = [w for w in winners if _win_end_ms(w) <= wm]
+            # mirror isWindowFired's windowEnd-1 trigger boundary
+            stale = [w for w in winners if _win_end_ms(w) - 1 <= wm]
             for w in stale:
                 del winners[w]
             evicted = bool(stale)
@@ -675,12 +679,15 @@ def streaming_changelog_join(
                 tl += s
             else:
                 tr += s
-        state.update(
-            (
-                [(*p, m) for p, m in lmap.items() if m != 0],
-                [(*p, m) for p, m in rmap.items() if m != 0],
-            )
-        )
+        llive = [(*p, m) for p, m in lmap.items() if m != 0]
+        rlive = [(*p, m) for p, m in rmap.items() if m != 0]
+        if llive or rlive:
+            state.update((llive, rlive))
+        elif state.exists:
+            # both sides fully retracted: drop the key's state so keyed
+            # state does not grow unboundedly with key churn (mirrors
+            # the retracting-agg's empty-state cleanup)
+            state.remove()
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 
@@ -812,12 +819,15 @@ def streaming_changelog_semi_anti_join(
                             out.append((*key, *lp, flip, ml))
                 rmap[pay] = rmap.get(pay, 0) + s
                 tr += s
-        state.update(
-            (
-                [(*p, m) for p, m in lmap.items() if m != 0],
-                [(*p, m) for p, m in rmap.items() if m != 0],
-            )
-        )
+        llive = [(*p, m) for p, m in lmap.items() if m != 0]
+        rlive = [(*p, m) for p, m in rmap.items() if m != 0]
+        if llive or rlive:
+            state.update((llive, rlive))
+        elif state.exists:
+            # both sides fully retracted: drop the key's state so keyed
+            # state does not grow unboundedly with key churn (mirrors
+            # the retracting-agg's empty-state cleanup)
+            state.remove()
         if out:
             yield pd.DataFrame(out, columns=out_cols)
 

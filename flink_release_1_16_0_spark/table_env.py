@@ -4794,9 +4794,26 @@ def _compile_define_predicate(
     def col(c: str) -> str:
         return rename.get(c, c)
 
-    # IS [NOT] NULL and LIKE run on the raw SQL first (their operands
-    # are still in SQL form there); the operand text is rewritten by
-    # the later passes inside the generated call
+    # Split string literals out FIRST and replace each with a unique
+    # placeholder name resolved through the eval environment — so no
+    # later rewrite can ever touch literal content (a literal like
+    # 'x IS NULL' or 'a LIKE b' must survive verbatim).
+    lit_env: dict = {}
+    seg_parts = []
+    for is_lit, text in _split_sql_literals(pred):
+        if is_lit:
+            name = f"__LIT{len(lit_env)}__"
+            while name in colset:  # pathological column-name collision
+                name += "_"
+            lit_env[name] = text[1:-1].replace("''", "'")
+            seg_parts.append(f" {name} ")
+        else:
+            seg_parts.append(text)
+    pred = "".join(seg_parts)
+
+    # IS [NOT] NULL and LIKE now run on literal-free text (their
+    # operands are still in SQL form here); the operand text is
+    # rewritten by the later passes inside the generated call
     pred = re.sub(
         rf"((?:FIRST|LAST|{_aggs_re})\s*\([^()]*\)|\w+(?:\s*\.\s*\w+)?)"
         r"\s+IS\s+NOT\s+NULL",
@@ -4812,11 +4829,37 @@ def _compile_define_predicate(
         flags=re.IGNORECASE,
     )
     pred = re.sub(
-        r"(\w+(?:\s*\.\s*\w+)?)\s+LIKE\s+('(?:[^']|'')*')",
+        r"(\w+(?:\s*\.\s*\w+)?)\s+LIKE\s+(__LIT\d+___*|\w+(?:\s*\.\s*\w+)?)",
         r"_like(\1, \2)",
         pred,
         flags=re.IGNORECASE,
     )
+
+    def _balanced_calls(names_re: str, src_text: str, fn) -> str:
+        """Rewrite ``NAME( ... )`` calls with BALANCED paren scanning,
+        so nested arithmetic like ``SUM(a * (1 - b))`` is captured
+        whole (a plain ``[^()]*`` regex misses it)."""
+        rx = re.compile(rf"\b({names_re})\s*\(", re.IGNORECASE)
+        out, i = [], 0
+        while True:
+            m = rx.search(src_text, i)
+            if not m:
+                out.append(src_text[i:])
+                return "".join(out)
+            out.append(src_text[i : m.start()])
+            depth, j = 1, m.end()
+            while j < len(src_text) and depth:
+                if src_text[j] == "(":
+                    depth += 1
+                elif src_text[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(
+                    f"unbalanced parentheses in {src_text[m.start():]!r}"
+                )
+            out.append(fn(m.group(1), src_text[m.end() : j - 1]))
+            i = j
 
     def _inner_lambda(inner: str) -> str:
         """Aggregate payload -> a lambda over one row dict; every
@@ -4829,7 +4872,7 @@ def _compile_define_predicate(
             inner,
         )
         body = re.sub(
-            r"(?<![.\w'\"])([A-Za-z_]\w*)(?!\s*[(.\w'\"])",
+            r"(?<![.\w'\"])([A-Za-z_]\w*)(?!\s*[([.\w'\"])",
             lambda m: f"_v(__r[{col(m.group(1))!r}])"
             if m.group(1) in colset
             else m.group(0),
@@ -4838,30 +4881,25 @@ def _compile_define_predicate(
         return f"lambda __r: ({body})"
 
     def rewrite(seg: str) -> str:
-        # SQL -> Python rewrites for one NON-LITERAL segment only: a
-        # string literal like 'x=y' or 'a AND b' must pass through
-        # verbatim, so the caller splits literals out first.
-        def agg_sub(m: re.Match) -> str:
-            kind = m.group(1).lower()
-            inner = m.group(2).strip()
+        # SQL -> Python rewrites; string literals were already replaced
+        # by placeholder names, so nothing here can corrupt a literal.
+        def agg_sub(kind: str, inner: str) -> str:
+            kind = kind.lower()
+            inner = inner.strip()
             if inner == "*":
-                return f'_agg("count", "*", None)'
+                return '_agg("count", "*", None)'
             ref_vars = {
                 v for v in re.findall(r"\b(\w+)\s*\.", inner) if v in vset
             }
             if len(ref_vars) > 1:
                 raise ValueError(
-                    f"DEFINE aggregate {m.group(0)!r} mixes variables"
+                    f"DEFINE aggregate {kind.upper()}({inner}) "
+                    "mixes variables"
                 )
             var = ref_vars.pop() if ref_vars else "*"
             return f'_agg("{kind}", "{var}", {_inner_lambda(inner)})'
 
-        seg = re.sub(
-            rf"\b({_aggs_re})\s*\(([^()]*)\)",
-            agg_sub,
-            seg,
-            flags=re.IGNORECASE,
-        )
+        seg = _balanced_calls("SUM|COUNT|AVG|MIN|MAX", seg, agg_sub)
 
         def nav_sub(m: re.Match) -> str:
             kind = m.group(1).lower()
@@ -4894,15 +4932,17 @@ def _compile_define_predicate(
             if v not in vset:  # e.g. a numeric literal like 3.5
                 return m.group(0)
             if v == cur_var:
-                return f"_v(row[{c!r}])"
+                return f"_v(__row[{c!r}])"
             return f'_nav("last", "{v}", "{c}", 0)'
 
         seg = re.sub(r"\b(\w+)\s*\.\s*(\w+)", ref, seg)
-        # bare identifiers naming real columns read the candidate row
-        # (guarded against the quoted names earlier rewrites emitted)
+        # bare identifiers naming real columns read the candidate row;
+        # the lookahead excludes '[' so a column literally named "row"
+        # cannot be rewritten inside a previously-emitted __row['col']
+        # accessor (the dict variable is also reserved-named __row)
         seg = re.sub(
-            r"(?<![.\w'\"])([A-Za-z_]\w*)(?!\s*[(.\w'\"])",
-            lambda m: f"_v(row[{col(m.group(1))!r}])"
+            r"(?<![.\w'\"])([A-Za-z_]\w*)(?!\s*[([.\w'\"])",
+            lambda m: f"_v(__row[{col(m.group(1))!r}])"
             if m.group(1) in colset
             else m.group(0),
             seg,
@@ -4912,12 +4952,22 @@ def _compile_define_predicate(
         seg = re.sub(r"\bAND\b", "and", seg, flags=re.IGNORECASE)
         seg = re.sub(r"\bOR\b", "or", seg, flags=re.IGNORECASE)
         seg = re.sub(r"\bNOT\b", "not", seg, flags=re.IGNORECASE)
+        # any surviving SQL call token means an expression shape the
+        # rewrites above did not cover — fail loudly at compile time
+        # instead of surfacing as a NameError at predicate eval time
+        leftover = re.search(
+            r"\b(?:FIRST|LAST|SUM|COUNT|AVG|MIN|MAX)\s*\(",
+            seg,
+            re.IGNORECASE,
+        )
+        if leftover:
+            raise ValueError(
+                f"unsupported DEFINE expression near "
+                f"{seg[leftover.start():leftover.start() + 40]!r}"
+            )
         return seg
 
-    src = "".join(
-        repr(text[1:-1].replace("''", "'")) if is_lit else rewrite(text)
-        for is_lit, text in _split_sql_literals(pred)
-    )
+    src = rewrite(pred)
     # outer parens: a multi-line SQL predicate must stay one expression
     code = compile(f"({src})", f"<define {cur_var}>", "eval")
 
@@ -4962,7 +5012,8 @@ def _compile_define_predicate(
             return re.fullmatch(rx, str(x), re.DOTALL) is not None
 
         env = {
-            "row": row,
+            "__row": row,
+            **lit_env,
             "_nav": _nav,
             "_agg": _agg,
             "_like": _like,

@@ -460,8 +460,10 @@ def check_dedup(rng: random.Random) -> str | None:
 
 def check_wdedup(rng: random.Random) -> str | None:
     """streaming_window_dedup with watermark-driven eviction: late rows
-    (window end <= wm) drop, winners of passed windows freeze — the
-    fold must equal a reference applying the same on-time rule."""
+    drop when the window has FIRED — wm >= windowEnd - 1, the
+    reference's TimeWindowUtil.isWindowFired boundary — and winners of
+    fired windows freeze; the fold must equal a reference applying the
+    same on-time rule."""
     from flink_release_1_16_0_spark.streaming.stateful import (
         streaming_window_dedup,
     )
@@ -506,8 +508,8 @@ def check_wdedup(rng: random.Random) -> str | None:
     ref: dict = {}
     for b, wm in zip(batches, wm_seq):
         for k, win, ts, i in b:
-            if wm > 0 and win + size <= wm:
-                continue  # late: dropped
+            if wm > 0 and win + size - 1 <= wm:
+                continue  # window fired (isWindowFired): dropped
             cur = ref.get((k, win))
             if cur is None or (ts, i) < cur:
                 ref[(k, win)] = (ts, i)
