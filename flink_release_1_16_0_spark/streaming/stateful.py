@@ -109,15 +109,25 @@ def streaming_dedup_keep_last(
             best = top if best is None else pick(pd.concat([best, top]))
         if best is None:
             return
-        if state.exists:
-            prev = pd.DataFrame([state.get], columns=cols)
+        prev_tup = tuple(state.get) if state.exists else None
+        if prev_tup is not None:
+            prev = pd.DataFrame([prev_tup], columns=cols)
             merged = pick(pd.concat([prev, best]))
         else:
             merged = best
-        state.update(tuple(merged.iloc[0][c] for c in cols))
+        new_tup = tuple(merged.iloc[0][c] for c in cols)
         if state_ttl_ms is not None:
+            # the cleanup timer refreshes on every access, changed or
+            # not (KeyedProcessFunctionWithCleanupState.registerProcessingCleanupTimer)
             last_seen_ms = pd.Timestamp(best.iloc[0][ttl_time_col]).value // 1_000_000
             state.setTimeoutTimestamp(last_seen_ms + state_ttl_ms)
+        if prev_tup is not None and new_tup == prev_tup:
+            # rank unchanged: the reference's DeduplicateFunctionHelper
+            # emits nothing when the incoming row does not beat the
+            # held winner (isDuplicate false path) — conformance pinned
+            # by the DeduplicateITCase raw-changelog ports
+            return
+        state.update(new_tup)
         yield merged[cols]
 
     return stream.groupBy(*keys).applyInPandasWithState(
