@@ -1073,8 +1073,10 @@ def streaming_temporal_join_event_time(
             for tup in pdf[["__t", "__side", *lpay, *rpay]].itertuples(
                 index=False, name=None
             ):
-                if ms(tup[0]) <= wm:
-                    continue  # late beyond the watermark: dropped
+                if ms(tup[0]) < wm:
+                    continue  # late: ts strictly before the watermark
+                    # (ts == wm is on time — Spark's own late filter
+                    # and the reference's timer semantics both keep it)
                 pending.append(
                     (
                         pd.Timestamp(tup[0]),
@@ -1170,8 +1172,9 @@ def streaming_temporal_sort(
             if len(pdf) == 0:
                 continue
             pdf = pdf[cols]
-            # rows at or before the watermark ON ARRIVAL are late: drop
-            parts.append(pdf[_ms(pdf[ts_col]) > wm])
+            # rows strictly before the watermark ON ARRIVAL are late
+            # (ts == wm is on time, Spark's own boundary): drop
+            parts.append(pdf[_ms(pdf[ts_col]) >= wm])
         if not parts:
             return
         allp = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
@@ -1283,8 +1286,8 @@ def streaming_over_rows_event_time(
             if len(pdf) == 0:
                 continue
             for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
-                if ms(t) <= wm:
-                    continue  # late beyond the watermark: dropped
+                if ms(t) < wm:
+                    continue  # late: ts strictly before the watermark
                 pending.append((pd.Timestamp(t), int(i), float(v)))
         ready = sorted(
             (p for p in pending if ms(p[0]) <= wm),
@@ -1453,8 +1456,8 @@ def streaming_over_range_event_time(
             if len(pdf) == 0:
                 continue
             for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
-                if ms(t) <= wm:
-                    continue  # late: dropped (allowed lateness 0)
+                if ms(t) < wm:
+                    continue  # late: ts strictly before the watermark
                 pending.append((pd.Timestamp(t), int(i), float(v)))
         ready = sorted(
             (p for p in pending if ms(p[0]) <= wm), key=lambda p: (p[0], p[1])
@@ -1680,8 +1683,8 @@ def streaming_over_rows_bounded_event_time(
             if len(pdf) == 0:
                 continue
             for t, i, v in zip(pdf[ts_col], pdf[id_col], pdf[value_col]):
-                if ms(t) <= wm:
-                    continue  # late: dropped
+                if ms(t) < wm:
+                    continue  # late: ts strictly before the watermark
                 pending.append((pd.Timestamp(t), int(i), float(v)))
         ready = sorted(
             (p for p in pending if ms(p[0]) <= wm), key=lambda p: (p[0], p[1])
@@ -1824,8 +1827,10 @@ def streaming_anti_join(
             for tup in pdf[["__t", "__side", *lpay]].itertuples(
                 index=False, name=None
             ):
-                if ms(tup[0]) <= wm:
-                    continue  # late beyond the watermark: dropped
+                if ms(tup[0]) < wm:
+                    continue  # late: ts strictly before the watermark
+                    # (ts == wm is on time — Spark's own late filter
+                    # and the reference's timer semantics both keep it)
                 if int(tup[1]) == 0:
                     pending.append(
                         (

@@ -635,8 +635,8 @@ def check_antijoin(rng: random.Random) -> str | None:
         for k, evs in touched.items():
             for ts, side in evs:
                 m = ts.value // 1_000_000
-                if m <= wm:
-                    continue  # late
+                if m < wm:
+                    continue  # late (ts == wm is on time)
                 (rights if side else pending)[k].append(m)
             still = []
             for lm in pending[k]:
@@ -704,7 +704,7 @@ def check_over_rows(rng: random.Random) -> str | None:
             touched[k].append((ts.value // 1_000_000, i, v))
         for k, evs in touched.items():
             for m, i, v in evs:
-                if m > wm:
+                if m >= wm:
                     pending[k].append((m, i, v))
             ready = sorted(p for p in pending[k] if p[0] <= wm)
             pending[k] = [p for p in pending[k] if p[0] > wm]
@@ -751,7 +751,7 @@ def check_over_range(rng: random.Random) -> str | None:
             touched[k].append((ts.value // 1_000_000, i, v))
         for k, evs in touched.items():
             for m, i, v in evs:
-                if m > wm:
+                if m >= wm:
                     pending[k].append((m, i, v))
             ready = sorted(p for p in pending[k] if p[0] <= wm)
             pending[k] = [p for p in pending[k] if p[0] > wm]
