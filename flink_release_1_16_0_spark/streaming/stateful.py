@@ -634,6 +634,23 @@ def streaming_changelog_join(
                     )
                 )
 
+        if any(k is None or k != k for k in key):
+            # SQL equi-join: a NULL key never matches anything
+            # (JoinITCase.testNonWindowInnerJoin's if(a=3,null,a) rows).
+            # Outer-side null-key rows emit null-padded directly and
+            # need no state; inner/sided rows produce nothing.
+            for tup in pdf[[ROWKIND, "__side", *lpay, *rpay]].itertuples(
+                index=False, name=None
+            ):
+                s = 1 if tup[0] in (INSERT, UPDATE_AFTER) else -1
+                if tup[1] == "L" and outer_left:
+                    emit(tup[2 : 2 + nl], r_nulls, s)
+                elif tup[1] == "R" and outer_right:
+                    emit(l_nulls, tup[2 + nl :], s)
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+            return
+
         # positional access: itertuples mangles leading-underscore names
         for tup in pdf[[ROWKIND, "__side", *lpay, *rpay]].itertuples(
             index=False, name=None
@@ -805,6 +822,24 @@ def streaming_changelog_semi_anti_join(
 
         def member(has_match: bool) -> bool:
             return has_match != anti
+
+        if any(k is None or k != k for k in key):
+            # NULL keys never match: SEMI membership is always false
+            # (emit nothing), ANTI membership is always true (emit the
+            # left rows with their sign); stateless either way
+            if anti:
+                for tup in pdf[[ROWKIND, "__side", *lpay]].itertuples(
+                    index=False, name=None
+                ):
+                    if tup[1] != "L":
+                        continue
+                    s = 1 if tup[0] in (INSERT, UPDATE_AFTER) else -1
+                    out.append(
+                        (*key, *tup[2:], INSERT if s > 0 else DELETE, 1)
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+            return
 
         for tup in pdf[[ROWKIND, "__side", *lpay, *rpay]].itertuples(
             index=False, name=None
