@@ -993,6 +993,7 @@ def streaming_temporal_join_event_time(
     right_ts: str,
     delay: str = "10 minutes",
     asof_ts: str = "__asof_ts",
+    changelog: bool = False,
 ) -> DataFrame:
     """Watermark-buffered event-time temporal join — the out-of-order
     variant of streaming_temporal_join
@@ -1005,9 +1006,19 @@ def streaming_temporal_join_event_time(
     inclusive contract. A right-side version row updates the key's
     current version; a left row emits joined with the version in effect
     at its timestamp (NULL right columns when none yet — left join).
-    Rows at or before the watermark on arrival are dropped (allowed
+    Rows strictly before the watermark on arrival are dropped (allowed
     lateness 0); rows the final watermark never passes stay buffered,
     mirrored by the oracle's max(ts)-delay cutoff.
+
+    ``changelog=True`` accepts ``__rowkind`` on BOTH inputs, the
+    reference's versioned-table semantics (TemporalJoinITCase event-time
+    suite): a right +I/+U sets the key's version at its event time, a
+    right -D is a TOMBSTONE — the key has no version from that time on
+    (TemporalRowTimeJoinOperator.latestRightRowToJoin joins only when
+    the latest event <= leftTime isAccumulateMsg); right -U rows are
+    dropped here, the planner's DropUpdateBefore in front of a PK'd
+    versioned source. Left rows pass their rowkind through to the
+    output, so a retracting left stream yields a retracting join.
 
     The watermark is assigned here on the unioned internal stream
     (``withWatermark`` on the merged event-time column), so both sides
@@ -1018,20 +1029,29 @@ def streaming_temporal_join_event_time(
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
+        StringType,
         StructField,
         StructType as ST,
     )
 
-    lpay = [c for c in left.columns if c not in (*keys, left_ts)]
-    rpay = [c for c in right.columns if c not in (*keys, right_ts)]
+    lpay = [c for c in left.columns if c not in (*keys, left_ts, ROWKIND)]
+    rpay = [c for c in right.columns if c not in (*keys, right_ts, ROWKIND)]
     if set(lpay) & set(rpay):
         raise ValueError(f"payload columns must be disjoint: {set(lpay) & set(rpay)}")
+    if changelog:
+        # DropUpdateBefore: -U is redundant in front of the keyed
+        # version timeline (StreamExecDropUpdateBefore.java)
+        right = right.filter(F.col(ROWKIND) != UPDATE_BEFORE)
 
     def pad(df, side, ts_col, own, other, other_schema):
+        kind = (
+            F.col(ROWKIND) if ROWKIND in df.columns else F.lit(INSERT)
+        ).alias("__kind")
         return df.select(
             *keys,
             F.col(ts_col).cast("timestamp").alias("__t"),
             F.lit(side).alias("__side"),
+            kind,
             *own,
             *[
                 F.lit(None).cast(other_schema[c].dataType).alias(c)
@@ -1050,11 +1070,20 @@ def streaming_temporal_join_event_time(
     l_fields = [left.schema[c] for c in lpay]
     r_fields = [right.schema[c] for c in rpay]
     ts_field = StructField(asof_ts, unioned.schema["__t"].dataType)
-    out_schema = ST([*key_fields, *l_fields, *r_fields, ts_field])
+    out_schema = ST(
+        [
+            *key_fields,
+            *l_fields,
+            *r_fields,
+            ts_field,
+            *([StructField(ROWKIND, StringType())] if changelog else []),
+        ]
+    )
     pend_schema = ST(
         [
             StructField("__pt", ts_field.dataType),
             StructField("__pside", IntegerType()),
+            StructField("__pkind", StringType()),
             *l_fields,
             *r_fields,
         ]
@@ -1067,7 +1096,7 @@ def streaming_temporal_join_event_time(
             StructField("__has", IntegerType()),
         ]
     )
-    out_cols = [*keys, *lpay, *rpay, asof_ts]
+    out_cols = [*keys, *lpay, *rpay, asof_ts, *([ROWKIND] if changelog else [])]
     nl, nr = len(lpay), len(rpay)
 
     # per-payload-column sanitizers: the padded union makes pandas
@@ -1105,7 +1134,7 @@ def streaming_temporal_join_event_time(
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            for tup in pdf[["__t", "__side", *lpay, *rpay]].itertuples(
+            for tup in pdf[["__t", "__side", "__kind", *lpay, *rpay]].itertuples(
                 index=False, name=None
             ):
                 if ms(tup[0]) < wm:
@@ -1116,7 +1145,8 @@ def streaming_temporal_join_event_time(
                     (
                         pd.Timestamp(tup[0]),
                         int(tup[1]),
-                        *[c(v) for c, v in zip(convs, tup[2:])],
+                        tup[2],
+                        *[c(v) for c, v in zip(convs, tup[3:])],
                     )
                 )
         ready = sorted(
@@ -1126,12 +1156,25 @@ def streaming_temporal_join_event_time(
         pending = [p for p in pending if ms(p[0]) > wm]
         out: list[tuple] = []
         for p in ready:
-            t, side = p[0], p[1]
+            t, side, kind = p[0], p[1], p[2]
             if side == 0:
-                version, vts = p[2 + nl :], t
+                if kind == DELETE:
+                    # tombstone: the key has no version from t on
+                    # (latestRightRowToJoin's !isAccumulateMsg branch)
+                    version, vts = None, None
+                else:
+                    version, vts = p[3 + nl :], t
             else:
                 rvals = version if version is not None else (None,) * nr
-                out.append((*key, *p[2 : 2 + nl], *rvals, vts))
+                out.append(
+                    (
+                        *key,
+                        *p[3 : 3 + nl],
+                        *rvals,
+                        vts,
+                        *([kind] if changelog else []),
+                    )
+                )
         state.update(
             (
                 pending,

@@ -118,6 +118,12 @@ class _Cap:
     def unionByName(self, other):
         return self
 
+    def withWatermark(self, col, delay):  # temporal join's union
+        return self
+
+    def filter(self, cond):  # temporal join's DropUpdateBefore
+        return self
+
     def applyInPandasWithState(
         self, fn, outputStructType, stateStructType, outputMode, timeoutConf
     ):
