@@ -51,12 +51,20 @@ from flink_release_1_16_0_spark.datastream.stream import (
 )
 
 
+class WithinType:
+    """Pattern.within's interval anchoring (WithinType.java)."""
+
+    FIRST_AND_LAST = "first"
+    PREVIOUS_AND_CURRENT = "previous"
+
+
 class Pattern:
     """Fluent pattern builder (Pattern.java)."""
 
     def __init__(self) -> None:
         self._steps: list[dict] = []
         self.within_ms: int | None = None
+        self.within_type: str = WithinType.FIRST_AND_LAST
 
     # -- construction -------------------------------------------------------
 
@@ -79,6 +87,9 @@ class Pattern:
                 "strict": strict,
                 "consecutive": False,
                 "greedy": False,
+                "negative": None,
+                "any": False,
+                "until": None,
             }
         )
 
@@ -91,6 +102,44 @@ class Pattern:
         """Relaxed contiguity (Pattern.followedBy:231): any events may
         sit between the previous variable and this one."""
         self._add(name, strict=False)
+        return self
+
+    def followed_by_any(self, name: str) -> "Pattern":
+        """NON-DETERMINISTIC relaxed contiguity (Pattern.followedByAny
+        :343): matching events may also be skipped, so EVERY later
+        candidate matches — ``A followedByAny B`` pairs A with every
+        subsequent B, not just the first."""
+        self._add(name, strict=False)
+        self._steps[-1]["any"] = True
+        return self
+
+    def not_next(self, name: str) -> "Pattern":
+        """Negative STRICT contiguity (Pattern.notNext:294): the event
+        immediately after the previous variable must NOT match. Binds
+        nothing; requires a where() condition; cannot take
+        quantifiers (MalformedPatternException in the reference)."""
+        self._add(name, strict=True)
+        self._steps[-1]["negative"] = "next"
+        return self
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        """Negative RELAXED contiguity (Pattern.notFollowedBy:325): no
+        event matching the condition may occur between the previous
+        variable and the next one (NFA stop state). May be the LAST
+        step only with ``within`` (FLINK-23122): the match then holds
+        if no such event arrives inside the window."""
+        self._add(name, strict=False)
+        self._steps[-1]["negative"] = "follow"
+        return self
+
+    def until(self, cond: Callable) -> "Pattern":
+        """Stop condition for a looping pattern (Pattern.until:228):
+        the loop stops accepting repetitions at the first event
+        matching ``cond`` (that event itself is excluded)."""
+        self._steps[-1]["until"] = (
+            cond,
+            len(inspect.signature(cond).parameters),
+        )
         return self
 
     # -- conditions ---------------------------------------------------------
@@ -124,6 +173,11 @@ class Pattern:
     def _set_quant(self, q: str) -> "Pattern":
         if "times" in self._steps[-1]:
             raise ValueError("times(n) cannot combine with another quantifier")
+        if self._steps[-1]["negative"]:
+            raise ValueError(
+                "quantifiers are not applicable to NOT patterns "
+                "(the reference's MalformedPatternException)"
+            )
         self._steps[-1]["quant"] = q
         return self
 
@@ -175,6 +229,16 @@ class Pattern:
         self._steps[-1]["times"] = (n, n if m is None else m)
         return self
 
+    def times_or_more(self, n: int) -> "Pattern":
+        """n-or-more repetition (Pattern.timesOrMore:482) — the {n,}
+        quantifier; like the reference, relaxed internal contiguity by
+        default and every count >= n emits under noSkip unless
+        greedy()."""
+        if self._steps[-1]["quant"] != "1":
+            raise ValueError("timesOrMore(n) cannot combine with another quantifier")
+        self._steps[-1]["times"] = (n, None)
+        return self
+
     def consecutive(self) -> "Pattern":
         """STRICT internal contiguity for a looping pattern
         (Pattern.consecutive:437): the repetitions must sit on adjacent
@@ -203,32 +267,116 @@ class Pattern:
             self._steps[-1]["quant"] = q + "?"
         return self
 
-    def within(self, duration) -> "Pattern":
+    def within(self, duration, within_type: str = WithinType.FIRST_AND_LAST) -> "Pattern":
+        """Match window (Pattern.within:253,266). FIRST_AND_LAST bounds
+        the whole match from its first event; PREVIOUS_AND_CURRENT
+        bounds the gap between CONSECUTIVE matched events instead."""
+        if within_type not in (WithinType.FIRST_AND_LAST, WithinType.PREVIOUS_AND_CURRENT):
+            raise ValueError(f"unknown within_type {within_type!r}")
         self.within_ms = _to_ms(duration)
+        self.within_type = within_type
         return self
 
     # -- compilation to the shared NFA surface ------------------------------
 
-    def _compile(self) -> tuple[list[tuple[str, str]], dict, frozenset]:
+    def _compile(self):
         """Compile to the shared-NFA surface: the ``(var, quantifier)``
-        step list, the DEFINE predicates, and ``multi_vars`` — the
+        step list, the DEFINE predicates, ``multi_vars`` — the
         non-greedy looping variables whose partial matches emit under
-        noSkip (see ``operators.cep.nfa_all_matches``)."""
+        noSkip (see ``operators.cep.nfa_all_matches``) — and the
+        per-variable ``until`` stop conditions.
+
+        Negative patterns lower to NFA stop semantics: ``notNext`` is
+        the ``!n`` non-consuming check, a terminal ``notFollowedBy``
+        (requires ``within``) is ``!f``, and a mid-pattern
+        ``notFollowedBy`` REPLACES the following connection's skip edge
+        with a ``*?`` gap whose predicate is the NEGATED condition — a
+        matching event inside the gap cannot be consumed, killing the
+        branch exactly like the reference's stop state
+        (NFACompiler.createMiddleStates' NOT_FOLLOW handling)."""
         steps: list[tuple[str, str]] = []
         defines: dict = {}
         multi: set[str] = set()
+        untils: dict = {}
+        stops: dict = {}
+        pending_not = None
+
+        def norm(conds):
+            def pred(row, ctx, conds=conds):
+                return all(c(row) if n == 1 else c(row, ctx) for c, n in conds)
+
+            return pred
+
         for i, s in enumerate(self._steps):
+            pred = norm(s["conds"]) if s["conds"] else None
+            if s["negative"]:
+                if pred is None:
+                    raise ValueError(
+                        f"NOT pattern {s['name']!r} needs a where() condition"
+                    )
+                if s["negative"] == "next":
+                    steps.append((s["name"], "!n"))
+                    defines[s["name"]] = pred
+                    continue
+                # notFollowedBy
+                if i == len(self._steps) - 1:
+                    if self.within_ms is None:
+                        raise ValueError(
+                            "notFollowedBy cannot be the last pattern "
+                            "without within() (FLINK-23122)"
+                        )
+                    steps.append((s["name"], "!f"))
+                    defines[s["name"]] = pred
+                else:
+                    pending_not = pred
+                continue
+            not_gap = False
+            is_loop = s["quant"] in ("+", "*", "+?", "*?") or "times" in s
             if i > 0 and not s["strict"]:
-                # NFACompiler's ignore-events edge for FOLLOWED_BY:
-                # an unnamed, unconditioned, reluctant-star skip
-                steps.append((f"__skip{i}", "*?"))
-            conds = s["conds"]
-            if conds:
-
-                def pred(row, ctx, conds=conds):
-                    return all(c(row) if n == 1 else c(row, ctx) for c, n in conds)
-
+                if pending_not is not None and is_loop:
+                    # a LOOP after notFollowedBy: the loop's own
+                    # relaxed-entry scan advances past intervening rows,
+                    # so the stop condition poisons THAT scan (it may
+                    # not step over an absence row) rather than adding a
+                    # gap step — zero-count branches still complete, the
+                    # reference's emitted-before-the-kill semantics
+                    stops[s["name"]] = pending_not
+                    pending_not = None
+                elif pending_not is not None:
+                    not_gap = True
+                    # the NOT gap replaces the connection skip: only
+                    # rows NOT matching the absence condition may be
+                    # stepped over to reach this variable
+                    gap = f"__not{i}"
+                    defines[gap] = (
+                        lambda row, ctx, p=pending_not: not p(row, ctx)
+                    )
+                    steps.append((gap, "*?"))
+                    if s["any"]:
+                        multi.add(gap)
+                    pending_not = None
+                else:
+                    # NFACompiler's ignore-events edge for FOLLOWED_BY:
+                    # an unnamed, unconditioned, reluctant-star skip
+                    steps.append((f"__skip{i}", "*?"))
+                    if s["any"]:
+                        # followedByAny: the skip FORKS — every skip
+                        # length with a viable continuation emits
+                        multi.add(f"__skip{i}")
+            elif pending_not is not None:
+                raise ValueError(
+                    "notFollowedBy cannot be directly followed by next() "
+                    "(the reference's MalformedPatternException)"
+                )
+            if pred is not None:
                 defines[s["name"]] = pred
+            if s["until"] is not None:
+                if s["quant"] not in ("+", "*", "+?", "*?") and "times" not in s:
+                    raise ValueError("until() applies to looping patterns only")
+                u, un = s["until"]
+                untils[s["name"]] = (
+                    lambda row, ctx, u=u, un=un: u(row) if un == 1 else u(row, ctx)
+                )
             # relaxed internal contiguity is the reference's looping
             # default (Pattern.java:437); consecutive() keeps strict;
             # allowCombinations adds the non-deterministic c tier; a
@@ -239,12 +387,16 @@ class Pattern:
             relax = "" if s["consecutive"] else "~"
             if s.get("combinations") and not s["greedy"]:
                 relax = "~c"
-            if i > 0 and not s["strict"]:
+            if i > 0 and not s["strict"] and not not_gap:
+                # (a NOT gap must stay the only way past intervening
+                # rows — a relaxed-entry loop could step over an
+                # absence-condition row and dodge the kill)
                 relax += "e"
             if "times" in s:
                 a, b = s["times"]
-                steps.append((s["name"], f"{{{a},{b}}}{relax}"))
-                if (a != b or "c" in relax) and not s["greedy"]:
+                quant = f"{{{a},}}" if b is None else f"{{{a},{b}}}"
+                steps.append((s["name"], quant + relax))
+                if (b is None or a != b or "c" in relax) and not s["greedy"]:
                     multi.add(s["name"])
             else:
                 q = s["quant"]
@@ -258,7 +410,7 @@ class Pattern:
                         # non-greedy optional branches under noSkip
                         # (both take and skip continuations emit)
                         multi.add(s["name"])
-        return steps, defines, frozenset(multi)
+        return steps, defines, frozenset(multi), untils, stops
 
 
 class CEP:
@@ -350,8 +502,9 @@ class PatternStream:
         tcol = keyed.stream.time_col
         if not tcol:
             raise ValueError("CEP needs assign_timestamps_and_watermarks (event order)")
-        steps, defines, multi_vars = self.pattern._compile()
+        steps, defines, multi_vars, untils, stops = self.pattern._compile()
         within_ms = self.pattern.within_ms
+        wt = self.pattern.within_type
         if timeout_tag is not None and within_ms is None:
             raise ValueError(
                 "the timed-out-partial-match side output needs "
@@ -395,6 +548,7 @@ class PatternStream:
             return self._select_streaming(
                 emit, schema, names, tiebreaker, skip_past, steps, defines,
                 var_names, enum, use_side, pad, timeout_row, timeout_tag,
+                untils=untils, within_type=wt, stops=stops,
             )
 
         def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -409,7 +563,8 @@ class PatternStream:
                 if enum:
                     matched = False
                     for _end, bound in nfa_all_matches(
-                        rows, start, steps, defines, within_ms, enum
+                        rows, start, steps, defines, within_ms, enum,
+                        untils=untils, within_type=wt, stops=stops,
                     ):
                         if not any(bound.get(v) for v in var_names):
                             continue  # an all-optional empty match
@@ -433,7 +588,13 @@ class PatternStream:
                 # at the NFA terminal — see operators/cep.py step()), so
                 # an all-optional pattern emits nothing per row while a
                 # reluctant optional still reaches its taken branch
-                m = next(nfa_all_matches(rows, start, steps, defines, within_ms), None)
+                m = next(
+                    nfa_all_matches(
+                        rows, start, steps, defines, within_ms,
+                        untils=untils, within_type=wt, stops=stops,
+                    ),
+                    None,
+                )
                 if m is not None:
                     end, bound = m
                     bindings = {
@@ -459,7 +620,8 @@ class PatternStream:
     def _select_streaming(
         self, emit, schema, names, tiebreaker, skip_past, steps, defines,
         var_names, enum=frozenset(), use_side=False, pad=None,
-        timeout_row=None, timeout_tag=None,
+        timeout_row=None, timeout_tag=None, untils=None, within_type="first",
+        stops=None,
     ) -> DataStream:
         """Unbounded Pattern matching with the WITHIN finalization bound
         (the CepOperator pattern, same argument as
@@ -512,7 +674,8 @@ class PatternStream:
                 if enum:
                     matched = False
                     for _end, bound in nfa_all_matches(
-                        rows, s, steps, defines, within_ms, enum
+                        rows, s, steps, defines, within_ms, enum,
+                        untils=untils, within_type=within_type, stops=stops,
                     ):
                         if not any(bound.get(v) for v in var_names):
                             continue
@@ -534,7 +697,13 @@ class PatternStream:
                     continue
                 # empty matches are suppressed at the NFA terminal (see
                 # the bounded path's note), so plain next() is exact
-                m = next(nfa_all_matches(rows, s, steps, defines, within_ms), None)
+                m = next(
+                    nfa_all_matches(
+                        rows, s, steps, defines, within_ms,
+                        untils=untils, within_type=within_type, stops=stops,
+                    ),
+                    None,
+                )
                 if m is not None:
                     end, bound = m
                     bindings = {

@@ -579,7 +579,8 @@ def _parse_loop_quant(q: str):
       FOLLOWED_BY connection): the loop's first repetition may sit past
       non-matching rows, so a zero-repetition branch cannot starve the
       positive branches by short-circuiting the preceding skip step;
-    - ``{a,b}`` bounded repetition (Pattern.times(from, to)).
+    - ``{a,b}`` bounded repetition (Pattern.times(from, to)); ``{a,}``
+      unbounded (Pattern.timesOrMore:482).
 
     Returns ``(min_n, max_n, reluctant, relaxed, combinations,
     relaxed_entry)``.
@@ -598,11 +599,15 @@ def _parse_loop_quant(q: str):
         return 1, None, q == "+?", relaxed, combos, entry
     if q in ("*", "*?"):
         return 0, None, q == "*?", relaxed, combos, entry
-    m = re.fullmatch(r"\{(\d+),(\d+)\}(\?)?", q)
+    m = re.fullmatch(r"\{(\d+),(\d*)\}(\?)?", q)
     if m:
         return (
-            int(m.group(1)), int(m.group(2)), bool(m.group(3)), relaxed,
-            combos, entry,
+            int(m.group(1)),
+            int(m.group(2)) if m.group(2) else None,
+            bool(m.group(3)),
+            relaxed,
+            combos,
+            entry,
         )
     return None
 
@@ -614,6 +619,9 @@ def nfa_all_matches(
     defines: dict,
     within_ms: int | None,
     multi_vars: frozenset | set = frozenset(),
+    untils: dict | None = None,
+    within_type: str = "first",
+    stops: dict | None = None,
 ):
     """Enumerating sibling of :func:`nfa_try_match` for the flink-cep
     Pattern API (NFACompiler's looping states + AfterMatchSkipStrategy.
@@ -642,10 +650,19 @@ def nfa_all_matches(
     """
     deadline = (
         None
-        if within_ms is None
+        if within_ms is None or within_type != "first"
         else pd.Timestamp(rows[start]["__ts"])
         + pd.Timedelta(milliseconds=within_ms)
     )
+    # PREVIOUS_AND_CURRENT (Pattern.within(d, WithinType):266): the
+    # bound is the max gap between CONSECUTIVE matched events, not
+    # first-to-last — enforced per accepted row in accepts()
+    prev_gap_ms = within_ms if within_type == "previous" else None
+    untils = untils or {}
+    # stops[var]: a notFollowedBy condition guarding var's ENTRY — the
+    # relaxed-entry scan may not step over a matching row (the NFA stop
+    # state on the ignore edges leading into var's first repetition)
+    stops = stops or {}
 
     def in_window(i: int) -> bool:
         return i < len(rows) and (
@@ -665,14 +682,28 @@ def nfa_all_matches(
         var, quant = steps[si]
         pred = defines.get(var)
 
+        def _ctx(cur_taken: list) -> dict:
+            ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
+            ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
+            return ctx
+
         def accepts(i: int, cur_taken: list) -> bool:
             if not in_window(i):
                 return False
+            if prev_gap_ms is not None:
+                last = max(
+                    (j for idxs in bound.values() for j in idxs),
+                    default=max(cur_taken, default=None),
+                )
+                if cur_taken:
+                    last = max(last, cur_taken[-1]) if last is not None else cur_taken[-1]
+                if last is not None and (
+                    pd.Timestamp(rows[i]["__ts"]) - pd.Timestamp(rows[last]["__ts"])
+                ) >= pd.Timedelta(milliseconds=prev_gap_ms):
+                    return False
             if pred is None:
                 return True
-            ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
-            ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
-            return bool(pred(rows[i], ctx))
+            return bool(pred(rows[i], _ctx(cur_taken)))
 
         def first_success(choices):
             # deterministic preference order: commit to the first
@@ -685,6 +716,24 @@ def nfa_all_matches(
                 if hit:
                     return
 
+        if quant == "!n":
+            # notNext (Pattern.notNext:294): the event AT pos must not
+            # match; nothing is consumed (NFA stop state)
+            if pos < len(rows) and in_window(pos) and accepts(pos, []):
+                return
+            yield from step(pos, si + 1, bound)
+            return
+        if quant == "!f":
+            # terminal notFollowedBy-with-within (Pattern.notFollowedBy
+            # :325, FLINK-23122): the match holds only if NO in-window
+            # row from pos on matches the absence condition
+            i = pos
+            while in_window(i):
+                if accepts(i, []):
+                    return
+                i += 1
+            yield from step(pos, si + 1, bound)
+            return
         loop = _parse_loop_quant(quant)
         if loop is None:
             take = None
@@ -714,9 +763,19 @@ def nfa_all_matches(
         # step alone cannot, because a zero-repetition success would
         # commit it before the positive branches are reachable
         first = pos
+        blocked = False
+        stop_pred = stops.get(var)
         if entry:
             while in_window(first) and not accepts(first, []):
+                if stop_pred is not None and stop_pred(rows[first], _ctx([])):
+                    blocked = True  # stop state: cannot scan past
+                    break
                 first += 1
+        if not blocked and stop_pred is not None and in_window(first):
+            # the entry row itself is fine, but a stop row strictly
+            # between pos and first would have broken the scan above;
+            # nothing more to check here
+            pass
         if combos and var in multi_vars:
             # allowCombinations: the loop's FIRST repetition is fixed
             # (entering the loop is plain relaxed contiguity — every
@@ -752,7 +811,11 @@ def nfa_all_matches(
         # connection's business)
         taken: list[int] = []
         i = first
-        while in_window(i) and (max_n is None or len(taken) < max_n):
+        u = untils.get(var)
+        while not blocked and in_window(i) and (max_n is None or len(taken) < max_n):
+            if u is not None and u(rows[i], _ctx(taken)):
+                break  # until-condition: stop BEFORE the matching row
+                # (Pattern.until:228 — the stopping event is excluded)
             if accepts(i, taken):
                 taken.append(i)
             elif not relaxed or not taken:
@@ -819,8 +882,16 @@ def nfa_longest_partial(
 
     pending_entry = False
     for var, quant in steps:
+        if quant in ("!n", "!f"):
+            continue  # negative steps bind nothing in a partial walk
         pred = defines.get(var)
         loop = _parse_loop_quant(quant)
+        if var.startswith("__not") and loop is not None:
+            # a notFollowedBy gap behaves like the unconditioned skip
+            # for timeout estimation (its kill semantics only matter
+            # for completed matches)
+            pending_entry = True
+            continue
         if var.startswith("__skip") and pred is None and loop is not None:
             # the unnamed relaxed-contiguity skip edge: in this greedy
             # partial walk it must NOT consume rows the next variable

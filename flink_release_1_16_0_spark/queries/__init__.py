@@ -59,6 +59,7 @@ _MODULES = (
     "changelog_queries",
     "plan_inference",
     "advanced_ops",
+    "cep_negative",
     "misc_relational",
     "udf_surface",
     "types_coverage",
