@@ -1928,3 +1928,96 @@ def stream_manifest_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice").cast("decimal(38,2)") * 100).cast("bigint")
         ).cast("bigint").alias("total_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# manifest-tail x ChangelogNormalize composition: tailing an UPSERT
+# manifest table as a clean retract changelog — the upsert-kafka shape
+# on files (UpsertKafkaDynamicTableFactory.java's source side composed
+# with StreamExecChangelogNormalize.java:156). A keyed upsert log
+# (+I/+U/-D) publishes across three manifest commits; the tail feeds
+# the stateful upsert->retract operator; folding the retract stream
+# must materialize the log's final state.
+# --------------------------------------------------------------------------
+
+_MANIFEST_UPSERT_ORACLE = """
+SELECT c_custkey,
+       CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT)
+         * (CASE WHEN c_custkey % 8 = 0 THEN 2 ELSE 1 END) AS bal_cents
+FROM customer
+WHERE c_custkey % 4 = 0 AND c_custkey % 16 <> 0
+"""
+
+
+@register(
+    "stream_manifest_upsert_tail",
+    _MANIFEST_UPSERT_ORACLE,
+    tags=("streaming", "sink", "commit", "changelog"),
+)
+def stream_manifest_upsert_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert manifest table -> incremental tail -> stateful
+    ChangelogNormalize -> net materialization. Commit 1 inserts every
+    %4 key, commit 2 doubles every %8 key (+U), commit 3 deletes every
+    %16 key (-D, key-only payload — the value comes from state)."""
+    import tempfile
+
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.sources.manifest_stream import (
+        manifest_tail_stream,
+    )
+    from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_upsert_to_retract,
+    )
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    work = tempfile.mkdtemp(prefix="manifest_upsert_")
+    out = f"{work}/mu_tbl"
+    cents = (F.col("c_acctbal").cast("decimal(38,2)") * 100).cast("bigint")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    log_commits = [
+        cust.filter(F.col("c_custkey") % 4 == 0).select(
+            F.lit("+I").alias("kind"),
+            (F.col("c_custkey") * 4).alias("seq"),
+            "c_custkey",
+            cents.alias("bal_cents"),
+        ),
+        cust.filter(F.col("c_custkey") % 8 == 0).select(
+            F.lit("+U").alias("kind"),
+            (F.col("c_custkey") * 4 + 1).alias("seq"),
+            "c_custkey",
+            (cents * 2).alias("bal_cents"),
+        ),
+        cust.filter(F.col("c_custkey") % 16 == 0).select(
+            F.lit("-D").alias("kind"),
+            (F.col("c_custkey") * 4 + 2).alias("seq"),
+            "c_custkey",
+            F.lit(0).cast("bigint").alias("bal_cents"),
+        ),
+    ]
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mu_tbl (
+          kind STRING, seq BIGINT, c_custkey BIGINT, bal_cents BIGINT
+        ) WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+    for i, commit in enumerate(log_commits):
+        commit.createOrReplaceTempView(f"mu_log_{i}")
+        tenv.execute_sql(
+            f"INSERT INTO mu_tbl SELECT kind, seq, c_custkey, bal_cents "
+            f"FROM mu_log_{i}"
+        )
+    tail = manifest_tail_stream(
+        spark, out, "kind STRING, seq BIGINT, c_custkey BIGINT, bal_cents BIGINT"
+    ).withColumnRenamed("kind", ROWKIND)
+    retract = streaming_upsert_to_retract(
+        tail, keys=["c_custkey"], seq_col="seq"
+    )
+    emitted = run_to_table(retract, "update")
+    # net materialization of the retract log: live rows carry net +1
+    from flink_release_1_16_0_spark.streaming.changelog import (
+        net_multiplicity,
+    )
+
+    return net_multiplicity(emitted).select("c_custkey", "bal_cents")

@@ -2106,3 +2106,81 @@ def streaming_window_agg_allowed_lateness(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def streaming_upsert_to_retract(
+    stream: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Stateful upsert-log -> retract-log conversion — the streaming
+    ChangelogNormalize (StreamExecChangelogNormalize.java:156 /
+    ProcTimeDeduplicateKeepLastRowFunction with
+    generateUpdateBefore=true): state holds the key's last LIVE row;
+    each incoming upsert emits the retraction of the prior version
+    before the new one.
+
+    Input: a changelog with ``__rowkind`` in {+I, +U, -D} (no -U — the
+    upsert contract; -U rows are tolerated and dropped, the planner's
+    DropUpdateBefore). Emission per input row:
+
+    - additive with no live prior: ``+I(new)``
+    - additive with live prior:    ``-U(prev)`` then ``+U(new)``
+    - delete with live prior:      ``-D(prev)`` (payload from STATE —
+      an upsert delete may carry only the key, exactly the reference's
+      value-from-state behavior); without a live prior it is a no-op.
+
+    State per key = one row (the reference's single ValueState), so
+    100 TB behavior is bounded by key cardinality. One hash exchange.
+    The batch dual is changelog.upsert_to_retract (one window pass);
+    folding these emissions converges to it for any batch slicing
+    (pinned by the fuzzer's normalize arm).
+    """
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType as ST
+
+    payload = [c for c in stream.columns if c not in (ROWKIND, seq_col)]
+    pay_fields = [stream.schema[c] for c in payload]
+    out_schema = ST([StructField(ROWKIND, StringType()), *pay_fields])
+    state_schema = ST([*pay_fields, StructField("__live", IntegerType())])
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        prev: tuple | None = None
+        if state.exists:
+            raw = state.get
+            prev = tuple(raw[:-1]) if raw[-1] else None
+        out: list[tuple] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(seq_col, kind="mergesort")
+            for tup in pdf[[ROWKIND, *payload]].itertuples(index=False, name=None):
+                kind, row = tup[0], tup[1:]
+                if kind == UPDATE_BEFORE:
+                    continue  # DropUpdateBefore: redundant under a PK
+                if kind == DELETE:
+                    if prev is not None:
+                        out.append((DELETE, *prev))
+                        prev = None
+                elif prev is None:
+                    out.append((INSERT, *row))
+                    prev = row
+                else:
+                    out.append((UPDATE_BEFORE, *prev))
+                    out.append((UPDATE_AFTER, *row))
+                    prev = row
+        if prev is not None:
+            state.update((*prev, 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=[ROWKIND, *payload])
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1622,3 +1622,82 @@ def test_manifest_tail_starts_after_checkpoint_fold(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(r["k"] for r in spark.table("mfold_sink").collect())
     assert got == [2]  # the folded commit (k=1) is pre-history
+
+
+def test_manifest_upsert_tail_exactly_once_across_restart(spark, tmp_path):
+    """The manifest tail composed with the stateful upsert->retract
+    operator (stream_manifest_upsert_tail's shape): the normalize
+    STATE survives the restart via the query checkpoint, so an update
+    arriving in a post-restart commit still retracts the pre-restart
+    version exactly once — the upsert-kafka-on-files contract."""
+    from flink_release_1_16_0_spark.sources.manifest_stream import (
+        manifest_tail_stream,
+    )
+    from flink_release_1_16_0_spark.streaming.changelog import ROWKIND
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_upsert_to_retract,
+    )
+    from flink_release_1_16_0_spark.table_env import TableEnvironment
+
+    out = str(tmp_path / "mu_tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink_dir = str(tmp_path / "sink_out")
+    tenv = TableEnvironment.create(spark)
+    tenv.execute_sql(
+        f"""CREATE TABLE mu_rt (kind STRING, seq BIGINT, k BIGINT, v BIGINT)
+        WITH ('connector'='filesystem','path'='{out}','format'='parquet',
+              'sink.commit-protocol'='manifest')"""
+    )
+
+    def publish(rows):
+        spark.createDataFrame(
+            rows, "kind STRING, seq BIGINT, k BIGINT, v BIGINT"
+        ).createOrReplaceTempView("mu_rt_batch")
+        tenv.execute_sql(
+            "INSERT INTO mu_rt SELECT kind, seq, k, v FROM mu_rt_batch"
+        )
+
+    def drain():
+        tail = manifest_tail_stream(
+            spark, out, "kind STRING, seq BIGINT, k BIGINT, v BIGINT"
+        ).withColumnRenamed("kind", ROWKIND)
+        q = (
+            streaming_upsert_to_retract(tail, keys=["k"], seq_col="seq")
+            .writeStream.foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    publish([("+I", 1, 1, 10), ("+I", 2, 2, 20)])
+    drain()
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(sink_dir).collect()
+    )
+    assert first == [("+I", 1, 10), ("+I", 2, 20)]
+
+    # while the query is down: key 1 updates, key 2 deletes — the
+    # retractions must reference the PRE-restart versions from state
+    publish([("+U", 3, 1, 11), ("-D", 4, 2, 0)])
+    drain()
+    second = sorted(
+        tuple(r) for r in spark.read.parquet(sink_dir).collect()
+    )
+    assert second == sorted(
+        [
+            ("+I", 1, 10),
+            ("+I", 2, 20),
+            ("-U", 1, 10),
+            ("+U", 1, 11),
+            ("-D", 2, 20),
+        ]
+    )
+
+    # nothing new: a third drain emits nothing
+    drain()
+    third = sorted(tuple(r) for r in spark.read.parquet(sink_dir).collect())
+    assert third == second

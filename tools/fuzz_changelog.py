@@ -30,7 +30,12 @@ equality, not tolerance.
 Arms: agg (retracting SUM/COUNT), topn (retractable top-N), minmax
 (retractable MIN/MAX bag), join (two-input changelog join), dedup
 (keep-first/last refinement across batches), wdedup (window dedup with
-watermark eviction + zero-allowed-lateness drop).
+watermark eviction + isWindowFired drop), antijoin/semi (time-bounded
+anti join, changelog semi/anti), over_rows/over_range (event-time OVER
+aggregation), normalize (stateful upsert->retract vs the batch
+ChangelogNormalize), lateness (window agg with allowed lateness + late
+-U/+U firings), tjoin (event-time temporal join with version
+tombstones under random watermark schedules).
 
 Usage:
     python tools/fuzz_changelog.py --seeds 1000 [--arms agg,join,...]
@@ -141,6 +146,13 @@ def replay(fn, batches, key_cols, columns, wm_seq=None):
     for bi, batch in enumerate(batches):
         wm = wm_seq[bi] if wm_seq else 0
         if not batch:
+            # watermark-only flush: call fn for every known key with an
+            # empty frame (the event-time timeout path Spark drives)
+            for kt, st in states.items():
+                st._wm = wm
+                empty = pd.DataFrame(columns=columns)
+                for emitted in fn(kt, iter([empty]), st):
+                    out.extend(emitted.to_dict("records"))
             continue
         pdf = pd.DataFrame(batch, columns=columns)
         for key, grp in pdf.groupby(list(key_cols), sort=False):
@@ -781,6 +793,206 @@ def check_over_range(rng: random.Random) -> str | None:
     return None
 
 
+def check_normalize(rng: random.Random) -> str | None:
+    """streaming_upsert_to_retract vs the reference semantics of
+    StreamExecChangelogNormalize: fold of the emitted retract log must
+    equal the upsert log's final materialization, AND the emission
+    SEQUENCE must be the per-key deterministic -U/+U protocol,
+    independent of batch boundaries."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_upsert_to_retract,
+    )
+
+    n_keys = rng.randint(1, 4)
+    live: dict[int, bool] = defaultdict(bool)
+    events = []
+    for i in range(rng.randint(3, 40)):
+        k = rng.randrange(n_keys)
+        if live[k] and rng.random() < 0.3:
+            events.append((DELETE, k, None))
+            live[k] = False
+        else:
+            events.append((rng.choice([INSERT, UPDATE_AFTER]), k, qval(rng)))
+            live[k] = True
+    rows = [(kind, i, k, v) for i, (kind, k, v) in enumerate(events)]
+    cap = _Cap(_schema(f"{ROWKIND} STRING, seq BIGINT, k BIGINT, v DOUBLE"))
+    streaming_upsert_to_retract(cap, keys=["k"], seq_col="seq")
+    emissions = replay(
+        cap.fn, split_batches(rng, rows), ["k"], [ROWKIND, "seq", "k", "v"]
+    )
+    # fold: the retract log must materialize to the upsert log's final
+    folded: dict = {}
+    for r in emissions:
+        if r[ROWKIND] in ADD:
+            folded[r["k"]] = r["v"]
+        else:
+            folded.pop(r["k"], None)
+    ref: dict = {}
+    for kind, _i, k, v in rows:
+        if kind == DELETE:
+            ref.pop(k, None)
+        else:
+            ref[k] = v
+    if folded != ref:
+        return f"normalize fold {folded} != ref {ref}"
+    # sequence: per key, the exact -U(prev)/+U(new)/-D(prev) protocol
+    per_key: dict = defaultdict(list)
+    for r in emissions:
+        per_key[r["k"]].append((r[ROWKIND], r["v"]))
+    expect: dict = defaultdict(list)
+    prev: dict = {}
+    for kind, _i, k, v in rows:
+        if kind == DELETE:
+            if k in prev:
+                expect[k].append((DELETE, prev.pop(k)))
+        elif k in prev:
+            expect[k].append((UPDATE_BEFORE, prev[k]))
+            expect[k].append((UPDATE_AFTER, v))
+            prev[k] = v
+        else:
+            expect[k].append((INSERT, v))
+            prev[k] = v
+    if dict(per_key) != {k: v for k, v in expect.items() if v}:
+        return f"normalize seq {dict(per_key)} != {dict(expect)}"
+    return None
+
+
+def check_lateness(rng: random.Random) -> str | None:
+    """streaming_window_agg_allowed_lateness vs an independent fold:
+    rows on time or within the lateness horizon AT ARRIVAL count;
+    everything fires by the final flush; the folded (n, total) per
+    (key, window) must equal the kept-row ground truth, and -U/+U late
+    firings must fold cleanly."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_window_agg_allowed_lateness,
+    )
+
+    size, late = 100, 50
+    n_keys = rng.randint(1, 3)
+    rows, t = [], 0
+    for _ in range(rng.randint(4, 40)):
+        t += rng.randrange(0, 40)
+        ts = max(0, t - (rng.randrange(0, 180) if rng.random() < 0.4 else 0))
+        rows.append((rng.randrange(n_keys), ts, qval(rng)))
+    batches = split_batches(rng, rows)
+    wm_seq, seen = [], 0
+    for b in batches:
+        wm_seq.append(seen)
+        for _k, ts, _v in b:
+            seen = max(seen, ts)
+    batches.append([])  # final flush fires every remaining window
+    wm_seq.append(10**15)
+    cap = _Cap(_schema("k BIGINT, ts TIMESTAMP, v DOUBLE"))
+    streaming_window_agg_allowed_lateness(
+        cap, keys=["k"], ts_col="ts", window_ms=size,
+        allowed_lateness_ms=late, value_col="v",
+    )
+    ts_batches = [
+        [(k, pd.Timestamp(ts, unit="ms"), v) for k, ts, v in b]
+        for b in batches
+    ]
+    emissions = replay(
+        cap.fn, ts_batches, ["k"], ["k", "ts", "v"], wm_seq=wm_seq
+    )
+    folded: dict = {}
+    for r in emissions:
+        key = (r["k"], pd.Timestamp(r["window_start"]).value // 1_000_000)
+        if r[ROWKIND] in ADD:
+            folded[key] = (r["n"], round(r["total"] * 100))
+        # UPDATE_BEFORE carries the prior firing; +U follows, so the
+        # fold just overwrites — but a -U must MATCH the current fold
+        elif r[ROWKIND] == UPDATE_BEFORE:
+            if folded.get(key) != (r["n"], round(r["total"] * 100)):
+                return f"lateness -U mismatch at {key}: {folded.get(key)} vs {r}"
+    ref: dict = {}
+    for b, wm in zip(batches, wm_seq):
+        for k, ts, v in b:
+            w = (ts // size) * size
+            if wm >= w + size + late:
+                continue  # beyond the lateness horizon at arrival
+            n, cents = ref.get((k, w), (0, 0))
+            ref[(k, w)] = (n + 1, cents + round(v * 100))
+    ref = {kw: nt for kw, nt in ref.items() if nt[0] > 0}
+    if folded != ref:
+        return f"lateness fold {folded} != ref {ref}"
+    return None
+
+
+def check_tjoin(rng: random.Random) -> str | None:
+    """streaming_temporal_join_event_time (changelog mode) vs the
+    TemporalRowTimeJoinOperator semantics: per left row, the version is
+    the latest right EVENT at ts <= left ts — a -D tombstone means no
+    version — under random batch slicings and trailing watermarks."""
+    from flink_release_1_16_0_spark.streaming.stateful import (
+        streaming_temporal_join_event_time,
+    )
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    n_keys = rng.randint(1, 3)
+    rows, t = [], 0
+    for i in range(rng.randint(5, 40)):
+        t += rng.randrange(0, 30)
+        ts = max(0, t - (rng.randrange(0, 25) if rng.random() < 0.3 else 0))
+        if rng.random() < 0.45:  # right/version event
+            kind = rng.choice([INSERT, UPDATE_AFTER, UPDATE_AFTER, DELETE])
+            rows.append((rng.randrange(n_keys), ts, 0, kind, None, rng.randrange(100)))
+        else:  # left row
+            rows.append((rng.randrange(n_keys), ts, 1, INSERT, i, None))
+    batches = split_batches(rng, rows)
+    wm_seq, seen = [], 0
+    for b in batches:
+        wm_seq.append(seen)
+        for _k, ts, *_ in b:
+            seen = max(seen, ts)
+    batches.append([])
+    wm_seq.append(10**15)
+
+    lcap = _Cap(_schema(f"{ROWKIND} STRING, k BIGINT, lts TIMESTAMP, lid BIGINT"))
+    rcap = _Cap(_schema(f"{ROWKIND} STRING, k BIGINT, rts TIMESTAMP, rv BIGINT"))
+    rcap.schema = StructType(
+        [*rcap.schema.fields, StructField("__t", TimestampType())]
+    )
+    streaming_temporal_join_event_time(
+        lcap, rcap, keys=["k"], left_ts="lts", right_ts="rts",
+        changelog=True,
+    )
+    fn = lcap.fn or rcap.fn
+    ts_batches = [
+        [(k, pd.Timestamp(ts, unit="ms"), side, kind, lid, rv)
+         for k, ts, side, kind, lid, rv in b]
+        for b in batches
+    ]
+    emissions = replay(
+        fn, ts_batches, ["k"],
+        ["k", "__t", "__side", "__kind", "lid", "rv"], wm_seq=wm_seq,
+    )
+    got = {}
+    for r in emissions:
+        rv = r["rv"]
+        got[int(r["lid"])] = None if pd.isna(rv) else int(rv)
+    # reference: arrival-late rows drop (ts < wm at arrival); then the
+    # global event-time replay applies versions/tombstones in (ts,
+    # side, arrival) order — versions first at equal ts
+    kept = []
+    for b, wm in zip(batches, wm_seq):
+        for j, ev in enumerate(b):
+            if ev[1] >= wm:
+                kept.append((ev, len(kept)))
+    ordered = sorted(kept, key=lambda e: (e[0][1], e[0][2], e[1]))
+    version: dict = {}
+    ref = {}
+    for (k, ts, side, kind, lid, rv), _a in ordered:
+        if side == 0:
+            if kind == UPDATE_BEFORE:
+                continue  # DropUpdateBefore
+            version[k] = None if kind == DELETE else rv
+        else:
+            ref[lid] = version.get(k)
+    if got != ref:
+        return f"tjoin {got} != ref {ref}"
+    return None
+
+
 ARMS = {
     "agg": check_agg,
     "topn": check_topn,
@@ -792,6 +1004,9 @@ ARMS = {
     "semi": check_semi,
     "over_rows": check_over_rows,
     "over_range": check_over_range,
+    "normalize": check_normalize,
+    "lateness": check_lateness,
+    "tjoin": check_tjoin,
 }
 
 
