@@ -45,6 +45,7 @@ _MODULES = (
     "tpcds_deep",
     "tpcds_deep2",
     "tpcds_deep3",
+    "tpcds_deep4",
     "joins",
     "aggregates",
     "windows_over",
@@ -93,71 +94,68 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-11 window — part 1: the NEW surfaces — the manifest-log
-    # incremental tail (Python data source streaming offsets), the
-    # outer/semi/anti changelog joins (OuterJoinRecordStateView /
-    # StreamingSemiAntiJoinOperator protocols), and the 13
-    # archetype-tail TPC-DS shapes (tpcds_deep3.py).
-    "stream_manifest_tail",
-    "changelog_outer_join",
+    # round-12 window — part 1: the NEW surfaces — the manifest-tail x
+    # ChangelogNormalize composition (upsert-kafka-on-files), the CEP
+    # negative/advanced pattern family (notNext / notFollowedBy /
+    # followedByAny / until / timesOrMore / SQL {n,}), and the 13
+    # named archetype-tail TPC-DS shapes (tpcds_deep4.py: q88, q14,
+    # q31, q66, q11/q74, q9, q38, q62, q99, q33, q41, q45).
+    "stream_manifest_upsert_tail",
+    "cep_not_followed_by",
+    "cep_not_next",
+    "cep_until",
+    "cep_followed_by_any",
+    "api_sql_match_times_or_more",
+    "ds_hour_band_count_pivot",
+    "ds_cross_channel_intersect_sales",
+    "ds_region_share_growth_chain",
+    "ds_shipmode_monthly_pivot",
+    "ds_year_pair_ratio_nullif",
+    "ds_year_pair_max_ratio",
+    "ds_bucket_case_scalars",
+    "ds_customer_three_channel_intersect",
+    "ds_mode_delay_buckets",
+    "ds_month_delay_buckets",
+    "ds_brand_channel_union_agg",
+    "ds_distinct_or_attribute_parts",
+    "ds_geo_or_membership_sales",
+    # part 2: re-grades of code round 12 touched — the strict-less-than
+    # late boundary (over/sort/temporal/anti), the changelog temporal
+    # join, dedup emit-on-change, NULL-key changelog joins, the
+    # isWindowFired window-dedup boundary, join state cleanup, and the
+    # manifest-tail mid-publish poll.
+    "stream_temporal_join_rowtime",
+    "api_sql_temporal_join",
+    "stream_temporal_join",
+    "stream_dedup_keep_last",
+    "stream_dedup_first_rowtime",
+    "dedup_keep_first",
+    "stream_over_event_time",
+    "stream_over_range_event_time",
+    "stream_over_rows_bounded",
+    "stream_temporal_sort",
+    "stream_anti_join",
+    "stream_window_dedup",
+    "window_dedup",
     "stream_changelog_outer_join",
     "stream_changelog_semi_join",
     "stream_changelog_anti_join",
-    "ds_quantity_stdev_bands",
-    "ds_chain_mean_compare",
-    "ds_cumulative_full_outer",
-    "ds_anti_ratio_rank",
-    "ds_store_only_customers",
-    "ds_order_exists_chain",
-    "ds_net_qty_after_returns",
-    "ds_before_after_pivot",
-    "ds_date_offset_chain",
-    "ds_channel_profit_rollup",
-    "ds_returned_share_three_way",
-    "ds_yoy_net_decline",
-    "ds_best_worst_return_rate",
-    # part 2: re-grades of code round 11 touched — the MATCH_RECOGNIZE
-    # quantifier/navigation semantics (SQL ? never greedy, possessive
-    # loops, offsets), the retracting-agg rowkind upgrade, the
-    # window-dedup watermark eviction, the ratio re-ranking, the vacuum
-    # retention floor, and the quadratic-guarded all-pairs baselines.
-    "api_sql_match_recognize",
-    "api_sql_match_nfa_define",
-    "api_sql_match_reluctant",
-    "api_sql_match_skip_last",
-    "stream_cep_within",
-    "cep_reluctant",
+    "changelog_outer_join",
+    "stream_changelog_join",
+    "stream_semi_join",
+    "stream_manifest_tail",
+    "stream_window_allowed_lateness",
     "stream_group_agg",
-    "stream_retract_minmax",
-    "stream_window_dedup",
-    "window_dedup",
-    "ds_return_ratio_rank_union",
-    "api_sql_manifest_maintenance",
-    "api_sql_manifest_commit",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     # part 3: one representative per SURVEY section-2 family (rotation —
     # families green in earlier windows keep one seat each).
     "q1_pricing_summary",
     "q9_product_profit",
     "join_asof",
-    "lookup_join_dim",
-    "agg_grouping_sets",
-    "over_ignore_nulls",
-    "rank_topn_per_group",
-    "setop_except_all",
-    "func_collections",
-    "window_session",
-    "format_debezium_cdc",
-    "stream_tumble_agg",
-    "stream_window_allowed_lateness",
-    "changelog_normalize",
-    "udtag_table_agg_top2",
-    "api_table_window_udaf",
-    "correlate_unnest",
     "dedup_minhash_lsh",
     "similarity_brute_force_topk",
-    "dsapi_window_cogroup",
+    "api_sql_match_recognize",
+    "lookup_join_dim",
+    "udtag_table_agg_top2",
 )
 
 
