@@ -33,6 +33,7 @@ timed-out partials routable to an OutputTag on both paths.
 from __future__ import annotations
 
 import inspect
+import itertools
 from typing import Callable
 
 import pandas as pd
@@ -49,6 +50,9 @@ from flink_release_1_16_0_spark.datastream.stream import (
     _to_pdf,
     _ts_ms as _ms,
 )
+
+
+_GSEQ = itertools.count()
 
 
 class WithinType:
@@ -69,12 +73,31 @@ class Pattern:
     # -- construction -------------------------------------------------------
 
     @staticmethod
-    def begin(name: str) -> "Pattern":
+    def begin(name) -> "Pattern":
         p = Pattern()
         p._add(name, strict=True)
         return p
 
-    def _add(self, name: str, strict: bool) -> None:
+    def _add(self, name, strict: bool) -> None:
+        if isinstance(name, Pattern):
+            # GROUP pattern (Pattern.begin(Pattern)/followedBy(Pattern),
+            # Pattern.java:573): the sub-pattern matches all-or-nothing
+            # per repetition
+            self._steps.append(
+                {
+                    "name": f"__grp{len(self._steps)}",
+                    "group": name,
+                    "quant": "1",
+                    "conds": [],
+                    "strict": strict,
+                    "consecutive": False,
+                    "greedy": False,
+                    "negative": None,
+                    "any": False,
+                    "until": None,
+                }
+            )
+            return
         if any(s["name"] == name for s in self._steps):
             # repeated names are legal in the NFA (bindings accumulate)
             # but almost always a user mistake in a fluent chain
@@ -93,22 +116,26 @@ class Pattern:
             }
         )
 
-    def next(self, name: str) -> "Pattern":
-        """Strict contiguity (Pattern.next:209)."""
+    def next(self, name) -> "Pattern":
+        """Strict contiguity (Pattern.next:209). Accepts a Pattern for
+        a group sub-pattern."""
         self._add(name, strict=True)
         return self
 
-    def followed_by(self, name: str) -> "Pattern":
+    def followed_by(self, name) -> "Pattern":
         """Relaxed contiguity (Pattern.followedBy:231): any events may
-        sit between the previous variable and this one."""
+        sit between the previous variable and this one. Accepts a
+        Pattern for a group sub-pattern (Pattern.java:573)."""
         self._add(name, strict=False)
         return self
 
-    def followed_by_any(self, name: str) -> "Pattern":
+    def followed_by_any(self, name) -> "Pattern":
         """NON-DETERMINISTIC relaxed contiguity (Pattern.followedByAny
         :343): matching events may also be skipped, so EVERY later
         candidate matches — ``A followedByAny B`` pairs A with every
-        subsequent B, not just the first."""
+        subsequent B, not just the first. Accepts a Pattern for a group
+        sub-pattern (every entry position of the group's first
+        repetition forks)."""
         self._add(name, strict=False)
         self._steps[-1]["any"] = True
         return self
@@ -148,6 +175,11 @@ class Pattern:
         """AND-combined predicates (Pattern.where:142). ``cond`` takes
         ``(row)`` (SimpleCondition) or ``(row, ctx)`` (IterativeCondition
         — ctx maps each variable to its bound rows so far)."""
+        if "group" in self._steps[-1]:
+            raise ValueError(
+                "where() applies to the variables INSIDE a group "
+                "pattern, not to the group itself"
+            )
         self._steps[-1]["conds"].append((cond, len(inspect.signature(cond).parameters)))
         return self
 
@@ -190,8 +222,12 @@ class Pattern:
     def optional(self) -> "Pattern":
         """Pattern.optional:318. On a looping pattern it RELAXES the
         lower bound (oneOrMore().optional() == the reference's
-        zero-or-more), it does not replace the loop."""
+        zero-or-more), it does not replace the loop; on times(n[,m]) it
+        ADDS the zero-count branch (Quantifier.optional)."""
         s = self._steps[-1]
+        if "times" in s:
+            s["times_optional"] = True
+            return self
         if s["quant"] in ("+", "+?"):
             s["quant"] = "*?" if s["quant"] == "+?" else "*"
             return self
@@ -267,6 +303,15 @@ class Pattern:
             self._steps[-1]["quant"] = q + "?"
         return self
 
+    def _var_names(self) -> list:
+        out = []
+        for s in self._steps:
+            if "group" in s:
+                out.extend(s["group"]._var_names())
+            elif not s["negative"]:
+                out.append(s["name"])
+        return out
+
     def within(self, duration, within_type: str = WithinType.FIRST_AND_LAST) -> "Pattern":
         """Match window (Pattern.within:253,266). FIRST_AND_LAST bounds
         the whole match from its first event; PREVIOUS_AND_CURRENT
@@ -308,6 +353,49 @@ class Pattern:
             return pred
 
         for i, s in enumerate(self._steps):
+            if "group" in s:
+                if s["greedy"]:
+                    raise ValueError("greedy group loops are unsupported")
+                if s["until"] is not None:
+                    raise ValueError("until() on group loops is unsupported")
+                if pending_not is not None:
+                    raise ValueError(
+                        "notFollowedBy directly before a group pattern "
+                        "is unsupported"
+                    )
+                (
+                    substeps, subdefines, submulti, subuntils, substops,
+                ) = s["group"]._compile()
+                defines.update(subdefines)
+                multi |= set(submulti)
+                untils.update(subuntils)
+                stops.update(substops)
+                opt = s.get("times_optional", False)
+                if "times" in s:
+                    a, b = s["times"]
+                    gq = f"{{{a},}}" if b is None else f"{{{a},{b}}}"
+                    if b is None or a != b or opt:
+                        multi.add(s["name"])  # counts enumerate (noSkip)
+                else:
+                    gq = s["quant"]
+                    if gq in ("?", "+", "*", "+?", "*?", "??"):
+                        multi.add(s["name"])
+                entry_name = None
+                if i > 0 and not s["strict"]:
+                    # globally unique: nested compiles must not alias
+                    # each other's gap (multi membership rides the name)
+                    entry_name = f"__gentry{next(_GSEQ)}"
+                    if s["any"]:
+                        # followedByAny group: every entry position of
+                        # the first repetition forks
+                        multi.add(entry_name)
+                steps.append(
+                    (
+                        s["name"],
+                        ("G", substeps, gq, s["consecutive"], entry_name, opt),
+                    )
+                )
+                continue
             pred = norm(s["conds"]) if s["conds"] else None
             if s["negative"]:
                 if pred is None:
@@ -330,39 +418,24 @@ class Pattern:
                 else:
                     pending_not = pred
                 continue
-            not_gap = False
             is_loop = s["quant"] in ("+", "*", "+?", "*?") or "times" in s
+            sfx = ""
             if i > 0 and not s["strict"]:
-                if pending_not is not None and is_loop:
-                    # a LOOP after notFollowedBy: the loop's own
-                    # relaxed-entry scan advances past intervening rows,
-                    # so the stop condition poisons THAT scan (it may
-                    # not step over an absence row) rather than adding a
-                    # gap step — zero-count branches still complete, the
-                    # reference's emitted-before-the-kill semantics
+                # connection suffix: 'e' = relaxed EAGER contiguity
+                # (followedBy — the first accepting row is taken, a
+                # failed continuation dies, never backtracks to a later
+                # candidate: the NFA ignore edge cannot skip a matching
+                # event), 'a' = non-deterministic (followedByAny —
+                # every accepting position forks)
+                sfx = "a" if s["any"] else "e"
+                if pending_not is not None:
+                    # notFollowedBy gap: the entry scan may not step
+                    # over a row matching the absence condition — the
+                    # stop state on the ignore edges leading into this
+                    # variable; zero-count/skip branches still complete
+                    # (the reference's emitted-before-the-kill)
                     stops[s["name"]] = pending_not
                     pending_not = None
-                elif pending_not is not None:
-                    not_gap = True
-                    # the NOT gap replaces the connection skip: only
-                    # rows NOT matching the absence condition may be
-                    # stepped over to reach this variable
-                    gap = f"__not{i}"
-                    defines[gap] = (
-                        lambda row, ctx, p=pending_not: not p(row, ctx)
-                    )
-                    steps.append((gap, "*?"))
-                    if s["any"]:
-                        multi.add(gap)
-                    pending_not = None
-                else:
-                    # NFACompiler's ignore-events edge for FOLLOWED_BY:
-                    # an unnamed, unconditioned, reluctant-star skip
-                    steps.append((f"__skip{i}", "*?"))
-                    if s["any"]:
-                        # followedByAny: the skip FORKS — every skip
-                        # length with a viable continuation emits
-                        multi.add(f"__skip{i}")
             elif pending_not is not None:
                 raise ValueError(
                     "notFollowedBy cannot be directly followed by next() "
@@ -379,19 +452,13 @@ class Pattern:
                 )
             # relaxed internal contiguity is the reference's looping
             # default (Pattern.java:437); consecutive() keeps strict;
-            # allowCombinations adds the non-deterministic c tier; a
-            # FOLLOWED_BY-connected loop carries the relaxed-ENTRY
-            # marker so its first repetition is found by the loop
-            # itself (the skip step alone would commit on a successful
-            # zero-repetition branch)
+            # allowCombinations adds the non-deterministic c tier; the
+            # connection suffix rides the loop quantifier so the loop's
+            # own entry scan implements the contiguity
             relax = "" if s["consecutive"] else "~"
             if s.get("combinations") and not s["greedy"]:
                 relax = "~c"
-            if i > 0 and not s["strict"] and not not_gap:
-                # (a NOT gap must stay the only way past intervening
-                # rows — a relaxed-entry loop could step over an
-                # absence-condition row and dodge the kill)
-                relax += "e"
+            relax += sfx
             if "times" in s:
                 a, b = s["times"]
                 quant = f"{{{a},}}" if b is None else f"{{{a},{b}}}"
@@ -405,7 +472,7 @@ class Pattern:
                     if q in ("+", "*") and not s["greedy"]:
                         multi.add(s["name"])
                 else:
-                    steps.append((s["name"], q))
+                    steps.append((s["name"], q + sfx))
                     if q == "?" and not s["greedy"]:
                         # non-greedy optional branches under noSkip
                         # (both take and skip continuations emit)
@@ -526,11 +593,22 @@ class PatternStream:
             )
         names = [f.name for f in schema.fields]
         sort_cols = [tcol] + ([tiebreaker] if tiebreaker else [])
-        var_names = [s["name"] for s in self.pattern._steps]
+        var_names = self.pattern._var_names()
         skip_past = after_match == "skip_past_last_row"
+
+        def _nondet(sq):
+            for _v, q in sq:
+                if isinstance(q, tuple):
+                    return True  # any group pattern -> enumerate
+                if q.endswith("a"):
+                    return True
+            return False
+
         # skip_past resumes after ONE match per anchor, so enumeration
-        # only serves the noSkip strategy
-        enum = multi_vars if (multi_vars and not skip_past) else frozenset()
+        # only serves the noSkip strategy; forking (multi vars, any-
+        # connections, quantified groups) forces the enumerate path
+        enum_path = (bool(multi_vars) or _nondet(steps)) and not skip_past
+        enum = multi_vars if enum_path else frozenset()
 
         def pad(r: dict) -> dict:
             return {**r, _SIDE_TAG: None, _SIDE_JSON: None} if use_side else r
@@ -549,6 +627,7 @@ class PatternStream:
                 emit, schema, names, tiebreaker, skip_past, steps, defines,
                 var_names, enum, use_side, pad, timeout_row, timeout_tag,
                 untils=untils, within_type=wt, stops=stops,
+                enum_path=enum_path,
             )
 
         def harness(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -560,7 +639,7 @@ class PatternStream:
             out: list[dict] = []
             start = 0
             while start < len(rows):
-                if enum:
+                if enum_path:
                     matched = False
                     for _end, bound in nfa_all_matches(
                         rows, start, steps, defines, within_ms, enum,
@@ -621,7 +700,7 @@ class PatternStream:
         self, emit, schema, names, tiebreaker, skip_past, steps, defines,
         var_names, enum=frozenset(), use_side=False, pad=None,
         timeout_row=None, timeout_tag=None, untils=None, within_type="first",
-        stops=None,
+        stops=None, enum_path=None,
     ) -> DataStream:
         """Unbounded Pattern matching with the WITHIN finalization bound
         (the CepOperator pattern, same argument as
@@ -671,7 +750,7 @@ class PatternStream:
             while s < len(rows):
                 if _ms(rows[s][tcol]) + within_ms > wm:
                     break  # horizon not settled: this and later anchors wait
-                if enum:
+                if enum_path if enum_path is not None else enum:
                     matched = False
                     for _end, bound in nfa_all_matches(
                         rows, s, steps, defines, within_ms, enum,

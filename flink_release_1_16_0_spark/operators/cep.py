@@ -585,8 +585,9 @@ def _parse_loop_quant(q: str):
     Returns ``(min_n, max_n, reluctant, relaxed, combinations,
     relaxed_entry)``.
     """
-    entry = q.endswith("e")
-    if entry:
+    entry = ""
+    if q.endswith(("e", "a")):
+        entry = q[-1]
         q = q[:-1]
     combos = q.endswith("c")
     if combos:
@@ -669,17 +670,19 @@ def nfa_all_matches(
             deadline is None or pd.Timestamp(rows[i]["__ts"]) < deadline
         )
 
-    def step(pos: int, si: int, bound: dict):
-        if si == len(steps):
-            # suppress EMPTY matches (no event bound anywhere): the
-            # reference never emits them, and — critically — an empty
-            # branch must not count as a hit inside first_success, or a
-            # reluctant optional's skip branch would commit and shadow
-            # its taken (non-empty) branch
-            if any(bound.values()):
-                yield pos, bound
+    def step(seq, pos: int, si: int, bound: dict, cont):
+        # continuation-passing walk: ``seq`` is the (sub-)pattern being
+        # matched, ``cont(pos, bound)`` generates completions of the
+        # ENCLOSING pattern — group patterns (Pattern.begin(Pattern),
+        # Pattern.java:573) recurse by walking the group body with a
+        # continuation that matches the next repetition / outer tail
+        if si == len(seq):
+            yield from cont(pos, bound)
             return
-        var, quant = steps[si]
+        var, quant = seq[si]
+        if isinstance(quant, tuple) and quant[0] == "G":
+            yield from group_step(seq, pos, si, bound, cont, quant)
+            return
         pred = defines.get(var)
 
         def _ctx(cur_taken: list) -> dict:
@@ -710,7 +713,7 @@ def nfa_all_matches(
             # choice whose continuation yields at least one match
             for np, nb in choices:
                 hit = False
-                for r in step(np, si + 1, nb):
+                for r in step(seq, np, si + 1, nb, cont):
                     hit = True
                     yield r
                 if hit:
@@ -721,7 +724,7 @@ def nfa_all_matches(
             # match; nothing is consumed (NFA stop state)
             if pos < len(rows) and in_window(pos) and accepts(pos, []):
                 return
-            yield from step(pos, si + 1, bound)
+            yield from step(seq, pos, si + 1, bound, cont)
             return
         if quant == "!f":
             # terminal notFollowedBy-with-within (Pattern.notFollowedBy
@@ -732,50 +735,102 @@ def nfa_all_matches(
                 if accepts(i, []):
                     return
                 i += 1
-            yield from step(pos, si + 1, bound)
+            yield from step(seq, pos, si + 1, bound, cont)
             return
         loop = _parse_loop_quant(quant)
         if loop is None:
+            base, sfx = quant, ""
+            if base.endswith(("e", "a")):
+                base, sfx = base[:-1], base[-1]
+            stop_pred = stops.get(var)
+            if sfx == "a":
+                # followedByAny (Pattern.followedByAny:343): EVERY
+                # accepting position forks — the NFA's non-deterministic
+                # ignore edge that may also skip matching events
+                i = pos
+                takes = []
+                while in_window(i):
+                    if stop_pred is not None and stop_pred(rows[i], _ctx([])):
+                        break  # stop state: cannot scan past
+                    if accepts(i, []):
+                        takes.append(
+                            (i + 1, {**bound, var: bound.get(var, []) + [i]})
+                        )
+                    i += 1
+                for np, nb in takes:
+                    yield from step(seq, np, si + 1, nb, cont)
+                if base in ("?", "??"):
+                    yield from step(seq, pos, si + 1, bound, cont)
+                return
+            # eager: relaxed contiguity takes the FIRST accepting row —
+            # the NFA ignore edge cannot skip a matching event, so a
+            # failed continuation DIES rather than backtracking to a
+            # later candidate (GroupITCase.testGroupNotNext pins this)
+            i = pos
             take = None
-            if accepts(pos, []):
-                take = (pos + 1, {**bound, var: bound.get(var, []) + [pos]})
+            while in_window(i):
+                if accepts(i, []):
+                    take = (i + 1, {**bound, var: bound.get(var, []) + [i]})
+                    break
+                if sfx != "e":
+                    break  # strict contiguity: only the row AT pos
+                if stop_pred is not None and stop_pred(rows[i], _ctx([])):
+                    break  # notFollowedBy gap: a matching row kills
+                i += 1
             skip = (pos, bound)
-            if quant == "1":
+            if base == "1":
                 choices = [take] if take else []
-            elif quant == "?":
+            elif base == "?":
                 choices = ([take] if take else []) + [skip]
-            elif quant == "??":
+            elif base == "??":
                 choices = [skip] + ([take] if take else [])
             else:
                 raise ValueError(f"unknown quantifier {quant!r}")
-            if var in multi_vars and quant in ("?", "??"):
+            if var in multi_vars and base in ("?", "??"):
                 # a non-greedy OPTIONAL branches like a {0,1} loop under
                 # noSkip: both the taken and the skipped continuation
                 # emit (the reference docs' {C B} alongside {C A1 B})
                 for np, nb in choices:
-                    yield from step(np, si + 1, nb)
+                    yield from step(seq, np, si + 1, nb, cont)
             else:
                 yield from first_success(choices)
             return
         min_n, max_n, reluctant, relaxed, combos, entry = loop
+        stop_pred = stops.get(var)
+        if entry == "a":
+            # followedByAny loop: every viable FIRST-repetition position
+            # forks; each candidate runs the count scan anchored there
+            # with min >= 1 (the zero-repetition branch emits ONCE below)
+            anchored_q = (
+                f"{{{max(1, min_n)},{'' if max_n is None else max_n}}}"
+                + ("?" if reluctant else "")
+                + ("~" if relaxed else "")
+                + ("c" if combos else "")
+                + "e"
+            )
+            if min_n == 0:
+                yield from step(seq, pos, si + 1, bound, cont)
+            i = pos
+            while in_window(i):
+                if stop_pred is not None and stop_pred(rows[i], _ctx([])):
+                    break
+                if accepts(i, []):
+                    yield from step(
+                        [(var, anchored_q), *seq[si + 1 :]], i, 0, bound, cont
+                    )
+                i += 1
+            return
         # relaxed-entry loops (FOLLOWED_BY connection) find their own
-        # first repetition past non-matching rows — the preceding skip
-        # step alone cannot, because a zero-repetition success would
-        # commit it before the positive branches are reachable
+        # first repetition past non-matching rows — a zero-repetition
+        # success must not starve the positive branches
         first = pos
         blocked = False
-        stop_pred = stops.get(var)
         if entry:
             while in_window(first) and not accepts(first, []):
                 if stop_pred is not None and stop_pred(rows[first], _ctx([])):
                     blocked = True  # stop state: cannot scan past
                     break
                 first += 1
-        if not blocked and stop_pred is not None and in_window(first):
-            # the entry row itself is fine, but a stop row strictly
-            # between pos and first would have broken the scan above;
-            # nothing more to check here
-            pass
         if combos and var in multi_vars:
             # allowCombinations: the loop's FIRST repetition is fixed
             # (entering the loop is plain relaxed contiguity — every
@@ -802,7 +857,7 @@ def nfa_all_matches(
 
                 rec([first])
             for np, nb in choices:
-                yield from step(np, si + 1, nb)
+                yield from step(seq, np, si + 1, nb, cont)
             return
         # scan the candidate run once: strict ends at the first
         # non-accepting row; relaxed steps over it (but never skips a
@@ -836,11 +891,56 @@ def nfa_all_matches(
             choices.append((np, nb))
         if var in multi_vars:
             for np, nb in choices:
-                yield from step(np, si + 1, nb)
+                yield from step(seq, np, si + 1, nb, cont)
         else:
             yield from first_success(choices)
 
-    yield from step(start, 0, {})
+    def group_step(seq, pos, si, bound, cont, gspec):
+        """A GROUP step: gspec = ("G", substeps, gq, consecutive).
+        Repetitions match ALL-OR-NOTHING (the whole sub-sequence);
+        between repetitions contiguity is relaxed unless consecutive()
+        (Pattern.java:437 applies to group loops too). Counts enumerate
+        shortest-first — the reference's non-greedy group loop under
+        noSkip emits every viable count; exact times(n) pins one."""
+        _tag, substeps, gq, consecutive, entry_name, times_opt = gspec
+        if gq in ("1", "?", "??"):
+            min_n, max_n = (1, 1) if gq == "1" else (0, 1)
+        else:
+            lp = _parse_loop_quant(gq)
+            if lp is None:
+                raise ValueError(f"unsupported group quantifier {gq!r}")
+            min_n, max_n = lp[0], lp[1]
+        gap = [] if consecutive else [(f"__gskip{si}", "*?")]
+        entry_gap = [(entry_name, "*?")] if entry_name else []
+
+        def after_outer(p, b):
+            yield from step(seq, p, si + 1, b, cont)
+
+        def grow(p, b, done):
+            if done >= min_n or (done == 0 and times_opt):
+                # times(n).optional(): the zero-count branch joins a
+                # non-zero exact/range count (Quantifier.optional)
+                yield from after_outer(p, b)
+            if max_n is not None and done >= max_n:
+                return
+            rep = [*entry_gap, *substeps] if done == 0 else [*gap, *substeps]
+            yield from step(
+                rep, p, 0, b,
+                cont=lambda p2, b2, _d=done: grow(p2, b2, _d + 1),
+            )
+
+        yield from grow(pos, bound, 0)
+
+    def done(pos, bound):
+        # suppress EMPTY matches (no event bound anywhere): the
+        # reference never emits them, and — critically — an empty
+        # branch must not count as a hit inside first_success, or a
+        # reluctant optional's skip branch would commit and shadow
+        # its taken (non-empty) branch
+        if any(bound.values()):
+            yield pos, bound
+
+    yield from step(steps, start, 0, {}, done)
 
 
 def nfa_longest_partial(
@@ -882,9 +982,17 @@ def nfa_longest_partial(
 
     pending_entry = False
     for var, quant in steps:
-        if quant in ("!n", "!f"):
-            continue  # negative steps bind nothing in a partial walk
+        if isinstance(quant, tuple) or quant in ("!n", "!f"):
+            # negative steps bind nothing in a partial walk; group
+            # steps are skipped (timeout estimation stays the flat
+            # principal prefix)
+            continue
         pred = defines.get(var)
+        sfx = ""
+        if quant and quant[-1] in ("e", "a") and quant not in ("!n", "!f"):
+            sfx = quant[-1]
+            if _parse_loop_quant(quant) is None:
+                quant = quant[:-1]
         loop = _parse_loop_quant(quant)
         if var.startswith("__not") and loop is not None:
             # a notFollowedBy gap behaves like the unconditioned skip
@@ -899,7 +1007,7 @@ def nfa_longest_partial(
             # defer it as entry relaxation for the following step
             pending_entry = True
             continue
-        entry_scan = pending_entry or bool(loop and loop[5])
+        entry_scan = pending_entry or bool(loop and loop[5]) or bool(sfx)
         pending_entry = False
         if loop is None:
             i = pos
