@@ -57,6 +57,7 @@ _MODULES = (
     "llm_text",
     "llm_curation",
     "streaming_queries",
+    "window_tvf_stream",
     "changelog_queries",
     "plan_inference",
     "advanced_ops",

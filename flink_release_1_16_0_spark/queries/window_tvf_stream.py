@@ -1,0 +1,197 @@
+"""Streaming window-TVF aggregate queries (slice-shared operator).
+
+End-to-end Structured Streaming runs of
+:func:`flink_release_1_16_0_spark.streaming.window_tvf.streaming_window_tvf_agg`
+— the reference's StreamExecWindowAggregate over SliceAssigners.java
+(tumble offset / hop slicing / cumulate shared-slice merge), semantics
+pinned row-exactly against WindowAggregateITCase.scala in
+tests/test_window_agg_itcase.py.
+
+Replay convention: one data batch (watermark 0 — nothing fires, no
+late rows), then the availableNow timeout batch fires every window
+whose end passed the final watermark (max ts - 10 min) at the
+isWindowFired boundary wm >= end - 1. The DuckDB oracles therefore
+gate on ``HAVING win_end_ms - 1 <= wm_ms`` — the exact firing set.
+
+SUM over doubles crosses the engines as exact decimal on the events
+grid (value: 4 decimals — see queries/_util.py): the operator
+accumulates Decimal and emits its string; the query rescales to an
+e4-integer BIGINT, the oracle sums DECIMAL(38,4) to the same integer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+from flink_release_1_16_0_spark.queries import register
+from flink_release_1_16_0_spark.streaming.core import replay_stream, run_to_table
+from flink_release_1_16_0_spark.streaming.window_tvf import streaming_window_tvf_agg
+
+_H = 3600 * 1000  # one hour in ms
+
+_WM = "SELECT (epoch_us(MAX(ts)) // 1000) - 600000 AS wm_ms FROM events"
+
+
+def _stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        replay_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "10 minutes")
+        .select("ts", "event_type", "value", "user_id")
+    )
+
+
+_AGGS = [
+    ("n", "count_star", None, LongType()),
+    ("sum_s", "sum", "value", StringType()),
+    ("max_v", "max", "value", DoubleType()),
+    ("du", "count_distinct", "user_id", LongType()),
+]
+
+
+def _project(res: DataFrame) -> DataFrame:
+    return res.select(
+        "event_type",
+        F.col("window_start").alias("win_start"),
+        F.col("window_end").alias("win_end"),
+        "n",
+        (F.col("sum_s").cast("decimal(38,4)") * 10000)
+        .cast("bigint")
+        .alias("total_e4"),
+        "max_v",
+        "du",
+    )
+
+
+_SQL_AGGS = """
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS total_e4,
+  MAX(value) AS max_v,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du
+"""
+
+# --------------------------------------------------------------------------
+# HOP via slice sharing (size 6h, slide 3h: two windows per row, state
+# one accumulator per 3h slice — SliceAssigners.HoppingSliceAssigner)
+# --------------------------------------------------------------------------
+
+_HOP_ORACLE = f"""
+WITH wm AS ({_WM}),
+w AS (
+  SELECT event_type, user_id, value,
+         ((epoch_us(ts) // 1000) // {3 * _H}) * {3 * _H} - k.k * {3 * _H} AS ws_ms
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+)
+SELECT event_type,
+  make_timestamp(ws_ms * 1000) AS win_start,
+  make_timestamp((ws_ms + {6 * _H}) * 1000) AS win_end,
+  {_SQL_AGGS}
+FROM w, wm
+GROUP BY event_type, ws_ms, wm_ms
+HAVING ws_ms + {6 * _H} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_window_tvf_hop",
+    _HOP_ORACLE,
+    tags=("streaming", "window", "tvf", "time"),
+)
+def stream_window_tvf_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = streaming_window_tvf_agg(
+        _stream(spark, sf_dir),
+        keys=["event_type"],
+        ts_col="ts",
+        aggs=_AGGS,
+        kind="hop",
+        size_ms=6 * _H,
+        slide_ms=3 * _H,
+    )
+    return _project(run_to_table(out, "append"))
+
+
+# --------------------------------------------------------------------------
+# CUMULATE (step 2h, max 6h: growing windows share the first slice's
+# accumulator — SliceAssigners.CumulativeSliceAssigner.mergeSlices)
+# --------------------------------------------------------------------------
+
+_CUMULATE_ORACLE = f"""
+WITH wm AS ({_WM}),
+w AS (
+  SELECT event_type, user_id, value,
+         ((epoch_us(ts) // 1000) // {6 * _H}) * {6 * _H} AS ws_ms,
+         ((epoch_us(ts) // 1000) // {6 * _H}) * {6 * _H} + k.k * {2 * _H} AS we_ms,
+         (epoch_us(ts) // 1000) AS ts_ms
+  FROM events CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS k) k
+)
+SELECT event_type,
+  make_timestamp(ws_ms * 1000) AS win_start,
+  make_timestamp(we_ms * 1000) AS win_end,
+  {_SQL_AGGS}
+FROM w, wm
+WHERE ts_ms < we_ms
+GROUP BY event_type, ws_ms, we_ms, wm_ms
+HAVING we_ms - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_window_tvf_cumulate",
+    _CUMULATE_ORACLE,
+    tags=("streaming", "window", "tvf", "time"),
+)
+def stream_window_tvf_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = streaming_window_tvf_agg(
+        _stream(spark, sf_dir),
+        keys=["event_type"],
+        ts_col="ts",
+        aggs=_AGGS,
+        kind="cumulate",
+        size_ms=6 * _H,
+        step_ms=2 * _H,
+    )
+    return _project(run_to_table(out, "append"))
+
+
+# --------------------------------------------------------------------------
+# TUMBLE with OFFSET (size 4h, offset 90min —
+# TimeWindow.getWindowStartWithOffset; Spark's native window() has an
+# offset arg but not the isWindowFired boundary or this firing set)
+# --------------------------------------------------------------------------
+
+_OFF = 90 * 60 * 1000
+
+_TUMBLE_OFFSET_ORACLE = f"""
+WITH wm AS ({_WM}),
+w AS (
+  SELECT event_type, user_id, value,
+         (((epoch_us(ts) // 1000) - {_OFF}) // {4 * _H}) * {4 * _H} + {_OFF} AS ws_ms
+  FROM events
+)
+SELECT event_type,
+  make_timestamp(ws_ms * 1000) AS win_start,
+  make_timestamp((ws_ms + {4 * _H}) * 1000) AS win_end,
+  {_SQL_AGGS}
+FROM w, wm
+GROUP BY event_type, ws_ms, wm_ms
+HAVING ws_ms + {4 * _H} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_window_tvf_tumble_offset",
+    _TUMBLE_OFFSET_ORACLE,
+    tags=("streaming", "window", "tvf", "time"),
+)
+def stream_window_tvf_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = streaming_window_tvf_agg(
+        _stream(spark, sf_dir),
+        keys=["event_type"],
+        ts_col="ts",
+        aggs=_AGGS,
+        kind="tumble",
+        size_ms=4 * _H,
+        offset_ms=_OFF,
+    )
+    return _project(run_to_table(out, "append"))

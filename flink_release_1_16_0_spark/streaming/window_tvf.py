@@ -1,0 +1,379 @@
+"""Event-time window TVF aggregate with slice-shared state
+(StreamExecWindowAggregate over SliceAssigners).
+
+Rebuilds the reference's slicing window-agg stack for the semantics
+Structured Streaming's native window agg cannot express:
+
+- window OFFSET (``TUMBLE(..., INTERVAL '1' DAY, INTERVAL '8' HOUR)``)
+  via ``TimeWindow.getWindowStartWithOffset`` arithmetic
+  (flink-streaming-java/.../windowing/windows/TimeWindow.java:413);
+- the ``isWindowFired`` trigger boundary ``watermark >= end - 1``
+  (flink-table-runtime/.../util/TimeWindowUtil.java:172);
+- late-row drop keyed on the row's LAST window
+  (AbstractWindowAggProcessor.java ``isWindowFired(getLastWindowEnd(
+  sliceEnd), wm)`` — a row is late only when every window containing
+  it has fired, so a hop row late for its first window still counts
+  toward its later windows);
+- slice-shared state (SliceSharedWindowAggProcessor.java:89): one
+  accumulator per SLICE, windows materialized by merging slices at
+  fire time — hop state is O(slices), not O(slices x windows/slice);
+- the reference's merge ORDER, observable through order-sensitive
+  aggregates like concat_distinct: hop merges slices DESCENDING by
+  slice end into a fresh accumulator
+  (SliceAssigners.HoppingSlicesIterable:625 iterates lastSliceEnd
+  down), cumulate merges each new step slice INTO the first slice's
+  shared state (SliceAssigners.CumulativeSliceAssigner.mergeSlices:360
+  — so its concat order is ascending);
+- cumulate expiry: non-first slices retire at their fire, the shared
+  first slice at the group's max window
+  (CumulativeSliceAssigner.expiredSlices).
+
+Scale shape: one hash exchange on the grouping key; per-key state is
+O(live slices) with windows derived by arithmetic, the same bound as
+the reference's slicing operator. Aggregation is incremental per
+slice; firing merges at most size/slide accumulators.
+"""
+
+from __future__ import annotations
+
+import pickle
+from collections.abc import Iterator, Sequence
+from decimal import Decimal
+from math import gcd
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DataType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_AGG_FUNCS = (
+    "count_star",
+    "count",
+    "sum",
+    "max",
+    "min",
+    "count_distinct",
+    "concat_distinct",
+)
+
+
+def window_start_with_offset(ts_ms: int, offset_ms: int, size_ms: int) -> int:
+    """TimeWindow.getWindowStartWithOffset — offset may be negative and
+    the remainder must stay non-negative (Java's % differs from
+    Python's for negatives; this is the Java-faithful form)."""
+    remainder = (ts_ms - offset_ms) % size_ms
+    if remainder < 0:
+        remainder += size_ms  # unreachable in Python (% is floored) but explicit
+    return ts_ms - remainder
+
+
+class _Assigner:
+    """Tumble / hop / cumulate slice assigner (SliceAssigners.java)."""
+
+    def __init__(
+        self,
+        kind: str,
+        size_ms: int,
+        slide_ms: int | None = None,
+        step_ms: int | None = None,
+        offset_ms: int = 0,
+    ):
+        self.kind = kind
+        self.size = size_ms
+        self.offset = offset_ms
+        if kind == "tumble":
+            self.slice = size_ms
+        elif kind == "hop":
+            if slide_ms is None or size_ms % slide_ms:
+                raise ValueError("hop requires size % slide == 0 (slicing)")
+            self.slide = slide_ms
+            self.slice = gcd(size_ms, slide_ms)
+        elif kind == "cumulate":
+            if step_ms is None or size_ms % step_ms:
+                raise ValueError("cumulate requires max size % step == 0")
+            self.step = step_ms
+            self.slice = step_ms
+        else:
+            raise ValueError(f"unknown window kind {kind!r}")
+
+    def assign_slice_end(self, ts_ms: int) -> int:
+        return window_start_with_offset(ts_ms, self.offset, self.slice) + self.slice
+
+    def last_window_end(self, slice_end: int) -> int:
+        if self.kind == "tumble":
+            return slice_end
+        if self.kind == "hop":
+            return slice_end - self.slice + self.size
+        # cumulate: end of the group's max window
+        return self.group_start(slice_end) + self.size
+
+    def group_start(self, window_or_slice_end: int) -> int:
+        """Cumulate group start (CumulativeSliceAssigner.getWindowStart)."""
+        return window_start_with_offset(window_or_slice_end - 1, self.offset, self.size)
+
+    def window_starts(self, window_end: int) -> int:
+        if self.kind == "cumulate":
+            return self.group_start(window_end)
+        return window_end - self.size
+
+    def candidate_ends(self, slice_end: int) -> list[int]:
+        """All window ends whose window contains this slice."""
+        if self.kind == "tumble":
+            return [slice_end]
+        if self.kind == "hop":
+            return list(range(slice_end, self.last_window_end(slice_end) + 1, self.slide))
+        g = self.group_start(slice_end)
+        return list(range(max(slice_end, g + self.step), g + self.size + 1, self.step))
+
+
+class _Acc:
+    """One slice's accumulator: row count + one cell per agg spec."""
+
+    __slots__ = ("n", "cells")
+
+    def __init__(self, nspecs: int):
+        self.n = 0
+        self.cells = [None] * nspecs
+
+    def add(self, specs, row) -> None:
+        self.n += 1
+        for i, (_, func, col, _t) in enumerate(specs):
+            v = None if col is None else row[col]
+            if v is not None and isinstance(v, float) and v != v:  # NaN from pandas null
+                v = None
+            c = self.cells[i]
+            if func == "count_star":
+                self.cells[i] = (c or 0) + 1
+            elif v is None:
+                continue
+            elif func == "count":
+                self.cells[i] = (c or 0) + 1
+            elif func == "sum":
+                self.cells[i] = (c if c is not None else Decimal(0)) + Decimal(str(v))
+            elif func == "max":
+                self.cells[i] = v if c is None else max(c, v)
+            elif func == "min":
+                self.cells[i] = v if c is None else min(c, v)
+            else:  # count_distinct / concat_distinct: ordered distinct list
+                if c is None:
+                    self.cells[i] = [v]
+                elif v not in c:
+                    c.append(v)
+
+    def merge(self, specs, other: "_Acc") -> None:
+        """Append ``other`` into self (AggsHandleFunction.merge — the
+        ConcatDistinct list order is self's items then other's new)."""
+        self.n += other.n
+        for i, (_, func, _col, _t) in enumerate(specs):
+            o = other.cells[i]
+            if o is None:
+                continue
+            c = self.cells[i]
+            if func in ("count_star", "count"):
+                self.cells[i] = (c or 0) + o
+            elif func == "sum":
+                self.cells[i] = (c if c is not None else Decimal(0)) + o
+            elif func == "max":
+                self.cells[i] = o if c is None else max(c, o)
+            elif func == "min":
+                self.cells[i] = o if c is None else min(c, o)
+            else:
+                if c is None:
+                    self.cells[i] = list(o)
+                else:
+                    c.extend(v for v in o if v not in c)
+
+    def emit(self, specs) -> list:
+        out = []
+        for i, (_, func, _col, typ) in enumerate(specs):
+            c = self.cells[i]
+            if func in ("count_star", "count"):
+                out.append(int(c or 0))
+            elif func == "count_distinct":
+                out.append(0 if c is None else len(c))
+            elif func == "concat_distinct":
+                out.append(None if c is None else "|".join(str(v) for v in c))
+            elif func == "sum" and isinstance(typ, DoubleType):
+                out.append(None if c is None else float(c))
+            elif func == "sum" and isinstance(typ, StringType):
+                out.append(None if c is None else str(c))
+            else:
+                out.append(c)
+        return out
+
+
+def streaming_window_tvf_agg(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    aggs: Sequence[tuple[str, str, str | None, DataType]],
+    *,
+    kind: str = "tumble",
+    size_ms: int,
+    slide_ms: int | None = None,
+    step_ms: int | None = None,
+    offset_ms: int = 0,
+    emit_window_time: bool = False,
+) -> DataFrame:
+    """Event-time TUMBLE/HOP/CUMULATE window TVF aggregate (append-only).
+
+    ``aggs``: (out_name, func, in_col, out_type) with func one of
+    count_star | count | sum | max | min | count_distinct |
+    concat_distinct. SUM accumulates exactly in Decimal; emitted as
+    float when out_type is DOUBLE, as Decimal otherwise.
+
+    Emission: a window fires once its end passes the isWindowFired
+    boundary (wm >= end - 1) and it holds >= 1 row; +I only — a fired
+    window never refines (late rows for it are dropped upstream of
+    state, the reference's windowAggProcessor drop path). Output
+    columns: keys, window_start, window_end[, window_time], *aggs.
+    """
+    for a in aggs:
+        if a[1] not in _AGG_FUNCS:
+            raise ValueError(f"unsupported window agg func {a[1]!r}")
+    asg = _Assigner(kind, size_ms, slide_ms, step_ms, offset_ms)
+    nspecs = len(aggs)
+    key_fields = [stream.schema[k] for k in keys]
+    win_fields = [
+        StructField("window_start", TimestampType()),
+        StructField("window_end", TimestampType()),
+    ]
+    if emit_window_time:
+        win_fields.append(StructField("window_time", TimestampType()))
+    out_schema = StructType(
+        [
+            *key_fields,
+            *win_fields,
+            *[StructField(name, typ) for name, _f, _c, typ in aggs],
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    in_cols = [ts_col] + [c for _, _, c, _ in aggs if c is not None]
+    in_cols = list(dict.fromkeys(in_cols))
+
+    def _ts(ms: int) -> pd.Timestamp:
+        return pd.Timestamp(ms * 1_000_000)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            slices, settled_wm = pickle.loads(state.get[0])
+        else:
+            slices, settled_wm = {}, None
+
+        out: list[tuple] = []
+
+        def _row(ws: int, we: int, acc: _Acc) -> tuple:
+            wt = (_ts(we - 1),) if emit_window_time else ()
+            return (*key, _ts(ws), _ts(we), *wt, *acc.emit(aggs))
+
+        # 1) fire BEFORE accumulating — the reference's timers run on
+        # watermark advance before the next elements are seen, so a row
+        # landing in a window firing at this very watermark is observed
+        # late (merge-target path), not folded into the firing.
+        # A window end fires once: when it first satisfies wm >= e - 1
+        # past the settled watermark (isWindowFired; monotone, so a
+        # stored high-water mark replaces the reference's timer state).
+        ready: list[int] = sorted(
+            {
+                e
+                for se in slices
+                for e in asg.candidate_ends(se)
+                if wm >= e - 1 and (settled_wm is None or e - 1 > settled_wm)
+            }
+        )
+        for e in ready:
+            if kind == "tumble":
+                acc = slices.pop(e, None)
+                if acc is not None and acc.n > 0:
+                    out.append(_row(e - size_ms, e, acc))
+            elif kind == "hop":
+                merged = _Acc(nspecs)
+                # descending slice ends (HoppingSlicesIterable)
+                for se in range(e, e - size_ms, -asg.slice):
+                    s = slices.get(se)
+                    if s is not None:
+                        merged.merge(aggs, s)
+                if merged.n > 0:
+                    out.append(_row(e - size_ms, e, merged))
+                # expire the window's first slice — no later window needs it
+                slices.pop(e - size_ms + asg.slice, None)
+            else:  # cumulate
+                g = asg.group_start(e)
+                first = g + asg.step
+                target = slices.get(first)
+                if e != first:
+                    # merge the current step slice INTO the shared first
+                    # slice (CumulativeSliceAssigner.mergeSlices) — so
+                    # order-sensitive aggs read ascending
+                    step_acc = slices.pop(e, None)
+                    if step_acc is not None:
+                        if target is None:
+                            target = slices[first] = _Acc(nspecs)
+                        target.merge(aggs, step_acc)
+                if target is not None and target.n > 0:
+                    out.append(_row(g, e, target))
+                if e == g + size_ms:  # max window: retire the shared state
+                    slices.pop(first, None)
+        settled_wm = wm if settled_wm is None else max(settled_wm, wm)
+
+        # 2) accumulate — drop iff the row's LAST window fired; a row
+        # whose own slice fired but later windows remain goes to the
+        # slice-state merge target (AbstractWindowAggProcessor.java:142:
+        # hop -> the slice itself, cumulate -> the shared first slice)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for row in pdf[in_cols].to_dict("records"):
+                t = row[ts_col]
+                ts_ms = (
+                    t.value // 1_000_000
+                    if hasattr(t, "value")
+                    else int(t.timestamp() * 1000)
+                )
+                se = asg.assign_slice_end(ts_ms)
+                if wm >= asg.last_window_end(se) - 1:
+                    continue  # late: every window containing it fired
+                if kind == "cumulate" and wm >= se - 1:
+                    se = asg.group_start(se) + asg.step  # merge target
+                acc = slices.get(se)
+                if acc is None:
+                    acc = slices[se] = _Acc(nspecs)
+                acc.add(aggs, row)
+
+        if slices:
+            state.update((pickle.dumps((slices, settled_wm)),))
+            nxt = min(
+                (
+                    e
+                    for se in slices
+                    for e in asg.candidate_ends(se)
+                    if e - 1 > settled_wm
+                ),
+                default=None,
+            )
+            if nxt is not None:
+                state.setTimeoutTimestamp(nxt - 1)
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="blob BINARY",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
