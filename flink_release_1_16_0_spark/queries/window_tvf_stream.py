@@ -195,3 +195,126 @@ def stream_window_tvf_tumble_offset(spark: SparkSession, sf_dir: str) -> DataFra
         offset_ms=_OFF,
     )
     return _project(run_to_table(out, "append"))
+
+
+# --------------------------------------------------------------------------
+# Window TopN (StreamExecWindowRank / WindowRankOperatorBuilder): top 2
+# rows per (hop window, event_type) by value, ties by event_id —
+# conformance pinned in tests/test_window_rank_itcase.py
+# --------------------------------------------------------------------------
+
+_WTOPN_ORACLE = f"""
+WITH wm AS ({_WM}),
+w AS (
+  SELECT event_id, event_type, value,
+         ((epoch_us(ts) // 1000) // {3 * _H}) * {3 * _H} - k.k * {3 * _H} AS ws_ms
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type, ws_ms ORDER BY value DESC, event_id) AS rn
+  FROM w
+)
+SELECT event_type,
+  make_timestamp(ws_ms * 1000) AS win_start,
+  make_timestamp((ws_ms + {6 * _H}) * 1000) AS win_end,
+  event_id, value, CAST(rn AS BIGINT) AS rownum
+FROM r, wm
+WHERE rn <= 2 AND ws_ms + {6 * _H} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_window_tvf_topn",
+    _WTOPN_ORACLE,
+    tags=("streaming", "window", "tvf", "rank"),
+)
+def stream_window_tvf_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.window_tvf import (
+        streaming_window_tvf_topn,
+    )
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "10 minutes")
+        .select("ts", "event_type", "value", "event_id")
+    )
+    out = streaming_window_tvf_topn(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        order=[("value", True), ("event_id", False)],
+        rank_end=2,
+        kind="hop",
+        size_ms=6 * _H,
+        slide_ms=3 * _H,
+        emit_rownum=True,
+    )
+    return run_to_table(out, "append").select(
+        "event_type",
+        F.col("window_start").alias("win_start"),
+        F.col("window_end").alias("win_end"),
+        "event_id",
+        "value",
+        "rownum",
+    )
+
+
+# --------------------------------------------------------------------------
+# Window deduplicate keep-last (StreamExecWindowDeduplicate) over
+# tumbling 4h windows per event_type; rank_end=1 ordered by (ts,
+# event_id) DESC — the operator sorts the raw full-precision ts (only
+# window ASSIGNMENT floors to ms), so the oracle orders on raw ts
+# --------------------------------------------------------------------------
+
+_WDEDUP_ORACLE = f"""
+WITH wm AS ({_WM}),
+w AS (
+  SELECT event_id, event_type, ts,
+         ((epoch_us(ts) // 1000) // {4 * _H}) * {4 * _H} AS ws_ms
+  FROM events
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type, ws_ms ORDER BY ts DESC, event_id DESC) AS rn
+  FROM w
+)
+SELECT event_type,
+  make_timestamp(ws_ms * 1000) AS win_start,
+  make_timestamp((ws_ms + {4 * _H}) * 1000) AS win_end,
+  event_id
+FROM r, wm
+WHERE rn = 1 AND ws_ms + {4 * _H} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_window_tvf_dedup_last",
+    _WDEDUP_ORACLE,
+    tags=("streaming", "window", "tvf", "dedup"),
+)
+def stream_window_tvf_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.window_tvf import (
+        streaming_window_tvf_topn,
+    )
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "10 minutes")
+        .select("ts", "event_type", "event_id")
+    )
+    out = streaming_window_tvf_topn(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        order=[("ts", True), ("event_id", True)],
+        rank_end=1,
+        kind="tumble",
+        size_ms=4 * _H,
+    )
+    return run_to_table(out, "append").select(
+        "event_type",
+        F.col("window_start").alias("win_start"),
+        F.col("window_end").alias("win_end"),
+        "event_id",
+    )

@@ -377,3 +377,183 @@ def streaming_window_tvf_agg(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+class _Rev:
+    """Descending wrapper for mixed-type sort keys (stable sort keeps
+    arrival order on ties — the reference's TopN keeps the earlier row
+    on equal sort key, pinned by WindowRankITCase's tie expectations)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def _sort_key(order):
+    def key(row):
+        return tuple(_Rev(row[c]) if desc else row[c] for c, desc in order)
+
+    return key
+
+
+def streaming_window_tvf_topn(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    order: Sequence[tuple[str, bool]],
+    rank_end: int,
+    *,
+    rank_start: int = 1,
+    kind: str = "tumble",
+    size_ms: int,
+    slide_ms: int | None = None,
+    step_ms: int | None = None,
+    offset_ms: int = 0,
+    emit_window_time: bool = False,
+    emit_rownum: bool = False,
+    input_attributed: bool = False,
+) -> DataFrame:
+    """Event-time window TopN / window deduplicate
+    (StreamExecWindowRank / StreamExecWindowDeduplicate,
+    WindowRankOperatorBuilder / RowTimeWindowDeduplicateOperatorBuilder).
+
+    Keeps the best ``rank_end`` rows per (key, window) — ``order`` is
+    [(col, desc)] with ties broken by arrival (stable) — and emits
+    rows ranked in [rank_start, rank_end] once, when the window fires
+    (wm >= end - 1, append-only). Dedup keep-first/last is the
+    rank_end=1 case ordered by the time column asc/desc.
+
+    Two input shapes:
+    - raw rows (``input_attributed=False``): windows are assigned here
+      (tumble/hop/cumulate + offset); fire-first ordering — a source
+      row arriving after the watermark that fired its window is late
+      for THAT window but still enters later hop/cumulate windows
+      (candidate ends already fired are skipped per-window, the drop
+      path of AbstractWindowAggProcessor).
+    - window-attributed rows (``input_attributed=True``): input carries
+      window_start/window_end (e.g. the output of
+      streaming_window_tvf_agg) and the same micro-batch's upstream
+      firings must land in THIS batch's windows, so accumulation runs
+      before firing (records precede the watermark that fired them —
+      Flink forwards outputs before the watermark).
+
+    State per key: the current top rows per open window, O(open
+    windows x rank_end); windows retire at fire. One hash exchange on
+    the key columns.
+    """
+    asg = None
+    if not input_attributed:
+        asg = _Assigner(kind, size_ms, slide_ms, step_ms, offset_ms)
+    key_fields = [stream.schema[k] for k in keys]
+    in_fields = [f for f in stream.schema.fields if f.name not in keys]
+    if input_attributed:
+        in_fields = [
+            f for f in in_fields if f.name not in ("window_start", "window_end")
+        ]
+    win_fields = [
+        StructField("window_start", TimestampType()),
+        StructField("window_end", TimestampType()),
+    ]
+    if emit_window_time:
+        win_fields.append(StructField("window_time", TimestampType()))
+    extra = [StructField("rownum", LongType())] if emit_rownum else []
+    out_schema = StructType([*key_fields, *in_fields, *win_fields, *extra])
+    out_cols = [f.name for f in out_schema.fields]
+    in_names = [f.name for f in in_fields]
+    skey = _sort_key(order)
+
+    def _ms(t) -> int:
+        return t.value // 1_000_000 if hasattr(t, "value") else int(t.timestamp() * 1000)
+
+    def _ts(ms: int) -> pd.Timestamp:
+        return pd.Timestamp(ms * 1_000_000)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            wins, settled_wm = pickle.loads(state.get[0])
+        else:
+            wins, settled_wm = {}, None
+        out: list[tuple] = []
+
+        def accumulate() -> None:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                for row in pdf.to_dict("records"):
+                    if input_attributed:
+                        e = _ms(row["window_end"])
+                        # fired in an EARLIER batch -> late; same-batch
+                        # firings still accept (records precede the wm)
+                        if settled_wm is not None and settled_wm >= e - 1:
+                            continue
+                        ends = [e]
+                    else:
+                        se = asg.assign_slice_end(_ms(row[ts_col]))
+                        if wm >= asg.last_window_end(se) - 1:
+                            continue  # every window containing it fired
+                        ends = [e for e in asg.candidate_ends(se) if wm < e - 1]
+                    for e in ends:
+                        buf = wins.setdefault(e, [])
+                        buf.append(dict(row))
+                        if len(buf) > rank_end:
+                            buf.sort(key=skey)
+                            del buf[rank_end:]
+
+        def fire() -> None:
+            ready = sorted(
+                e
+                for e in wins
+                if wm >= e - 1 and (settled_wm is None or e - 1 > settled_wm)
+            )
+            for e in ready:
+                buf = sorted(wins.pop(e), key=skey)
+                if input_attributed:
+                    ws = _ms(buf[0]["window_start"])
+                else:
+                    ws = asg.window_starts(e)
+                for rank, row in enumerate(buf, start=1):
+                    if rank < rank_start or rank > rank_end:
+                        continue
+                    vals = [*key, *(row[c] for c in in_names), _ts(ws), _ts(e)]
+                    if emit_window_time:
+                        vals.append(_ts(e - 1))
+                    if emit_rownum:
+                        vals.append(rank)
+                    out.append(tuple(vals))
+
+        if input_attributed:
+            accumulate()
+            fire()
+        else:
+            fire()
+            accumulate()
+        settled_wm = wm if settled_wm is None else max(settled_wm, wm)
+
+        if wins:
+            state.update((pickle.dumps((wins, settled_wm)),))
+            nxt = min((e for e in wins if e - 1 > settled_wm), default=None)
+            if nxt is not None:
+                state.setTimeoutTimestamp(nxt - 1)
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return stream.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="blob BINARY",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

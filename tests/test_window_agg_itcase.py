@@ -60,27 +60,28 @@ from flink_release_1_16_0_spark.streaming.window_tvf import (  # noqa: E402
 BASE = pd.Timestamp("2020-10-10 00:00:00")
 SEC = 1000
 
-# TestData.windowDataWithTimestamp — (ts_sec, double, float, bigdec,
-# string, name); the `int` column is unused by the ported queries.
+# TestData.windowDataWithTimestamp — (ts_sec, int, double, float,
+# bigdec, string, name).
 ROWS = [
-    (1, 1.0, 1.0, "1.11", "Hi", "a"),
-    (2, 2.0, 2.0, "2.22", "Comment#1", "a"),
-    (3, 2.0, 2.0, "2.22", "Comment#1", "a"),
-    (4, 5.0, 5.0, "5.55", None, "a"),
-    (7, 3.0, 3.0, None, "Hello", "b"),
-    (6, 6.0, 6.0, "6.66", "Hi", "b"),  # out of order
-    (8, None, 3.0, "3.33", "Comment#2", "a"),
-    (4, 5.0, None, "5.55", "Hi", "a"),  # late event
-    (16, 4.0, 4.0, "4.44", "Hi", "b"),
-    (32, 7.0, 7.0, "7.77", None, None),
-    (34, 3.0, 3.0, "3.33", "Comment#3", "b"),
+    (1, 1, 1.0, 1.0, "1.11", "Hi", "a"),
+    (2, 2, 2.0, 2.0, "2.22", "Comment#1", "a"),
+    (3, 2, 2.0, 2.0, "2.22", "Comment#1", "a"),
+    (4, 5, 5.0, 5.0, "5.55", None, "a"),
+    (7, 3, 3.0, 3.0, None, "Hello", "b"),
+    (6, 6, 6.0, 6.0, "6.66", "Hi", "b"),  # out of order
+    (8, 3, None, 3.0, "3.33", "Comment#2", "a"),
+    (4, 5, 5.0, None, "5.55", "Hi", "a"),  # late event
+    (16, 4, 4.0, 4.0, "4.44", "Hi", "b"),
+    (32, 7, 7.0, 7.0, "7.77", None, None),
+    (34, 1, 3.0, 3.0, "3.33", "Comment#3", "b"),
 ]
 
-COLUMNS = ["rowtime", "double", "float", "bigdec", "string", "name"]
+COLUMNS = ["rowtime", "int", "double", "float", "bigdec", "string", "name"]
 
 IN_SCHEMA = StructType(
     [
         StructField("rowtime", TimestampType()),
+        StructField("int", LongType()),
         StructField("double", DoubleType()),
         StructField("float", FloatType()),
         StructField("bigdec", StringType()),  # Decimal carried as object
@@ -107,12 +108,13 @@ def _batches():
     base_ms = BASE.value // 1_000_000
     batches, wm_seq = [], []
     max_ts = None
-    for ts_s, d, f, bd, s, name in ROWS:
+    for ts_s, iv, d, f, bd, s, name in ROWS:
         wm_seq.append(0 if max_ts is None else base_ms + max_ts * SEC - SEC)
         batches.append(
             [
                 {
                     "rowtime": BASE + pd.Timedelta(seconds=ts_s),
+                    "int": iv,
                     "double": d,
                     "float": f,
                     "bigdec": None if bd is None else Decimal(bd),
@@ -154,7 +156,7 @@ def replay(fn, key_cols):
 
 
 def build(keys, key_fields, window_time=False, **win):
-    cap = _Cap(StructType(key_fields + IN_SCHEMA.fields[:5]))
+    cap = _Cap(StructType(key_fields + IN_SCHEMA.fields[:6]))
     streaming_window_tvf_agg(
         cap, keys, "rowtime", AGGS, emit_window_time=window_time, **win
     )
