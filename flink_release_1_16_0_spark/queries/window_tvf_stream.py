@@ -318,3 +318,82 @@ def stream_window_tvf_dedup_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("window_end").alias("win_end"),
         "event_id",
     )
+
+
+# --------------------------------------------------------------------------
+# Window join (StreamExecWindowJoin / WindowJoinOperator): left-outer
+# join of the even- and odd-event_id halves of the stream per (4h
+# tumble window, event_type, user_id) — both sides buffer per window,
+# one append emission at the isWindowFired boundary; null-padding for
+# windows where a user has only even events. Conformance (full
+# inner/left/right/full/semi/anti + null-safe + NOT IN matrix) pinned
+# in tests/test_window_join_itcase.py.
+# --------------------------------------------------------------------------
+
+_WJOIN_ORACLE = f"""
+WITH wm AS ({_WM}),
+l AS (
+  SELECT event_type, user_id, event_id AS lid, value AS lval,
+         ((epoch_us(ts) // 1000) // {4 * _H}) * {4 * _H} AS ws_ms
+  FROM events WHERE event_id % 2 = 0
+),
+r AS (
+  SELECT event_type, user_id, event_id AS rid, value AS rval,
+         ((epoch_us(ts) // 1000) // {4 * _H}) * {4 * _H} AS ws_ms
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT l.event_type, l.user_id,
+  make_timestamp(l.ws_ms * 1000) AS win_start,
+  make_timestamp((l.ws_ms + {4 * _H}) * 1000) AS win_end,
+  lid, lval, rid, rval
+FROM l LEFT JOIN r
+  ON l.event_type = r.event_type AND l.user_id = r.user_id
+ AND l.ws_ms = r.ws_ms, wm
+WHERE l.ws_ms + {4 * _H} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_window_tvf_join",
+    _WJOIN_ORACLE,
+    tags=("streaming", "window", "tvf", "join"),
+)
+def stream_window_tvf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.window_tvf import (
+        streaming_window_tvf_join,
+    )
+
+    ev = replay_stream(spark, sf_dir, "events").withWatermark("ts", "10 minutes")
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        "ts",
+        "event_type",
+        "user_id",
+        F.col("event_id").alias("lid"),
+        F.col("value").alias("lval"),
+    )
+    right = ev.filter(F.col("event_id") % 2 == 1).select(
+        "ts",
+        "event_type",
+        "user_id",
+        F.col("event_id").alias("rid"),
+        F.col("value").alias("rval"),
+    )
+    out = streaming_window_tvf_join(
+        left,
+        right,
+        keys=["event_type", "user_id"],
+        ts_col="ts",
+        join_type="left",
+        kind="tumble",
+        size_ms=4 * _H,
+    )
+    return run_to_table(out, "append").select(
+        "event_type",
+        "user_id",
+        F.col("window_start").alias("win_start"),
+        F.col("window_end").alias("win_end"),
+        "lid",
+        "lval",
+        "rid",
+        "rval",
+    )

@@ -379,6 +379,211 @@ def streaming_window_tvf_agg(
     )
 
 
+def streaming_window_tvf_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    *,
+    join_type: str = "inner",
+    null_safe: bool = False,
+    null_aware_col: str | None = None,
+    kind: str = "tumble",
+    size_ms: int,
+    slide_ms: int | None = None,
+    step_ms: int | None = None,
+    offset_ms: int = 0,
+    emit_window_time: bool = False,
+    input_attributed: bool = False,
+) -> DataFrame:
+    """Event-time window join (StreamExecWindowJoin /
+    WindowJoinOperator): both sides buffer per (key, window); the
+    window's cross product (or semi/anti/outer variant) emits once,
+    when the window fires (wm >= end - 1) — append-only, no retraction.
+
+    ``join_type``: inner | left | right | full | semi | anti |
+    anti_null_aware. Key equality is SQL equality — NULL keys never
+    match (each side pads / anti-emits per its own rows) unless
+    ``null_safe`` (IS NOT DISTINCT FROM). ``anti_null_aware`` is the
+    NOT IN shape: key the operator by the WINDOW only (keys=[] plus a
+    constant group) and name the compared column via
+    ``null_aware_col`` (present on the left, and as
+    ``{null_aware_col}2`` on the right) — any NULL on the right
+    suppresses the whole window and NULL left values never emit.
+
+    Input shapes mirror streaming_window_tvf_topn: raw rows (windows
+    assigned here, fire-first) or window-attributed rows
+    (accumulate-first). Both sides must share the key column names and
+    have otherwise-disjoint payload columns; output = keys +
+    window_start/window_end (+window_time) + left payloads + right
+    payloads (semi/anti: left payloads only).
+
+    Scale: one hash exchange on (keys); state = live rows per (key,
+    open window), retired at fire — the reference's
+    WindowJoinOperator state bound.
+    """
+    kinds = ("inner", "left", "right", "full", "semi", "anti", "anti_null_aware")
+    if join_type not in kinds:
+        raise ValueError(f"join_type must be one of {kinds}, got {join_type!r}")
+    if join_type == "anti_null_aware" and null_aware_col is None:
+        raise ValueError("anti_null_aware requires null_aware_col")
+    asg = None
+    if not input_attributed:
+        asg = _Assigner(kind, size_ms, slide_ms, step_ms, offset_ms)
+
+    from pyspark.sql import functions as F
+
+    win_meta = ("window_start", "window_end", "window_time")
+    meta = (ts_col, *keys, *win_meta, "__side")
+    lpay = [c for c in left.columns if c not in meta]
+    rpay = [c for c in right.columns if c not in meta]
+    if set(lpay) & set(rpay):
+        raise ValueError(f"payload columns must be disjoint: {set(lpay) & set(rpay)}")
+
+    def tag(df: DataFrame, side: str, own, other, other_schema) -> DataFrame:
+        carry = [ts_col] if not input_attributed else ["window_start", "window_end"]
+        return df.select(
+            *keys,
+            *carry,
+            F.lit(side).alias("__side"),
+            *own,
+            *[F.lit(None).cast(other_schema[c].dataType).alias(c) for c in other],
+        )
+
+    unioned = tag(left, "L", lpay, rpay, right.schema).unionByName(
+        tag(right, "R", rpay, lpay, left.schema)
+    )
+
+    key_fields = [left.schema[k] for k in keys]
+    win_fields = [
+        StructField("window_start", TimestampType()),
+        StructField("window_end", TimestampType()),
+    ]
+    if emit_window_time:
+        win_fields.append(StructField("window_time", TimestampType()))
+    l_fields = [left.schema[c] for c in lpay]
+    r_fields = [right.schema[c] for c in rpay]
+    semi_like = join_type in ("semi", "anti", "anti_null_aware")
+    out_schema = StructType(
+        [*key_fields, *win_fields, *l_fields, *([] if semi_like else r_fields)]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def _ms(t) -> int:
+        return t.value // 1_000_000 if hasattr(t, "value") else int(t.timestamp() * 1000)
+
+    def _ts(ms: int) -> pd.Timestamp:
+        return pd.Timestamp(ms * 1_000_000)
+
+    l_nulls = [None] * len(lpay)
+    r_nulls = [None] * len(rpay)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            wins, settled_wm = pickle.loads(state.get[0])
+        else:
+            wins, settled_wm = {}, None
+        out: list[tuple] = []
+        matched_key = null_safe or all(k is not None for k in key)
+
+        def accumulate() -> None:
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                for row in pdf.to_dict("records"):
+                    if input_attributed:
+                        e = _ms(row["window_end"])
+                        if settled_wm is not None and settled_wm >= e - 1:
+                            continue
+                        ends = [(e, _ms(row["window_start"]))]
+                    else:
+                        se = asg.assign_slice_end(_ms(row[ts_col]))
+                        if wm >= asg.last_window_end(se) - 1:
+                            continue
+                        ends = [
+                            (e, asg.window_starts(e))
+                            for e in asg.candidate_ends(se)
+                            if wm < e - 1
+                        ]
+                    side = 0 if row["__side"] == "L" else 1
+                    pay = lpay if side == 0 else rpay
+                    vals = tuple(row[c] for c in pay)
+                    for e, ws in ends:
+                        buf = wins.setdefault(e, (ws, [], []))
+                        buf[1 + side].append(vals)
+
+        def fire() -> None:
+            ready = sorted(
+                e
+                for e in wins
+                if wm >= e - 1 and (settled_wm is None or e - 1 > settled_wm)
+            )
+            for e in ready:
+                ws, lrows, rrows = wins.pop(e)
+                wt = (_ts(e - 1),) if emit_window_time else ()
+                head = (*key, _ts(ws), _ts(e), *wt)
+                if join_type == "anti_null_aware":
+                    # NOT IN: any right NULL suppresses the window;
+                    # NULL left values never satisfy NOT IN
+                    idx = lpay.index(null_aware_col)
+                    ridx = rpay.index(f"{null_aware_col}2")
+                    rvals = [r[ridx] for r in rrows]
+                    if any(v is None or v != v for v in rvals):
+                        continue
+                    rset = set(rvals)
+                    for lrow in lrows:
+                        v = lrow[idx]
+                        if v is not None and v == v and v not in rset:
+                            out.append((*head, *lrow))
+                    continue
+                joined = matched_key and bool(lrows) and bool(rrows)
+                if join_type == "semi":
+                    if joined:
+                        out.extend((*head, *lr) for lr in lrows)
+                elif join_type == "anti":
+                    if not joined:
+                        out.extend((*head, *lr) for lr in lrows)
+                elif joined:
+                    out.extend(
+                        (*head, *lr, *rr) for lr in lrows for rr in rrows
+                    )
+                else:
+                    if join_type in ("left", "full") and lrows:
+                        out.extend((*head, *lr, *r_nulls) for lr in lrows)
+                    if join_type in ("right", "full") and rrows:
+                        out.extend((*head, *l_nulls, *rr) for rr in rrows)
+
+        if input_attributed:
+            accumulate()
+            fire()
+        else:
+            fire()
+            accumulate()
+        settled_wm = wm if settled_wm is None else max(settled_wm, wm)
+
+        if wins:
+            state.update((pickle.dumps((wins, settled_wm)),))
+            nxt = min((e for e in wins if e - 1 > settled_wm), default=None)
+            if nxt is not None:
+                state.setTimeoutTimestamp(nxt - 1)
+        elif state.exists:
+            state.remove()
+
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return unioned.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="blob BINARY",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 class _Rev:
     """Descending wrapper for mixed-type sort keys (stable sort keeps
     arrival order on ties — the reference's TopN keeps the earlier row
