@@ -397,3 +397,143 @@ def stream_window_tvf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rid",
         "rval",
     )
+
+
+# --------------------------------------------------------------------------
+# SESSION group window with merging (SessionWindowAssigner +
+# MergingWindowSet): 30-min-gap user sessions; out-of-order rows merge
+# overlapping sessions, touching sessions stay apart. Conformance
+# (merge bridging, SESSION_START/END/ROWTIME, distinct-agg merge)
+# pinned in tests/test_group_window_itcase.py.
+# --------------------------------------------------------------------------
+
+_GAP = 30 * 60 * 1000
+
+_SESSION_ORACLE = f"""
+WITH wm AS ({_WM}),
+b AS (
+  SELECT user_id, value, (epoch_us(ts) // 1000) AS ts_ms FROM events
+),
+s AS (
+  SELECT *, CASE WHEN ts_ms - LAG(ts_ms) OVER w >= {_GAP}
+                   OR LAG(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+),
+g AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM s
+)
+SELECT user_id,
+  make_timestamp(MIN(ts_ms) * 1000) AS win_start,
+  make_timestamp((MAX(ts_ms) + {_GAP}) * 1000) AS win_end,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS total_e4
+FROM g, wm
+GROUP BY user_id, sid, wm_ms
+HAVING MAX(ts_ms) + {_GAP} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_session_window_merge",
+    _SESSION_ORACLE,
+    tags=("streaming", "window", "session", "time"),
+)
+def stream_session_window_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.group_window import (
+        streaming_group_window_agg,
+    )
+    from pyspark.sql.types import LongType, StringType
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "10 minutes")
+        .select("ts", "user_id", "value")
+    )
+    out = streaming_group_window_agg(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        aggs=[
+            ("n", "count_star", None, LongType()),
+            ("sum_s", "sum", "value", StringType()),
+        ],
+        kind="session",
+        gap_ms=_GAP,
+    )
+    return run_to_table(out, "update").select(
+        "user_id",
+        F.col("window_start").alias("win_start"),
+        F.col("window_end").alias("win_end"),
+        "n",
+        (F.col("sum_s").cast("decimal(38,4)") * 10000)
+        .cast("bigint")
+        .alias("total_e4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SLIDING group window with a slide that does NOT divide the size
+# (5h size / 2h slide — SlidingWindowAssigner walks window starts, no
+# slicing possible): rows near a 2h boundary fall in 3 windows, the
+# rest in 2.
+# --------------------------------------------------------------------------
+
+_SLIDING_ORACLE = f"""
+WITH wm AS ({_WM}),
+w AS (
+  SELECT event_type, value,
+         ((epoch_us(ts) // 1000) // {2 * _H}) * {2 * _H} - k.k * {2 * _H} AS ws_ms,
+         (epoch_us(ts) // 1000) AS ts_ms
+  FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS k) k
+)
+SELECT event_type,
+  make_timestamp(ws_ms * 1000) AS win_start,
+  make_timestamp((ws_ms + {5 * _H}) * 1000) AS win_end,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(38,4))) * 10000 AS BIGINT) AS total_e4
+FROM w, wm
+WHERE ws_ms > ts_ms - {5 * _H}
+GROUP BY event_type, ws_ms, wm_ms
+HAVING ws_ms + {5 * _H} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_sliding_window_any_slide",
+    _SLIDING_ORACLE,
+    tags=("streaming", "window", "time"),
+)
+def stream_sliding_window_any_slide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.group_window import (
+        streaming_group_window_agg,
+    )
+    from pyspark.sql.types import LongType, StringType
+
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "10 minutes")
+        .select("ts", "event_type", "value")
+    )
+    out = streaming_group_window_agg(
+        ev,
+        keys=["event_type"],
+        ts_col="ts",
+        aggs=[
+            ("n", "count_star", None, LongType()),
+            ("sum_s", "sum", "value", StringType()),
+        ],
+        kind="sliding",
+        size_ms=5 * _H,
+        slide_ms=2 * _H,
+    )
+    return run_to_table(out, "update").select(
+        "event_type",
+        F.col("window_start").alias("win_start"),
+        F.col("window_end").alias("win_end"),
+        "n",
+        (F.col("sum_s").cast("decimal(38,4)") * 10000)
+        .cast("bigint")
+        .alias("total_e4"),
+    )
