@@ -72,3 +72,30 @@ def test_fuzzer_catches_planted_bug(spark, monkeypatch):
         if check_agg(random.Random(f"agg-{seed}")) is not None
     )
     assert caught >= 10, f"planted bug caught in only {caught}/20 seeds"
+
+
+def test_wtvf_fuzzer_catches_planted_bug(spark, monkeypatch):
+    """Mutation test for the wtvf differential arm: clip the slicing
+    assigner's LAST hop candidate window — the TVF path then never
+    fires each slice's final window while the legacy per-window path
+    does. The arm must flag the divergence within a handful of seeds."""
+    import random
+
+    from flink_release_1_16_0_spark.streaming import window_tvf as WT
+    from tools.fuzz_changelog import check_wtvf
+
+    orig = WT._Assigner.candidate_ends
+
+    def clipped(self, slice_end):
+        ends = orig(self, slice_end)
+        if self.kind == "hop" and len(ends) > 1:
+            return ends[:-1]  # planted bug: last window dropped
+        return ends
+
+    monkeypatch.setattr(WT._Assigner, "candidate_ends", clipped)
+    caught = sum(
+        1
+        for seed in range(20)
+        if check_wtvf(random.Random(f"wtvf-mut-{seed}")) is not None
+    )
+    assert caught >= 8, f"planted bug caught in only {caught}/20 seeds"

@@ -993,6 +993,113 @@ def check_tjoin(rng: random.Random) -> str | None:
     return None
 
 
+def check_wtvf(rng: random.Random) -> str | None:
+    """Differential: the slice-shared window TVF aggregate
+    (streaming/window_tvf.streaming_window_tvf_agg — SliceAssigners
+    path) vs the legacy per-window group-window aggregate
+    (streaming/group_window.streaming_group_window_agg —
+    WindowOperator path) on the SAME random rows, watermark schedule,
+    and window spec (tumble or size%slide==0 hop, random offset).
+    Both implement isWindowFired (wm >= end-1), last-window lateness
+    drop, and empty-window suppression independently — any divergence
+    in assignment, firing, lateness, or accumulation shows as a
+    multiset mismatch of (key, win_start, win_end, count, sum)."""
+    import pandas as pd
+
+    from flink_release_1_16_0_spark.streaming.group_window import (
+        streaming_group_window_agg,
+    )
+    from flink_release_1_16_0_spark.streaming.window_tvf import (
+        streaming_window_tvf_agg,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    slide = rng.choice([2000, 3000, 5000])
+    size = slide * rng.randint(1, 3)
+    kind_tvf = "tumble" if size == slide else "hop"
+    offset = rng.choice([0, 0, -2500, 1700])
+    delay = rng.choice([0, 1000, 5000])
+    n_rows = rng.randint(4, 40)
+    n_keys = rng.randint(1, 3)
+
+    rows = [
+        (rng.randrange(n_keys), rng.randrange(0, 40_000), qval(rng))
+        for _ in range(n_rows)
+    ]
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("rowtime", TimestampType()),
+            StructField("v", DoubleType()),
+        ]
+    )
+    cols = ["k", "rowtime", "v"]
+    batches, wm_seq, max_ts = [], [], None
+    for k, ts, v in rows:
+        wm_seq.append(-(2**60) if max_ts is None else max_ts - delay)
+        batches.append([(k, pd.Timestamp(ts * 1_000_000), v)])
+        max_ts = ts if max_ts is None else max(max_ts, ts)
+    batches.append([])
+    wm_seq.append(10**15)
+
+    def run(builder, **kw):
+        cap = _Cap(schema)
+        builder(cap, ["k"], "rowtime", **kw)
+        return replay(cap.fn, batches, ["k"], cols, wm_seq=wm_seq)
+
+    tvf = run(
+        streaming_window_tvf_agg,
+        aggs=[("n", "count_star", None, LongType()),
+              ("s", "sum", "v", DoubleType())],
+        kind=kind_tvf,
+        size_ms=size,
+        slide_ms=None if kind_tvf == "tumble" else slide,
+        offset_ms=offset,
+    )
+    legacy = run(
+        streaming_group_window_agg,
+        aggs=[("n", "count_star", None, LongType()),
+              ("s", "sum", "v", StringType())],
+        kind="tumble" if kind_tvf == "tumble" else "sliding",
+        size_ms=size,
+        slide_ms=None if kind_tvf == "tumble" else slide,
+        offset_ms=offset,
+    )
+
+    def norm(rows_, sum_from_str):
+        out = []
+        for r in rows_:
+            s = r["s"]
+            if sum_from_str and s is not None:
+                s = float(s)
+            out.append(
+                (
+                    r["k"],
+                    pd.Timestamp(r["window_start"]).value,
+                    pd.Timestamp(r["window_end"]).value,
+                    r["n"],
+                    s,
+                )
+            )
+        return sorted(out)
+
+    a = norm(tvf, sum_from_str=False)
+    b = norm([r for r in legacy if r[ROWKIND] == INSERT], sum_from_str=True)
+    if a != b:
+        return (
+            f"wtvf diverges (kind={kind_tvf} size={size} slide={slide} "
+            f"offset={offset} delay={delay}): tvf={a} legacy={b}"
+        )
+    return None
+
+
 ARMS = {
     "agg": check_agg,
     "topn": check_topn,
@@ -1007,6 +1114,7 @@ ARMS = {
     "normalize": check_normalize,
     "lateness": check_lateness,
     "tjoin": check_tjoin,
+    "wtvf": check_wtvf,
 }
 
 
