@@ -95,7 +95,20 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-12 window — part 1: the NEW surfaces — the manifest-tail x
+    # round-12 window — part 0: the window-operator family built this
+    # round against the reference's Window{Aggregate,Rank,Deduplicate,
+    # Join}ITCase + GroupWindowITCase corpora (streaming/window_tvf.py
+    # slice-shared agg with offsets, window topn/dedup, window join,
+    # legacy session-merge + any-slide sliding group windows).
+    "stream_window_tvf_hop",
+    "stream_window_tvf_cumulate",
+    "stream_window_tvf_tumble_offset",
+    "stream_window_tvf_topn",
+    "stream_window_tvf_dedup_last",
+    "stream_window_tvf_join",
+    "stream_session_window_merge",
+    "stream_sliding_window_any_slide",
+    # part 1: the round's earlier surfaces — the manifest-tail x
     # ChangelogNormalize composition (upsert-kafka-on-files), the CEP
     # negative/advanced pattern family (notNext / notFollowedBy /
     # followedByAny / until / timesOrMore / SQL {n,}), and the 13
@@ -127,26 +140,19 @@ _PRIORITY = (
     # manifest-tail mid-publish poll.
     "stream_temporal_join_rowtime",
     "api_sql_temporal_join",
-    "stream_temporal_join",
     "stream_dedup_keep_last",
     "stream_dedup_first_rowtime",
-    "dedup_keep_first",
     "stream_over_event_time",
     "stream_over_range_event_time",
-    "stream_over_rows_bounded",
     "stream_temporal_sort",
     "stream_anti_join",
     "stream_window_dedup",
-    "window_dedup",
     "stream_changelog_outer_join",
     "stream_changelog_semi_join",
     "stream_changelog_anti_join",
     "changelog_outer_join",
-    "stream_changelog_join",
-    "stream_semi_join",
     "stream_manifest_tail",
     "stream_window_allowed_lateness",
-    "stream_group_agg",
     # part 3: one representative per SURVEY section-2 family (rotation —
     # families green in earlier windows keep one seat each).
     "q1_pricing_summary",

@@ -323,11 +323,16 @@ def streaming_group_window_agg(
                         if wm_chk >= we - 1 + allowed_lateness_ms:
                             continue  # beyond the lateness horizon
                         if kind == "session":
-                            # merge strictly-overlapping live sessions
+                            # merge strictly-overlapping UNFIRED
+                            # sessions — a session that already fired
+                            # this batch (emitted, awaiting retirement)
+                            # is purged state in the reference; a
+                            # bridging row opens a NEW session beside
+                            # it rather than re-absorbing its rows
                             overlap = [
                                 w
                                 for w in wins
-                                if w[0] < we and ws < w[1]
+                                if w[0] < we and ws < w[1] and wins[w][1] is None
                             ]
                             acc = _RAcc(nspecs)
                             for w in overlap:
