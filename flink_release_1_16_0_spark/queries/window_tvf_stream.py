@@ -537,3 +537,56 @@ def stream_sliding_window_any_slide(spark: SparkSession, sf_dir: str) -> DataFra
         .cast("bigint")
         .alias("total_e4"),
     )
+
+
+# --------------------------------------------------------------------------
+# Generalized retracting multi-agg (GroupAggFunction + the WithRetract
+# accumulator family): distinct aggregates over the stream — the
+# changelog-input path (retraction netting, LISTAGG retract ordering)
+# is pinned in tests/test_aggregate_itcase.py.
+# --------------------------------------------------------------------------
+
+_MULTI_AGG_ORACLE = """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cd,
+  CAST(SUM(DISTINCT user_id) AS BIGINT) AS sd,
+  CAST(SUM(DISTINCT user_id) // COUNT(DISTINCT user_id) AS BIGINT) AS ad,
+  CAST(MAX(user_id) AS BIGINT) AS mx,
+  CAST(MIN(user_id) AS BIGINT) AS mn
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "stream_multi_agg_distinct",
+    _MULTI_AGG_ORACLE,
+    tags=("streaming", "agg", "distinct"),
+)
+def stream_multi_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_release_1_16_0_spark.streaming.retract_agg import (
+        streaming_retracting_multi_agg,
+    )
+    from pyspark.sql.types import LongType
+
+    ev = replay_stream(spark, sf_dir, "events").select("event_type", "user_id")
+    out = streaming_retracting_multi_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            ("n", "count_star", None, LongType()),
+            ("cd", "count_distinct", "user_id", LongType()),
+            ("sd", "sum_distinct_int", "user_id", LongType()),
+            ("ad", "avg_distinct_int", "user_id", LongType()),
+            ("mx", "max", "user_id", LongType()),
+            ("mn", "min", "user_id", LongType()),
+        ],
+    )
+    res = run_to_table(out, "update")
+    # bounded single-batch replay: the final state per key is its last
+    # +I/+U emission
+    return (
+        res.filter(F.col("__rowkind").isin("+I", "+U"))
+        .select("event_type", "n", "cd", "sd", "ad", "mx", "mn")
+    )
