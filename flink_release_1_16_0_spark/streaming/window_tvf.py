@@ -143,10 +143,19 @@ class _Acc:
         self.n = 0
         self.cells = [None] * nspecs
 
-    def add(self, specs, row) -> None:
+    def add_tuple(self, specs, tup, col_pos) -> None:
+        """Positional-tuple twin of :meth:`add` for the hot loop."""
+        self.add(specs, None, tup=tup, col_pos=col_pos)
+
+    def add(self, specs, row, tup=None, col_pos=None) -> None:
         self.n += 1
         for i, (_, func, col, _t) in enumerate(specs):
-            v = None if col is None else row[col]
+            if col is None:
+                v = None
+            elif tup is not None:
+                v = tup[col_pos[col]]
+            else:
+                v = row[col]
             if v is not None and isinstance(v, float) and v != v:  # NaN from pandas null
                 v = None
             c = self.cells[i]
@@ -330,12 +339,16 @@ def streaming_window_tvf_agg(
         # 2) accumulate — drop iff the row's LAST window fired; a row
         # whose own slice fired but later windows remain goes to the
         # slice-state merge target (AbstractWindowAggProcessor.java:142:
-        # hop -> the slice itself, cumulate -> the shared first slice)
+        # hop -> the slice itself, cumulate -> the shared first slice).
+        # itertuples + positional cells: the per-row hot loop runs once
+        # per input row at any scale, so no per-row dict allocation.
+        col_pos = {c: i for i, c in enumerate(in_cols)}
+        ts_pos = col_pos[ts_col]
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            for row in pdf[in_cols].to_dict("records"):
-                t = row[ts_col]
+            for tup in pdf[in_cols].itertuples(index=False, name=None):
+                t = tup[ts_pos]
                 ts_ms = (
                     t.value // 1_000_000
                     if hasattr(t, "value")
@@ -349,7 +362,7 @@ def streaming_window_tvf_agg(
                 acc = slices.get(se)
                 if acc is None:
                     acc = slices[se] = _Acc(nspecs)
-                acc.add(aggs, row)
+                acc.add_tuple(aggs, tup, col_pos)
 
         if slices:
             state.update((pickle.dumps((slices, settled_wm)),))
