@@ -312,6 +312,7 @@ def streaming_retractable_topn(
     order_cols: Sequence[str],
     n: int,
     ascending: Sequence[bool] | bool = False,
+    rank_start: int = 1,
 ) -> DataFrame:
     """Per-key top-N over a CHANGELOG input
     (RT/rank/RetractableTopNFunction.java:478): -U/-D rows retract
@@ -321,9 +322,11 @@ def streaming_retractable_topn(
 
     Emits the key's complete current top-N (with 1-based ``rn``) after
     every batch that touches it, tagged with a per-key ``__epoch``
-    counter so a consumer can select the latest emission. State is
-    O(live rows per key), sharded by key across the state store — the
-    same bound as the reference.
+    counter so a consumer can select the latest emission.
+    ``rank_start`` > 1 is the SQL OFFSET form (rankRange [start, n] —
+    LIMIT n-start+1 OFFSET start-1). State is O(live rows per key),
+    sharded by key across the state store — the same bound as the
+    reference.
     """
     from collections import Counter
 
@@ -388,6 +391,10 @@ def streaming_retractable_topn(
         )
         top["rn"] = range(1, len(top) + 1)
         top["__epoch"] = epoch
+        if rank_start > 1:
+            top = top[top["rn"] >= rank_start]
+            if len(top) == 0:
+                return
         yield top
 
     return stream.groupBy(*keys).applyInPandasWithState(
