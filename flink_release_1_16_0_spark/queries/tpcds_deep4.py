@@ -132,7 +132,8 @@ JOIN sales ws1 ON ws1.nk = ss1.nk AND ws1.q = 1 AND ws1.ch = 1
 JOIN sales ws2 ON ws2.nk = ss1.nk AND ws2.q = 2 AND ws2.ch = 1
 WHERE ss1.q = 1 AND ss1.ch = 0
   AND ss1.cents > 0 AND ws1.cents > 0
-  AND ws2.cents * ss1.cents > ss2.cents * ws1.cents
+  AND CAST(ws2.cents AS DECIMAL(38,0)) * ss1.cents
+      > CAST(ss2.cents AS DECIMAL(38,0)) * ws1.cents
 ORDER BY ss1.nk
 """
 

@@ -54,14 +54,22 @@ def replay_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def run_to_table(
     stream_df: DataFrame,
     output_mode: str = "append",
-    timeout_sec: int = 300,
+    timeout_sec: int | None = None,
 ) -> DataFrame:
     """Drain a bounded stream through the micro-batch engine.
 
     Runs with availableNow (process everything, then stop) into a
-    memory sink and returns the materialized table. The returned
+    memory sink and returns the materialized table. The timeout
+    defaults to 300 s, overridable with SPARK_GRAFT_STREAM_TIMEOUT —
+    the sf3 density sweeps legitimately exceed 300 s on the heaviest
+    stateful replays (a timed-out drain surfaces as an EMPTY sink, a
+    false ROWS mismatch rather than a hang). The returned
     DataFrame is a normal batch relation over the sink contents.
     """
+    if timeout_sec is None:
+        import os
+
+        timeout_sec = int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", "300"))
     sink = f"__stream_sink_{next(_SINK_COUNTER)}"
     q = (
         stream_df.writeStream.format("memory")
