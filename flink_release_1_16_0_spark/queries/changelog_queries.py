@@ -383,6 +383,7 @@ def stream_retractable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("mx", F.max("__epoch").over(w))
         .filter(F.col("__epoch") == F.col("mx"))
+        .filter(F.col("rn") >= 1)  # drop "now empty" tombstones (rn=0)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
     )
 

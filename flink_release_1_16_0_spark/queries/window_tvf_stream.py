@@ -584,9 +584,18 @@ def stream_multi_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     res = run_to_table(out, "update")
-    # bounded single-batch replay: the final state per key is its last
-    # +I/+U emission
+    # TestingRetractSink materialization: net each emitted row (+I/+U
+    # add, -U/-D remove) and keep rows with net > 0 — correct even if
+    # the replay splits into multiple micro-batches (a key's earlier +I
+    # is netted out by the -U that precedes its later +U).
+    vals = ["n", "cd", "sd", "ad", "mx", "mn"]
+    sign = F.when(
+        F.col("__rowkind").isin("+I", "+U"), F.lit(1)
+    ).otherwise(F.lit(-1))
     return (
-        res.filter(F.col("__rowkind").isin("+I", "+U"))
-        .select("event_type", "n", "cd", "sd", "ad", "mx", "mn")
+        res.withColumn("__sign", sign)
+        .groupBy("event_type", *vals)
+        .agg(F.sum("__sign").alias("__net"))
+        .filter(F.col("__net") > 0)
+        .select("event_type", *vals)
     )

@@ -79,13 +79,20 @@ def run_to_table(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
         # awaitTermination(timeout) returns a bool and does NOT re-raise
         # stream failures — surface them so a failed replay never
         # masquerades as an empty sink table
         exc = q.exception()
         if exc is not None:
             raise exc
+        if not finished:
+            # a timed-out drain would otherwise read as a truncated (or
+            # empty) result — fail loudly instead
+            raise TimeoutError(
+                f"stream drain exceeded {timeout_sec}s "
+                "(raise SPARK_GRAFT_STREAM_TIMEOUT to extend)"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -121,13 +121,15 @@ class _RAcc:
                 if d[v] == 0:
                     del d[v]
                 self.cells[i] = d
-            else:  # concat_distinct — append-only
+            else:  # concat_distinct — append-only, insertion-ordered dict
+                # keys (O(1) membership vs O(d) list `not in`; mirrors the
+                # reference's MapView distinct accumulator).
                 if sign < 0:
                     raise ValueError("concat_distinct cannot retract")
                 if c is None:
-                    self.cells[i] = [v]
-                elif v not in c:
-                    c.append(v)
+                    self.cells[i] = {v: True}
+                else:
+                    c.setdefault(v, True)
 
     def merge(self, specs, other: "_RAcc") -> None:
         """Session-merge ``other`` into self (MergingWindowSet merge)."""
@@ -152,10 +154,12 @@ class _RAcc:
                         del d[v]
                 self.cells[i] = d
             else:
+                # dict.update: existing keys keep position, new ones append
+                # — "self's items then other's new".
                 if c is None:
-                    self.cells[i] = list(o)
+                    self.cells[i] = dict(o)
                 else:
-                    c.extend(v for v in o if v not in c)
+                    c.update(o)
 
     def emit(self, specs) -> tuple:
         out = []
@@ -365,6 +369,16 @@ def streaming_group_window_agg(
             nxt = min((we for _ws, we in wins if we - 1 > wm), default=None)
             if nxt is not None:
                 state.setTimeoutTimestamp(nxt - 1)
+            else:
+                # every live window has fired but is retained for the
+                # allowed-lateness horizon — register its cleanup timer
+                # (WindowOperator registers a cleanup timer at
+                # window.maxTimestamp + allowedLateness) so quiet keys
+                # retire via the EventTimeTimeout path instead of
+                # holding state until the key's next record.
+                state.setTimeoutTimestamp(
+                    min(we - 1 + allowed_lateness_ms for _ws, we in wins)
+                )
         elif state.exists:
             state.remove()
 

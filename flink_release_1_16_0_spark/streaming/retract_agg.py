@@ -82,11 +82,16 @@ class _Cells:
         self.n = 0
         self.cells = [None] * nspecs
 
-    def add(self, specs, row, sign: int) -> None:
+    def add(self, specs, row, sign: int, tup=None, col_pos=None) -> None:
         self.n += sign
         for i, spec in enumerate(specs):
             func, col = spec[1], spec[2]
-            v = None if col is None else row[col]
+            if col is None:
+                v = None
+            elif tup is not None:
+                v = tup[col_pos[col]]
+            else:
+                v = row[col]
             if v is not None and isinstance(v, float) and v != v:
                 v = None
             c = self.cells[i]
@@ -192,11 +197,15 @@ def streaming_retracting_multi_agg(
                 continue
             if seq_col is not None:
                 pdf = pdf.sort_values(seq_col, kind="mergesort")
-            for row in pdf.to_dict("records"):
+            # positional itertuples: no per-row dict allocation in the
+            # unbounded-agg hot loop (same treatment as the window agg).
+            col_pos = {c: j for j, c in enumerate(pdf.columns)}
+            rk_pos = None if rowkind_col is None else col_pos[rowkind_col]
+            for tup in pdf.itertuples(index=False, name=None):
                 sign = 1
-                if rowkind_col is not None:
-                    sign = -1 if row[rowkind_col] in (UPDATE_BEFORE, DELETE) else 1
-                acc.add(aggs, row, sign)
+                if rk_pos is not None:
+                    sign = -1 if tup[rk_pos] in (UPDATE_BEFORE, DELETE) else 1
+                acc.add(aggs, None, sign, tup=tup, col_pos=col_pos)
         out: list[tuple] = []
         if acc.n <= 0:
             if emitted is not None:

@@ -381,7 +381,22 @@ def streaming_retractable_topn(
         epoch += 1
         state.update(([(*t, m) for t, m in live], epoch))
         expanded = [t for t, m in live for _ in range(m)]
+
+        def _tombstone() -> pd.DataFrame:
+            # RetractableTopNFunction emits deletes for rows leaving the
+            # rank range; with epoch-replace semantics the equivalent is
+            # an explicit "now empty" marker (rn=0, data NULL except the
+            # key columns) so a latest-epoch fold distinguishes an
+            # emptied frame from an untouched key. Consumers filter
+            # rn >= 1 after the fold.
+            kv = dict(zip(keys, key))
+            row = {c: kv.get(c) for c in cols}
+            row["rn"] = 0
+            row["__epoch"] = epoch
+            return pd.DataFrame([row], columns=[*cols, "rn", "__epoch"])
+
         if not expanded:
+            yield _tombstone()
             return
         top = (
             pd.DataFrame(expanded, columns=cols)
@@ -394,6 +409,7 @@ def streaming_retractable_topn(
         if rank_start > 1:
             top = top[top["rn"] >= rank_start]
             if len(top) == 0:
+                yield _tombstone()
                 return
         yield top
 

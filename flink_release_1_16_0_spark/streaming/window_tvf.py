@@ -171,11 +171,14 @@ class _Acc:
                 self.cells[i] = v if c is None else max(c, v)
             elif func == "min":
                 self.cells[i] = v if c is None else min(c, v)
-            else:  # count_distinct / concat_distinct: ordered distinct list
+            else:  # count_distinct / concat_distinct: insertion-ordered
+                # distinct set (dict keys — O(1) membership; the reference
+                # uses a MapView-backed distinct accumulator for the same
+                # reason: list + `not in` is O(d) per row).
                 if c is None:
-                    self.cells[i] = [v]
-                elif v not in c:
-                    c.append(v)
+                    self.cells[i] = {v: True}
+                else:
+                    c.setdefault(v, True)
 
     def merge(self, specs, other: "_Acc") -> None:
         """Append ``other`` into self (AggsHandleFunction.merge — the
@@ -195,10 +198,12 @@ class _Acc:
             elif func == "min":
                 self.cells[i] = o if c is None else min(c, o)
             else:
+                # dict.update keeps existing keys in place and appends new
+                # ones — exactly "self's items then other's new".
                 if c is None:
-                    self.cells[i] = list(o)
+                    self.cells[i] = dict(o)
                 else:
-                    c.extend(v for v in o if v not in c)
+                    c.update(o)
 
     def emit(self, specs) -> list:
         out = []

@@ -97,6 +97,7 @@ def _fold_topn(emissions):
         (r["category"], int(r["shopId"]), int(r["num"]), int(r["rn"]))
         for _, rows in per_key.values()
         for r in rows
+        if r["rn"] >= 1  # rn=0 tombstone = frame now empty
     )
 
 
@@ -259,7 +260,9 @@ def _latest_epoch_rows(emissions):
             per_key[k] = (r["__epoch"], [r])
         elif r["__epoch"] == cur[0]:
             cur[1].append(r)
-    return [r for _, rows in per_key.values() for r in rows]
+    return [
+        r for _, rows in per_key.values() for r in rows if r["rn"] >= 1
+    ]
 
 
 COUNT_DATA = [  # RankITCase.scala:477 (category, shopId, sellId)

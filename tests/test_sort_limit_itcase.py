@@ -53,7 +53,10 @@ def run_topn(in_schema, cols, batches, order_cols, n, ascending, rank_start=1):
     for batch in batches:
         pdf = pd.DataFrame(batch, columns=cols)
         for e in fn((0,), iter([pdf]), st):
-            last_epoch_rows = e.to_dict("records")
+            # rn=0 tombstone = "frame now empty" -> replace with nothing
+            last_epoch_rows = [
+                r for r in e.to_dict("records") if r["rn"] >= 1
+            ]
     return last_epoch_rows
 
 
@@ -124,7 +127,7 @@ def _retract_rank(rank_start):
             columns=["__g", RK, "a", "mx"],
         )
         for e in rank_fn((0,), iter([pdf]), rank_state):
-            last = e.to_dict("records")
+            last = [r for r in e.to_dict("records") if r["rn"] >= 1]
     return sorted(f"{r['a']},{r['mx']}" for r in last)
 
 
@@ -136,3 +139,31 @@ def test_retract_sort_limit():
 def test_retract_sort_limit_with_offset():
     # ... LIMIT 2 OFFSET 1 -> rankRange [2,3]
     assert _retract_rank(2) == sorted(["2,4", "3,5"])
+
+
+def test_offset_emits_tombstone_when_frame_empties():
+    """ADVICE r12 (stateful.py rank_start OFFSET): retractions that
+    shrink a key's live set below rank_start must produce a "now
+    empty" emission (rn=0 tombstone) — the reference
+    RetractableTopNFunction emits deletes for rows leaving the rank
+    range, so a latest-epoch fold must NOT keep the prior epoch's
+    now-retracted rows."""
+    schema = StructType(
+        [
+            StructField("__g", LongType()),
+            StructField(RK, StringType()),
+            StructField("k", LongType()),
+            StructField("v", LongType()),
+        ]
+    )
+    cols = ["__g", RK, "k", "v"]
+    batches = [
+        [(0, "+I", 1, 10), (0, "+I", 2, 20), (0, "+I", 3, 30)],
+        # retract ranks 2-3 (asc by v: 20, 30) -> live = {10} -> the
+        # rankRange [2, 3] frame is now empty
+        [(0, "-D", 2, 20), (0, "-D", 3, 30)],
+    ]
+    rows = run_topn(
+        schema, cols, batches, ["v"], 3, ascending=True, rank_start=2
+    )
+    assert rows == []

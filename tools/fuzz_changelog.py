@@ -294,7 +294,9 @@ def check_topn(rng: random.Random) -> str | None:
     for k, rs in per_key.items():
         top_epoch = max(r["__epoch"] for r in rs)
         got[k] = sorted(
-            (r["v"], r["id"], r["rn"]) for r in rs if r["__epoch"] == top_epoch
+            (r["v"], r["id"], r["rn"])
+            for r in rs
+            if r["__epoch"] == top_epoch and r["rn"] >= 1
         )
     # reference: live multiset -> sort desc by (v, id) -> head n.
     # NOTE the operator ranks ascending=False on EVERY order col.
