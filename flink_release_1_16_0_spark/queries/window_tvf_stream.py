@@ -599,3 +599,74 @@ def stream_multi_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__net") > 0)
         .select("event_type", *vals)
     )
+
+
+# --------------------------------------------------------------------------
+# Split distinct aggregate at window scale (the reference's
+# TABLE_OPTIMIZER_DISTINCT_AGG_SPLIT_ENABLED plan, conformance-pinned
+# in tests/test_window_distinct_agg_itcase.py): shard the distinct key
+# into hash buckets, window-aggregate per (key, bucket) — each group's
+# state holds only its shard of the distinct set, the hot-key fix —
+# then sum the disjoint partial COUNT(DISTINCT)s per (key, window).
+# All shards of a window co-fire at the same watermark, so the final
+# agg is a stateless per-micro-batch shuffle-agg (here the batch fold
+# over the bounded replay's append-only stage-1 output).
+# --------------------------------------------------------------------------
+
+_SPLIT_DISTINCT_ORACLE = f"""
+WITH wm AS ({_WM}),
+w AS (
+  SELECT event_type, user_id,
+         ((epoch_us(ts) // 1000) // {3 * _H}) * {3 * _H} AS ws_ms
+  FROM events
+)
+SELECT event_type,
+  make_timestamp(ws_ms * 1000) AS win_start,
+  make_timestamp((ws_ms + {3 * _H}) * 1000) AS win_end,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS du
+FROM w, wm
+GROUP BY event_type, ws_ms, wm_ms
+HAVING ws_ms + {3 * _H} - 1 <= wm_ms
+"""
+
+
+@register(
+    "stream_window_distinct_split_agg",
+    _SPLIT_DISTINCT_ORACLE,
+    tags=("streaming", "window", "tvf", "distinct"),
+)
+def stream_window_distinct_split_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        replay_stream(spark, sf_dir, "events")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "ts",
+            "event_type",
+            "user_id",
+            F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("__b"),
+        )
+    )
+    partial = streaming_window_tvf_agg(
+        ev,
+        keys=["event_type", "__b"],
+        ts_col="ts",
+        aggs=[
+            ("pn", "count_star", None, LongType()),
+            ("pdu", "count_distinct", "user_id", LongType()),
+        ],
+        kind="tumble",
+        size_ms=3 * _H,
+    )
+    res = run_to_table(partial, "append")
+    return (
+        res.groupBy("event_type", "window_start", "window_end")
+        .agg(F.sum("pn").alias("n"), F.sum("pdu").alias("du"))
+        .select(
+            "event_type",
+            F.col("window_start").alias("win_start"),
+            F.col("window_end").alias("win_end"),
+            "n",
+            "du",
+        )
+    )

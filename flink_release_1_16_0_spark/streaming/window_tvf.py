@@ -236,8 +236,15 @@ def streaming_window_tvf_agg(
     step_ms: int | None = None,
     offset_ms: int = 0,
     emit_window_time: bool = False,
+    input_attributed: bool = False,
 ) -> DataFrame:
     """Event-time TUMBLE/HOP/CUMULATE window TVF aggregate (append-only).
+
+    ``input_attributed=True`` marks input produced by an UPSTREAM
+    window operator (cascading window aggs): such records precede the
+    watermark that fired them, so accumulation runs before firing and
+    lateness is judged against the previous settled watermark (same
+    convention as :func:`streaming_window_tvf_topn`).
 
     ``aggs``: (out_name, func, in_col, out_type) with func one of
     count_star | count | sum | max | min | count_distinct |
@@ -291,83 +298,103 @@ def streaming_window_tvf_agg(
             wt = (_ts(we - 1),) if emit_window_time else ()
             return (*key, _ts(ws), _ts(we), *wt, *acc.emit(aggs))
 
-        # 1) fire BEFORE accumulating — the reference's timers run on
-        # watermark advance before the next elements are seen, so a row
-        # landing in a window firing at this very watermark is observed
-        # late (merge-target path), not folded into the firing.
-        # A window end fires once: when it first satisfies wm >= e - 1
-        # past the settled watermark (isWindowFired; monotone, so a
-        # stored high-water mark replaces the reference's timer state).
-        ready: list[int] = sorted(
-            {
-                e
-                for se in slices
-                for e in asg.candidate_ends(se)
-                if wm >= e - 1 and (settled_wm is None or e - 1 > settled_wm)
-            }
-        )
-        for e in ready:
-            if kind == "tumble":
-                acc = slices.pop(e, None)
-                if acc is not None and acc.n > 0:
-                    out.append(_row(e - size_ms, e, acc))
-            elif kind == "hop":
-                merged = _Acc(nspecs)
-                # descending slice ends (HoppingSlicesIterable)
-                for se in range(e, e - size_ms, -asg.slice):
-                    s = slices.get(se)
-                    if s is not None:
-                        merged.merge(aggs, s)
-                if merged.n > 0:
-                    out.append(_row(e - size_ms, e, merged))
-                # expire the window's first slice — no later window needs it
-                slices.pop(e - size_ms + asg.slice, None)
-            else:  # cumulate
-                g = asg.group_start(e)
-                first = g + asg.step
-                target = slices.get(first)
-                if e != first:
-                    # merge the current step slice INTO the shared first
-                    # slice (CumulativeSliceAssigner.mergeSlices) — so
-                    # order-sensitive aggs read ascending
-                    step_acc = slices.pop(e, None)
-                    if step_acc is not None:
-                        if target is None:
-                            target = slices[first] = _Acc(nspecs)
-                        target.merge(aggs, step_acc)
-                if target is not None and target.n > 0:
-                    out.append(_row(g, e, target))
-                if e == g + size_ms:  # max window: retire the shared state
-                    slices.pop(first, None)
-        settled_wm = wm if settled_wm is None else max(settled_wm, wm)
+        def fire() -> None:
+            # The reference's timers run on watermark advance: a window
+            # end fires once, when it first satisfies wm >= e - 1 past
+            # the settled watermark (isWindowFired; monotone, so a
+            # stored high-water mark replaces the reference's timer
+            # state).
+            ready: list[int] = sorted(
+                {
+                    e
+                    for se in slices
+                    for e in asg.candidate_ends(se)
+                    if wm >= e - 1 and (settled_wm is None or e - 1 > settled_wm)
+                }
+            )
+            for e in ready:
+                if kind == "tumble":
+                    acc = slices.pop(e, None)
+                    if acc is not None and acc.n > 0:
+                        out.append(_row(e - size_ms, e, acc))
+                elif kind == "hop":
+                    merged = _Acc(nspecs)
+                    # descending slice ends (HoppingSlicesIterable)
+                    for se in range(e, e - size_ms, -asg.slice):
+                        s = slices.get(se)
+                        if s is not None:
+                            merged.merge(aggs, s)
+                    if merged.n > 0:
+                        out.append(_row(e - size_ms, e, merged))
+                    # expire the window's first slice — no later window
+                    # needs it
+                    slices.pop(e - size_ms + asg.slice, None)
+                else:  # cumulate
+                    g = asg.group_start(e)
+                    first = g + asg.step
+                    target = slices.get(first)
+                    if e != first:
+                        # merge the current step slice INTO the shared
+                        # first slice (CumulativeSliceAssigner.
+                        # mergeSlices) — so order-sensitive aggs read
+                        # ascending
+                        step_acc = slices.pop(e, None)
+                        if step_acc is not None:
+                            if target is None:
+                                target = slices[first] = _Acc(nspecs)
+                            target.merge(aggs, step_acc)
+                    if target is not None and target.n > 0:
+                        out.append(_row(g, e, target))
+                    if e == g + size_ms:  # max window: retire shared state
+                        slices.pop(first, None)
 
-        # 2) accumulate — drop iff the row's LAST window fired; a row
-        # whose own slice fired but later windows remain goes to the
-        # slice-state merge target (AbstractWindowAggProcessor.java:142:
-        # hop -> the slice itself, cumulate -> the shared first slice).
-        # itertuples + positional cells: the per-row hot loop runs once
-        # per input row at any scale, so no per-row dict allocation.
-        col_pos = {c: i for i, c in enumerate(in_cols)}
-        ts_pos = col_pos[ts_col]
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            for tup in pdf[in_cols].itertuples(index=False, name=None):
-                t = tup[ts_pos]
-                ts_ms = (
-                    t.value // 1_000_000
-                    if hasattr(t, "value")
-                    else int(t.timestamp() * 1000)
-                )
-                se = asg.assign_slice_end(ts_ms)
-                if wm >= asg.last_window_end(se) - 1:
-                    continue  # late: every window containing it fired
-                if kind == "cumulate" and wm >= se - 1:
-                    se = asg.group_start(se) + asg.step  # merge target
-                acc = slices.get(se)
-                if acc is None:
-                    acc = slices[se] = _Acc(nspecs)
-                acc.add_tuple(aggs, tup, col_pos)
+        def accumulate(late_wm: int) -> None:
+            # drop iff the row's LAST window fired per ``late_wm``; a
+            # row whose own slice fired but later windows remain goes
+            # to the slice-state merge target
+            # (AbstractWindowAggProcessor.java:142: hop -> the slice
+            # itself, cumulate -> the shared first slice).
+            # itertuples + positional cells: the per-row hot loop runs
+            # once per input row at any scale, so no per-row dict
+            # allocation.
+            col_pos = {c: i for i, c in enumerate(in_cols)}
+            ts_pos = col_pos[ts_col]
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                for tup in pdf[in_cols].itertuples(index=False, name=None):
+                    t = tup[ts_pos]
+                    ts_ms = (
+                        t.value // 1_000_000
+                        if hasattr(t, "value")
+                        else int(t.timestamp() * 1000)
+                    )
+                    se = asg.assign_slice_end(ts_ms)
+                    if late_wm >= asg.last_window_end(se) - 1:
+                        continue  # late: every window containing it fired
+                    if kind == "cumulate" and late_wm >= se - 1:
+                        se = asg.group_start(se) + asg.step  # merge target
+                    acc = slices.get(se)
+                    if acc is None:
+                        acc = slices[se] = _Acc(nspecs)
+                    acc.add_tuple(aggs, tup, col_pos)
+
+        if input_attributed:
+            # window-attributed input (e.g. a cascade over an upstream
+            # window agg's emissions): records precede the watermark
+            # that fired them — Flink forwards outputs before the
+            # watermark — so accumulate first, judging lateness against
+            # the PREVIOUS settled watermark, then fire at this one.
+            accumulate(-1 if settled_wm is None else settled_wm)
+            fire()
+        else:
+            # source-fed: fire before accumulating — the reference's
+            # timers run on watermark advance before the next elements
+            # are seen, so a row landing in a window firing at this
+            # very watermark is observed late, not folded in.
+            fire()
+            accumulate(wm)
+        settled_wm = wm if settled_wm is None else max(settled_wm, wm)
 
         if slices:
             state.update((pickle.dumps((slices, settled_wm)),))

@@ -72,7 +72,13 @@ def retract_fold(emissions, fields):
 
     live: Counter = Counter()
     for r in emissions:
-        t = tuple(r[f] for f in fields)
+        # normalize pandas NaN (a NULL cell in a numeric column) to
+        # None — distinct NaN objects are not equal to each other, so
+        # un-normalized adds and retracts would never cancel
+        t = tuple(
+            None if (isinstance(v, float) and v != v) else v
+            for v in (r[f] for f in fields)
+        )
         if r[RK] in ("+I", "+U"):
             live[t] += 1
         else:
