@@ -410,7 +410,10 @@ class CatalogTable:
                     )
                 df = df.withColumn(cname, F.col(fld).cast(styp))
                 continue
-            df = df.withColumn(cname, F.expr(_rewrite_proctime(expr)))
+            df = df.withColumn(
+                cname,
+                F.expr(_rewrite_flink_cast_types(_rewrite_proctime(expr))),
+            )
         if changelog_mode == "upsert":
             # upsert source (upsert-kafka semantics): the planner pairs
             # it with ChangelogNormalize — here upsert_to_retract, the
@@ -969,6 +972,34 @@ class CatalogTable:
 
 def _rewrite_proctime(expr: str) -> str:
     return re.sub(r"PROCTIME\s*\(\s*\)", "current_timestamp()", expr, flags=re.I)
+
+
+def _rewrite_flink_cast_types(expr: str) -> str:
+    """Map Flink spellings inside computed-column expressions onto
+    Spark's: CAST targets TIMESTAMP(p) -> TIMESTAMP_NTZ /
+    TIMESTAMP_LTZ(p) -> TIMESTAMP (flink_type_to_spark's mapping, µs
+    substrate), and the epoch form ``TO_TIMESTAMP_LTZ(n[, p])`` ->
+    timestamp_seconds/millis/micros — Spark 4 ships a SAME-NAMED
+    builtin with string-parsing semantics, so the Flink form must be
+    rewritten, not registered (functions/sql_udfs.py note)."""
+
+    def _to_ltz(args: list[str]) -> str:
+        p = args[1].strip() if len(args) > 1 else "3"
+        fn = {"0": "timestamp_seconds", "3": "timestamp_millis", "6": "timestamp_micros"}.get(p)
+        if fn is None:
+            raise ValueError(
+                f"TO_TIMESTAMP_LTZ precision {p!r} unsupported (0/3/6)"
+            )
+        return f"{fn}(CAST({args[0]} AS BIGINT))"
+
+    expr = _replace_call(expr, "TO_TIMESTAMP_LTZ", _to_ltz)
+    expr = re.sub(
+        r"\bTIMESTAMP_LTZ\s*\(\s*\d+\s*\)", "TIMESTAMP", expr, flags=re.I
+    )
+    expr = re.sub(
+        r"\bTIMESTAMP\s*\(\s*\d+\s*\)", "TIMESTAMP_NTZ", expr, flags=re.I
+    )
+    return expr
 
 
 # ---------------------------------------------------------------------------
@@ -3399,34 +3430,51 @@ class TableEnvironment:
         if not m or m.group("fn") not in self._temporal_fns:
             return sql
         history, time_attr, pk = self._temporal_fns[m.group("fn")]
-        if m.group("ala") != m.group("la"):
+        la = m.group("la")
+        if m.group("ala") != la:
             raise ValueError("LATERAL TABLE argument must reference the left input")
         ra = m.group("ra") or m.group("fn")
         from flink_release_1_16_0_spark.operators.asof import asof_join
 
-        joined = asof_join(
-            self.spark.table(m.group("lt")),
-            self.spark.table(history),
-            on=pk,
-            left_ts=m.group("acol"),
-            right_ts=time_attr,
-        ).filter(F.col("__asof_ts").isNotNull())
-        view = f"__lateral_temporal_{uuid.uuid4().hex[:8]}"
+        tag = uuid.uuid4().hex[:8]
+        ts_alias = f"__asof_ts_{tag}"
+        # unique per-lateral version-time column so NESTED temporal
+        # joins (two LATERAL TABLEs over one left input,
+        # testNestedTemporalJoin) don't collide on __asof_ts
+        joined = (
+            asof_join(
+                self.spark.table(m.group("lt")),
+                self.spark.table(history),
+                on=pk,
+                left_ts=m.group("acol"),
+                right_ts=time_attr,
+            )
+            .filter(F.col("__asof_ts").isNotNull())
+            .withColumnRenamed("__asof_ts", ts_alias)
+        )
+        view = f"__lateral_temporal_{tag}"
         joined.createOrReplaceTempView(view)
-        out = sql[: m.start()] + f"FROM {view}" + sql[m.end():]
-        # consume the WHERE equality on the primary key (now the join key)
+        # keep the LEFT alias on the view: later laterals (and the
+        # SELECT list) keep resolving `la.col`; only the function
+        # alias's qualifier is erased
+        out = sql[: m.start()] + f"FROM {view} {la}" + sql[m.end():]
+        # consume the WHERE equality on the primary key (now the join
+        # key). Either side may carry any qualifier — a nested join's
+        # key can come from a PRIOR lateral's output (r.currency =
+        # p.currency), already unqualified after that rewrite.
         for col in pk:
-            eq = rf"{m.group('la')}\.{col}\s*=\s*{ra}\.{col}"
+            eq = (
+                rf"(?:(?:\w+\.)?{col}\s*=\s*{ra}\.{col}"
+                rf"|{ra}\.{col}\s*=\s*(?:\w+\.)?{col})"
+            )
             # WHERE <eq> AND ...  ->  WHERE ...
             out = re.sub(rf"(WHERE\s+){eq}\s+AND\s+", r"\1", out, flags=re.IGNORECASE)
             # ... AND <eq>  ->  ...
-            out = re.sub(rf"\s+AND\s+{eq}\b", "", out, flags=re.IGNORECASE)
+            out = re.sub(rf"\s+AND\s+{eq}(?=\s|$)", "", out, flags=re.IGNORECASE)
             # WHERE <eq> (alone)  ->  (gone)
             out = re.sub(rf"WHERE\s+{eq}\s*", "", out, flags=re.IGNORECASE)
-        out = re.sub(rf"\b{ra}\.{time_attr}\b", "__asof_ts", out, flags=re.IGNORECASE)
-        out = re.sub(
-            rf"\b(?:{m.group('la')}|{ra})\.", "", out, flags=re.IGNORECASE
-        )
+        out = re.sub(rf"\b{ra}\.{time_attr}\b", ts_alias, out, flags=re.IGNORECASE)
+        out = re.sub(rf"\b{ra}\.", "", out, flags=re.IGNORECASE)
         # a WHERE whose only conjunct was consumed leaves a dangling tail
         out = re.sub(r"WHERE\s*(GROUP\s+BY|ORDER\s+BY|LIMIT|$)", r"\1", out, flags=re.IGNORECASE)
         return self._translate_lateral_temporal(out)
@@ -4296,8 +4344,17 @@ class TableEnvironment:
                 streaming_scan = self.streaming and table.connector != "hive"
                 table.scan(self.spark, streaming_scan).createOrReplaceTempView(name)
             except Exception:
-                if table.connector in ("filesystem", "jdbc"):
-                    # write-only target (path / db table does not exist yet)
+                # filesystem/jdbc tables may be write-only targets
+                # (path / db table does not exist yet) — but only an
+                # ABSENT path excuses the failure; an existing path
+                # means the schema/computed-column expression itself is
+                # broken and swallowing it would surface later as a
+                # baffling "table not found"
+                if table.connector == "filesystem" and not os.path.exists(
+                    options.get("path", "")
+                ):
+                    pass
+                elif table.connector == "jdbc":
                     pass
                 else:
                     raise
