@@ -46,6 +46,7 @@ _MODULES = (
     "tpcds_deep2",
     "tpcds_deep3",
     "tpcds_deep4",
+    "tpcds_deep5",
     "joins",
     "aggregates",
     "windows_over",
