@@ -1102,9 +1102,114 @@ def check_wtvf(rng: random.Random) -> str | None:
     return None
 
 
+def check_wtvf_distinct(rng: random.Random) -> str | None:
+    """High-cardinality distinct accumulators (VERDICT r12 weak item):
+    COUNT(DISTINCT) with value cardinality far above the per-window row
+    count, differential between the slice-shared TVF agg and the legacy
+    group-window agg (independent dict-multiset implementations), plus
+    the TUMBLE concat_distinct arrival-order pin against a pure-python
+    model (single slice -> insertion order is arrival order)."""
+    import pandas as pd
+
+    from flink_release_1_16_0_spark.streaming.group_window import (
+        streaming_group_window_agg,
+    )
+    from flink_release_1_16_0_spark.streaming.window_tvf import (
+        streaming_window_tvf_agg,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    size = rng.choice([2000, 3000, 5000])
+    delay = rng.choice([0, 1000, 5000])
+    n_rows = rng.randint(50, 300)
+    n_keys = rng.randint(1, 3)
+
+    rows = [
+        (rng.randrange(n_keys), rng.randrange(0, 40_000), rng.randrange(10_000))
+        for _ in range(n_rows)
+    ]
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("rowtime", TimestampType()),
+            StructField("v", LongType()),
+        ]
+    )
+    cols = ["k", "rowtime", "v"]
+    batches, wm_seq, max_ts = [], [], None
+    wm_at = []  # the watermark visible when each row is accumulated
+    for k, ts, v in rows:
+        wm = -(2**60) if max_ts is None else max_ts - delay
+        wm_seq.append(wm)
+        wm_at.append(wm)
+        batches.append([(k, pd.Timestamp(ts * 1_000_000), v)])
+        max_ts = ts if max_ts is None else max(max_ts, ts)
+    batches.append([])
+    wm_seq.append(10**15)
+
+    def run(builder, aggs, kind):
+        cap = _Cap(schema)
+        builder(cap, ["k"], "rowtime", aggs=aggs, kind=kind, size_ms=size)
+        return replay(cap.fn, batches, ["k"], cols, wm_seq=wm_seq)
+
+    tvf = run(
+        streaming_window_tvf_agg,
+        [("cd", "count_distinct", "v", LongType()),
+         ("cc", "concat_distinct", "v", StringType())],
+        "tumble",
+    )
+    legacy = run(
+        streaming_group_window_agg,
+        [("cd", "count_distinct", "v", LongType())],
+        "tumble",
+    )
+
+    a = sorted(
+        (r["k"], pd.Timestamp(r["window_start"]).value, r["cd"]) for r in tvf
+    )
+    b = sorted(
+        (r["k"], pd.Timestamp(r["window_start"]).value, r["cd"])
+        for r in legacy
+        if r[ROWKIND] == INSERT
+    )
+    if a != b:
+        return f"wtvf_distinct count diverges: tvf={a[:6]} legacy={b[:6]}"
+
+    # python model of the tumble concat_distinct (arrival-ordered
+    # distinct of non-late rows per fired (key, window)); the replay
+    # watermark is monotone, so a row is late iff wm >= end - 1 at its
+    # own batch (isWindowFired under fire-before-accumulate)
+    model: dict = {}
+    for i, (k, ts, v) in enumerate(rows):
+        we = (ts // size + 1) * size
+        if wm_at[i] >= we - 1:
+            continue
+        model.setdefault((k, we), []).append(v)
+    expect = {
+        (k, (we - size) * 1_000_000): "|".join(
+            str(v) for v in dict.fromkeys(vals)
+        )
+        for (k, we), vals in model.items()
+    }
+    got = {
+        (r["k"], pd.Timestamp(r["window_start"]).value): r["cc"] for r in tvf
+    }
+    if got != expect:
+        diff = {kk: (got.get(kk), expect.get(kk)) for kk in set(got) ^ set(expect) or set(got)}
+        return f"wtvf_distinct concat diverges (size={size} delay={delay}): {list(diff.items())[:3]}"
+    return None
+
+
 ARMS = {
     "agg": check_agg,
     "topn": check_topn,
+    "wtvf_distinct": check_wtvf_distinct,
     "minmax": check_minmax,
     "join": check_join,
     "dedup": check_dedup,
