@@ -96,11 +96,24 @@ def register(
 # rounds (full TPC-H, basic joins/aggs) yield their slots to families
 # the 50-entry window had never sampled.
 _PRIORITY = (
-    # round-12 window — part 0: the window-operator family built this
-    # round against the reference's Window{Aggregate,Rank,Deduplicate,
-    # Join}ITCase + GroupWindowITCase corpora (streaming/window_tvf.py
-    # slice-shared agg with offsets, window topn/dedup, window join,
-    # legacy session-merge + any-slide sliding group windows).
+    # round-13 window — part 0: surfaces built/changed this round.
+    # Split-distinct window agg (the distinct-agg split plan at window
+    # scale, WindowDistinctAggregateITCase + SplitAggregateITCase
+    # ports), the retract-sink-netted multi-agg fold, the retractable
+    # topn with rank-range tombstones, and the five named TPC-DS
+    # rollup/inventory archetypes (q18/q21/q22/q39/q67 families).
+    "stream_window_distinct_split_agg",
+    "stream_multi_agg_distinct",
+    "stream_retractable_topn",
+    "ds_qoh_rollup_hierarchy",
+    "ds_demographic_rollup_avgs",
+    "ds_rollup_rank_top",
+    "ds_inventory_ratio_band",
+    "ds_inventory_cov_pair",
+    # part 1: the window-TVF family re-verified after the
+    # accumulate-first refactor (input_attributed) and the dict-based
+    # distinct accumulators, plus the temporal-function surface the
+    # nested-lateral rewrite touched.
     "stream_window_tvf_hop",
     "stream_window_tvf_cumulate",
     "stream_window_tvf_tumble_offset",
@@ -109,38 +122,21 @@ _PRIORITY = (
     "stream_window_tvf_join",
     "stream_session_window_merge",
     "stream_sliding_window_any_slide",
-    # part 1: the round's earlier surfaces — the manifest-tail x
-    # ChangelogNormalize composition (upsert-kafka-on-files), the CEP
-    # negative/advanced pattern family (notNext / notFollowedBy /
-    # followedByAny / until / timesOrMore / SQL {n,}), and the 13
-    # named archetype-tail TPC-DS shapes (tpcds_deep4.py: q88, q14,
-    # q31, q66, q11/q74, q9, q38, q62, q99, q33, q41, q45).
-    "stream_manifest_upsert_tail",
-    "cep_not_followed_by",
-    "cep_not_next",
-    "cep_until",
-    "cep_followed_by_any",
-    "api_sql_match_times_or_more",
-    "ds_hour_band_count_pivot",
-    "ds_cross_channel_intersect_sales",
-    "ds_region_share_growth_chain",
-    "ds_shipmode_monthly_pivot",
-    "ds_year_pair_ratio_nullif",
-    "ds_year_pair_max_ratio",
-    "ds_bucket_case_scalars",
-    "ds_customer_three_channel_intersect",
-    "ds_mode_delay_buckets",
-    "ds_month_delay_buckets",
-    "ds_brand_channel_union_agg",
-    "ds_distinct_or_attribute_parts",
-    "ds_geo_or_membership_sales",
-    # part 2: re-grades of code round 12 touched — the strict-less-than
-    # late boundary (over/sort/temporal/anti), the changelog temporal
-    # join, dedup emit-on-change, NULL-key changelog joins, the
-    # isWindowFired window-dedup boundary, join state cleanup, and the
-    # manifest-tail mid-publish poll.
-    "stream_temporal_join_rowtime",
+    "stream_window_allowed_lateness",
     "api_sql_temporal_join",
+    "stream_temporal_join_rowtime",
+    "lookup_join_dim",
+    "dsapi_async_lookup",
+    # part 2: the changelog-source composition family the
+    # ChangelogSourceITCase ports pinned (normalize, upsert tail,
+    # changelog joins) and the spill-sink-adjudicated sf3 queries.
+    "stream_changelog_outer_join",
+    "stream_changelog_semi_join",
+    "stream_changelog_anti_join",
+    "changelog_normalize",
+    "changelog_outer_join",
+    "stream_manifest_upsert_tail",
+    "stream_manifest_tail",
     "stream_dedup_keep_last",
     "stream_dedup_first_rowtime",
     "stream_over_event_time",
@@ -148,12 +144,6 @@ _PRIORITY = (
     "stream_temporal_sort",
     "stream_anti_join",
     "stream_window_dedup",
-    "stream_changelog_outer_join",
-    "stream_changelog_semi_join",
-    "stream_changelog_anti_join",
-    "changelog_outer_join",
-    "stream_manifest_tail",
-    "stream_window_allowed_lateness",
     # part 3: one representative per SURVEY section-2 family (rotation —
     # families green in earlier windows keep one seat each).
     "q1_pricing_summary",
@@ -162,8 +152,11 @@ _PRIORITY = (
     "dedup_minhash_lsh",
     "similarity_brute_force_topk",
     "api_sql_match_recognize",
-    "lookup_join_dim",
+    "cep_not_followed_by",
+    "api_sql_match_times_or_more",
     "udtag_table_agg_top2",
+    "ds_hour_band_count_pivot",
+    "ds_cross_channel_intersect_sales",
 )
 
 
