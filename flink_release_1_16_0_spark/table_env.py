@@ -1060,6 +1060,46 @@ def _replace_call(sql: str, name: str, repl, skip_if_table: bool = False) -> str
         i = j
 
 
+_UNNEST_RE = re.compile(
+    r"(?P<lead>,|\bCROSS\s+JOIN|\bLEFT\s+JOIN)\s*UNNEST\s*\(\s*"
+    r"(?P<expr>[^()]+?)\s*\)\s*(?:AS\s+)?(?P<al>\w+)"
+    r"(?:\s*\(\s*(?P<cols>[\w\s,]*?)\s*\))?(?P<on>\s+ON\s+TRUE)?",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_unnest(sql: str, multi: str = "inline") -> str:
+    """Translate Flink's UNNEST correlate (CommonExecCorrelate /
+    UnnestRowsFunction.java:41) to Spark's LATERAL VIEW:
+
+    - ``FROM t, UNNEST(t.arr) AS A (s)``      -> LATERAL VIEW explode
+    - ``... UNNEST(t.rows) AS A (x, y)``      -> LATERAL VIEW inline
+      (array-of-rows; ``multi='explode'`` is the MAP form — the caller
+      retries with it when inline fails to resolve)
+    - ``LEFT JOIN UNNEST(...) ON TRUE``       -> LATERAL VIEW OUTER
+    - no column list: inline keeps the row type's own field names.
+    """
+    out = []
+    while True:
+        m = _UNNEST_RE.search(sql)
+        if not m:
+            out.append(sql)
+            return "".join(out)
+        cols = [c.strip() for c in (m.group("cols") or "").split(",") if c.strip()]
+        outer = "OUTER " if m.group("lead").upper().startswith("LEFT") else ""
+        expr = m.group("expr")
+        if len(cols) == 1:
+            gen = f"explode({expr})"
+        elif len(cols) >= 2 and multi == "explode":
+            gen = f"explode({expr})"
+        else:
+            gen = f"inline({expr})"
+        colclause = f" AS {', '.join(cols)}" if cols else ""
+        repl = f" LATERAL VIEW {outer}{gen} {m.group('al')}{colclause}"
+        out.append(sql[: m.start()] + repl)
+        sql = sql[m.end():]
+
+
 def rewrite_group_windows(sql: str) -> str:
     """Translate Flink's LEGACY group-window syntax — ``GROUP BY
     TUMBLE/HOP/SESSION(timeattr, INTERVAL ...)`` with the
@@ -3010,7 +3050,18 @@ class TableEnvironment:
         return TableResult(df=self.spark.sql(self._rewrite_query(stmt)))
 
     def sql_query(self, sql: str) -> Table:
-        return Table(self.spark.sql(self._rewrite_query(sql)), self)
+        q = self._rewrite_query(sql)
+        try:
+            return Table(self.spark.sql(q), self)
+        except Exception:
+            # multi-column UNNEST is lowered to inline() (array of
+            # rows) first; a MAP input needs explode() instead — retry
+            # with the alternate generator (the dialect cannot know the
+            # operand type from text alone)
+            alt = self._rewrite_query(sql, unnest_multi="explode")
+            if alt != q:
+                return Table(self.spark.sql(alt), self)
+            raise
 
     # -- catalog path resolution (CatalogManager.qualifyIdentifier) ---------
     def _split_db_path(self, path: str) -> tuple[str, str]:
@@ -3126,16 +3177,18 @@ class TableEnvironment:
             out.append(seg if is_lit else scan(seg))
         return "".join(out)
 
-    def _rewrite_query(self, sql: str) -> str:
+    def _rewrite_query(self, sql: str, unnest_multi: str = "inline") -> str:
         """Dialect passes: dynamic table OPTIONS hints, MATCH_RECOGNIZE
         (materializes the CEP view), temporal table functions (LATERAL
-        TABLE), event-time FOR SYSTEM_TIME (as-of operator), then
-        windowing TVFs / proc-time FOR SYSTEM_TIME (snapshot join)."""
+        TABLE), event-time FOR SYSTEM_TIME (as-of operator), UNNEST
+        correlates, then windowing TVFs / proc-time FOR SYSTEM_TIME
+        (snapshot join)."""
         sql = self._resolve_qualified_refs(sql)
         sql = self._apply_options_hints(sql)
         sql = _translate_match_recognize(self, sql)
         sql = self._translate_lateral_temporal(sql)
         sql = self._translate_event_time_temporal_join(sql)
+        sql = _rewrite_unnest(sql, multi=unnest_multi)
         return rewrite_window_tvfs(sql)
 
     def _maybe_lateness_window_agg(self, query: str) -> DataFrame | None:
