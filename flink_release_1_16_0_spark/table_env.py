@@ -4398,13 +4398,17 @@ class TableEnvironment:
                 table.scan(self.spark, streaming_scan).createOrReplaceTempView(name)
             except Exception:
                 # filesystem/jdbc tables may be write-only targets
-                # (path / db table does not exist yet) — but only an
-                # ABSENT path excuses the failure; an existing path
-                # means the schema/computed-column expression itself is
-                # broken and swallowing it would surface later as a
-                # baffling "table not found"
-                if table.connector == "filesystem" and not os.path.exists(
-                    options.get("path", "")
+                # (path / db table absent or still empty) — but a path
+                # that already HOLDS data means the schema /
+                # computed-column expression itself is broken, and
+                # swallowing that would surface later as a baffling
+                # "table not found"
+                p = options.get("path", "")
+                empty_dir = os.path.isdir(p) and not any(
+                    not f.startswith((".", "_")) for f in os.listdir(p)
+                )
+                if table.connector == "filesystem" and (
+                    not os.path.exists(p) or empty_dir
                 ):
                     pass
                 elif table.connector == "jdbc":
