@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_release_1_16_0_spark.operators.text import shingles, sql_shingles
+from flink_release_1_16_0_spark.operators.text import (
+    shingles,
+    spark_sql_shingles,
+    sql_shingles,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +115,56 @@ def sql_signature_from_hashes(hs_expr: str, num_hashes: int = 6) -> str:
     return f"(SELECT [{parts}] FROM (SELECT {hs_expr} AS __hs))"
 
 
+# ---------------------------------------------------------------------------
+# Spark-SQL-text twins of the Column builders above. Same expression
+# trees, same plans, same results — but ONE JVM parse per call site
+# instead of one py4j round-trip per expression node. The Column forms
+# of the minhash pipeline cost ~0.6-1.0 s of pure driver-side plan
+# construction per dedup-query invocation (measured round-13
+# optimization round, 32-core bench session); the text forms cost
+# ~0.05 s. Keep both: Column forms for composability, text forms for
+# the hot query paths.
+# ---------------------------------------------------------------------------
+
+
+def spark_sql_hashed_shingles(sh_expr: str) -> str:
+    """Spark-SQL-text twin of :func:`hashed_shingles`."""
+    return (
+        f"transform({sh_expr},"
+        " s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
+
+
+def spark_sql_signature_from_hashes(hs_expr: str, num_hashes: int = 6) -> str:
+    """Spark-SQL-text twin of :func:`signature_from_hashes`."""
+    parts = ", ".join(
+        f"array_min(transform({hs_expr},"
+        f" h -> (CAST({a} AS BIGINT) * (h % {_MERSENNE})"
+        f" + CAST({b} AS BIGINT)) % {_MERSENNE}))"
+        for a, b in _perm_constants(num_hashes)
+    )
+    return f"array({parts})"
+
+
+def spark_sql_signature_from_shingles(sh_expr: str, num_hashes: int = 6) -> str:
+    """Spark-SQL-text twin of :func:`signature_from_shingles`."""
+    parts = ", ".join(
+        f"array_min(transform({sh_expr}, s -> md5(concat('{i}|', s))))"
+        for i in range(num_hashes)
+    )
+    return f"array({parts})"
+
+
+def spark_sql_jaccard(a: str, b: str) -> str:
+    """Spark-SQL-text twin of :func:`jaccard`."""
+    da, db = f"array_distinct({a})", f"array_distinct({b})"
+    inter = f"size(array_intersect({da}, {db}))"
+    return (
+        f"CAST({inter} AS DOUBLE)"
+        f" / CAST(greatest(size({da}) + size({db}) - {inter}, 1) AS DOUBLE)"
+    )
+
+
 def signature_from_shingles(sh: Column, num_hashes: int = 6) -> Column:
     """array<string> of `num_hashes` MinHash values over a shingle array.
 
@@ -176,15 +230,15 @@ def shingle_table(
     it several times (banding + both verify sides) computes it once —
     the in-job equivalent of writing the signature table out, which is
     what the 100 TB pipeline would do between stages."""
-    sh_expr = shingles(F.col(text_col), k)
+    sh_sql = spark_sql_shingles(f"`{text_col}`", k)
     if hashed:
-        sh_expr = hashed_shingles(sh_expr)
+        sh_sql = spark_sql_hashed_shingles(sh_sql)
     # Explicit partition count: the hashing stage is CPU-bound, not
     # byte-bound, so AQE's byte-based coalescing would otherwise fold a
     # small-file corpus into ONE task and serialize the md5 work.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    sh = docs.repartition(par, F.col(id_col)).select(
-        F.col(id_col).alias("__id"), sh_expr.alias("__sh")
+    sh = docs.repartition(par, F.col(id_col)).selectExpr(
+        f"`{id_col}` AS __id", f"{sh_sql} AS __sh"
     )
     if persist:
         # the cache IS the materialization barrier (InMemoryRelation
@@ -239,49 +293,37 @@ def lsh_candidate_pairs(
     # hashed shingle tables (array<bigint>) take the integer minhash
     # path; string shingle tables keep the salted-md5 signature
     hashed = dict(shingle_df.dtypes)["__sh"] == "array<bigint>"
-    sig_fn = signature_from_hashes if hashed else signature_from_shingles
-    sigs = shingle_df.select(
-        F.col("__id"), sig_fn(F.col("__sh"), num_hashes).alias("__sig")
+    sig_sql_fn = (
+        spark_sql_signature_from_hashes if hashed else spark_sql_signature_from_shingles
     )
-    sig = F.col("__sig")
-    banded = sigs.select(
-        F.col("__id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at(sig, b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    ).filter(F.col("band_key").isNotNull())
-    if strategy == "bucket":
-        buckets = (
-            banded.groupBy("band_idx", "band_key")
-            .agg(F.collect_list("__id").alias("ids"))
-            .filter(F.size("ids") > 1)
+    sigs = shingle_df.selectExpr(
+        "__id", f"{sig_sql_fn('__sh', num_hashes)} AS __sig"
+    )
+    bands_sql = ", ".join(
+        "concat_ws('|', "
+        + ", ".join(
+            f"element_at(__sig, {b * rows_per_band + r + 1})"
+            for r in range(rows_per_band)
         )
-        pair_arr = F.filter(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x: F.transform(
-                        F.col("ids"),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            ),
-            lambda p: p["id_a"] < p["id_b"],
+        + ")"
+        for b in range(bands)
+    )
+    banded = sigs.selectExpr(
+        "__id", f"posexplode(array({bands_sql})) AS (band_idx, band_key)"
+    ).where("band_key IS NOT NULL")
+    if strategy == "bucket":
+        # pair generation inside the bucket array: nested transform +
+        # upper-triangle filter, exploded with inline (struct array ->
+        # two columns in one Generate)
+        pair_sql = (
+            "filter(flatten(transform(ids, x -> transform(ids, y -> "
+            "named_struct('id_a', x, 'id_b', y)))), p -> p.id_a < p.id_b)"
         )
         return (
-            buckets.select(F.explode(pair_arr).alias("p"))
-            .select("p.id_a", "p.id_b")
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.collect_list("__id").alias("ids"))
+            .where("size(ids) > 1")
+            .selectExpr(f"inline({pair_sql})")
             .distinct()
         )
     if strategy != "join":

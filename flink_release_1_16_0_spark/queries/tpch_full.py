@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_release_1_16_0_spark.catalog import register_tables
+from flink_release_1_16_0_spark.catalog import load_table, register_tables
 from flink_release_1_16_0_spark.queries import register
 
 # --------------------------------------------------------------------------
@@ -129,9 +129,32 @@ GROUP BY nation, o_year
 """
 
 
+# Spread twin of _Q9_SQL for single-split fixtures: lineitem is the
+# streamed side of a 4-deep broadcast-join chain, and a one-row-group
+# parquet file would run every probe + the decimal arithmetic serially
+# in ONE task. The numbered REPARTITION hint (number = the session's
+# defaultParallelism, so it scales with the deployment, never a
+# constant) hash-spreads the fact scan; the branch below only takes
+# this form when the scan has fewer splits than the session's
+# parallelism — on a many-split corpus the plain SQL runs unchanged
+# (same conditional contract as queries._util.spread_scan). Measured
+# 0.91 s -> 0.76 s at sf0.1 (round-13 optimization round).
+_Q9_SQL_SPREAD = _Q9_SQL.replace(
+    "FROM part, supplier, lineitem, orders, nation",
+    "FROM part, supplier,"
+    " (SELECT /*+ REPARTITION({par}, l_orderkey) */ * FROM lineitem) lineitem,"
+    " orders, nation",
+)
+assert _Q9_SQL_SPREAD != _Q9_SQL  # guard against silent drift of _Q9_SQL
+
+
 @register("q9_product_profit", _Q9_SQL, tags=("join", "agg", "sql"), bench=True)
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        return spark.sql(_Q9_SQL_SPREAD.format(par=par))
     return spark.sql(_Q9_SQL)
 
 
