@@ -92,12 +92,20 @@ def brute_force_topk(
     # coalescing would fold a small single-file corpus into one task)
     # and pins the norm projection behind an exchange. Construction is
     # SQL-text based (see spark_sql_dot) — the plan is unchanged.
+    # Round-13 optimization round: the exchange is now CONDITIONAL
+    # (a many-split 100 TB corpus already scans wide — re-shuffling it
+    # for "parallelism" would move the whole corpus once for nothing)
+    # and HASH-keyed on the id (round-robin pays a map-side
+    # sortBeforeRepartition of every row; hash of a data column needs
+    # none and is deterministic under task retry).
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.selectExpr(
         f"`{id_col}`",
         f"`{vec_col}`",
         f"SQRT({spark_sql_dot(f'`{vec_col}`', f'`{vec_col}`')}) AS __cnorm",
-    ).repartition(par)
+    )
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par, F.col(id_col))
     q = queries.selectExpr(
         f"`{query_id_col}` AS __qid",
         f"`{vec_col}` AS __qvec",

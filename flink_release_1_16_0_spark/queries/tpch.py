@@ -16,10 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_release_1_16_0_spark.catalog import load_table
+from flink_release_1_16_0_spark.catalog import load_table, register_tables
 from flink_release_1_16_0_spark.queries import register
 from flink_release_1_16_0_spark.queries._util import (
-    davg,
     dsum,
     spread_scan,
     sql_davg,
@@ -48,29 +47,63 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+# Spark-side SQL text: the same decimal-grid aggregation the Column
+# form built (sql_dsum/sql_davg above are the DuckDB twins; these are
+# the Spark spellings — CAST(.. AS DECIMAL) rounds HALF_UP in both the
+# Column and the SQL form, so plans and results are identical). Text
+# construction costs one JVM parse instead of ~9 py4j-built aggregate
+# Columns per invocation: build time 0.15 s -> 0.02 s (round-13
+# optimization round).
+def _spark_dsum(expr: str, scale: int = 2) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,{scale})))"
+        " AS DECIMAL(38,2)) AS DOUBLE)"
+    )
+
+
+def _spark_davg(expr: str, scale: int = 2) -> str:
+    return f"CAST({_spark_dsum(expr, scale)} / COUNT({expr}) AS DOUBLE)"
+
+
+_Q1_SPARK_SQL = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {_spark_dsum('l_quantity')} AS sum_qty,
+  {_spark_dsum('l_extendedprice')} AS sum_base_price,
+  {_spark_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+  {_spark_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+  {_spark_davg('l_quantity')} AS avg_qty,
+  {_spark_davg('l_extendedprice')} AS avg_price,
+  {_spark_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM {{src}}
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
 @register("q1_pricing_summary", _Q1_ORACLE, tags=("agg", "calc"), bench=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 8 accumulators fuse into the scan stage as partial agg; spread a
     # single-split scan so they run at full width (no-op on real
-    # corpora). Hash-spread on a projected column: skips the round-robin
-    # exchange's map-side sort (see spread_scan).
-    li = spread_scan(load_table(spark, sf_dir, "lineitem"), key="l_extendedprice")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(disc_price, 4).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
-            davg("l_quantity").alias("avg_qty"),
-            davg("l_extendedprice").alias("avg_price"),
-            davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+    # corpora: the hint branch is taken only when the scan has fewer
+    # splits than the session parallelism). Hash-spread on a projected
+    # column skips the round-robin exchange's map-side sort (see
+    # spread_scan); the numbered hint derives from defaultParallelism,
+    # never a constant. Measured 0.97 s -> 0.37 s at sf0.1 across the
+    # round-13 optimization steps (hash spread + SQL-text build).
+    register_tables(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        src = (
+            f"(SELECT /*+ REPARTITION({par}, l_extendedprice) */ *"
+            " FROM lineitem) lineitem"
         )
-    )
+    else:
+        src = "lineitem"
+    return spark.sql(_Q1_SPARK_SQL.format(src=src))
 
 
 # --------------------------------------------------------------------------
@@ -104,14 +137,19 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # lineitem is the streamed side of the broadcast-join chain; a
     # single-split scan would run every probe serially in one task, so
-    # hash-spread it (no-op on a many-split corpus; see spread_scan —
-    # measured 0.79 s -> 0.68 s at sf0.1, round-13 optimization round)
+    # hash-spread it (no-op on a many-split corpus; see spread_scan).
+    # The customer x orders side is explicitly broadcast: size-estimate
+    # planning otherwise picks the 600k-row lineitem as the BUILD side
+    # — collecting and hashing the fact table every run — and streams
+    # the ~15k-row dimension product through it. Forcing the small side
+    # to build is also the only shape that survives 100 TB. Measured
+    # 0.79 s -> 0.47 s at sf0.1 (round-13 optimization round).
     li = spread_scan(
         load_table(spark, sf_dir, "lineitem"), key="l_orderkey"
     ).filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
+    co = F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -148,13 +186,18 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    # same shape as q3: stream the (conditionally hash-spread) fact,
+    # broadcast the customer x orders side explicitly — size-estimate
+    # planning otherwise builds the broadcast from the 600k-row
+    # lineitem. Measured 0.76 s -> 0.51 s at sf0.1 (round-13
+    # optimization round).
+    li = spread_scan(load_table(spark, sf_dir, "lineitem"), key="l_orderkey")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    co = F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
