@@ -44,10 +44,15 @@ def _guard_quadratic(spark: SparkSession, df: DataFrame, what: str) -> DataFrame
         in ("true", "1")
     ):
         return df
-    n = df.count()
+    # limit-capped count: the guard only needs to know whether the input
+    # EXCEEDS the bound, so cap the probe at bound+1 rows — a full
+    # count() here would itself scan the whole corpus before refusing
+    # (the one thing this guard exists to prevent). Round-13
+    # optimization round.
+    n = df.limit(QUADRATIC_ROW_BOUND + 1).count()
     if n > QUADRATIC_ROW_BOUND:
         raise ValueError(
-            f"{what}: input has {n} rows > {QUADRATIC_ROW_BOUND}; this is "
+            f"{what}: input exceeds {QUADRATIC_ROW_BOUND} rows; this is "
             "an O(n^2) exact-verify baseline meant for keyed slices — use "
             "the banded/bucketed production twin (dedup_minhash_lsh / "
             "similarity_*), or set "

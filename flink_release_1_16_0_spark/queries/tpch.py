@@ -241,11 +241,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # q3-twin shape (round-13 optimization round): stream the
+    # (conditionally spread) fact, broadcast the customer x orders side
+    # — size estimates otherwise pick the raw lineitem scan as the
+    # broadcast build side.
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem"), key="l_orderkey"
+    ).filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
+    co = F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey))
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
