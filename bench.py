@@ -53,6 +53,12 @@ def main() -> None:
         t_start = time.time()
         runs = []
         for _ in range(5):
+            # Drop any persisted intermediates a previous run materialized
+            # (e.g. dedup's shingle stage): every timed run must compute
+            # from the parquet inputs, not serve a prior run's cache
+            # (round-13 verdict, measurement-hygiene item). The clear is
+            # outside the timed region; the repopulation is inside it.
+            spark.catalog.clearCache()
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

@@ -32,12 +32,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 
+from flink_release_1_16_0_spark.operators._sqlq import q_ident as _q
+
 ASOF_TS = "__asof_ts"
-
-
-def _q(name: str) -> str:
-    """Backtick-quote an identifier for SQL-text construction."""
-    return f"`{name}`"
 
 
 def asof_join(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_release_1_16_0_spark.operators._sqlq import q_ident as _q
 from flink_release_1_16_0_spark.operators.text import (
     shingles,
     spark_sql_shingles,
@@ -230,7 +231,7 @@ def shingle_table(
     it several times (banding + both verify sides) computes it once —
     the in-job equivalent of writing the signature table out, which is
     what the 100 TB pipeline would do between stages."""
-    sh_sql = spark_sql_shingles(f"`{text_col}`", k)
+    sh_sql = spark_sql_shingles(_q(text_col), k)
     if hashed:
         sh_sql = spark_sql_hashed_shingles(sh_sql)
     # Explicit partition count: the hashing stage is CPU-bound, not
@@ -238,7 +239,7 @@ def shingle_table(
     # small-file corpus into ONE task and serialize the md5 work.
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh = docs.repartition(par, F.col(id_col)).selectExpr(
-        f"`{id_col}` AS __id", f"{sh_sql} AS __sh"
+        f"{_q(id_col)} AS __id", f"{sh_sql} AS __sh"
     )
     if persist:
         # the cache IS the materialization barrier (InMemoryRelation

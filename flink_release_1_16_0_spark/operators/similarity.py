@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_release_1_16_0_spark.operators._sqlq import q_ident as _q
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sum of elementwise products, folded in index order (double)."""
@@ -99,22 +101,23 @@ def brute_force_topk(
     # sortBeforeRepartition of every row; hash of a data column needs
     # none and is deterministic under task retry).
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    idq, vecq = _q(id_col), _q(vec_col)
     c = corpus.selectExpr(
-        f"`{id_col}`",
-        f"`{vec_col}`",
-        f"SQRT({spark_sql_dot(f'`{vec_col}`', f'`{vec_col}`')}) AS __cnorm",
+        idq,
+        vecq,
+        f"SQRT({spark_sql_dot(vecq, vecq)}) AS __cnorm",
     )
     if c.rdd.getNumPartitions() < par:
         c = c.repartition(par, F.col(id_col))
     q = queries.selectExpr(
-        f"`{query_id_col}` AS __qid",
-        f"`{vec_col}` AS __qvec",
-        f"SQRT({spark_sql_dot(f'`{vec_col}`', f'`{vec_col}`')}) AS __qnorm",
+        f"{_q(query_id_col)} AS __qid",
+        f"{vecq} AS __qvec",
+        f"SQRT({spark_sql_dot(vecq, vecq)}) AS __qnorm",
     )
     scored = c.join(F.broadcast(q), F.col(id_col) != F.col("__qid")).selectExpr(
         "__qid AS query_id",
-        f"`{id_col}` AS neighbor_id",
-        f"ROUND({spark_sql_dot(f'`{vec_col}`', '__qvec')}"
+        f"{idq} AS neighbor_id",
+        f"ROUND({spark_sql_dot(vecq, '__qvec')}"
         f" / (__cnorm * __qnorm), {round_scale}) AS score",
     )
     return scored.selectExpr(
@@ -277,15 +280,20 @@ def ivf_topk(
     broadcasts the small query side and prunes every non-matching cell
     partition.
     """
-    # same per-side norm precompute + parallelizing repartition as
-    # brute_force_topk (identical float values, oracle unaffected)
+    # same per-side norm precompute as brute_force_topk (identical
+    # float values, oracle unaffected); the parallelizing exchange is
+    # conditional + hash-keyed exactly like brute_force_topk's (a
+    # many-split 100 TB corpus is already wide — round-14, extending
+    # the round-13 fix per the r13 advisor)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         F.col(cell_col),
         norm(F.col(vec_col)).alias("__cnorm"),
-    ).repartition(par)
+    )
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par, F.col(id_col))
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
@@ -385,13 +393,16 @@ def hyperplane_lsh_topk(
     bounded window. At 100 TB the corpus bucket column would be
     precomputed at ingest; nothing downstream changes.
     """
+    # conditional hash-keyed exchange, same rationale as ivf_topk
     par = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
         norm(F.col(vec_col)).alias("__cnorm"),
-    ).repartition(par)
+    )
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par, F.col(id_col))
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),

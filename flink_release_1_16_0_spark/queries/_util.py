@@ -79,6 +79,45 @@ def sql_davg(expr: str, scale: int = 2, out_scale: int = 2) -> str:
     )
 
 
+def _size_threshold(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 = off)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "67108864"))
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3}
+    s = raw.strip().lower().removesuffix("b")
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
+def broadcast_if_small(df, *inputs, threshold: int | None = None):
+    """Broadcast hint gated on the *input* relations' size estimates.
+
+    An unconditional ``F.broadcast`` removes the planner's ability to
+    fall back to a shuffle join — Spark hard-fails broadcasts >8 GB and
+    can OOM the driver well before that — so the hint must disappear on
+    inputs that grow with the corpus. The gate sums the optimizer size
+    estimates of ``inputs`` (for a bare parquet relation this is the
+    file size; pass the join's base tables, whose cached DataFrame
+    objects memoize the stat) rather than of ``df`` itself: without
+    column statistics Spark estimates a join product as near the
+    CARTESIAN size (measured 860 GB for a 3 MB customer x orders at
+    sf0.1 — the same estimate artifact that made the planner broadcast
+    the fact side in the first place), while an FK join's true output
+    is bounded by its fact-side input. Threshold defaults to the
+    session's autoBroadcastJoinThreshold: under it the hint pins the
+    known-good build side; over it (the 100 TB case) the planner keeps
+    every fallback, including AQE's runtime join demotion.
+    """
+    if threshold is None:
+        threshold = _size_threshold(df.sparkSession)
+    if threshold < 0:
+        return df
+    total = 0
+    for p in inputs or (df,):
+        total += int(p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    return F.broadcast(df) if total <= threshold else df
+
+
 def spread_scan(df, key: str | None = None):
     """Single-split-file parallelization idiom.
 

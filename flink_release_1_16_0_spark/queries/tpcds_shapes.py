@@ -290,11 +290,30 @@ WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.09)
   AND s.s_suppkey NOT IN (SELECT l_suppkey FROM lineitem WHERE l_suppkey % 3 = 0)
 """
 
+# Spark-side twin: the NOT IN spelled as NOT EXISTS. Spark compiles a
+# NOT IN subquery to a null-aware anti join, whose ONLY physical
+# strategies broadcast the subquery side (BroadcastHashJoin-NAAJ or
+# BroadcastNestedLoopJoin) — at 100 TB that broadcast of a fact slice
+# hard-fails. NOT EXISTS compiles to a plain left-anti join that
+# degrades to sort-merge past the broadcast threshold (round-14; pinned
+# by test_semi_anti_fact_broadcast_degrades). Equivalence: the NOT IN
+# subquery's own predicate (l_suppkey % 3 = 0) rejects NULL keys, and
+# the outer s_suppkey already passed an IN, so neither side can produce
+# the NULL that distinguishes NOT IN from NOT EXISTS — the ORACLE text
+# keeps the original NOT IN, so every oracle run re-proves this.
+_DS_IN_SUBQUERY_SPARK = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.09)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_suppkey % 3 = 0)
+"""
+
 
 @register("ds_in_not_in_subquery", _DS_IN_SUBQUERY, tags=("tpcds", "subquery"))
 def ds_in_not_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "supplier", "lineitem")
-    return spark.sql(_DS_IN_SUBQUERY)
+    return spark.sql(_DS_IN_SUBQUERY_SPARK)
 
 
 # --------------------------------------------------------------------------

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from flink_release_1_16_0_spark.catalog import load_table, register_tables
 from flink_release_1_16_0_spark.queries import register
 from flink_release_1_16_0_spark.queries._util import (
+    broadcast_if_small,
     dsum,
     spread_scan,
     sql_davg,
@@ -138,16 +139,23 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem is the streamed side of the broadcast-join chain; a
     # single-split scan would run every probe serially in one task, so
     # hash-spread it (no-op on a many-split corpus; see spread_scan).
-    # The customer x orders side is explicitly broadcast: size-estimate
-    # planning otherwise picks the 600k-row lineitem as the BUILD side
-    # — collecting and hashing the fact table every run — and streams
-    # the ~15k-row dimension product through it. Forcing the small side
-    # to build is also the only shape that survives 100 TB. Measured
-    # 0.79 s -> 0.47 s at sf0.1 (round-13 optimization round).
+    # The customer x orders side carries a size-gated broadcast hint:
+    # size-estimate planning otherwise picks the 600k-row lineitem as
+    # the BUILD side — collecting and hashing the fact table every run —
+    # and streams the ~15k-row dimension product through it. Measured
+    # 0.79 s -> 0.47 s at sf0.1 (round-13 optimization round). The hint
+    # is gated on the base tables' size estimates (round-14): orders
+    # grows with the corpus, and past the broadcast threshold the
+    # planner must keep its shuffle-join fallbacks (see
+    # broadcast_if_small).
     li = spread_scan(
         load_table(spark, sf_dir, "lineitem"), key="l_orderkey"
     ).filter(F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp"))
-    co = F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey))
+    co = broadcast_if_small(
+        cust.join(orders, cust.c_custkey == orders.o_custkey),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
     return (
         li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
@@ -187,19 +195,25 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     # same shape as q3: stream the (conditionally hash-spread) fact,
-    # broadcast the customer x orders side explicitly — size-estimate
-    # planning otherwise builds the broadcast from the 600k-row
-    # lineitem. Measured 0.76 s -> 0.51 s at sf0.1 (round-13
-    # optimization round).
+    # size-gated broadcast hint on the customer x orders side —
+    # size-estimate planning otherwise builds the broadcast from the
+    # 600k-row lineitem. Measured 0.76 s -> 0.51 s at sf0.1 (round-13
+    # optimization round); gate added round-14 (see broadcast_if_small).
     li = spread_scan(load_table(spark, sf_dir, "lineitem"), key="l_orderkey")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    co = F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey))
+    co = broadcast_if_small(
+        cust.join(orders, cust.c_custkey == orders.o_custkey),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
     return (
         li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            # supplier scales with SF (unlike nation/region): gate its
+            # hint too (the stat is memoized on the cached relation)
+            broadcast_if_small(supp),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -242,14 +256,19 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     # q3-twin shape (round-13 optimization round): stream the
-    # (conditionally spread) fact, broadcast the customer x orders side
-    # — size estimates otherwise pick the raw lineitem scan as the
-    # broadcast build side.
+    # (conditionally spread) fact, size-gated broadcast hint on the
+    # customer x orders side — size estimates otherwise pick the raw
+    # lineitem scan as the broadcast build side. Gate added round-14
+    # (see broadcast_if_small).
     li = spread_scan(
         load_table(spark, sf_dir, "lineitem"), key="l_orderkey"
     ).filter(F.col("l_returnflag") == "R")
     nation = load_table(spark, sf_dir, "nation")
-    co = F.broadcast(cust.join(orders, cust.c_custkey == orders.o_custkey))
+    co = broadcast_if_small(
+        cust.join(orders, cust.c_custkey == orders.o_custkey),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
     return (
         li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))

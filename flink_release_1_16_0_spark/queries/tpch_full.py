@@ -255,11 +255,32 @@ WHERE p_brand <> 'Brand#1'
 GROUP BY p_brand, p_type, p_size
 """
 
+# Spark-side twin: NOT IN spelled as NOT EXISTS — Spark's null-aware
+# anti join (the NOT IN plan) can only broadcast its subquery side,
+# which scales with SF here (supplier); the NOT EXISTS anti join
+# degrades to sort-merge past the threshold. Equivalent on data with
+# non-null supplier/lineitem keys (TPC-H keys are non-null by spec);
+# the ORACLE text keeps the NOT IN, so every oracle run re-proves it.
+# Round-14; pinned by test_semi_anti_fact_broadcast_degrades.
+_Q16_SPARK_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND NOT EXISTS (
+    SELECT 1 FROM supplier
+    WHERE s_suppkey = l_suppkey AND s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
 
 @register("q16_parts_supplier", _Q16_SQL, tags=("agg", "subquery", "sql"))
 def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
-    return spark.sql(_Q16_SQL)
+    return spark.sql(_Q16_SPARK_SQL)
 
 
 # --------------------------------------------------------------------------
