@@ -90,17 +90,24 @@ class _RAcc:
         self.n = 0
         self.cells = [None] * nspecs
 
-    def add(self, specs, row, sign: int) -> None:
+    def add(self, specs, row, sign: int, tup=None, col_pos=None) -> None:
+        """``row`` is a dict, or pass positional ``tup``+``col_pos``
+        (itertuples hot path — no per-row dict allocation, same
+        treatment as the window-TVF and retract aggs)."""
         self.n += sign
         for i, (_, func, col, _t) in enumerate(specs):
-            v = None if col is None or func == "count_star" else row[col[0] if isinstance(col, tuple) else col]
+            if col is None or func == "count_star":
+                v = None
+            else:
+                c0 = col[0] if isinstance(col, tuple) else col
+                v = tup[col_pos[c0]] if tup is not None else row[c0]
             if v is not None and isinstance(v, float) and v != v:
                 v = None
             c = self.cells[i]
             if func == "count_star":
                 self.cells[i] = (c or 0) + sign
             elif func == "weighted_avg":
-                w = row[col[1]]
+                w = tup[col_pos[col[1]]] if tup is not None else row[col[1]]
                 if v is None or w is None:
                     continue
                 s, ws = c if c is not None else (0, 0)
@@ -312,17 +319,20 @@ def streaming_group_window_agg(
 
         def accumulate() -> None:
             wm_chk = (settled_wm if settled_wm is not None else -(2**62)) if input_settled else wm
-            cols = [ts_col]
-            if rowkind_col:
-                cols.append(rowkind_col)
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
-                for row in pdf.to_dict("records"):
+                # positional itertuples: no per-row dict allocation in
+                # the per-row hot loop (runs once per input row at any
+                # scale — same treatment as the window-TVF agg)
+                col_pos = {c: j for j, c in enumerate(pdf.columns)}
+                rk_pos = col_pos[rowkind_col] if rowkind_col else None
+                ts_pos = col_pos[ts_col]
+                for tup in pdf.itertuples(index=False, name=None):
                     sign = 1
-                    if rowkind_col:
-                        sign = -1 if row[rowkind_col] in (UPDATE_BEFORE, DELETE) else 1
-                    ts_ms = _ms(row[ts_col])
+                    if rk_pos is not None:
+                        sign = -1 if tup[rk_pos] in (UPDATE_BEFORE, DELETE) else 1
+                    ts_ms = _ms(tup[ts_pos])
                     for ws, we in assign(ts_ms):
                         if wm_chk >= we - 1 + allowed_lateness_ms:
                             continue  # beyond the lateness horizon
@@ -343,13 +353,13 @@ def streaming_group_window_agg(
                                 o_acc, _em = wins.pop(w)
                                 acc.merge(aggs, o_acc)
                                 ws, we = min(ws, w[0]), max(we, w[1])
-                            acc.add(aggs, row, sign)
+                            acc.add(aggs, None, sign, tup=tup, col_pos=col_pos)
                             wins[(ws, we)] = [acc, None]
                         else:
                             slot = wins.get((ws, we))
                             if slot is None:
                                 slot = wins[(ws, we)] = [_RAcc(nspecs), None]
-                            slot[0].add(aggs, row, sign)
+                            slot[0].add(aggs, None, sign, tup=tup, col_pos=col_pos)
 
         if input_settled:
             accumulate()

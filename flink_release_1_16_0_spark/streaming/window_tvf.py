@@ -538,14 +538,24 @@ def streaming_window_tvf_join(
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
-                for row in pdf.to_dict("records"):
+                # positional itertuples: no per-row dict allocation in
+                # the buffering hot loop (same treatment as the TVF agg)
+                col_pos = {c: j for j, c in enumerate(pdf.columns)}
+                side_pos = col_pos["__side"]
+                lpos = [col_pos[c] for c in lpay]
+                rpos = [col_pos[c] for c in rpay]
+                if input_attributed:
+                    ws_pos, we_pos = col_pos["window_start"], col_pos["window_end"]
+                else:
+                    ts_pos = col_pos[ts_col]
+                for tup in pdf.itertuples(index=False, name=None):
                     if input_attributed:
-                        e = _ms(row["window_end"])
+                        e = _ms(tup[we_pos])
                         if settled_wm is not None and settled_wm >= e - 1:
                             continue
-                        ends = [(e, _ms(row["window_start"]))]
+                        ends = [(e, _ms(tup[ws_pos]))]
                     else:
-                        se = asg.assign_slice_end(_ms(row[ts_col]))
+                        se = asg.assign_slice_end(_ms(tup[ts_pos]))
                         if wm >= asg.last_window_end(se) - 1:
                             continue
                         ends = [
@@ -553,9 +563,8 @@ def streaming_window_tvf_join(
                             for e in asg.candidate_ends(se)
                             if wm < e - 1
                         ]
-                    side = 0 if row["__side"] == "L" else 1
-                    pay = lpay if side == 0 else rpay
-                    vals = tuple(row[c] for c in pay)
+                    side = 0 if tup[side_pos] == "L" else 1
+                    vals = tuple(tup[p] for p in (lpos if side == 0 else rpos))
                     for e, ws in ends:
                         buf = wins.setdefault(e, (ws, [], []))
                         buf[1 + side].append(vals)
@@ -717,7 +726,24 @@ def streaming_window_tvf_topn(
     out_schema = StructType([*key_fields, *in_fields, *win_fields, *extra])
     out_cols = [f.name for f in out_schema.fields]
     in_names = [f.name for f in in_fields]
-    skey = _sort_key(order)
+    # buffered rows are positional tuples over exactly the columns the
+    # operator reads (no per-row dict allocation/copy in the hot loop;
+    # key columns are NOT assumed present on input rows — the previous
+    # dict form never read them either)
+    if input_attributed:
+        buf_cols = list(
+            dict.fromkeys(
+                ["window_start", "window_end", *in_names, *(c for c, _ in order)]
+            )
+        )
+    else:
+        buf_cols = list(
+            dict.fromkeys([ts_col, *in_names, *(c for c, _ in order)])
+        )
+    pos = {c: i for i, c in enumerate(buf_cols)}
+    skey = _sort_key([(pos[c], desc) for c, desc in order])
+    in_pos = [pos[c] for c in in_names]
+    ws_pos = pos.get("window_start")
 
     def _ms(t) -> int:
         return t.value // 1_000_000 if hasattr(t, "value") else int(t.timestamp() * 1000)
@@ -739,22 +765,29 @@ def streaming_window_tvf_topn(
             for pdf in pdfs:
                 if len(pdf) == 0:
                     continue
-                for row in pdf.to_dict("records"):
+                # positional itertuples over the needed columns only:
+                # no per-row dict allocation + copy in the hot loop
+                it = pdf[buf_cols].itertuples(index=False, name=None)
+                if input_attributed:
+                    we_pos = pos["window_end"]
+                else:
+                    ts_pos = pos[ts_col]
+                for tup in it:
                     if input_attributed:
-                        e = _ms(row["window_end"])
+                        e = _ms(tup[we_pos])
                         # fired in an EARLIER batch -> late; same-batch
                         # firings still accept (records precede the wm)
                         if settled_wm is not None and settled_wm >= e - 1:
                             continue
                         ends = [e]
                     else:
-                        se = asg.assign_slice_end(_ms(row[ts_col]))
+                        se = asg.assign_slice_end(_ms(tup[ts_pos]))
                         if wm >= asg.last_window_end(se) - 1:
                             continue  # every window containing it fired
                         ends = [e for e in asg.candidate_ends(se) if wm < e - 1]
                     for e in ends:
                         buf = wins.setdefault(e, [])
-                        buf.append(dict(row))
+                        buf.append(tup)
                         if len(buf) > rank_end:
                             buf.sort(key=skey)
                             del buf[rank_end:]
@@ -768,13 +801,13 @@ def streaming_window_tvf_topn(
             for e in ready:
                 buf = sorted(wins.pop(e), key=skey)
                 if input_attributed:
-                    ws = _ms(buf[0]["window_start"])
+                    ws = _ms(buf[0][ws_pos])
                 else:
                     ws = asg.window_starts(e)
                 for rank, row in enumerate(buf, start=1):
                     if rank < rank_start or rank > rank_end:
                         continue
-                    vals = [*key, *(row[c] for c in in_names), _ts(ws), _ts(e)]
+                    vals = [*key, *(row[p] for p in in_pos), _ts(ws), _ts(e)]
                     if emit_window_time:
                         vals.append(_ts(e - 1))
                     if emit_rownum:
