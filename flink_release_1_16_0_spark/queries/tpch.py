@@ -294,7 +294,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
-@register("q6_forecast_revenue", _Q6_ORACLE, tags=("calc", "agg"))
+@register("q6_forecast_revenue", _Q6_ORACLE, tags=("calc", "agg"), bench=True)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (

@@ -336,7 +336,9 @@ GROUP BY s_name
 """
 
 
-@register("q21_waiting_suppliers", _Q21_SQL, tags=("subquery", "agg", "sql"))
+@register(
+    "q21_waiting_suppliers", _Q21_SQL, tags=("subquery", "agg", "sql"), bench=True
+)
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     return spark.sql(_Q21_SQL)

@@ -97,6 +97,7 @@ HAVING ws_ms + {6 * _H} - 1 <= wm_ms
     "stream_window_tvf_hop",
     _HOP_ORACLE,
     tags=("streaming", "window", "tvf", "time"),
+    bench=True,
 )
 def stream_window_tvf_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_window_tvf_agg(

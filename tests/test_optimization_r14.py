@@ -186,6 +186,68 @@ def test_ivf_topk_exchange_conditional_and_hashed(spark, sf_smoke):
     assert wide.count("REPARTITION_BY_NUM") == 1
 
 
+# ---------------------------------------------------------------------------
+# dedup verify-path optimizations (round-14): distinct-once shingles,
+# no-distinct jaccard twin, exact length prune
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_distinct_preserves_minhash_signature(spark, sf_smoke):
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    raw = D.shingle_table(docs, k=3, hashed=True)
+    dst = D.shingle_table(docs, k=3, hashed=True, distinct=True)
+    sig = D.spark_sql_signature_from_hashes("__sh", 6)
+    a = {r["__id"]: tuple(r["s"]) for r in raw.selectExpr("__id", f"{sig} AS s").collect()}
+    b = {r["__id"]: tuple(r["s"]) for r in dst.selectExpr("__id", f"{sig} AS s").collect()}
+    assert a == b  # MinHash is multiset-invariant
+
+
+def test_jaccard_on_distinct_matches_general_form(spark, sf_smoke):
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_smoke, "documents").limit(30)
+    sh = D.shingle_table(docs, k=3, hashed=True, distinct=True)
+    pairs = sh.selectExpr("__id AS id_a", "__sh AS a").crossJoin(
+        sh.selectExpr("__id AS id_b", "__sh AS b")
+    ).where("id_a < id_b")
+    rows = pairs.selectExpr(
+        f"{D.spark_sql_jaccard('a', 'b')} AS general",
+        f"{D.spark_sql_jaccard_on_distinct('a', 'b')} AS fast",
+    ).collect()
+    assert rows and all(r["general"] == r["fast"] for r in rows)
+
+
+def test_length_prune_never_drops_a_verifying_pair(spark, sf_smoke):
+    # the prune keeps iff min/max >= threshold; every pair it drops has
+    # jaccard <= min/max < threshold. Check against the brute-force
+    # jaccard of ALL candidate pairs on the smoke corpus.
+    from flink_release_1_16_0_spark.catalog import load_table
+    from flink_release_1_16_0_spark.operators import dedup as D
+    from flink_release_1_16_0_spark.queries import load_registry
+
+    reg = load_registry()
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in reg["dedup_minhash_lsh"].fn(spark, sf_smoke).collect()
+    }
+    docs = load_table(spark, sf_smoke, "documents")
+    sh = D.shingle_table(docs, k=3, hashed=True, distinct=True)
+    cand = D.lsh_candidate_pairs(num_hashes=6, bands=6, k=3, strategy="bucket", shingle_df=sh)
+    unpruned = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in cand.join(sh.selectExpr("__id AS id_a", "__sh AS sa"), "id_a")
+        .join(sh.selectExpr("__id AS id_b", "__sh AS sb"), "id_b")
+        .selectExpr("id_a", "id_b", f"{D.spark_sql_jaccard('sa', 'sb')} AS jaccard")
+        .where("jaccard >= 0.5")
+        .collect()
+    }
+    assert got == unpruned
+
+
 def test_hyperplane_lsh_topk_exchange_conditional_and_hashed(spark, sf_smoke):
     emb = load_table(spark, sf_smoke, "embeddings")
     planes = random_hyperplanes(4, 64)
