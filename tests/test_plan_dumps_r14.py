@@ -100,5 +100,9 @@ def test_similarity_dump_shape():
 def test_asof_dump_shape():
     plan = _read("join_asof")
     # one key exchange feeding one window scan — the merge-pass shape
-    assert plan.count("Exchange hashpartitioning") == 1
+    # (formatted dumps list operators as "(n) Exchange" detail blocks)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    assert "hashpartitioning" in plan
     assert "Window" in plan
