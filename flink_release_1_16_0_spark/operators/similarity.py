@@ -102,12 +102,18 @@ def brute_force_topk(
     # none and is deterministic under task retry).
     par = corpus.sparkSession.sparkContext.defaultParallelism
     idq, vecq = _q(id_col), _q(vec_col)
+    # partition-count probe on the INPUT, not the norm projection: a
+    # projection never changes partitioning, and .rdd on the (cached)
+    # input relation reuses its lazy RDD (~0.4 ms) while a fresh
+    # projected plan pays full analysis+planning (~109 ms of
+    # driver-side build per bench run — round-14 measurement)
+    narrow = corpus.rdd.getNumPartitions() < par
     c = corpus.selectExpr(
         idq,
         vecq,
         f"SQRT({spark_sql_dot(vecq, vecq)}) AS __cnorm",
     )
-    if c.rdd.getNumPartitions() < par:
+    if narrow:
         c = c.repartition(par, F.col(id_col))
     q = queries.selectExpr(
         f"{_q(query_id_col)} AS __qid",
@@ -286,13 +292,15 @@ def ivf_topk(
     # many-split 100 TB corpus is already wide — round-14, extending
     # the round-13 fix per the r13 advisor)
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    # probe partitions on the input (see brute_force_topk)
+    narrow = corpus.rdd.getNumPartitions() < par
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         F.col(cell_col),
         norm(F.col(vec_col)).alias("__cnorm"),
     )
-    if c.rdd.getNumPartitions() < par:
+    if narrow:
         c = c.repartition(par, F.col(id_col))
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
@@ -393,15 +401,17 @@ def hyperplane_lsh_topk(
     bounded window. At 100 TB the corpus bucket column would be
     precomputed at ingest; nothing downstream changes.
     """
-    # conditional hash-keyed exchange, same rationale as ivf_topk
+    # conditional hash-keyed exchange, same rationale as ivf_topk;
+    # partition probe on the input (see brute_force_topk)
     par = corpus.sparkSession.sparkContext.defaultParallelism
+    narrow = corpus.rdd.getNumPartitions() < par
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
         norm(F.col(vec_col)).alias("__cnorm"),
     )
-    if c.rdd.getNumPartitions() < par:
+    if narrow:
         c = c.repartition(par, F.col(id_col))
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
