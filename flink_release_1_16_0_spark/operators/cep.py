@@ -35,6 +35,24 @@ def classify(symbol_exprs: dict[str, Column], default: str = "-") -> Column:
     return expr
 
 
+def _apply_per_key(df: DataFrame, keys: Sequence[str], fn, schema: str) -> DataFrame:
+    """``groupBy(keys).applyInPandas(fn, schema)`` with the per-key
+    Python invocation amortized: lowered through
+    ``datastream.stream._grouped_apply`` (one shuffle on ``keys`` + a
+    mapInPandas group walk). ``applyInPandas`` calls the Python worker
+    once PER KEY — ~4 ms of Arrow+invoke overhead each, measured to
+    dominate many-small-keys CEP inputs (sf0.1 events: 1500 user
+    groups cost ~6 s of pure per-group floor vs ~0.9 s walked inside
+    batches; a trivial fn times 5.1/0.9/0.6 s at 1500/64/8 groups).
+    ``fn`` keeps the exact applyInPandas contract: it receives one
+    key's rows, key columns included, and returns a result frame."""
+    from pyspark.sql.types import StructType
+
+    from flink_release_1_16_0_spark.datastream.stream import _grouped_apply
+
+    return _grouped_apply(df, list(keys), lambda _key, g: fn(g), StructType.fromDDL(schema))
+
+
 def match_fixed_pattern(
     df: DataFrame,
     keys: Sequence[str],
@@ -119,7 +137,7 @@ def match_regex_pattern(
             rows, columns=[*keys, "match_no", "start_id", "end_id", "n_rows"]
         )
 
-    return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+    return _apply_per_key(tagged, keys, fn, schema)
 
 
 def _check_skip(skip) -> None:
@@ -324,7 +342,7 @@ def match_regex_measures(
             rows.append((*keyvals, m_no, *vals))
         return pd.DataFrame(rows, columns=[*keys, "match_no", *measures])
 
-    return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+    return _apply_per_key(tagged, keys, fn, schema)
 
 
 def match_regex_all_rows(
@@ -435,7 +453,7 @@ def match_regex_all_rows(
             ],
         )
 
-    return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+    return _apply_per_key(tagged, keys, fn, schema)
 
 
 def nfa_try_match(
@@ -481,6 +499,19 @@ def nfa_try_match(
         var, quant = steps[si]
         pred = defines.get(var)
 
+        # ctx is built ONCE per step invocation (``bound`` is fixed for
+        # its duration) and this variable's row list is synced
+        # INCREMENTALLY against cur_taken: the previous form rebuilt
+        # every bound var's row list on every acceptance test, making a
+        # loop quantifier's maximal-run scan O(k^2) in list building.
+        # Predicates only read ctx (they receive the same mapping shape
+        # as before: every bound var, plus this var including the rows
+        # taken earlier in the current run).
+        ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
+        own = ctx[var] = list(ctx.get(var, ()))
+        n_base = len(own)
+        sync = [None, 0]  # identity + length of the last-synced cur_taken
+
         def accepts(i, cur_taken):
             if i >= len(rows):
                 return False
@@ -490,11 +521,14 @@ def nfa_try_match(
                 return False
             if pred is None:
                 return True
-            # ctx sees every row bound so far, including this
-            # variable's rows taken earlier in the current run —
-            # running predicates like A.value > LAST(A.value) work
-            ctx = {v: [rows[j] for j in idxs] for v, idxs in bound.items()}
-            ctx[var] = ctx.get(var, []) + [rows[j] for j in cur_taken]
+            if cur_taken is not sync[0]:
+                del own[n_base:]
+                own.extend(rows[j] for j in cur_taken)
+                sync[0], sync[1] = cur_taken, len(cur_taken)
+            elif len(cur_taken) != sync[1]:
+                # the loop scan appends to the SAME list one row at a time
+                own.extend(rows[j] for j in cur_taken[sync[1]:])
+                sync[1] = len(cur_taken)
             return bool(pred(rows[i], ctx))
 
         if quant in ("1", "?", "??", "?e", "?g"):
@@ -1207,4 +1241,4 @@ def match_nfa(
         cols = all_rows_cols if all_rows else [*keys, "match_no", *measures]
         return pd.DataFrame(out, columns=cols)
 
-    return tagged.groupBy(*keys).applyInPandas(fn, schema=schema)
+    return _apply_per_key(tagged, keys, fn, schema)

@@ -258,3 +258,66 @@ def test_hyperplane_lsh_topk_exchange_conditional_and_hashed(spark, sf_smoke):
     assert narrow.count("REPARTITION_BY_NUM") == 1
     assert "RoundRobinPartitioning" not in narrow
     assert wide.count("REPARTITION_BY_NUM") == 1
+
+
+# ---------------------------------------------------------------------------
+# batch CEP tiers (round-14): per-key applyInPandas -> group-amortized
+# mapInPandas walk (one Python invocation per Arrow batch, not per key;
+# the ~4 ms per-key floor dominated many-small-keys CEP inputs)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "cep_regex_pattern",  # match_regex_pattern tier
+        "cep_measures",  # match_regex_measures tier
+        "cep_all_rows_per_match",  # match_regex_all_rows tier
+        "cep_nfa_define",  # match_nfa tier
+    ],
+)
+def test_cep_tiers_lower_group_amortized(spark, sf_smoke, name):
+    plan = _plan(REGISTRY[name].fn(spark, sf_smoke))
+    assert "FlatMapGroupsInPandas" not in plan, name
+    assert "MapInPandas" in plan, name
+
+
+def test_cep_amortized_invariant_to_batch_splits(spark, sf_smoke):
+    """The amortized walk's results do not depend on Arrow batch
+    boundaries: maxRecordsPerBatch=7 forces every group to split across
+    batches (exercising the carry-over assembly), and the rows must
+    equal the one-group-per-batch run."""
+    from pyspark.sql import functions as F
+
+    from flink_release_1_16_0_spark.operators.cep import classify, match_regex_measures
+
+    events = load_table(spark, sf_smoke, "events")
+    sym = classify(
+        {
+            "c": F.col("event_type") == "click",
+            "p": F.col("event_type") == "purchase",
+        }
+    )
+    kwargs = dict(
+        keys=["user_id"],
+        ts_col="ts",
+        symbol=sym,
+        pattern="(?P<C>c+)(?P<P>p)",
+        id_col="event_id",
+        measures={
+            "n_clicks": ("C", "count", "event_id", "bigint"),
+            "purchase_value": ("P", "last", "value", "double"),
+        },
+        value_cols=["value"],
+        grid_scale=2,
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "7")
+        rows = sorted(map(tuple, match_regex_measures(events, **kwargs).collect()))
+        spark.conf.set(key, "10000")
+        rows2 = sorted(map(tuple, match_regex_measures(events, **kwargs).collect()))
+    finally:
+        spark.conf.set(key, old)
+    assert rows == rows2 and len(rows) > 0
