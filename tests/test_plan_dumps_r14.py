@@ -106,3 +106,15 @@ def test_asof_dump_shape():
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
     assert "hashpartitioning" in plan
     assert "Window" in plan
+
+
+@pytest.mark.parametrize("name", ["cep_nfa_define", "cep_measures"])
+def test_cep_dumps_show_group_amortized_lowering(name):
+    """The batch CEP tiers' per-key applyInPandas
+    (FlatMapGroupsInPandas: one Python call per key) was replaced by
+    the group-amortized mapInPandas walk; the committed dumps must
+    show the replacement, not the pathology."""
+    before, after = _read(name, "before"), _read(name, "after")
+    assert "FlatMapGroupsInPandas" in before
+    assert "FlatMapGroupsInPandas" not in after, name
+    assert "MapInPandas" in after, name
